@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Replica of the driver's t1 smoke: run SparkEntry.entry on sf0.001 and
+  * assert rows > 0. Run: sbt "runMain graft.Smoke". */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    df.show(12, truncate = false)
+    val n = df.count()
+    println(s"ENTRY_ROWS=$n")
+    assert(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}

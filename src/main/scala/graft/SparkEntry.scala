@@ -1,13 +1,282 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.attrs.AttributesLog
+import graft.index.{IvfPqBuilder, IvfPqConfig}
+import graft.pipeline.{Dedup, TextAnalysis}
+import graft.query.{AnnQuery, ExactKnn}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data pipeline family), with a DuckDB
+  * oracle for every SQL-expressible one.
+  *
+  * Oracle discipline: outputs are integers/ids/strings wherever a float
+  * could differ in the last ulp between engines; raw data values and
+  * integer-derived numbers pass through untouched; genuinely float
+  * aggregates are rounded identically on both sides. Every query ends in
+  * an ORDER BY so row order is deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Fetch one embedding as the probe query vector (deterministic). */
+  private def queryVec(s: SparkSession, dir: String, vecId: Long): Array[Float] =
+    Tables.embeddings(s, dir).where(col("vec_id") === vecId)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  /** Flagship query on sf0.001: exact k-NN over the embeddings table —
+    * the reference's core semantics (Q1 with nprobe=P, no quantization). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val q = queryVec(spark, dir, 0L)
+    ExactKnn.rankedIds(Tables.embeddings(spark, dir), "embedding", "vec_id", q, 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------- relational core
+    "rel_q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "rel_q3_top_revenue" -> ((s, dir) =>
+      Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "rel_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // --------------------------- attributes replay log (S7/Q6 semantics)
+    "attrs_last_write_wins" -> ((s, dir) =>
+      AttributesLog.resolve(Tables.events(s, dir),
+          keyCols = Seq("user_id", "event_type"), seqCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id").as("last_event_id"))
+        .orderBy("user_id", "event_type")),
+
+    // ------------------------------------------- vector data model (S1/B9)
+    "vec_shape" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("vec_len"),
+          col("label"))
+        .orderBy("vec_id")),
+
+    "vec_divide" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("sub0"),
+          slice(col("embedding"), 49, 16).as("sub3"))
+        .orderBy("vec_id")),
+
+    // ------------------------------------------------ exact k-NN (Q1 core)
+    "knn_exact" -> ((s, dir) =>
+      ExactKnn.rankedIds(Tables.embeddings(s, dir), "embedding", "vec_id",
+        queryVec(s, dir, 0L), 10)),
+
+    "knn_exact_cosine" -> ((s, dir) =>
+      ExactKnn.rankedIdsCosine(Tables.embeddings(s, dir), "embedding", "vec_id",
+        queryVec(s, dir, 0L), 10)),
+
+    // ---------------------------------------------------- ANN (rows-only)
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
+        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      AnnQuery.topK(encoded, model, q, k = 10, nprobe = 4)
+    }),
+
+    // ------------------------------------------------------- dedup family
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .select("content_hash", "keep_id", "n_docs")
+        .orderBy("content_hash")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), thresholdPct = 85)
+        .orderBy("a_id", "b_id")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(Tables.documents(s, dir), thresholdPct = 90)
+        .orderBy("a_id", "b_id")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashDupPairsVerified(Tables.documents(s, dir))
+        .orderBy("a_id", "b_id")),
+
+    "embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
+        .orderBy("a_id", "b_id")),
+
+    // ------------------------------------------------------ text analysis
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualitySignals(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_q3_top_revenue" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "rel_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "attrs_last_write_wins" ->
+      """SELECT user_id, event_type, value, event_id AS last_event_id FROM (
+        | SELECT user_id, event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "vec_shape" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS vec_len, label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "vec_divide" ->
+      """SELECT vec_id, embedding[1:16] AS sub0, embedding[49:64] AS sub3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "knn_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))) AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER (ORDER BY sq, vec_id) AS BIGINT) AS rank,
+        | vec_id
+        |FROM d ORDER BY sq, vec_id LIMIT 10""".stripMargin,
+
+    "knn_exact_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dp,
+        |  sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS na,
+        |  sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS nb
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER
+        |  (ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS BIGINT) AS rank,
+        | vec_id
+        |FROM d ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_jaccard" -> jaccardOracle(85),
+    "dedup_minhash_lsh" -> jaccardOracle(90),
+
+    "dedup_simhash" ->
+      """WITH k AS (SELECT doc_id,
+        |  list_sort(list_distinct(string_split(text, ' '))) AS key
+        | FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "embed_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS dp,
+        |  sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
+        |  sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS nb
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |  generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id FROM p
+        |WHERE dp / (sqrt(na) * sqrt(nb)) * 1000 >= 400
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | CAST(length(text) AS BIGINT) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tokens, stop_cnt,
+        | CAST(floor(100.0 * stop_cnt / n_tokens) AS BIGINT) AS stop_pct,
+        | CAST(floor(10.0 * (n_chars - (n_tokens - 1)) / n_tokens) AS BIGINT)
+        |   AS avg_tok_len_x10
+        |FROM (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','an','of','to','and','in','is'))) AS BIGINT)
+        |   AS stop_cnt
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        | substring(md5(text), 1, 15) AS fp_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+
+  /** Shared oracle for exact token-set Jaccard at a given integer
+    * threshold — also the oracle for MinHash+LSH, whose verified output
+    * equals the exact result with probability 1 − 2e-15 per pair at the
+    * configured band geometry (see Dedup.minHashLshPairs). */
+  private def jaccardOracle(thresholdPct: Int): String =
+    s"""WITH toks AS (SELECT DISTINCT doc_id,
+       |  unnest(string_split(text, ' ')) AS tok FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       |ip AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       | FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2)
+       |SELECT a_id, b_id, inter, (sa.n + sb.n - inter) AS union_sz
+       |FROM ip JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |WHERE inter * 100 >= (sa.n + sb.n - inter) * $thresholdPct
+       |ORDER BY a_id, b_id""".stripMargin
 }

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` — no UDFs —
+  * so every operator stays inside whole-stage codegen and runs as one
+  * narrow projection per document: no shuffle at any scale.
+  *
+  * Oracle discipline: query outputs are integers/ids only (counts, keys,
+  * floor-scaled scores). Ratios are exposed as (numerator, denominator)
+  * pairs or integer basis points so the DuckDB comparison never hashes a
+  * float that could differ in the last ulp.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer — one token per space-separated run. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A small English stopword set for quality scoring (heuristic; the
+    * point is the operator shape, not the lexicon). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  /** Token statistics per document: total tokens, distinct tokens,
+    * characters. `n_tokens` uses whitespace splitting; `n_distinct` is the
+    * vocabulary size used by the dedup family. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars_computed"))
+
+  /** Quality signals per document, integer-only:
+    *  - stop_cnt / n_tokens: stopword ratio basis
+    *  - avg token length in tenths of a char: floor(10 * chars_in_tokens / n_tokens)
+    *  - quality score in percent: floor(100 * stop_cnt / n_tokens)
+    * Deterministic across engines because all divisions are floor(int/int).
+    */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopArr = typedlit(stopwords)
+    val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    val letterChars = (length(col("text")) - (size(toks) - lit(1))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopCnt.as("stop_cnt"),
+      floor(lit(100) * stopCnt.cast("double") / nTok.cast("double")).cast("long").as("stop_pct"),
+      floor(lit(10) * letterChars.cast("double") / nTok.cast("double")).cast("long").as("avg_tok_len_x10"))
+  }
+
+  /** Character-n-gram language-ID heuristic. Scores each document against
+    * tiny per-language trigram profiles and picks the argmax; ties broken
+    * lexicographically. Purely illustrative profiles — the synthetic corpus
+    * is same-vocabulary, so accuracy against the `lang` column is not the
+    * contract; determinism and the operator shape (a codegen'd projection,
+    * no shuffle) are.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "ing", "ion", "is "),
+    "de" -> Seq("der", "ein", "sch", "ich", "und"),
+    "es" -> Seq("que", "de ", "la ", "os ", "ión"),
+    "fr" -> Seq("les", "ent", "de ", "ion", "que"),
+    "zh" -> Seq("de ", "shi", "zh", "ng ", "ian"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    // score(lang) = number of profile trigrams present; argmax with
+    // lexicographic tiebreak via a struct-max over (score, revLang).
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val score = grams.map(g => when(col("text").contains(g), 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // langs are sorted ascending and a later entry replaces the running
+    // best only on strictly greater score → smallest lang wins ties.
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    docs.select(col("doc_id"), best.getField("lang").as("pred_lang"))
+  }
+
+  /** Content fingerprint: 128-bit MD5 of the text (hex) plus a 64-bit
+    * decimal prefix — the exact-dedup key. Identical in Spark and any SQL
+    * engine, unlike engine-specific hash functions. A Karp–Rabin rolling
+    * fingerprint over shingles lives in [[MinHash.shingleHashes]]. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      substring(md5(col("text")), 1, 15).as("fp_prefix"))
+}

@@ -1,0 +1,106 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.index.IvfPqModel
+
+/** IVF+PQ approximate k-NN over an encoded codes table — the reference's
+  * query path (reference/src/db/stored.rs:315-389) as one declarative plan:
+  *
+  *   1. partition selection — distances to the P coarse centroids, computed
+  *      on the DRIVER (P×N floats; reference does the same in-process,
+  *      db/stored.rs:394-442). Yields nprobe winning cells plus the
+  *      localized query q − centroid_p per cell.
+  *   2. ADC tables — per probed cell, the D×C table of
+  *      ‖subv_d(q−centroid_p) − codebook[d][c]‖² (db/stored.rs:549-573).
+  *      nprobe×D×C doubles — embedded as codegen literals, not broadcast
+  *      variables, so the whole scan stays in WholeStageCodegen.
+  *   3. pruned scan + table-lookup distance — `partition IN probes` prunes
+  *      parquet directories (the analogue of only reading nprobe partition
+  *      files, db/stored.rs:554); per row the distance is
+  *      Σ_d table[d][codes[d]] — pure lookups (db/stored.rs:575-595).
+  *   4. global top-k — orderBy(dist).limit(k) → TakeOrderedAndProject:
+  *      per-partition bounded top-k + driver merge, exactly the
+  *      reference's NBestByKey-then-merge (nbest.rs:7-137,
+  *      db/stored.rs:378-387) but data-parallel.
+  *
+  * The async overlap machinery of the reference (asyncdb/stored/query.rs)
+  * disappears: Spark schedules the pruned partition scans concurrently.
+  */
+object AnnQuery {
+
+  /** Selected cells: (partition id, localized query). */
+  def selectPartitions(model: IvfPqModel, q: Array[Double], nprobe: Int)
+      : Array[(Int, Array[Double])] = {
+    require(nprobe >= 1 && nprobe <= model.config.numPartitions,
+      s"nprobe $nprobe out of range 1..${model.config.numPartitions}") // db/stored.rs:403-409
+    model.partitionCentroids.zipWithIndex.map { case (c, p) =>
+      val localized = new Array[Double](q.length)
+      var i = 0; var dist = 0.0
+      while (i < q.length) {
+        localized(i) = q(i) - c(i)
+        dist += localized(i) * localized(i)
+        i += 1
+      }
+      (dist, p, localized)
+    }.sortBy(t => (t._1, t._2)).take(nprobe).map(t => (t._2, t._3))
+  }
+
+  /** D×C ADC table for one localized query (db/stored.rs:549-573). */
+  def adcTable(model: IvfPqModel, localized: Array[Double]): Array[Array[Double]] = {
+    val m = model.subDim
+    Array.tabulate(model.config.numDivisions) { d =>
+      Array.tabulate(model.config.numCodes) { c =>
+        val cb = model.codebooks(d)(c)
+        var i = 0; var s = 0.0
+        while (i < m) {
+          val diff = localized(d * m + i) - cb(i)
+          s += diff * diff
+          i += 1
+        }
+        s
+      }
+    }
+  }
+
+  /** ADC distance column: Σ_d table[d][codes[d]] as a single codegen'd
+    * fold — zip each code with its division index and look both up in the
+    * literal table. No UDF, no broadcast variable. */
+  private def adcDistCol(table: Array[Array[Double]], codes: Column): Column = {
+    val tbl = typedlit(table.map(_.toSeq).toSeq)
+    val divs = sequence(lit(0), lit(table.length - 1))
+    aggregate(
+      zip_with(codes, divs, (c, d) => element_at(element_at(tbl, d + 1), c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Approximate top-k: returns (id, partition, sq_dist) ascending.
+    * `codes` must carry (id, partition, codes) — typically the
+    * partitionBy("partition") parquet written by IvfPqBuilder.save, so the
+    * IN-filter prunes at file level. */
+  def topK(codes: DataFrame, model: IvfPqModel, q: Array[Double],
+           k: Int, nprobe: Int): DataFrame = {
+    val probes = selectPartitions(model, q, nprobe)
+    // one scan with a pruning IN-filter; per-cell ADC tables dispatched by
+    // a CASE over the (small) probe set — single pass, single codegen span.
+    val pruned = codes.where(col("partition").isin(probes.map(_._1): _*))
+    val dist = probes.tail.foldLeft(
+      when(col("partition") === probes.head._1,
+        adcDistCol(adcTable(model, probes.head._2), col("codes")))) {
+      case (acc, (p, localized)) =>
+        acc.when(col("partition") === p,
+          adcDistCol(adcTable(model, localized), col("codes")))
+    }
+    pruned.withColumn("sq_dist", dist)
+      .orderBy(col("sq_dist"), col("id"))
+      .limit(k)
+      .select(col("id"), col("partition"), col("sq_dist"))
+  }
+
+  /** Exact recall of an approximate result against brute force: fraction
+    * of true top-k ids recovered. Driver-side, for tests and calibration. */
+  def recallAtK(approx: Seq[Any], exact: Seq[Any]): Double =
+    if (exact.isEmpty) 1.0
+    else approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
+}
