@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Column API over the [[Kernels]] — each function becomes a single
+  * `StaticInvoke` Catalyst expression, which generates a direct method
+  * call inside WholeStageCodegen. Preferred over UDFs (no row boxing, no
+  * closure serialization) and over SQL higher-order functions (which
+  * interpret a lambda per array element).
+  */
+object FastFunctions {
+
+  private def invoke(dt: DataType, name: String, args: Column*): Column =
+    ColumnShim.column(StaticInvoke(
+      Kernels.getClass, dt, name,
+      args.map(ColumnShim.expression),
+      inputTypes = Nil,
+      propagateNull = true,
+      returnNullable = false))
+
+  /** Σ (aᵢ−bᵢ)² for two array<float> columns. */
+  def squaredL2F(a: Column, b: Column): Column =
+    invoke(DoubleType, "sqL2f", a, b)
+
+  /** Σ aᵢ·bᵢ for two array<float> columns. */
+  def dotF(a: Column, b: Column): Column =
+    invoke(DoubleType, "dotf", a, b)
+
+  /** Cosine similarity for two array<float> columns. */
+  def cosineF(a: Column, b: Column): Column =
+    invoke(DoubleType, "cosinef", a, b)
+
+  /** Sorted distinct xxhash64 values of an array<string> column — the
+    * hashed-token-set representation shared by the dedup operators. */
+  def tokenHashesSorted(toks: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "tokenHashesSorted", toks)
+
+  /** Hashed distinct token set of a whitespace-tokenized text column. */
+  def hashedTokenSet(text: Column): Column =
+    tokenHashesSorted(split(text, " "))
+
+  /** |A ∩ B| for two ascending-sorted array<long> columns. */
+  def interSortedSize(a: Column, b: Column): Column =
+    invoke(LongType, "interSortedSize", a, b)
+
+  /** MinHash signature (n longs) over a hashed token set. */
+  def minhashSig(hashes: Column, n: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSig", hashes, lit(n))
+
+  /** LSH band keys (one long per band) of a MinHash signature. */
+  def bandKeys(sig: Column, bands: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "bandKeys", sig, lit(bands))
+
+  /** 64-bit SimHash over a hashed token set. */
+  def simhash64(hashes: Column): Column =
+    invoke(LongType, "simhash64", hashes)
+
+  /** ADC distance against a flattened D×C table literal. */
+  def adcDist(codes: Column, flatTable: Seq[Double], numCodes: Int): Column =
+    invoke(DoubleType, "adcDist", codes, typedlit(flatTable), lit(numCodes))
+}

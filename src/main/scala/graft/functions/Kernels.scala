@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Hand-written JVM kernels for the per-row hot loops, invoked from plans
+  * via Catalyst `StaticInvoke` (see [[FastFunctions]]) — so they run as a
+  * single generated-code call inside WholeStageCodegen spans, unlike SQL
+  * higher-order functions (`aggregate`/`zip_with`/`transform`) which
+  * evaluate interpreted lambdas per element.
+  *
+  * These play the role of the reference's unrolled linalg kernels
+  * (reference/src/linalg.rs:7-247) — tight scalar loops the JIT can
+  * vectorize — but applied per row of a columnar scan on every executor
+  * core.
+  *
+  * Numeric contract: identical operation order to the higher-order
+  * variants in [[VectorFunctions]] (cast to double, sequential
+  * left-to-right accumulation), so results are bit-identical and the
+  * DuckDB oracle outputs do not change.
+  */
+object Kernels {
+
+  /** Σ (aᵢ−bᵢ)² over float arrays, accumulated in double. */
+  def sqL2f(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Σ aᵢ·bᵢ over float arrays, accumulated in double. */
+  def dotf(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Cosine similarity over float arrays — one pass for dot and both
+    * norms; 0.0 when either norm is zero (matches VectorFunctions.cosine). */
+  def cosinef(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var i = 0
+    var dp = 0.0
+    var na = 0.0
+    var nb = 0.0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dp += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dp / denom
+  }
+
+  /** Sorted (ascending) xxhash64 values of a string array's DISTINCT
+    * elements — the hashed token-set representation used by the dedup
+    * family. 64-bit hashing makes equality/intersection counts collide
+    * with probability ~n²/2⁶⁴ (negligible at corpus vocabulary sizes). */
+  def tokenHashesSorted(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      h(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    // dedupe in place (sorted)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || h(i) != h(m - 1)) { h(m) = h(i); m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, m))
+  }
+
+  /** |A ∩ B| of two ascending-sorted long arrays (merge intersect). */
+  def interSortedSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** MinHash signature over a hashed token set: n values
+    * minₜ (h₁(t) + i·h₂(t)) for i in 0..n-1 — the standard
+    * double-hashing construction of a hash family from two base hashes.
+    * One pass over tokens, 2 byte-level hashes per token. */
+  def minhashSig(hashes: ArrayData, n: Int): ArrayData = {
+    val m = hashes.numElements()
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var t = 0
+    while (t < m) {
+      val h = hashes.getLong(t)
+      val h1 = XXH64.hashLong(h, 0x9747b28c9747b28cL)
+      val h2 = XXH64.hashLong(h, 0x5bd1e9955bd1e995L) | 1L
+      var i = 0
+      var g = h1
+      while (i < n) {
+        if (g < sig(i)) sig(i) = g
+        g += h2
+        i += 1
+      }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Collapse a MinHash signature into `bands` 64-bit band keys (FNV-1a
+    * fold over each band's rows, salted with the band index) — banded LSH
+    * joins on a single long instead of an array slice. */
+  def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0xcbf29ce484222325L ^ b
+      var i = b * r
+      val end = i + r
+      while (i < end) {
+        k = (k ^ sig.getLong(i)) * 0x100000001b3L
+        i += 1
+      }
+      out(b) = k
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over a hashed token set: per bit, majority vote of the
+    * tokens' rehashed bits. Permutation-invariant; equal sets ⇒ equal
+    * SimHash. */
+  def simhash64(hashes: ArrayData): Long = {
+    val m = hashes.numElements()
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < m) {
+      // rehash so the vote bits are independent of the sort/dedupe hash
+      var h = XXH64.hashLong(hashes.getLong(t), 0x1234567887654321L)
+      var i = 0
+      while (i < 64) {
+        if ((h & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        h >>>= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** ADC distance Σ_d table[d·C + codes[d]] — pure lookups into the
+    * flattened D×C distance table (reference/src/db/stored.rs:575-595). */
+  def adcDist(codes: ArrayData, flatTable: ArrayData, numCodes: Int): Double = {
+    val d = codes.numElements()
+    var i = 0
+    var s = 0.0
+    while (i < d) {
+      s += flatTable.getDouble(i * numCodes + codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+}

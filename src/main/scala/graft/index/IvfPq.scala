@@ -91,10 +91,17 @@ object IvfPqBuilder {
     }.cache()
     withSubs.count() // materialize once; D fits + encode all reuse it
 
-    val pqModels: Array[KMeansModel] =
-      (0 until config.numDivisions).toArray.map { d =>
-        newKMeans(config, config.numCodes, s"sub_$d", s"code_$d").fit(withSubs)
-      }
+    // the D fits are independent — submit them concurrently and let the
+    // Spark scheduler interleave their stages across cores
+    val pqModels: Array[KMeansModel] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence((0 until config.numDivisions).toList.map { d =>
+          Future(newKMeans(config, config.numCodes, s"sub_$d", s"code_$d").fit(withSubs))
+        }), Duration.Inf).toArray
+    }
     val codebooks = pqModels.map(_.clusterCenters.map(_.toArray))
 
     // --- stage 4: encode — D assignments gathered into one array<int>

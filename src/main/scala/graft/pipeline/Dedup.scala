@@ -1,31 +1,38 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.FastFunctions._
 
 /** Deduplication operators for training-data pipelines.
   *
   * Five tiers, cheapest to richest, all over `documents(doc_id, text)`:
-  *   1. exact        — md5 content hash, one groupBy
-  *   2. jaccardPairs — exact token-set Jaccard via an inverted-index join
-  *   3. minHashLsh   — MinHash signatures + banded LSH candidates, then
-  *                     exact verification (the 100 TB path: candidate count
-  *                     ≪ n², verification touches only candidate pairs)
-  *   4. simHash      — 64-bit SimHash signatures; near-dup = small Hamming
-  *                     distance, bucketed by bit-bands
+  *   1. exact          — md5 content hash, one groupBy
+  *   2. jaccardPairs   — EXACT token-set Jaccard via PPJoin-style prefix
+  *                       filtering (Xiao et al., WWW'08): only each set's
+  *                       rarest-token prefix is indexed, so candidate
+  *                       generation shrinks from Σ df² over all tokens to
+  *                       Σ df² over prefix tokens, with zero loss —
+  *                       any pair at J ≥ t provably shares a prefix token.
+  *   3. minHashLsh     — MinHash signatures + banded LSH candidates +
+  *                       exact verification (the probabilistic scale path)
+  *   4. simHash        — 64-bit SimHash signatures; dup = equal signature,
+  *                       near-dup = small Hamming distance via bit-bands
   *   5. embedding near-dup — cosine threshold over embedding vectors
   *
-  * Scale notes baked into each operator:
-  *  - The inverted-index join shuffles (token, doc) pairs — at 100 TB hot
-  *    tokens explode quadratically, so [[tokenDocPairs]] takes a document-
-  *    frequency cap that drops tokens appearing in more than `maxDf` docs
-  *    (standard candidate-pruning; exactness is restored by the verify
-  *    stage which only ever *scores* candidate pairs).
-  *  - MinHash signatures are fixed-width arrays (numHashes × 8 bytes) —
-  *    ~1 KB per doc regardless of document size, so the LSH band join
-  *    shuffles signatures, never text.
+  * Common representation: the HASHED TOKEN SET — sorted distinct
+  * xxhash64 of whitespace tokens (array<long>, built by one Kernels call
+  * per row). All joins/intersections run on fixed-width longs, never on
+  * strings; set intersections are merge-scans over sorted arrays.
+  * 64-bit collisions (~V²/2⁶⁴ for vocabulary V) are accepted.
+  *
+  * Scale notes:
+  *  - candidate generation shuffles only (key: long, doc_id: long) pairs;
+  *  - verification joins candidates back to hashed sets — at 100 TB this
+  *    is a shuffle of compact long-arrays, not documents;
+  *  - signatures are fixed-width (numHashes × 8 B ≈ 1 KB/doc).
   */
 object Dedup {
 
@@ -45,122 +52,123 @@ object Dedup {
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id"))
 
-  // ------------------------------------------------- token-set Jaccard
+  // --------------------------------------------------- hashed token sets
 
-  /** (doc_id, tok) distinct pairs — the inverted index. `maxDf` drops
-    * ubiquitous tokens (df > maxDf) from candidate generation. */
-  def tokenDocPairs(docs: DataFrame, maxDf: Option[Int] = None): DataFrame = {
-    val pairs = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    maxDf match {
-      case None => pairs
-      case Some(cap) =>
-        val df = pairs.groupBy("tok").agg(count(lit(1)).as("df")).where(col("df") <= cap)
-        pairs.join(broadcast(df.select("tok")), "tok")
-    }
-  }
+  /** (doc_id, hset: sorted distinct token hashes, sz). */
+  def hashedSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), hashedTokenSet(col("text")).as("hset"))
+      .withColumn("sz", size(col("hset")).cast("long"))
+
+  // ------------------------------------- exact Jaccard via prefix filter
 
   /** Exact token-set Jaccard pairs with jaccard >= thresholdPct/100.
-    * Output is integer-only: (a_id, b_id, inter, union); the threshold is
-    * applied as `100*inter >= thresholdPct*union` so no float ever decides
-    * membership. Plan: inverted-index self-join on token (shuffle on a
-    * token-hash — co-partitioned, no cross join), count intersections,
-    * then a broadcast join against per-doc set sizes. */
-  def jaccardPairs(docs: DataFrame, thresholdPct: Int,
-                   maxDf: Option[Int] = None): DataFrame = {
-    val toks = tokenDocPairs(docs, maxDf)
-    val sizes = docs.select(
-      col("doc_id"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("set_sz"))
-    val inter = toks.as("x").join(toks.as("y"), col("x.tok") === col("y.tok"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.as("sa")), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"), col("inter"),
-        (col("sa.set_sz") + col("sb.set_sz") - col("inter")).as("union_sz"))
-      .where(col("inter") * 100 >= col("union_sz") * thresholdPct)
+    * Output is integer-only: (a_id, b_id, inter, union_sz); the threshold
+    * is `100*inter >= thresholdPct*union` so no float decides membership.
+    *
+    * Algorithm (PPJoin prefix filter):
+    *  - global token order = (document frequency asc, hash asc);
+    *  - each set indexes only its first L = |A| − ⌈t·|A|⌉ + 1 tokens
+    *    under that order (its rarest tokens);
+    *  - J(A,B) ≥ t ⇒ prefixes intersect, so the prefix self-join is a
+    *    complete candidate generator;
+    *  - candidates are verified with an exact merge-intersection kernel
+    *    over the full sorted hash sets.
+    */
+  def jaccardPairs(docs: DataFrame, thresholdPct: Int): DataFrame = {
+    val sets = hashedSets(docs)
+    val toks = sets.select(col("doc_id"), col("sz"), explode(col("hset")).as("h"))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    // rank tokens per doc by global (df, h) order; keep the prefix
+    // Carry the full hashed set alongside each prefix token so that
+    // verification happens inline in the join output — no candidate
+    // materialization, no second join; pairs found via several shared
+    // prefix tokens are deduped AFTER the threshold filter, when few
+    // rows survive.
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = toks.join(dfreq, "h")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("sz") - ceilDiv(col("sz") * thresholdPct, 100) + 1)
+      .select(col("doc_id"), col("h"))
+      .join(sets, "doc_id")
+      .select(col("doc_id"), col("h"), col("sz"), col("hset"))
+    verifyPairs(
+      prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")),
+      thresholdPct)
   }
+
+  /** ⌈a/b⌉ for positive integer columns. */
+  private def ceilDiv(a: Column, b: Int): Column = floor((a + lit(b - 1)) / b)
+
+  /** Inline verification of a self-joined candidate relation whose sides
+    * are aliased x/y and carry (doc_id, sz, hset): exact merge-count
+    * intersection, integer threshold, then dedupe of the survivors only.
+    * Carrying sets through the join trades shuffle volume (sets ride
+    * along, multiplied by prefix/band fan-out) against skipping a
+    * candidate-distinct shuffle plus two re-joins; inline wins whenever
+    * candidates outnumber documents, which holds for any corpus worth
+    * deduplicating. */
+  private def verifyPairs(joined: DataFrame, thresholdPct: Int): DataFrame =
+    joined
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        interSortedSize(col("x.hset"), col("y.hset")).as("inter"),
+        (col("x.sz") + col("y.sz")).as("sz_sum"))
+      .withColumn("union_sz", col("sz_sum") - col("inter"))
+      .where(col("inter") * 100 >= col("union_sz") * thresholdPct)
+      .select("a_id", "b_id", "inter", "union_sz")
+      .distinct()
 
   // ------------------------------------------------------------ MinHash
 
-  /** Per-token 64-bit base hashes (xxhash64) — the Karp–Rabin-style
-    * shingle fingerprints that seed the MinHash family. */
-  def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)).as("hashes"))
+  /** MinHash signature (numHashes longs) per document — one kernel call
+    * per row over the hashed token set. */
+  def minHashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+    hashedSets(docs).select(col("doc_id"),
+      minhashSig(col("hset"), numHashes).as("sig"))
 
-  /** MinHash signature: hash family hᵢ(tok) = xxhash64(tok, i) (a salted
-    * 64-bit hash per "permutation"), min over the token set. Salting
-    * avoids multiply-mod arithmetic that would overflow under ANSI mode.
-    * Computed entirely inside codegen (transform + array_min over the
-    * token array) — one narrow projection, no shuffle. */
-  def minHashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val toks = array_distinct(split(col("text"), " "))
-    val sig = array((0 until numHashes).map(i =>
-      array_min(transform(toks, t => xxhash64(t, lit(i))))): _*)
-    docs.select(col("doc_id"), sig.as("sig"))
-  }
-
-  /** LSH candidate pairs: split the signature into `bands` bands of
-    * `rowsPerBand` hashes; docs sharing any band bucket are candidates.
-    * The band join shuffles only (band, bucket-hash, doc_id) — tiny rows —
-    * and a groupBy over identical buckets yields pairs. */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = signatures.select(
-      col("doc_id"),
-      posexplode(
-        array((0 until bands).map(b =>
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
-      .toDF("doc_id", "band", "bucket")
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
+  /** LSH candidate pairs: one 64-bit band key per band (band index salted
+    * in), self-join on the key. Shuffles only (key, doc_id) longs. */
+  def lshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
+    val keyed = signatures.select(col("doc_id"),
+      explode(bandKeys(col("sig"), bands)).as("k"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** Banded (doc_id, k, sz, hset) relation for inline-verified LSH. */
+  private def lshKeyed(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val sets = hashedSets(docs)
+    sets.select(col("doc_id"), col("sz"), col("hset"),
+      explode(bandKeys(minhashSig(col("hset"), numHashes), bands)).as("k"))
   }
 
   /** MinHash+LSH dedup with exact verification: candidates from the band
     * join, then exact token-set Jaccard computed ONLY for candidate pairs.
     * Output = verified pairs at jaccard >= thresholdPct/100 — integer-only
-    * like [[jaccardPairs]]. With bands=32, rowsPerBand=4 the probability of
-    * missing a pair at j >= 0.9 is (1−j⁴)³² < 2e-15, so the result equals
-    * the exact-Jaccard output while scanning candidate pairs only. */
+    * like [[jaccardPairs]]. With bands=32, rowsPerBand=4 the probability
+    * of missing a pair at j >= 0.9 is (1−j⁴)³² < 2e-15, so the result
+    * equals the exact-Jaccard output while scanning candidate pairs only. */
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
                       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val cands = lshCandidates(minHashSignatures(docs, numHashes), bands, numHashes / bands)
-    val sets = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
-    cands
-      .join(sets.as("da"), col("a_id") === col("da.doc_id"))
-      .join(sets.as("db"), col("b_id") === col("db.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("da.toks"), col("db.toks"))).cast("long").as("inter"),
-        size(array_union(col("da.toks"), col("db.toks"))).cast("long").as("union_sz"))
-      .where(col("inter") * 100 >= col("union_sz") * thresholdPct)
+    val keyed = lshKeyed(docs, numHashes, bands)
+    verifyPairs(
+      keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id")),
+      thresholdPct)
   }
 
   // ------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash over the distinct token set: per bit, sum ±1 votes of
-    * each token's xxhash64 bit, sign → bit. Permutation-invariant (set
-    * semantics). Computed as 64 aggregate() folds inside one projection. */
-  def simHashSignatures(docs: DataFrame): DataFrame = {
-    val bits = (0 until 64).map { i =>
-      // vote_i = Σ_tok (bit_i(hash(tok)) ? 1 : -1); bit set iff vote > 0
-      val vote = aggregate(col("hashes"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    shingleHashes(docs).select(col("doc_id"),
-      bits.reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  /** (doc_id, simhash: long) — 64-bit SimHash over the hashed token set. */
+  def simHashSignatures(docs: DataFrame): DataFrame =
+    hashedSets(docs).select(col("doc_id"), simhash64(col("hset")).as("simhash"))
 
-  /** Pairs of documents with identical SimHash (Hamming distance 0 — for
-    * this operator's oracle, equal token sets). */
+  /** Pairs with identical SimHash (Hamming distance 0). Equal token sets
+    * always collide; unequal-but-similar sets may too — see the verified
+    * variant for the exact dup relation. */
   def simHashDupPairs(docs: DataFrame): DataFrame = {
     val sigs = simHashSignatures(docs)
     sigs.as("x").join(sigs.as("y"),
@@ -168,24 +176,22 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
   }
 
-  /** [[simHashDupPairs]] with exact verification: candidates from SimHash
-    * equality (a 64-bit hash join — cheap at any scale since signatures
-    * are 8 bytes/doc), confirmed by exact token-set equality. Equal sets
-    * always produce equal SimHash, so this is exactly the set-equal dup
-    * relation, found without ever joining on full texts. */
+  /** [[simHashDupPairs]] verified by exact token-set equality (a join on
+    * the fixed-width hashed set — cheap; signatures prune the n² space
+    * first). Exactly the set-equal dup relation. */
   def simHashDupPairsVerified(docs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      array_sort(array_distinct(split(col("text"), " "))).as("tok_set"))
+    val sets = hashedSets(docs)
     simHashDupPairs(docs)
-      .join(sets.as("va"), col("a_id") === col("va.doc_id"))
-      .join(sets.as("vb"), col("b_id") === col("vb.doc_id"))
-      .where(col("va.tok_set") === col("vb.tok_set"))
+      .join(sets.select(col("doc_id"), col("hset").as("ha")), col("a_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(sets.select(col("doc_id"), col("hset").as("hb")), col("b_id") === col("doc_id"))
+      .where(col("ha") === col("hb"))
       .select(col("a_id"), col("b_id"))
   }
 
   /** Near-dup pairs at Hamming distance <= maxHamming, bucketed by 4
     * 16-bit bands (pigeonhole: any pair within Hamming 3 shares at least
-    * one exact band). Shuffles only (band, 16-bit chunk, doc_id). */
+    * one exact band). Shuffles only (band, chunk, doc_id). */
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole covers Hamming <= 3")
     val sigs = simHashSignatures(docs)
@@ -193,15 +199,11 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .toDF("doc_id", "simhash", "band", "chunk")
-    val popcount = (c: Column) => {
-      // Hamming weight via bit_count (Spark 3.3+)
-      bit_count(c)
-    }
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        popcount(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -219,7 +221,7 @@ object Dedup {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        VectorFunctions.cosine(col("x.v"), col("y.v")).as("cos"))
+        cosineF(col("x.v"), col("y.v")).as("cos"))
       .where(col("cos") * 1000 >= thresholdMilli)
       .select(col("a_id"), col("b_id"))
   }

@@ -64,16 +64,12 @@ object AnnQuery {
     }
   }
 
-  /** ADC distance column: Σ_d table[d][codes[d]] as a single codegen'd
-    * fold — zip each code with its division index and look both up in the
-    * literal table. No UDF, no broadcast variable. */
-  private def adcDistCol(table: Array[Array[Double]], codes: Column): Column = {
-    val tbl = typedlit(table.map(_.toSeq).toSeq)
-    val divs = sequence(lit(0), lit(table.length - 1))
-    aggregate(
-      zip_with(codes, divs, (c, d) => element_at(element_at(tbl, d + 1), c + 1)),
-      lit(0.0), (acc, v) => acc + v)
-  }
+  /** ADC distance column: Σ_d table[d][codes[d]] as one kernel call
+    * against the flattened D×C table literal. No UDF, no broadcast
+    * variable — the table rides in the generated code as a constant. */
+  private def adcDistCol(table: Array[Array[Double]], codes: Column): Column =
+    graft.functions.FastFunctions.adcDist(
+      codes, table.flatten.toSeq, table(0).length)
 
   /** Approximate top-k: returns (id, partition, sq_dist) ascending.
     * `codes` must carry (id, partition, codes) — typically the

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.FastFunctions.{cosineF, squaredL2F}
+import graft.functions.VectorFunctions.vecLit
 
 /** Brute-force exact k-NN — the reference's query semantics with nprobe=P
   * and no quantization error (SURVEY.md §7 phase 1). This is both a real
@@ -24,7 +25,7 @@ object ExactKnn {
   /** Top-k by squared L2 distance; ties broken by id for determinism. */
   def topK(df: DataFrame, vecCol: String, idCol: String,
            q: Seq[Float], k: Int): DataFrame =
-    df.withColumn("sq_dist", squaredL2(col(vecCol), vecLit(q)))
+    df.withColumn("sq_dist", squaredL2F(col(vecCol), vecLit(q)))
       .orderBy(col("sq_dist"), col(idCol))
       .limit(k)
 
@@ -32,7 +33,7 @@ object ExactKnn {
     * baseline for the embedding pipeline. */
   def topKCosine(df: DataFrame, vecCol: String, idCol: String,
                  q: Seq[Float], k: Int): DataFrame =
-    df.withColumn("cos_sim", cosine(col(vecCol), vecLit(q)))
+    df.withColumn("cos_sim", cosineF(col(vecCol), vecLit(q)))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
@@ -65,7 +66,7 @@ object ExactKnn {
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int): DataFrame = {
     val pairs = df.join(broadcast(queries))
-      .withColumn("sq_dist", squaredL2(col(vecCol), col(qvecCol)))
+      .withColumn("sq_dist", squaredL2F(col(vecCol), col(qvecCol)))
       .select(col(qidCol), col(idCol), col("sq_dist"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("sq_dist"), col(idCol))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
