@@ -47,6 +47,14 @@ object FastFunctions {
   def interSortedSize(a: Column, b: Column): Column =
     invoke(LongType, "interSortedSize", a, b)
 
+  /** First element of `a` also present in `b` (both array<long>). */
+  def firstCommon(a: Column, b: Column): Column =
+    invoke(LongType, "firstCommon", a, b)
+
+  /** First index where two array<long> columns agree, −1 if none. */
+  def firstEqualIdx(a: Column, b: Column): Column =
+    invoke(IntegerType, "firstEqualIdx", a, b)
+
   /** MinHash signature (n longs) over a hashed token set. */
   def minhashSig(hashes: Column, n: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "minhashSig", hashes, lit(n))

@@ -106,6 +106,42 @@ object Kernels {
     c
   }
 
+  /** First element of `a` (in a's order) that also occurs in `b` — for
+    * arrays listing both docs' prefix tokens under the same global
+    * order, this is the globally-least common prefix token, so it is
+    * symmetric in a/b. Only called on rows a join already proved share
+    * an element; the 0 fallback is unreachable there. Arrays are prefix
+    * length (≤ (1−t)·|set|+1 elements), so the scan is a few dozen ops. */
+  def firstCommon(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    while (i < na) {
+      val x = a.getLong(i)
+      var j = 0
+      while (j < nb) {
+        if (b.getLong(j) == x) return x
+        j += 1
+      }
+      i += 1
+    }
+    0L
+  }
+
+  /** First index at which two long arrays hold the same value, −1 if
+    * none — the "emit each LSH pair from its first shared band only"
+    * dedupe (each candidate pair survives in exactly one joined row, so
+    * no distinct() shuffle over the candidate multiset is needed). */
+  def firstEqualIdx(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** MinHash signature over a hashed token set: n values
     * minₜ (h₁(t) + i·h₂(t)) for i in 0..n-1 — the standard
     * double-hashing construction of a hash family from two base hashes.

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.FastFunctions._
@@ -78,45 +77,60 @@ object Dedup {
     val sets = hashedSets(docs)
     val toks = sets.select(col("doc_id"), col("sz"), explode(col("hset")).as("h"))
     val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
-    // rank tokens per doc by global (df, h) order; keep the prefix
-    // Carry the full hashed set alongside each prefix token so that
-    // verification happens inline in the join output — no candidate
-    // materialization, no second join; pairs found via several shared
-    // prefix tokens are deduped AFTER the threshold filter, when few
-    // rows survive.
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
-    val prefix = toks.join(dfreq, "h")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= col("sz") - ceilDiv(col("sz") * thresholdPct, 100) + 1)
-      .select(col("doc_id"), col("h"))
-      .join(sets, "doc_id")
-      .select(col("doc_id"), col("h"), col("sz"), col("hset"))
-    verifyPairs(
-      prefix.as("x").join(prefix.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")),
-      thresholdPct)
+    // per-doc PREFIX ARRAY: the L = |A| − ⌈t·|A|⌉ + 1 globally rarest
+    // tokens, ordered by (document frequency, hash) — one aggregation,
+    // array stays in (df, h) order after the struct sort
+    val prefixed = toks.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ranked"))
+      .select(col("doc_id"), col("sz"),
+        transform(
+          slice(col("ranked"), lit(1),
+            (col("sz") - ceilDiv(col("sz") * thresholdPct, 100) + 1).cast("int")),
+          s => s.getField("h")).as("prefix"))
+    val prefix = prefixed
+      .select(col("doc_id"), col("sz"), col("prefix"),
+        explode(col("prefix")).as("h"))
+      .repartition(col("doc_id"))
+    // each qualifying pair shares ≥1 prefix token; the firstCommon filter
+    // (= the globally-least shared prefix token, symmetric in x/y) keeps
+    // exactly one joined row per pair — no distinct() over candidates
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+        sizeCompatible(thresholdPct) &&
+        firstCommon(col("x.prefix"), col("y.prefix")) === col("x.h"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    verifyCandidates(cand, sets, thresholdPct)
   }
 
   /** ⌈a/b⌉ for positive integer columns. */
   private def ceilDiv(a: Column, b: Int): Column = floor((a + lit(b - 1)) / b)
 
-  /** Inline verification of a self-joined candidate relation whose sides
-    * are aliased x/y and carry (doc_id, sz, hset): exact merge-count
-    * intersection, integer threshold, then dedupe of the survivors only.
-    * Carrying sets through the join trades shuffle volume (sets ride
-    * along, multiplied by prefix/band fan-out) against skipping a
-    * candidate-distinct shuffle plus two re-joins; inline wins whenever
-    * candidates outnumber documents, which holds for any corpus worth
-    * deduplicating. */
-  private def verifyPairs(joined: DataFrame, thresholdPct: Int): DataFrame =
-    joined
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        interSortedSize(col("x.hset"), col("y.hset")).as("inter"),
-        (col("x.sz") + col("y.sz")).as("sz_sum"))
+  /** Length filter: J(A,B) ≥ t implies t·max(|A|,|B|) ≤ min(|A|,|B|),
+    * so candidates whose sizes are incompatible are pruned inside the
+    * join — integer arithmetic, no true pair ever dropped. */
+  private def sizeCompatible(thresholdPct: Int): Column =
+    col("x.sz") * 100 >= col("y.sz") * thresholdPct &&
+      col("y.sz") * 100 >= col("x.sz") * thresholdPct
+
+  /** Exact verification of distinct candidate pairs: join the hashed sets
+    * back (sets ≪ candidates, so the planner broadcasts them at test
+    * scale and shuffle-joins on doc_id at cluster scale — both linear),
+    * merge-count the intersection once per pair, integer threshold.
+    * Output: (a_id, b_id, inter, union_sz), no float in any predicate. */
+  private def verifyCandidates(cand: DataFrame, sets: DataFrame,
+                               thresholdPct: Int): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hset").as("ha"),
+        col("sz").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hset").as("hb"),
+        col("sz").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        interSortedSize(col("ha"), col("hb")).as("inter"),
+        (col("sa") + col("sb")).as("sz_sum"))
       .withColumn("union_sz", col("sz_sum") - col("inter"))
       .where(col("inter") * 100 >= col("union_sz") * thresholdPct)
       .select("a_id", "b_id", "inter", "union_sz")
-      .distinct()
 
   // ------------------------------------------------------------ MinHash
 
@@ -127,21 +141,20 @@ object Dedup {
       minhashSig(col("hset"), numHashes).as("sig"))
 
   /** LSH candidate pairs: one 64-bit band key per band (band index salted
-    * in), self-join on the key. Shuffles only (key, doc_id) longs. */
+    * in), self-join on the key; the firstEqualIdx filter emits each pair
+    * from its first shared band only, replacing a distinct() over the
+    * (quadratic) candidate multiset. Shuffles only fixed-width rows. */
   def lshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
-    val keyed = signatures.select(col("doc_id"),
-      explode(bandKeys(col("sig"), bands)).as("k"))
+    val keyed = signatures
+      .select(col("doc_id"), bandKeys(col("sig"), bands).as("bands"))
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("b", "k")))
+      .repartition(col("doc_id"), col("b"))
     keyed.as("x").join(keyed.as("y"),
-        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+        col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-  }
-
-  /** Banded (doc_id, k, sz, hset) relation for inline-verified LSH. */
-  private def lshKeyed(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val sets = hashedSets(docs)
-    sets.select(col("doc_id"), col("sz"), col("hset"),
-      explode(bandKeys(minhashSig(col("hset"), numHashes), bands)).as("k"))
   }
 
   /** MinHash+LSH dedup with exact verification: candidates from the band
@@ -149,15 +162,42 @@ object Dedup {
     * Output = verified pairs at jaccard >= thresholdPct/100 — integer-only
     * like [[jaccardPairs]]. With bands=32, rowsPerBand=4 the probability
     * of missing a pair at j >= 0.9 is (1−j⁴)³² < 2e-15, so the result
-    * equals the exact-Jaccard output while scanning candidate pairs only. */
+    * equals the exact-Jaccard output while scanning candidate pairs only.
+    *
+    * Shape, designed for the worst case (dense near-dup clusters, where
+    * band buckets pair quadratically):
+    *  - band-join rows carry (doc_id, sz, bands, b, k) — the 32-long band
+    *    array rides along (≈300 B/row, linear in corpus size) but hashed
+    *    sets do NOT;
+    *  - a pair sharing m bands appears in m joined rows; the
+    *    `firstEqualIdx(x.bands, y.bands) = b` filter keeps exactly the
+    *    first shared band, so each candidate survives ONCE with no
+    *    distinct() over the (quadratic) candidate multiset;
+    *  - the length filter prunes size-incompatible pairs inside the join;
+    *  - verification joins the surviving pairs back to the hashed sets
+    *    and merge-counts each intersection exactly once. */
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
                       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val keyed = lshKeyed(docs, numHashes, bands)
-    verifyPairs(
-      keyed.as("x").join(keyed.as("y"),
-        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id")),
-      thresholdPct)
+    val sets = hashedSets(docs)
+    val keyed = sets
+      .withColumn("bands", bandKeys(minhashSig(col("hset"), numHashes), bands))
+      .select(col("doc_id"), col("sz"), col("bands"),
+        posexplode(col("bands")).as(Seq("b", "k")))
+      // spread each doc's band rows across the cluster: the downstream
+      // join's parallelism follows THIS partitioning when the other side
+      // broadcasts, and must not inherit a single-split source layout
+      .repartition(col("doc_id"), col("b"))
+    // conjunct order matters: the cheap inequality/size predicates run
+    // first, the firstEqualIdx scan last — it only ever sees pairs that
+    // survived everything else
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        sizeCompatible(thresholdPct) &&
+        firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    verifyCandidates(cand, sets, thresholdPct)
   }
 
   // ------------------------------------------------------------ SimHash
@@ -219,6 +259,9 @@ object Dedup {
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      // the nested-loop join's parallelism follows the stream side's
+      // partitioning — never inherit a single-split source layout
+      .repartition(col(idCol))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         cosineF(col("x.v"), col("y.v")).as("cos"))
