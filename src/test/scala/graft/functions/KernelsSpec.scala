@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class KernelsSpec extends AnyFunSuite {
+
+  private def fa(xs: Float*): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+  private def la(xs: Long*): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+  private def sa(xs: String*): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  test("sqL2f: squared euclidean distance") {
+    assert(Kernels.sqL2f(fa(1f, 2f, 3f), fa(1f, 2f, 3f)) === 0.0)
+    assert(Kernels.sqL2f(fa(0f, 0f), fa(3f, 4f)) === 25.0)
+  }
+
+  test("dotf: dot product") {
+    assert(Kernels.dotf(fa(1f, 2f, 3f), fa(4f, 5f, 6f)) === 32.0)
+    assert(Kernels.dotf(fa(), fa()) === 0.0)
+  }
+
+  test("cosinef: unit cases and zero-norm guard") {
+    assert(Kernels.cosinef(fa(1f, 0f), fa(1f, 0f)) === 1.0)
+    assert(Kernels.cosinef(fa(1f, 0f), fa(0f, 1f)) === 0.0)
+    assert(Kernels.cosinef(fa(1f, 0f), fa(-1f, 0f)) === -1.0)
+    assert(Kernels.cosinef(fa(0f, 0f), fa(1f, 2f)) === 0.0) // zero norm
+  }
+
+  test("tokenHashesSorted: sorted, distinct, permutation-invariant") {
+    val h1 = Kernels.tokenHashesSorted(sa("b", "a", "c", "a"))
+    val h2 = Kernels.tokenHashesSorted(sa("a", "c", "b"))
+    assert(h1.toLongArray().toSeq == h2.toLongArray().toSeq)
+    val arr = h1.toLongArray()
+    assert(arr.length === 3)
+    assert(arr.toSeq == arr.sorted.toSeq)
+    assert(arr.distinct.length === arr.length)
+  }
+
+  test("interSortedSize: merge intersection vs Set intersect (100 random sets)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 100) {
+      val a = Set.fill(rnd.nextInt(50))(rnd.nextLong(100))
+      val b = Set.fill(rnd.nextInt(50))(rnd.nextLong(100))
+      val got = Kernels.interSortedSize(
+        UnsafeArrayData.fromPrimitiveArray(a.toArray.sorted),
+        UnsafeArrayData.fromPrimitiveArray(b.toArray.sorted))
+      assert(got === a.intersect(b).size.toLong)
+    }
+  }
+
+  test("firstCommon: least common element under the arrays' shared order") {
+    // both arrays listed in the same global order (here ascending)
+    assert(Kernels.firstCommon(la(1, 5, 9), la(2, 5, 9)) === 5L)
+    assert(Kernels.firstCommon(la(3, 4), la(4, 7)) === 4L)
+    // symmetric because common elements keep their relative order
+    assert(Kernels.firstCommon(la(2, 5, 9), la(1, 5, 9)) === 5L)
+    assert(Kernels.firstCommon(la(1, 2), la(3, 4)) === 0L) // sentinel
+  }
+
+  test("firstEqualIdx: first position where arrays agree") {
+    assert(Kernels.firstEqualIdx(la(1, 2, 3), la(9, 2, 3)) === 1)
+    assert(Kernels.firstEqualIdx(la(1, 2), la(1, 2)) === 0)
+    assert(Kernels.firstEqualIdx(la(1, 2), la(3, 4)) === -1)
+  }
+
+  test("minhashSig: deterministic, set-identity, expected length") {
+    val s1 = Kernels.minhashSig(la(10, 20, 30), 64).toLongArray()
+    val s2 = Kernels.minhashSig(la(10, 20, 30), 64).toLongArray()
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.length === 64)
+    // superset can only lower each min
+    val sup = Kernels.minhashSig(la(10, 20, 30, 40), 64).toLongArray()
+    assert(s1.zip(sup).forall { case (a, b) => b <= a })
+  }
+
+  test("minhashSig: signature agreement tracks jaccard (statistically)") {
+    val a = (1L to 100L).toArray
+    val b = (11L to 110L).toArray // jaccard = 90/110 ≈ 0.818
+    val sa = Kernels.minhashSig(UnsafeArrayData.fromPrimitiveArray(a), 256).toLongArray()
+    val sb = Kernels.minhashSig(UnsafeArrayData.fromPrimitiveArray(b), 256).toLongArray()
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(agree > 0.70 && agree < 0.93, s"agreement $agree far from 0.818")
+  }
+
+  test("bandKeys: equal sigs collide per band, length = bands") {
+    val sig = Kernels.minhashSig(la(1, 2, 3), 128)
+    val k1 = Kernels.bandKeys(sig, 32).toLongArray()
+    val k2 = Kernels.bandKeys(sig, 32).toLongArray()
+    assert(k1.toSeq == k2.toSeq)
+    assert(k1.length === 32)
+  }
+
+  test("simhash64: equal sets collide; different sets (generally) differ") {
+    val a = Kernels.simhash64(la(1, 2, 3))
+    assert(a === Kernels.simhash64(la(1, 2, 3)))
+    assert(a !== Kernels.simhash64(la(4, 5, 6, 7, 8)))
+  }
+
+  test("simhash64: near sets have small hamming distance") {
+    val base = (1L to 100L).toArray
+    val near = (1L to 99L).toArray :+ 1000L
+    val h = java.lang.Long.bitCount(
+      Kernels.simhash64(UnsafeArrayData.fromPrimitiveArray(base)) ^
+        Kernels.simhash64(UnsafeArrayData.fromPrimitiveArray(near)))
+    assert(h <= 16, s"hamming $h too large for 98% overlap")
+  }
+
+  test("adcDist: table lookups sum") {
+    // D=2, C=3, flattened row-major
+    val table = new GenericArrayData(Array[Any](1.0, 2.0, 3.0, 10.0, 20.0, 30.0))
+    val codes = new GenericArrayData(Array[Any](2, 0)) // table[0][2] + table[1][0]
+    assert(Kernels.adcDist(codes, table, 3) === 13.0)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.query.{AnnQuery, ExactKnn}
+
+/** IVF+PQ build/query invariants on a synthetic clustered dataset —
+  * mirrors the reference's build pipeline semantics (ids → partition →
+  * divide → quantize) without asserting seed-dependent cluster ids. */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val config =
+    IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 16, maxIter = 20)
+
+  // 4 well-separated macro blobs (IVF structure) × 10 seeds × 5 near-clones
+  // (k-NN structure: each point's true neighbors are its clone group,
+  // clearly separated from everything else) — ids 0..49 are blob 0, etc.
+  private lazy val data: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val blobs = Seq.tabulate(4)(_ => Array.fill(dim)(rnd.nextDouble() * 20 - 10))
+    for {
+      (blob, b) <- blobs.zipWithIndex
+      seed <- 0 until 10
+      seedVec = blob.map(v => v + rnd.nextGaussian() * 0.8)
+      clone <- 0 until 5
+    } yield (((b * 10 + seed) * 5 + clone).toLong,
+      seedVec.map(v => (v + rnd.nextGaussian() * 0.02).toFloat).toSeq)
+  }
+
+  private lazy val df = data.toDF("id", "vec")
+  private lazy val (model, encoded) = IvfPqBuilder.fit(df, "id", "vec", dim, config)
+
+  test("model shapes match config (reference db/stored.rs:659-722 invariants)") {
+    assert(model.partitionCentroids.length === config.numPartitions)
+    assert(model.partitionCentroids.forall(_.length === dim))
+    assert(model.codebooks.length === config.numDivisions)
+    assert(model.codebooks.forall(_.length === config.numCodes))
+    assert(model.codebooks.forall(_.forall(_.length === model.subDim)))
+  }
+
+  test("encoded table: every vector, partition and codes in range") {
+    val rows = encoded.collect()
+    assert(rows.length === data.length)
+    assert(rows.forall { r =>
+      val p = r.getAs[Int]("partition")
+      p >= 0 && p < config.numPartitions
+    })
+    assert(rows.forall { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      codes.length == config.numDivisions &&
+        codes.forall(c => c >= 0 && c < config.numCodes)
+    })
+  }
+
+  test("residual + centroid reconstructs the original vector") {
+    val centroids = model.partitionCentroids
+    val byId = data.toMap
+    encoded.select("id", "partition", "residual").collect().foreach { r =>
+      val orig = byId(r.getLong(0))
+      val c = centroids(r.getInt(1))
+      val res = r.getSeq[Double](2)
+      orig.indices.foreach { i =>
+        assert(math.abs(res(i) + c(i) - orig(i)) < 1e-5)
+      }
+    }
+  }
+
+  test("well-separated blobs: same-blob points land in the same IVF cell") {
+    val cells = encoded.select("id", "partition").collect()
+      .groupBy(r => r.getLong(0) / 50).view
+      .mapValues(_.map(_.getInt(1)).toSet).toMap
+    // each blob maps to exactly one cell, and distinct blobs to distinct cells
+    assert(cells.values.forall(_.size === 1))
+    assert(cells.values.flatten.toSet.size === 4)
+  }
+
+  test("ann query recovers the planted neighbor group (recall vs exact)") {
+    // query = clone 0 of seed 0: true top-5 is its clone group (ids 0..4)
+    val q = data.head._2.map(_.toDouble).toArray
+    val approx = AnnQuery.topK(encoded, model, q, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = ExactKnn.topK(df, "vec", "id", data.head._2, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact.toSet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(AnnQuery.recallAtK(approx, exact) >= 0.8,
+      s"recall too low: approx=$approx exact=$exact")
+  }
+
+  test("ann query distances ascend and rows come from probed cells only") {
+    val q = data(1)._2.map(_.toDouble).toArray
+    val probes = AnnQuery.selectPartitions(model, q, 2).map(_._1).toSet
+    val rows = AnnQuery.topK(encoded, model, q, k = 20, nprobe = 2).collect()
+    val dists = rows.map(_.getAs[Double]("sq_dist")).toSeq
+    assert(dists == dists.sorted)
+    assert(rows.forall(r => probes.contains(r.getAs[Int]("partition"))))
+  }
+
+  test("selectPartitions validates nprobe (reference db/stored.rs:403-409)") {
+    intercept[IllegalArgumentException] {
+      AnnQuery.selectPartitions(model, new Array[Double](dim), 0)
+    }
+    intercept[IllegalArgumentException] {
+      AnnQuery.selectPartitions(model, new Array[Double](dim),
+        config.numPartitions + 1)
+    }
+  }
+
+  test("fit rejects indivisible dim (reference vector.rs:162-168)") {
+    intercept[IllegalArgumentException] {
+      IvfPqBuilder.fit(df, "id", "vec", dim, config.copy(numDivisions = 5))
+    }
+  }
+
+  test("save/load round-trips model and codes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    try {
+      IvfPqBuilder.save(model, encoded, dir)
+      val (loaded, codes) = IvfPqBuilder.load(spark, dir)
+      assert(loaded.dim === model.dim)
+      assert(loaded.config.numPartitions === config.numPartitions)
+      assert(loaded.config.numDivisions === config.numDivisions)
+      assert(loaded.config.numCodes === config.numCodes)
+      assert(loaded.partitionCentroids.map(_.toSeq).toSeq ===
+        model.partitionCentroids.map(_.toSeq).toSeq)
+      assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      assert(codes.count() === data.length)
+      // query against the stored codes gives the same result
+      val q = data.head._2.map(_.toDouble).toArray
+      val fromStored = AnnQuery.topK(codes, loaded, q, 5, 4)
+        .collect().map(_.getLong(0)).toSeq
+      val fromMem = AnnQuery.topK(encoded, model, q, 5, 4)
+        .collect().map(_.getLong(0)).toSeq
+      assert(fromStored === fromMem)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Dedup operators vs a brute-force in-JVM oracle on a corpus with known
+  * structure: near-dup families, an exact-dup pair, and unrelated docs. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // family A: 4 docs sharing most tokens; family B: 2 identical docs;
+  // family C/D: unrelated
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+    (4L, "alpha beta gamma delta epsilon zeta eta xi omicron pi"),
+    (5L, "the quick brown fox jumps over the lazy dog"),
+    (6L, "the quick brown fox jumps over the lazy dog"),
+    (7L, "completely different words here nothing shared at all"),
+    (8L, "unrelated content again with its own vocabulary entirely"))
+
+  private lazy val docs: DataFrame = corpus.toDF("doc_id", "text")
+
+  /** Brute-force token-set jaccard pairs at >= pct/100. */
+  private def bruteJaccard(pct: Int): Set[(Long, Long)] = {
+    val sets = corpus.map { case (id, t) => id -> t.split(" ").toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.intersect(sb).size; union = sa.union(sb).size
+      if inter * 100 >= union * pct
+    } yield (a, b)).toSet
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exactGroups: identical texts collapse, keeper is min id") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length === 7) // 8 docs, one exact-dup pair
+    val dupGroup = g.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 5L) // keep_id = min(5, 6)
+    assert(pairs(Dedup.exactDuplicates(docs).withColumnRenamed("doc_id", "a_id")
+      .withColumnRenamed("keep_id", "b_id").select("a_id", "b_id")) === Set((6L, 5L)))
+  }
+
+  test("jaccardPairs matches brute force at several thresholds") {
+    for (pct <- Seq(50, 80, 90, 100)) {
+      val got = pairs(Dedup.jaccardPairs(docs, pct))
+      assert(got === bruteJaccard(pct), s"threshold $pct")
+    }
+  }
+
+  test("jaccardPairs reports exact intersection/union sizes") {
+    val r = Dedup.jaccardPairs(docs, 80).where($"a_id" === 1 && $"b_id" === 2)
+      .select("inter", "union_sz").collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1)) === ((9L, 11L)))
+  }
+
+  test("minHashLshPairs equals exact jaccard on this corpus") {
+    for (pct <- Seq(80, 90)) {
+      assert(pairs(Dedup.minHashLshPairs(docs, pct)) === bruteJaccard(pct),
+        s"threshold $pct")
+    }
+  }
+
+  test("simHashDupPairsVerified finds exactly the equal-token-set pairs") {
+    assert(pairs(Dedup.simHashDupPairsVerified(docs)) === Set((5L, 6L)))
+  }
+
+  test("simHashNearDupPairs includes all exact dups and respects hamming bound") {
+    val r = Dedup.simHashNearDupPairs(docs, maxHamming = 3)
+    val got = pairs(r)
+    assert(got.contains((5L, 6L)))
+    assert(r.collect().forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("embeddingNearDupPairs thresholds on cosine") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f)),  // cos vs 1 ≈ 0.994
+      (3L, Seq(0f, 1f, 0f)),      // orthogonal to 1
+      (4L, Seq(-1f, 0f, 0f)))     // opposite of 1
+      .toDF("vec_id", "embedding")
+    val got = pairs(Dedup.embeddingNearDupPairs(emb, thresholdMilli = 900))
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("hashedSets: sorted distinct hashes, permutation-invariant") {
+    val two = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val r = Dedup.hashedSets(two).orderBy("doc_id")
+      .select("hset").collect().map(_.getSeq[Long](0))
+    assert(r(0) == r(1))
+    assert(r(0).toSeq == r(0).sorted.toSeq)
+  }
+}

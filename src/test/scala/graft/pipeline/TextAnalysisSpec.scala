@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "hello world"),
+    (3L, "a a a a"))
+    .toDF("doc_id", "text")
+
+  test("tokenStats: counts and distinct counts") {
+    val r = TextAnalysis.tokenStats(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r === Seq(
+      (1L, 6L, 5L, 22L),  // "the" repeats
+      (2L, 2L, 2L, 11L),
+      (3L, 4L, 1L, 7L)))
+  }
+
+  test("qualitySignals: integer-exact ratios") {
+    val r = TextAnalysis.qualitySignals(docs).orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getAs[Long]("n_tokens") === 6L)
+    assert(d1.getAs[Long]("stop_cnt") === 2L)  // two "the"
+    assert(d1.getAs[Long]("stop_pct") === 33L) // floor(200/6)
+    val d3 = r(2)
+    assert(d3.getAs[Long]("stop_cnt") === 4L)  // "a" is a stopword
+    assert(d3.getAs[Long]("stop_pct") === 100L)
+  }
+
+  test("langId: deterministic, one prediction per doc") {
+    val r1 = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+      .map(_.getString(1)).toSeq
+    val r2 = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+      .map(_.getString(1)).toSeq
+    assert(r1 === r2)
+    assert(r1.length === 3)
+    assert(TextAnalysis.langProfiles.keySet.intersect(r1.toSet) === r1.toSet)
+    // doc 1 contains "the " and "is-free text → english profile hits most
+    assert(r1.head === "en")
+  }
+
+  test("fingerprint: md5 identity equals text identity") {
+    val twins = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprint(twins).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) === r(2L))
+    assert(r(1L) !== r(3L))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ExactKnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 2f)),
+    (4L, Seq(3f, 3f)), (5L, Seq(-1f, 0f)))
+    .toDF("id", "vec")
+
+  test("topK: ascending squared distance, correct ids") {
+    val r = ExactKnn.topK(points, "vec", "id", Seq(0f, 0f), 3).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 5L))
+    val dists = r.map(_.getAs[Double]("sq_dist")).toSeq
+    assert(dists === Seq(0.0, 1.0, 1.0).sorted)
+    assert(dists == dists.sorted)
+  }
+
+  test("topK ties broken by id") {
+    // ids 2 and 5 are both at distance 1; 2 must precede 5
+    val r = ExactKnn.topK(points, "vec", "id", Seq(0f, 0f), 5).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 5L, 3L, 4L))
+  }
+
+  test("topKCosine: descending similarity") {
+    val r = ExactKnn.topKCosine(points, "vec", "id", Seq(1f, 0f), 2).collect()
+    assert(r.head.getLong(0) === 2L) // identical direction
+    val sims = r.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("rankedIds: dense integer ranks from 1") {
+    val r = ExactKnn.rankedIds(points, "vec", "id", Seq(0f, 0f), 4).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_.getLong(1)).toSeq === Seq(1L, 2L, 5L, 3L))
+  }
+
+  test("batchTopK matches per-query topK for every query") {
+    val queries = Seq((10L, Seq(0f, 0f)), (20L, Seq(3f, 3f))).toDF("qid", "qvec")
+    val batch = ExactKnn.batchTopK(points, "vec", "id", queries, "qid", "qvec", 3)
+      .select("qid", "id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq).toMap
+    for ((qid, qvec) <- Seq(10L -> Seq(0f, 0f), 20L -> Seq(3f, 3f))) {
+      val single = ExactKnn.topK(points, "vec", "id", qvec, 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) === single, s"query $qid")
+    }
+  }
+}
