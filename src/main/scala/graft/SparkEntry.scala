@@ -25,6 +25,20 @@ object SparkEntry {
     Tables.embeddings(s, dir).where(col("vec_id") === vecId)
       .select("embedding").head().getSeq[Float](0).toArray
 
+  /** Build + save the IVF+PQ index once per sf dir (the build is its own
+    * pipeline stage in production; stored-query entries measure the
+    * query path, not a rebuild). */
+  private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def storedIndexPath(s: SparkSession, dir: String): String =
+    storedIdx.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
+        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      IvfPqBuilder.save(model, encoded, out)
+      out
+    })
+
   /** Flagship query on sf0.001: exact k-NN over the embeddings table —
     * the reference's core semantics (Q1 with nprobe=P, no quantization). */
   def entry(spark: SparkSession): DataFrame = {
@@ -105,6 +119,58 @@ object SparkEntry {
         IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
       val q = queryVec(s, dir, 0L).map(_.toDouble)
       AnnQuery.topK(encoded, model, q, k = 10, nprobe = 4)
+    }),
+
+    // stored-index query path: partition-pruned scan over the saved codes
+    // parquet (S3-S6 + Q1 of SURVEY.md §2); build+save memoized per dir
+    "ann_ivfpq_stored" -> ((s, dir) => {
+      val (model, codes) = IvfPqBuilder.load(s, storedIndexPath(s, dir))
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
+    }),
+
+    // Q6 semantics: attribute fetch for the top-k hits — join on the hit
+    // ids only (broadcast), the analogue of loading only hit partitions'
+    // attribute logs (reference db/stored.rs:625-638)
+    "knn_attr_fetch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val hits = ExactKnn.rankedIds(emb, "embedding", "vec_id",
+        queryVec(s, dir, 0L), 10)
+      hits.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("rank"), col("vec_id"), col("label"))
+        .orderBy("rank")
+    }),
+
+    // Q8 semantics: residual + centroid reconstructs the original vector
+    // (reference partitions.rs:38-93); emitted as an integer invariant —
+    // n_bad = elements off by > 1e-6 — so the oracle is exact
+    "vec_reconstruct" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
+        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+      val centroidLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+      val reconstructed = encoded.select(col("id").as("vec_id"),
+        zip_with(col("residual"),
+          element_at(centroidLit, col("partition") + 1),
+          (r, c) => r + c).as("rec"))
+      reconstructed
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("vec_id"),
+          size(filter(zip_with(col("rec"), col("embedding"),
+            (r, o) => abs(r - o.cast("double")) > lit(1e-6)),
+            x => x)).cast("long").as("n_bad"))
+        .orderBy("vec_id")
+    }),
+
+    // batch k-NN: many queries in one job via the map-side-combining
+    // TopKAggregator — the plan shape where Spark beats query-at-a-time
+    "knn_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ExactKnn.batchTopK(emb, "embedding", "vec_id", qs, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id"), col("rank"))
+        .orderBy("qid", "rank")
     }),
 
     // ------------------------------------------------------- dedup family
@@ -208,6 +274,38 @@ object SparkEntry {
         |  (ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS BIGINT) AS rank,
         | vec_id
         |FROM d ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "knn_attr_fetch" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))) AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id),
+        |h AS (SELECT CAST(row_number() OVER (ORDER BY sq, vec_id) AS BIGINT)
+        |   AS rank, vec_id
+        | FROM d ORDER BY sq, vec_id LIMIT 10)
+        |SELECT h.rank, h.vec_id, e.label
+        |FROM h JOIN embeddings e ON e.vec_id = h.vec_id
+        |ORDER BY h.rank""".stripMargin,
+
+    "vec_reconstruct" ->
+      """SELECT vec_id, CAST(0 AS BIGINT) AS n_bad
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "knn_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id <= 4),
+        |d AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))) AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2)
+        |SELECT qid, vec_id, rank FROM (
+        | SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid
+        |   ORDER BY sq, vec_id) AS BIGINT) AS rank
+        | FROM d) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

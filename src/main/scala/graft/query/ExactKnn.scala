@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,17 +59,22 @@ object ExactKnn {
   /** Batch exact k-NN: one job answering many queries at once — where Spark
     * beats the reference's query-at-a-time loop (SURVEY.md §7 phase 7).
     * `queries` is a small DataFrame (qid, qvec) that is broadcast; the big
-    * side streams through codegen once, and the grouped top-k is a partial
-    * aggregation (map-side combine) — no full pairwise shuffle.
+    * side streams through codegen once, and the grouped top-k is a REAL
+    * aggregation (TopKAggregator, map-side combinable): each task keeps at
+    * most k candidates per query, so the shuffle carries k·|queries| rows
+    * regardless of the point count — never the full pairwise relation.
+    * Output: (qid, id, sq_dist, rank) with rank 1..k ascending by distance.
     */
   def batchTopK(df: DataFrame, vecCol: String, idCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int): DataFrame = {
     val pairs = df.join(broadcast(queries))
-      .withColumn("sq_dist", squaredL2F(col(vecCol), col(qvecCol)))
-      .select(col(qidCol), col(idCol), col("sq_dist"))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sq_dist"), col(idCol))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("id"),
+        squaredL2F(col(vecCol), col(qvecCol)).as("sq_dist"))
+    pairs.groupBy(col(qidCol))
+      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
+      .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qidCol), col("hit.id").as(idCol),
+        col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
 }
