@@ -89,6 +89,18 @@ object SparkEntry {
           col("event_id").as("last_event_id"))
         .orderBy("user_id", "event_type")),
 
+    // --------------------- streaming operators, batch-path correctness
+    // (EventPipeline transforms run identically under readStream; the
+    // incremental semantics are covered by EventPipelineSpec)
+    "stream_window_hourly" -> ((s, dir) =>
+      graft.streaming.EventPipeline
+        .windowedStats(Tables.events(s, dir), "1 hour")
+        .orderBy("win_start", "event_type")),
+
+    "events_props_json" -> ((s, dir) =>
+      graft.streaming.EventPipeline.extractProps(Tables.events(s, dir))
+        .orderBy("event_id")),
+
     // ------------------------------------------- vector data model (S1/B9)
     "vec_shape" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -242,6 +254,17 @@ object SparkEntry {
         |    ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_window_hourly" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+        |   AS win_start,
+        | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_props_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "vec_shape" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS vec_len, label

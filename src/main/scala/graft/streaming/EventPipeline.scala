@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured-Streaming operators over the events stream
+  * (event_id, ts: ns-since-epoch long, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.5); these extend
+  * the engine the Spark-native way: every transform here is written
+  * against a plain DataFrame/Dataset and works identically under
+  * `spark.read` (batch backfill) and `spark.readStream` (incremental) —
+  * the classic lambda-free deployment where one piece of code serves
+  * both paths. Watermarks bound state; the stateful last-write-wins
+  * operator is the streaming twin of [[graft.attrs.AttributesLog]].
+  */
+object EventPipeline {
+
+  /** ns-long `ts` → proper `event_time` timestamp (µs precision). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time",
+      timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling-window stats per event type. On a stream, pass a watermark
+    * (e.g. "1 hour") so window state is dropped once late data is
+    * impossible; in batch mode pass None. Output is integer/rounded so
+    * the batch path is oracle-comparable. */
+  def windowedStats(events: DataFrame, windowDur: String,
+                    watermark: Option[String] = None): DataFrame = {
+    val timed = withEventTime(events)
+    val src = watermark.fold(timed)(w => timed.withWatermark("event_time", w))
+    src
+      .groupBy(window(col("event_time"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").cast("long").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  final case class AttrEvent(user_id: Long, event_type: String, value: Double,
+                             ts: Long, event_id: Long)
+  final case class AttrLatest(user_id: Long, event_type: String, value: Double,
+                              last_event_id: Long)
+  final case class AttrState(value: Double, ts: Long, event_id: Long)
+
+  /** Streaming last-write-wins attribute state: one `mapGroupsWithState`
+    * per (user_id, event_type) keeping the latest (ts, event_id)-ordered
+    * value — the incremental version of AttributesLog.resolve (which
+    * replays the whole log per batch). Works in batch mode too (state
+    * starts empty per group), so both paths agree on the same input. */
+  def latestAttributes(events: Dataset[AttrEvent]): Dataset[AttrLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[AttrState, AttrLatest](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), batch, state) =>
+          val latest = (state.getOption.iterator ++
+            batch.map(e => AttrState(e.value, e.ts, e.event_id)))
+            .maxBy(s => (s.ts, s.event_id))
+          state.update(latest)
+          AttrLatest(uid, etype, latest.value, latest.event_id)
+      }
+  }
+
+  /** Streaming exact dedup on a key column: watermark + dropDuplicates —
+    * state holds one entry per key within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicates(keyCols :+ "event_time")
+
+  /** JSON props extraction — the schema-on-read path for the free-form
+    * `props` column; pure projection, streams and batches identically. */
+  def extractProps(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import EventPipeline.{AttrEvent, AttrLatest}
+
+/** Streaming semantics via MemoryStream: incremental results must match
+  * the batch run of the SAME transform over the union of all batches. */
+class EventPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val hourNs = 3600L * 1000 * 1000 * 1000
+  private val baseNs = 1704067200L * 1000 * 1000 * 1000 // 2024-01-01, above watermark 0
+
+  // (event_id, ts_ns, user_id, event_type, value, props)
+  private def ev(id: Long, hour: Long, user: Long, typ: String, v: Double) =
+    (id, baseNs + hour * hourNs, user, typ, v, s"""{"k": $id}""")
+
+  private val batch1 = Seq(
+    ev(1, 0, 10, "click", 1.0), ev(2, 0, 11, "view", 2.0),
+    ev(3, 1, 10, "click", 3.0))
+  private val batch2 = Seq(
+    ev(4, 1, 12, "click", 4.0), ev(5, 2, 10, "view", 5.0))
+
+  private def toDf(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("windowedStats: streaming (complete mode) equals batch on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventPipeline.windowedStats(sdf, "1 hour")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_stats")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val batch = EventPipeline.windowedStats(toDf(batch1 ++ batch2), "1 hour")
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("latestAttributes: later triggers overwrite earlier state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[AttrEvent]
+    val q = EventPipeline.latestAttributes(stream.toDS())
+      .writeStream.format("memory").queryName("latest_attrs")
+      .outputMode("update").start()
+    try {
+      stream.addData(AttrEvent(1, "color", 1.0, ts = 100, event_id = 1))
+      q.processAllAvailable()
+      val first = spark.table("latest_attrs").collect()
+      assert(first.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        === Set((1L, "color", 1.0)))
+      // newer ts wins; stale ts does NOT overwrite
+      stream.addData(
+        AttrEvent(1, "color", 2.0, ts = 200, event_id = 2),
+        AttrEvent(1, "color", 9.0, ts = 50, event_id = 3))
+      q.processAllAvailable()
+      val rows = spark.table("latest_attrs").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      assert(rows.last === ((1L, "color", 2.0, 2L)))
+    } finally q.stop()
+  }
+
+  test("latestAttributes: batch mode agrees with AttributesLog.resolve") {
+    val events = (batch1 ++ batch2).map(t =>
+      AttrEvent(t._3, t._4, t._5, t._2, t._1)).toDS()
+    val viaState = EventPipeline.latestAttributes(events)
+      .orderBy("user_id", "event_type").collect().toSeq
+    val viaLog = graft.attrs.AttributesLog
+      .resolve(toDf(batch1 ++ batch2), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .select($"user_id", $"event_type", $"value", $"event_id".as("last_event_id"))
+      .orderBy("user_id", "event_type").as[AttrLatest].collect().toSeq
+    assert(viaState === viaLog)
+  }
+
+  test("dedupStream: repeated keys across triggers emitted once") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventPipeline.dedupStream(sdf, "10 hours", Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 0, 10, "click", 1.0), ev(2, 0, 11, "view", 2.0))
+      q.processAllAvailable()
+      stream.addData(ev(1, 0, 10, "click", 1.0), ev(3, 1, 12, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("extractProps: json field as long") {
+    val r = EventPipeline.extractProps(toDf(batch1)).orderBy("event_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+}
