@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.attrs.AttributesLog
 import graft.index.{IvfPqBuilder, IvfPqConfig}
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
 import graft.query.{AnnQuery, ExactKnn}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -207,6 +207,22 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
         .orderBy("a_id", "b_id")),
 
+    // ------------------------------------ multimodal binary-column family
+    "media_meta" -> ((s, dir) =>
+      Multimodal.fromDocuments(Tables.documents(s, dir))
+        .select(col("media_id"), col("kind"), col("meta.byte_len").as("byte_len"))
+        .orderBy("media_id")),
+
+    "media_features" -> ((s, dir) =>
+      Multimodal.features(Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .orderBy("media_id")),
+
+    "media_frame_sums" -> ((s, dir) =>
+      Multimodal.sampledFrames(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        frameBytes = 16, stride = 4)
+        .orderBy("media_id", "frame_no")),
+
     // ------------------------------------------------------ text analysis
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -357,6 +373,32 @@ object SparkEntry {
         |SELECT a_id, b_id FROM p
         |WHERE dp / (sqrt(na) * sqrt(nb)) * 1000 >= 400
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "media_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_features" ->
+      """WITH b AS (SELECT doc_id, (t.i - 1) % 8 AS j,
+        |  sum(ascii(substring(text, t.i, 1))) AS s
+        | FROM documents, generate_series(1, 8192) AS t(i)
+        | WHERE t.i <= length(text)
+        | GROUP BY 1, 2)
+        |SELECT doc_id AS media_id,
+        | list(CAST(s AS BIGINT) ORDER BY j) AS feature
+        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "media_frame_sums" ->
+      """WITH fr AS (SELECT doc_id, text, t.f AS frame_no
+        | FROM documents, generate_series(0, 511) AS t(f)
+        | WHERE t.f <= CAST(length(text) AS BIGINT) // 16 - 1
+        |   AND t.f % 4 = 0)
+        |SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        | CAST(sum(ascii(substring(text,
+        |   CAST(frame_no * 16 + i.i AS INT), 1))) AS BIGINT) AS frame_sum
+        |FROM fr, generate_series(1, 16) AS i(i)
+        |GROUP BY doc_id, frame_no ORDER BY media_id, frame_no""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

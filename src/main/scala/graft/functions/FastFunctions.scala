@@ -67,6 +67,26 @@ object FastFunctions {
   def simhash64(hashes: Column): Column =
     invoke(LongType, "simhash64", hashes)
 
+  /** Bucketed byte sums of a binary column (deterministic fake feature). */
+  def byteBucketSums(payload: Column, dim: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "byteBucketSums",
+      payload, lit(dim))
+
+  /** Byte sums of every stride-th complete frame of a binary column. */
+  def sampledFrameSums(payload: Column, frameBytes: Int, stride: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "sampledFrameSums",
+      payload, lit(frameBytes), lit(stride))
+
+  /** STUB gray decode of a binary column into w×h floats in [0,1]. */
+  def stubDecodeGray(payload: Column, w: Int, h: Int): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "stubDecodeGray",
+      payload, lit(w), lit(h))
+
+  /** Mean-pool a row-major w×h float image column by (fw, fh). */
+  def meanPool(img: Column, w: Int, h: Int, fw: Int, fh: Int): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "meanPool",
+      img, lit(w), lit(h), lit(fw), lit(fh))
+
   /** ADC distance against a flattened D×C table literal. */
   def adcDist(codes: Column, flatTable: Seq[Double], numCodes: Int): Column =
     invoke(DoubleType, "adcDist", codes, typedlit(flatTable), lit(numCodes))

@@ -216,6 +216,89 @@ object Kernels {
     sig
   }
 
+  // ------------------------------------------------- multimodal (binary)
+
+  /** Bucketed byte histogram-sum: out[j] = Σ payload[i] for i ≡ j (mod
+    * dim), bytes unsigned — the deterministic stand-in for a learned
+    * feature extractor over an opaque media payload. Integer-only, so
+    * results are oracle-comparable across engines. */
+  def byteBucketSums(payload: Array[Byte], dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += payload(i) & 0xFF
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Per-frame byte sums for every stride-th complete frame of a payload
+    * laid out as consecutive frameBytes-sized frames — the frame-sampling
+    * primitive for video-shaped binaries. */
+  def sampledFrameSums(payload: Array[Byte], frameBytes: Int, stride: Int): ArrayData = {
+    val nFrames = payload.length / frameBytes
+    val n = if (nFrames <= 0) 0 else (nFrames + stride - 1) / stride
+    val out = new Array[Long](n)
+    var f = 0
+    var j = 0
+    while (f < nFrames) {
+      if (f % stride == 0) {
+        var s = 0L
+        var i = f * frameBytes
+        val end = i + frameBytes
+        while (i < end) { s += payload(i) & 0xFF; i += 1 }
+        out(j) = s
+        j += 1
+      }
+      f += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** STUB image decode: cycles payload bytes into a w×h float gray image
+    * in [0,1]. A real build links an actual codec here (same signature:
+    * bytes in, pixel array out); the container has no image libraries, so
+    * the decode is a deterministic fake while everything around it —
+    * schema, batching, partitioning — is real. */
+  def stubDecodeGray(payload: Array[Byte], w: Int, h: Int): ArrayData = {
+    val n = w * h
+    val out = new Array[Float](n)
+    if (payload.length > 0) {
+      var i = 0
+      while (i < n) {
+        out(i) = (payload(i % payload.length) & 0xFF) / 255.0f
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Mean-pool a row-major w×h float image down by (fw, fh) — the resize
+    * primitive. Requires fw | w and fh | h. */
+  def meanPool(img: ArrayData, w: Int, h: Int, fw: Int, fh: Int): ArrayData = {
+    val ow = w / fw
+    val oh = h / fh
+    val out = new Array[Float](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var s = 0.0
+        var dy = 0
+        while (dy < fh) {
+          var dx = 0
+          val rowBase = (oy * fh + dy) * w + ox * fw
+          while (dx < fw) { s += img.getFloat(rowBase + dx); dx += 1 }
+          dy += 1
+        }
+        out(oy * ow + ox) = (s / (fw * fh)).toFloat
+        ox += 1
+      }
+      oy += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC distance Σ_d table[d·C + codes[d]] — pure lookups into the
     * flattened D×C distance table (reference/src/db/stored.rs:575-595). */
   def adcDist(codes: ArrayData, flatTable: ArrayData, numCodes: Int): Double = {

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastFunctions._
+
+/** Multimodal columns for training-data pipelines: media payloads are
+  * opaque `binary` columns with typed metadata riding alongside —
+  * parquet stores them as byte arrays with full columnar pruning, so a
+  * query touching only metadata never reads a payload byte.
+  *
+  * Media schema: (media_id long, kind string, payload binary,
+  * meta struct<byte_len long, width int, height int, frame_bytes int>).
+  *
+  * The decode step is a clearly-marked STUB (this container has no
+  * image/audio codecs): [[graft.functions.Kernels.stubDecodeGray]] fakes
+  * pixels deterministically from payload bytes. Everything around the
+  * stub — the binary schema, the codegen'd per-row kernels, the batched
+  * mapPartitions shape a heavyweight JNI decoder would need — is real
+  * and tested; a production build swaps one function.
+  *
+  * Scale notes: every operator here is a narrow projection (no shuffle at
+  * any scale); feature extraction emits fixed-width vectors, so the
+  * downstream ANN/dedup machinery (graft.index, graft.query, Dedup)
+  * applies unchanged to media embeddings.
+  */
+object Multimodal {
+
+  /** Documents-as-media: UTF-8 payloads with typed metadata — the test
+    * stand-in for an ingested media table (same shape, real bytes). */
+  def fromDocuments(docs: DataFrame, width: Int = 16): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text").as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        lit(width).as("width"),
+        lit(8).as("height"),
+        lit(width).as("frame_bytes")).as("meta"))
+
+  /** Deterministic payload features: dim bucketed byte sums per media
+    * row. Integer-only, so the result is oracle-comparable. */
+  def features(media: DataFrame, dim: Int = 8): DataFrame =
+    media.select(col("media_id"),
+      byteBucketSums(col("payload"), dim).as("feature"))
+
+  /** Float feature vector (normalized bucket sums) — the embedding-shaped
+    * output that feeds ExactKnn / IvfPqBuilder / Dedup directly. */
+  def floatFeatures(media: DataFrame, dim: Int = 8): DataFrame =
+    media.select(col("media_id"),
+      transform(byteBucketSums(col("payload"), dim),
+        x => (x.cast("double") / greatest(col("meta.byte_len"), lit(1)))
+          .cast("float")).as("embedding"))
+
+  /** Frame sampling over video-shaped payloads: byte-sum of every
+    * stride-th complete frame, exploded to (media_id, frame_no, frame_sum). */
+  def sampledFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .select(col("media_id"),
+        posexplode(sampledFrameSums(col("payload"), frameBytes, stride))
+          .as(Seq("pos", "frame_sum")))
+      .select(col("media_id"),
+        (col("pos") * stride).cast("long").as("frame_no"), col("frame_sum"))
+
+  /** STUB decode + resize as one codegen'd projection: payload →
+    * w×h gray pixels → mean-pooled (w/fw)×(h/fh) thumbnail. */
+  def decodeAndPool(media: DataFrame, w: Int, h: Int,
+                    fw: Int, fh: Int): DataFrame =
+    media.select(col("media_id"),
+      meanPool(stubDecodeGray(col("payload"), w, h), w, h, fw, fh)
+        .as("thumb"))
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
+  final case class DecodedRow(media_id: Long, pixels: Array[Float])
+
+  /** The batched-decoder shape for heavyweight codecs (JNI image/audio
+    * libraries that want per-partition init + reuse): one decoder
+    * instance per partition, streamed over rows — the Scala analogue of
+    * a pandas-batched UDF. The default decoder is the same deterministic
+    * stub; a real codec plugs in via `decode`. */
+  def decodeBatched(media: Dataset[MediaRow], w: Int, h: Int)(
+      decode: (Array[Byte], Int, Int) => Array[Float] = stubDecode)
+      : Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would go here (codec contexts, etc.)
+      rows.map(r => DecodedRow(r.media_id, decode(r.payload, w, h)))
+    }
+  }
+
+  /** STUB: deterministic fake pixels (see object scaladoc). */
+  def stubDecode(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val n = w * h
+    val out = new Array[Float](n)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < n) { out(i) = (payload(i % payload.length) & 0xFF) / 255.0f; i += 1 }
+    }
+    out
+  }
+}

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.pipeline.Multimodal.MediaRow
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "abcdefgh" * 8),   // 64 ascii bytes
+    (2L, "abcdefgh" * 8),   // identical payload
+    (3L, "zzzzyyyy" * 4))   // 32 bytes, different content
+    .toDF("doc_id", "text")
+
+  private lazy val media = Multimodal.fromDocuments(docs)
+
+  test("fromDocuments: schema and metadata") {
+    assert(media.columns.toSeq === Seq("media_id", "kind", "payload", "meta"))
+    val r = media.orderBy("media_id").select("meta.byte_len").collect()
+      .map(_.getLong(0)).toSeq
+    assert(r === Seq(64L, 64L, 32L))
+  }
+
+  test("features: deterministic, identical payloads agree, hand-checked sums") {
+    val f = Multimodal.features(media, dim = 8).orderBy("media_id")
+      .collect().map(_.getSeq[Long](1).toSeq)
+    assert(f(0) === f(1))
+    // doc 1: bytes cycle "abcdefgh" (97..104), 8 repeats, bucket j gets
+    // 8 copies of byte ('a'+j)
+    assert(f(0) === (0 until 8).map(j => 8L * (97 + j)))
+    // doc 3: "zzzzyyyy" → buckets 0-3 get 4×'z'(122), 4-7 get 4×'y'(121)
+    assert(f(2) === Seq(488L, 488L, 488L, 488L, 484L, 484L, 484L, 484L))
+  }
+
+  test("floatFeatures feed ExactKnn directly: identical payloads are distance 0") {
+    val emb = Multimodal.floatFeatures(media)
+    val q = emb.where($"media_id" === 1).select("embedding")
+      .head().getSeq[Float](0)
+    val r = graft.query.ExactKnn.topK(emb, "embedding", "media_id", q, 2)
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(r.forall(_.getAs[Double]("sq_dist") === 0.0))
+  }
+
+  test("sampledFrames: every stride-th complete frame, correct sums") {
+    // doc 3: 32 bytes, frame_bytes=8 → frames 0..3; stride 2 → frames 0, 2
+    val r = Multimodal.sampledFrames(media.where($"media_id" === 3), 8, 2)
+      .orderBy("frame_no").collect()
+      .map(x => (x.getLong(1), x.getLong(2))).toSeq
+    // every frame of doc 3 is "zzzzyyyy" = 4*122 + 4*121 = 972
+    assert(r === Seq((0L, 972L), (2L, 972L)))
+  }
+
+  test("decodeAndPool: stub pixels then mean-pool shape and values") {
+    val one = Multimodal.fromDocuments(Seq((9L, "aa")).toDF("doc_id", "text"))
+    // 4x2 image from cycling "aa" → all pixels 97/255; pool 2x2 → 2x1
+    val thumb = Multimodal.decodeAndPool(one, w = 4, h = 2, fw = 2, fh = 2)
+      .head().getSeq[Float](1)
+    assert(thumb.length === 2)
+    assert(thumb.forall(p => math.abs(p - 97f / 255f) < 1e-6))
+  }
+
+  test("decodeBatched (mapPartitions shape) equals the column-level stub") {
+    val ds = media.select($"media_id", $"payload").as[MediaRow]
+    val batched = Multimodal.decodeBatched(ds, w = 8, h = 4)()
+      .collect().map(d => d.media_id -> d.pixels.toSeq).toMap
+    val columnar = media.select($"media_id",
+      graft.functions.FastFunctions.stubDecodeGray($"payload", 8, 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(batched === columnar)
+  }
+}
