@@ -16,7 +16,23 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } ++ (if (sys.env.get("SPARK_GRAFT_FULLBUILD").contains("1")) {
+      // reference-scale build benchmark (BASELINE.md: 906.52 s single-
+      // threaded); ~5 min, so opt-in — see BENCH_NOTES.md for a run
+      import org.apache.spark.sql.functions.col
+      import graft.functions.FastFunctions.pseudoRandomVec
+      import graft.index.{IvfPqBuilder, IvfPqConfig}
+      val vecs = spark.range(100000L).repartition(64)
+        .select(col("id"), pseudoRandomVec(col("id"), 1536, 42L).as("vec"))
+        .cache()
+      vecs.count()
+      val t0 = System.nanoTime()
+      val (_, enc) = IvfPqBuilder.fit(vecs, "id", "vec", 1536,
+        IvfPqConfig(numPartitions = 100, numDivisions = 12, numCodes = 256,
+          maxIter = 20))
+      enc.count()
+      Map("ivfpq_build_100k_1536" -> (System.nanoTime() - t0) / 1e9)
+    } else Map.empty)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

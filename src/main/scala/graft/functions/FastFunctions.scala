@@ -67,6 +67,11 @@ object FastFunctions {
   def simhash64(hashes: Column): Column =
     invoke(LongType, "simhash64", hashes)
 
+  /** Deterministic pseudo-random float vector from an id column. */
+  def pseudoRandomVec(id: Column, dim: Int, seed: Long): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "pseudoRandomVec",
+      id, lit(dim), lit(seed))
+
   /** Bucketed byte sums of a binary column (deterministic fake feature). */
   def byteBucketSums(payload: Column, dim: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "byteBucketSums",

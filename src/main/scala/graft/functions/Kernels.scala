@@ -216,6 +216,22 @@ object Kernels {
     sig
   }
 
+  /** Deterministic pseudo-random f32 vector in [0,1) from (id, seed) —
+    * one call per row generates benchmark/test data without any
+    * driver-side materialization (the analogue of the reference's random
+    * fill, reference/README.md:107-116, but distributed). */
+  def pseudoRandomVec(id: Long, dim: Int, seed: Long): ArrayData = {
+    val out = new Array[Float](dim)
+    var x = XXH64.hashLong(id, seed)
+    var i = 0
+    while (i < dim) {
+      x = XXH64.hashLong(x, 0x9E3779B97F4A7C15L)
+      out(i) = (x >>> 40).toFloat / (1 << 24) // top 24 bits → [0,1)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ------------------------------------------------- multimodal (binary)
 
   /** Bucketed byte histogram-sum: out[j] = Σ payload[i] for i ≡ j (mod

@@ -63,7 +63,19 @@ object IvfPqBuilder {
     * residual) — residual retained for PQ-error inspection and rebuilds.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-          config: IvfPqConfig): (IvfPqModel, DataFrame) = {
+          config: IvfPqConfig): (IvfPqModel, DataFrame) =
+    fit(df, idCol, vecCol, dim, config, _ => ())
+
+  /** As [[fit]], with a stage-event callback — the analogue of the
+    * reference's BuildEvent instrumentation (db/build.rs:132-153). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+          config: IvfPqConfig, log: String => Unit): (IvfPqModel, DataFrame) = {
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      log(f"$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     require(dim % config.numDivisions == 0,
       s"dim $dim must divide into ${config.numDivisions} divisions") // vector.rs:162-168
     val subDim = dim / config.numDivisions
@@ -72,42 +84,59 @@ object IvfPqBuilder {
       .withColumn("features", array_to_vector(col("vec")))
 
     // --- stage 2: coarse IVF k-means (reference partitions.rs:96-143) ---
-    val coarse = newKMeans(config, config.numPartitions).fit(base)
+    val coarse = timed("coarse-kmeans")(
+      newKMeans(config, config.numPartitions).fit(base))
     val centroids = coarse.clusterCenters.map(_.toArray)
 
     // partition assignment + residual v − centroid[p] in one projection;
     // the P×N centroid table rides along as a codegen literal, no join.
+    // Residuals are f32, as in the reference (partitions.rs:119-143) —
+    // half the cache footprint and PQ scan traffic of doubles.
     val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
     val assigned = coarse.transform(base)
       .withColumnRenamed("prediction", "partition")
       .withColumn("residual",
         zip_with(col("vec"), element_at(centroidLit, col("partition") + 1),
-          (x, c) => x.cast("double") - c))
+          (x, c) => (x.cast("double") - c).cast("float")))
+      .select(col("id"), col("partition"), col("residual"))
+      .cache()
+    timed("materialize-residuals")(assigned.count())
 
-    // --- stage 3: D PQ codebooks over residual slices (db/build.rs:107-118)
-    val withSubs = (0 until config.numDivisions).foldLeft(assigned) { (acc, d) =>
-      acc.withColumn(s"sub_$d",
-        array_to_vector(slice(col("residual"), d * subDim + 1, subDim)))
-    }.cache()
-    withSubs.count() // materialize once; D fits + encode all reuse it
-
-    // the D fits are independent — submit them concurrently and let the
-    // Spark scheduler interleave their stages across cores
-    val pqModels: Array[KMeansModel] = {
+    // --- stage 3: D PQ codebooks over residual slices (db/build.rs:107-118).
+    // Each division trains over its OWN narrow cached relation (one
+    // subDim-dim vector column, ~subDim·8 B/row) — an iteration scans
+    // megabytes, not the full residual table; fits are independent, so
+    // they are submitted concurrently and the scheduler interleaves them.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val subDfs = (0 until config.numDivisions).map { d =>
+      assigned.select(
+        array_to_vector(slice(col("residual"), d * subDim + 1, subDim))
+          .as("features"))
+        .coalesce(parallelism)
+        .cache()
+    }
+    val pqModels: Array[KMeansModel] = timed("pq-kmeans-all") {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       Await.result(
-        Future.sequence((0 until config.numDivisions).toList.map { d =>
-          Future(newKMeans(config, config.numCodes, s"sub_$d", s"code_$d").fit(withSubs))
+        Future.sequence(subDfs.toList.map { sub =>
+          Future(newKMeans(config, config.numCodes).fit(sub))
         }), Duration.Inf).toArray
     }
+    subDfs.foreach(_.unpersist(blocking = false))
     val codebooks = pqModels.map(_.clusterCenters.map(_.toArray))
 
     // --- stage 4: encode — D assignments gathered into one array<int>
-    // column (reference Partition::new, db/build.rs:446-483).
+    // column (reference Partition::new, db/build.rs:446-483); one pass
+    // over the cached residuals computing all D slices + predictions.
+    val withSubs = (0 until config.numDivisions).foldLeft(assigned) { (acc, d) =>
+      acc.withColumn(s"sub_$d",
+        array_to_vector(slice(col("residual"), d * subDim + 1, subDim)))
+    }
     val encodedAll = pqModels.zipWithIndex.foldLeft(withSubs) {
-      case (acc, (m, d)) => m.transform(acc)
+      case (acc, (m, d)) =>
+        m.setFeaturesCol(s"sub_$d").setPredictionCol(s"code_$d").transform(acc)
     }
     val encoded = encodedAll.select(
       col("id"), col("partition"),

@@ -62,7 +62,7 @@ class IvfPqSpec extends AnyFunSuite {
     encoded.select("id", "partition", "residual").collect().foreach { r =>
       val orig = byId(r.getLong(0))
       val c = centroids(r.getInt(1))
-      val res = r.getSeq[Double](2)
+      val res = r.getSeq[Float](2)
       orig.indices.foreach { i =>
         assert(math.abs(res(i) + c(i) - orig(i)) < 1e-5)
       }
