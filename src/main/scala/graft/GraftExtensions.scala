@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+import graft.functions.Kernels
+
+/** SQL surface for the graft kernels: `spark.sql("SELECT graft_cosine(a,
+  * b) ...")`. Register either at session build via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or on a
+  * live session with [[GraftFunctions.register]]. Each function is the
+  * same codegen'd StaticInvoke the Column API uses — one registry, two
+  * front doors.
+  */
+object GraftFunctions {
+
+  /** (name, return type, kernel method, arity) — arity checked at parse. */
+  private val specs: Seq[(String, DataType, String, Int)] = Seq(
+    ("graft_sq_l2", DoubleType, "sqL2f", 2),
+    ("graft_dot", DoubleType, "dotf", 2),
+    ("graft_cosine", DoubleType, "cosinef", 2),
+    ("graft_token_hashes", ArrayType(LongType, containsNull = false),
+      "tokenHashesSorted", 1),
+    ("graft_inter_size", LongType, "interSortedSize", 2),
+    ("graft_minhash", ArrayType(LongType, containsNull = false), "minhashSig", 2),
+    ("graft_band_keys", ArrayType(LongType, containsNull = false), "bandKeys", 2),
+    ("graft_simhash", LongType, "simhash64", 1),
+    ("graft_byte_bucket_sums", ArrayType(LongType, containsNull = false),
+      "byteBucketSums", 2),
+    ("graft_frame_sums", ArrayType(LongType, containsNull = false),
+      "sampledFrameSums", 3),
+    ("graft_random_vec", ArrayType(FloatType, containsNull = false),
+      "pseudoRandomVec", 3))
+
+  private def builder(name: String, dt: DataType, method: String, arity: Int)
+      (args: Seq[Expression]): Expression = {
+    require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+    StaticInvoke(Kernels.getClass, dt, method, args,
+      inputTypes = Nil, propagateNull = true, returnNullable = false)
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    specs.foreach { case (name, dt, method, arity) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(Kernels.getClass.getName, name),
+        builder(name, dt, method, arity) _))
+    }
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    specs.foreach { case (name, dt, method, arity) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder(name, dt, method, arity) _, "built-in")
+    }
+}
+
+/** Entry point for `spark.sql.extensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

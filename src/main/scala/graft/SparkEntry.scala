@@ -207,6 +207,17 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
         .orderBy("a_id", "b_id")),
 
+    // IVF-bucketed ANN similarity self-join — the 100 TB near-dup path
+    // (rows-only: candidate recall is geometry-dependent by design)
+    "embed_neardup_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, _) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
+        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+      graft.query.AnnJoin.cosineSelfJoin(emb, "vec_id", "embedding",
+        model, thresholdMilli = 400, nprobe = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ------------------------------------ multimodal binary-column family
     "media_meta" -> ((s, dir) =>
       Multimodal.fromDocuments(Tables.documents(s, dir))

@@ -67,6 +67,12 @@ object FastFunctions {
   def simhash64(hashes: Column): Column =
     invoke(LongType, "simhash64", hashes)
 
+  /** nprobe nearest IVF cells (array<long>) of a float-vector column
+    * against a flattened P×dim centroid literal. */
+  def topCellsL2(v: Column, flatCentroids: Seq[Double], nprobe: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "topCellsL2",
+      v, typedlit(flatCentroids), lit(nprobe))
+
   /** Deterministic pseudo-random float vector from an id column. */
   def pseudoRandomVec(id: Column, dim: Int, seed: Long): Column =
     invoke(ArrayType(FloatType, containsNull = false), "pseudoRandomVec",

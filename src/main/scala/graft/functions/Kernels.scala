@@ -216,6 +216,45 @@ object Kernels {
     sig
   }
 
+  /** The nprobe nearest IVF cells of a float vector against a flattened
+    * P×dim f64 centroid table, ordered by (distance, cell id) — the
+    * multi-probe assignment step of the ANN similarity self-join. P is
+    * small (the table is a plan literal), so selection is a tiny loop. */
+  def topCellsL2(v: ArrayData, flatCentroids: ArrayData, nprobe: Int): ArrayData = {
+    val dim = v.numElements()
+    val p = flatCentroids.numElements() / dim
+    val dists = new Array[Double](p)
+    var c = 0
+    while (c < p) {
+      var s = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) {
+        val d = v.getFloat(i).toDouble - flatCentroids.getDouble(base + i)
+        s += d * d
+        i += 1
+      }
+      dists(c) = s
+      c += 1
+    }
+    val n = math.min(nprobe, p)
+    val out = new Array[Long](n)
+    val taken = new Array[Boolean](p)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      c = 0
+      while (c < p) {
+        if (!taken(c) && (best < 0 || dists(c) < dists(best))) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(j) = best.toLong
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Deterministic pseudo-random f32 vector in [0,1) from (id, seed) —
     * one call per row generates benchmark/test data without any
     * driver-side materialization (the analogue of the reference's random

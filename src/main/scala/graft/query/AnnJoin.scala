@@ -1,0 +1,50 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastFunctions._
+import graft.index.IvfPqModel
+
+/** ANN similarity self-join — the 100 TB path for embedding near-dup
+  * detection, replacing the O(n²) all-pairs scan of
+  * [[graft.pipeline.Dedup.embeddingNearDupPairs]] with IVF bucketing:
+  * only vectors sharing one of their nprobe nearest coarse cells are
+  * ever compared, and every surviving pair is verified with the exact
+  * cosine, so there are no false positives — only (rare, geometry-
+  * dependent) misses of pairs straddling cell boundaries beyond the
+  * probe set. Multi-probe (nprobe ≥ 2) shrinks that miss set the same
+  * way query-side nprobe does for k-NN.
+  *
+  * Plan shape: one projection assigns each vector its nprobe cells (the
+  * P×dim centroid table rides as a codegen literal — P·dim is small by
+  * IVF design; at very large P·dim swap in a broadcast variable), an
+  * explode keys rows by cell, and the self-join meets each candidate
+  * pair in exactly ONE cell — `firstCommon(x.cells, y.cells) = cell`
+  * picks the first shared cell under x's probe order, unique per ordered
+  * pair, so no distinct() over the candidate multiset. Vectors ride
+  * through the join (nprobe × vec bytes, linear in corpus size).
+  */
+object AnnJoin {
+
+  /** All pairs with cosine ≥ thresholdMilli/1000 among vectors sharing an
+    * IVF cell. Output: (a_id, b_id) — ids only, ordered a < b. */
+  def cosineSelfJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+                     model: IvfPqModel, thresholdMilli: Int,
+                     nprobe: Int = 2): DataFrame = {
+    val flat = model.partitionCentroids.flatten.toSeq
+    val e = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cells", topCellsL2(col("v"), flat, nprobe))
+      .select(col("id"), col("v"), col("cells"),
+        explode(col("cells")).as("cell"))
+      .repartition(col("id"), col("cell"))
+    e.as("x").join(e.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+        firstCommon(col("x.cells"), col("y.cells")) === col("x.cell"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        cosineF(col("x.v"), col("y.v")).as("cos"))
+      .where(col("cos") * 1000 >= thresholdMilli)
+      .select(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("SQL surface: cosine / dot / sq_l2 over array<float> literals") {
+    val r = spark.sql(
+      """SELECT
+        | graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |              array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        | graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |           array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        | graft_sq_l2(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS l
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getDouble(2) === 25.0)
+  }
+
+  test("SQL surface: token hashing and set intersection compose") {
+    val r = spark.sql(
+      """SELECT graft_inter_size(graft_token_hashes(split('a b c', ' ')),
+        |                        graft_token_hashes(split('b c d', ' ')))
+        |""".stripMargin).head().getLong(0)
+    assert(r === 2L)
+  }
+
+  test("SQL surface: minhash/simhash agree with the Column API") {
+    import graft.functions.FastFunctions
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(graft_token_hashes(split('x y z', ' ')))")
+      .head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(FastFunctions.simhash64(
+        FastFunctions.hashedTokenSet(lit("x y z"))))
+      .head().getLong(0)
+    assert(viaSql === viaCol)
+  }
+
+  test("SQL surface: arity errors are rejected at analysis") {
+    intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+  }
+}
