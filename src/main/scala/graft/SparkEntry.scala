@@ -203,6 +203,10 @@ object SparkEntry {
       Dedup.simHashDupPairsVerified(Tables.documents(s, dir))
         .orderBy("a_id", "b_id")),
 
+    "dedup_drop_list" -> ((s, dir) =>
+      Dedup.dropList(Tables.documents(s, dir), thresholdPct = 90)
+        .orderBy("drop_id")),
+
     "embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
         .orderBy("a_id", "b_id")),
@@ -372,6 +376,19 @@ object SparkEntry {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_drop_list" ->
+      s"""WITH pairs AS (${jaccardOracle(90)}),
+         |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |r AS (
+         |  WITH RECURSIVE reach(id, root) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+         |  SELECT id, min(root) AS comp FROM reach GROUP BY id)
+         |SELECT id AS drop_id, comp AS keep_id FROM r
+         |WHERE id != comp ORDER BY drop_id""".stripMargin,
 
     "embed_neardup" ->
       """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -248,6 +248,70 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // -------------------------------------------- clusters and drop lists
+
+  /** Connected components of the undirected pair graph by min-label
+    * propagation WITH pointer doubling: each round takes the min over
+    * neighbors' labels (propagate one hop) and then jumps to the label
+    * of the label (path compression), so chains of length d converge in
+    * O(log d) rounds, not O(d) — near-dup clusters produced by
+    * incremental mutation are exactly such chains. Each round shuffles
+    * only (id, label) longs. Returns (doc_id, component) with
+    * component = min reachable doc_id. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    // localCheckpoint truncates lineage each round — the pointer-doubling
+    // self-join would otherwise DOUBLE the logical plan per iteration and
+    // Catalyst analysis time explodes exponentially even with caches
+    var labels = ids.select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("dst_comp")),
+          "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_comp").as("nbr_comp"))
+      val hopped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .cache() // read twice by the pointer-doubling self-join
+      // pointer doubling: comp ← comp(comp); comp is always a doc_id, and
+      // its label can only be ≤ itself, so this strictly compresses paths
+      val next = hopped.as("a")
+        .join(hopped.select(col("doc_id").as("comp"),
+          col("comp").as("comp2")).as("b"), "comp")
+        .select(col("doc_id"), col("comp2").as("comp"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      changed = next.join(labels.select(col("doc_id"), col("comp").as("old")),
+        "doc_id").where(col("comp") =!= col("old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] iter $i changed=$changed " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      hopped.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** The dedup deliverable: which documents to DROP, keeping the min-id
+    * document of every near-duplicate cluster (cluster = connected
+    * component of the verified pair graph at jaccard ≥ thresholdPct/100).
+    * Output: (drop_id, keep_id), empty when the corpus is clean. */
+  def dropList(docs: DataFrame, thresholdPct: Int): DataFrame = {
+    val pairs = minHashLshPairs(docs, thresholdPct).select("a_id", "b_id")
+    connectedComponents(docs.select(col("doc_id")), pairs)
+      .where(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
+  }
+
   // ------------------------------------------- embedding near-duplicates
 
   /** Near-duplicate pairs by embedding cosine similarity above

@@ -90,6 +90,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L)))
   }
 
+  test("connectedComponents + dropList: clusters collapse to min id") {
+    // family A docs 1-4 are pairwise ≥ 50% similar → one component at 50;
+    // docs 5,6 identical; 7, 8 singletons
+    val r = Dedup.dropList(docs, thresholdPct = 50).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r === Set((2L, 1L), (3L, 1L), (4L, 1L), (6L, 5L)))
+    // chain transitivity: A-B similar, B-C similar, A-C NOT — still one
+    // component through B
+    val chain = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"),     // ~60% vs 1
+      (3L, "a b c d x y z w"))     // 33% vs 1 (below), 60% vs 2 (above)
+      .toDF("doc_id", "text")
+    val comps = Dedup.connectedComponents(
+      chain.select($"doc_id"),
+      Dedup.jaccardPairs(chain, 40).select("a_id", "b_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dropList: clean corpus drops nothing") {
+    val clean = Seq((1L, "aa bb cc"), (2L, "dd ee ff")).toDF("doc_id", "text")
+    assert(Dedup.dropList(clean, 80).count() === 0)
+  }
+
   test("hashedSets: sorted distinct hashes, permutation-invariant") {
     val two = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val r = Dedup.hashedSets(two).orderBy("doc_id")
