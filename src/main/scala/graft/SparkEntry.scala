@@ -25,15 +25,27 @@ object SparkEntry {
     Tables.embeddings(s, dir).where(col("vec_id") === vecId)
       .select("embedding").head().getSeq[Float](0).toArray
 
-  /** Build + save the IVF+PQ index once per sf dir (the build is its own
-    * pipeline stage in production; stored-query entries measure the
-    * query path, not a rebuild). */
-  private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def storedIndexPath(s: SparkSession, dir: String): String =
-    storedIdx.getOrElseUpdate(dir, {
+  /** Fit the IVF+PQ index once per sf dir (the build is its own pipeline
+    * stage in production; dependent entries measure THEIR operator, not a
+    * rebuild — ann_ivfpq alone times a full build+query). */
+  private val fitIdx = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.index.IvfPqModel, DataFrame)]
+  private def fittedIndex(s: SparkSession, dir: String)
+      : (graft.index.IvfPqModel, DataFrame) =
+    fitIdx.getOrElseUpdate(dir, {
       val emb = Tables.embeddings(s, dir)
       val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
         IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+      val cached = encoded.cache()
+      cached.count()
+      (model, cached)
+    })
+
+  /** Save the fitted index once per sf dir. */
+  private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def storedIndexPath(s: SparkSession, dir: String): String =
+    storedIdx.getOrElseUpdate(dir, {
+      val (model, encoded) = fittedIndex(s, dir)
       val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
       IvfPqBuilder.save(model, encoded, out)
       out
@@ -158,8 +170,7 @@ object SparkEntry {
     // n_bad = elements off by > 1e-6 — so the oracle is exact
     "vec_reconstruct" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
-        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+      val (model, encoded) = fittedIndex(s, dir)
       val centroidLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
       val reconstructed = encoded.select(col("id").as("vec_id"),
         zip_with(col("residual"),
@@ -215,8 +226,7 @@ object SparkEntry {
     // (rows-only: candidate recall is geometry-dependent by design)
     "embed_neardup_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (model, _) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
-        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+      val (model, _) = fittedIndex(s, dir)
       graft.query.AnnJoin.cosineSelfJoin(emb, "vec_id", "embedding",
         model, thresholdMilli = 400, nprobe = 3)
         .orderBy("a_id", "b_id")

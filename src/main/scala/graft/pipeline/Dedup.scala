@@ -176,8 +176,16 @@ object Dedup {
     *  - the length filter prunes size-incompatible pairs inside the join;
     *  - verification joins the surviving pairs back to the hashed sets
     *    and merge-counts each intersection exactly once. */
+  /** @param salt split every band bucket into `salt` sub-buckets: the
+    *        right side keys by `hash(doc) mod salt`, the left side
+    *        replicates each row `salt` times (one per peer sub-bucket),
+    *        so a bucket of g docs becomes `salt` tasks of g·g/salt pairs
+    *        instead of one g² task. Output is identical for any salt —
+    *        use > 1 when duplicate clusters are huge relative to
+    *        executor count (the skew case at corpus scale). */
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
-                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                      numHashes: Int = 128, bands: Int = 32,
+                      salt: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sets = hashedSets(docs)
     val keyed = sets
@@ -188,11 +196,15 @@ object Dedup {
       // join's parallelism follows THIS partitioning when the other side
       // broadcasts, and must not inherit a single-split source layout
       .repartition(col("doc_id"), col("b"))
+    val right = keyed.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt)))
+    val left = keyed.withColumn("salt",
+      explode(typedlit((0 until salt).map(_.toLong))))
     // conjunct order matters: the cheap inequality/size predicates run
     // first, the firstEqualIdx scan last — it only ever sees pairs that
     // survived everything else
-    val cand = keyed.as("x").join(keyed.as("y"),
+    val cand = left.as("x").join(right.as("y"),
         col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
+        col("x.salt") === col("y.salt") &&
         col("x.doc_id") < col("y.doc_id") &&
         sizeCompatible(thresholdPct) &&
         firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))

@@ -68,6 +68,13 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minHashLshPairs: salting changes the plan, never the result") {
+    for (salt <- Seq(2, 5)) {
+      assert(pairs(Dedup.minHashLshPairs(docs, 80, salt = salt))
+        === bruteJaccard(80), s"salt $salt")
+    }
+  }
+
   test("simHashDupPairsVerified finds exactly the equal-token-set pairs") {
     assert(pairs(Dedup.simHashDupPairsVerified(docs)) === Set((5L, 6L)))
   }

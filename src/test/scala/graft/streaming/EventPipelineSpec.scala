@@ -104,6 +104,31 @@ class EventPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingKnn: per-trigger results equal batch kNN") {
+    implicit val sqlCtx = spark.sqlContext
+    val points = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 2f)),
+      (4L, Seq(5f, 5f))).toDF("id", "vec")
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val sdf = stream.toDF().toDF("qid", "qvec")
+    val q = StreamingKnn.topKPerQuery(sdf, "qid", "qvec", points, "id", "vec", 2)
+      .writeStream.format("memory").queryName("stream_knn")
+      .outputMode("update").start()
+    try {
+      stream.addData((100L, Seq(0f, 0f)))
+      q.processAllAvailable()
+      stream.addData((200L, Seq(5f, 5f)))
+      q.processAllAvailable()
+      val got = spark.table("stream_knn")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+        .toSet
+      // query 100 → nearest 1 then 2; query 200 → nearest 4 then 3
+      assert(got === Set((100L, 1L, 1L), (100L, 2L, 2L),
+        (200L, 1L, 4L), (200L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("extractProps: json field as long") {
     val r = EventPipeline.extractProps(toDf(batch1)).orderBy("event_id")
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
