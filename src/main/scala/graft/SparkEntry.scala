@@ -206,6 +206,10 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, dir), thresholdPct = 85)
         .orderBy("a_id", "b_id")),
 
+    "dedup_jaccard_ngram" -> ((s, dir) =>
+      Dedup.jaccardPairsShingled(Tables.documents(s, dir), thresholdPct = 60, n = 3)
+        .orderBy("a_id", "b_id")),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(Tables.documents(s, dir), thresholdPct = 90)
         .orderBy("a_id", "b_id")),
@@ -377,6 +381,21 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
     "dedup_jaccard" -> jaccardOracle(85),
+
+    "dedup_jaccard_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  array_to_string(toks[g.i : g.i + 2], ' ') AS s
+        | FROM t, generate_series(1, 1024) AS g(i) WHERE g.i + 2 <= nt),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ip AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, (sa.n + sb.n - inter) AS union_sz
+        |FROM ip JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE inter * 100 >= (sa.n + sb.n - inter) * 60
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(90),
 
     "dedup_simhash" ->

@@ -43,6 +43,15 @@ object FastFunctions {
   def hashedTokenSet(text: Column): Column =
     tokenHashesSorted(split(text, " "))
 
+  /** Sorted distinct hashes of n-token shingles of an array<string>. */
+  def shingleHashesSorted(toks: Column, n: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "shingleHashesSorted",
+      toks, lit(n))
+
+  /** Hashed n-token shingle set of a whitespace-tokenized text column. */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    shingleHashesSorted(split(text, " "), n)
+
   /** |A ∩ B| for two ascending-sorted array<long> columns. */
   def interSortedSize(a: Column, b: Column): Column =
     invoke(LongType, "interSortedSize", a, b)

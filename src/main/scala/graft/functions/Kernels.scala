@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Hand-written JVM kernels for the per-row hot loops, invoked from plans
   * via Catalyst `StaticInvoke` (see [[FastFunctions]]) — so they run as a
@@ -87,6 +88,34 @@ object Kernels {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, m))
+  }
+
+  /** Sorted distinct xxhash64 values of the n-token shingles (sliding
+    * windows joined by a single space) of a token array — the w-shingling
+    * representation for n-gram Jaccard. Hashing the joined string keeps
+    * the set in bijection with distinct shingle STRINGS (mod 64-bit
+    * collisions), which is what a SQL oracle computes. */
+  def shingleHashesSorted(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements() - n + 1
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val sep = UTF8String.fromString(" ")
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      h(i) = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    var k = 0
+    i = 0
+    while (i < m) {
+      if (k == 0 || h(i) != h(k - 1)) { h(k) = h(i); k += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, k))
   }
 
   /** |A ∩ B| of two ascending-sorted long arrays (merge intersect). */

@@ -73,8 +73,22 @@ object Dedup {
     *  - candidates are verified with an exact merge-intersection kernel
     *    over the full sorted hash sets.
     */
-  def jaccardPairs(docs: DataFrame, thresholdPct: Int): DataFrame = {
-    val sets = hashedSets(docs)
+  def jaccardPairs(docs: DataFrame, thresholdPct: Int): DataFrame =
+    jaccardPairsOn(hashedSets(docs), thresholdPct)
+
+  /** n-gram (w-shingling) Jaccard: identical machinery over hashed
+    * n-token shingle sets instead of token sets — the variant that
+    * catches reordered/partially-overlapping text that bag-of-tokens
+    * similarity overestimates. */
+  def jaccardPairsShingled(docs: DataFrame, thresholdPct: Int,
+                           n: Int = 3): DataFrame =
+    jaccardPairsOn(
+      docs.select(col("doc_id"), hashedShingleSet(col("text"), n).as("hset"))
+        .withColumn("sz", size(col("hset")).cast("long"))
+        .where(col("sz") > 0),
+      thresholdPct)
+
+  private def jaccardPairsOn(sets: DataFrame, thresholdPct: Int): DataFrame = {
     val toks = sets.select(col("doc_id"), col("sz"), explode(col("hset")).as("h"))
     val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
     // per-doc PREFIX ARRAY: the L = |A| − ⌈t·|A|⌉ + 1 globally rarest

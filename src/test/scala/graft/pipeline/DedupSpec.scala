@@ -97,6 +97,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L)))
   }
 
+  test("jaccardPairsShingled: order-sensitive where token jaccard is not") {
+    val reordered = Seq(
+      (1L, "a b c d e f"),
+      (2L, "f e d c b a"),   // same token SET, no shared trigram
+      (3L, "a b c d e f"))   // identical text
+      .toDF("doc_id", "text")
+    // token jaccard: all three pairwise identical sets
+    assert(pairs(Dedup.jaccardPairs(reordered, 100)) ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // trigram jaccard: only the truly identical pair survives
+    assert(pairs(Dedup.jaccardPairsShingled(reordered, 50, n = 3)) ===
+      Set((1L, 3L)))
+  }
+
+  test("jaccardPairsShingled: short docs (< n tokens) drop out cleanly") {
+    val short = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d")).toDF("doc_id", "text")
+    // docs 1,2 have no trigrams at all → no pairs from them
+    assert(pairs(Dedup.jaccardPairsShingled(short, 10, n = 3)) === Set.empty)
+  }
+
   test("connectedComponents + dropList: clusters collapse to min id") {
     // family A docs 1-4 are pairwise ≥ 50% similar → one component at 50;
     // docs 5,6 identical; 7, 8 singletons
