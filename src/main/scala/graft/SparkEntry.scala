@@ -153,6 +153,19 @@ object SparkEntry {
       AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
     }),
 
+    // batch ANN: all five query vectors against the stored codes in one
+    // job (rows-only, like the other ANN entries)
+    "ann_batch" -> ((s, dir) => {
+      val (model, codes) = IvfPqBuilder.load(s, storedIndexPath(s, dir))
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") <= 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toSeq
+      AnnQuery.batchTopK(codes, model, qs, k = 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // Q6 semantics: attribute fetch for the top-k hits — join on the hit
     // ids only (broadcast), the analogue of loading only hit partitions'
     // attribute logs (reference db/stored.rs:625-638)

@@ -110,4 +110,9 @@ object FastFunctions {
   /** ADC distance against a flattened D×C table literal. */
   def adcDist(codes: Column, flatTable: Seq[Double], numCodes: Int): Column =
     invoke(DoubleType, "adcDist", codes, typedlit(flatTable), lit(numCodes))
+
+  /** ADC distance against a flattened D×C table COLUMN — for batch ANN,
+    * where each (query, probed-cell) row carries its own table. */
+  def adcDistCol(codes: Column, flatTable: Column, numCodes: Int): Column =
+    invoke(DoubleType, "adcDist", codes, flatTable, lit(numCodes))
 }

@@ -94,6 +94,46 @@ object AnnQuery {
       .select(col("id"), col("partition"), col("sq_dist"))
   }
 
+  /** Batch ANN: many queries against the coded table in ONE job — the
+    * reference's per-query loop (Q2-Q5) re-expressed as joins, which is
+    * where a cluster beats a single process (SURVEY.md §7 phase 7).
+    *
+    * Probe planning (cell selection + ADC tables) happens driver-side per
+    * query — centroids/codebooks are driver-resident by design and
+    * queries are small relative to the corpus. The resulting
+    * (qid, partition, flat_table) relation is broadcast and joined to the
+    * codes on `partition`: every scanned code row computes one ADC lookup
+    * per matching query, and the per-query bounded top-k aggregate ships
+    * k·|queries| rows to the reducers — codes are scanned once no matter
+    * how many queries ride along.
+    */
+  def batchTopK(codes: DataFrame, model: IvfPqModel,
+                queries: Seq[(Long, Array[Double])], k: Int,
+                nprobe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, q) =>
+      selectPartitions(model, q, nprobe).map { case (p, localized) =>
+        (qid, p, adcTable(model, localized).flatten.toSeq)
+      }
+    }.toDF("qid", "partition", "flat_table")
+    // static IN-filter on the union of probed cells → parquet partition
+    // pruning; the broadcast join then fans each row out per query
+    val probedCells = probes.select("partition").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    codes.where(col("partition").isin(probedCells: _*))
+      .join(broadcast(probes), "partition")
+      .select(col("qid"), col("id"),
+        graft.functions.FastFunctions
+          .adcDistCol(col("codes"), col("flat_table"), model.config.numCodes)
+          .as("sq_dist"))
+      .groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.id").as("id"),
+        col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Exact recall of an approximate result against brute force: fraction
     * of true top-k ids recovered. Driver-side, for tests and calibration. */
   def recallAtK(approx: Seq[Any], exact: Seq[Any]): Double =

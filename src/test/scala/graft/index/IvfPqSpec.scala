@@ -99,6 +99,19 @@ class IvfPqSpec extends AnyFunSuite {
     assert(rows.forall(r => probes.contains(r.getAs[Int]("partition"))))
   }
 
+  test("batch ANN equals per-query ANN for every query") {
+    val qs = Seq(0L, 7L, 55L).map(i => i -> data(i.toInt)._2.map(_.toDouble).toArray)
+    val batch = AnnQuery.batchTopK(encoded, model, qs, k = 5, nprobe = 2)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val single = AnnQuery.topK(encoded, model, q, k = 5, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) === single, s"query $qid")
+    }
+  }
+
   test("selectPartitions validates nprobe (reference db/stored.rs:403-409)") {
     intercept[IllegalArgumentException] {
       AnnQuery.selectPartitions(model, new Array[Double](dim), 0)
