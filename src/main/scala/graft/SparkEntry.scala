@@ -275,6 +275,15 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_subwords" -> ((s, dir) =>
+      TextAnalysis.subwordStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // SimHash near-dup at Hamming ≤ 3 via 16-bit band pigeonhole
+    // (rows-only: hamming distances are over our own hash)
+    "dedup_simhash_near" -> ((s, dir) =>
+      Dedup.simHashNearDupPairs(Tables.documents(s, dir), maxHamming = 3)
+        .orderBy("a_id", "b_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
   )
@@ -490,6 +499,14 @@ object SparkEntry {
         |   AS stop_cnt
         | FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "text_subwords" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |   AS BIGINT) AS n_subwords,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+        |   AS n_number_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,

@@ -83,6 +83,19 @@ object TextAnalysis {
     docs.select(col("doc_id"), best.getField("lang").as("pred_lang"))
   }
 
+  /** Subword token counting — the BPE-ish approximation: maximal runs of
+    * lowercase letters, digits, or single non-space symbols, the shape a
+    * byte-pair tokenizer's pre-tokenizer produces. Pure regex projection
+    * (codegen'd, no shuffle); the count is the usual proxy for LLM token
+    * budgets when the real vocabulary is unavailable. */
+  def subwordStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_subwords"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_number_runs"))
+
   /** Content fingerprint: 128-bit MD5 of the text (hex) plus a 64-bit
     * decimal prefix — the exact-dedup key. Identical in Spark and any SQL
     * engine, unlike engine-specific hash functions. A Karp–Rabin rolling

@@ -46,6 +46,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1.head === "en")
   }
 
+  test("subwordStats: regex runs counted like a BPE pre-tokenizer") {
+    val d = Seq((1L, "abc12 de-f 34")).toDF("doc_id", "text")
+    val r = TextAnalysis.subwordStats(d).head()
+    // runs: abc, 12, de, -, f, 34 → 6 subwords, 2 digit runs
+    assert(r.getLong(1) === 6L)
+    assert(r.getLong(2) === 2L)
+  }
+
   test("fingerprint: md5 identity equals text identity") {
     val twins = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
