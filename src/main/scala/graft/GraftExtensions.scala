@@ -33,7 +33,11 @@ object GraftFunctions {
     ("graft_frame_sums", ArrayType(LongType, containsNull = false),
       "sampledFrameSums", 3),
     ("graft_random_vec", ArrayType(FloatType, containsNull = false),
-      "pseudoRandomVec", 3))
+      "pseudoRandomVec", 3),
+    ("graft_shingle_hashes", ArrayType(LongType, containsNull = false),
+      "shingleHashesSorted", 2),
+    ("graft_first_common", LongType, "firstCommon", 2),
+    ("graft_first_equal_idx", IntegerType, "firstEqualIdx", 2))
 
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {

@@ -45,6 +45,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql === viaCol)
   }
 
+  test("SQL surface: shingle hashes compose with intersection") {
+    // "a b c" and "b c d" share the bigram "b c" only
+    val r = spark.sql(
+      """SELECT graft_inter_size(
+        |  graft_shingle_hashes(split('a b c', ' '), 2),
+        |  graft_shingle_hashes(split('b c d', ' '), 2))""".stripMargin)
+      .head().getLong(0)
+    assert(r === 1L)
+  }
+
   test("SQL surface: arity errors are rejected at analysis") {
     intercept[Exception] {
       spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()
