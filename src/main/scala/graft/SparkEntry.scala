@@ -138,12 +138,16 @@ object SparkEntry {
           col("label"))
         .orderBy("vec_id")),
 
+    // B9 divide_vector_set — emitted as scalar rows (vec_id, pos, val)
+    // because the driver's pandas compare cannot hash array cells; pos
+    // 0..15 is subvector 0, pos 16..31 is subvector 3
     "vec_divide" -> ((s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
-          slice(col("embedding"), 1, 16).as("sub0"),
-          slice(col("embedding"), 49, 16).as("sub3"))
-        .orderBy("vec_id")),
+          posexplode(concat(slice(col("embedding"), 1, 16),
+            slice(col("embedding"), 49, 16))).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+        .orderBy("vec_id", "pos")),
 
     // ------------------------------------------------ exact k-NN (Q1 core)
     "knn_exact" -> ((s, dir) =>
@@ -273,9 +277,12 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("meta.byte_len").as("byte_len"))
         .orderBy("media_id")),
 
+    // feature vector exploded to scalar rows for the oracle compare
     "media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.fromDocuments(Tables.documents(s, dir)))
-        .orderBy("media_id")),
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("j", "fsum")))
+        .select(col("media_id"), col("j").cast("long").as("j"), col("fsum"))
+        .orderBy("media_id", "j")),
 
     "media_frame_sums" -> ((s, dir) =>
       Multimodal.sampledFrames(
@@ -369,8 +376,11 @@ object SparkEntry {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "vec_divide" ->
-      """SELECT vec_id, embedding[1:16] AS sub0, embedding[49:64] AS sub3
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS pos,
+        | CASE WHEN t.i <= 16 THEN embedding[t.i]
+        |      ELSE embedding[t.i + 32] END AS val
+        |FROM embeddings, generate_series(1, 32) AS t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "knn_exact" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -495,9 +505,11 @@ object SparkEntry {
         | FROM documents, generate_series(1, 8192) AS t(i)
         | WHERE t.i <= length(text)
         | GROUP BY 1, 2)
-        |SELECT doc_id AS media_id,
-        | list(CAST(s AS BIGINT) ORDER BY j) AS feature
-        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin,
+        |SELECT d.doc_id AS media_id, CAST(g.j AS BIGINT) AS j,
+        | CAST(coalesce(b.s, 0) AS BIGINT) AS fsum
+        |FROM documents d CROSS JOIN generate_series(0, 7) AS g(j)
+        |LEFT JOIN b ON b.doc_id = d.doc_id AND b.j = g.j
+        |ORDER BY media_id, j""".stripMargin,
 
     "media_frame_sums" ->
       """WITH fr AS (SELECT doc_id, text, t.f AS frame_no

@@ -102,16 +102,26 @@ object Dedup {
           slice(col("ranked"), lit(1),
             (col("sz") - ceilDiv(col("sz") * thresholdPct, 100) + 1).cast("int")),
           s => s.getField("h")).as("prefix"))
+    // posexplode keeps each token's POSITION in the global (df, h) order —
+    // the PPJoin position filter needs it. Repartitioning on the join key
+    // `h` both spreads a single-split source across the cluster and is
+    // reused by the self-join's exchange (same hash partitioning), so it
+    // costs no extra shuffle in the shuffle-join case.
     val prefix = prefixed
       .select(col("doc_id"), col("sz"), col("prefix"),
-        explode(col("prefix")).as("h"))
-      .repartition(col("doc_id"))
+        posexplode(col("prefix")).as(Seq("p", "h")))
+      .repartition(col("h"))
     // each qualifying pair shares ≥1 prefix token; the firstCommon filter
     // (= the globally-least shared prefix token, symmetric in x/y) keeps
-    // exactly one joined row per pair — no distinct() over candidates
+    // exactly one joined row per pair — no distinct() over candidates.
+    // At that first-common row no earlier token is shared, so the PPJoin
+    // position filter (Xiao et al., WWW'08 §3.2) bounds the overlap by
+    // 1 + min(remaining tokens in A, remaining tokens in B) — an integer
+    // conjunct that kills most candidates before the firstCommon scan.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
         sizeCompatible(thresholdPct) &&
+        positionCompatible(thresholdPct) &&
         firstCommon(col("x.prefix"), col("y.prefix")) === col("x.h"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
     verifyCandidates(cand, sets, thresholdPct)
@@ -126,6 +136,16 @@ object Dedup {
   private def sizeCompatible(thresholdPct: Int): Column =
     col("x.sz") * 100 >= col("y.sz") * thresholdPct &&
       col("y.sz") * 100 >= col("x.sz") * thresholdPct
+
+  /** PPJoin position filter: at the first shared token, sitting at
+    * 0-based positions (x.p, y.p) of the globally-ordered sets, the
+    * overlap is at most 1 + min(|A|−x.p−1, |B|−y.p−1); J ≥ t requires
+    * overlap ≥ t·(|A|+|B|)/(100+t), so the bound must clear it —
+    * all-integer arithmetic, no true pair dropped. */
+  private def positionCompatible(thresholdPct: Int): Column =
+    (lit(1) + least(col("x.sz") - col("x.p") - 1,
+      col("y.sz") - col("y.p") - 1)) * (100 + thresholdPct) >=
+      (col("x.sz") + col("y.sz")) * thresholdPct
 
   /** Exact verification of distinct candidate pairs: join the hashed sets
     * back (sets ≪ candidates, so the planner broadcasts them at test
@@ -163,7 +183,7 @@ object Dedup {
       .select(col("doc_id"), bandKeys(col("sig"), bands).as("bands"))
       .select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
-      .repartition(col("doc_id"), col("b"))
+      .repartition(col("k"), col("b"))
     keyed.as("x").join(keyed.as("y"),
         col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
         col("x.doc_id") < col("y.doc_id") &&
@@ -206,10 +226,12 @@ object Dedup {
       .withColumn("bands", bandKeys(minhashSig(col("hset"), numHashes), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
-      // spread each doc's band rows across the cluster: the downstream
-      // join's parallelism follows THIS partitioning when the other side
-      // broadcasts, and must not inherit a single-split source layout
-      .repartition(col("doc_id"), col("b"))
+      // spread each doc's band rows across the cluster ON THE JOIN KEYS:
+      // the broadcast-join case inherits this parallelism (never a
+      // single-split source layout), and the shuffle-join case reuses the
+      // exchange — (k, b) is a prefix of the equi-keys (k, b, salt), so
+      // no second shuffle of the exploded relation
+      .repartition(col("k"), col("b"))
     val right = keyed.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt)))
     val left = keyed.withColumn("salt",
       explode(typedlit((0 until salt).map(_.toLong))))
@@ -257,21 +279,32 @@ object Dedup {
 
   /** Near-dup pairs at Hamming distance <= maxHamming, bucketed by 4
     * 16-bit bands (pigeonhole: any pair within Hamming 3 shares at least
-    * one exact band). Shuffles only (band, chunk, doc_id). */
+    * one exact band). Shuffles only (band, chunk, doc_id).
+    *
+    * A pair sharing m chunks meets in m joined rows; the
+    * `firstEqualIdx(x.chunks, y.chunks) = band` conjunct keeps exactly
+    * the first shared chunk — the same emit-once trick as the LSH path,
+    * replacing a distinct() shuffle over the quadratic candidate
+    * multiset. The Hamming filter runs inside the join condition, before
+    * the dedupe, so XOR+bit_count evaluates once per surviving row. */
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole covers Hamming <= 3")
     val sigs = simHashSignatures(docs)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-      .toDF("doc_id", "simhash", "band", "chunk")
+    val banded = sigs
+      .select(col("doc_id"), col("simhash"),
+        array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)
+          .as("chunks"))
+      .select(col("doc_id"), col("simhash"), col("chunks"),
+        posexplode(col("chunks")).as(Seq("band", "chunk")))
+      .repartition(col("chunk"), col("band"))
     banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.chunk") === col("y.chunk") && col("x.band") === col("y.band") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming &&
+        firstEqualIdx(col("x.chunks"), col("y.chunks")) === col("x.band"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 
   // -------------------------------------------- clusters and drop lists
@@ -313,12 +346,18 @@ object Dedup {
           col("comp").as("comp2")).as("b"), "comp")
         .select(col("doc_id"), col("comp2").as("comp"))
         .localCheckpoint()
-      val t0 = System.nanoTime()
-      changed = next.join(labels.select(col("doc_id"), col("comp").as("old")),
-        "doc_id").where(col("comp") =!= col("old")).count()
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] iter $i changed=$changed " +
-          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // the convergence test is a whole extra join+count job; pointer
+      // doubling converges in O(log d) rounds, so test every other round
+      // — at worst one redundant (idempotent) round instead of a count
+      // job per round
+      if (i % 2 == 1 || i == maxIter - 1) {
+        val t0 = System.nanoTime()
+        changed = next.join(labels.select(col("doc_id"), col("comp").as("old")),
+          "doc_id").where(col("comp") =!= col("old")).count()
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(f"[cc] iter $i changed=$changed " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       hopped.unpersist(blocking = false)
       labels = next
       i += 1
