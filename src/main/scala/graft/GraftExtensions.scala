@@ -42,8 +42,12 @@ object GraftFunctions {
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {
     require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+    // declared input types make analysis reject (or coerce) mistyped SQL
+    // arguments instead of reinterpreting bytes at runtime
     StaticInvoke(Kernels.getClass, dt, method, args,
-      inputTypes = Nil, propagateNull = true, returnNullable = false)
+      inputTypes = graft.functions.FastFunctions.kernelInputTypes
+        .getOrElse(method, Nil),
+      propagateNull = true, returnNullable = false)
   }
 
   def inject(ext: SparkSessionExtensions): Unit =

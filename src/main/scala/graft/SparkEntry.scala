@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.attrs.AttributesLog
-import graft.index.{IvfPqBuilder, IvfPqConfig}
+import graft.attrs.{AttributesLog, VectorAttributes}
+import graft.index.{IvfPqBuilder, IvfPqConfig, IvfPqModel}
 import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
 import graft.query.{AnnQuery, ExactKnn}
 
@@ -34,22 +34,79 @@ object SparkEntry {
       : (graft.index.IvfPqModel, DataFrame) =
     fitIdx.getOrElseUpdate(dir, {
       val emb = Tables.embeddings(s, dir)
+      // D=16/C=64: ADC ranking error, not cell misses, bounds recall on
+      // this corpus (nprobe=P changes nothing at D=8/C=16) — measured
+      // per-query recall@10 is 5-7/10 here vs 2-4 at D=8/C=16
       val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
-        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
+        IvfPqConfig(numPartitions = 8, numDivisions = 16, numCodes = 64, maxIter = 20))
       val cached = encoded.cache()
       cached.count()
       (model, cached)
     })
 
-  /** Save the fitted index once per sf dir. */
+  /** Save the fitted index once per sf dir, then seed its per-vector
+    * attribute store (B12 semantics): batch 0 sets label (string) and
+    * views = vec_id·10 (u64) for every vector; batch 1 UPSERTS
+    * views = vec_id·10 + 1 for every 7th vector — so reads must replay
+    * last-write-wins, not just read a table. */
   private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storedIndexPath(s: SparkSession, dir: String): String =
     storedIdx.getOrElseUpdate(dir, {
       val (model, encoded) = fittedIndex(s, dir)
       val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
       IvfPqBuilder.save(model, encoded, out)
+      val emb = Tables.embeddings(s, dir)
+      VectorAttributes.setAttributes(out,
+        emb.select(col("vec_id").as("vector_id"), lit("label").as("name"),
+            col("label").cast("string").as("value_str"),
+            lit(null).cast("long").as("value_u64"))
+          .unionByName(emb.select(col("vec_id").as("vector_id"),
+            lit("views").as("name"), lit(null).cast("string").as("value_str"),
+            (col("vec_id") * 10).cast("long").as("value_u64"))))
+      VectorAttributes.setU64Attribute(out,
+        emb.where(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), (col("vec_id") * 10 + 1).as("v")),
+        "vec_id", "views", "v")
       out
     })
+
+  /** Integer invariants of an ANN result, checkable against a CONSTANT
+    * DuckDB oracle (the vec_reconstruct pattern — ANN output itself is
+    * geometry-dependent, its contracts are not):
+    *  - n_rows: exactly k hits came back;
+    *  - n_outside_probed: every hit's partition is a probed cell
+    *    (partition pruning returned no foreign rows);
+    *  - n_dist_bad: each hit's ADC distance equals an INDEPENDENT
+    *    recompute — decode codes through the codebooks, add the cell
+    *    centroid, take ‖q − approx‖² via the higher-order-function path
+    *    (different code from the adcDist kernel) — within 1e-6;
+    *  - n_recalled: overlap with the oracle-verified exact top-k. */
+  private def annInvariants(hits: DataFrame, encoded: DataFrame,
+      model: IvfPqModel, q: Array[Double], probes: Seq[Int],
+      exactIds: DataFrame): DataFrame = {
+    val d = model.config.numDivisions
+    val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    val qLit = typedlit(q.toSeq)
+    val withRec = hits
+      .join(encoded.select(col("id"), col("codes")), "id")
+      .withColumn("decoded", flatten(zip_with(
+        typedlit((1 to d).toList), col("codes"),
+        (dv, c) => element_at(element_at(cbLit, dv), c + 1))))
+      .withColumn("approx", zip_with(col("decoded"),
+        element_at(centLit, col("partition") + 1), (r, cc) => r + cc))
+      .withColumn("rec_dist", aggregate(zip_with(col("approx"), qLit,
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+    val inv = withRec.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      coalesce(sum(when(not(col("partition").isin(probes: _*)), 1L)
+        .otherwise(0L)), lit(0L)).as("n_outside_probed"),
+      coalesce(sum(when(abs(col("sq_dist") - col("rec_dist")) > 1e-6, 1L)
+        .otherwise(0L)), lit(0L)).as("n_dist_bad"))
+    val recall = hits.join(exactIds, "id")
+      .agg(count(lit(1)).cast("long").as("n_recalled"))
+    inv.crossJoin(recall)
+  }
 
   /** Flagship query on sf0.001: exact k-NN over the embeddings table —
     * the reference's core semantics (Q1 with nprobe=P, no quantization). */
@@ -158,46 +215,104 @@ object SparkEntry {
       ExactKnn.rankedIdsCosine(Tables.embeddings(s, dir), "embedding", "vec_id",
         queryVec(s, dir, 0L), 10)),
 
-    // ---------------------------------------------------- ANN (rows-only)
+    // --------------------------------------- ANN (invariant-gated oracle)
+    // full build+query, deliberately timing both; the output is the
+    // invariant row of annInvariants (constant DuckDB oracle)
     "ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
-        IvfPqConfig(numPartitions = 8, numDivisions = 8, numCodes = 16, maxIter = 20))
-      val q = queryVec(s, dir, 0L).map(_.toDouble)
-      AnnQuery.topK(encoded, model, q, k = 10, nprobe = 4)
+        IvfPqConfig(numPartitions = 8, numDivisions = 16, numCodes = 64, maxIter = 20))
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val hits = AnnQuery.topK(encoded, model, q, k = 10, nprobe = 4)
+      val probes = AnnQuery.selectPartitions(model, q, 4).map(_._1).toSeq
+      val exact = ExactKnn.rankedIds(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      annInvariants(hits, encoded, model, q, probes, exact)
+        .select(col("n_rows"), col("n_outside_probed"), col("n_dist_bad"),
+          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
     }),
 
     // stored-index query path: partition-pruned scan over the saved codes
-    // parquet (S3-S6 + Q1 of SURVEY.md §2); build+save memoized per dir
+    // parquet (S3-S6 + Q1 of SURVEY.md §2); the invariant is round-trip
+    // EQUALITY — the loaded index must answer identically (ids and
+    // bit-equal distances; parquet doubles round-trip exactly) to the
+    // in-memory index it was saved from
     "ann_ivfpq_stored" -> ((s, dir) => {
-      val (model, codes) = IvfPqBuilder.load(s, storedIndexPath(s, dir))
+      val (modelM, encodedM) = fittedIndex(s, dir)
+      val (modelL, codesL) = IvfPqBuilder.load(s, storedIndexPath(s, dir))
       val q = queryVec(s, dir, 0L).map(_.toDouble)
-      AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
+      val mem = AnnQuery.topK(encodedM, modelM, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val st = AnnQuery.topK(codesL, modelL, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
     }),
 
     // batch ANN: all five query vectors against the stored codes in one
-    // job (rows-only, like the other ANN entries)
+    // job; invariants: 5 query groups of exactly k rows each, distances
+    // ascending with rank within every group, and per-query recall vs the
+    // oracle-verified exact batch k-NN
     "ann_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val (model, codes) = IvfPqBuilder.load(s, storedIndexPath(s, dir))
       val emb = Tables.embeddings(s, dir)
-      val qs = emb.where(col("vec_id") <= 4)
+      val qrows = emb.where(col("vec_id") <= 4)
         .select("vec_id", "embedding").collect()
+      val qs = qrows
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
         .toSeq
-      AnnQuery.batchTopK(codes, model, qs, k = 10, nprobe = 4)
-        .orderBy("qid", "rank")
+      val ann = AnnQuery.batchTopK(codes, model, qs, k = 10, nprobe = 4)
+      val qsDf = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = ExactKnn
+        .batchTopK(emb, "embedding", "vec_id", qsDf, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id").as("id"))
+      val w = Window.partitionBy("qid").orderBy("rank")
+      val perQ = ann
+        .withColumn("prev_dist", lag("sq_dist", 1).over(w))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(when(col("prev_dist") > col("sq_dist"), 1L)
+            .otherwise(0L)), lit(0L)).as("viol"))
+      val recPerQ = ann.join(exact, Seq("qid", "id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_rec"))
+      perQ.join(recPerQ, Seq("qid"), "left").agg(
+        count(lit(1)).cast("long").as("n_qids"),
+        coalesce(sum(when(col("cnt") =!= 10, 1L).otherwise(0L)), lit(0L))
+          .as("n_bad_k"),
+        coalesce(sum(col("viol")), lit(0L)).as("n_order_viol"),
+        coalesce(sum(when(coalesce(col("n_rec"), lit(0L)) < 3, 1L)
+          .otherwise(0L)), lit(0L)).as("n_low_recall"))
     }),
 
-    // Q6 semantics: attribute fetch for the top-k hits — join on the hit
-    // ids only (broadcast), the analogue of loading only hit partitions'
-    // attribute logs (reference db/stored.rs:625-638)
+    // Q6 semantics: attribute fetch for the top-k hits — resolved from
+    // the per-vector attribute store bound to the stored index (B13),
+    // semi-joined down to the hit ids before the LWW replay — the
+    // analogue of loading only hit partitions' attribute logs
+    // (reference db/stored.rs:625-638)
     "knn_attr_fetch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val hits = ExactKnn.rankedIds(emb, "embedding", "vec_id",
         queryVec(s, dir, 0L), 10)
-      hits.join(emb.select(col("vec_id"), col("label")), "vec_id")
-        .select(col("rank"), col("vec_id"), col("label"))
+      val attrs = VectorAttributes.getAttributeFor(s, storedIndexPath(s, dir),
+        hits, "vec_id", "label")
+      hits.join(attrs, col("vec_id") === col("vector_id"))
+        .select(col("rank"), col("vec_id"), col("value_str").as("label"))
         .orderBy("rank")
+    }),
+
+    // B12/B13 whole-store get: LWW over two upsert batches (every 7th
+    // vector's views was overwritten by batch 1 — see storedIndexPath)
+    "attrs_vector_get" -> ((s, dir) => {
+      VectorAttributes.getAttribute(s, storedIndexPath(s, dir), "views")
+        .select(col("vector_id"), col("value_u64").as("views"))
+        .orderBy("vector_id")
     }),
 
     // Q8 semantics: residual + centroid reconstructs the original vector
@@ -261,14 +376,24 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
         .orderBy("a_id", "b_id")),
 
-    // IVF-bucketed ANN similarity self-join — the 100 TB near-dup path
-    // (rows-only: candidate recall is geometry-dependent by design)
+    // IVF-bucketed ANN similarity self-join — the 100 TB near-dup path.
+    // Invariants vs the oracle-verified exact all-pairs result: the IVF
+    // join may only MISS pairs (every emitted pair is exact-verified →
+    // n_extra = 0) and must recover ≥ 90% of them at this geometry
     "embed_neardup_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (model, _) = fittedIndex(s, dir)
-      graft.query.AnnJoin.cosineSelfJoin(emb, "vec_id", "embedding",
+      val ivf = graft.query.AnnJoin.cosineSelfJoin(emb, "vec_id", "embedding",
         model, thresholdMilli = 400, nprobe = 3)
-        .orderBy("a_id", "b_id")
+      val exact = Dedup.embeddingNearDupPairs(emb, thresholdMilli = 400)
+      val extra = ivf.join(exact, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_extra"))
+      val counts = ivf.agg(count(lit(1)).cast("long").as("n_ivf")).crossJoin(
+        exact.agg(count(lit(1)).cast("long").as("n_exact")))
+      extra.crossJoin(counts)
+        .select(col("n_extra"),
+          when(col("n_ivf") * 100 >= col("n_exact") * 90, 1L).otherwise(0L)
+            .as("recall_ge_90"))
     }),
 
     // ------------------------------------ multimodal binary-column family
@@ -303,11 +428,25 @@ object SparkEntry {
     "text_subwords" -> ((s, dir) =>
       TextAnalysis.subwordStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
-    // SimHash near-dup at Hamming ≤ 3 via 16-bit band pigeonhole
-    // (rows-only: hamming distances are over our own hash)
-    "dedup_simhash_near" -> ((s, dir) =>
-      Dedup.simHashNearDupPairs(Tables.documents(s, dir), maxHamming = 3)
-        .orderBy("a_id", "b_id")),
+    // SimHash near-dup at Hamming ≤ 3 via 16-bit band pigeonhole.
+    // Hamming is over our own hash, so the oracle checks invariants:
+    // every pair within bound and ordered, and every verified equal-set
+    // duplicate (the oracle-gated dedup_simhash relation) is found —
+    // equal sets ⇒ equal SimHash ⇒ Hamming 0
+    "dedup_simhash_near" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simHashNearDupPairs(docs, maxHamming = 3)
+      val dups = Dedup.simHashDupPairsVerified(docs)
+      val missed = dups.join(pairs.select("a_id", "b_id"),
+          Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_dup_missed"))
+      pairs.agg(
+        coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_hamming_viol"),
+        coalesce(sum(when(col("a_id") >= col("b_id"), 1L).otherwise(0L)),
+          lit(0L)).as("n_order_viol"))
+        .crossJoin(missed)
+    }),
 
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -423,6 +562,38 @@ object SparkEntry {
     "vec_reconstruct" ->
       """SELECT vec_id, CAST(0 AS BIGINT) AS n_bad
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // ANN invariants (constant oracles — see the queries' scaladoc)
+    "ann_ivfpq" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_outside_probed,
+        | CAST(0 AS BIGINT) AS n_dist_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
+
+    "ann_ivfpq_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_batch" ->
+      """SELECT CAST(5 AS BIGINT) AS n_qids, CAST(0 AS BIGINT) AS n_bad_k,
+        | CAST(0 AS BIGINT) AS n_order_viol,
+        | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
+
+    "dedup_simhash_near" ->
+      """SELECT CAST(0 AS BIGINT) AS n_hamming_viol,
+        | CAST(0 AS BIGINT) AS n_order_viol,
+        | CAST(0 AS BIGINT) AS n_dup_missed""".stripMargin,
+
+    "embed_neardup_ivf" ->
+      """SELECT CAST(0 AS BIGINT) AS n_extra,
+        | CAST(1 AS BIGINT) AS recall_ge_90""".stripMargin,
+
+    "attrs_vector_get" ->
+      """SELECT vec_id AS vector_id,
+        | CAST(vec_id * 10 + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS views
+        |FROM embeddings ORDER BY vector_id""".stripMargin,
 
     "knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -542,6 +713,28 @@ object SparkEntry {
         |   AS stop_cnt
         | FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // generated from TextAnalysis.langProfiles so oracle and operator
+    // can never drift: score = # profile trigrams contained, argmax with
+    // lexicographic (smallest-lang) tie-break — same as the struct-max
+    "text_langid" -> {
+      val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+      val scoreExprs = langs.map { lang =>
+        val s = TextAnalysis.langProfiles(lang)
+          .map(g => s"CAST(contains(text, '${g.replace("'", "''")}') AS INT)")
+          .mkString(" + ")
+        s"($s) AS s_$lang"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, $scoreExprs FROM documents),
+         |u AS (SELECT doc_id,
+         |  unnest([${langs.map(l => s"'$l'").mkString(", ")}]) AS lang,
+         |  unnest([${langs.map(l => s"s_$l").mkString(", ")}]) AS score
+         | FROM sc)
+         |SELECT doc_id, lang AS pred_lang FROM (
+         | SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY score DESC, lang) AS rn FROM u) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
 
     "text_subwords" ->
       """SELECT doc_id,

@@ -14,11 +14,37 @@ import org.apache.spark.sql.types._
   */
 object FastFunctions {
 
+  /** Expected input types per kernel — declared on every StaticInvoke so
+    * analysis validates (and where legal, coerces) arguments instead of
+    * letting UnsafeArrayData reinterpret bytes of the wrong type. Shared
+    * with the SQL registry ([[graft.GraftFunctions]]), which is the
+    * user-facing surface where mistyped arguments actually happen. */
+  private[graft] val kernelInputTypes: Map[String, Seq[DataType]] = Map(
+    "sqL2f" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
+    "dotf" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
+    "cosinef" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
+    "tokenHashesSorted" -> Seq(ArrayType(StringType)),
+    "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
+    "interSortedSize" -> Seq(ArrayType(LongType), ArrayType(LongType)),
+    "firstCommon" -> Seq(ArrayType(LongType), ArrayType(LongType)),
+    "firstEqualIdx" -> Seq(ArrayType(LongType), ArrayType(LongType)),
+    "minhashSig" -> Seq(ArrayType(LongType), IntegerType),
+    "bandKeys" -> Seq(ArrayType(LongType), IntegerType),
+    "simhash64" -> Seq(ArrayType(LongType)),
+    "topCellsL2" -> Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType),
+    "pseudoRandomVec" -> Seq(LongType, IntegerType, LongType),
+    "byteBucketSums" -> Seq(BinaryType, IntegerType),
+    "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
+    "stubDecodeGray" -> Seq(BinaryType, IntegerType, IntegerType),
+    "meanPool" -> Seq(ArrayType(FloatType), IntegerType, IntegerType,
+      IntegerType, IntegerType),
+    "adcDist" -> Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType))
+
   private def invoke(dt: DataType, name: String, args: Column*): Column =
     ColumnShim.column(StaticInvoke(
       Kernels.getClass, dt, name,
       args.map(ColumnShim.expression),
-      inputTypes = Nil,
+      inputTypes = kernelInputTypes.getOrElse(name, Nil),
       propagateNull = true,
       returnNullable = false))
 

@@ -22,9 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
+  /** Dimension guard for two-array kernels: UnsafeArrayData reads have no
+    * bounds checks, so a length mismatch (inconsistent corpus, bad SQL
+    * input) must fail loudly, not read garbage. */
+  @inline private def sameDim(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"vector dimension mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Σ (aᵢ−bᵢ)² over float arrays, accumulated in double. */
   def sqL2f(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameDim(a, b)
     var i = 0
     var s = 0.0
     while (i < n) {
@@ -37,7 +47,7 @@ object Kernels {
 
   /** Σ aᵢ·bᵢ over float arrays, accumulated in double. */
   def dotf(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameDim(a, b)
     var i = 0
     var s = 0.0
     while (i < n) {
@@ -50,7 +60,7 @@ object Kernels {
   /** Cosine similarity over float arrays — one pass for dot and both
     * norms; 0.0 when either norm is zero (matches VectorFunctions.cosine). */
   def cosinef(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameDim(a, b)
     var i = 0
     var dp = 0.0
     var na = 0.0
@@ -75,15 +85,18 @@ object Kernels {
     val n = toks.numElements()
     val h = new Array[Long](n)
     var i = 0
+    var w = 0
     while (i < n) {
-      h(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
+      // null elements (possible via the SQL surface) contribute no token
+      val u = toks.getUTF8String(i)
+      if (u != null) { h(w) = XXH64.hashUTF8String(u, 42L); w += 1 }
       i += 1
     }
-    java.util.Arrays.sort(h)
+    java.util.Arrays.sort(h, 0, w)
     // dedupe in place (sorted)
     var m = 0
     i = 0
-    while (i < n) {
+    while (i < w) {
       if (m == 0 || h(i) != h(m - 1)) { h(m) = h(i); m += 1 }
       i += 1
     }
@@ -100,11 +113,17 @@ object Kernels {
     if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val sep = UTF8String.fromString(" ")
     val h = new Array[Long](m)
+    val empty = UTF8String.EMPTY_UTF8
     var i = 0
     while (i < m) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      while (j < n) {
+        // null tokens (SQL surface) act as empty strings in the shingle
+        val u = toks.getUTF8String(i + j)
+        parts(j) = if (u == null) empty else u
+        j += 1
+      }
       h(i) = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), 42L)
       i += 1
     }
@@ -435,6 +454,8 @@ object Kernels {
     * flattened D×C distance table (reference/src/db/stored.rs:575-595). */
   def adcDist(codes: ArrayData, flatTable: ArrayData, numCodes: Int): Double = {
     val d = codes.numElements()
+    require(flatTable.numElements() == d * numCodes,
+      s"ADC table size ${flatTable.numElements()} != $d divisions x $numCodes codes")
     var i = 0
     var s = 0.0
     while (i < d) {

@@ -86,6 +86,9 @@ object IvfPqBuilder {
     // --- stage 2: coarse IVF k-means (reference partitions.rs:96-143) ---
     val coarse = timed("coarse-kmeans")(
       newKMeans(config, config.numPartitions).fit(base))
+    // rounds actually used: < maxIter means the tol-based stop fired,
+    // i.e. the fit converged like the reference's ε-stop (kmeans.rs:24-34)
+    log(s"coarse-kmeans rounds=${coarse.summary.numIter}/${config.maxIter}")
     val centroids = coarse.clusterCenters.map(_.toArray)
 
     // partition assignment + residual v − centroid[p] in one projection;
@@ -125,6 +128,8 @@ object IvfPqBuilder {
         }), Duration.Inf).toArray
     }
     subDfs.foreach(_.unpersist(blocking = false))
+    log(s"pq-kmeans rounds=${pqModels.map(_.summary.numIter).min}.." +
+      s"${pqModels.map(_.summary.numIter).max}/${config.maxIter}")
     val codebooks = pqModels.map(_.clusterCenters.map(_.toArray))
 
     // --- stage 4: encode — D assignments gathered into one array<int>
@@ -157,11 +162,32 @@ object IvfPqBuilder {
       .setFeaturesCol(features)
       .setPredictionCol(prediction)
 
+  /** Assign fresh ids to an id-less vector table — the reference's UUID
+    * assignment when vectors arrive without keys (db/build.rs:86-91).
+    * `uuid()` draws RFC-4122 v4 ids per row (non-deterministic across
+    * runs, like the reference); pass deterministic = true to derive
+    * stable ids from a total order instead (the replayable-pipeline
+    * default everywhere else in this library). */
+  def withAssignedIds(df: DataFrame, idCol: String = "id",
+                      deterministic: Boolean = false): DataFrame =
+    if (deterministic)
+      df.withColumn(idCol, monotonically_increasing_id())
+    else
+      df.withColumn(idCol, expr("uuid()"))
+
   /** Persist the index: codes partitioned by IVF cell (→ partition-pruned
     * scans, the analogue of reference per-partition files), centroids +
     * codebooks as small parquet, manifest as JSON — replacing the
     * reference's content-addressed zlib protobuf store (io.rs:242-300)
-    * with parquet codecs + checksums. */
+    * with parquet codecs + checksums.
+    *
+    * Documented divergence from the reference's f32-only persistence
+    * (protos/database.proto:66-74): centroids/codebooks stay f64 here.
+    * They are KBs against a codes table that dominates storage by orders
+    * of magnitude, and keeping them f64 makes save/load BIT-EXACT — a
+    * loaded index answers queries identically to the in-memory one (the
+    * ann_ivfpq_stored invariant). Residuals, the only per-vector floats,
+    * are f32 like the reference's. */
   def save(model: IvfPqModel, encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
@@ -181,16 +207,25 @@ object IvfPqBuilder {
       s"""{"vector_size":${m.dim},"num_partitions":${m.config.numPartitions},
          |"num_divisions":${m.config.numDivisions},"num_codes":${m.config.numCodes}}"""
         .stripMargin.replace("\n", "")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/manifest.json"), manifest)
+    // through the Hadoop filesystem of the path, not java.nio — the index
+    // must round-trip on hdfs://, s3a://, etc. like every other artifact
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Load index artifacts back; validates the same invariants the
     * reference checks on load (db/stored.rs:659-722: shape cross-checks). */
   def load(spark: SparkSession, path: String): (IvfPqModel, DataFrame) = {
-    val manifest = ujsonLite(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/manifest.json")))
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mPath)
+    val manifestStr =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val manifest = ujsonLite(manifestStr)
     val dim = manifest("vector_size")
     val p = manifest("num_partitions")
     val d = manifest("num_divisions")

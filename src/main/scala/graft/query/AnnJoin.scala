@@ -28,10 +28,18 @@ import graft.index.IvfPqModel
 object AnnJoin {
 
   /** All pairs with cosine ≥ thresholdMilli/1000 among vectors sharing an
-    * IVF cell. Output: (a_id, b_id) — ids only, ordered a < b. */
+    * IVF cell. Output: (a_id, b_id) — ids only, ordered a < b.
+    *
+    * @param salt split each cell's bucket into `salt` sub-buckets (right
+    *        side keys by hash(id) mod salt, left side replicates one row
+    *        per sub-bucket) so a HOT cell of g vectors becomes `salt`
+    *        tasks of g·g/salt comparisons instead of one g² task — same
+    *        skew treatment as Dedup.minHashLshPairs; output is identical
+    *        for any salt. Use > 1 when cell populations are huge relative
+    *        to executor count (dense clusters at corpus scale). */
   def cosineSelfJoin(embeddings: DataFrame, idCol: String, vecCol: String,
                      model: IvfPqModel, thresholdMilli: Int,
-                     nprobe: Int = 2): DataFrame = {
+                     nprobe: Int = 2, salt: Int = 1): DataFrame = {
     val flat = model.partitionCentroids.flatten.toSeq
     val e = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -39,8 +47,12 @@ object AnnJoin {
       .select(col("id"), col("v"), col("cells"),
         explode(col("cells")).as("cell"))
       .repartition(col("id"), col("cell"))
-    e.as("x").join(e.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+    val right = e.withColumn("salt", pmod(xxhash64(col("id")), lit(salt)))
+    val left = e.withColumn("salt",
+      explode(typedlit((0 until salt).map(_.toLong))))
+    left.as("x").join(right.as("y"),
+        col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
+        col("x.id") < col("y.id") &&
         firstCommon(col("x.cells"), col("y.cells")) === col("x.cell"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         cosineF(col("x.v"), col("y.v")).as("cos"))

@@ -62,13 +62,17 @@ object EventPipeline {
       }
   }
 
-  /** Streaming exact dedup on a key column: watermark + dropDuplicates —
-    * state holds one entry per key within the watermark horizon. */
+  /** Streaming exact dedup on the key columns ALONE: state holds one
+    * entry per key, evicted once the watermark passes it — two events
+    * with the same key but different timestamps collapse to the first
+    * (dropDuplicatesWithinWatermark, the key-only dedup Spark 3.5+
+    * added precisely because keys+event_time lets same-key events at
+    * different times both survive). */
   def dedupStream(events: DataFrame, watermark: String,
                   keyCols: Seq[String]): DataFrame =
     withEventTime(events)
       .withWatermark("event_time", watermark)
-      .dropDuplicates(keyCols :+ "event_time")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** JSON props extraction — the schema-on-read path for the free-form
     * `props` column; pure projection, streams and batches identically. */

@@ -60,4 +60,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()
     }
   }
+
+  test("SQL surface: declared input types coerce array<double> correctly") {
+    // before inputTypes were declared this reinterpreted double bytes as
+    // floats and returned garbage; now analysis inserts a proper cast
+    val r = spark.sql("SELECT graft_sq_l2(array(0.0D, 0.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0)
+    assert(r === 25.0)
+  }
+
+  test("SQL surface: null token elements are skipped, not NPE") {
+    val r = spark.sql(
+      """SELECT graft_inter_size(graft_token_hashes(array('a', NULL, 'b')),
+        |                        graft_token_hashes(array('a', 'b')))
+        |""".stripMargin).head().getLong(0)
+    assert(r === 2L)
+  }
+
+  test("SQL surface: dimension mismatch fails loudly, not silently") {
+    val e = intercept[Exception] {
+      spark.sql("""SELECT graft_dot(array(CAST(1.0 AS FLOAT)),
+                  | array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      (e.getCause != null && e.getCause.getMessage.contains("dimension mismatch")))
+  }
 }

@@ -62,6 +62,34 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.firstCommon(la(1, 2), la(3, 4)) === 0L) // sentinel
   }
 
+  test("firstCommon: hash-set path (large arrays) agrees with nested scan") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(60) + 20)(rnd.nextInt(200).toLong + 1).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60) + 20)(rnd.nextInt(200).toLong + 1).distinct.sorted
+      val expected = a.find(b.contains).getOrElse(0L)
+      assert(Kernels.firstCommon(la(a: _*), la(b: _*)) === expected)
+    }
+    // value 0 handled despite being the empty-slot sentinel
+    val withZeroA = (0L +: (1L to 40L)).toArray
+    val withZeroB = (0L +: (100L to 140L)).toArray
+    assert(Kernels.firstCommon(la(withZeroA: _*), la(withZeroB: _*)) === 0L)
+  }
+
+  test("two-array kernels reject dimension mismatches loudly") {
+    intercept[IllegalArgumentException](Kernels.sqL2f(fa(1f), fa(1f, 2f)))
+    intercept[IllegalArgumentException](Kernels.dotf(fa(1f, 2f), fa(1f)))
+    intercept[IllegalArgumentException](Kernels.cosinef(fa(1f), fa(1f, 2f)))
+  }
+
+  test("tokenHashesSorted: null elements contribute no token") {
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("b")))
+    val r = Kernels.tokenHashesSorted(withNull)
+    val clean = Kernels.tokenHashesSorted(sa("a", "b"))
+    assert(r.toLongArray.toSeq === clean.toLongArray.toSeq)
+  }
+
   test("firstEqualIdx: first position where arrays agree") {
     assert(Kernels.firstEqualIdx(la(1, 2, 3), la(9, 2, 3)) === 1)
     assert(Kernels.firstEqualIdx(la(1, 2), la(1, 2)) === 0)

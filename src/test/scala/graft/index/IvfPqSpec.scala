@@ -154,4 +154,18 @@ class IvfPqSpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("withAssignedIds: uuid and deterministic paths (reference db/build.rs:86-91)") {
+    import org.apache.spark.sql.functions.col
+    val noIds = df.drop("id").select(col("vec"))
+    val uuids = IvfPqBuilder.withAssignedIds(noIds)
+      .select("id").collect().map(_.getString(0))
+    assert(uuids.length === data.length)
+    assert(uuids.distinct.length === uuids.length) // unique
+    assert(uuids.forall(_.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    val longs = IvfPqBuilder.withAssignedIds(noIds, deterministic = true)
+      .select("id").collect().map(_.getLong(0))
+    assert(longs.distinct.length === longs.length)
+  }
 }
