@@ -37,7 +37,8 @@ object GraftFunctions {
     ("graft_shingle_hashes", ArrayType(LongType, containsNull = false),
       "shingleHashesSorted", 2),
     ("graft_first_common", LongType, "firstCommon", 2),
-    ("graft_first_equal_idx", IntegerType, "firstEqualIdx", 2))
+    ("graft_first_equal_idx", IntegerType, "firstEqualIdx", 2),
+    ("graft_pq_dist", DoubleType, "pqDistDirect", 4))
 
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {

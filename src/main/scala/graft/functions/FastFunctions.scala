@@ -38,7 +38,9 @@ object FastFunctions {
     "stubDecodeGray" -> Seq(BinaryType, IntegerType, IntegerType),
     "meanPool" -> Seq(ArrayType(FloatType), IntegerType, IntegerType,
       IntegerType, IntegerType),
-    "adcDist" -> Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType))
+    "adcDist" -> Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType),
+    "pqDistDirect" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(IntegerType), ArrayType(DoubleType)))
 
   private def invoke(dt: DataType, name: String, args: Column*): Column =
     ColumnShim.column(StaticInvoke(
@@ -141,4 +143,11 @@ object FastFunctions {
     * where each (query, probed-cell) row carries its own table. */
   def adcDistCol(codes: Column, flatTable: Column, numCodes: Int): Column =
     invoke(DoubleType, "adcDist", codes, flatTable, lit(numCodes))
+
+  /** Table-free PQ distance ‖(q − centroid) − decode(codes)‖² against a
+    * flattened D×C×m codebook column/literal — ANN scoring with no
+    * driver-side per-query planning (streaming probes). */
+  def pqDistDirect(q: Column, centroid: Column, codes: Column,
+                   flatCodebooks: Column): Column =
+    invoke(DoubleType, "pqDistDirect", q, centroid, codes, flatCodebooks)
 }

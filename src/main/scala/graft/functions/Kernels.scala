@@ -450,6 +450,42 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Table-free asymmetric PQ distance ‖(q − centroid) − decode(codes)‖²
+    * against a flattened D×C×m codebook: the same quantity the ADC-table
+    * path computes (reference/src/db/stored.rs:549-595) but evaluated
+    * directly per row, so it needs NO per-(query, cell) precomputation —
+    * the kernel that makes ANN probing a plain executor-side expression
+    * (streaming micro-batches, ad-hoc joins) instead of a driver-planned
+    * literal. dim mul-adds per row vs D lookups; D, C, m are derived from
+    * the argument shapes. */
+  def pqDistDirect(q: ArrayData, centroid: ArrayData, codes: ArrayData,
+                   flatCodebooks: ArrayData): Double = {
+    val dim = sameDim(q, centroid)
+    val d = codes.numElements()
+    require(d > 0 && dim % d == 0, s"dim $dim not divisible by $d divisions")
+    val m = dim / d
+    val c = flatCodebooks.numElements() / (d * m)
+    require(flatCodebooks.numElements() == d * c * m,
+      s"codebook size ${flatCodebooks.numElements()} != $d x $c x $m")
+    var s = 0.0
+    var di = 0
+    while (di < d) {
+      val code = codes.getInt(di)
+      require(code >= 0 && code < c, s"code $code out of range 0..${c - 1}")
+      val base = (di * c + code) * m
+      var i = 0
+      while (i < m) {
+        val idx = di * m + i
+        val diff = q.getFloat(idx).toDouble - centroid.getDouble(idx) -
+          flatCodebooks.getDouble(base + i)
+        s += diff * diff
+        i += 1
+      }
+      di += 1
+    }
+    s
+  }
+
   /** ADC distance Σ_d table[d·C + codes[d]] — pure lookups into the
     * flattened D×C distance table (reference/src/db/stored.rs:575-595). */
   def adcDist(codes: ArrayData, flatTable: ArrayData, numCodes: Int): Double = {

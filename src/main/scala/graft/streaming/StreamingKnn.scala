@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.FastFunctions.squaredL2F
+import graft.functions.FastFunctions.{pqDistDirect, squaredL2F, topCellsL2}
+import graft.index.IvfPqModel
 import graft.query.TopKAggregator
 
 /** Streaming k-NN: a stream of query vectors scored against a static
@@ -18,12 +19,12 @@ import graft.query.TopKAggregator
   */
 object StreamingKnn {
 
-  /** Top-k per streaming query row. `queries` is the (streaming) side
-    * with (qidCol, qvecCol); `points` is the static table — broadcast,
-    * so the per-trigger work is one codegen'd scan of the points with no
-    * shuffle of the stream. Output: (qid, id, sq_dist, rank); use
-    * outputMode("update") — each query id's result appears in the
-    * trigger that carried the query. */
+  /** EXACT top-k per streaming query row against a broadcast static
+    * table. Fine while the static side fits a broadcast (GBs); at corpus
+    * scale use [[annTopKPerQuery]], which probes the stored IVF+PQ index
+    * instead of shipping raw vectors anywhere.
+    * Output: (qid, id, sq_dist, rank); use outputMode("update") — each
+    * query id's result appears in the trigger that carried the query. */
   def topKPerQuery(queries: DataFrame, qidCol: String, qvecCol: String,
                    points: DataFrame, idCol: String, vecCol: String,
                    k: Int): DataFrame = {
@@ -34,6 +35,42 @@ object StreamingKnn {
       .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
       .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col(qidCol), col("hit.id").as(idCol),
+        col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** APPROXIMATE top-k per streaming query row by probing a stored
+    * IVF+PQ index — the 100 TB streaming path. Nothing big is broadcast
+    * and no driver-side per-query planning happens: each query row
+    * selects its nprobe cells with the [[topCellsL2]] kernel, the
+    * stream-static equi-join on the cell id touches only probed
+    * partitions of the codes table (partitionBy("partition") parquet →
+    * partition-pruned by the join), and distances come from the
+    * table-free PQ kernel [[pqDistDirect]] over the PQ codes — the
+    * centroid/codebook tables ride as codegen literals (driver-resident
+    * by IVF design, a few MB). Same distance semantics as
+    * [[graft.query.AnnQuery.topK]] (asymmetric ‖(q−c) − decode‖², equal
+    * up to float summation order).
+    *
+    * `codes` must carry (id, partition, codes) — e.g. the parquet from
+    * IvfPqBuilder.save. Works identically when `queries` is a batch
+    * DataFrame. Output: (qid, id, sq_dist, rank), outputMode("update"). */
+  def annTopKPerQuery(queries: DataFrame, qidCol: String, qvecCol: String,
+                      codes: DataFrame, model: IvfPqModel,
+                      k: Int, nprobe: Int): DataFrame = {
+    val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    val cbLit = typedlit(model.codebooks.flatten.flatten.toSeq)
+    val probed = queries.select(col(qidCol), col(qvecCol),
+        explode(topCellsL2(col(qvecCol),
+          model.partitionCentroids.flatten.toSeq, nprobe)).as("probe_cell"))
+    probed.join(codes, col("probe_cell") === col("partition"))
+      .select(col(qidCol), col("id"),
+        pqDistDirect(col(qvecCol),
+          element_at(centLit, col("probe_cell").cast("int") + 1),
+          col("codes"), cbLit).as("sq_dist"))
+      .groupBy(col(qidCol))
+      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
+      .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qidCol), col("hit.id").as("id"),
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
 }

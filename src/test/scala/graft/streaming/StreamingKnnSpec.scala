@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.{IvfPqBuilder, IvfPqConfig}
+import graft.query.AnnQuery
+
+/** The streaming ANN probe path (annTopKPerQuery) must answer like the
+  * driver-planned batch path (AnnQuery.topK): same ids per query, same
+  * distances up to float summation order — in batch mode AND per
+  * micro-batch over a MemoryStream. */
+class StreamingKnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val config =
+    IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 16, maxIter = 20)
+
+  // same fixture shape as IvfPqSpec: separated blobs so probes are stable
+  private lazy val data: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val blobs = Seq.tabulate(4)(_ => Array.fill(dim)(rnd.nextDouble() * 20 - 10))
+    for {
+      (blob, b) <- blobs.zipWithIndex
+      i <- 0 until 40
+    } yield ((b * 40 + i).toLong,
+      blob.map(v => (v + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+  }
+  private lazy val df = data.toDF("id", "vec")
+  private lazy val (model, encoded) =
+    IvfPqBuilder.fit(df, "id", "vec", dim, config)
+  private lazy val codes = encoded.select("id", "partition", "codes").cache()
+
+  private def expected(qid: Long, k: Int, nprobe: Int) =
+    AnnQuery.topK(codes, model, data(qid.toInt)._2.map(_.toDouble).toArray,
+        k, nprobe)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toSeq
+
+  test("annTopKPerQuery (batch) equals AnnQuery.topK per query") {
+    val qids = Seq(0L, 45L, 130L)
+    val queries = qids.map(q => q -> data(q.toInt)._2).toDF("qid", "qvec")
+    val got = StreamingKnn.annTopKPerQuery(
+        queries, "qid", "qvec", codes, model, k = 5, nprobe = 2)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3))
+        .map(r => r.getLong(1) -> r.getDouble(2)).toSeq).toMap
+    qids.foreach { qid =>
+      val want = expected(qid, 5, 2)
+      assert(got(qid).map(_._1) === want.map(_._1), s"ids for query $qid")
+      got(qid).zip(want).foreach { case ((_, d1), (_, d2)) =>
+        assert(math.abs(d1 - d2) <= 1e-9 * math.max(1.0, d2), s"dist, q $qid")
+      }
+    }
+  }
+
+  test("annTopKPerQuery streams: each trigger answers its queries") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val sdf = stream.toDF().toDF("qid", "qvec")
+    val q = StreamingKnn.annTopKPerQuery(
+        sdf, "qid", "qvec", codes, model, k = 3, nprobe = 2)
+      .writeStream.format("memory").queryName("stream_ann")
+      .outputMode("update").start()
+    try {
+      stream.addData((7L, data(7)._2))
+      q.processAllAvailable()
+      stream.addData((90L, data(90)._2))
+      q.processAllAvailable()
+      val got = spark.table("stream_ann").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+      assert(got(7L) === expected(7L, 3, 2).map(_._1))
+      assert(got(90L) === expected(90L, 3, 2).map(_._1))
+    } finally q.stop()
+  }
+}
