@@ -20,7 +20,23 @@ case class IvfPqConfig(
     numCodes: Int = 16,      // C — PQ codes per division
     maxIter: Int = 100,
     tol: Double = 1e-6,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    // k-means TRAINING sample cap, per centroid (standard IVF/PQ
+    // practice at scale — e.g. FAISS's max_points_per_centroid=256:
+    // centroids/codebooks are estimated from k·cap points, then ALL
+    // vectors are assigned/encoded in single passes). 0 trains on
+    // everything, like the reference's in-memory loop — which cannot
+    // be the 100 TB path: an iterative fit over the full corpus scans
+    // it maxIter times. Quality loss is negligible once cap ≫ the
+    // per-centroid d.o.f.; small inputs are unaffected (cap ≥ n).
+    trainPointsPerCentroid: Int = 256,
+    // init for the D codebook fits: "random" (FAISS's PQ practice —
+    // sampled training points as initial centroids) skips k-means||'s
+    // multi-pass seeding, which costs several extra scans per fit and
+    // buys little for 256 fine codes refined over maxIter rounds anyway.
+    // The coarse IVF fit keeps k-means|| (few centroids, quality
+    // matters for partition balance).
+    pqInitMode: String = "random")
 
 /** Driver-side index artifacts. Deliberately tiny (P·N + D·C·(N/D) floats ≈
   * a few MB even at README scale P=100, D=12, C=256, N=1536) so they are
@@ -83,9 +99,22 @@ object IvfPqBuilder {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("features", array_to_vector(col("vec")))
 
+    // training sample: k-means estimates k centroids; it does not need
+    // every row, and at corpus scale it MUST not see every row (maxIter
+    // full scans). Assignment/encoding below still cover all vectors.
+    val nRows = if (config.trainPointsPerCentroid > 0) base.count() else 0L
+    def trainSample(of: DataFrame, k: Int): DataFrame = {
+      val cap = k.toLong * config.trainPointsPerCentroid
+      if (config.trainPointsPerCentroid > 0 && cap < nRows) {
+        log(s"train-sample $cap of $nRows rows (k=$k)")
+        of.sample(withReplacement = false, cap.toDouble / nRows, config.seed)
+      } else of
+    }
+
     // --- stage 2: coarse IVF k-means (reference partitions.rs:96-143) ---
     val coarse = timed("coarse-kmeans")(
-      newKMeans(config, config.numPartitions).fit(base))
+      newKMeans(config, config.numPartitions)
+        .fit(trainSample(base, config.numPartitions)))
     // rounds actually used: < maxIter means the tol-based stop fired,
     // i.e. the fit converged like the reference's ε-stop (kmeans.rs:24-34)
     log(s"coarse-kmeans rounds=${coarse.summary.numIter}/${config.maxIter}")
@@ -110,12 +139,20 @@ object IvfPqBuilder {
     // subDim-dim vector column, ~subDim·8 B/row) — an iteration scans
     // megabytes, not the full residual table; fits are independent, so
     // they are submitted concurrently and the scheduler interleaves them.
+    // One shared training sample feeds all D fits (C·cap rows). Each
+    // fit's relation gets parallelism/D partitions, not `parallelism`:
+    // the D fits run concurrently, so the CLUSTER still sees ~parallelism
+    // tasks per round-wave, while per-fit job overhead (task launch,
+    // round barriers) drops D-fold — the fits are overhead-bound, not
+    // flop-bound, at C·cap training rows.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val subParts = math.max(2, parallelism / config.numDivisions)
+    val pqTrain = trainSample(assigned, config.numCodes)
     val subDfs = (0 until config.numDivisions).map { d =>
-      assigned.select(
+      pqTrain.select(
         array_to_vector(slice(col("residual"), d * subDim + 1, subDim))
           .as("features"))
-        .coalesce(parallelism)
+        .coalesce(subParts)
         .cache()
     }
     val pqModels: Array[KMeansModel] = timed("pq-kmeans-all") {
@@ -124,7 +161,8 @@ object IvfPqBuilder {
       import scala.concurrent.duration.Duration
       Await.result(
         Future.sequence(subDfs.toList.map { sub =>
-          Future(newKMeans(config, config.numCodes).fit(sub))
+          Future(newKMeans(config, config.numCodes)
+            .setInitMode(config.pqInitMode).fit(sub))
         }), Duration.Inf).toArray
     }
     subDfs.foreach(_.unpersist(blocking = false))

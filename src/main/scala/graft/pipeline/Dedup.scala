@@ -215,11 +215,13 @@ object Dedup {
     *        replicates each row `salt` times (one per peer sub-bucket),
     *        so a bucket of g docs becomes `salt` tasks of g·g/salt pairs
     *        instead of one g² task. Output is identical for any salt.
-    *        Default 4: measured 1.5× faster than salt=1 on a corpus with
-    *        ~10³-doc duplicate clusters, and the cost (salt× replication
-    *        of fixed-width band rows) is trivial next to the g²/salt
-    *        win whenever clusters are hot; raise further when cluster
-    *        size ≫ executor count × salt. */
+    *        Default 4: at local test scale timing is noise-dominated
+    *        (A/B measured ±2× run variance either way), but the corpus
+    *        has ~10³-doc duplicate clusters — exactly the hot-bucket
+    *        regime where one g² task serializes a cluster-scale run —
+    *        and the cost (salt× replication of fixed-width band rows)
+    *        is linear and small. Raise further when cluster size ≫
+    *        executor count × salt. */
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
                       numHashes: Int = 128, bands: Int = 32,
                       salt: Int = 4): DataFrame = {

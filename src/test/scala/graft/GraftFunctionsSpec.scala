@@ -55,6 +55,17 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r === 1L)
   }
 
+  test("SQL surface: pq_dist decodes codes against the codebook") {
+    // dim=2, D=1, C=2, m=2; code 1 selects codebook row [1, 2]:
+    // dist = ((3-0)-1)² + ((4-0)-2)² = 4 + 4 = 8
+    val r = spark.sql(
+      """SELECT graft_pq_dist(
+        |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |  array(0.0D, 0.0D), array(1), array(9.0D, 9.0D, 1.0D, 2.0D))
+        |""".stripMargin).head().getDouble(0)
+    assert(r === 8.0)
+  }
+
   test("SQL surface: arity errors are rejected at analysis") {
     intercept[Exception] {
       spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()
