@@ -462,6 +462,14 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // end-to-end corpus cleaning: quality filter → exact dedup →
+    // near-dup drop list, each stage over the previous stage's
+    // survivors; output = every dropped doc with its (unique) reason
+    "corpus_clean" -> ((s, dir) =>
+      graft.pipeline.CorpusClean.dropDecisions(Tables.documents(s, dir),
+          minTokens = 16, maxStopPct = 12, dedupThresholdPct = 90)
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -760,15 +768,56 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5,
         | substring(md5(text), 1, 15) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replicates CorpusClean.dropDecisions stage by stage: quality
+    // thresholds (same integer arithmetic as text_quality), exact dedup
+    // over quality survivors, recursive-CTE connected components over
+    // exact Jaccard pairs of the remaining docs (≡ the LSH+verify+CC
+    // result — see jaccardOracle note)
+    "corpus_clean" ->
+      s"""WITH lowq AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |      CAST(floor(100.0 * len(list_filter(string_split(text, ' '),
+         |        t -> t IN ('the','a','an','of','to','and','in','is')))
+         |        / len(string_split(text, ' '))) AS BIGINT) AS stop_pct
+         |    FROM documents) q
+         |  WHERE n_tokens < 16 OR stop_pct > 12),
+         |qdocs AS (SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM lowq)),
+         |ex AS (SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         |    FROM qdocs) t
+         |  WHERE doc_id != keep),
+         |udocs AS (SELECT * FROM qdocs
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+         |pairs AS (${jaccardOracle(90, "udocs")}),
+         |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |r AS (
+         |  WITH RECURSIVE reach(id, root) AS (
+         |    SELECT doc_id, doc_id FROM udocs
+         |    UNION
+         |    SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+         |  SELECT id, min(root) AS comp FROM reach GROUP BY id)
+         |SELECT doc_id, reason FROM (
+         |  SELECT doc_id, 'quality' AS reason FROM lowq
+         |  UNION ALL SELECT doc_id, 'exact_dup' AS reason FROM ex
+         |  UNION ALL SELECT id AS doc_id, 'near_dup' AS reason FROM r
+         |    WHERE id != comp) t
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared oracle for exact token-set Jaccard at a given integer
     * threshold — also the oracle for MinHash+LSH, whose verified output
     * equals the exact result with probability 1 − 2e-15 per pair at the
-    * configured band geometry (see Dedup.minHashLshPairs). */
-  private def jaccardOracle(thresholdPct: Int): String =
+    * configured band geometry (see Dedup.minHashLshPairs). `docsRel`
+    * names the (possibly filtered) relation to pair up. */
+  private def jaccardOracle(thresholdPct: Int,
+                            docsRel: String = "documents"): String =
     s"""WITH toks AS (SELECT DISTINCT doc_id,
-       |  unnest(string_split(text, ' ')) AS tok FROM documents),
+       |  unnest(string_split(text, ' ')) AS tok FROM $docsRel),
        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
        |ip AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
        | FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id

@@ -144,4 +144,41 @@ class KernelsSpec extends AnyFunSuite {
     val codes = new GenericArrayData(Array[Any](2, 0)) // table[0][2] + table[1][0]
     assert(Kernels.adcDist(codes, table, 3) === 13.0)
   }
+
+  test("pqDistDirect: equals decode-then-sqL2 on random geometry") {
+    val rnd = new scala.util.Random(13)
+    val (dim, d, c) = (8, 2, 4)
+    val m = dim / d
+    for (_ <- 1 to 100) {
+      val q = Array.fill(dim)(rnd.nextFloat() * 10 - 5)
+      val cent = Array.fill(dim)(rnd.nextDouble() * 10 - 5)
+      val cb = Array.fill(d * c * m)(rnd.nextDouble() * 2 - 1)
+      val codes = Array.fill(d)(rnd.nextInt(c))
+      val got = Kernels.pqDistDirect(
+        UnsafeArrayData.fromPrimitiveArray(q),
+        UnsafeArrayData.fromPrimitiveArray(cent),
+        UnsafeArrayData.fromPrimitiveArray(codes),
+        UnsafeArrayData.fromPrimitiveArray(cb))
+      val want = (0 until dim).map { i =>
+        val di = i / m
+        val diff = q(i).toDouble - cent(i) - cb((di * c + codes(di)) * m + i % m)
+        diff * diff
+      }.sum
+      assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+    }
+  }
+
+  test("pqDistDirect: rejects shape mismatches and bad codes loudly") {
+    val q = fa(1f, 2f, 3f, 4f)
+    val cent = new GenericArrayData(Array[Any](0.0, 0.0, 0.0, 0.0))
+    val codes = new GenericArrayData(Array[Any](0, 0))
+    // codebook sized for D=2, C=1, m=2 → 4 doubles; give 5
+    val badCb = new GenericArrayData(Array[Any](1.0, 2.0, 3.0, 4.0, 5.0))
+    intercept[IllegalArgumentException](
+      Kernels.pqDistDirect(q, cent, codes, badCb))
+    val cb = new GenericArrayData(Array[Any](1.0, 2.0, 3.0, 4.0))
+    val badCodes = new GenericArrayData(Array[Any](0, 7)) // code 7 ≥ C=1
+    intercept[IllegalArgumentException](
+      Kernels.pqDistDirect(q, cent, badCodes, cb))
+  }
 }
