@@ -35,11 +35,13 @@ object SparkEntry {
       : (graft.index.IvfPqModel, DataFrame) =
     fitIdx.getOrElseUpdate(dir, {
       val emb = Tables.embeddings(s, dir)
-      // D=16/C=64: ADC ranking error, not cell misses, bounds recall on
-      // this corpus (nprobe=P changes nothing at D=8/C=16) — measured
-      // per-query recall@10 is 5-7/10 here vs 2-4 at D=8/C=16
+      // ADC ranking error, not cell misses, bounds recall on this corpus
+      // (nprobe=P changes nothing at D=8/C=16). C=256 is the standard
+      // 8-bit PQ code width: measured per-query recall@10 ≥ 5/10 at both
+      // sf0.01 and sf0.1, vs a <3/10 dip at C=64 (sf0.1, one query) that
+      // tripped the ≥30% invariant
       val (model, encoded) = IvfPqBuilder.fit(emb, "vec_id", "embedding", 64,
-        IvfPqConfig(numPartitions = 8, numDivisions = 16, numCodes = 64, maxIter = 20))
+        IvfPqConfig(numPartitions = 8, numDivisions = 16, numCodes = 256, maxIter = 20))
       val cached = encoded.cache()
       cached.count()
       (model, cached)
