@@ -305,6 +305,45 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_low_recall"))
     }),
 
+    // refine path: ADC nominates k'=4k candidates, exact re-rank over
+    // just those rows picks the final k (FAISS IndexRefineFlat pattern).
+    // Invariants: k rows; every reported distance EQUALS an independent
+    // exact recompute through the higher-order-function path (the result
+    // is exact by construction, unlike raw ADC); recall vs the
+    // oracle-verified exact top-k at least 50%; and the structural
+    // guarantee that refining never loses recall vs the plain ADC top-k
+    // over the same probed cells (a true top-k member in the candidate
+    // set can be displaced only by globally-nearer vectors)
+    "ann_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val qLit = typedlit(q.toSeq)
+      val hits = AnnQuery.topKRerank(encoded, emb, "embedding", "vec_id",
+        model, q, k = 10, nprobe = 4, kFactor = 4)
+      val adc = AnnQuery.topK(encoded, model, q, k = 10, nprobe = 4)
+      val exact = ExactKnn.rankedIds(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val inv = hits
+        .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+        .withColumn("rec_dist", aggregate(zip_with(col("embedding"), qLit,
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(abs(col("sq_dist") - col("rec_dist")) > 1e-6, 1L)
+            .otherwise(0L)), lit(0L)).as("n_dist_bad"))
+      val rr = hits.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_rr"))
+      val ra = adc.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_ra"))
+      inv.crossJoin(rr).crossJoin(ra).select(
+        col("n_rows"), col("n_dist_bad"),
+        when(col("n_rr") >= 5, 1L).otherwise(0L).as("recall_ge_50"),
+        when(col("n_rr") >= col("n_ra"), 1L).otherwise(0L)
+          .as("rerank_not_worse"))
+    }),
+
     // Q6 semantics: attribute fetch for the top-k hits — resolved from
     // the per-vector attribute store bound to the stored index (B13),
     // semi-joined down to the hit ids before the LWW replay — the
@@ -601,6 +640,11 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_qids, CAST(0 AS BIGINT) AS n_bad_k,
         | CAST(0 AS BIGINT) AS n_order_viol,
         | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
+
+    "ann_rerank" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dist_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_50,
+        | CAST(1 AS BIGINT) AS rerank_not_worse""".stripMargin,
 
     "dedup_simhash_near" ->
       """SELECT CAST(0 AS BIGINT) AS n_hamming_viol,

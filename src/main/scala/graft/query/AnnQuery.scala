@@ -134,6 +134,64 @@ object AnnQuery {
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** ADC top-k′ then exact re-rank over the original vectors — the
+    * standard refine pattern (FAISS IndexRefineFlat; the reference keeps
+    * full vectors per partition for the same reason, db/stored.rs:86-99):
+    * the quantized scan nominates kFactor·k candidates, only those rows'
+    * true vectors are re-scored exactly, and the top-k of the EXACT
+    * distances is returned. ADC ranking error collapses to candidate
+    * error — a true neighbor is lost only if it misses the ADC top-k′
+    * entirely.
+    *
+    * Scale shape: the candidate id set (k′ rows, driver-small by
+    * contract) becomes a pushed-down IN filter on the vector table scan,
+    * so parquet row-group stats skip non-candidate data; no shuffle and
+    * nothing large broadcast. Output (id, sq_dist) ascending, exact. */
+  def topKRerank(codes: DataFrame, vectors: DataFrame, vecCol: String,
+                 idCol: String, model: IvfPqModel, q: Array[Double],
+                 k: Int, nprobe: Int, kFactor: Int = 4): DataFrame = {
+    val cand = topK(codes, model, q, k * kFactor, nprobe)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val qf = q.map(_.toFloat).toSeq
+    vectors.where(col(idCol).isin(cand: _*))
+      .select(col(idCol).as("id"),
+        graft.functions.FastFunctions.squaredL2F(
+          col(vecCol), graft.functions.VectorFunctions.vecLit(qf))
+          .as("sq_dist"))
+      .orderBy(col("sq_dist"), col("id"))
+      .limit(k)
+  }
+
+  /** Batch refine: ADC batch top-k′ nominates per-query candidates, one
+    * pass over the vector table re-scores them exactly, and a map-side-
+    * combining bounded top-k keeps k per query. Both joined relations are
+    * broadcast-small — (qid, id) pairs at k′·|queries| rows and the query
+    * vectors at |queries| rows — so the big side streams once with no
+    * shuffle; the aggregate ships k·|queries| rows. Output
+    * (qid, id, sq_dist, rank), exact distances, rank 1..k ascending. */
+  def batchTopKRerank(codes: DataFrame, vectors: DataFrame, vecCol: String,
+                      idCol: String, model: IvfPqModel,
+                      queries: Seq[(Long, Array[Double])], k: Int,
+                      nprobe: Int, kFactor: Int = 4): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cand = batchTopK(codes, model, queries, k * kFactor, nprobe)
+      .select(col("qid"), col("id"))
+    val qDf = queries.map { case (qid, q) => (qid, q.map(_.toFloat).toSeq) }
+      .toDF("qid", "qvec")
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(qDf), "qid")
+      .select(col("qid"), col("id"),
+        graft.functions.FastFunctions.squaredL2F(col("vec"), col("qvec"))
+          .as("sq_dist"))
+      .groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.id").as("id"),
+        col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Exact recall of an approximate result against brute force: fraction
     * of true top-k ids recovered. Driver-side, for tests and calibration. */
   def recallAtK(approx: Seq[Any], exact: Seq[Any]): Double =

@@ -112,6 +112,44 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("rerank returns exact distances and never loses recall vs raw ADC") {
+    val qf = data.head._2
+    val q = qf.map(_.toDouble).toArray
+    val exact = ExactKnn.topK(df, "vec", "id", qf, 5).collect()
+    val exactIds = exact.map(_.getLong(0)).toSeq
+    val exactDists = exact.map(_.getAs[Double]("sq_dist")).toSeq
+    val rr = AnnQuery.topKRerank(encoded, df, "vec", "id", model, q,
+      k = 5, nprobe = 4, kFactor = 4).collect()
+    val rrIds = rr.map(_.getLong(0)).toSeq
+    val rrDists = rr.map(_.getAs[Double]("sq_dist")).toSeq
+    // exact distances: each reported (id, dist) matches the brute-force
+    // value for that id wherever the id sets overlap
+    rrIds.zip(rrDists).foreach { case (id, d) =>
+      val i = exactIds.indexOf(id)
+      if (i >= 0) assert(math.abs(d - exactDists(i)) < 1e-9, s"id $id")
+    }
+    assert(rrDists == rrDists.sorted)
+    val adcIds = AnnQuery.topK(encoded, model, q, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(AnnQuery.recallAtK(rrIds, exactIds)
+      >= AnnQuery.recallAtK(adcIds, exactIds))
+    // on this well-separated fixture the refined result IS the exact one
+    assert(rrIds === exactIds)
+  }
+
+  test("batch rerank equals per-query rerank for every query") {
+    val qs = Seq(0L, 7L, 55L).map(i => i -> data(i.toInt)._2.map(_.toDouble).toArray)
+    val batch = AnnQuery.batchTopKRerank(encoded, df, "vec", "id", model, qs,
+      k = 5, nprobe = 2).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val single = AnnQuery.topKRerank(encoded, df, "vec", "id", model, q,
+        k = 5, nprobe = 2).collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) === single, s"query $qid")
+    }
+  }
+
   test("selectPartitions validates nprobe (reference db/stored.rs:403-409)") {
     intercept[IllegalArgumentException] {
       AnnQuery.selectPartitions(model, new Array[Double](dim), 0)
