@@ -511,6 +511,32 @@ object SparkEntry {
       graft.pipeline.CorpusClean.dropDecisions(Tables.documents(s, dir),
           minTokens = 16, maxStopPct = 12, dedupThresholdPct = 90)
         .orderBy("doc_id")),
+
+    // ------------------------------------------- dataset assembly
+    // deterministic id-hash train/val/test split — membership is a pure
+    // function of doc_id (stable under reruns and appends, no shuffle)
+    "train_split" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .hashSplit(Tables.documents(s, dir), "doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // per-source cap subsampling: at most 150 docs per source, selected
+    // by deterministic md5 order — corpus balancing
+    "sample_per_source" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .perGroupCap(Tables.documents(s, dir), "source", "doc_id", cap = 150)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // GPT-style concat-then-chunk sequence packing: 8 shards, 1024-token
+    // budget; a doc's sequence id is its start offset / budget
+    "pack_sequences" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .packSequences(Tables.documents(s, dir), "doc_id",
+          size(graft.pipeline.TextAnalysis.tokens(col("text"))),
+          budget = 1024, shards = 8)
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -853,6 +879,34 @@ object SparkEntry {
          |  UNION ALL SELECT id AS doc_id, 'near_dup' AS reason FROM r
          |    WHERE id != comp) t
          |ORDER BY doc_id""".stripMargin,
+
+    "train_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |     THEN 'train'
+        |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |   ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_per_source" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        | FROM documents) t
+        |WHERE rnk <= 150 ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """SELECT doc_id, shard,
+        | CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id,
+        | CAST((cum - n_tokens) % 1024 AS BIGINT) AS seq_offset
+        |FROM (
+        | SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |    PARTITION BY doc_id % 8 ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared oracle for exact token-set Jaccard at a given integer
