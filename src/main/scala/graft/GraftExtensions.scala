@@ -26,6 +26,7 @@ object GraftFunctions {
       "tokenHashesSorted", 1),
     ("graft_inter_size", LongType, "interSortedSize", 2),
     ("graft_minhash", ArrayType(LongType, containsNull = false), "minhashSig", 2),
+    ("graft_minhash_oph", ArrayType(LongType, containsNull = false), "minhashSigOPH", 2),
     ("graft_band_keys", ArrayType(LongType, containsNull = false), "bandKeys", 2),
     ("graft_simhash", LongType, "simhash64", 1),
     ("graft_byte_bucket_sums", ArrayType(LongType, containsNull = false),

@@ -29,6 +29,7 @@ object FastFunctions {
     "firstCommon" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "firstEqualIdx" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "minhashSig" -> Seq(ArrayType(LongType), IntegerType),
+    "minhashSigOPH" -> Seq(ArrayType(LongType), IntegerType),
     "bandKeys" -> Seq(ArrayType(LongType), IntegerType),
     "simhash64" -> Seq(ArrayType(LongType)),
     "topCellsL2" -> Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType),
@@ -95,6 +96,12 @@ object FastFunctions {
   /** MinHash signature (n longs) over a hashed token set. */
   def minhashSig(hashes: Column, n: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "minhashSig", hashes, lit(n))
+
+  /** One-permutation MinHash signature (n longs) over a hashed token
+    * set — O(tokens + n) per row; see Kernels.minhashSigOPH. */
+  def minhashSigOPH(hashes: Column, n: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSigOPH",
+      hashes, lit(n))
 
   /** LSH band keys (one long per band) of a MinHash signature. */
   def bandKeys(sig: Column, bands: Int): Column =

@@ -169,10 +169,18 @@ object Dedup {
   // ------------------------------------------------------------ MinHash
 
   /** MinHash signature (numHashes longs) per document — one kernel call
-    * per row over the hashed token set. */
-  def minHashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
-    hashedSets(docs).select(col("doc_id"),
-      minhashSig(col("hset"), numHashes).as("sig"))
+    * per row over the hashed token set. `oph = true` (default) uses
+    * one-permutation hashing with rotation densification: O(tokens + n)
+    * per document instead of O(tokens × n) — the only sane signature
+    * cost at 100 TB; the k-hash construction stays available as the
+    * statistical reference. */
+  def minHashSignatures(docs: DataFrame, numHashes: Int,
+                        oph: Boolean = true): DataFrame =
+    hashedSets(docs).select(col("doc_id"), sigCol(col("hset"), numHashes, oph))
+
+  private def sigCol(hset: Column, numHashes: Int, oph: Boolean): Column =
+    (if (oph) graft.functions.FastFunctions.minhashSigOPH(hset, numHashes)
+     else minhashSig(hset, numHashes)).as("sig")
 
   /** LSH candidate pairs: one 64-bit band key per band (band index salted
     * in), self-join on the key; the firstEqualIdx filter emits each pair
@@ -224,11 +232,12 @@ object Dedup {
     *        executor count × salt. */
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
                       numHashes: Int = 128, bands: Int = 32,
-                      salt: Int = 4): DataFrame = {
+                      salt: Int = 4, oph: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sets = hashedSets(docs)
     val keyed = sets
-      .withColumn("bands", bandKeys(minhashSig(col("hset"), numHashes), bands))
+      .withColumn("bands",
+        bandKeys(sigCol(col("hset"), numHashes, oph), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
       // spread each doc's band rows across the cluster ON THE JOIN KEYS:
