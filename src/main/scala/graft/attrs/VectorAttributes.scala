@@ -36,13 +36,16 @@ object VectorAttributes {
 
   private def attrsPath(indexPath: String): String = s"$indexPath/attrs"
 
-  /** Raw replay log; empty (with the right schema) when nothing was set. */
-  def log(spark: SparkSession, indexPath: String): DataFrame =
-    try spark.read.schema(schema).parquet(attrsPath(indexPath))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
+  /** Raw replay log; empty (with the right schema) when nothing was set.
+    * Existence is probed through the path's Hadoop FileSystem rather than
+    * by catching the reader's PATH_NOT_FOUND — the first set on a fresh
+    * index is an expected state, not an error to log a stack trace for. */
+  def log(spark: SparkSession, indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(attrsPath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(attrsPath(indexPath))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** Append one upsert batch. `entries` must carry (vector_id, name,
     * value_str, value_u64) with exactly one value column non-null per row;

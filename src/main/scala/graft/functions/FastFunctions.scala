@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -33,6 +34,10 @@ object FastFunctions {
     "bandKeys" -> Seq(ArrayType(LongType), IntegerType),
     "simhash64" -> Seq(ArrayType(LongType)),
     "topCellsL2" -> Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType),
+    "nearestCentroidL2" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
+    "subCentroidF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType),
+    "pqEncodeF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
+      IntegerType, IntegerType),
     "pseudoRandomVec" -> Seq(LongType, IntegerType, LongType),
     "byteBucketSums" -> Seq(BinaryType, IntegerType),
     "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
@@ -42,6 +47,17 @@ object FastFunctions {
     "adcDist" -> Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType),
     "pqDistDirect" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       ArrayType(IntegerType), ArrayType(DoubleType)))
+
+  /** A primitive-backed array<double> literal. `typedlit(Seq[Double])`
+    * produces a GenericArrayData of BOXED doubles — every kernel
+    * `getDouble` then pays a virtual call + unbox, which is fatal for
+    * plan-literal tables read in full per row (a P×dim centroid table at
+    * index-build scale is ~150k elements ⇒ ~150k unboxes PER ROW).
+    * UnsafeArrayData over the primitive array makes each read one unsafe
+    * load. */
+  def litDoubles(a: Array[Double]): Column =
+    ColumnShim.column(Literal(UnsafeArrayData.fromPrimitiveArray(a),
+      ArrayType(DoubleType, containsNull = false)))
 
   private def invoke(dt: DataType, name: String, args: Column*): Column =
     ColumnShim.column(StaticInvoke(
@@ -115,7 +131,23 @@ object FastFunctions {
     * against a flattened P×dim centroid literal. */
   def topCellsL2(v: Column, flatCentroids: Seq[Double], nprobe: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "topCellsL2",
-      v, typedlit(flatCentroids), lit(nprobe))
+      v, litDoubles(flatCentroids.toArray), lit(nprobe))
+
+  /** Nearest IVF cell id (int) of a float-vector column against a
+    * flattened P×dim centroid literal — the build's assignment pass. */
+  def nearestCentroidL2(v: Column, flatCentroids: Column): Column =
+    invoke(IntegerType, "nearestCentroidL2", v, flatCentroids)
+
+  /** v − centroids[p] as f32 — the IVF residual projection. */
+  def subCentroidF(v: Column, flatCentroids: Column, p: Column): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "subCentroidF",
+      v, flatCentroids, p)
+
+  /** All D PQ codes of a residual column against a flattened D×C×m
+    * codebook literal, as array<int>. */
+  def pqEncodeF(residual: Column, flatCodebooks: Column, d: Int, c: Int): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "pqEncodeF",
+      residual, flatCodebooks, lit(d), lit(c))
 
   /** Deterministic pseudo-random float vector from an id column. */
   def pseudoRandomVec(id: Column, dim: Int, seed: Long): Column =
@@ -144,7 +176,8 @@ object FastFunctions {
 
   /** ADC distance against a flattened D×C table literal. */
   def adcDist(codes: Column, flatTable: Seq[Double], numCodes: Int): Column =
-    invoke(DoubleType, "adcDist", codes, typedlit(flatTable), lit(numCodes))
+    invoke(DoubleType, "adcDist", codes, litDoubles(flatTable.toArray),
+      lit(numCodes))
 
   /** ADC distance against a flattened D×C table COLUMN — for batch ANN,
     * where each (query, probed-cell) row carries its own table. */

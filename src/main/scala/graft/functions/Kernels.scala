@@ -389,6 +389,88 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Index of the nearest centroid (squared L2) of a float vector against
+    * a flattened P×dim f64 centroid table — the full-corpus IVF
+    * assignment pass (reference/src/db/build.rs:95-103), evaluated as one
+    * codegen call per row with the P×dim table riding along as a plan
+    * literal. Ties break to the lowest cell id. */
+  def nearestCentroidL2(v: ArrayData, flatCentroids: ArrayData): Int = {
+    val dim = v.numElements()
+    require(dim > 0 && flatCentroids.numElements() % dim == 0,
+      s"centroid table ${flatCentroids.numElements()} not a multiple of dim $dim")
+    val p = flatCentroids.numElements() / dim
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < p) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim && s < bestD) {
+        val d = v.getFloat(i).toDouble - flatCentroids.getDouble(base + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** v − centroids[p] as f32 (the IVF residual, reference
+    * partitions.rs:119-143): subtraction in double, rounded to float —
+    * the same numeric contract as the zip_with formulation it replaces. */
+  def subCentroidF(v: ArrayData, flatCentroids: ArrayData, p: Int): ArrayData = {
+    val dim = v.numElements()
+    val base = p * dim
+    require(p >= 0 && flatCentroids.numElements() >= base + dim,
+      s"cell $p out of range for table ${flatCentroids.numElements()} / dim $dim")
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = (v.getFloat(i).toDouble - flatCentroids.getDouble(base + i)).toFloat
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** PQ encoding: per division d, the argmin over the C codebook entries
+    * of ‖residual[d·m .. d·m+m) − codebook[d][c]‖² — all D codes of a row
+    * in one call (reference db/build.rs:446-483), against a flattened
+    * D×C×m f64 codebook literal. Ties break to the lowest code. */
+  def pqEncodeF(residual: ArrayData, flatCodebooks: ArrayData,
+                d: Int, c: Int): ArrayData = {
+    val dim = residual.numElements()
+    require(d > 0 && dim % d == 0, s"dim $dim not divisible by $d divisions")
+    val m = dim / d
+    require(flatCodebooks.numElements() == d * c * m,
+      s"codebook size ${flatCodebooks.numElements()} != $d x $c x $m")
+    val out = new Array[Int](d)
+    var di = 0
+    while (di < d) {
+      val off = di * m
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < c) {
+        val base = (di * c + ci) * m
+        var s = 0.0
+        var i = 0
+        while (i < m && s < bestD) {
+          val diff = residual.getFloat(off + i).toDouble -
+            flatCodebooks.getDouble(base + i)
+          s += diff * diff
+          i += 1
+        }
+        if (s < bestD) { bestD = s; bestC = ci }
+        ci += 1
+      }
+      out(di) = bestC
+      di += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Deterministic pseudo-random f32 vector in [0,1) from (id, seed) —
     * one call per row generates benchmark/test data without any
     * driver-side materialization (the analogue of the reference's random

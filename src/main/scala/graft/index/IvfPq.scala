@@ -1,11 +1,9 @@
 package graft.index
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.FastFunctions.{litDoubles, nearestCentroidL2, pqEncodeF, subCentroidF}
 
 /** IVF+PQ index configuration — mirrors the reference's builder knobs
   * (reference/src/db/build.rs:44-70: defaults P=10, D=8, C=16) plus the
@@ -51,23 +49,27 @@ case class IvfPqModel(
   def subDim: Int = dim / config.numDivisions
 }
 
-/** Builds an IVF+PQ index as DataFrame transformations + MLlib k-means fits
-  * — the Spark-first re-expression of the reference's 4-stage build
+/** Builds an IVF+PQ index as DataFrame transformations + driver-local
+  * k-means over sampled training sets ([[LocalKMeans]]) — the Spark-first
+  * re-expression of the reference's 4-stage build
   * (reference/src/db/build.rs:78-129: ids → partition → divide → quantize).
   *
   * Where the reference is a single-threaded loop over an in-memory
   * `BlockVectorSet` (906 s for 100k×1536, README.md:139), this build is a
-  * handful of cluster-parallel jobs:
+  * handful of cluster-parallel passes:
   *   1. ids         — provided by the caller (deterministic keys)
-  *   2. IVF         — KMeans(P) fit + one projection adding (partition,
-  *                    residual) via a broadcast of P centroids
-  *   3. divide + PQ — D independent KMeans(C) fits over `slice(residual)`;
-  *                    independent ⇒ submitted concurrently
+  *   2. IVF         — LocalKMeans(P) over a driver-sized sample + one
+  *                    projection adding (partition, residual) via a
+  *                    centroid-table literal
+  *   3. divide + PQ — D LocalKMeans(C) fits over local slices of one
+  *                    shared residual sample
   *   4. encode      — one projection adding `codes: array<int>` (D codes)
   *
-  * The only shuffles are inside the k-means fits (per-cluster means) and
-  * the final `partitionBy("partition")` write; vectors are never shuffled
-  * otherwise. At 100 TB the write produces one directory per IVF cell,
+  * No stage shuffles vectors at all: training samples are collected to
+  * the driver (k·cap rows by construction), and assignment/encoding are
+  * narrow projections. The only exchange in the whole build is the final
+  * `partitionBy("partition")` write. At 100 TB that write produces one
+  * directory per IVF cell,
   * giving file-level partition pruning at query time — the moral
   * equivalent of the reference's per-partition files
   * (reference/src/db/build/proto.rs:59-62).
@@ -95,110 +97,100 @@ object IvfPqBuilder {
     require(dim % config.numDivisions == 0,
       s"dim $dim must divide into ${config.numDivisions} divisions") // vector.rs:162-168
     val subDim = dim / config.numDivisions
+    val spark = df.sparkSession
+    import spark.implicits._
 
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("features", array_to_vector(col("vec")))
 
     // training sample: k-means estimates k centroids; it does not need
     // every row, and at corpus scale it MUST not see every row (maxIter
     // full scans). Assignment/encoding below still cover all vectors.
+    // ONE driver-collected sample (the larger of the two caps) serves
+    // both the coarse fit (over a strided subset) and the PQ fits (over
+    // locally computed residuals) — one scan, one collect, then every
+    // fit runs in [[LocalKMeans]], an in-process parallel Lloyd loop,
+    // instead of maxIter scheduler round-trips per fit.
     val nRows = if (config.trainPointsPerCentroid > 0) base.count() else 0L
-    def trainSample(of: DataFrame, k: Int): DataFrame = {
-      val cap = k.toLong * config.trainPointsPerCentroid
-      if (config.trainPointsPerCentroid > 0 && cap < nRows) {
-        log(s"train-sample $cap of $nRows rows (k=$k)")
-        of.sample(withReplacement = false, cap.toDouble / nRows, config.seed)
-      } else of
+    val coarseCap = config.numPartitions.toLong * config.trainPointsPerCentroid
+    val pqCap = config.numCodes.toLong * config.trainPointsPerCentroid
+    val sampleCap = math.max(coarseCap, pqCap)
+    val trainVecs: Array[Array[Float]] = timed("collect-train-sample") {
+      val src =
+        if (config.trainPointsPerCentroid > 0 && sampleCap < nRows) {
+          log(s"train-sample $sampleCap of $nRows rows")
+          base.sample(withReplacement = false,
+            sampleCap.toDouble / nRows, config.seed)
+        } else base
+      src.select("vec").as[Array[Float]].collect()
     }
 
     // --- stage 2: coarse IVF k-means (reference partitions.rs:96-143) ---
-    val coarse = timed("coarse-kmeans")(
-      newKMeans(config, config.numPartitions)
-        .fit(trainSample(base, config.numPartitions)))
+    // strided subset of the (already uniform) sample when the coarse cap
+    // is smaller than the collected sample
+    val coarseData =
+      if (config.trainPointsPerCentroid > 0 && coarseCap < trainVecs.length) {
+        val step = trainVecs.length.toDouble / coarseCap
+        Array.tabulate(coarseCap.toInt)(i => trainVecs((i * step).toInt))
+      } else trainVecs
+    val coarseFit = timed("coarse-kmeans")(
+      LocalKMeans.fit(coarseData, config.numPartitions, config.maxIter,
+        config.tol, config.seed, init = "kmeans++"))
     // rounds actually used: < maxIter means the tol-based stop fired,
     // i.e. the fit converged like the reference's ε-stop (kmeans.rs:24-34)
-    log(s"coarse-kmeans rounds=${coarse.summary.numIter}/${config.maxIter}")
-    val centroids = coarse.clusterCenters.map(_.toArray)
+    log(s"coarse-kmeans rounds=${coarseFit.iters}/${config.maxIter}")
+    val centroids = coarseFit.centroids
 
-    // partition assignment + residual v − centroid[p] in one projection;
-    // the P×N centroid table rides along as a codegen literal, no join.
+    // partition assignment + residual v − centroid[p] in one projection —
+    // two kernel calls per row with the P×N centroid table riding along
+    // as a codegen literal, no join (the assignment argmin is shared
+    // between the two columns by codegen subexpression elimination).
     // Residuals are f32, as in the reference (partitions.rs:119-143) —
     // half the cache footprint and PQ scan traffic of doubles.
-    val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
-    val assigned = coarse.transform(base)
-      .withColumnRenamed("prediction", "partition")
+    val flatCentLit = litDoubles(centroids.flatten)
+    val assigned = base
+      .withColumn("partition", nearestCentroidL2(col("vec"), flatCentLit))
       .withColumn("residual",
-        zip_with(col("vec"), element_at(centroidLit, col("partition") + 1),
-          (x, c) => (x.cast("double") - c).cast("float")))
+        subCentroidF(col("vec"), flatCentLit, col("partition")))
       .select(col("id"), col("partition"), col("residual"))
       .cache()
     timed("materialize-residuals")(assigned.count())
 
     // --- stage 3: D PQ codebooks over residual slices (db/build.rs:107-118).
-    // Each division trains over its OWN narrow cached relation (one
-    // subDim-dim vector column, ~subDim·8 B/row) — an iteration scans
-    // megabytes, not the full residual table; fits are independent, so
-    // they are submitted concurrently and the scheduler interleaves them.
-    // One shared training sample feeds all D fits (C·cap rows). Each
-    // fit's relation gets parallelism/D partitions, not `parallelism`:
-    // the D fits run concurrently, so the CLUSTER still sees ~parallelism
-    // tasks per round-wave, while per-fit job overhead (task launch,
-    // round barriers) drops D-fold — the fits are overhead-bound, not
-    // flop-bound, at C·cap training rows.
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val subParts = math.max(2, parallelism / config.numDivisions)
-    val pqTrain = trainSample(assigned, config.numCodes)
-    val subDfs = (0 until config.numDivisions).map { d =>
-      pqTrain.select(
-        array_to_vector(slice(col("residual"), d * subDim + 1, subDim))
-          .as("features"))
-        .coalesce(subParts)
-        .cache()
-    }
-    val pqModels: Array[KMeansModel] = timed("pq-kmeans-all") {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      Await.result(
-        Future.sequence(subDfs.toList.map { sub =>
-          Future(newKMeans(config, config.numCodes)
-            .setInitMode(config.pqInitMode).fit(sub))
-        }), Duration.Inf).toArray
-    }
-    subDfs.foreach(_.unpersist(blocking = false))
-    log(s"pq-kmeans rounds=${pqModels.map(_.summary.numIter).min}.." +
-      s"${pqModels.map(_.summary.numIter).max}/${config.maxIter}")
-    val codebooks = pqModels.map(_.clusterCenters.map(_.toArray))
+    // Residuals of the already-collected training sample are computed
+    // locally (assignResiduals — same numeric contract as the
+    // distributed kernels); each division's fit slices its own subDim
+    // columns out. The D fits each saturate the machine (LocalKMeans
+    // parallelizes over points), so they run sequentially — same flops,
+    // no pool contention.
+    val pqVecs =
+      if (config.trainPointsPerCentroid > 0 && pqCap < trainVecs.length) {
+        val step = trainVecs.length.toDouble / pqCap
+        Array.tabulate(pqCap.toInt)(i => trainVecs((i * step).toInt))
+      } else trainVecs
+    val pqData = timed("local-residuals")(
+      LocalKMeans.assignResiduals(pqVecs, centroids))
+    val pqFits = timed("pq-kmeans-all")(
+      (0 until config.numDivisions).map { dI =>
+        val sliceData = pqData.map(r =>
+          java.util.Arrays.copyOfRange(r, dI * subDim, (dI + 1) * subDim))
+        LocalKMeans.fit(sliceData, config.numCodes, config.maxIter,
+          config.tol, config.seed + dI, init = config.pqInitMode)
+      })
+    log(s"pq-kmeans rounds=${pqFits.map(_.iters).min}.." +
+      s"${pqFits.map(_.iters).max}/${config.maxIter}")
+    val codebooks = pqFits.map(_.centroids).toArray
 
-    // --- stage 4: encode — D assignments gathered into one array<int>
-    // column (reference Partition::new, db/build.rs:446-483); one pass
-    // over the cached residuals computing all D slices + predictions.
-    val withSubs = (0 until config.numDivisions).foldLeft(assigned) { (acc, d) =>
-      acc.withColumn(s"sub_$d",
-        array_to_vector(slice(col("residual"), d * subDim + 1, subDim)))
-    }
-    val encodedAll = pqModels.zipWithIndex.foldLeft(withSubs) {
-      case (acc, (m, d)) =>
-        m.setFeaturesCol(s"sub_$d").setPredictionCol(s"code_$d").transform(acc)
-    }
-    val encoded = encodedAll.select(
-      col("id"), col("partition"),
-      array((0 until config.numDivisions).map(d => col(s"code_$d")): _*).as("codes"),
-      col("residual"))
+    // --- stage 4: encode — all D argmin assignments in ONE kernel call
+    // per row (reference Partition::new, db/build.rs:446-483); one pass
+    // over the cached residuals, no per-division stages.
+    val flatCbLit = litDoubles(codebooks.flatten.flatten)
+    val encoded = assigned
+      .withColumn("codes", pqEncodeF(col("residual"), flatCbLit,
+        config.numDivisions, config.numCodes))
+      .select(col("id"), col("partition"), col("codes"), col("residual"))
 
     (IvfPqModel(config, dim, centroids, codebooks), encoded)
   }
-
-  private def newKMeans(config: IvfPqConfig, k: Int,
-                        features: String = "features",
-                        prediction: String = "prediction"): KMeans =
-    new KMeans()
-      .setK(k)
-      .setSeed(config.seed)
-      .setMaxIter(config.maxIter)
-      .setTol(config.tol)
-      .setFeaturesCol(features)
-      .setPredictionCol(prediction)
 
   /** Assign fresh ids to an id-less vector table — the reference's UUID
     * assignment when vectors arrive without keys (db/build.rs:86-91).

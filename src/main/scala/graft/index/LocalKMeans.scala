@@ -1,0 +1,276 @@
+package graft.index
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Driver-local, multithreaded Lloyd k-means over a SAMPLED training set.
+  *
+  * Replaces MLlib KMeans inside the index build: centroid ESTIMATION only
+  * needs k·O(100) sampled points (FAISS's max_points_per_centroid
+  * practice), and at that size every distributed iteration is pure
+  * overhead — a cluster job (task launch, round barrier, result
+  * collection) to scan a few hundred megabytes that fit in driver memory.
+  * The build runs D+1 fits × maxIter iterations; as MLlib jobs that was
+  * ~250 scheduler round-trips, here it is a tight in-process loop.
+  * Full-corpus ASSIGNMENT and ENCODING stay distributed single passes
+  * (see [[IvfPqBuilder]]) — that is the part that scales with data size.
+  *
+  * Semantics mirror the reference's in-memory Lloyd loop
+  * (reference/src/kmeans.rs:96-176: init → assign → update, bounded
+  * rounds with ε-stop) with k-means++ seeding by squared-distance weight
+  * (reference/src/kmeans.rs:178-205) — parallel over points, accumulated
+  * in double, deterministic for a fixed (data, seed, thread-chunking is
+  * order-stable so merge order is fixed).
+  */
+object LocalKMeans {
+
+  final case class KmResult(centroids: Array[Array[Double]], iters: Int)
+
+  /** Fit k centroids over `data` (n × dim f32).
+    *
+    * @param init "kmeans++" (D²-weighted seeding — coarse IVF fit, where
+    *             partition balance matters) or "random" (k distinct
+    *             sampled points — the FAISS PQ-codebook practice; fine
+    *             codes are refined by Lloyd rounds anyway)
+    * Empty clusters keep their previous centroid (MLlib behavior); if
+    * n < k, seeds repeat points so the model shape stays exactly k.
+    */
+  def fit(data: Array[Array[Float]], k: Int, maxIter: Int, tol: Double,
+          seed: Long, init: String = "kmeans++"): KmResult = {
+    require(data.nonEmpty, "k-means needs at least one training point")
+    require(k > 0, s"k must be positive, got $k")
+    val n = data.length
+    val dim = data(0).length
+    val centroids: Array[Array[Double]] = init match {
+      case "random" => initRandom(data, k, seed)
+      case _ => initPlusPlus(data, k, seed)
+    }
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // flat contiguous centroid table; distances in diff form with
+      // BLOCKED early-abandon — on clustered data most candidates blow
+      // past the current best within a block or two, which saves far
+      // more than vectorization would (measured 3× on the PQ fits vs a
+      // branch-free dot-product formulation)
+      val flat = new Array[Double](k * dim)
+      var ci = 0
+      while (ci < k) {
+        System.arraycopy(centroids(ci), 0, flat, ci * dim, dim)
+        ci += 1
+      }
+      // assignment + per-chunk partial sums, parallel over point chunks
+      val partials = parChunks(n) { (s, e) =>
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Long](k)
+        val pd = new Array[Double](dim) // point widened once, not per centroid
+        var i = s
+        while (i < e) {
+          val p = data(i)
+          var j = 0
+          while (j < dim) { pd(j) = p(j).toDouble; j += 1 }
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val base = c * dim
+            var d = 0.0
+            j = 0
+            while (j < dim && d < bestD) {
+              val end = math.min(j + 32, dim)
+              while (j < end) {
+                val x = pd(j) - flat(base + j)
+                d += x * x
+                j += 1
+              }
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val sb = sums(best)
+          j = 0
+          while (j < dim) { sb(j) += pd(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        (sums, counts)
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < k) {
+          counts(c) += pc(c)
+          val s = sums(c)
+          val p = ps(c)
+          var j = 0
+          while (j < dim) { s(j) += p(j); j += 1 }
+          c += 1
+        }
+      }
+      var maxMoveSq = 0.0
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val nc = new Array[Double](dim)
+          var move = 0.0
+          var j = 0
+          while (j < dim) {
+            nc(j) = sums(c)(j) / counts(c)
+            val d = nc(j) - centroids(c)(j)
+            move += d * d
+            j += 1
+          }
+          centroids(c) = nc
+          if (move > maxMoveSq) maxMoveSq = move
+        } // empty cluster: keep previous centroid
+        c += 1
+      }
+      iter += 1
+      converged = maxMoveSq < tol * tol
+    }
+    KmResult(centroids, iter)
+  }
+
+  /** Assign each point to its nearest centroid and return the f32
+    * residuals v − c — the driver-local twin of the distributed
+    * nearestCentroidL2 + subCentroidF pass, applied to training samples
+    * so PQ codebooks can train without a second cluster collect. Same
+    * numeric contract: subtraction in double, rounded to float. */
+  def assignResiduals(data: Array[Array[Float]],
+                      centroids: Array[Array[Double]]): Array[Array[Float]] = {
+    val n = data.length
+    if (n == 0) return Array.empty
+    val dim = data(0).length
+    val k = centroids.length
+    val flat = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      System.arraycopy(centroids(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    val out = new Array[Array[Float]](n)
+    parChunks(n) { (s, e) =>
+      val pd = new Array[Double](dim)
+      var i = s
+      while (i < e) {
+        val p = data(i)
+        var j = 0
+        while (j < dim) { pd(j) = p(j).toDouble; j += 1 }
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < k) {
+          val base = ci * dim
+          var d = 0.0
+          j = 0
+          while (j < dim && d < bestD) {
+            val end = math.min(j + 32, dim)
+            while (j < end) {
+              val x = pd(j) - flat(base + j)
+              d += x * x
+              j += 1
+            }
+          }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        val r = new Array[Float](dim)
+        val base = best * dim
+        j = 0
+        while (j < dim) {
+          r(j) = (pd(j) - flat(base + j)).toFloat
+          j += 1
+        }
+        out(i) = r
+        i += 1
+      }
+      ()
+    }
+    out
+  }
+
+  /** k distinct random points (repeats only when n < k). */
+  private def initRandom(data: Array[Array[Float]], k: Int,
+                         seed: Long): Array[Array[Double]] = {
+    val n = data.length
+    val rnd = new java.util.Random(seed)
+    val idx = new Array[Int](k)
+    if (k <= n) {
+      // partial Fisher-Yates over an index table: first k slots
+      val perm = Array.tabulate(n)(identity)
+      var i = 0
+      while (i < k) {
+        val j = i + rnd.nextInt(n - i)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        idx(i) = perm(i)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < k) { idx(i) = rnd.nextInt(n); i += 1 }
+    }
+    idx.map(i => data(i).map(_.toDouble))
+  }
+
+  /** k-means++: each next seed drawn with probability ∝ D²(x) to the
+    * nearest already-chosen seed. O(k·n·dim), distance updates parallel. */
+  private def initPlusPlus(data: Array[Array[Float]], k: Int,
+                           seed: Long): Array[Array[Double]] = {
+    val n = data.length
+    val dim = data(0).length
+    val rnd = new java.util.Random(seed)
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = data(rnd.nextInt(n)).map(_.toDouble)
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      val last = centroids(c - 1)
+      parChunks(n) { (s, e) =>
+        var i = s
+        while (i < e) {
+          val p = data(i)
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val x = p(j).toDouble - last(j)
+            d += x * x
+            j += 1
+          }
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+        ()
+      }
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += minD(i); i += 1 }
+      if (total <= 0.0) {
+        // all remaining points coincide with chosen seeds: repeat one
+        centroids(c) = data(rnd.nextInt(n)).map(_.toDouble)
+      } else {
+        var r = rnd.nextDouble() * total
+        i = 0
+        while (i < n - 1 && r >= minD(i)) { r -= minD(i); i += 1 }
+        centroids(c) = data(i).map(_.toDouble)
+      }
+      c += 1
+    }
+    centroids
+  }
+
+  /** Run `body` over ordered chunks of [0, n) on the global pool; results
+    * come back in chunk order, so merges are deterministic. */
+  private def parChunks[T](n: Int)(body: (Int, Int) => T): Seq[T] = {
+    val threads =
+      math.max(1, math.min(Runtime.getRuntime.availableProcessors, n))
+    val size = (n + threads - 1) / threads
+    val ranges = (0 until threads)
+      .map(t => (t * size, math.min(n, (t + 1) * size)))
+      .filter { case (s, e) => s < e }
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(ranges.map { case (s, e) => Future(body(s, e)) }),
+      Duration.Inf)
+  }
+}

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.FastFunctions.{pqDistDirect, squaredL2F, topCellsL2}
+import graft.functions.FastFunctions.{litDoubles, pqDistDirect, squaredL2F, topCellsL2}
 import graft.index.IvfPqModel
 import graft.query.TopKAggregator
 
@@ -58,7 +58,9 @@ object StreamingKnn {
                       codes: DataFrame, model: IvfPqModel,
                       k: Int, nprobe: Int): DataFrame = {
     val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
-    val cbLit = typedlit(model.codebooks.flatten.flatten.toSeq)
+    // flat codebook: primitive-backed literal — pqDistDirect reads it in
+    // full (D×C×m doubles) per row; boxed typedlit reads would dominate
+    val cbLit = litDoubles(model.codebooks.flatten.flatten)
     val probed = queries.select(col(qidCol), col(qvecCol),
         explode(topCellsL2(col(qvecCol),
           model.partitionCentroids.flatten.toSeq, nprobe)).as("probe_cell"))
