@@ -341,19 +341,33 @@ object Dedup {
     *
     * Edges are kept canonical (hi > lo). Returns (doc_id, component)
     * with component = min reachable doc_id. */
+  /** @param localCutoff once the (contracted) edge set has at most this
+    *        many edges, collect it and finish with a driver-local
+    *        union-find — ≤ cutoff×16 B, the same driver-residency budget
+    *        as k-means training samples. Distributed contraction cycles
+    *        run only while the graph is genuinely large; without the
+    *        endgame, every tail cycle costs ~6 scheduler-bound shuffles
+    *        to move a few thousand rows (measured: 4 cycles × ~1.5 s at
+    *        sf0.1 for a graph that collapsed to 3k edges after cycle 1). */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localCutoff: Long = 1L << 20): DataFrame = {
     // localCheckpoint truncates lineage each phase — iterated self-
-    // dependent plans otherwise blow up Catalyst analysis exponentially
+    // dependent plans otherwise blow up Catalyst analysis exponentially.
+    // No pre-distinct: every generator in this file emits each pair once
+    // (the firstEqualIdx/firstCommon tricks), the local union-find is
+    // duplicate-insensitive, and the contraction cycles dedupe per phase
+    // anyway — a defensive distinct here is a full shuffle of the pair
+    // set for nothing.
     var e = pairs.select(
         greatest(col("a_id"), col("b_id")).as("hi"),
         least(col("a_id"), col("b_id")).as("lo"))
-      .where(col("hi") =!= col("lo")).distinct()
+      .where(col("hi") =!= col("lo"))
       .localCheckpoint()
     var (cnt, sig) = edgeSig(e)
     var stable = false
     var i = 0
-    while (!stable && cnt > 0 && i < maxIter) {
+    while (!stable && cnt > localCutoff && i < maxIter) {
       // large-star: for every node u, neighbors v > u re-point to
       // m = min(Γ(u) ∪ {u}); keeps (v, m) canonical since v > u ≥ m
       val e2 = e.select(col("hi").as("u"), col("lo").as("v"))
@@ -381,11 +395,51 @@ object Dedup {
       e = small
       i += 1
     }
-    // at the fixpoint e is one star per component, rooted at its min id
-    // (Kiveris et al. §3); groupBy-min is belt and braces for maxIter exits
-    val stars = e.groupBy(col("hi").as("doc_id")).agg(min("lo").as("root"))
+    // endgame: the contracted graph fits on the driver — finish with an
+    // exact union-find (min-id roots), skipping the remaining contraction
+    // cycles whose shuffles would each move a few thousand rows. Falls
+    // through to the distributed star extraction only on maxIter exits
+    // with a still-large graph.
+    val stars =
+      if (cnt <= localCutoff) {
+        val spark = ids.sparkSession
+        import spark.implicits._
+        localUnionFind(e.select("hi", "lo").as[(Long, Long)].collect())
+          .toSeq.toDF("doc_id", "root")
+      } else {
+        // at the fixpoint e is one star per component, rooted at its min
+        // id (Kiveris et al. §3); groupBy-min covers maxIter exits
+        e.groupBy(col("hi").as("doc_id")).agg(min("lo").as("root"))
+      }
     ids.select(col("doc_id")).join(stars, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("comp"))
+  }
+
+  /** Exact driver-local union-find with path compression; returns
+    * (node → min id of its component) for every non-root node touched by
+    * an edge — the same (doc_id, root) relation the star fixpoint emits. */
+  private def localUnionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { // union under MIN root keeps roots = component minima
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = Map.newBuilder[Long, Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      if (r != n) out += n -> r
+    }
+    out.result()
   }
 
   /** (count, Σ xxhash64(hi, lo)) of an edge set — the O(1)-state

@@ -137,6 +137,24 @@ class DedupSpec extends AnyFunSuite {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connectedComponents: distributed star contraction equals the " +
+      "local union-find endgame") {
+    // random-ish sparse graph with chains, a big star, and singletons
+    val edges = (Seq((10L, 11L), (11L, 12L), (12L, 13L)) ++ // chain
+      (20L to 40L).map(i => (19L, i)) ++                    // star
+      Seq((50L, 51L), (52L, 51L), (53L, 50L), (60L, 61L)))  // merges
+    val pairs = edges.toDF("a_id", "b_id")
+    val ids = (1L to 70L).toDF("doc_id")
+    def run(cutoff: Long) =
+      Dedup.connectedComponents(ids, pairs, localCutoff = cutoff)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaLocal = run(1L << 20) // everything through union-find
+    val viaStars = run(0L)       // cutoff 0: pure distributed contraction
+    assert(viaLocal === viaStars)
+    assert(viaLocal(13L) === 10L && viaLocal(40L) === 19L &&
+      viaLocal(53L) === 50L && viaLocal(61L) === 60L && viaLocal(1L) === 1L)
+  }
+
   test("dropList: clean corpus drops nothing") {
     val clean = Seq((1L, "aa bb cc"), (2L, "dd ee ff")).toDF("doc_id", "text")
     assert(Dedup.dropList(clean, 80).count() === 0)
