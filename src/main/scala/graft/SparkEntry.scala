@@ -201,6 +201,47 @@ object SparkEntry {
       graft.streaming.EventPipeline.extractProps(Tables.events(s, dir))
         .orderBy("event_id")),
 
+    // backward as-of join (graft.operators.AsofJoin): every click gets
+    // the latest prior-or-same purchase of the same user — one union +
+    // hash exchange on user_id + carry-forward window, never a range
+    // cross-join. ts is truncated to µs first so ordering ties and
+    // boundary comparisons agree bit-for-bit with the µs oracle engine
+    // (the raw column is TIMESTAMP(NANOS); DuckDB reads it at µs).
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts", col("ts") - col("ts") % 1000)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+          "ts", "ts", payload = Seq("event_id", "value"),
+          leftSeq = "event_id", rightSeq = "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("purchase_event_id"),
+          col("asof_value").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // per-event sessionization (gap-and-island window): session breaks at
+    // gaps ≥ 30 min; µs-truncated ts for oracle-engine agreement as above
+    "events_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts", col("ts") - col("ts") % 1000)
+      graft.streaming.EventPipeline
+        .sessionized(ev, gapNanos = 30L * 60 * 1000000000L)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy("event_id")
+    }),
+
+    // per-session stats via Spark's native session_window (the streaming
+    // stateful-agg path, batch-identical); event_time is already
+    // µs-truncated by construction
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.EventPipeline
+        .sessionStats(Tables.events(s, dir), "30 minutes")
+        .orderBy("user_id", "win_start")),
+
     // ------------------------------------------- vector data model (S1/B9)
     "vec_shape" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -504,6 +545,11 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // corpus vocabulary by document frequency, top-100 by (df desc, tok)
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.topVocabulary(Tables.documents(s, dir), k = 100, minDf = 2)
+        .orderBy("rank")),
+
     // end-to-end corpus cleaning: quality filter → exact dedup →
     // near-dup drop list, each stage over the previous stage's
     // survivors; output = every dropped doc with its (unique) reason
@@ -596,6 +642,65 @@ object SparkEntry {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // replicates the union + carry-forward-window formulation of
+    // AsofJoin.backward on µs timestamps (DuckDB reads the ns parquet
+    // column at µs; the Spark entry truncates to match)
+    "events_asof" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tus, event_type, value
+        | FROM events),
+        |u AS (
+        | SELECT user_id, tus, 1 AS side, event_id AS seq, event_id,
+        |  CAST(NULL AS BIGINT) AS p_eid, CAST(NULL AS DOUBLE) AS p_val
+        | FROM ev WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, tus, 0, event_id, NULL, event_id, value
+        | FROM ev WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, side, event_id,
+        |  last_value(p_eid IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tus, side, seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS purchase_event_id,
+        |  last_value(p_val IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tus, side, seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS purchase_value
+        | FROM u)
+        |SELECT event_id, user_id, purchase_event_id, purchase_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+        |m AS (SELECT event_id, user_id, tus,
+        |  CASE WHEN lag(tus) OVER w IS NULL
+        |        OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |    AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT event_id, user_id,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sseq
+        | FROM m)
+        |SELECT event_id, user_id, CAST(sseq AS BIGINT) AS session_seq
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+        |  value FROM events),
+        |m AS (SELECT user_id, tus, value,
+        |  CASE WHEN lag(tus) OVER w IS NULL
+        |        OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |    AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (SELECT user_id, tus, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM m)
+        |SELECT user_id, min(tus) AS win_start,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, win_start""".stripMargin,
 
     "vec_shape" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS vec_len, label
@@ -840,6 +945,16 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5,
         | substring(md5(text), 1, 15) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS df FROM t
+        | GROUP BY tok HAVING count(*) >= 2)
+        |SELECT CAST(row_number() OVER (ORDER BY df DESC, tok) AS BIGINT)
+        |   AS rank,
+        | tok, df
+        |FROM v ORDER BY df DESC, tok LIMIT 100""".stripMargin,
 
     // replicates CorpusClean.dropDecisions stage by stage: quality
     // thresholds (same integer arithmetic as text_quality), exact dedup

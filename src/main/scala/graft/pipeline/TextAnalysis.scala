@@ -105,4 +105,29 @@ object TextAnalysis {
       col("doc_id"),
       md5(col("text")).as("fp_md5"),
       substring(md5(col("text")), 1, 15).as("fp_prefix"))
+
+  /** Corpus vocabulary by DOCUMENT frequency (tokens counted once per
+    * document, the df a tokenizer-training or idf pipeline needs).
+    * One explode + one hash-groupBy with map-side combine — the shuffle
+    * carries (token, partial count), vocabulary-sized, not corpus-sized.
+    * Output is filtered to df ≥ minDf (rare-token noise stays in the
+    * executors, never collected anywhere). */
+  def vocabulary(docs: DataFrame, minDf: Long = 2): DataFrame =
+    docs.select(explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+
+  /** Top-k vocabulary with a dense deterministic rank by (df desc, tok).
+    * The global sort sees only the pre-aggregated vocabulary; the rank
+    * window runs over k rows after the limit. */
+  def topVocabulary(docs: DataFrame, k: Int, minDf: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocabulary(docs, minDf)
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("df").desc, col("tok")))
+          .cast("long"))
+      .select("rank", "tok", "df")
+  }
 }

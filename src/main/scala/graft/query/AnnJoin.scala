@@ -46,10 +46,15 @@ object AnnJoin {
       .withColumn("cells", topCellsL2(col("v"), flat, nprobe))
       .select(col("id"), col("v"), col("cells"),
         explode(col("cells")).as("cell"))
-      .repartition(col("id"), col("cell"))
+    // spread rows on the JOIN keys: the broadcast-join case inherits this
+    // parallelism (no single-split source layout), and the shuffle-join
+    // case reuses the exchange outright — repartitioning on anything else
+    // would be a full extra shuffle the join immediately redoes
     val right = e.withColumn("salt", pmod(xxhash64(col("id")), lit(salt)))
+      .repartition(col("cell"), col("salt"))
     val left = e.withColumn("salt",
       explode(typedlit((0 until salt).map(_.toLong))))
+      .repartition(col("cell"), col("salt"))
     left.as("x").join(right.as("y"),
         col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
         col("x.id") < col("y.id") &&

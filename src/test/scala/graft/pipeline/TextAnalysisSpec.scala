@@ -62,4 +62,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L) === r(2L))
     assert(r(1L) !== r(3L))
   }
+
+  test("vocabulary: document frequency, tokens counted once per doc") {
+    val d = Seq(
+      (1L, "a a b c"),   // a counts ONCE for doc 1
+      (2L, "a b"),
+      (3L, "a z")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(d, minDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(v === Map("a" -> 3L, "b" -> 2L)) // c, z fall under minDf
+    val top = TextAnalysis.topVocabulary(d, k = 10, minDf = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // rank by (df desc, tok asc)
+    assert(top === Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L), (4L, "z", 1L)))
+  }
 }

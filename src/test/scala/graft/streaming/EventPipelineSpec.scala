@@ -129,6 +129,61 @@ class EventPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionized: gaps >= the threshold split sessions per user") {
+    val minNs = 60L * 1000 * 1000 * 1000
+    val rows = Seq(
+      (1L, 0L * minNs, 1L), (2L, 10L * minNs, 1L),   // session 0 (gap 10m)
+      (3L, 45L * minNs, 1L),                         // session 1 (gap 35m)
+      (4L, 75L * minNs, 1L),                         // session 2 (gap EXACTLY 30m)
+      (5L, 0L * minNs, 2L))                          // other user: own session 0
+      .map { case (id, t, u) => (id, baseNs + t, u, "click", 1.0, "{}") }
+    val got = EventPipeline.sessionized(toDf(rows), gapNanos = 30 * minNs)
+      .select("event_id", "session_seq").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 0L)))
+  }
+
+  test("sessionStats (session_window) agrees with sessionized labeling") {
+    val rows = batch1 ++ batch2 ++ Seq(ev(6, 0, 10, "view", 7.0))
+    val df = toDf(rows)
+    val viaWindow = EventPipeline.sessionStats(df, "30 minutes")
+      .orderBy("user_id", "win_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // derive the same stats from the per-event labels
+    val labeled = EventPipeline.sessionized(df, 30L * 60 * 1000000000L)
+    val viaLabels = labeled
+      .groupBy($"user_id", $"session_seq")
+      .agg(org.apache.spark.sql.functions.expr("min(ts div 1000)").as("win_start"),
+        org.apache.spark.sql.functions.count("*").as("n_events"))
+      .select("user_id", "win_start", "n_events")
+      .orderBy("user_id", "win_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaWindow === viaLabels)
+    assert(viaWindow.nonEmpty)
+  }
+
+  test("sessionStats: streaming (complete mode) equals batch on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val sdf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventPipeline.sessionStats(sdf, "30 minutes")
+      .writeStream.format("memory").queryName("sess_stats")
+      .outputMode("complete").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stats")
+        .orderBy("user_id", "win_start").collect().toSeq
+      val batch = EventPipeline.sessionStats(toDf(batch1 ++ batch2), "30 minutes")
+        .orderBy("user_id", "win_start").collect().toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("extractProps: json field as long") {
     val r = EventPipeline.extractProps(toDf(batch1)).orderBy("event_id")
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
