@@ -1,0 +1,65 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-local k-means invariants — no Spark session needed. */
+class LocalKMeansSpec extends AnyFunSuite {
+
+  private def blobData(k: Int, perBlob: Int, dim: Int,
+                       spread: Double): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextDouble() * 100 - 50))
+    centers.flatMap(c => Array.fill(perBlob)(
+      c.map(v => (v + rnd.nextGaussian() * spread).toFloat)))
+  }
+
+  test("well-separated blobs are recovered (one centroid per blob)") {
+    val data = blobData(k = 5, perBlob = 40, dim = 8, spread = 0.5)
+    val r = LocalKMeans.fit(data, k = 5, maxIter = 50, tol = 1e-6, seed = 1L)
+    assert(r.centroids.length === 5)
+    // every point's nearest centroid distance is tiny vs blob separation
+    val res = LocalKMeans.assignResiduals(data, r.centroids)
+    val maxNorm = res.map(v => math.sqrt(v.map(x => x.toDouble * x).sum)).max
+    assert(maxNorm < 5.0, s"max residual norm $maxNorm")
+    // tol stop fired well before the iteration cap
+    assert(r.iters < 50)
+  }
+
+  test("returns exactly k centroids even when n < k") {
+    val data = blobData(k = 2, perBlob = 3, dim = 4, spread = 0.1) // n = 6
+    for (init <- Seq("kmeans++", "random")) {
+      val r = LocalKMeans.fit(data, k = 10, maxIter = 5, tol = 1e-9,
+        seed = 2L, init = init)
+      assert(r.centroids.length === 10, init)
+      assert(r.centroids.forall(_.length === 4), init)
+    }
+  }
+
+  test("deterministic for a fixed (data, seed); seeds differ") {
+    val data = blobData(k = 3, perBlob = 30, dim = 6, spread = 2.0)
+    val a = LocalKMeans.fit(data, 3, 10, 1e-6, seed = 7L)
+    val b = LocalKMeans.fit(data, 3, 10, 1e-6, seed = 7L)
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+    assert(a.iters === b.iters)
+  }
+
+  test("assignResiduals matches a naive single-threaded recompute") {
+    val data = blobData(k = 3, perBlob = 20, dim = 5, spread = 3.0)
+    val r = LocalKMeans.fit(data, 3, 10, 1e-6, seed = 3L)
+    val fast = LocalKMeans.assignResiduals(data, r.centroids)
+    data.zip(fast).foreach { case (p, res) =>
+      // naive argmin in full precision
+      val best = r.centroids.minBy(c =>
+        c.zip(p).map { case (cv, pv) => val d = pv.toDouble - cv; d * d }.sum)
+      val expected = p.zip(best).map { case (pv, cv) => (pv.toDouble - cv).toFloat }
+      assert(res.toSeq === expected.toSeq)
+    }
+  }
+
+  test("random init draws distinct points when possible") {
+    val data = blobData(k = 4, perBlob = 10, dim = 3, spread = 0.01)
+    val r = LocalKMeans.fit(data, k = 8, maxIter = 1, tol = 1e-9,
+      seed = 5L, init = "random")
+    assert(r.centroids.length === 8)
+  }
+}
