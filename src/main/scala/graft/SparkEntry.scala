@@ -309,6 +309,40 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // incremental ingest: save an index holding HALF the vectors, append
+    // the other half through IvfPqBuilder.appendToStore (encode against
+    // the frozen model, append-only partitioned write, nothing
+    // rewritten), reload — the stored index must hold every vector and
+    // answer bit-identically to the in-memory index that encoded
+    // everything in one shot (encoding is deterministic given a model)
+    "ann_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_append").toString
+      IvfPqBuilder.save(model,
+        IvfPqBuilder.encode(model, emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding"), out)
+      IvfPqBuilder.appendToStore(model, emb.where(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", out)
+      val (loaded, codes) = IvfPqBuilder.load(s, out)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val st = AnnQuery.topK(codes, loaded, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      val mem = AnnQuery.topK(encoded, model, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val cmp = st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+      val totals = codes.agg(count(lit(1)).as("n_codes")).crossJoin(
+        emb.agg(count(lit(1)).as("n_emb")))
+      cmp.crossJoin(totals)
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          (col("n_codes") - col("n_emb")).cast("long").as("n_total_diff"))
+    }),
+
     // batch ANN: all five query vectors against the stored codes in one
     // job; invariants: 5 query groups of exactly k rows each, distances
     // ascending with rank within every group, and per-query recall vs the
@@ -766,6 +800,12 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_append" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_total_diff""".stripMargin,
 
     "ann_batch" ->
       """SELECT CAST(5 AS BIGINT) AS n_qids, CAST(0 AS BIGINT) AS n_bad_k,

@@ -183,13 +183,47 @@ object IvfPqBuilder {
     // --- stage 4: encode — all D argmin assignments in ONE kernel call
     // per row (reference Partition::new, db/build.rs:446-483); one pass
     // over the cached residuals, no per-division stages.
-    val flatCbLit = litDoubles(codebooks.flatten.flatten)
-    val encoded = assigned
-      .withColumn("codes", pqEncodeF(col("residual"), flatCbLit,
-        config.numDivisions, config.numCodes))
-      .select(col("id"), col("partition"), col("codes"), col("residual"))
+    val model = IvfPqModel(config, dim, centroids, codebooks)
+    val encoded = encodeResiduals(model, assigned)
+    (model, encoded)
+  }
 
-    (IvfPqModel(config, dim, centroids, codebooks), encoded)
+  /** Encode NEW vectors against an EXISTING model — assignment, residual
+    * and all D PQ codes in one narrow projection, no refit, no shuffle.
+    * This is the incremental-ingest path: the reference can only rebuild
+    * from scratch (update is reference-absent, README.md:73-74), but a
+    * partitioned codes store appends naturally. Centroids/codebooks are
+    * frozen, so existing codes stay valid and queries see old + new rows
+    * through the same partition-pruned scan. */
+  def encode(model: IvfPqModel, df: DataFrame, idCol: String,
+             vecCol: String): DataFrame = {
+    val flatCentLit = litDoubles(model.partitionCentroids.flatten)
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("partition", nearestCentroidL2(col("vec"), flatCentLit))
+      .withColumn("residual",
+        subCentroidF(col("vec"), flatCentLit, col("partition")))
+      .select(col("id"), col("partition"), col("residual"))
+    encodeResiduals(model, assigned)
+  }
+
+  /** Append freshly encoded vectors to a stored index's codes table —
+    * one new parquet file set under the affected partition directories;
+    * nothing existing is rewritten (the same append-only discipline as
+    * the attribute log). */
+  def appendToStore(model: IvfPqModel, df: DataFrame, idCol: String,
+                    vecCol: String, path: String): Unit =
+    encode(model, df, idCol, vecCol)
+      .select("id", "partition", "codes")
+      .write.mode(SaveMode.Append).partitionBy("partition")
+      .parquet(s"$path/codes")
+
+  private def encodeResiduals(model: IvfPqModel, assigned: DataFrame): DataFrame = {
+    val flatCbLit = litDoubles(model.codebooks.flatten.flatten)
+    assigned
+      .withColumn("codes", pqEncodeF(col("residual"), flatCbLit,
+        model.config.numDivisions, model.config.numCodes))
+      .select(col("id"), col("partition"), col("codes"), col("residual"))
   }
 
   /** Assign fresh ids to an id-less vector table — the reference's UUID

@@ -193,6 +193,40 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("encode against a frozen model equals the build's own encoding") {
+    val byBuild = encoded.select("id", "partition", "codes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Int](2).toSeq)).toMap
+    val reEnc = IvfPqBuilder.encode(model, df, "id", "vec")
+      .select("id", "partition", "codes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Int](2).toSeq)).toMap
+    assert(reEnc === byBuild)
+  }
+
+  test("appendToStore: save half, append half, stored equals in-memory") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    try {
+      IvfPqBuilder.save(model,
+        IvfPqBuilder.encode(model, df.where(col("id") % 2 === 0), "id", "vec"),
+        dir)
+      IvfPqBuilder.appendToStore(model, df.where(col("id") % 2 =!= 0),
+        "id", "vec", dir)
+      val (loaded, codes) = IvfPqBuilder.load(spark, dir)
+      assert(codes.count() === data.length)
+      val q = data.head._2.map(_.toDouble).toArray
+      val fromStored = AnnQuery.topK(codes, loaded, q, 5, 4)
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("sq_dist"))).toSeq
+      val fromMem = AnnQuery.topK(encoded, model, q, 5, 4)
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("sq_dist"))).toSeq
+      assert(fromStored === fromMem)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("withAssignedIds: uuid and deterministic paths (reference db/build.rs:86-91)") {
     import org.apache.spark.sql.functions.col
     val noIds = df.drop("id").select(col("vec"))
