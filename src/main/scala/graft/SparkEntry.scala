@@ -170,6 +170,17 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // exact interpolated quantiles per group (Spark `percentile`, not the
+    // approx sketch — both engines interpolate at p·(n−1) over the sorted
+    // values, so the oracle is exact)
+    "rel_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("round(percentile(value, 0.5), 2)").as("p50"),
+          expr("round(percentile(value, 0.9), 2)").as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
     "rel_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
@@ -269,6 +280,14 @@ object SparkEntry {
       ExactKnn.rankedIdsCosine(Tables.embeddings(s, dir), "embedding", "vec_id",
         queryVec(s, dir, 0L), 10)),
 
+    // filtered vector search: the attribute predicate composes BEFORE the
+    // top-k, so it reaches the parquet scan as a pushed filter — the
+    // "pre-filtered" strategy (exact over the filtered subset), which is
+    // the correct plan whenever the predicate is selective
+    "knn_filtered" -> ((s, dir) =>
+      ExactKnn.rankedIds(Tables.embeddings(s, dir).where(col("label") === 3),
+        "embedding", "vec_id", queryVec(s, dir, 0L), 10)),
+
     // --------------------------------------- ANN (invariant-gated oracle)
     // query path over the shared fitted index; build cost is measured by
     // the dedicated reference-scale build benchmark (Bench "build" field),
@@ -307,6 +326,42 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
         coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
           .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // SQ8 scalar-quantization index (the second codec family beside
+    // IVF+PQ): per-dim affine bytes, asymmetric distance. Invariants:
+    // k rows; every reported distance equals a decode-side recompute
+    // through the higher-order-function path; every vector reconstructs
+    // within half a quantization step per dimension; recall vs the
+    // oracle-verified exact top-k
+    "ann_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val model = graft.index.Sq8.fit(emb, "embedding", 64)
+      val enc = graft.index.Sq8.encode(model, emb, "vec_id", "embedding")
+      val dec = graft.index.Sq8.decoded(model, enc)
+      val hits = graft.index.Sq8.topK(enc, model, q, 10)
+      val exact = ExactKnn.rankedIds(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val qLit = typedlit(q.toSeq)
+      val distChk = hits.join(dec, "id")
+        .withColumn("rec", aggregate(zip_with(col("decoded"), qLit,
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(abs(col("sq_dist") - col("rec")) > 1e-6, 1L)
+            .otherwise(0L)), lit(0L)).as("n_dist_bad"))
+      val halfStep = model.scales.max / 2 + 1e-9
+      val recon = dec
+        .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+        .agg(coalesce(sum(size(filter(zip_with(col("decoded"), col("embedding"),
+          (d, o) => abs(d - o.cast("double")) > lit(halfStep)), x => x))
+          .cast("long")), lit(0L)).as("n_recon_bad"))
+      val rec = hits.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_recalled"))
+      distChk.crossJoin(recon).crossJoin(rec)
+        .select(col("n_rows"), col("n_dist_bad"), col("n_recon_bad"),
+          when(col("n_recalled") >= 7, 1L).otherwise(0L).as("recall_ge_70"))
     }),
 
     // incremental ingest: save an index holding HALF the vectors, append
@@ -771,6 +826,25 @@ object SparkEntry {
         | vec_id
         |FROM d ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
 
+    "knn_filtered" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))) AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | WHERE e.label = 3
+        | GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER (ORDER BY sq, vec_id) AS BIGINT) AS rank,
+        | vec_id
+        |FROM d ORDER BY sq, vec_id LIMIT 10""".stripMargin,
+
+    "rel_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 2) AS p50,
+        | round(quantile_cont(value, 0.9), 2) AS p90,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "knn_attr_fetch" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id AS vec_id,
@@ -800,6 +874,12 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_sq8" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_dist_bad,
+        | CAST(0 AS BIGINT) AS n_recon_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_70""".stripMargin,
 
     "ann_append" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,

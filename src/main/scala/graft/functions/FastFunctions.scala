@@ -45,6 +45,11 @@ object FastFunctions {
     "meanPool" -> Seq(ArrayType(FloatType), IntegerType, IntegerType,
       IntegerType, IntegerType),
     "adcDist" -> Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType),
+    "sq8Encode" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(DoubleType)),
+    "sq8Decode" -> Seq(BinaryType, ArrayType(DoubleType), ArrayType(DoubleType)),
+    "sq8Dist" -> Seq(ArrayType(DoubleType), BinaryType, ArrayType(DoubleType),
+      ArrayType(DoubleType)),
     "pqDistDirect" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       ArrayType(IntegerType), ArrayType(DoubleType)))
 
@@ -173,6 +178,19 @@ object FastFunctions {
   def meanPool(img: Column, w: Int, h: Int, fw: Int, fh: Int): Column =
     invoke(ArrayType(FloatType, containsNull = false), "meanPool",
       img, lit(w), lit(h), lit(fw), lit(fh))
+
+  /** SQ8 encode a float-vector column against per-dim (mins, Δ) codecs. */
+  def sq8Encode(v: Column, mins: Column, scales: Column): Column =
+    invoke(BinaryType, "sq8Encode", v, mins, scales)
+
+  /** Decode an SQ8 binary column back to array<double>. */
+  def sq8Decode(code: Column, mins: Column, scales: Column): Column =
+    invoke(ArrayType(DoubleType, containsNull = false), "sq8Decode",
+      code, mins, scales)
+
+  /** Asymmetric ‖q − decode(code)‖² for an SQ8 binary column. */
+  def sq8Dist(q: Column, code: Column, mins: Column, scales: Column): Column =
+    invoke(DoubleType, "sq8Dist", q, code, mins, scales)
 
   /** ADC distance against a flattened D×C table literal. */
   def adcDist(codes: Column, flatTable: Seq[Double], numCodes: Int): Column =

@@ -471,6 +471,65 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // ------------------------------------------- scalar quantization (SQ8)
+
+  /** 8-bit scalar quantization encode: per-dimension affine codec
+    * code_i = clamp(rint((x_i − min_i)/Δ_i), 0, 255), one byte per dim
+    * (4× smaller than f32) — the FAISS ScalarQuantizer QT_8bit shape.
+    * Δ_i = 0 (constant dimension) encodes 0. */
+  def sq8Encode(v: ArrayData, mins: ArrayData, scales: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    require(mins.numElements() == n && scales.numElements() == n,
+      s"codec dim ${mins.numElements()}/${scales.numElements()} != vector dim $n")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val s = scales.getDouble(i)
+      val c =
+        if (s == 0.0) 0
+        else {
+          val r = math.rint((v.getFloat(i).toDouble - mins.getDouble(i)) / s)
+          if (r < 0) 0 else if (r > 255) 255 else r.toInt
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode SQ8 bytes back to doubles: min_i + code_i·Δ_i. */
+  def sq8Decode(code: Array[Byte], mins: ArrayData, scales: ArrayData): ArrayData = {
+    val n = code.length
+    require(mins.numElements() == n && scales.numElements() == n,
+      s"codec dim ${mins.numElements()}/${scales.numElements()} != code dim $n")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = mins.getDouble(i) + (code(i) & 0xFF) * scales.getDouble(i)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ‖q − decode(code)‖² against the SQ8 codec — the asymmetric distance
+    * (query in full precision, corpus quantized). */
+  def sq8Dist(q: ArrayData, code: Array[Byte], mins: ArrayData,
+              scales: ArrayData): Double = {
+    val n = q.numElements()
+    require(code.length == n && mins.numElements() == n &&
+      scales.numElements() == n,
+      s"dim mismatch: q $n, code ${code.length}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = q.getDouble(i) -
+        (mins.getDouble(i) + (code(i) & 0xFF) * scales.getDouble(i))
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Deterministic pseudo-random f32 vector in [0,1) from (id, seed) —
     * one call per row generates benchmark/test data without any
     * driver-side materialization (the analogue of the reference's random

@@ -1,0 +1,62 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastFunctions._
+
+/** 8-bit scalar quantization — the second index codec family beside
+  * IVF+PQ (the FAISS ScalarQuantizer QT_8bit shape): a per-dimension
+  * affine codec `code_i = rint((x_i − min_i)/Δ_i)` stores one byte per
+  * dimension, 4× smaller than f32, with reconstruction error bounded by
+  * Δ_i/2 per dimension. No training beyond per-dim min/max; queries run
+  * asymmetric (full-precision query vs quantized corpus), so ranking
+  * error is half a step per dimension — far finer than PQ at the same
+  * byte budget for small dims, with none of PQ's codebook fits.
+  *
+  * Scale shape: `fit` is one posexplode + map-side-combined groupBy —
+  * the shuffle carries dim rows per upstream partition, never the data;
+  * `encode` and `topK` are narrow projections with the 2·dim codec
+  * constants riding as primitive-backed plan literals.
+  */
+final case class Sq8Model(dim: Int, mins: Array[Double], scales: Array[Double])
+
+object Sq8 {
+
+  /** Exact per-dimension [min, max] over the corpus → affine codec. */
+  def fit(df: DataFrame, vecCol: String, dim: Int): Sq8Model = {
+    val mm = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("pos").collect()
+    require(mm.length == dim, s"expected $dim dims, saw ${mm.length}")
+    val mins = mm.map(_.getDouble(1))
+    val scales = mm.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+    Sq8Model(dim, mins, scales)
+  }
+
+  /** (id, sq8: binary) — one byte per dimension. */
+  def encode(model: Sq8Model, df: DataFrame, idCol: String,
+             vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      sq8Encode(col(vecCol), litDoubles(model.mins),
+        litDoubles(model.scales)).as("sq8"))
+
+  /** Decoded corpus (id, decoded: array<double>) — for error audits. */
+  def decoded(model: Sq8Model, encoded: DataFrame): DataFrame =
+    encoded.select(col("id"),
+      sq8Decode(col("sq8"), litDoubles(model.mins),
+        litDoubles(model.scales)).as("decoded"))
+
+  /** Top-k by asymmetric distance: (id, sq_dist) ascending, k rows. */
+  def topK(encoded: DataFrame, model: Sq8Model, q: Array[Double],
+           k: Int): DataFrame =
+    encoded
+      .select(col("id"),
+        sq8Dist(litDoubles(q), col("sq8"), litDoubles(model.mins),
+          litDoubles(model.scales)).as("sq_dist"))
+      .orderBy(col("sq_dist"), col("id"))
+      .limit(k)
+}
