@@ -170,16 +170,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
-    // exact interpolated quantiles per group (Spark `percentile`, not the
-    // approx sketch — both engines interpolate at p·(n−1) over the sorted
-    // values, so the oracle is exact)
-    "rel_quantiles" -> ((s, dir) =>
+    // exact DISCRETE quantiles per group: the value at sorted index
+    // ⌈p·n⌉, selected — not interpolated — so the output is a raw data
+    // value and the rank index is pure integer arithmetic (⌈n·num/den⌉ =
+    // (n·num + den − 1) div den). Interpolating percentiles cross-engine
+    // is a last-ulp trap: (1−g)a + gb vs a + (b−a)g differ in rounding.
+    "rel_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val cw = Window.partitionBy("event_type")
       Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .withColumn("i50", expr("(cnt + 1) div 2"))   // ⌈cnt/2⌉, integer
+        .withColumn("i90", expr("(cnt * 9 + 9) div 10")) // ⌈cnt·9/10⌉
         .groupBy("event_type")
-        .agg(expr("round(percentile(value, 0.5), 2)").as("p50"),
-          expr("round(percentile(value, 0.9), 2)").as("p90"),
-          count(lit(1)).as("cnt"))
-        .orderBy("event_type")),
+        .agg(
+          max(when(col("rn") === col("i50"), col("value"))).as("p50"),
+          max(when(col("rn") === col("i90"), col("value"))).as("p90"),
+          max(col("cnt")).as("cnt"))
+        .orderBy("event_type")
+    }),
 
     "rel_window_topn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -839,11 +850,16 @@ object SparkEntry {
         |FROM d ORDER BY sq, vec_id LIMIT 10""".stripMargin,
 
     "rel_quantiles" ->
-      """SELECT event_type,
-        | round(quantile_cont(value, 0.5), 2) AS p50,
-        | round(quantile_cont(value, 0.9), 2) AS p90,
-        | count(*) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH r AS (SELECT event_type, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS cnt
+        | FROM events)
+        |SELECT event_type,
+        | max(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS p50,
+        | max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN value END) AS p90,
+        | max(cnt) AS cnt
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "knn_attr_fetch" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
