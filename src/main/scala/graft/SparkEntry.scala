@@ -570,6 +570,15 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
         .orderBy("a_id", "b_id")),
 
+    // per-label embedding centroids (class prototypes) in the
+    // integer-exact formulation — see Embeddings.centroidSumsMilli
+    "embed_centroids" -> ((s, dir) =>
+      graft.pipeline.Embeddings
+        .centroidSumsMilli(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("label").cast("long").as("label"), col("pos"),
+          col("sum_milli"), col("cnt"))
+        .orderBy("label", "pos")),
+
     // IVF-bucketed ANN similarity self-join — the 100 TB near-dup path.
     // Invariants vs the oracle-verified exact all-pairs result: the IVF
     // join may only MISS pairs (every emitted pair is exact-verified →
@@ -985,6 +994,14 @@ object SparkEntry {
          |  SELECT id, min(root) AS comp FROM reach GROUP BY id)
          |SELECT id AS drop_id, comp AS keep_id FROM r
          |WHERE id != comp ORDER BY drop_id""".stripMargin,
+
+    "embed_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(t.i - 1 AS BIGINT) AS pos,
+        | CAST(sum(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000)
+        |   AS BIGINT)) AS BIGINT) AS sum_milli,
+        | count(*) AS cnt
+        |FROM embeddings, generate_series(1, 64) AS t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "embed_neardup" ->
       """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
