@@ -631,6 +631,12 @@ object SparkEntry {
     "text_subwords" -> ((s, dir) =>
       TextAnalysis.subwordStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Gopher-style repetition signal: one shuffle-free kernel call per
+    // row; the oracle must explode + groupBy to express the same thing
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), n = 3)
+        .orderBy("doc_id")),
+
     // SimHash near-dup at Hamming ≤ 3 via 16-bit band pigeonhole.
     // Hamming is over our own hash, so the oracle checks invariants:
     // every pair within bound and ordered, and every verified equal-set
@@ -1093,6 +1099,23 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
         |   AS n_number_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(toks[g.i : g.i + 2], ' ') AS s
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 2 <= nt),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id, s),
+        |agg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep,
+        |  CAST(sum(c) AS BIGINT) AS n_shingles
+        | FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(a.max_rep, 0) AS max_rep,
+        | coalesce(a.n_shingles, 0) AS n_shingles,
+        | CAST(CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0
+        |   ELSE (a.max_rep * 100) // a.n_shingles END AS BIGINT) AS rep_pct
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,

@@ -26,6 +26,7 @@ object FastFunctions {
     "cosinef" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
     "tokenHashesSorted" -> Seq(ArrayType(StringType)),
     "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
+    "shingleRepetition" -> Seq(ArrayType(StringType), IntegerType),
     "interSortedSize" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "firstCommon" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "firstEqualIdx" -> Seq(ArrayType(LongType), ArrayType(LongType)),
@@ -101,6 +102,11 @@ object FastFunctions {
   /** Hashed n-token shingle set of a whitespace-tokenized text column. */
   def hashedShingleSet(text: Column, n: Int): Column =
     shingleHashesSorted(split(text, " "), n)
+
+  /** (max shingle multiplicity << 32) | total shingles of a token-array
+    * column — the repetition quality signal, one kernel call per row. */
+  def shingleRepetition(toks: Column, n: Int): Column =
+    invoke(LongType, "shingleRepetition", toks, lit(n))
 
   /** |A ∩ B| for two ascending-sorted array<long> columns. */
   def interSortedSize(a: Column, b: Column): Column =

@@ -137,6 +137,45 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, k))
   }
 
+  /** Multiplicity of the most-repeated n-token shingle of a token array,
+    * packed with the total shingle count as (max << 32) | total — the
+    * Gopher-style repetition quality signal (Rae et al. 2021, §A1.1:
+    * filter documents whose most frequent n-gram covers too much of the
+    * text), computed per row with a small open-addressed counter, NO
+    * shuffle (the SQL-oracle formulation needs an explode + groupBy).
+    * Counts are capped at Int.MaxValue; empty docs pack (0, 0). */
+  def shingleRepetition(toks: ArrayData, n: Int): Long = {
+    val m = toks.numElements() - n + 1
+    if (m <= 0) return 0L
+    val sep = UTF8String.fromString(" ")
+    val empty = UTF8String.EMPTY_UTF8
+    var cap = 32
+    while (cap < m * 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    var maxCount = 0
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val u = toks.getUTF8String(i + j)
+        parts(j) = if (u == null) empty else u
+        j += 1
+      }
+      var h = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), 42L)
+      if (h == 0L) h = 1L // 0 is the empty-slot sentinel
+      var idx = (mix64(h) & mask).toInt
+      while (keys(idx) != 0L && keys(idx) != h) idx = (idx + 1) & mask
+      keys(idx) = h
+      counts(idx) += 1
+      if (counts(idx) > maxCount) maxCount = counts(idx)
+      i += 1
+    }
+    (maxCount.toLong << 32) | m.toLong
+  }
+
   /** |A ∩ B| of two ascending-sorted long arrays (merge intersect). */
   def interSortedSize(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()

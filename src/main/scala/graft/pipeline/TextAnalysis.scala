@@ -106,6 +106,22 @@ object TextAnalysis {
       md5(col("text")).as("fp_md5"),
       substring(md5(col("text")), 1, 15).as("fp_prefix"))
 
+  /** Repetition quality signal (Gopher-style, Rae et al. 2021 §A1.1):
+    * multiplicity of the most-repeated n-token shingle, total shingles,
+    * and their floor-percent ratio — documents dominated by one repeated
+    * phrase are boilerplate/spam. ONE kernel call per row, no shuffle
+    * (the SQL formulation of the same quantity needs explode + groupBy
+    * per document). Integer-only output. */
+  def repetitionSignals(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.FastFunctions
+          .shingleRepetition(tokens(col("text")), n).as("p"))
+      .select(col("doc_id"),
+        shiftright(col("p"), 32).as("max_rep"),
+        col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("n_shingles"))
+      .withColumn("rep_pct", when(col("n_shingles") === 0, lit(0L))
+        .otherwise(expr("(max_rep * 100) div n_shingles")))
+
   /** Corpus vocabulary by DOCUMENT frequency (tokens counted once per
     * document, the df a tokenizer-training or idf pipeline needs).
     * One explode + one hash-groupBy with map-side combine — the shuffle

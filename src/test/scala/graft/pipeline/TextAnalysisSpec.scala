@@ -63,6 +63,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L) !== r(3L))
   }
 
+  test("repetitionSignals: max shingle multiplicity and ratio") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),  // trigram "a b c" x3 of 7 → 42%
+      (2L, "x y z w"),            // all trigrams distinct: max 1 of 2
+      (3L, "q"),                  // shorter than n → zeros
+      (4L, "s s s s")).toDF("doc_id", "text") // "s s s" x2 of 2 → 100%
+    val r = TextAnalysis.repetitionSignals(d, n = 3).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq(
+      (1L, 3L, 7L, 42L), (2L, 1L, 2L, 50L), (3L, 0L, 0L, 0L),
+      (4L, 2L, 2L, 100L)))
+  }
+
   test("vocabulary: document frequency, tokens counted once per doc") {
     val d = Seq(
       (1L, "a a b c"),   // a counts ONCE for doc 1
