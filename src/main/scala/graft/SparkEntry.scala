@@ -698,6 +698,26 @@ object SparkEntry {
           size(graft.pipeline.TextAnalysis.tokens(col("text"))),
           budget = 1024, shards = 8)
         .orderBy("doc_id")),
+
+    // overlapping token-window chunking (retrieval/embedding prep):
+    // 32-token windows every 16 tokens; chunk text exposed as its md5
+    "doc_chunks" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .chunk(Tables.documents(s, dir), "doc_id", "text",
+          windowTokens = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // deterministic weighted source mixture: keep w/256 of each listed
+    // source by md5 bucket of the id (pure function of the row — stable
+    // under reruns and appends); unlisted sources pass whole
+    "mixture_sample" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .mixtureSample(Tables.documents(s, dir), "source", "doc_id",
+          Map("src0" -> 64, "src1" -> 128, "src2" -> 0, "src3" -> 255))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1185,6 +1205,31 @@ object SparkEntry {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
         | FROM documents) t
         |WHERE rnk <= 150 ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |c AS (SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+        |  toks[g.i * 16 + 1 : g.i * 16 + 32] AS chunk
+        | FROM t, generate_series(0, 4095) AS g(i)
+        | WHERE g.i * 16 < nt)
+        |SELECT doc_id, chunk_id,
+        | md5(array_to_string(chunk, ' ')) AS chunk_md5,
+        | CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE
+        |  WHEN source = 'src0'
+        |    THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  WHEN source = 'src1'
+        |    THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |  WHEN source = 'src2' THEN FALSE
+        |  WHEN source = 'src3'
+        |    THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'ff'
+        |  ELSE TRUE END
+        |ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       """SELECT doc_id, shard,

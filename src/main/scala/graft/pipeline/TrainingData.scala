@@ -66,9 +66,58 @@ object TrainingData {
       .withColumn("n_tokens", tokenCol.cast("long"))
       .withColumn("shard", pmod(col(idCol), lit(shards)).cast("long"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("cum") - col("n_tokens"))
       .select(col(idCol),
         col("shard"),
-        floor((col("cum") - col("n_tokens")) / budget).cast("long").as("seq_id"),
-        ((col("cum") - col("n_tokens")) % budget).cast("long").as("seq_offset"))
+        // integer div, not `/`: long÷int routes through double, whose
+        // rounding near 2^53 cumulative tokens would corrupt the floor
+        expr(s"start div $budget").as("seq_id"),
+        (col("start") % budget).cast("long").as("seq_offset"))
+  }
+
+  /** Overlapping token-window chunking — the retrieval/embedding
+    * preprocessing step: each document yields windows of `windowTokens`
+    * tokens starting every `stride` tokens (the tail window may be
+    * short; every token is covered). One narrow explode per document —
+    * no shuffle at any scale; downstream embedding generation
+    * parallelizes over (doc_id, chunk_id).
+    * Output: (idCol, chunk_id, chunk_text, n_chunk_tokens). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens > 0 && stride > 0 && stride <= windowTokens,
+      s"need 0 < stride <= windowTokens, got $stride/$windowTokens")
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__nt", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(__nt + $stride - 1) div $stride - 1"))))
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(windowTokens)))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Deterministic weighted source mixture: keep a row iff its md5
+    * bucket (256 buckets over the row id) falls under its group's
+    * threshold — sampling is a pure function of the id, so the mixture
+    * is stable under reruns, repartitions, and appends (no RNG state, no
+    * global count), and composes with [[hashSplit]] because the two
+    * hash DIFFERENT strings (prefixed vs raw id). One narrow filter.
+    * Weights are in 256ths (keep ≈ w/256 of the group). */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    weights256: Map[String, Int]): DataFrame = {
+    require(weights256.values.forall(w => w >= 0 && w <= 255),
+      "per-group weights are w/256 with w in 0..255; omit a group to keep it whole")
+    def hex(w: Int): String = f"$w%02x"
+    val b = substring(
+      md5(concat(lit("mix:"), col(idCol).cast("string")).cast("binary")), 1, 2)
+    // bucket < per-group threshold, both 2-char lowercase hex — byte-wise
+    // string compare, identical in any engine; unlisted groups pass whole
+    val keep = weights256.foldLeft(lit(true)) {
+      case (acc, (g, w)) => when(col(groupCol) === g, b < hex(w)).otherwise(acc)
+    }
+    df.where(keep)
   }
 }

@@ -73,4 +73,35 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(sorted == sorted.sorted)
     }
   }
+
+  test("chunk: sliding windows cover every token; tail may be short") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "only"))
+      .toDF("doc_id", "text")
+    val r = TrainingData.chunk(d, "doc_id", "text", windowTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq === Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L), (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t5 t6 t7 t8", 4L), (1L, 3L, "t7 t8 t9 t10", 4L),
+      (1L, 4L, "t9 t10", 2L),
+      (2L, 0L, "only", 1L)))
+  }
+
+  test("mixtureSample: deterministic, per-group rates, unlisted kept whole") {
+    val d = (0L until 2000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
+    val sampled = TrainingData.mixtureSample(d, "grp", "doc_id",
+      Map("g0" -> 64, "g1" -> 0, "g2" -> 255))
+    val again = TrainingData.mixtureSample(d, "grp", "doc_id",
+      Map("g0" -> 64, "g1" -> 0, "g2" -> 255))
+    assert(sampled.collect().map(_.getLong(0)).sorted.toSeq ===
+      again.collect().map(_.getLong(0)).sorted.toSeq) // pure function of id
+    val byGrp = sampled.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.getOrElse("g1", 0L) === 0L)          // weight 0 drops all
+    assert(byGrp("g3") === 500L)                      // unlisted kept whole
+    val g0 = byGrp("g0").toDouble / 500               // ≈ 64/256 = 25%
+    assert(g0 > 0.15 && g0 < 0.35, s"g0 rate $g0")
+    val g2 = byGrp("g2").toDouble / 500               // ≈ 255/256
+    assert(g2 > 0.95, s"g2 rate $g2")
+  }
 }
