@@ -660,6 +660,25 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // sketch family: HyperLogLog++ approximate distinct tokens per
+    // source, audited against the exact distinct count computed in the
+    // same job. The estimate is deterministic for fixed data (no RNG);
+    // the oracle checks the exact count (engine-comparable) plus the
+    // sketch's error staying far inside its 5%-rsd contract (|est −
+    // exact| ≤ 20%·exact ⇒ within_bound = 1 for every source).
+    "stats_approx_distinct" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      toks.groupBy("source")
+        .agg(countDistinct(col("tok")).as("exact_distinct"),
+          approx_count_distinct(col("tok"), rsd = 0.05).as("approx"))
+        .select(col("source"), col("exact_distinct"),
+          when(abs(col("approx") - col("exact_distinct")) * 5 <=
+            col("exact_distinct"), 1L).otherwise(0L).as("within_bound"))
+        .orderBy("source")
+    }),
+
     // corpus vocabulary by document frequency, top-100 by (df desc, tok)
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.topVocabulary(Tables.documents(s, dir), k = 100, minDf = 2)
@@ -1141,6 +1160,14 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5,
         | substring(md5(text), 1, 15) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stats_approx_distinct" ->
+      """SELECT source,
+        | count(DISTINCT tok) AS exact_distinct,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        | FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT DISTINCT doc_id,
