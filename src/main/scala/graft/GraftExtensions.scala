@@ -39,7 +39,17 @@ object GraftFunctions {
       "shingleHashesSorted", 2),
     ("graft_first_common", LongType, "firstCommon", 2),
     ("graft_first_equal_idx", IntegerType, "firstEqualIdx", 2),
-    ("graft_pq_dist", DoubleType, "pqDistDirect", 4))
+    ("graft_pq_dist", DoubleType, "pqDistDirect", 4),
+    ("graft_nearest_centroid", IntegerType, "nearestCentroidL2", 2),
+    ("graft_sub_centroid", ArrayType(FloatType, containsNull = false),
+      "subCentroidF", 3),
+    ("graft_pq_encode", ArrayType(IntegerType, containsNull = false),
+      "pqEncodeF", 4),
+    ("graft_sq8_encode", BinaryType, "sq8Encode", 3),
+    ("graft_sq8_decode", ArrayType(DoubleType, containsNull = false),
+      "sq8Decode", 3),
+    ("graft_sq8_dist", DoubleType, "sq8Dist", 4),
+    ("graft_shingle_repetition", LongType, "shingleRepetition", 2))
 
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {

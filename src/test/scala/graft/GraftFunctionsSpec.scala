@@ -66,6 +66,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r === 8.0)
   }
 
+  test("SQL surface: index-build and sq8 kernels are registered") {
+    val part = spark.sql(
+      """SELECT graft_nearest_centroid(
+        |  array(CAST(9.0 AS FLOAT), CAST(9.0 AS FLOAT)),
+        |  array(0.0D, 0.0D, 10.0D, 10.0D))""".stripMargin).head().getInt(0)
+    assert(part === 1)
+    val codes = spark.sql(
+      """SELECT graft_pq_encode(
+        |  array(CAST(9.0 AS FLOAT), CAST(-4.0 AS FLOAT)),
+        |  array(0.0D, 10.0D, 5.0D, -5.0D), 2, 2)""".stripMargin)
+      .head().getSeq[Int](0)
+    assert(codes === Seq(1, 1))
+    val rt = spark.sql(
+      """SELECT graft_sq8_decode(
+        |  graft_sq8_encode(array(CAST(1.25 AS FLOAT)),
+        |    array(0.0D), array(0.01D)),
+        |  array(0.0D), array(0.01D))""".stripMargin).head().getSeq[Double](0)
+    assert(math.abs(rt.head - 1.25) <= 0.005 + 1e-9)
+    val rep = spark.sql(
+      "SELECT graft_shingle_repetition(array('a','b','a','b'), 2)")
+      .head().getLong(0)
+    assert((rep >>> 32, rep & 0xFFFFFFFFL) === ((2L, 3L)))
+  }
+
   test("SQL surface: arity errors are rejected at analysis") {
     intercept[Exception] {
       spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()

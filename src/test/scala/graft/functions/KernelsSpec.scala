@@ -181,4 +181,61 @@ class KernelsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Kernels.pqDistDirect(q, cent, badCodes, cb))
   }
+
+  private def da(xs: Double*): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+
+  test("nearestCentroidL2 / subCentroidF: argmin + residual, ties to low id") {
+    // two 2-dim centroids: (0,0) and (10,10)
+    val flat = da(0.0, 0.0, 10.0, 10.0)
+    assert(Kernels.nearestCentroidL2(fa(1f, 1f), flat) === 0)
+    assert(Kernels.nearestCentroidL2(fa(9f, 9f), flat) === 1)
+    assert(Kernels.nearestCentroidL2(fa(5f, 5f), flat) === 0) // tie → low id
+    val r = Kernels.subCentroidF(fa(9f, 8f), flat, 1)
+    assert(r.toFloatArray().toSeq === Seq(-1.0f, -2.0f))
+    intercept[IllegalArgumentException](
+      Kernels.nearestCentroidL2(fa(1f, 1f, 1f), flat)) // 4 % 3 != 0
+    intercept[IllegalArgumentException](
+      Kernels.subCentroidF(fa(1f, 1f), flat, 2)) // cell 2 of 2
+  }
+
+  test("pqEncodeF: per-division argmin codes") {
+    // D=2, C=2, m=1; codebooks: div0 {0, 10}, div1 {5, -5}
+    val cb = da(0.0, 10.0, 5.0, -5.0)
+    val codes = Kernels.pqEncodeF(fa(9f, -4f), cb, 2, 2)
+    assert(codes.toIntArray().toSeq === Seq(1, 1))
+    assert(Kernels.pqEncodeF(fa(1f, 4f), cb, 2, 2).toIntArray().toSeq
+      === Seq(0, 0))
+    intercept[IllegalArgumentException](
+      Kernels.pqEncodeF(fa(1f, 2f, 3f), cb, 2, 2)) // 3 % 2 != 0
+  }
+
+  test("sq8 codec: round-trip within half a step; guards on dim") {
+    val mins = da(0.0, -1.0)
+    val scales = da(0.1, 0.01)
+    val v = fa(12.73f, 0.5f)
+    val code = Kernels.sq8Encode(v, mins, scales)
+    assert(code.length === 2)
+    val dec = Kernels.sq8Decode(code, mins, scales)
+    assert(math.abs(dec.getDouble(0) - 12.73) <= 0.05 + 1e-9)
+    assert(math.abs(dec.getDouble(1) - 0.5) <= 0.005 + 1e-9)
+    // clamping: values outside [min, min+255Δ] pin to the range ends
+    assert((Kernels.sq8Encode(fa(-5f, 0f), mins, scales)(0) & 0xFF) === 0)
+    assert((Kernels.sq8Encode(fa(99f, 0f), mins, scales)(0) & 0xFF) === 255)
+    val d = Kernels.sq8Dist(da(12.73, 0.5), code, mins, scales)
+    val manual = math.pow(12.73 - dec.getDouble(0), 2) +
+      math.pow(0.5 - dec.getDouble(1), 2)
+    assert(math.abs(d - manual) < 1e-12)
+    intercept[IllegalArgumentException](
+      Kernels.sq8Dist(da(1.0), code, mins, scales))
+  }
+
+  test("shingleRepetition: packed (max multiplicity, total)") {
+    def unpack(p: Long): (Long, Long) = (p >>> 32, p & 0xFFFFFFFFL)
+    assert(unpack(Kernels.shingleRepetition(
+      sa("a", "b", "a", "b", "a", "b"), 2)) === ((3L, 5L))) // "a b" x3
+    assert(unpack(Kernels.shingleRepetition(sa("x", "y"), 3)) === ((0L, 0L)))
+    assert(unpack(Kernels.shingleRepetition(
+      sa("p", "q", "r"), 3)) === ((1L, 1L)))
+  }
 }
