@@ -99,7 +99,8 @@ object TextAnalysis {
   /** Content fingerprint: 128-bit MD5 of the text (hex) plus a 64-bit
     * decimal prefix — the exact-dedup key. Identical in Spark and any SQL
     * engine, unlike engine-specific hash functions. A Karp–Rabin rolling
-    * fingerprint over shingles lives in [[MinHash.shingleHashes]]. */
+    * fingerprint over shingles lives in
+    * [[graft.functions.Kernels.shingleHashesSorted]]. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
