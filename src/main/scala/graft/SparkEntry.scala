@@ -53,6 +53,7 @@ object SparkEntry {
     * views = vec_id·10 + 1 for every 7th vector — so reads must replay
     * last-write-wins, not just read a table. */
   private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val appendDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storedIndexPath(s: SparkSession, dir: String): String =
     storedIdx.getOrElseUpdate(dir, {
       val (model, encoded) = fittedIndex(s, dir)
@@ -414,7 +415,11 @@ object SparkEntry {
     "ann_append" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (model, encoded) = fittedIndex(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_append").toString
+      // one REUSED store per sf dir: save() overwrites the codes table,
+      // so each run re-exercises the full save+append+load path without
+      // accumulating a fresh directory per invocation
+      val out = appendDir.getOrElseUpdate(dir,
+        java.nio.file.Files.createTempDirectory("graft_append").toString)
       IvfPqBuilder.save(model,
         IvfPqBuilder.encode(model, emb.where(col("vec_id") % 2 === 0),
           "vec_id", "embedding"), out)

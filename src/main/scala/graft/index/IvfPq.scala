@@ -22,11 +22,15 @@ case class IvfPqConfig(
     // k-means TRAINING sample cap, per centroid (standard IVF/PQ
     // practice at scale — e.g. FAISS's max_points_per_centroid=256:
     // centroids/codebooks are estimated from k·cap points, then ALL
-    // vectors are assigned/encoded in single passes). 0 trains on
-    // everything, like the reference's in-memory loop — which cannot
-    // be the 100 TB path: an iterative fit over the full corpus scans
-    // it maxIter times. Quality loss is negligible once cap ≫ the
-    // per-centroid d.o.f.; small inputs are unaffected (cap ≥ n).
+    // vectors are assigned/encoded in single passes). Training is
+    // driver-local (LocalKMeans), so the k·cap sample — and, with the
+    // cap DISABLED (0), the ENTIRE input — is collect()ed: 0 is for
+    // corpora that fit in driver memory (tests, the reference's own
+    // in-memory scale), never the 100 TB path, where an uncapped
+    // iterative fit would be wrong twice over (collect + maxIter
+    // full scans). Quality loss from sampling is negligible once
+    // cap ≫ the per-centroid d.o.f.; small inputs are unaffected
+    // (cap ≥ n ⇒ no sampling).
     trainPointsPerCentroid: Int = 256,
     // init for the D codebook fits: "random" (FAISS's PQ practice —
     // sampled training points as initial centroids) skips k-means||'s

@@ -260,14 +260,15 @@ object LocalKMeans {
   }
 
   /** Run `body` over ordered chunks of [0, n) on the global pool; results
-    * come back in chunk order, so merges are deterministic. */
+    * come back in chunk order and chunk BOUNDARIES are a pure function of
+    * n (fixed 4096-point chunks, NOT core-count-derived), so partial-sum
+    * grouping — and therefore the fitted centroids — are bit-identical
+    * for the same (data, seed) on any machine. */
   private def parChunks[T](n: Int)(body: (Int, Int) => T): Seq[T] = {
-    val threads =
-      math.max(1, math.min(Runtime.getRuntime.availableProcessors, n))
-    val size = (n + threads - 1) / threads
-    val ranges = (0 until threads)
+    val size = 4096
+    val chunks = (n + size - 1) / size
+    val ranges = (0 until chunks)
       .map(t => (t * size, math.min(n, (t + 1) * size)))
-      .filter { case (s, e) => s < e }
     implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(
       Future.sequence(ranges.map { case (s, e) => Future(body(s, e)) }),

@@ -63,8 +63,10 @@ object AsofJoin {
                    leftSeq: String, rightSeq: String, tolerance: Option[Long],
                    forward: Boolean): DataFrame = {
     val pcols = payload.map(p => s"asof_$p")
-    require(!left.columns.exists(c => pcols.contains(c) || c == "asof_time"),
-      s"left side must not already carry ${pcols.mkString(", ")} or asof_time")
+    val reserved = pcols ++ Seq("asof_time", "__t", "__side", "__seq", "__r")
+    val clash = left.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"left side must not already carry ${clash.mkString(", ")}")
     // side tag orders right rows so a right row at EXACTLY left.time is
     // visible to the window: before left rows for backward (running
     // window ends at current), after left rows for forward
@@ -73,33 +75,38 @@ object AsofJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(leftSide))
       .withColumn("__seq", col(leftSeq))
+    // the matched right row travels as ONE struct (non-null on every
+    // right row even when payload FIELDS are null), so the window picks
+    // a whole row atomically — per-column ignoreNulls carries would tear
+    // a null payload value off an older right row
     val r2 = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(rightSide).as("__side"),
-          col(rightSeq).as("__seq"), col(rightTime).as("asof_time")) ++
-        payload.zip(pcols).map { case (p, a) => col(p).as(a) }: _*)
+          col(rightSeq).as("__seq"),
+          struct(col(rightTime).as("asof_time") +:
+            payload.zip(pcols).map { case (p, a) => col(p).as(a) }: _*)
+            .as("__r")): _*)
     val u = l2.unionByName(r2, allowMissingColumns = true)
     val ord = Seq(col("__t"), col("__side"), col("__seq"))
     val w = Window.partitionBy(keys.map(col): _*)
-    val (frame, pick) =
+    val picked =
       if (forward)
-        (w.orderBy(ord: _*).rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          (c: Column) => first(c, ignoreNulls = true))
+        first(col("__r"), ignoreNulls = true).over(w.orderBy(ord: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
       else
-        (w.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          (c: Column) => last(c, ignoreNulls = true))
-    val carried = ("asof_time" +: pcols).foldLeft(u) { (acc, c) =>
-      acc.withColumn(c, pick(col(c)).over(frame))
-    }
-    val matched = carried.where(col("__side") === leftSide)
+        last(col("__r"), ignoreNulls = true).over(w.orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val matched = u.withColumn("__r", picked)
+      .where(col("__side") === leftSide)
     val bounded = tolerance.fold(matched) { tol =>
       val fresh =
-        if (forward) col("asof_time") - col("__t") <= tol
-        else col("__t") - col("asof_time") <= tol
-      ("asof_time" +: pcols).foldLeft(matched) { (acc, c) =>
-        acc.withColumn(c, when(fresh, col(c)))
-      }
+        if (forward) col("__r.asof_time") - col("__t") <= tol
+        else col("__t") - col("__r.asof_time") <= tol
+      matched.withColumn("__r", when(fresh, col("__r")))
     }
-    bounded.drop("__t", "__side", "__seq")
+    val unpacked = ("asof_time" +: pcols).foldLeft(bounded) { (acc, c) =>
+      acc.withColumn(c, col(s"__r.$c"))
+    }
+    unpacked.drop("__t", "__side", "__seq", "__r")
   }
 }

@@ -57,6 +57,20 @@ class AsofJoinSpec extends AnyFunSuite {
       (4L, Some(13L)), (5L, None)))
   }
 
+  test("null payload values ride the MATCHED row, not an older one") {
+    val l = Seq((1L, 1L, 300L)).toDF("event_id", "k", "t")
+    val rr = Seq((10L, 1L, 100L, Option(5.0)), (11L, 1L, 200L, None))
+      .toDF("rid", "k", "t", "v")
+    val row = AsofJoin.backward(l, rr, Seq("k"), "t", "t",
+        payload = Seq("rid", "v"), leftSeq = "event_id", rightSeq = "rid")
+      .select($"asof_time", $"asof_rid", $"asof_v").head()
+    // the match is the t=200 row whose v is genuinely NULL — a
+    // per-column ignoreNulls carry would smuggle in 5.0 from t=100
+    assert(row.getLong(0) === 200L)
+    assert(row.getLong(1) === 11L)
+    assert(row.isNullAt(2))
+  }
+
   test("equal-time right ties: backward takes the largest rightSeq") {
     val l = Seq((1L, 1L, 100L)).toDF("event_id", "k", "t")
     val rr = Seq((10L, 1L, 100L, 1.0), (11L, 1L, 100L, 2.0))
