@@ -276,6 +276,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // stream-static as-of (StreamingAsof, batch-path correctness like the
+    // other streaming entries): clicks enriched with the user's latest
+    // prior-or-same signup value via a broadcast per-key timeline +
+    // binary-search kernel — no shuffle of the fact side
+    "events_asof_static" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts", col("ts") - col("ts") % 1000)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.where(col("event_type") === "signup")
+        .select("user_id", "ts", "value")
+      graft.streaming.StreamingAsof.backwardStatic(clicks, "user_id", "ts",
+          signups, "user_id", "ts", "value")
+        .select(col("event_id"), col("user_id"),
+          expr("asof_time div 1000").as("asof_us"),
+          col("asof_value").as("signup_value"))
+        .orderBy("event_id")
+    }),
+
     // per-event sessionization (gap-and-island window): session breaks at
     // gaps ≥ 30 min; µs-truncated ts for oracle-engine agreement as above
     "events_sessionize" -> ((s, dir) => {
@@ -877,6 +896,29 @@ object SparkEntry {
         |    AS purchase_value
         | FROM u)
         |SELECT event_id, user_id, purchase_event_id, purchase_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "events_asof_static" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tus, event_type, value
+        | FROM events),
+        |u AS (
+        | SELECT user_id, tus, 1 AS side, event_id AS seq, event_id,
+        |  CAST(NULL AS BIGINT) AS p_t, CAST(NULL AS DOUBLE) AS p_v
+        | FROM ev WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, tus, 0, event_id, NULL, tus, value
+        | FROM ev WHERE event_type = 'signup'),
+        |w AS (SELECT user_id, side, event_id,
+        |  last_value(p_t IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tus, side, seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_us,
+        |  last_value(p_v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tus, side, seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS signup_value
+        | FROM u)
+        |SELECT event_id, user_id, asof_us, signup_value
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "events_sessionize" ->

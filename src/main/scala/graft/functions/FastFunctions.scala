@@ -28,6 +28,7 @@ object FastFunctions {
     "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
     "shingleRepetition" -> Seq(ArrayType(StringType), IntegerType),
     "interSortedSize" -> Seq(ArrayType(LongType), ArrayType(LongType)),
+    "lastLeIdx" -> Seq(ArrayType(LongType), LongType),
     "firstCommon" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "firstEqualIdx" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "minhashSig" -> Seq(ArrayType(LongType), IntegerType),
@@ -111,6 +112,11 @@ object FastFunctions {
   /** |A ∩ B| for two ascending-sorted array<long> columns. */
   def interSortedSize(a: Column, b: Column): Column =
     invoke(LongType, "interSortedSize", a, b)
+
+  /** Greatest index with times[idx] <= t in an ascending array<long>,
+    * −1 if none — binary search, one call per row. */
+  def lastLeIdx(times: Column, t: Column): Column =
+    invoke(IntegerType, "lastLeIdx", times, t)
 
   /** First element of `a` also present in `b` (both array<long>). */
   def firstCommon(a: Column, b: Column): Column =

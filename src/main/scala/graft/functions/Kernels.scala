@@ -176,6 +176,22 @@ object Kernels {
     (maxCount.toLong << 32) | m.toLong
   }
 
+  /** Greatest index i with times[i] <= t over an ascending-sorted long
+    * array, −1 when every element exceeds t — the binary-search step of
+    * the stream-static as-of join (O(log m) per row against a broadcast
+    * per-key timeline). */
+  def lastLeIdx(times: ArrayData, t: Long): Int = {
+    var lo = 0
+    var hi = times.numElements() - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times.getLong(mid) <= t) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
   /** |A ∩ B| of two ascending-sorted long arrays (merge intersect). */
   def interSortedSize(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
