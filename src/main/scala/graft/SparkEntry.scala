@@ -600,6 +600,15 @@ object SparkEntry {
         .select("content_hash", "keep_id", "n_docs")
         .orderBy("content_hash")),
 
+    // normalization-aware exact dedup: canonicalize (lowercase, strip
+    // punctuation, collapse spaces) BEFORE hashing — catches trivially
+    // reformatted duplicates plain exact dedup misses
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)
+          .withColumn("text", TextAnalysis.normalizedText(col("text"))))
+        .select("content_hash", "keep_id", "n_docs")
+        .orderBy("content_hash")),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), thresholdPct = 85)
         .orderBy("a_id", "b_id")),
@@ -654,6 +663,17 @@ object SparkEntry {
     }),
 
     // ------------------------------------ multimodal binary-column family
+    // multimodal → similarity composition: media float features (bucket
+    // sums normalized by byte length, cast to f32) feed the exact k-NN
+    // machinery unchanged
+    "media_knn" -> ((s, dir) => {
+      val emb = Multimodal.floatFeatures(
+        Multimodal.fromDocuments(Tables.documents(s, dir)))
+      val q = emb.where(col("media_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      ExactKnn.rankedIds(emb, "embedding", "media_id", q, 10)
+    }),
+
     "media_meta" -> ((s, dir) =>
       Multimodal.fromDocuments(Tables.documents(s, dir))
         .select(col("media_id"), col("kind"), col("meta.byte_len").as("byte_len"))
@@ -1097,6 +1117,36 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_normalized" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text
+        | FROM documents)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_docs
+        |FROM n GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "media_knn" ->
+      """WITH b AS (SELECT doc_id, (t.i - 1) % 8 AS j,
+        |  sum(ascii(substring(text, t.i, 1))) AS s
+        | FROM documents, generate_series(1, 8192) AS t(i)
+        | WHERE t.i <= length(text)
+        | GROUP BY 1, 2),
+        |f AS (SELECT d.doc_id AS media_id, g.j AS j,
+        |  CAST(CAST(coalesce(b.s, 0) AS DOUBLE) /
+        |    greatest(octet_length(encode(d.text)), 1) AS REAL) AS v
+        | FROM documents d CROSS JOIN generate_series(0, 7) AS g(j)
+        | LEFT JOIN b ON b.doc_id = d.doc_id AND b.j = g.j),
+        |q AS (SELECT j, v FROM f WHERE media_id = 0),
+        |dd AS (SELECT f.media_id,
+        |  sum((CAST(f.v AS DOUBLE) - CAST(q.v AS DOUBLE))
+        |    * (CAST(f.v AS DOUBLE) - CAST(q.v AS DOUBLE))) AS sq
+        | FROM f JOIN q ON f.j = q.j GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY sq, media_id) AS BIGINT)
+        |   AS rank,
+        | media_id
+        |FROM dd ORDER BY sq, media_id LIMIT 10""".stripMargin,
 
     "dedup_jaccard" -> jaccardOracle(85),
 

@@ -107,6 +107,14 @@ object TextAnalysis {
       md5(col("text")).as("fp_md5"),
       substring(md5(col("text")), 1, 15).as("fp_prefix"))
 
+  /** Canonicalized text for normalization-aware dedup: lowercase,
+    * non-alphanumerics to spaces, space runs collapsed, trimmed. Pure
+    * codegen projection; patterns restricted to classes that mean the
+    * same thing in Java regex and RE2, so SQL engines reproduce it. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Repetition quality signal (Gopher-style, Rae et al. 2021 §A1.1):
     * multiplicity of the most-repeated n-token shingle, total shingles,
     * and their floor-percent ratio — documents dominated by one repeated

@@ -63,6 +63,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L) !== r(3L))
   }
 
+  test("normalizedText: case, punctuation, and space runs collapse") {
+    val d = Seq((1L, "Hello,  World! x"), (2L, "hello world x"),
+      (3L, "  A--B  ")).toDF("doc_id", "text")
+    val r = d.select($"doc_id",
+        TextAnalysis.normalizedText($"text").as("t"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) === "hello world x")
+    assert(r(1L) === r(2L)) // reformatted duplicates now collide
+    assert(r(3L) === "a b")
+  }
+
   test("repetitionSignals: max shingle multiplicity and ratio") {
     val d = Seq(
       (1L, "a b c a b c a b c"),  // trigram "a b c" x3 of 7 → 42%
