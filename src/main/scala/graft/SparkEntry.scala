@@ -254,6 +254,21 @@ object SparkEntry {
       graft.streaming.EventPipeline.extractProps(Tables.events(s, dir))
         .orderBy("event_id")),
 
+    // windowed top-n: rank event types per hourly window by count — the
+    // leaderboard analytic over the windowed aggregates (batch path; the
+    // windowed aggregation itself is the streaming-compatible stage)
+    "stream_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("win_start")
+        .orderBy(col("cnt").desc, col("event_type"))
+      graft.streaming.EventPipeline
+        .windowedStats(Tables.events(s, dir), "1 hour")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("win_start", "rnk", "event_type", "cnt")
+        .orderBy("win_start", "rnk")
+    }),
+
     // backward as-of join (graft.operators.AsofJoin): every click gets
     // the latest prior-or-same purchase of the same user — one union +
     // hash exchange on user_id + carry-forward window, never a range
@@ -885,6 +900,19 @@ object SparkEntry {
         |   AS win_start,
         | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_window_topk" ->
+      """WITH ws AS (
+        | SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+        |    AS win_start,
+        |  event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2)
+        |SELECT win_start, rnk, event_type, cnt FROM (
+        | SELECT win_start, event_type, cnt,
+        |  CAST(row_number() OVER (PARTITION BY win_start
+        |    ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+        | FROM ws) t
+        |WHERE rnk <= 3 ORDER BY win_start, rnk""".stripMargin,
 
     "events_props_json" ->
       """SELECT event_id,
