@@ -826,6 +826,112 @@ object SparkEntry {
           Map("src0" -> 64, "src1" -> 128, "src2" -> 0, "src3" -> 255))
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // ------------------------------------------------- keyword retrieval
+    // ranked conjunctive search, index-free scan path: per-term tf via
+    // codegen array filters, rank by (total tf desc, id) — integer
+    // scoring so the oracle is exact (see TextSearch scaladoc)
+    "search_rank" -> ((s, dir) =>
+      graft.query.TextSearch.rankedSearch(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "vector"), k = 20)),
+
+    // same semantics through the inverted-index path: postings build
+    // (explode + map-side-combined count) + IN-filtered doc-keyed agg
+    "search_conj" -> ((s, dir) =>
+      graft.query.TextSearch.searchPostings(
+        graft.query.TextSearch.postings(Tables.documents(s, dir),
+          "doc_id", "text"),
+        "doc_id", Seq("spark", "vector"))
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: train docs (id % 23 ≠ 0) sharing any
+    // word 3-gram with the benchmark subset (id % 23 = 0); n_hits =
+    // distinct shared 3-grams per contaminated doc
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.TrainingData.decontaminate(
+        docs.where(col("doc_id") % 23 =!= 0),
+        docs.where(col("doc_id") % 23 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // bucketed interval join (no equi-key): every click paired with ALL
+    // purchases of the next five minutes — equi-join on derived time
+    // buckets, never a cross join (see RangeJoin scaladoc). µs domain on
+    // both sides so the oracle engine agrees on the boundary.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("tus", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("tus").as("click_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("tus").as("purchase_us"))
+      graft.operators.RangeJoin.bucketed(clicks, purchases,
+          "click_us", "purchase_us", lo = 1L, hi = 300000000L)
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    // stream-stream attribution join (batch-path correctness like the
+    // other streaming entries; EventPipelineSpec runs the same code on
+    // two MemoryStreams with watermarks): purchases × same-user clicks
+    // of the preceding hour
+    "events_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      graft.streaming.EventPipeline.attributionPairs(clicks, purchases,
+          "click_ts", "purchase_ts", "1 hour")
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    }),
+
+    // anti join — the NOT EXISTS shape (customers with no 400k+ order)
+    "rel_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // TPC-H Q18 shape: join back through a HAVING aggregate (orders
+    // whose lineitems sum past a quantity threshold, with their
+    // customer) — aggregate-then-join, both joins key-local
+    "rel_q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .where(col("total_qty") > 250)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
+    // sketch family: percentile_approx (KLL-style quantile summary)
+    // audited in-job against the exact p50 rank — rank_ok = 1 iff the
+    // count of values ≤ the approximate median sits within ±4% of n/2
+    // (the sketch's rank-error contract at accuracy 10000 is n/10000;
+    // the slack keeps the invariant robust, the audit keeps it honest)
+    "stats_approx_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ap = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap"))
+      ev.join(ap, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(when(col("value") <= col("ap"), 1L).otherwise(0L)),
+            lit(0L)).as("n_le"))
+        .select(col("event_type"), col("cnt"),
+          when(abs(col("n_le") * 2 - col("cnt")) * 25 <= col("cnt") + 100, 1L)
+            .otherwise(0L).as("rank_ok"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1445,6 +1551,83 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS cum
         | FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "search_rank" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |p AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+        | WHERE tok IN ('spark', 'vector') GROUP BY 1, 2),
+        |h AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+        | FROM p GROUP BY doc_id HAVING count(*) = 2)
+        |SELECT CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id)
+        |   AS BIGINT) AS rank,
+        | doc_id, tf_total
+        |FROM h ORDER BY tf_total DESC, doc_id LIMIT 20""".stripMargin,
+
+    "search_conj" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |p AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+        | WHERE tok IN ('spark', 'vector') GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+        |FROM p GROUP BY doc_id HAVING count(*) = 2
+        |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |be AS (SELECT DISTINCT md5(array_to_string(ts[g.i : g.i + 2], ' '))
+        |   AS g
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 = 0 AND g.i + 2 <= len(ts)),
+        |tg AS (SELECT DISTINCT doc_id,
+        |  md5(array_to_string(ts[g.i : g.i + 2], ' ')) AS g
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 <> 0 AND g.i + 2 <= len(ts))
+        |SELECT doc_id, count(*) AS n_hits FROM tg JOIN be USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "events_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ct
+        | FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS pt
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id FROM c JOIN p
+        | ON pt >= ct + 1 AND pt <= ct + 300000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "events_attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ct
+        | FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS pt
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, click_id FROM c JOIN p USING (user_id)
+        |WHERE ct < pt AND ct >= pt - 3600000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        | WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2)
+        |   AS total_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_custkey, o_orderkey, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "stats_approx_quantiles" ->
+      """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Shared oracle for exact token-set Jaccard at a given integer

@@ -99,6 +99,47 @@ object TrainingData {
         size(col("__chunk")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** The distinct word-n-gram fingerprints of a text column: md5 of each
+    * n-token window joined by a single space. md5-of-string (not an
+    * engine-specific hash) so any SQL engine reproduces the keys
+    * byte-for-byte. Codegen'd narrow expression; empty array when the
+    * document is shorter than n tokens (the `when` guard matters:
+    * sequence(1, 0) would DESCEND, not return empty). */
+  def ngramFingerprints(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    val m = size(toks) - lit(n - 1)
+    array_distinct(when(m >= 1,
+      transform(sequence(lit(1), m),
+        i => md5(array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark decontamination (GPT-3 §C / PaLM-style): flag every
+    * training document sharing at least one word n-gram with the
+    * benchmark corpus. Output: (idCol, n_hits) per contaminated doc,
+    * where n_hits = number of DISTINCT n-grams of the doc that occur
+    * anywhere in the benchmark.
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT fingerprint
+    * set (benchmark-sized — eval suites are tiny next to a 100 TB
+    * corpus, so Spark broadcasts it and the train side never shuffles
+    * its n-grams); the train side is one narrow explode of per-doc
+    * distinct fingerprints, a candidate-sized semi-join, and a doc-keyed
+    * count. If the benchmark ever outgrows broadcast, the same plan
+    * shuffle-joins on the fingerprint — still fixed-width rows, never
+    * text. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val bg = bench
+      .select(explode(ngramFingerprints(col(textCol), n)).as("g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
+      .join(bg, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Deterministic weighted source mixture: keep a row iff its md5
     * bucket (256 buckets over the row id) falls under its group's
     * threshold — sampling is a pure function of the id, so the mixture

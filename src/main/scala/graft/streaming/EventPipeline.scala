@@ -78,6 +78,39 @@ object EventPipeline {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream attribution join: every purchase paired with the same
+    * user's clicks from the preceding `windowDur` (click strictly before
+    * the purchase, within the window). THE canonical watermarked
+    * stream-stream equi-join-with-interval-condition: on a stream, pass
+    * a watermark so each side's state is bounded — a click older than
+    * (watermark − window) can never match a future purchase and is
+    * evicted; in batch the same code is an equi-join on user_id with a
+    * range predicate (time-local, never a cross join).
+    *
+    * Input frames must already carry distinct column names; the two
+    * event-time columns are derived here as `click_time`/`purchase_time`
+    * from the given ns-long ts columns. Output: one row per qualifying
+    * (purchase, click) pair with both ids and times (µs). */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame,
+                       clickTsCol: String, purchaseTsCol: String,
+                       windowDur: String,
+                       watermark: Option[String] = None): DataFrame = {
+    val c0 = clicks.withColumn("click_time",
+      timestamp_micros(expr(s"`$clickTsCol` div 1000")))
+    val p0 = purchases.withColumn("purchase_time",
+      timestamp_micros(expr(s"`$purchaseTsCol` div 1000")))
+    val (c, p) = watermark match {
+      case Some(w) =>
+        (c0.withWatermark("click_time", w), p0.withWatermark("purchase_time", w))
+      case None => (c0, p0)
+    }
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("click_time") < col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr(s"INTERVAL $windowDur"))
+      .drop(c("user_id"))
+  }
+
   /** JSON props extraction — the schema-on-read path for the free-form
     * `props` column; pure projection, streams and batches identically. */
   def extractProps(events: DataFrame): DataFrame =
