@@ -104,4 +104,36 @@ class TrainingDataSpec extends AnyFunSuite {
     val g2 = byGrp("g2").toDouble / 500               // ≈ 255/256
     assert(g2 > 0.95, s"g2 rate $g2")
   }
+
+  test("ngramFingerprints: short docs yield EMPTY, not a descending range") {
+    val d = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = d.select(org.apache.spark.sql.functions.size(
+        TrainingData.ngramFingerprints(
+          org.apache.spark.sql.functions.col("text"), 3)).as("n"))
+      .orderBy("n").collect().map(_.getInt(0)).toSeq
+    assert(r === Seq(0, 1, 2))
+  }
+
+  test("decontaminate matches a brute-force n-gram intersection") {
+    val train = Seq(
+      (1L, "x y z w q"),          // shares 3-grams "b c d" ? no — control
+      (2L, "a b c d zz"),         // shares "a b c" and "b c d"
+      (3L, "c d e unrelated t"),  // shares "c d e"
+      (4L, "a b x c d y")).toDF("doc_id", "text") // no shared 3-gram
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val got = TrainingData.decontaminate(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // bench 3-grams: {a b c, b c d, c d e}
+    assert(got === Seq((2L, 2L), (3L, 1L)))
+  }
+
+  test("decontaminate counts DISTINCT shared n-grams once per doc") {
+    val train = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val bench = Seq((9L, "b a b")).toDF("doc_id", "text")
+    // train 3-grams {a b a, b a b} (each occurring twice); bench {b a b}
+    val got = TrainingData.decontaminate(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L)))
+  }
 }

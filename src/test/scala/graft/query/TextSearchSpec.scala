@@ -1,0 +1,62 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** TextSearch semantics: conjunctive tf search through both physical
+  * paths (index-free scan, inverted-index postings) must agree; ranking
+  * is (tf desc, id) with integer scores. */
+class TextSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark vector spark table"),
+    (1L, "vector vector row"),
+    (2L, "spark spark spark"),
+    (3L, "spark vector"),
+    (4L, "other words entirely")).toDF("doc_id", "text")
+
+  test("searchScan: conjunctive hits only, tf summed over terms") {
+    val r = TextSearch.searchScan(docs, "doc_id", "text",
+        Seq("spark", "vector"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(r === Seq((0L, 3L), (3L, 2L)))
+  }
+
+  test("postings path agrees with scan path") {
+    val post = TextSearch.postings(docs, "doc_id", "text")
+    val a = TextSearch.searchPostings(post, "doc_id", Seq("spark", "vector"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val b = TextSearch.searchScan(docs, "doc_id", "text",
+        Seq("spark", "vector"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("postings: unique per (token, doc) with the right tf") {
+    val p = TextSearch.postings(docs, "doc_id", "text")
+    assert(p.where($"tok" === "spark" && $"doc_id" === 2L)
+      .select("tf").as[Long].head() === 3L)
+    assert(p.groupBy("tok", "doc_id").count()
+      .where($"count" > 1).count() === 0L)
+  }
+
+  test("rankedSearch: (tf desc, id) order, k bound, rank dense from 1") {
+    val r = TextSearch.rankedSearch(docs, "doc_id", "text", Seq("spark"), 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 2L, 3L), (2L, 0L, 2L)))
+  }
+
+  test("duplicate query terms collapse to single-term semantics") {
+    val dup = TextSearch.searchScan(docs, "doc_id", "text",
+        Seq("spark", "spark"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val single = TextSearch.searchScan(docs, "doc_id", "text", Seq("spark"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(dup === single)
+    assert(dup.map(_._1) === Seq(0L, 2L, 3L))
+  }
+}

@@ -184,6 +184,44 @@ class EventPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionPairs: stream-stream join (append) equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks at hours 0,1,3 for user 10; purchases at 1,2 — the 1-hour
+    // window attributes each purchase to strictly-earlier clicks only
+    val clicks = Seq((1L, 10L, baseNs), (2L, 10L, baseNs + hourNs),
+      (3L, 10L, baseNs + 3 * hourNs), (4L, 11L, baseNs))
+    val purchases = Seq((100L, 10L, baseNs + hourNs),
+      (101L, 10L, baseNs + 2 * hourNs), (102L, 11L, baseNs + hourNs))
+    val cs = MemoryStream[(Long, Long, Long)]
+    val ps = MemoryStream[(Long, Long, Long)]
+    val cdf = cs.toDF().toDF("click_id", "user_id", "click_ts")
+    val pdf = ps.toDF().toDF("purchase_id", "user_id", "purchase_ts")
+    val q = EventPipeline.attributionPairs(cdf, pdf, "click_ts",
+        "purchase_ts", "1 hour", watermark = Some("2 hours"))
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("attr_pairs")
+      .outputMode("append").start()
+    try {
+      cs.addData(clicks: _*)
+      ps.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_pairs")
+        .orderBy("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSeq
+      val batch = EventPipeline.attributionPairs(
+          clicks.toDF("click_id", "user_id", "click_ts"),
+          purchases.toDF("purchase_id", "user_id", "purchase_ts"),
+          "click_ts", "purchase_ts", "1 hour")
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(streamed === batch)
+      // purchase 100 ← click 1 (t-1h boundary inclusive); purchase 101 ←
+      // click 2; purchase 102 ← click 4; click 3 is AFTER both purchases
+      assert(batch === Seq((100L, 1L), (101L, 2L), (102L, 4L)))
+    } finally q.stop()
+  }
+
   test("extractProps: json field as long") {
     val r = EventPipeline.extractProps(toDf(batch1)).orderBy("event_id")
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
