@@ -913,6 +913,71 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     }),
 
+    // PCA over the embedding corpus (invariant-gated like the ANN
+    // entries — eigenvectors are sign/geometry-dependent, their contracts
+    // are not): one distributed moments pass + driver Jacobi eigensolve +
+    // distributed codegen projection. Invariants: eigenvalues descending;
+    // top-k components orthonormal; Σ all eigenvalues = tr(C); the
+    // distributed projection's per-component POPULATION variance equals
+    // its eigenvalue; distributed projections match a driver recompute
+    // on sample vectors.
+    "embed_pca" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.pipeline.Embeddings.pcaFit(emb, "embedding", k = 8)
+      val ev = model.eigenvalues
+      val orderViol = (1 until ev.length)
+        .count(i => ev(i) > ev(i - 1) + 1e-9).toLong
+      val orthoBad = (for {
+        i <- model.components.indices
+        j <- i until model.components.length
+      } yield {
+        val dot = (0 until model.dim)
+          .map(t => model.components(i)(t) * model.components(j)(t)).sum
+        val target = if (i == j) 1.0 else 0.0
+        if (math.abs(dot - target) > 1e-8) 1L else 0L
+      }).sum
+      val traceOk =
+        if (math.abs(ev.sum - model.trace) <=
+          1e-6 * math.max(model.trace, 1e-12)) 1L else 0L
+      val proj = graft.pipeline.Embeddings
+        .pcaProject(emb, "vec_id", "embedding", model)
+      // driver recompute of the sample projections (same arithmetic,
+      // independent code path from the kernel)
+      val sample = emb.where(col("vec_id") <= 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val got = proj.where(col("vec_id") <= 4)
+        .select("vec_id", "proj").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val projBad = sample.map { case (id, vec) =>
+        val want = model.components.map { row =>
+          var s = 0.0
+          var i = 0
+          while (i < model.dim) { s += row(i) * vec(i); i += 1 }
+          s - (0 until model.dim).map(t => row(t) * model.mean(t)).sum
+        }
+        val g = got(id)
+        if (want.indices.exists(i => math.abs(want(i) - g(i)) > 1e-9)) 1L
+        else 0L
+      }.sum
+      val evLit = graft.functions.FastFunctions.litDoubles(ev.take(8))
+      proj.select(posexplode(col("proj")).as(Seq("ci", "p")))
+        .groupBy("ci")
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+          sum(col("p") * col("p")).as("spp"))
+        .select(
+          (col("spp") / col("n") -
+            (col("sp") / col("n")) * (col("sp") / col("n"))).as("v"),
+          element_at(evLit, col("ci") + 1).as("lam"))
+        .agg(coalesce(sum(when(
+          abs(col("v") - col("lam")) >
+            lit(1e-6) * greatest(col("lam"), lit(1e-9)), 1L)
+          .otherwise(0L)), lit(0L)).as("n_var_bad"))
+        .select(lit(8L).as("n_comp"), lit(orderViol).as("n_order_viol"),
+          lit(orthoBad).as("n_ortho_bad"), lit(traceOk).as("trace_ok"),
+          col("n_var_bad"), lit(projBad).as("n_proj_bad"))
+    }),
+
     // sketch family: percentile_approx (KLL-style quantile summary)
     // audited in-job against the exact p50 rank — rank_ok = 1 iff the
     // count of values ≤ the approximate median sits within ±4% of n/2
@@ -1628,6 +1693,14 @@ object SparkEntry {
     "stats_approx_quantiles" ->
       """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "embed_pca" ->
+      """SELECT CAST(8 AS BIGINT) AS n_comp,
+        | CAST(0 AS BIGINT) AS n_order_viol,
+        | CAST(0 AS BIGINT) AS n_ortho_bad,
+        | CAST(1 AS BIGINT) AS trace_ok,
+        | CAST(0 AS BIGINT) AS n_var_bad,
+        | CAST(0 AS BIGINT) AS n_proj_bad""".stripMargin,
   )
 
   /** Shared oracle for exact token-set Jaccard at a given integer

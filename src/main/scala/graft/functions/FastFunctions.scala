@@ -41,6 +41,8 @@ object FastFunctions {
     "pqEncodeF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       IntegerType, IntegerType),
     "pseudoRandomVec" -> Seq(LongType, IntegerType, LongType),
+    "momentsUpper" -> Seq(ArrayType(FloatType)),
+    "matvecRows" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "byteBucketSums" -> Seq(BinaryType, IntegerType),
     "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
     "stubDecodeGray" -> Seq(BinaryType, IntegerType, IntegerType),
@@ -77,6 +79,15 @@ object FastFunctions {
   /** Σ (aᵢ−bᵢ)² for two array<float> columns. */
   def squaredL2F(a: Column, b: Column): Column =
     invoke(DoubleType, "sqL2f", a, b)
+
+  /** Per-row PCA moment partial (see Kernels.momentsUpper). */
+  def momentsUpper(v: Column): Column =
+    invoke(ArrayType(DoubleType, containsNull = false), "momentsUpper", v)
+
+  /** k row-dots of a float vector against a k×d row-major double matrix
+    * literal (see Kernels.matvecRows). */
+  def matvecRowsF(v: Column, flatRows: Column): Column =
+    invoke(ArrayType(DoubleType, containsNull = false), "matvecRows", v, flatRows)
 
   /** Σ aᵢ·bᵢ for two array<float> columns. */
   def dotF(a: Column, b: Column): Column =

@@ -601,6 +601,61 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Per-row PCA moment partial: [v₀..v_{d−1}, upper-triangle (incl.
+    * diagonal) of v·vᵀ row-major] — length d + d(d+1)/2. Summing this
+    * array over rows (posexplode + map-side-combined groupBy) yields the
+    * first and second moments of the corpus in ONE pass with fixed-width
+    * partials; the d×d covariance then assembles on the driver as
+    * M2/n − μμᵀ. Accumulation stays in double. */
+  def momentsUpper(v: ArrayData): ArrayData = {
+    val d = v.numElements()
+    val out = new Array[Double](d + d * (d + 1) / 2)
+    var i = 0
+    while (i < d) {
+      out(i) = v.getFloat(i).toDouble
+      i += 1
+    }
+    var idx = d
+    i = 0
+    while (i < d) {
+      val vi = v.getFloat(i).toDouble
+      var j = i
+      while (j < d) {
+        out(idx) = vi * v.getFloat(j).toDouble
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** k row-dots in one call: out[r] = Σᵢ flatRows[r·d + i] · v[i] for a
+    * k×d row-major double matrix literal — the projection kernel (PCA
+    * components, random projections, any small dense matmul against a
+    * plan literal). */
+  def matvecRows(v: ArrayData, flatRows: ArrayData): ArrayData = {
+    val d = v.numElements()
+    val total = flatRows.numElements()
+    require(d > 0 && total % d == 0,
+      s"matrix size $total not a multiple of vector dim $d")
+    val k = total / d
+    val out = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      val base = r * d
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        s += flatRows.getDouble(base + i) * v.getFloat(i).toDouble
+        i += 1
+      }
+      out(r) = s
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ------------------------------------------------- multimodal (binary)
 
   /** Bucketed byte histogram-sum: out[j] = Σ payload[i] for i ≡ j (mod

@@ -39,4 +39,138 @@ object Embeddings {
         .as("sum_milli"), count(lit(1)).as("cnt"))
       .select(col("grp").as(groupCol), col("pos").cast("long").as("pos"),
         col("sum_milli"), col("cnt"))
+
+  // ------------------------------------------------------------------ PCA
+
+  /** Principal components of the embedding corpus. `mean`/`eigenvalues`
+    * are full-dimension (eigenvalues descending, POPULATION covariance);
+    * `components` holds the top-k orthonormal eigenvectors row-major;
+    * `trace` = tr(C) = Σ all d eigenvalues (the total variance). */
+  final case class PcaModel(dim: Int, n: Long, trace: Double,
+                            mean: Array[Double],
+                            eigenvalues: Array[Double],
+                            components: Array[Array[Double]])
+
+  /** Fit PCA in ONE distributed pass + a driver-side 64×64 eigensolve —
+    * the dimensionality-reduction stage (OPQ/whitening prep) of an
+    * embedding pipeline. The pass ships one `momentsUpper` partial per
+    * row through posexplode + map-side-combined groupBy: the shuffle
+    * carries (d + d(d+1)/2) × partitions fixed-width rows — for d=64
+    * that is 2,144 doubles per upstream partition, independent of corpus
+    * size, the same scale shape as the k-means training-sample collects
+    * (estimation driver-side, corpus-sized work distributed). The
+    * eigensolve is a cyclic Jacobi over the d×d covariance — O(d³·
+    * sweeps) on 2,144 driver-resident doubles. */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val rows = df
+      .select(posexplode(
+        graft.functions.FastFunctions.momentsUpper(col(vecCol)))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "pcaFit over an empty corpus")
+    val n = rows.head.getLong(2)
+    val sums = new Array[Double](rows.length)
+    rows.foreach(r => sums(r.getInt(0)) = r.getDouble(1))
+    // rows.length = d + d(d+1)/2 ⇒ d from the quadratic formula
+    val d = ((math.sqrt(9.0 + 8.0 * rows.length) - 3.0) / 2.0).round.toInt
+    require(d + d * (d + 1) / 2 == rows.length,
+      s"inconsistent moment vector length ${rows.length}")
+    require(k >= 1 && k <= d, s"need 1 <= k <= $d, got $k")
+    val mean = Array.tabulate(d)(i => sums(i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = sums(idx) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(t => cov(t)(t)).sum
+    val (evals, evecs) = jacobiEig(cov)
+    PcaModel(d, n, trace, mean, evals, evecs.take(k))
+  }
+
+  /** Project embeddings onto the model's top-k components, centered:
+    * proj_r = c_r · (v − μ) = c_r·v − c_r·μ. One `matvecRows` kernel
+    * call per row against the k×d plan literal plus a k-length offset
+    * subtraction — a narrow codegen projection, no shuffle, no per-row
+    * centering pass. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 model: PcaModel): DataFrame = {
+    import graft.functions.FastFunctions.{litDoubles, matvecRowsF}
+    val flat = litDoubles(model.components.flatten)
+    val offsets = litDoubles(model.components.map(r =>
+      (0 until model.dim).map(t => r(t) * model.mean(t)).sum))
+    df.select(col(idCol),
+      zip_with(matvecRowsF(col(vecCol), flat), offsets,
+        (p, o) => p - o).as("proj"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub & Van
+    * Loan §8.5 — the textbook algorithm): rotate away each off-diagonal
+    * entry per sweep until the off-diagonal mass vanishes. Returns
+    * (eigenvalues descending, matching unit eigenvectors as rows).
+    * Deterministic, O(d³) per sweep — for the d ≤ a-few-hundred matrices
+    * a PCA over embeddings produces, the driver solve is microseconds
+    * next to the corpus pass. */
+  private[pipeline] def jacobiEig(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var frob2 = 0.0
+    for (i <- 0 until d; j <- 0 until d) frob2 += a(i)(j) * a(i)(j)
+    val tol = 1e-28 * math.max(frob2, Double.MinPositiveValue)
+    def offDiag2(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offDiag2() > tol) {
+      for (p <- 0 until d; q <- p + 1 until d if a(p)(q) != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        // stable tan(φ) of the annihilating rotation; θ=0 ⇒ 45°
+        val t =
+          if (theta == 0.0) 1.0
+          else math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var i = 0
+        while (i < d) { // A ← JᵀAJ, both sides
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+          i += 1
+        }
+        i = 0
+        while (i < d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+          i += 1
+        }
+        i = 0
+        while (i < d) { // eigenvector accumulation
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+          i += 1
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(j => Array.tabulate(d)(i => v(i)(j))).toArray)
+  }
 }

@@ -33,6 +33,64 @@ class EmbeddingsSpec extends AnyFunSuite {
       (1, 0L, 10000L, 1L), (1, 1L, 10000L, 1L), (1, 2L, 10000L, 1L)))
   }
 
+  test("jacobiEig: known 2x2 and 3x3 spectra, orthonormal vectors") {
+    val (ev2, vc2) = Embeddings.jacobiEig(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(ev2(0) - 3.0) < 1e-12 && math.abs(ev2(1) - 1.0) < 1e-12)
+    // eigenvector of λ=3 is ±(1,1)/√2
+    assert(math.abs(math.abs(vc2(0)(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(vc2(0)(0) - vc2(0)(1)) < 1e-12)
+    val m3 = Array( // diag(5,2,1) rotated is overkill; use arrow matrix
+      Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0), Array(0.0, 1.0, 2.0))
+    val (ev3, vc3) = Embeddings.jacobiEig(m3)
+    assert(math.abs(ev3.sum - 9.0) < 1e-10)           // trace preserved
+    assert(ev3(0) >= ev3(1) && ev3(1) >= ev3(2))      // descending
+    for (i <- 0 until 3; j <- i until 3) {            // orthonormal rows
+      val dot = (0 until 3).map(t => vc3(i)(t) * vc3(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10)
+    }
+    // A v = λ v for the top pair
+    val av = (0 until 3).map(r => (0 until 3).map(t => m3(r)(t) * vc3(0)(t)).sum)
+    for (r <- 0 until 3) assert(math.abs(av(r) - ev3(0) * vc3(0)(r)) < 1e-10)
+  }
+
+  test("pcaFit recovers the dominant direction of correlated data") {
+    // points t·(0.6, 0.8, 0) + small deterministic noise
+    val pts = (0 until 400).map { i =>
+      val t = (i % 40) - 19.5
+      val n1 = math.sin(i * 0.7) * 0.05
+      val n2 = math.cos(i * 1.3) * 0.05
+      (i.toLong, Seq((0.6 * t + n1).toFloat, (0.8 * t + n2).toFloat,
+        (n1 - n2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = Embeddings.pcaFit(pts, "embedding", k = 2)
+    assert(m.dim === 3 && m.n === 400L)
+    // top component aligns with ±(0.6, 0.8, 0)
+    val c0 = m.components(0)
+    val cosTop = math.abs(c0(0) * 0.6 + c0(1) * 0.8)
+    assert(cosTop > 0.999, s"top component ${c0.toSeq}")
+    assert(m.eigenvalues(0) > 100 * m.eigenvalues(1)) // dominant
+    assert(math.abs(m.eigenvalues.sum - m.trace) < 1e-9 * m.trace)
+  }
+
+  test("pcaProject: centered, variance per component = eigenvalue") {
+    val pts = (0 until 300).map { i =>
+      (i.toLong, Seq((math.sin(i * 0.31) * 3).toFloat,
+        (math.cos(i * 0.17) * 2).toFloat, (math.sin(i * 0.53)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = Embeddings.pcaFit(pts, "embedding", k = 3)
+    val proj = Embeddings.pcaProject(pts, "vec_id", "embedding", m)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (c <- 0 until 3) {
+      val xs = proj.map(_(c))
+      val mean = xs.sum / xs.length
+      assert(math.abs(mean) < 1e-9, s"component $c mean $mean")
+      val varp = xs.map(x => x * x).sum / xs.length - mean * mean
+      assert(math.abs(varp - m.eigenvalues(c)) <
+        1e-9 + 1e-9 * m.eigenvalues(c), s"component $c var $varp")
+    }
+  }
+
   test("filtered k-NN: the attribute predicate reaches the parquet scan") {
     // write a small parquet table, filter + top-k, inspect the scan
     val dir = java.nio.file.Files.createTempDirectory("knnf").toString
