@@ -49,7 +49,11 @@ object GraftFunctions {
     ("graft_sq8_decode", ArrayType(DoubleType, containsNull = false),
       "sq8Decode", 3),
     ("graft_sq8_dist", DoubleType, "sq8Dist", 4),
-    ("graft_shingle_repetition", LongType, "shingleRepetition", 2))
+    ("graft_shingle_repetition", LongType, "shingleRepetition", 2),
+    ("graft_moments_upper", ArrayType(DoubleType, containsNull = false),
+      "momentsUpper", 1),
+    ("graft_matvec_rows", ArrayType(DoubleType, containsNull = false),
+      "matvecRows", 2))
 
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {

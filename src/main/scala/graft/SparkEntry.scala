@@ -913,6 +913,34 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     }),
 
+    // Bloom-filter semi-join reduction (invariant-gated): filter built
+    // over the selective order keys in one pass, probe side pre-filtered
+    // by a codegen membership test. Invariants: NO true match is dropped
+    // (Bloom guarantees no false negatives — audited row by row), the
+    // false-positive overhead stays under 2% of the probe, and the exact
+    // match count equals the oracle's semi-join count.
+    "bloom_semi_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val big = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      val n = big.count()
+      val bits = graft.operators.BloomJoin.buildBits(big, "o_orderkey",
+        graft.operators.BloomJoin.sizeFor(n))
+      val pass = graft.operators.BloomJoin.mightContain(col("l_orderkey"), bits)
+      val exact = li
+        .join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val missed = exact.where(!pass)
+        .agg(count(lit(1)).cast("long").as("n_missed"))
+      val counts = li.agg(count(lit(1)).as("n_probe"),
+        coalesce(sum(when(pass, 1L).otherwise(0L)), lit(0L)).as("n_pass"))
+      val trueCnt = exact.agg(count(lit(1)).cast("long").as("n_true"))
+      missed.crossJoin(counts).crossJoin(trueCnt)
+        .select(col("n_missed"),
+          when((col("n_pass") - col("n_true")) * 50 <= col("n_probe"), 1L)
+            .otherwise(0L).as("fp_ok"),
+          col("n_true"))
+    }),
+
     // PCA over the embedding corpus (invariant-gated like the ANN
     // entries — eigenvectors are sign/geometry-dependent, their contracts
     // are not): one distributed moments pass + driver Jacobi eigensolve +
@@ -1693,6 +1721,12 @@ object SparkEntry {
     "stats_approx_quantiles" ->
       """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "bloom_semi_join" ->
+      """SELECT CAST(0 AS BIGINT) AS n_missed, CAST(1 AS BIGINT) AS fp_ok,
+        | (SELECT count(*) FROM lineitem WHERE EXISTS (SELECT 1 FROM orders
+        |   WHERE o_orderkey = l_orderkey AND o_totalprice > 400000))
+        |   AS n_true""".stripMargin,
 
     "embed_pca" ->
       """SELECT CAST(8 AS BIGINT) AS n_comp,

@@ -68,6 +68,12 @@ object FastFunctions {
     ColumnShim.column(Literal(UnsafeArrayData.fromPrimitiveArray(a),
       ArrayType(DoubleType, containsNull = false)))
 
+  /** A primitive-backed array<long> literal — same rationale as
+    * [[litDoubles]] (Bloom bit words, posting tables). */
+  def litLongs(a: Array[Long]): Column =
+    ColumnShim.column(Literal(UnsafeArrayData.fromPrimitiveArray(a),
+      ArrayType(LongType, containsNull = false)))
+
   private def invoke(dt: DataType, name: String, args: Column*): Column =
     ColumnShim.column(StaticInvoke(
       Kernels.getClass, dt, name,
