@@ -913,6 +913,46 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     }),
 
+    // moving-window aggregate: per-type daily counts with a 3-day RANGE
+    // frame (time-based moving sum — integer-only so the oracle is exact)
+    "events_moving_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("day_cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-2, 0)
+      daily.withColumn("mov3_cnt", sum(col("day_cnt")).over(w))
+        .select(col("event_type"), col("day"), col("day_cnt"), col("mov3_cnt"))
+        .orderBy("event_type", "day")
+    }),
+
+    // pivot: day-of-week × event-type count matrix (explicit value list
+    // so the output schema is static — the scale-safe pivot form; a
+    // discovery pivot would need an extra distinct pass)
+    "rel_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("dow", expr("(ts div 86400000000000) % 7"))
+        .groupBy("dow")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("dow"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy("dow")),
+
+    // unpivot (melt): wide per-doc token stats to long (doc_id, metric,
+    // value) — the inverse reshaping, one narrow expand, no shuffle
+    "rel_unpivot" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir))
+        .unpivot(Array(col("doc_id")),
+          Array(col("n_tokens"), col("n_distinct")), "metric", "value")
+        .orderBy("doc_id", "metric")),
+
     // Bloom-filter semi-join reduction (invariant-gated): filter built
     // over the selective order keys in one pass, probe side pre-filtered
     // by a codegen membership test. Invariants: NO true match is dropped
@@ -1721,6 +1761,42 @@ object SparkEntry {
     "stats_approx_quantiles" ->
       """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_moving_sum" ->
+      """WITH d AS (SELECT event_type,
+        |  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        |  count(*) AS day_cnt
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, day_cnt,
+        | CAST(sum(day_cnt) OVER (PARTITION BY event_type ORDER BY day
+        |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS mov3_cnt
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) % 7 AS dow,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+
+    "rel_unpivot" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |    AS n_distinct
+        | FROM documents)
+        |SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM s
+        |UNION ALL
+        |SELECT doc_id, 'n_distinct', n_distinct FROM s
+        |ORDER BY doc_id, metric""".stripMargin,
 
     "bloom_semi_join" ->
       """SELECT CAST(0 AS BIGINT) AS n_missed, CAST(1 AS BIGINT) AS fp_ok,
