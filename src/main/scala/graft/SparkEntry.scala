@@ -54,6 +54,7 @@ object SparkEntry {
     * last-write-wins, not just read a table. */
   private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
   private val appendDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sq8Dir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storedIndexPath(s: SparkSession, dir: String): String =
     storedIdx.getOrElseUpdate(dir, {
       val (model, encoded) = fittedIndex(s, dir)
@@ -438,6 +439,31 @@ object SparkEntry {
       distChk.crossJoin(recon).crossJoin(rec)
         .select(col("n_rows"), col("n_dist_bad"), col("n_recon_bad"),
           when(col("n_recalled") >= 7, 1L).otherwise(0L).as("recall_ge_70"))
+    }),
+
+    // stored-Sq8 query path (mirror of ann_ivfpq_stored for the second
+    // codec family): save → load → the loaded index must answer
+    // bit-identically (f64 codec constants round-trip exactly in parquet)
+    "ann_sq8_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val model = graft.index.Sq8.fit(emb, "embedding", 64)
+      val enc = graft.index.Sq8.encode(model, emb, "vec_id", "embedding")
+      // one REUSED store per sf dir, same discipline as ann_append
+      val out = sq8Dir.getOrElseUpdate(dir,
+        java.nio.file.Files.createTempDirectory("graft_sq8").toString)
+      graft.index.Sq8.save(model, enc, out)
+      val (loaded, codes) = graft.index.Sq8.load(s, out)
+      val mem = graft.index.Sq8.topK(enc, model, q, 10)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val st = graft.index.Sq8.topK(codes, loaded, q, 10)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
     }),
 
     // incremental ingest: save an index holding HALF the vectors, append
@@ -1334,6 +1360,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_bad,
         | CAST(0 AS BIGINT) AS n_recon_bad,
         | CAST(1 AS BIGINT) AS recall_ge_70""".stripMargin,
+
+    "ann_sq8_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
     "ann_append" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,

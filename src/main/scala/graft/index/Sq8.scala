@@ -59,4 +59,48 @@ object Sq8 {
           litDoubles(model.scales)).as("sq_dist"))
       .orderBy(col("sq_dist"), col("id"))
       .limit(k)
+
+  /** Persist the index: byte codes as parquet, the 2·dim f64 codec
+    * constants as one parquet row each, a JSON manifest — same store
+    * discipline as the IVF+PQ index (everything through the path's
+    * Hadoop filesystem, so hdfs://, s3a:// round-trip too). Constants
+    * stay f64 ⇒ a loaded index answers BIT-IDENTICALLY to the in-memory
+    * one (the ann_sq8_stored invariant). */
+  def save(model: Sq8Model, encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    encoded.select("id", "sq8")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    Seq((model.mins.toSeq, model.scales.toSeq)).toDF("mins", "scales")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
+    val manifest = s"""{"vector_size":${model.dim}}"""
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load an Sq8 store; validates the codec shape against the manifest
+    * (same load-time invariant discipline as IvfPqBuilder.load). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Sq8Model, DataFrame) = {
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mPath)
+    val manifestStr =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val dim = "\"vector_size\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(manifestStr)
+      .getOrElse(sys.error(s"bad Sq8 manifest: $manifestStr"))
+      .group(1).toInt
+    val codec = spark.read.parquet(s"$path/codec").head()
+    val mins = codec.getSeq[Double](codec.fieldIndex("mins")).toArray
+    val scales = codec.getSeq[Double](codec.fieldIndex("scales")).toArray
+    require(mins.length == dim && scales.length == dim,
+      s"codec shape ${mins.length}/${scales.length} != manifest dim $dim")
+    (Sq8Model(dim, mins, scales), spark.read.parquet(s"$path/codes"))
+  }
 }

@@ -80,4 +80,41 @@ class Sq8Spec extends AnyFunSuite {
       .count()
     assert(bad === 0)
   }
+
+  test("save/load round-trips the codec exactly; answers bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8_rt").toString
+    try {
+      Sq8.save(model, enc, dir)
+      val (loaded, codes) = Sq8.load(spark, dir)
+      assert(loaded.dim === model.dim)
+      assert(loaded.mins.toSeq === model.mins.toSeq)     // f64 exact
+      assert(loaded.scales.toSeq === model.scales.toSeq)
+      val q = data(3)._2.map(_.toDouble).toArray
+      val mem = Sq8.topK(enc, model, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val st = Sq8.topK(codes, loaded, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(st === mem)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("load rejects a codec whose shape contradicts the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8_bad").toString
+    try {
+      Sq8.save(model, enc, dir)
+      // corrupt: overwrite manifest with the wrong dimension
+      val mPath = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+      val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(mPath, true)
+      try out.write("""{"vector_size":7}""".getBytes("UTF-8"))
+      finally out.close()
+      assertThrows[IllegalArgumentException] { Sq8.load(spark, dir) }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
