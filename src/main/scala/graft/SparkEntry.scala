@@ -794,6 +794,32 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // count-min frequency sketch audited in-job against exact token
+    // counts: undercounts are IMPOSSIBLE (checked row by row) and every
+    // estimate stays within the εN = (e/width)·N one-sided bound (the
+    // sketch is deterministic for fixed data + hashes, so the audited
+    // result is a constant)
+    "stats_count_min" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      val cm = graft.pipeline.Sketches.countMinBuild(toks, "tok",
+        depth = 4, width = 2048)
+      val est = graft.pipeline.Sketches.countMinEstimate(col("tok"), cm)
+      val audited = toks.groupBy("tok")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("est", est)
+      audited
+        .crossJoin(toks.agg(count(lit(1)).as("n_total")))
+        .agg(
+          count(lit(1)).cast("long").as("n_items"),
+          coalesce(sum(when(col("est") < col("exact_cnt"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_under"),
+          coalesce(sum(when((col("est") - col("exact_cnt")) * 2048 >
+            col("n_total") * 3, 1L).otherwise(0L)), lit(0L))
+            .as("n_over_bound"))
+    }),
+
     // corpus vocabulary by document frequency, top-100 by (df desc, tok)
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.topVocabulary(Tables.documents(s, dir), k = 100, minDf = 2)
@@ -915,6 +941,19 @@ object SparkEntry {
         .select("purchase_id", "click_id")
         .orderBy("purchase_id", "click_id")
     }),
+
+    // outer join with null-side aggregation: every customer with the
+    // count and rounded sum of their 400k+ orders, zero/null for
+    // customers with none — the left-outer + group shape
+    "rel_outer_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2)
+            .as("sum_big"))
+        .orderBy("c_custkey")),
 
     // anti join — the NOT EXISTS shape (customers with no 400k+ order)
     "rel_anti_join" -> ((s, dir) =>
@@ -1070,6 +1109,33 @@ object SparkEntry {
         .select(lit(8L).as("n_comp"), lit(orderViol).as("n_order_viol"),
           lit(orthoBad).as("n_ortho_bad"), lit(traceOk).as("trace_ok"),
           col("n_var_bad"), lit(projBad).as("n_proj_bad"))
+    }),
+
+    // PCA whitening (invariant-gated): the whitened corpus must have
+    // identity population covariance on the projected subspace — unit
+    // variance per component, zero cross-covariance, audited by one
+    // distributed pass over the upper-triangle second moments
+    "embed_whiten" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.pipeline.Embeddings.pcaFit(emb, "embedding", k = 4)
+      val wh = graft.pipeline.Embeddings
+        .pcaWhiten(emb, "vec_id", "embedding", model)
+      val pairsIdx = for { i <- 0 until 4; j <- i until 4 } yield (i, j)
+      wh.select(explode(array(pairsIdx.map { case (i, j) =>
+          struct(lit(i * 4 + j).as("pid"),
+            (element_at(col("proj"), i + 1) *
+              element_at(col("proj"), j + 1)).as("v"))
+        }: _*)).as("e"))
+        .groupBy(col("e.pid").as("pid"))
+        .agg(avg(col("e.v")).as("m"))
+        // upper-tri pids for k=4: diagonal iff pid % 5 == 0
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          coalesce(sum(when(col("pid") % 5 === 0 &&
+            abs(col("m") - 1.0) > 1e-6, 1L).otherwise(0L)), lit(0L))
+            .as("n_var_bad"),
+          coalesce(sum(when(col("pid") % 5 =!= 0 &&
+            abs(col("m")) > 1e-6, 1L).otherwise(0L)), lit(0L))
+            .as("n_cov_bad"))
     }),
 
     // sketch family: percentile_approx (KLL-style quantile summary)
@@ -1614,6 +1680,12 @@ object SparkEntry {
         | FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    "stats_count_min" ->
+      """SELECT count(DISTINCT tok) AS n_items,
+        | CAST(0 AS BIGINT) AS n_under, CAST(0 AS BIGINT) AS n_over_bound
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        | FROM documents) t""".stripMargin,
+
     "text_vocab" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |  unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1773,6 +1845,13 @@ object SparkEntry {
         |WHERE ct < pt AND ct >= pt - 3600000000
         |ORDER BY purchase_id, click_id""".stripMargin,
 
+    "rel_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS sum_big
+        |FROM customer LEFT JOIN orders
+        | ON c_custkey = o_custkey AND o_totalprice > 400000
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
     "rel_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -1834,6 +1913,11 @@ object SparkEntry {
         | (SELECT count(*) FROM lineitem WHERE EXISTS (SELECT 1 FROM orders
         |   WHERE o_orderkey = l_orderkey AND o_totalprice > 400000))
         |   AS n_true""".stripMargin,
+
+    "embed_whiten" ->
+      """SELECT CAST(10 AS BIGINT) AS n_cells,
+        | CAST(0 AS BIGINT) AS n_var_bad,
+        | CAST(0 AS BIGINT) AS n_cov_bad""".stripMargin,
 
     "embed_pca" ->
       """SELECT CAST(8 AS BIGINT) AS n_comp,

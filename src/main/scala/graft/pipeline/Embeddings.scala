@@ -114,6 +114,20 @@ object Embeddings {
         (p, o) => p - o).as("proj"))
   }
 
+  /** PCA whitening: the projection with each component scaled by
+    * 1/√(λ+eps), so the output coordinates have (population) unit
+    * variance and zero cross-covariance — the decorrelation step before
+    * product quantization (OPQ-style) or as embedding normalization.
+    * Same single codegen kernel call per row as [[pcaProject]]; the
+    * scaling folds into the literal matrix, costing nothing at run time. */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String,
+                model: PcaModel, eps: Double = 1e-9): DataFrame = {
+    val scaled = model.copy(components = model.components.zipWithIndex.map {
+      case (row, i) => row.map(_ / math.sqrt(model.eigenvalues(i) + eps))
+    })
+    pcaProject(df, idCol, vecCol, scaled)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub & Van
     * Loan §8.5 — the textbook algorithm): rotate away each off-diagonal
     * entry per sweep until the off-diagonal mass vanishes. Returns

@@ -91,6 +91,22 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaWhiten: identity covariance on the projected subspace") {
+    val pts = (0 until 500).map { i =>
+      (i.toLong, Seq((math.sin(i * 0.31) * 3 + math.cos(i * 0.11)).toFloat,
+        (math.cos(i * 0.17) * 2).toFloat,
+        (math.sin(i * 0.53) + math.sin(i * 0.19)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = Embeddings.pcaFit(pts, "embedding", k = 3)
+    val w = Embeddings.pcaWhiten(pts, "vec_id", "embedding", m)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (i <- 0 until 3; j <- i until 3) {
+      val cov = w.map(p => p(i) * p(j)).sum / w.length
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 1e-6, s"cov($i,$j) = $cov")
+    }
+  }
+
   test("filtered k-NN: the attribute predicate reaches the parquet scan") {
     // write a small parquet table, filter + top-k, inspect the scan
     val dir = java.nio.file.Files.createTempDirectory("knnf").toString

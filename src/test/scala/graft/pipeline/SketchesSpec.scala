@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Count-min contracts: no undercount ever, one-sided overcount within
+  * the εN design bound, and exactness when the table is collision-free. */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // zipf-ish corpus: item i appears 1000/i times, i = 1..50
+  private lazy val items = (1 to 50)
+    .flatMap(i => Seq.fill(1000 / i)(s"item$i"))
+    .toDF("item")
+
+  test("no undercounts; overcounts within eN") {
+    val cm = Sketches.countMinBuild(items, "item", depth = 4, width = 256)
+    val n = items.count()
+    val audited = items.groupBy("item").agg(count(lit(1)).as("exact"))
+      .withColumn("est", Sketches.countMinEstimate($"item", cm))
+    assert(audited.where($"est" < $"exact").count() === 0L)
+    // ε = e/width ≈ 0.0106 → bound ≈ 48 for n ≈ 4500
+    val bound = math.ceil(math.E / 256 * n).toLong
+    assert(audited.where($"est" > $"exact" + bound).count() === 0L)
+  }
+
+  test("wide sketch over few items is exact") {
+    val cm = Sketches.countMinBuild(items, "item", depth = 4, width = 8192)
+    val wrong = items.groupBy("item").agg(count(lit(1)).as("exact"))
+      .withColumn("est", Sketches.countMinEstimate($"item", cm))
+      .where($"est" =!= $"exact").count()
+    // 50 items × 4 rows in 8192 buckets: collisions vanishingly unlikely
+    assert(wrong === 0L)
+  }
+
+  test("unseen items estimate near zero (bounded by collisions)") {
+    val cm = Sketches.countMinBuild(items, "item", depth = 4, width = 4096)
+    val unseen = (1 to 100).map(i => s"ghost$i").toDF("item")
+    val n = items.count()
+    val bound = math.ceil(math.E / 4096 * n).toLong
+    val over = unseen
+      .withColumn("est", Sketches.countMinEstimate($"item", cm))
+      .where($"est" > bound).count()
+    assert(over === 0L)
+  }
+}
