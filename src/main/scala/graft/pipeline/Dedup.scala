@@ -230,11 +230,66 @@ object Dedup {
     *        and the cost (salt× replication of fixed-width band rows)
     *        is linear and small. Raise further when cluster size ≫
     *        executor count × salt. */
+  /** @param collapseIdentical collapse docs with IDENTICAL hashed token
+    *        sets to one representative before the band join, then expand
+    *        the verified pairs back. Identical sets are J=1 — provably
+    *        duplicates at any threshold — so the collapse is exact (it
+    *        even removes the LSH miss probability for those pairs) while
+    *        shrinking the heaviest band buckets QUADRATICALLY: a cluster
+    *        of g identical docs costs g²/2 enumerated pairs per shared
+    *        band (× all 32 bands) before, one representative after. The
+    *        expansion is output-sized. This is the dominant term of the
+    *        dense-duplicate corpus regime a dedup pipeline exists for. */
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
                       numHashes: Int = 128, bands: Int = 32,
-                      salt: Int = 4, oph: Boolean = true): DataFrame = {
+                      salt: Int = 4, oph: Boolean = true,
+                      collapseIdentical: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sets = hashedSets(docs)
+    if (collapseIdentical) {
+      // groups of identical sets, keyed by the set itself; members stay
+      // sorted so intra-group pair generation emits each (a<b) once
+      val groups = hashedSets(docs)
+        .groupBy("hset")
+        .agg(min(col("doc_id")).as("rep"),
+          array_sort(collect_list(col("doc_id"))).as("members"),
+          first(col("sz")).as("sz"))
+        .localCheckpoint() // reused thrice; recomputing = 3 corpus scans
+      val reps = groups.select(col("rep").as("doc_id"), col("hset"), col("sz"))
+      val repPairs = minHashLshPairsOn(reps, thresholdPct, numHashes,
+        bands, salt, oph)
+      val membership = groups
+        .select(col("rep"), explode(col("members")).as("doc_id"))
+      // intra-group: every (a < b) within a member list, J = 1 exactly
+      val intra = groups
+        .where(size(col("members")) > 1)
+        .select(col("sz"), explode(expr(
+          """flatten(transform(sequence(1, size(members) - 1),
+            |  i -> transform(slice(members, i + 1, size(members) - i),
+            |    b -> struct(element_at(members, i) AS a, b AS b))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+          col("sz").as("inter"), col("sz").as("union_sz"))
+      // cross-group: expand each verified rep pair to members × members;
+      // inter/union carry over exactly (identical sets)
+      val cross = repPairs
+        .join(membership.select(col("rep").as("a_id"),
+          col("doc_id").as("ma")), "a_id")
+        .join(membership.select(col("rep").as("b_id"),
+          col("doc_id").as("mb")), "b_id")
+        .select(least(col("ma"), col("mb")).as("a_id"),
+          greatest(col("ma"), col("mb")).as("b_id"),
+          col("inter"), col("union_sz"))
+      intra.unionByName(cross)
+    } else
+      minHashLshPairsOn(hashedSets(docs), thresholdPct, numHashes, bands,
+        salt, oph)
+  }
+
+  /** The band join + verification over a prepared (doc_id, hset, sz)
+    * relation — see [[minHashLshPairs]] for the algorithm notes. */
+  private def minHashLshPairsOn(sets: DataFrame, thresholdPct: Int,
+                                numHashes: Int, bands: Int,
+                                salt: Int, oph: Boolean): DataFrame = {
     val keyed = sets
       .withColumn("bands",
         bandKeys(sigCol(col("hset"), numHashes, oph), bands))

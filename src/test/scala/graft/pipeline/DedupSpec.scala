@@ -75,6 +75,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minHashLshPairs: identical-set collapse never changes the result") {
+    // reordered tokens (equal SETS, unequal text) + an identical trio so
+    // both intra-group and cross-group expansion paths fire
+    val dup = docs.unionByName(Seq(
+      (9L, "dog lazy the over jumps fox brown quick the"), // = set of 5/6
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"))
+      .toDF("doc_id", "text"))
+    for (pct <- Seq(80, 90)) {
+      val collapsed = Dedup
+        .minHashLshPairs(dup, pct, collapseIdentical = true)
+      val plain = Dedup
+        .minHashLshPairs(dup, pct, collapseIdentical = false)
+      val ci = collapsed.select("a_id", "b_id", "inter", "union_sz")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val pi = plain.select("a_id", "b_id", "inter", "union_sz")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(ci === pi, s"threshold $pct")
+      assert(ci.nonEmpty)
+      // each pair appears exactly once
+      assert(collapsed.count() === collapsed
+        .select("a_id", "b_id").distinct().count())
+    }
+  }
+
   test("simHashDupPairsVerified finds exactly the equal-token-set pairs") {
     assert(pairs(Dedup.simHashDupPairsVerified(docs)) === Set((5L, 6L)))
   }
