@@ -246,14 +246,7 @@ object Dedup {
                       collapseIdentical: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     if (collapseIdentical) {
-      // groups of identical sets, keyed by the set itself; members stay
-      // sorted so intra-group pair generation emits each (a<b) once
-      val groups = hashedSets(docs)
-        .groupBy("hset")
-        .agg(min(col("doc_id")).as("rep"),
-          array_sort(collect_list(col("doc_id"))).as("members"),
-          first(col("sz")).as("sz"))
-        .localCheckpoint() // reused thrice; recomputing = 3 corpus scans
+      val groups = identicalSetGroups(docs)
       val reps = groups.select(col("rep").as("doc_id"), col("hset"), col("sz"))
       val repPairs = minHashLshPairsOn(reps, thresholdPct, numHashes,
         bands, salt, oph)
@@ -284,6 +277,18 @@ object Dedup {
       minHashLshPairsOn(hashedSets(docs), thresholdPct, numHashes, bands,
         salt, oph)
   }
+
+  /** Groups of docs with IDENTICAL hashed token sets, keyed by the set:
+    * (hset, rep = min member id, members sorted, sz). Checkpointed —
+    * every consumer uses it 2-3 times, and each recomputation would be a
+    * corpus scan. */
+  private def identicalSetGroups(docs: DataFrame): DataFrame =
+    hashedSets(docs)
+      .groupBy("hset")
+      .agg(min(col("doc_id")).as("rep"),
+        array_sort(collect_list(col("doc_id"))).as("members"),
+        first(col("sz")).as("sz"))
+      .localCheckpoint()
 
   /** The band join + verification over a prepared (doc_id, hset, sz)
     * relation — see [[minHashLshPairs]] for the algorithm notes. */
@@ -509,8 +514,21 @@ object Dedup {
     * component of the verified pair graph at jaccard ≥ thresholdPct/100).
     * Output: (drop_id, keep_id), empty when the corpus is clean. */
   def dropList(docs: DataFrame, thresholdPct: Int): DataFrame = {
-    val pairs = minHashLshPairs(docs, thresholdPct).select("a_id", "b_id")
-    connectedComponents(docs.select(col("doc_id")), pairs)
+    // connectivity needs rep-level verified pairs + member→rep STAR
+    // edges, not the expanded pair relation: a g-doc identical cluster
+    // contributes g−1 linear edges here vs g²/2 expanded pairs, and the
+    // components (and their minima — every member reaches its group,
+    // every group its verified neighbors) are the same
+    val groups = identicalSetGroups(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("hset"), col("sz"))
+    val repPairs = minHashLshPairsOn(reps, thresholdPct,
+        numHashes = 128, bands = 32, salt = 4, oph = true)
+      .select("a_id", "b_id")
+    val starEdges = groups.where(size(col("members")) > 1)
+      .select(col("rep").as("a_id"), explode(col("members")).as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+    connectedComponents(docs.select(col("doc_id")),
+        repPairs.unionByName(starEdges))
       .where(col("doc_id") =!= col("comp"))
       .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
   }
