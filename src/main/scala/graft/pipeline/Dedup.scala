@@ -74,7 +74,7 @@ object Dedup {
     *    over the full sorted hash sets.
     */
   def jaccardPairs(docs: DataFrame, thresholdPct: Int): DataFrame =
-    jaccardPairsOn(hashedSets(docs), thresholdPct)
+    collapsedPairs(hashedSets(docs), jaccardPairsOn(_, thresholdPct))
 
   /** n-gram (w-shingling) Jaccard: identical machinery over hashed
     * n-token shingle sets instead of token sets — the variant that
@@ -82,11 +82,11 @@ object Dedup {
     * similarity overestimates. */
   def jaccardPairsShingled(docs: DataFrame, thresholdPct: Int,
                            n: Int = 3): DataFrame =
-    jaccardPairsOn(
+    collapsedPairs(
       docs.select(col("doc_id"), hashedShingleSet(col("text"), n).as("hset"))
         .withColumn("sz", size(col("hset")).cast("long"))
         .where(col("sz") > 0),
-      thresholdPct)
+      jaccardPairsOn(_, thresholdPct))
 
   private def jaccardPairsOn(sets: DataFrame, thresholdPct: Int): DataFrame = {
     val toks = sets.select(col("doc_id"), col("sz"), explode(col("hset")).as("h"))
@@ -245,50 +245,61 @@ object Dedup {
                       salt: Int = 4, oph: Boolean = true,
                       collapseIdentical: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    if (collapseIdentical) {
-      val groups = identicalSetGroups(docs)
-      val reps = groups.select(col("rep").as("doc_id"), col("hset"), col("sz"))
-      val repPairs = minHashLshPairsOn(reps, thresholdPct, numHashes,
-        bands, salt, oph)
-      val membership = groups
-        .select(col("rep"), explode(col("members")).as("doc_id"))
-      // intra-group: every (a < b) within a member list, J = 1 exactly
-      val intra = groups
-        .where(size(col("members")) > 1)
-        .select(col("sz"), explode(expr(
-          """flatten(transform(sequence(1, size(members) - 1),
-            |  i -> transform(slice(members, i + 1, size(members) - i),
-            |    b -> struct(element_at(members, i) AS a, b AS b))))"""
-            .stripMargin)).as("p"))
-        .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
-          col("sz").as("inter"), col("sz").as("union_sz"))
-      // cross-group: expand each verified rep pair to members × members;
-      // inter/union carry over exactly (identical sets)
-      val cross = repPairs
-        .join(membership.select(col("rep").as("a_id"),
-          col("doc_id").as("ma")), "a_id")
-        .join(membership.select(col("rep").as("b_id"),
-          col("doc_id").as("mb")), "b_id")
-        .select(least(col("ma"), col("mb")).as("a_id"),
-          greatest(col("ma"), col("mb")).as("b_id"),
-          col("inter"), col("union_sz"))
-      intra.unionByName(cross)
-    } else
+    if (collapseIdentical)
+      collapsedPairs(hashedSets(docs),
+        minHashLshPairsOn(_, thresholdPct, numHashes, bands, salt, oph))
+    else
       minHashLshPairsOn(hashedSets(docs), thresholdPct, numHashes, bands,
         salt, oph)
   }
 
-  /** Groups of docs with IDENTICAL hashed token sets, keyed by the set:
+  /** Groups of docs with IDENTICAL hashed sets, keyed by the set:
     * (hset, rep = min member id, members sorted, sz). Checkpointed —
     * every consumer uses it 2-3 times, and each recomputation would be a
     * corpus scan. */
-  private def identicalSetGroups(docs: DataFrame): DataFrame =
-    hashedSets(docs)
+  private def identicalSetGroupsOf(sets: DataFrame): DataFrame =
+    sets
       .groupBy("hset")
       .agg(min(col("doc_id")).as("rep"),
         array_sort(collect_list(col("doc_id"))).as("members"),
         first(col("sz")).as("sz"))
       .localCheckpoint()
+
+  /** Run a pair generator over ONE REPRESENTATIVE per identical set,
+    * then expand the verified pairs back — see the collapseIdentical
+    * note on [[minHashLshPairs]]: exact at any threshold (identical sets
+    * are J=1), with the heaviest candidate buckets shrinking
+    * quadratically. Works for any generator whose output depends on the
+    * set alone ((a_id, b_id, inter, union_sz) rows). */
+  private def collapsedPairs(sets0: DataFrame,
+                             pairsOn: DataFrame => DataFrame): DataFrame = {
+    val groups = identicalSetGroupsOf(sets0)
+    val reps = groups.select(col("rep").as("doc_id"), col("hset"), col("sz"))
+    val repPairs = pairsOn(reps)
+    val membership = groups
+      .select(col("rep"), explode(col("members")).as("doc_id"))
+    // intra-group: every (a < b) within a member list, J = 1 exactly
+    val intra = groups
+      .where(size(col("members")) > 1)
+      .select(col("sz"), explode(expr(
+        """flatten(transform(sequence(1, size(members) - 1),
+          |  i -> transform(slice(members, i + 1, size(members) - i),
+          |    b -> struct(element_at(members, i) AS a, b AS b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        col("sz").as("inter"), col("sz").as("union_sz"))
+    // cross-group: expand each verified rep pair to members × members;
+    // inter/union carry over exactly (identical sets)
+    val cross = repPairs
+      .join(membership.select(col("rep").as("a_id"),
+        col("doc_id").as("ma")), "a_id")
+      .join(membership.select(col("rep").as("b_id"),
+        col("doc_id").as("mb")), "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"),
+        col("inter"), col("union_sz"))
+    intra.unionByName(cross)
+  }
 
   /** The band join + verification over a prepared (doc_id, hset, sz)
     * relation — see [[minHashLshPairs]] for the algorithm notes. */
@@ -519,7 +530,7 @@ object Dedup {
     // contributes g−1 linear edges here vs g²/2 expanded pairs, and the
     // components (and their minima — every member reaches its group,
     // every group its verified neighbors) are the same
-    val groups = identicalSetGroups(docs)
+    val groups = identicalSetGroupsOf(hashedSets(docs))
     val reps = groups.select(col("rep").as("doc_id"), col("hset"), col("sz"))
     val repPairs = minHashLshPairsOn(reps, thresholdPct,
         numHashes = 128, bands = 32, salt = 4, oph = true)
