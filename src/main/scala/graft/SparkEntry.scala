@@ -466,6 +466,43 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // IVF+SQ8 composite (FAISS IndexIVFScalarQuantizer shape): coarse
+    // cells + byte-quantized residuals — invariants mirror ann_ivfpq
+    // (k rows, hits ⊆ probed cells, every distance equals an independent
+    // decode-side recompute through the HOF path, recall vs exact)
+    "ann_ivfsq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val (model, encoded) = graft.index.IvfSq8
+        .fit(emb, "vec_id", "embedding", 64, numPartitions = 8)
+      val hits = graft.index.IvfSq8.topK(encoded, model, q, k = 10, nprobe = 4)
+      val probes = graft.index.IvfSq8.selectPartitions(model, q, 4)
+        .map(_._1).toSeq
+      val exact = ExactKnn.rankedIds(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+      val qLit = typedlit(q.toSeq)
+      val withRec = hits
+        .join(graft.index.Sq8.decoded(model.codec,
+          encoded.select(col("id"), col("sq8"))), "id")
+        .withColumn("approx", zip_with(col("decoded"),
+          element_at(centLit, col("partition") + 1), (r, c) => r + c))
+        .withColumn("rec_dist", aggregate(zip_with(col("approx"), qLit,
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      val inv = withRec.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(not(col("partition").isin(probes: _*)), 1L)
+          .otherwise(0L)), lit(0L)).as("n_outside_probed"),
+        coalesce(sum(when(abs(col("sq_dist") - col("rec_dist")) > 1e-6, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_bad"))
+      val recall = hits.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_recalled"))
+      inv.crossJoin(recall)
+        .select(col("n_rows"), col("n_outside_probed"), col("n_dist_bad"),
+          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
+    }),
+
     // incremental ingest: save an index holding HALF the vectors, append
     // the other half through IvfPqBuilder.appendToStore (encode against
     // the frozen model, append-only partitioned write, nothing
@@ -745,6 +782,29 @@ object SparkEntry {
 
     "text_subwords" -> ((s, dir) =>
       TextAnalysis.subwordStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // cross-document novelty: fraction of a doc's bigrams that are
+    // corpus-unique (df = 1) — the statistical quality signal the
+    // per-doc-local signals can't compute
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltySignals(Tables.documents(s, dir), n = 2, rareDf = 1)
+        .orderBy("doc_id")),
+
+    // batch twin of the streaming key-dedup (dropDuplicatesWithin-
+    // Watermark semantics): the FIRST event per (user_id, event_type)
+    // in (ts, event_id) order survives
+    "events_dedup_first" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // µs-truncated order so ns-resolution ties break on event_id in
+      // BOTH engines (DuckDB reads the ns parquet at µs)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(expr("ts div 1000"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy("user_id", "event_type")
+    }),
 
     // Gopher-style repetition signal: one shuffle-free kernel call per
     // row; the oracle must explode + groupBy to express the same thing
@@ -1427,6 +1487,12 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_recon_bad,
         | CAST(1 AS BIGINT) AS recall_ge_70""".stripMargin,
 
+    "ann_ivfsq8" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_outside_probed,
+        | CAST(0 AS BIGINT) AS n_dist_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
+
     "ann_sq8_stored" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
@@ -1666,6 +1732,33 @@ object SparkEntry {
         |   ELSE (a.max_rep * 100) // a.n_shingles END AS BIGINT) AS rep_pct
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |  md5(array_to_string(ts[i.i : i.i + 1], ' ')) AS g
+        | FROM tok, generate_series(1, 4096) AS i(i)
+        | WHERE i.i + 1 <= len(ts)),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+        |pd AS (SELECT doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS n_rare
+        | FROM g JOIN df USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+        | CAST(coalesce(pd.n_rare, 0) AS BIGINT) AS n_rare,
+        | CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+        |   ELSE (pd.n_rare * 100) // pd.n_grams END AS BIGINT) AS rare_pct
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "events_dedup_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+        | SELECT user_id, event_type, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,

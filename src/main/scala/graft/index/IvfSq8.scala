@@ -1,0 +1,100 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastFunctions._
+
+/** IVF + SQ8: coarse k-means partitioning with 8-bit scalar-quantized
+  * RESIDUALS — the FAISS IndexIVFScalarQuantizer shape, completing this
+  * engine's index-family matrix (flat/exact → SQ8 → IVF+SQ8 → IVF+PQ in
+  * increasing compression): nprobe cell pruning like IVF+PQ, but the
+  * within-cell code is the per-dimension affine byte codec instead of
+  * codebook lookups — finer-grained distances (≤ Δ/2 error per dim, no
+  * codebook training) at dim bytes/vector instead of D codes.
+  *
+  * Build = ONE driver-sized sample + in-process Lloyd for the coarse
+  * cells (the [[IvfPqBuilder]] discipline), then a single distributed
+  * pass: assignment + residual kernels, a posexplode min/max pass for
+  * the residual codec, one `sq8Encode` call per row. Query = driver-side
+  * cell selection, partition-pruned scan, one `sq8Dist` kernel call per
+  * row against the per-cell localized query dispatched by a CASE over
+  * the probe set — the same single-codegen-span plan as
+  * [[graft.query.AnnQuery.topK]].
+  */
+final case class IvfSq8Model(dim: Int, numPartitions: Int,
+                             partitionCentroids: Array[Array[Double]],
+                             codec: Sq8Model)
+
+object IvfSq8 {
+
+  /** Fit coarse cells + residual codec; returns the model and the
+    * encoded corpus (id, partition, sq8). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+          numPartitions: Int, maxIter: Int = 20,
+          trainPointsPerCentroid: Int = 256, seed: Long = 42L)
+      : (IvfSq8Model, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cap = numPartitions.toLong * trainPointsPerCentroid
+    val nRows = base.count()
+    val sample =
+      if (cap < nRows)
+        base.sample(withReplacement = false, cap.toDouble / nRows, seed)
+      else base
+    val train = sample.select("vec").as[Array[Float]].collect()
+    val coarse = LocalKMeans.fit(train, numPartitions, maxIter,
+      tol = 1e-4, seed = seed, init = "kmeans++")
+    val flatCentLit = litDoubles(coarse.centroids.flatten)
+    val assigned = base
+      .withColumn("partition", nearestCentroidL2(col("vec"), flatCentLit))
+      .withColumn("residual",
+        subCentroidF(col("vec"), flatCentLit, col("partition")))
+      .select(col("id"), col("partition"), col("residual"))
+    val codec = Sq8.fit(assigned, "residual", dim)
+    val encoded = assigned.select(col("id"), col("partition"),
+      sq8Encode(col("residual"), litDoubles(codec.mins),
+        litDoubles(codec.scales)).as("sq8"))
+    (IvfSq8Model(dim, numPartitions, coarse.centroids, codec), encoded)
+  }
+
+  /** Selected cells: (partition id, localized query q − centroid). */
+  def selectPartitions(model: IvfSq8Model, q: Array[Double],
+                       nprobe: Int): Array[(Int, Array[Double])] = {
+    require(nprobe >= 1 && nprobe <= model.numPartitions,
+      s"nprobe $nprobe out of range 1..${model.numPartitions}")
+    model.partitionCentroids.zipWithIndex.map { case (c, p) =>
+      val localized = new Array[Double](q.length)
+      var i = 0; var dist = 0.0
+      while (i < q.length) {
+        localized(i) = q(i) - c(i)
+        dist += localized(i) * localized(i)
+        i += 1
+      }
+      (dist, p, localized)
+    }.sortBy(t => (t._1, t._2)).take(nprobe).map(t => (t._2, t._3))
+  }
+
+  /** Approximate top-k: (id, partition, sq_dist) ascending — asymmetric
+    * distance between the localized query and each cell's decoded
+    * residuals, over the nprobe-pruned scan only. */
+  def topK(encoded: DataFrame, model: IvfSq8Model, q: Array[Double],
+           k: Int, nprobe: Int): DataFrame = {
+    val probes = selectPartitions(model, q, nprobe)
+    val mins = litDoubles(model.codec.mins)
+    val scales = litDoubles(model.codec.scales)
+    def distFor(localized: Array[Double]) =
+      sq8Dist(litDoubles(localized), col("sq8"), mins, scales)
+    val pruned = encoded.where(col("partition").isin(probes.map(_._1): _*))
+    val dist = probes.tail.foldLeft(
+      when(col("partition") === probes.head._1, distFor(probes.head._2))) {
+      case (acc, (p, localized)) =>
+        acc.when(col("partition") === p, distFor(localized))
+    }
+    pruned.withColumn("sq_dist", dist)
+      .orderBy(col("sq_dist"), col("id"))
+      .limit(k)
+      .select(col("id"), col("partition"), col("sq_dist"))
+  }
+}

@@ -131,6 +131,36 @@ object TextAnalysis {
       .withColumn("rep_pct", when(col("n_shingles") === 0, lit(0L))
         .otherwise(expr("(max_rep * 100) div n_shingles")))
 
+  /** Cross-document novelty signal: how much of a document's n-gram mass
+    * is corpus-RARE (document frequency ≤ rareDf). Boilerplate scores
+    * near 0 (its n-grams recur everywhere); unique prose scores high; a
+    * spike of rare n-grams inside an otherwise-templated source flags
+    * noise/PII-ish content. The cross-doc statistic the per-doc quality
+    * signals can't see.
+    *
+    * Shape: one df aggregation over distinct per-doc n-grams (the
+    * shuffle carries (gram, partial df) — vocabulary-sized), a
+    * candidate-sized join back, one doc-keyed count. Integer output:
+    * (doc_id, n_grams, n_rare, rare_pct). */
+  def noveltySignals(docs: DataFrame, n: Int = 2,
+                     rareDf: Long = 1): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(graft.pipeline.TrainingData
+        .ngramFingerprints(col("text"), n)).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("df") <= rareDf, 1L).otherwise(0L)), lit(0L))
+          .as("n_rare"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_pct", when(col("n_grams") === 0, 0L)
+        .otherwise(expr("(n_rare * 100) div n_grams")))
+  }
+
   /** Corpus vocabulary by DOCUMENT frequency (tokens counted once per
     * document, the df a tokenizer-training or idf pipeline needs).
     * One explode + one hash-groupBy with map-side combine — the shuffle

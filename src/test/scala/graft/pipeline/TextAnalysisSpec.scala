@@ -87,6 +87,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, 2L, 2L, 100L)))
   }
 
+  test("noveltySignals: rare-bigram fraction against corpus df") {
+    val d = Seq(
+      (1L, "a b c d"),   // bigrams: ab, bc, cd
+      (2L, "a b x y"),   // bigrams: ab, bx, xy
+      (3L, "q")).toDF("doc_id", "text") // too short: zero bigrams
+    val r = TextAnalysis.noveltySignals(d, n = 2, rareDf = 1)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // "a b" has df 2 (shared); all other bigrams are unique (df 1)
+    assert(r.toSeq === Seq(
+      (1L, 3L, 2L, 66L), (2L, 3L, 2L, 66L), (3L, 0L, 0L, 0L)))
+  }
+
+  test("noveltySignals: duplicated bigram inside ONE doc counts once") {
+    val d = Seq((1L, "a b a b"), (2L, "z z")).toDF("doc_id", "text")
+    // doc 1 distinct bigrams: {a b, b a}; doc 2: {z z}
+    val r = TextAnalysis.noveltySignals(d, n = 2, rareDf = 1)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
   test("vocabulary: document frequency, tokens counted once per doc") {
     val d = Seq(
       (1L, "a a b c"),   // a counts ONCE for doc 1
