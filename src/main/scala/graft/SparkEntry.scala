@@ -194,6 +194,35 @@ object SparkEntry {
           col("cnt"), col("sum_qty"))
         .orderBy("rflag", "lstatus")),
 
+    // cube: the full grouping-sets lattice over the rollup entry's keys
+    "rel_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")),
+
+    // cohort retention: users grouped by first-signup week, counted
+    // distinct-active per week offset — the classic product-analytics
+    // self-join (cohort relation is user-sized and broadcastable; the
+    // activity side aggregates with map-side distinct partials)
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("week", expr("ts div 604800000000000"))
+      val cohort = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      ev.select("user_id", "week")
+        .join(cohort, "user_id")
+        .where(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    }),
+
     "rel_semi_join" -> ((s, dir) => {
       val bigOrders = Tables.orders(s, dir).where(col("o_totalprice") > 200000)
       Tables.customer(s, dir)
@@ -1263,6 +1292,25 @@ object SparkEntry {
         | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |  epoch_ns(ts) // 604800000000000 AS week, event_type
+        | FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev
+        | WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_week,
+        | CAST(week - cohort_week AS BIGINT) AS weeks_since,
+        | count(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN c USING (user_id) WHERE week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "rel_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
