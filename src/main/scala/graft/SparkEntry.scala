@@ -1246,6 +1246,57 @@ object SparkEntry {
             .otherwise(0L).as("rank_ok"))
         .orderBy("event_type")
     }),
+
+    // span-level exact-substring dedup (Lee et al. 2022 n-gram-window
+    // formulation): per-doc duplicated 8-token windows, merged into
+    // maximal spans — all-integer output, exact DuckDB oracle grouping
+    // the same window STRINGS (hash ≡ string mod 64-bit collisions)
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), n = 8)
+        .orderBy("doc_id")),
+
+    // hybrid retrieval: RRF fusion (SIGIR'09) of the keyword ranking
+    // (search_rank's scan path, top-50) and the vector ranking
+    // (knn_exact's brute-force cosine-free L2 path, top-50) — integer
+    // scoring end to end, so the fused ranking has an exact SQL oracle
+    "search_hybrid" -> ((s, dir) => {
+      val text = graft.query.TextSearch.rankedSearch(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "vector"), k = 50)
+        .select(col("doc_id"), col("rank"))
+      val vec = ExactKnn.rankedIds(Tables.embeddings(s, dir), "embedding",
+        "vec_id", queryVec(s, dir, 0L), 50)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.query.HybridSearch.rrfFuse(Seq(text, vec), "doc_id", k = 20)
+    }),
+
+    // multimodal near-dup: perceptual aHash (stub decode → 8×8 pool →
+    // bits above mean) + the banded Hamming join. Invariants: the banded
+    // result EQUALS brute-force all-pairs Hamming ≤ 3 (pigeonhole makes
+    // the bucketing lossless — audited both directions), pairs are
+    // ordered, and every exact-payload duplicate is found (equal bytes ⇒
+    // equal hash ⇒ Hamming 0; the corpus has such dups ⇒ has_pairs = 1)
+    "media_phash_near" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+      val sigs = Multimodal.aHash64(media).cache()
+      val banded = Dedup.hammingNearPairs(sigs, "media_id", "ahash", 3)
+      val brute = sigs.as("x").join(sigs.as("y"),
+          col("x.media_id") < col("y.media_id") &&
+          bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))) <= 3)
+        .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
+      val missed = brute.join(banded.select("a_id", "b_id"),
+          Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_missed"))
+      val extra = banded.select("a_id", "b_id").join(brute,
+          Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_extra"))
+      val inv = banded.agg(
+        coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_hamming_viol"),
+        coalesce(sum(when(col("a_id") >= col("b_id"), 1L).otherwise(0L)),
+          lit(0L)).as("n_order_viol"),
+        when(count(lit(1)) > 0, 1L).otherwise(0L).as("has_pairs"))
+      inv.crossJoin(missed).crossJoin(extra)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2067,6 +2118,77 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS trace_ok,
         | CAST(0 AS BIGINT) AS n_var_bad,
         | CAST(0 AS BIGINT) AS n_proj_bad""".stripMargin,
+
+    // window STRINGS group exactly as the Spark side's window hashes
+    // (same space-joined construction; 64-bit collisions are the only
+    // divergence and are ~V²/2⁶⁴-improbable)
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |w AS (SELECT doc_id, g.i AS pos,
+        |  array_to_string(toks[g.i : g.i + 7], ' ') AS s
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 7 <= nt),
+        |dh AS (SELECT s FROM w GROUP BY s HAVING min(doc_id) < max(doc_id)),
+        |dw AS (SELECT w.doc_id, w.pos FROM w JOIN dh USING (s)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        | FROM dw),
+        |sp AS (SELECT doc_id, grp, count(*) AS len FROM isl
+        | GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup_windows,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(max(len) + 7 AS BIGINT) AS max_span_tokens
+        | FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | CAST(greatest(t.nt - 7, 0) AS BIGINT) AS n_windows,
+        | coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+        | coalesce(a.n_spans, 0) AS n_spans,
+        | coalesce(a.max_span_tokens, 0) AS max_span_tokens
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "search_hybrid" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |p AS (SELECT tok, doc_id, count(*) AS tf FROM toks
+        | WHERE tok IN ('spark', 'vector') GROUP BY 1, 2),
+        |h AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+        | FROM p GROUP BY doc_id HAVING count(*) = 2),
+        |tr AS (SELECT CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id)
+        |   AS BIGINT) AS rank, doc_id
+        | FROM h ORDER BY tf_total DESC, doc_id LIMIT 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE)))
+        |    AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id),
+        |vr AS (SELECT CAST(row_number() OVER (ORDER BY sq, vec_id)
+        |   AS BIGINT) AS rank, vec_id AS doc_id
+        | FROM d ORDER BY sq, vec_id LIMIT 50),
+        |u AS (SELECT doc_id, rank FROM tr
+        | UNION ALL SELECT doc_id, rank FROM vr),
+        |f AS (SELECT doc_id,
+        |  CAST(sum(1000000 // (rank + 60)) AS BIGINT) AS rrf_scaled,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        | FROM u GROUP BY doc_id
+        | ORDER BY rrf_scaled DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id)
+        |   AS BIGINT) AS rank,
+        | doc_id, rrf_scaled, n_lists
+        |FROM f ORDER BY rank""".stripMargin,
+
+    // banded ≡ brute-force equivalence is audited in-job (pigeonhole
+    // makes the 4-band bucketing lossless) — the oracle is the constant
+    // all-invariants-hold row; has_pairs = 1 because the corpus contains
+    // exact duplicates (equal payload ⇒ Hamming 0)
+    "media_phash_near" ->
+      """SELECT CAST(0 AS BIGINT) AS n_hamming_viol,
+        | CAST(0 AS BIGINT) AS n_order_viol,
+        | CAST(1 AS BIGINT) AS has_pairs,
+        | CAST(0 AS BIGINT) AS n_missed,
+        | CAST(0 AS BIGINT) AS n_extra""".stripMargin,
   )
 
   /** Shared oracle for exact token-set Jaccard at a given integer

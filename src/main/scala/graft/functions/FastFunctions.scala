@@ -26,6 +26,8 @@ object FastFunctions {
     "cosinef" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
     "tokenHashesSorted" -> Seq(ArrayType(StringType)),
     "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
+    "shingleHashes" -> Seq(ArrayType(StringType), IntegerType),
+    "bitsAboveMean" -> Seq(ArrayType(FloatType)),
     "shingleRepetition" -> Seq(ArrayType(StringType), IntegerType),
     "interSortedSize" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "lastLeIdx" -> Seq(ArrayType(LongType), LongType),
@@ -120,6 +122,17 @@ object FastFunctions {
   /** Hashed n-token shingle set of a whitespace-tokenized text column. */
   def hashedShingleSet(text: Column, n: Int): Column =
     shingleHashesSorted(split(text, " "), n)
+
+  /** POSITIONAL (unsorted, non-distinct) n-token shingle hashes of an
+    * array<string> — element i hashes the window starting at token i
+    * (span-level substring dedup). */
+  def shingleHashes(toks: Column, n: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "shingleHashes",
+      toks, lit(n))
+
+  /** 64-bit average-hash (aHash) of a ≤64-pixel float image column. */
+  def bitsAboveMean(img: Column): Column =
+    invoke(LongType, "bitsAboveMean", img)
 
   /** (max shingle multiplicity << 32) | total shingles of a token-array
     * column — the repetition quality signal, one kernel call per row. */

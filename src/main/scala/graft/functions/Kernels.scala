@@ -137,6 +137,37 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, k))
   }
 
+  /** POSITIONAL xxhash64 values of the n-token shingles of a token
+    * array: element i is the hash of tokens[i..i+n) joined by one space —
+    * unsorted and non-distinct, in bijection with the window STRINGS at
+    * each position (mod 64-bit collisions). The windowed representation
+    * for span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the n-gram-window
+    * formulation): a window's hash matching across documents marks a
+    * duplicated span. Same shingle-string construction as
+    * [[shingleHashesSorted]], so a SQL oracle grouping window strings
+    * computes the same relation. */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements() - n + 1
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val sep = UTF8String.fromString(" ")
+    val empty = UTF8String.EMPTY_UTF8
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val u = toks.getUTF8String(i + j)
+        parts(j) = if (u == null) empty else u
+        j += 1
+      }
+      h(i) = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(h)
+  }
+
   /** Multiplicity of the most-repeated n-token shingle of a token array,
     * packed with the total shingle count as (max << 32) | total — the
     * Gopher-style repetition quality signal (Rae et al. 2021, §A1.1:
@@ -737,6 +768,29 @@ object Kernels {
       oy += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit perceptual hash of a pooled image: bit i (little-endian) is
+    * set iff pixel i exceeds the image mean — the "aHash" (average hash)
+    * construction over an 8×8 = 64-float thumbnail. Equal images hash
+    * equal; small perturbations flip few bits, so near-duplicate images
+    * sit at small Hamming distance and the SimHash banding machinery
+    * (Dedup.hammingNearPairs) applies unchanged. Requires 1..64 pixels
+    * (pad shorter inputs upstream via meanPool geometry). */
+  def bitsAboveMean(img: ArrayData): Long = {
+    val n = img.numElements()
+    require(n > 0 && n <= 64, s"aHash needs 1..64 pixels, got $n")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += img.getFloat(i); i += 1 }
+    val mean = s / n
+    var bits = 0L
+    i = 0
+    while (i < n) {
+      if (img.getFloat(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
   }
 
   /** Table-free asymmetric PQ distance ‖(q − centroid) − decode(codes)‖²

@@ -166,6 +166,62 @@ object Dedup {
       .where(col("inter") * 100 >= col("union_sz") * thresholdPct)
       .select("a_id", "b_id", "inter", "union_sz")
 
+  // ----------------------------------------- containment (partial copy)
+
+  /** DIRECTED containment pairs: (a, b) with |A ∩ B| ≥ t·|A| — document
+    * a's token set mostly inside b's (quotes, partial copies, documents
+    * embedded in larger ones). Jaccard misses these when |B| ≫ |A| (the
+    * union term dilutes the overlap); containment is the asymmetric
+    * measure built for them.
+    *
+    * Candidate generation is the one-sided prefix filter: if a's
+    * L = |A| − ⌈t·|A|⌉ + 1 rarest tokens (by global document frequency)
+    * are ALL absent from B, then |A ∩ B| ≤ |A| − L < t·|A| — so joining
+    * a's prefix tokens against b's FULL token relation is complete.
+    * Output: (a_id, b_id, inter, a_sz) with a_id ≠ b_id; both directions
+    * can appear independently.
+    *
+    * Scale shape: both join sides are fixed-width rows — (h, doc, sz)
+    * only, no set arrays ride the shuffle (unlike the symmetric PPJoin,
+    * the b side here would have to carry its FULL set for an in-join
+    * emit-once test, which is O(Σ|B|²) shuffle bytes — so candidate
+    * dedup is a map-side-combined groupBy over the fixed-width pair
+    * multiset instead). Candidate volume is Σ_h df_prefix(h)·df(h) —
+    * rare-token-bounded on the prefix side, the same discipline as
+    * [[jaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, thresholdPct: Int): DataFrame = {
+    val sets = hashedSets(docs)
+    val toks = sets.select(col("doc_id"), col("sz"), explode(col("hset")).as("h"))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefixed = toks.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ranked"))
+      .select(col("doc_id"), col("sz"),
+        transform(
+          slice(col("ranked"), lit(1),
+            (col("sz") - ceilDiv(col("sz") * thresholdPct, 100) + 1).cast("int")),
+          s => s.getField("h")).as("prefix"))
+    val aSide = prefixed
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        explode(col("prefix")).as("h"))
+      .repartition(col("h"))
+    val bSide = toks
+      .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("h"))
+    val cand = aSide.join(bSide, Seq("h"))
+      .where(col("a_id") =!= col("b_id") &&
+        col("b_sz") * 100 >= col("a_sz") * thresholdPct)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("a_sz")).as("dropme"))
+      .select(col("a_id"), col("b_id"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hset").as("ha"),
+        col("sz").as("a_sz")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hset").as("hb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        interSortedSize(col("ha"), col("hb")).as("inter"), col("a_sz"))
+      .where(col("inter") * 100 >= col("a_sz") * thresholdPct)
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** MinHash signature (numHashes longs) per document — one kernel call
@@ -362,9 +418,11 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
-  /** Near-dup pairs at Hamming distance <= maxHamming, bucketed by 4
-    * 16-bit bands (pigeonhole: any pair within Hamming 3 shares at least
-    * one exact band). Shuffles only (band, chunk, doc_id).
+  /** Near-dup pairs at Hamming distance <= maxHamming over ANY 64-bit
+    * signature relation (id, sig), bucketed by 4 16-bit bands
+    * (pigeonhole: any pair within Hamming 3 shares at least one exact
+    * band — so the output EQUALS the brute-force all-pairs relation).
+    * Shuffles only (band, chunk, id).
     *
     * A pair sharing m chunks meets in m joined rows; the
     * `firstEqualIdx(x.chunks, y.chunks) = band` conjunct keeps exactly
@@ -372,24 +430,82 @@ object Dedup {
     * replacing a distinct() shuffle over the quadratic candidate
     * multiset. The Hamming filter runs inside the join condition, before
     * the dedupe, so XOR+bit_count evaluates once per surviving row. */
-  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hammingNearPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole covers Hamming <= 3")
-    val sigs = simHashSignatures(docs)
     val banded = sigs
-      .select(col("doc_id"), col("simhash"),
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
         array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)
+          shiftright(col(sigCol), b * 16).bitwiseAND(0xFFFFL)): _*)
           .as("chunks"))
-      .select(col("doc_id"), col("simhash"), col("chunks"),
+      .select(col("id"), col("sig"), col("chunks"),
         posexplode(col("chunks")).as(Seq("band", "chunk")))
       .repartition(col("chunk"), col("band"))
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.band") === col("y.band") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming &&
+        col("x.id") < col("y.id") &&
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming &&
         firstEqualIdx(col("x.chunks"), col("y.chunks")) === col("x.band"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+  }
+
+  /** SimHash near-dup pairs at Hamming <= maxHamming — the banded join
+    * of [[hammingNearPairs]] over [[simHashSignatures]]. */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearPairs(simHashSignatures(docs), "doc_id", "simhash", maxHamming)
+
+  // ------------------------------------- span-level (substring) dedup
+
+  /** Span-level exact-substring duplication stats per document (the
+    * n-gram-window formulation of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a token window of
+    * length n is DUPLICATED when the same window string occurs in at
+    * least one other document; runs of consecutive duplicated windows
+    * merge into maximal duplicated spans (a shared passage of s tokens
+    * yields s − n + 1 consecutive windows = one span).
+    *
+    * Output per document: (doc_id, n_windows, n_dup_windows, n_spans,
+    * max_span_tokens) — all integers, zeros for clean docs, where
+    * max_span_tokens = longest duplicated passage in tokens
+    * (= longest window run + n − 1).
+    *
+    * Scale shape: windows ride as fixed-width (doc_id, pos, h) rows —
+    * the corpus text itself is never shuffled; the duplicated-hash
+    * relation aggregates with map-side combine (min/max doc partials);
+    * the island window function runs over DUPLICATED windows only
+    * (dup-sized, not corpus-sized). */
+  def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val wins = docs.select(col("doc_id"),
+      posexplode(shingleHashes(toks, n)).as(Seq("pos", "h")))
+    // windows whose string occurs in >= 2 distinct docs (cross-doc
+    // duplication; a window repeated only within one doc is repetition,
+    // not duplication — TextAnalysis.repetitionSignals covers that)
+    val dupH = wins.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") < col("mx"))
+      .select("h")
+    val dup = wins.join(dupH, "h").select("doc_id", "pos")
+    // gap-and-island: consecutive duplicated positions share one island
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "isl")
+      .agg(count(lit(1)).as("len"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      sum("len").as("dw"),
+      count(lit(1)).as("ns"),
+      (max("len") + lit(n - 1)).as("mst"))
+    docs
+      .select(col("doc_id"),
+        greatest(size(toks) - lit(n - 1), lit(0)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dw"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("ns"), lit(0L)).as("n_spans"),
+        coalesce(col("mst"), lit(0L)).as("max_span_tokens"))
   }
 
   // -------------------------------------------- clusters and drop lists

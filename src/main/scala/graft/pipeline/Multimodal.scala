@@ -64,6 +64,21 @@ object Multimodal {
       .select(col("media_id"),
         (col("pos") * stride).cast("long").as("frame_no"), col("frame_sum"))
 
+  /** 64-bit perceptual hash (aHash) per media row: STUB decode to w×h
+    * gray, mean-pool to 8×8, bit i = pixel i above the thumbnail mean —
+    * one codegen'd projection, no shuffle. Near-duplicate media then
+    * reuses the text machinery unchanged: equal payloads hash equal,
+    * perturbed payloads land at small Hamming distance, and
+    * [[graft.pipeline.Dedup.hammingNearPairs]] finds all pairs within
+    * Hamming 3 exactly (4-band pigeonhole). Requires 8 | w and 8 | h. */
+  def aHash64(media: DataFrame, w: Int = 16, h: Int = 8): DataFrame = {
+    require(w % 8 == 0 && h % 8 == 0, s"aHash pools ${w}x$h to 8x8")
+    media.select(col("media_id"),
+      bitsAboveMean(
+        meanPool(stubDecodeGray(col("payload"), w, h), w, h, w / 8, h / 8))
+        .as("ahash"))
+  }
+
   /** STUB decode + resize as one codegen'd projection: payload →
     * w×h gray pixels → mean-pooled (w/fw)×(h/fh) thumbnail. */
   def decodeAndPool(media: DataFrame, w: Int, h: Int,

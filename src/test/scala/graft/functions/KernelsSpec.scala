@@ -238,4 +238,30 @@ class KernelsSpec extends AnyFunSuite {
     assert(unpack(Kernels.shingleRepetition(
       sa("p", "q", "r"), 3)) === ((1L, 1L)))
   }
+
+  test("shingleHashes: positional, non-distinct, consistent with the set") {
+    val toks = sa("a", "b", "a", "b", "c")
+    val pos = Kernels.shingleHashes(toks, 2).toLongArray()
+    assert(pos.length === 4) // 5 tokens, n=2
+    // positions 0 and 2 are both "a b" — same hash, kept (non-distinct)
+    assert(pos(0) === pos(2))
+    // sorted-distinct of the positional hashes = the shingle SET
+    assert(pos.distinct.sorted.toSeq ===
+      Kernels.shingleHashesSorted(toks, 2).toLongArray().toSeq)
+    // shorter than n => empty
+    assert(Kernels.shingleHashes(sa("x"), 2).numElements() === 0)
+  }
+
+  test("bitsAboveMean: aHash bits, equal-input stability, size guard") {
+    // [0,1,0,1]: mean 0.5 -> bits at positions 1 and 3
+    assert(Kernels.bitsAboveMean(fa(0f, 1f, 0f, 1f)) === ((1L << 1) | (1L << 3)))
+    // constant image: nothing exceeds the mean
+    assert(Kernels.bitsAboveMean(fa(0.5f, 0.5f, 0.5f)) === 0L)
+    // full 64-pixel image incl. the sign bit (pixel 63 above mean)
+    val img = (0 until 64).map(i => if (i == 63) 1f else 0f)
+    assert(Kernels.bitsAboveMean(fa(img: _*)) === Long.MinValue)
+    intercept[IllegalArgumentException](Kernels.bitsAboveMean(fa()))
+    intercept[IllegalArgumentException](
+      Kernels.bitsAboveMean(fa((0 until 65).map(_.toFloat): _*)))
+  }
 }

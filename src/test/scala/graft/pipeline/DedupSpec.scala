@@ -194,4 +194,58 @@ class DedupSpec extends AnyFunSuite {
     assert(r(0) == r(1))
     assert(r(0).toSeq == r(0).sorted.toSeq)
   }
+
+  test("duplicateSpans: cross-doc windows merge into maximal spans") {
+    // corpus (n=8): docs 1-2 share their first TWO 8-token windows (one
+    // 9-token span); doc 3 shares only window 0 (one 8-token span);
+    // doc 4 diverges at token 8 (clean); docs 5-6 identical 9-token
+    // texts (one 9-token span); docs 7-8 single unique windows (clean)
+    val rows = Dedup.duplicateSpans(docs, n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (1L, 3L, 2L, 1L, 9L),
+      (2L, 3L, 2L, 1L, 9L),
+      (3L, 3L, 1L, 1L, 8L),
+      (4L, 3L, 0L, 0L, 0L),
+      (5L, 2L, 2L, 1L, 9L),
+      (6L, 2L, 2L, 1L, 9L),
+      (7L, 1L, 0L, 0L, 0L),
+      (8L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("duplicateSpans: disjoint shared passages count as separate spans") {
+    val d = Seq(
+      (1L, "s1 s2 s3 gap1 gap2 t1 t2 t3"),
+      (2L, "s1 s2 s3 other words t1 t2 t3")).toDF("doc_id", "text")
+    // n=3: doc 1 windows: [s1s2s3][s2s3gap1][s3gap1gap2][gap1gap2t1]
+    // [gap2t1t2][t1t2t3] — shared: positions 0 and 5 (two 3-token spans)
+    val rows = Dedup.duplicateSpans(d, n = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((1L, 2L, 2L, 3L), (2L, 2L, 2L, 3L)))
+  }
+
+  test("hammingNearPairs equals brute-force all-pairs Hamming <= 3") {
+    val rnd = new scala.util.Random(7)
+    // cluster structure: base signatures plus <=3-bit perturbations, so
+    // true near pairs exist; plus uniform noise
+    val base = Seq.fill(6)(rnd.nextLong())
+    val sigs = (0 until 60).map { i =>
+      val b = base(i % base.length)
+      val flips = rnd.nextInt(4)
+      val sig = (0 until flips).foldLeft(b)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      (i.toLong, sig)
+    } ++ (60 until 100).map(i => (i.toLong, rnd.nextLong()))
+    val df = sigs.toDF("id", "sig")
+    val got = Dedup.hammingNearPairs(df, "id", "sig", 3)
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the corpus genuinely exercises the join
+  }
 }

@@ -72,4 +72,19 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
     assert(batched === columnar)
   }
+
+  test("aHash64: deterministic, equal payloads collide, distinct differ") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over it"), // exact dup of 1
+      (3L, "a completely different text body here")).toDF("doc_id", "text")
+    val h = Multimodal.aHash64(Multimodal.fromDocuments(d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L)) // equal bytes => equal hash
+    assert(h(1L) !== h(3L)) // different content separates (this corpus)
+    // stable across evaluations
+    val h2 = Multimodal.aHash64(Multimodal.fromDocuments(d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === h2)
+  }
 }
