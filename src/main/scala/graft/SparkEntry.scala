@@ -53,6 +53,7 @@ object SparkEntry {
     * views = vec_id·10 + 1 for every 7th vector — so reads must replay
     * last-write-wins, not just read a table. */
   private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val dayPartDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val appendDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val sq8Dir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storedIndexPath(s: SparkSession, dir: String): String =
@@ -1247,12 +1248,64 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // day-partitioned event layout (sources.PartitionedTables): events
+    // written partitionBy(day) once per sf dir, re-read with a day
+    // filter that prunes to 3 of ~30 directories (PartitionFilters on
+    // the scan — asserted in PartitionedTablesSpec; the DPP variant is
+    // spec-gated too), aggregated per day
+    "events_day_partitioned" -> ((s, dir) => {
+      val p = dayPartDir.getOrElseUpdate(dir, {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_daypart").toString
+        graft.sources.PartitionedTables
+          .writeEventsByDay(Tables.events(s, dir), out)
+        out
+      })
+      graft.sources.PartitionedTables.read(s, p)
+        .where(col("day").isin(19725, 19726, 19727))
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("day")
+    }),
+
+    // incremental-ingest dedup: the doc_id%5==0 batch deduplicated
+    // against the rest of the corpus via the BIPARTITE LSH band join —
+    // the corpus never pairs with itself. Oracle = exact bipartite
+    // Jaccard at 0.9 (band-geometry miss probability < 2e-15/pair,
+    // same contract as dedup_minhash_lsh)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minHashLshPairsBipartite(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0), thresholdPct = 90)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // span-level exact-substring dedup (Lee et al. 2022 n-gram-window
     // formulation): per-doc duplicated 8-token windows, merged into
     // maximal spans — all-integer output, exact DuckDB oracle grouping
     // the same window STRINGS (hash ≡ string mod 64-bit collisions)
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(Tables.documents(s, dir), n = 8)
+        .orderBy("doc_id")),
+
+    // directed containment (partial-copy) pairs over 3-gram shingle
+    // sets at |A∩B| ≥ 0.8·|A| — the asymmetric measure Jaccard dilutes
+    // when |B| ≫ |A|; shingles (not bags of tokens) because copied
+    // passages are consecutive text
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairsShingled(Tables.documents(s, dir),
+          thresholdPct = 80, n = 3)
+        .orderBy("a_id", "b_id")),
+
+    // BM25 relevance scoring (disjunctive hit set): idf/df/avglen from
+    // ONE corpus pass (integer counts in doubles — exact), scoring a
+    // narrow shuffle-free projection. The oracle replicates the exact
+    // arithmetic (same parenthesization, same ln argument); the score is
+    // rounded to 4 decimals on both sides.
+    "search_bm25" -> ((s, dir) =>
+      graft.query.TextSearch.bm25Scores(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "vector"))
         .orderBy("doc_id")),
 
     // hybrid retrieval: RRF fusion (SIGIR'09) of the keyword ranking
@@ -2119,6 +2172,13 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_var_bad,
         | CAST(0 AS BIGINT) AS n_proj_bad""".stripMargin,
 
+    "events_day_partitioned" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE epoch_ns(ts) // 86400000000000 IN (19725, 19726, 19727)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // window STRINGS group exactly as the Spark side's window hashes
     // (same space-joined construction; 64-bit collisions are the only
     // divergence and are ~V²/2⁶⁴-improbable)
@@ -2146,6 +2206,65 @@ object SparkEntry {
         | coalesce(a.max_span_tokens, 0) AS max_span_tokens
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH tn AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents
+        | WHERE doc_id % 5 = 0),
+        |tc AS (SELECT DISTINCT doc_id,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents
+        | WHERE doc_id % 5 <> 0),
+        |szn AS (SELECT doc_id, count(*) AS n FROM tn GROUP BY doc_id),
+        |szc AS (SELECT doc_id, count(*) AS n FROM tc GROUP BY doc_id),
+        |ip AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  count(*) AS inter
+        | FROM tn a JOIN tc b ON a.tok = b.tok GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, inter,
+        | (sa.n + sb.n - inter) AS union_sz
+        |FROM ip JOIN szn sa ON sa.doc_id = new_id
+        | JOIN szc sb ON sb.doc_id = corpus_id
+        |WHERE inter * 100 >= (sa.n + sb.n - inter) * 90
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  array_to_string(toks[g.i : g.i + 2], ' ') AS s
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 2 <= nt),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ip AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+        | CAST(sa.n AS BIGINT) AS a_sz
+        |FROM ip JOIN sz sa ON sa.doc_id = a_id
+        |WHERE inter * 100 >= sa.n * 80
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // (1.2 + 1) instead of the literal 2.2: k1+1 is COMPUTED in the
+    // Spark side's Scala, and the double sum 1.2+1 sits a hair from the
+    // double nearest to literal 2.2 — both engines must do the same op
+    "search_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |  CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2,
+        |  CAST(len(toks) AS DOUBLE) AS dl FROM t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avglen,
+        |  sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2 FROM tf)
+        |SELECT doc_id,
+        | CAST((CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        | round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1)
+        |     / (tf1 + 1.2 * (0.25 + 0.75 * dl / avglen))
+        |   + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1)
+        |     / (tf2 + 1.2 * (0.25 + 0.75 * dl / avglen)), 4) AS bm25_r4
+        |FROM tf, st
+        |WHERE tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "search_hybrid" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -88,4 +88,46 @@ object TextSearch {
         row_number().over(Window.orderBy(col("tf_total").desc, col(idCol)))
           .cast("long"))
       .select(col("rank"), col(idCol), col("tf_total"))
+
+  /** BM25 relevance scores (Robertson & Zaragoza 2009) for the DISJUNCTIVE
+    * hit set (any term matches): per term,
+    * idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)), with
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard ranking
+    * function behind every production keyword engine, layered on the same
+    * index-free scan as [[searchScan]].
+    *
+    * Physical shape: ONE corpus aggregate computes N, avg doc length,
+    * and every term's document frequency in a single pass (counts are
+    * integers in doubles — exact, order-insensitive); idf values then
+    * ride as plan literals into a second narrow projection, so scoring
+    * itself shuffles nothing. Output: (id, n_match, bm25_r4) for
+    * matching docs, score rounded to 4 decimals. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "empty term list")
+    val toks = split(col(textCol), " ")
+    val dl = size(toks).cast("double")
+    val tfCols = ts.map(t => size(filter(toks, x => x === t)).cast("double"))
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      avg(dl).as("avglen") +:
+      ts.zip(tfCols).map { case (t, tf) =>
+        sum(when(tf > 0, 1.0).otherwise(0.0)).as(s"df_$t") }
+    val stats = docs.agg(aggs.head, aggs.tail: _*).head()
+    val n = stats.getDouble(0)
+    val avglen = stats.getDouble(1)
+    val idfs = ts.indices.map { i =>
+      val df = stats.getDouble(2 + i)
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avglen))
+    val score = ts.indices.map { i =>
+      lit(idfs(i)) * tfCols(i) * lit(k1 + 1) / (tfCols(i) + norm)
+    }.reduce(_ + _)
+    val nMatch = tfCols.map(tf => when(tf > 0, 1).otherwise(0)).reduce(_ + _)
+    docs.select(col(idCol), nMatch.cast("long").as("n_match"),
+        round(score, 4).as("bm25_r4"))
+      .where(col("n_match") > 0)
+  }
 }

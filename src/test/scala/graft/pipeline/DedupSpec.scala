@@ -226,6 +226,73 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 2L, 2L, 3L), (2L, 2L, 2L, 3L)))
   }
 
+  /** Brute-force directed containment pairs at |A∩B| >= pct·|A|/100. */
+  private def bruteContainment(pct: Int): Set[(Long, Long, Long, Long)] = {
+    val sets = corpus.map { case (id, t) => id -> t.split(" ").toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = sa.intersect(sb).size
+      if inter * 100 >= sa.size * pct
+    } yield (a, b, inter.toLong, sa.size.toLong)).toSet
+  }
+
+  test("containmentPairs matches brute force at several thresholds") {
+    for (pct <- Seq(60, 80, 90, 100)) {
+      val got = Dedup.containmentPairs(docs, pct)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got === bruteContainment(pct), s"threshold $pct")
+    }
+  }
+
+  test("containmentPairsShingled matches brute force over shingle sets") {
+    def shingles(t: String, n: Int): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    for (pct <- Seq(60, 80, 100); n <- Seq(2, 3)) {
+      val want = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a != b
+        sa = shingles(ta, n); sb = shingles(tb, n)
+        if sa.nonEmpty
+        inter = sa.intersect(sb).size
+        if inter * 100 >= sa.size * pct
+      } yield (a, b, inter.toLong, sa.size.toLong)).toSet
+      val got = Dedup.containmentPairsShingled(docs, pct, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got === want, s"threshold $pct n $n")
+    }
+  }
+
+  test("containmentPairs is directed: a small doc inside a big one " +
+      "qualifies one way only") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L))) // 1 ⊆ 2, not 2 ⊆ 1
+  }
+
+  test("minHashLshPairsBipartite: new-vs-corpus pairs equal brute force, " +
+      "corpus never pairs with itself") {
+    val newDocs = docs.where($"doc_id" % 2 === 0)
+    val corpus = docs.where($"doc_id" % 2 =!= 0)
+    val got = Dedup.minHashLshPairsBipartite(newDocs, corpus, 80)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = this.corpus.map { case (id, t) => id -> t.split(" ").toSet }
+    val want = (for {
+      (a, sa) <- sets if a % 2 == 0
+      (b, sb) <- sets if b % 2 != 0
+      inter = sa.intersect(sb).size; union = sa.union(sb).size
+      if inter * 100 >= union * 80
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // docs 5/6 are identical and split across sides
+    assert(got.forall { case (n, c) => n % 2 == 0 && c % 2 != 0 })
+  }
+
   test("hammingNearPairs equals brute-force all-pairs Hamming <= 3") {
     val rnd = new scala.util.Random(7)
     // cluster structure: base signatures plus <=3-bit perturbations, so

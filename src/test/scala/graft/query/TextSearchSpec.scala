@@ -50,6 +50,40 @@ class TextSearchSpec extends AnyFunSuite {
     assert(r === Seq((1L, 2L, 3L), (2L, 0L, 2L)))
   }
 
+  test("bm25Scores equals an independent in-JVM BM25 computation") {
+    val corpus = Seq(
+      (0L, "spark vector spark table"),
+      (1L, "vector vector row"),
+      (2L, "spark spark spark"),
+      (3L, "spark vector"),
+      (4L, "other words entirely"))
+    val terms = Seq("spark", "vector")
+    val (k1, b) = (1.2, 0.75)
+    val lens = corpus.map(_._2.split(" ").length.toDouble)
+    val n = corpus.size.toDouble
+    val avglen = lens.sum / n
+    def tf(text: String, t: String) = text.split(" ").count(_ == t).toDouble
+    val dfs = terms.map(t => corpus.count(c => tf(c._2, t) > 0).toDouble)
+    val idfs = dfs.map(df => math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+    val want = corpus.flatMap { case (id, text) =>
+      val tfs = terms.map(tf(text, _))
+      val dl = text.split(" ").length.toDouble
+      val score = terms.indices.map { i =>
+        idfs(i) * tfs(i) * (k1 + 1) /
+          (tfs(i) + k1 * (1 - b + b * dl / avglen))
+      }.sum
+      val nm = tfs.count(_ > 0).toLong
+      if (nm > 0)
+        Some((id, nm, BigDecimal(score)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    val got = TextSearch.bm25Scores(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L)) // doc 4 matches nothing
+  }
+
   test("duplicate query terms collapse to single-term semantics") {
     val dup = TextSearch.searchScan(docs, "doc_id", "text",
         Seq("spark", "spark"))
