@@ -414,6 +414,38 @@ object SparkEntry {
           when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
     }),
 
+    // filtered ANN: the attribute predicate composes into the SAME
+    // nprobe-pruned ADC scan (pre-filtered strategy at the index level —
+    // the label join narrows the coded relation BEFORE top-k, so no
+    // post-hoc hole-filling). Invariants mirror ann_ivfpq plus
+    // n_label_bad = 0; recall vs the ORACLE-VERIFIED exact filtered
+    // top-k (knn_filtered's relation; measured 4/10 at both sf0.01 and
+    // sf0.1 — bound at ≥ 3)
+    "ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val filtered = encoded
+        .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+        .where(col("label") === 3)
+        .select("id", "partition", "codes")
+      val hits = AnnQuery.topK(filtered, model, q, k = 10, nprobe = 4)
+      val probes = AnnQuery.selectPartitions(model, q, 4).map(_._1).toSeq
+      val exact = ExactKnn.rankedIds(emb.where(col("label") === 3),
+          "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val labelBad = hits
+        .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+        .agg(coalesce(sum(when(col("label") =!= 3, 1L).otherwise(0L)),
+          lit(0L)).as("n_label_bad"))
+      annInvariants(hits, encoded, model, q, probes, exact)
+        .crossJoin(labelBad)
+        .select(col("n_rows"), col("n_outside_probed"), col("n_dist_bad"),
+          col("n_label_bad"),
+          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
+    }),
+
     // stored-index query path: partition-pruned scan over the saved codes
     // parquet (S3-S6 + Q1 of SURVEY.md §2); the invariant is round-trip
     // EQUALITY — the loaded index must answer identically (ids and
@@ -1281,6 +1313,37 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // corpus audit profile: per-source volume, token mass, vocabulary
+    // width, length extremes — the inspection step every ingest pipeline
+    // runs before training; one pass, map-side-combined
+    "corpus_profile" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          explode(toks).as("tok"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_vocab"),
+          min(col("n_toks")).as("min_len"),
+          max(col("n_toks")).as("max_len"))
+        .orderBy("source")
+    }),
+
+    // quartile bucketing (NTILE): each event's value quartile within its
+    // type — the feature-binning window shape
+    "rel_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("cnt"), round(max("value"), 2).as("q_max"))
+        .orderBy("event_type", "quartile")
+    }),
+
     // span-level exact-substring dedup (Lee et al. 2022 n-gram-window
     // formulation): per-doc duplicated 8-token windows, merged into
     // maximal spans — all-integer output, exact DuckDB oracle grouping
@@ -1632,6 +1695,13 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_filtered" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_outside_probed,
+        | CAST(0 AS BIGINT) AS n_dist_bad,
+        | CAST(0 AS BIGINT) AS n_label_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
 
     "ann_sq8" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
@@ -2206,6 +2276,26 @@ object SparkEntry {
         | coalesce(a.max_span_tokens, 0) AS max_span_tokens
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "corpus_profile" ->
+      """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |e AS (SELECT source, doc_id, len(toks) AS n_toks, unnest(toks) AS tok
+        | FROM t)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS n_tokens, count(DISTINCT tok) AS n_vocab,
+        | CAST(min(n_toks) AS BIGINT) AS min_len,
+        | CAST(max(n_toks) AS BIGINT) AS max_len
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    "rel_ntile" ->
+      """WITH r AS (SELECT event_type, value,
+        |  CAST(ntile(4) OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS BIGINT) AS quartile
+        | FROM events)
+        |SELECT event_type, quartile, count(*) AS cnt,
+        | round(max(value), 2) AS q_max
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_incremental" ->
       """WITH tn AS (SELECT DISTINCT doc_id,
