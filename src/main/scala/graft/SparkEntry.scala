@@ -54,6 +54,7 @@ object SparkEntry {
     * last-write-wins, not just read a table. */
   private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
   private val dayPartDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val deleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val appendDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val sq8Dir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storedIndexPath(s: SparkSession, dir: String): String =
@@ -601,6 +602,38 @@ object SparkEntry {
       cmp.crossJoin(totals)
         .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
           (col("n_codes") - col("n_emb")).cast("long").as("n_total_diff"))
+    }),
+
+    // append-only DELETE (beyond the reference: update/delete are
+    // unimplemented there, README.md:73): tombstone the query's 3
+    // nearest ids in the store, reload — the stored query must return k
+    // live rows, no deleted id, and match the in-memory query over the
+    // surviving vectors bit-exactly
+    "ann_delete" -> ((s, dir) => {
+      val (model, encoded) = fittedIndex(s, dir)
+      val out = deleteDir.getOrElseUpdate(dir,
+        java.nio.file.Files.createTempDirectory("graft_delete").toString)
+      IvfPqBuilder.save(model, encoded, out)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val victims = AnnQuery
+        .topK(encoded, model, q, k = 3, nprobe = 8).select("id")
+      IvfPqBuilder.deleteFromStore(out, victims, "id")
+      val (loaded, codes) = IvfPqBuilder.load(s, out)
+      val st = AnnQuery.topK(codes, loaded, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      val mem = AnnQuery.topK(
+          encoded.join(victims, Seq("id"), "left_anti"), model, q,
+          k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val cmp = st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+      val dead = st.join(victims, "id")
+        .agg(count(lit(1)).cast("long").as("n_deleted_in_hits"))
+      cmp.crossJoin(dead)
     }),
 
     // batch ANN: all five query vectors against the stored codes in one
@@ -1313,6 +1346,27 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // ordered event funnel (signup → later click → later purchase):
+    // stage N is an aggregate join on the stage-(N−1) users, so each
+    // stage shrinks the relation — the classic product-analytics
+    // cascade; µs timestamps so strict ordering agrees with the oracle
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("tus")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("tus") > col("t1"))
+        .groupBy("user_id").agg(min(col("tus")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("tus") > col("t2"))
+        .select("user_id").distinct()
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
     // corpus audit profile: per-source volume, token mass, vocabulary
     // width, length extremes — the inspection step every ingest pipeline
     // runs before training; one pass, map-side-combined
@@ -1342,6 +1396,17 @@ object SparkEntry {
         .groupBy("event_type", "quartile")
         .agg(count(lit(1)).as("cnt"), round(max("value"), 2).as("q_max"))
         .orderBy("event_type", "quartile")
+    }),
+
+    // the ingest DECISION on top of dedup_incremental: which new docs
+    // to drop given the protected corpus — components over bipartite ∪
+    // new-new pairs, keeper = min corpus member else component minimum
+    "dedup_incremental_drop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDropList(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0), thresholdPct = 90)
+        .orderBy("drop_id")
     }),
 
     // span-level exact-substring dedup (Lee et al. 2022 n-gram-window
@@ -1695,6 +1760,12 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_delete" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_deleted_in_hits""".stripMargin,
 
     "ann_filtered" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
@@ -2277,6 +2348,19 @@ object SparkEntry {
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        | WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+        |s3 AS (SELECT DISTINCT e.user_id FROM e JOIN s2 USING (user_id)
+        | WHERE event_type = 'purchase' AND tus > t2)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        | (SELECT count(*) FROM s2) AS n_click_after,
+        | (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+
     "corpus_profile" ->
       """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
         |  FROM documents),
@@ -2315,6 +2399,42 @@ object SparkEntry {
         | JOIN szc sb ON sb.doc_id = corpus_id
         |WHERE inter * 100 >= (sa.n + sb.n - inter) * 90
         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    "dedup_incremental_drop" ->
+      s"""WITH ndocs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |nn AS (${jaccardOracle(90, "ndocs")}),
+         |tn AS (SELECT DISTINCT doc_id,
+         |  unnest(string_split(text, ' ')) AS tok FROM documents
+         | WHERE doc_id % 5 = 0),
+         |tc AS (SELECT DISTINCT doc_id,
+         |  unnest(string_split(text, ' ')) AS tok FROM documents
+         | WHERE doc_id % 5 <> 0),
+         |szn AS (SELECT doc_id, count(*) AS n FROM tn GROUP BY doc_id),
+         |szc AS (SELECT doc_id, count(*) AS n FROM tc GROUP BY doc_id),
+         |bp AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |  count(*) AS inter
+         | FROM tn a JOIN tc b ON a.tok = b.tok GROUP BY 1, 2),
+         |bpv AS (SELECT new_id, corpus_id FROM bp
+         | JOIN szn sa ON sa.doc_id = new_id
+         | JOIN szc sb ON sb.doc_id = corpus_id
+         | WHERE inter * 100 >= (sa.n + sb.n - inter) * 90),
+         |ed AS (SELECT a_id AS s, b_id AS d FROM nn
+         | UNION ALL SELECT b_id, a_id FROM nn
+         | UNION ALL SELECT new_id, corpus_id FROM bpv
+         | UNION ALL SELECT corpus_id, new_id FROM bpv),
+         |r AS (
+         |  WITH RECURSIVE reach(id, root) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+         |  SELECT id, min(root) AS comp FROM reach GROUP BY id),
+         |mc AS (SELECT comp, min(id) AS min_corpus FROM r
+         | WHERE id % 5 <> 0 GROUP BY comp)
+         |SELECT r.id AS drop_id,
+         | coalesce(mc.min_corpus, r.comp) AS keep_id
+         |FROM r LEFT JOIN mc ON mc.comp = r.comp
+         |WHERE r.id % 5 = 0 AND r.id != coalesce(mc.min_corpus, r.comp)
+         |ORDER BY drop_id""".stripMargin,
 
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,

@@ -314,8 +314,29 @@ object IvfPqBuilder {
     val model = IvfPqModel(
       IvfPqConfig(numPartitions = p, numDivisions = d, numCodes = c), dim,
       centroids, codebooks)
-    (model, spark.read.parquet(s"$path/codes"))
+    val codes = spark.read.parquet(s"$path/codes")
+    val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val live =
+      if (fs.exists(tPath))
+        codes.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("id"), "left_anti")
+      else codes
+    (model, live)
   }
+
+  /** Append-only DELETE (a capability the reference leaves unimplemented,
+    * reference/README.md:73): dead ids land in a `tombstones` parquet
+    * beside the codes; [[load]] anti-joins them out, so readers never see
+    * deleted vectors and nothing in the partitioned codes table is
+    * rewritten. The anti-join broadcasts while tombstones are small; a
+    * maintenance compaction (rewrite codes minus tombstones, drop the
+    * tombstone table) bounds their growth — the same append-then-compact
+    * discipline as log-structured stores. Idempotent: re-deleting an id
+    * appends a duplicate tombstone row, which the anti-join ignores. */
+  def deleteFromStore(storePath: String, ids: DataFrame,
+                      idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("id"))
+      .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
 
   /** Minimal flat-JSON int-field extractor (manifest only; avoids deps). */
   private def ujsonLite(s: String): Map[String, Int] =

@@ -755,6 +755,33 @@ object Dedup {
       .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
   }
 
+  /** Incremental drop list — the ingest decision layered on
+    * [[minHashLshPairsBipartite]]: which NEW documents to drop, given a
+    * protected stored corpus (corpus docs are never dropped). A new doc
+    * drops when its near-dup component (over bipartite new↔corpus pairs
+    * ∪ new↔new pairs at J ≥ t) contains a corpus doc (keep = min corpus
+    * member) or a smaller surviving new doc (keep = component minimum).
+    * Output: (drop_id, keep_id) over new docs only. Ids must be disjoint
+    * across sides. */
+  def incrementalDropList(newDocs: DataFrame, corpusDocs: DataFrame,
+                          thresholdPct: Int): DataFrame = {
+    val bi = minHashLshPairsBipartite(newDocs, corpusDocs, thresholdPct)
+      .select(col("new_id").as("a_id"), col("corpus_id").as("b_id"))
+    val nn = minHashLshPairs(newDocs, thresholdPct).select("a_id", "b_id")
+    val allIds = newDocs.select(col("doc_id"))
+      .unionByName(corpusDocs.select(col("doc_id")))
+    val comps = connectedComponents(allIds, bi.unionByName(nn))
+    val corpusMin = comps
+      .join(corpusDocs.select(col("doc_id")), "doc_id")
+      .groupBy("comp").agg(min(col("doc_id")).as("min_corpus"))
+    comps
+      .join(newDocs.select(col("doc_id")), "doc_id")
+      .join(corpusMin, Seq("comp"), "left")
+      .withColumn("keep_id", coalesce(col("min_corpus"), col("comp")))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("drop_id"), col("keep_id"))
+  }
+
   // ------------------------------------------- embedding near-duplicates
 
   /** Near-duplicate pairs by embedding cosine similarity above

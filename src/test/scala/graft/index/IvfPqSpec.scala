@@ -166,6 +166,28 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteFromStore: tombstoned ids vanish from load; idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    IvfPqBuilder.save(model, encoded, dir)
+    val victims = Seq(0L, 7L, 13L).toDF("id")
+    IvfPqBuilder.deleteFromStore(dir, victims, "id")
+    IvfPqBuilder.deleteFromStore(dir, victims, "id") // duplicate tombstones
+    val (loaded, codes) = IvfPqBuilder.load(spark, dir)
+    assert(codes.count() === data.length - 3)
+    assert(codes.where(org.apache.spark.sql.functions.col("id")
+      .isin(0L, 7L, 13L)).count() === 0)
+    // stored query over survivors equals in-memory query over survivors
+    val q = data.head._2.map(_.toDouble).toArray
+    val live = encoded.join(victims, Seq("id"), "left_anti")
+    val fromStored = AnnQuery.topK(codes, loaded, q, 5, 4)
+      .collect().map(_.getLong(0)).toSeq
+    val fromMem = AnnQuery.topK(live, model, q, 5, 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromStored === fromMem)
+    assert(!fromStored.contains(0L))
+  }
+
   test("save/load round-trips model and codes") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
     try {

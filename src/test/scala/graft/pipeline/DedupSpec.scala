@@ -293,6 +293,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall { case (n, c) => n % 2 == 0 && c % 2 != 0 })
   }
 
+  test("incrementalDropList: corpus protected, keeper is the min corpus " +
+      "member else the component minimum") {
+    val corpus = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (103L, "the quick brown fox jumps over the lazy dog"),
+      (104L, "totally unrelated corpus content sits here quietly"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of 103
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // 101
+      (3L, "brand new content thing with no close twin at all"),
+      (7L, "twin pair content shared exactly between new docs"),
+      (8L, "twin pair content shared exactly between new docs")) // dup of 7
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDropList(incoming, corpus, 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 and 2 drop in favor of their corpus twins (corpus never drops);
+    // 8 drops in favor of surviving new doc 7; 3 survives untouched
+    assert(got === Set((1L, 103L), (2L, 101L), (8L, 7L)))
+  }
+
   test("hammingNearPairs equals brute-force all-pairs Hamming <= 3") {
     val rnd = new scala.util.Random(7)
     // cluster structure: base signatures plus <=3-bit perturbations, so
