@@ -37,6 +37,9 @@ object GraftFunctions {
       "pseudoRandomVec", 3),
     ("graft_shingle_hashes", ArrayType(LongType, containsNull = false),
       "shingleHashesSorted", 2),
+    ("graft_shingle_hashes_pos", ArrayType(LongType, containsNull = false),
+      "shingleHashes", 2),
+    ("graft_ahash_bits", LongType, "bitsAboveMean", 1),
     ("graft_first_common", LongType, "firstCommon", 2),
     ("graft_first_equal_idx", IntegerType, "firstEqualIdx", 2),
     ("graft_pq_dist", DoubleType, "pqDistDirect", 4),

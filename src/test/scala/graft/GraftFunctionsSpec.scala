@@ -90,6 +90,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert((rep >>> 32, rep & 0xFFFFFFFFL) === ((2L, 3L)))
   }
 
+  test("SQL surface: positional shingle hashes and aHash bits") {
+    // "a b a b": bigram at position 0 equals the one at position 2
+    val pos = spark.sql(
+      "SELECT graft_shingle_hashes_pos(array('a','b','a','b'), 2)")
+      .head().getSeq[Long](0)
+    assert(pos.length === 3)
+    assert(pos(0) === pos(2))
+    assert(pos(0) !== pos(1))
+    val bits = spark.sql(
+      """SELECT graft_ahash_bits(array(CAST(0.0 AS FLOAT),
+        |  CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))"""
+        .stripMargin).head().getLong(0)
+    assert(bits === ((1L << 1) | (1L << 3)))
+  }
+
   test("SQL surface: arity errors are rejected at analysis") {
     intercept[Exception] {
       spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()
