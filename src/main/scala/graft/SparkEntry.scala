@@ -767,6 +767,13 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // exact kNN JOIN (the kNN graph): every vector's 3 nearest others —
+    // one map-side-combined bounded top-k pass, never a window over the
+    // full pairwise relation
+    "knn_join" -> ((s, dir) =>
+      ExactKnn.knnJoin(Tables.embeddings(s, dir), "embedding", "vec_id", 3)
+        .orderBy("qid", "rank")),
+
     // ------------------------------------------------------- dedup family
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
@@ -1718,6 +1725,19 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY sq, vec_id) AS BIGINT) AS rank,
         | vec_id
         |FROM d ORDER BY sq, vec_id LIMIT 10""".stripMargin,
+
+    "knn_join" ->
+      """WITH d AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |  sum((CAST(a.embedding[t.i] AS DOUBLE) - CAST(b.embedding[t.i] AS DOUBLE))
+        |    * (CAST(a.embedding[t.i] AS DOUBLE) - CAST(b.embedding[t.i] AS DOUBLE)))
+        |    AS sq
+        | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id,
+        |  generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2),
+        |r AS (SELECT qid, vid, CAST(row_number() OVER (PARTITION BY qid
+        |   ORDER BY sq, vid) AS BIGINT) AS rank FROM d)
+        |SELECT qid, rank, vid AS vec_id FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "rel_quantiles" ->
       """WITH r AS (SELECT event_type, value,

@@ -77,4 +77,25 @@ object ExactKnn {
       .select(col(qidCol), col("hit.id").as(idCol),
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Exact k-NN JOIN (the kNN graph): every point's k nearest OTHER
+    * points, ranked (dist asc, id) — the substrate for graph-based
+    * dedup, diversity sampling, and cluster seeding. One
+    * [[batchTopK]] pass with the point set on both sides: asks for k+1,
+    * drops the self-match, re-ranks. Broadcastable while one side's
+    * (id, vector) projection fits an executor; the 100 TB kNN-graph path
+    * generates candidates from shared IVF cells ([[graft.query.AnnJoin]])
+    * and feeds the same bounded top-k aggregate.
+    * Output: (qid, rank, `idCol`). */
+  def knnJoin(df: DataFrame, vecCol: String, idCol: String,
+              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+    batchTopK(df, vecCol, idCol, q, "__qid", "__qvec", k + 1)
+      .where(col(idCol) =!= col("__qid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__qid").orderBy("rank")).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"), col(idCol))
+  }
 }

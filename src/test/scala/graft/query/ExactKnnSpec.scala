@@ -51,4 +51,25 @@ class ExactKnnSpec extends AnyFunSuite {
       assert(batch(qid) === single, s"query $qid")
     }
   }
+
+  test("knnJoin: every point's k nearest others, self excluded, " +
+      "brute-force checked") {
+    val got = ExactKnn.knnJoin(points, "vec", "id", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val data = Seq(
+      1L -> Seq(0f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(0f, 2f),
+      4L -> Seq(3f, 3f), 5L -> Seq(-1f, 0f))
+    def d2(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val want = data.map { case (qid, qv) =>
+      qid -> data.filter(_._1 != qid)
+        .map { case (id, v) => (d2(qv, v), id) }
+        .sorted.take(2).map(_._2)
+    }.toMap
+    assert(got === want)
+    got.values.foreach(nn => assert(nn.size === 2))
+  }
 }
