@@ -611,13 +611,17 @@ object SparkEntry {
     // surviving vectors bit-exactly
     "ann_delete" -> ((s, dir) => {
       val (model, encoded) = fittedIndex(s, dir)
-      val out = deleteDir.getOrElseUpdate(dir,
-        java.nio.file.Files.createTempDirectory("graft_delete").toString)
-      IvfPqBuilder.save(model, encoded, out)
       val q = queryVec(s, dir, 0L).map(_.toDouble)
       val victims = AnnQuery
         .topK(encoded, model, q, k = 3, nprobe = 8).select("id")
-      IvfPqBuilder.deleteFromStore(out, victims, "id")
+      // the whole save+delete rides inside the memo so a re-invocation
+      // is read-only (same discipline as events_day_partitioned)
+      val out = deleteDir.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_delete").toString
+        IvfPqBuilder.save(model, encoded, p)
+        IvfPqBuilder.deleteFromStore(p, victims, "id")
+        p
+      })
       val (loaded, codes) = IvfPqBuilder.load(s, out)
       val st = AnnQuery.topK(codes, loaded, q, k = 10, nprobe = 4)
         .select(col("id"), col("sq_dist").as("st_dist"))
@@ -1353,6 +1357,28 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // set difference (EXCEPT DISTINCT): users who clicked but never
+    // purchased — the set-operator shape (planner rewrites to an
+    // aggregate + anti semantics)
+    "rel_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click").select("user_id")
+        .except(ev.where(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // fixed-width value histogram per event type: integer bucket ids
+    // (floor((value - lo) / w)), clamped into [0, 19] — exact integer
+    // bucketing, no float in any group key
+    "stats_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket",
+          greatest(lit(0L), least(lit(19L),
+            floor((col("value") - lit(0.0)) / lit(50.0)).cast("long"))))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "bucket")),
+
     // ordered event funnel (signup → later click → later purchase):
     // stage N is an aggregate join on the stage-(N−1) users, so each
     // stage shrinks the relation — the classic product-analytics
@@ -1465,7 +1491,9 @@ object SparkEntry {
     // equal hash ⇒ Hamming 0; the corpus has such dups ⇒ has_pairs = 1)
     "media_phash_near" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, dir))
-      val sigs = Multimodal.aHash64(media).cache()
+      // no cache: two narrow recomputes are cheaper than holding executor
+      // storage for the rest of the suite
+      val sigs = Multimodal.aHash64(media)
       val banded = Dedup.hammingNearPairs(sigs, "media_id", "ahash", 3)
       val brute = sigs.as("x").join(sigs.as("y"),
           col("x.media_id") < col("y.media_id") &&
@@ -2367,6 +2395,19 @@ object SparkEntry {
         | coalesce(a.max_span_tokens, 0) AS max_span_tokens
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "rel_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "stats_histogram" ->
+      """SELECT event_type,
+        | greatest(0, least(19,
+        |   CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bucket,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -476,6 +476,11 @@ object Dedup {
     val cand = left.as("x").join(right.as("y"),
         col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
         col("x.salt") === col("y.salt") &&
+        // ids are documented disjoint across sides, but guard anyway so
+        // an overlapping re-ingest can't emit (x, x) self-pairs — and so
+        // batch stays identical to StreamingDedup.dedupPairs, which has
+        // the same conjunct
+        col("x.doc_id") =!= col("y.doc_id") &&
         sizeCompatible(thresholdPct) &&
         firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
