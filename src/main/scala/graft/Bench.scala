@@ -44,15 +44,27 @@ object Bench {
     // stages, not operators — materialize them outside the timed loop so
     // map ordering doesn't bill them to whichever entry runs first
     SparkEntry.warmFixtures(spark, sfDir)
+    // median of N runs per entry (default 3): this box has documented
+    // 2-3× run-to-run variance under neighbor load, and a single-shot
+    // record that lands outside its own typical range is evidence of
+    // nothing — the median is robust to one bad draw while keeping the
+    // suite linear in N. Override with SPARK_GRAFT_BENCH_RUNS=1 for a
+    // quick iteration loop.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // a NEGATIVE duration marks a failed entry — parseable, impossible
-      // to mistake for a fast success
-      name -> (if (ok) sec else -sec)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // a NEGATIVE duration marks a failed run — parseable, impossible
+        // to mistake for a fast success
+        if (ok) sec else -sec
+      }
+      // any failed run fails the entry (worst negative); else the median
+      name -> (if (times.exists(_ < 0)) times.min
+               else times.sorted.apply(runs / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

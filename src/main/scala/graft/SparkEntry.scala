@@ -57,10 +57,44 @@ object SparkEntry {
   private val deleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val appendDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val sq8Dir = scala.collection.concurrent.TrieMap.empty[String, String]
+  // (path, pre-compact live hits, codes files before, after)
+  private val compactMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Long, Double)], Long, Long)]
+
+  /** Parquet data files under a local store directory (recursive). */
+  private def parquetFileCount(path: String): Long = {
+    def walk(f: java.io.File): Long = {
+      val cs = f.listFiles()
+      if (cs == null) 0L
+      else cs.map(c => if (c.isDirectory) walk(c)
+        else if (c.getName.endsWith(".parquet")) 1L else 0L).sum
+    }
+    walk(new java.io.File(path))
+  }
+
+  /** One per-process root for every memoized store fixture, deleted on
+    * JVM exit — repeated suite runs on one machine must not accumulate
+    * store copies (each run would otherwise leak ~6 temp directories of
+    * parquet). */
+  private lazy val storeRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stores")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  /** Fresh store directory under [[storeRoot]]. */
+  private def newStoreDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(storeRoot, prefix).toString
+
   private def storedIndexPath(s: SparkSession, dir: String): String =
     storedIdx.getOrElseUpdate(dir, {
       val (model, encoded) = fittedIndex(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val out = newStoreDir("graft_ivfpq")
       IvfPqBuilder.save(model, encoded, out)
       val emb = Tables.embeddings(s, dir)
       VectorAttributes.setAttributes(out,
@@ -418,10 +452,17 @@ object SparkEntry {
     // filtered ANN: the attribute predicate composes into the SAME
     // nprobe-pruned ADC scan (pre-filtered strategy at the index level —
     // the label join narrows the coded relation BEFORE top-k, so no
-    // post-hoc hole-filling). Invariants mirror ann_ivfpq plus
-    // n_label_bad = 0; recall vs the ORACLE-VERIFIED exact filtered
-    // top-k (knn_filtered's relation; measured 4/10 at both sf0.01 and
-    // sf0.1 — bound at ≥ 3)
+    // post-hoc hole-filling). Two layers gated:
+    //  - raw ADC at nprobe=4 (HALF the cells, so the no-foreign-rows
+    //    pruning invariant stays non-vacuous): plan invariants +
+    //    recall ≥ 3/10 vs the oracle-verified exact filtered top-k
+    //    (measured 4/10 at both sfs — ADC quantization bounds this);
+    //  - the PRODUCTION composition — selectivity-aware nprobe (probe
+    //    budget scaled by 1/selectivity, capped at P: label=3 keeps ~1/4
+    //    of rows → 16 → 8) + exact re-rank of the ADC top-30 — gated at
+    //    recall ≥ 8/10 (measured 10/10 at both sf0.01 and sf0.1 with
+    //    FilteredAnnProbe; ADC ranking error collapses to candidate
+    //    error, so only a true neighbor missing the ADC top-30 is lost)
     "ann_filtered" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (model, encoded) = fittedIndex(s, dir)
@@ -440,11 +481,22 @@ object SparkEntry {
         .join(emb.select(col("vec_id").as("id"), col("label")), "id")
         .agg(coalesce(sum(when(col("label") =!= 3, 1L).otherwise(0L)),
           lit(0L)).as("n_label_bad"))
+      val total = emb.count()
+      val kept = emb.where(col("label") === 3).count()
+      val npEff = math.min(model.config.numPartitions,
+        math.ceil(4.0 * total / math.max(kept, 1L)).toInt)
+      val rerank = AnnQuery.topKRerank(filtered,
+        emb.where(col("label") === 3), "embedding", "vec_id",
+        model, q, k = 10, nprobe = npEff, kFactor = 3)
+      val rerankRecall = rerank.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_rr"))
       annInvariants(hits, encoded, model, q, probes, exact)
-        .crossJoin(labelBad)
+        .crossJoin(labelBad).crossJoin(rerankRecall)
         .select(col("n_rows"), col("n_outside_probed"), col("n_dist_bad"),
           col("n_label_bad"),
-          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
+          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"),
+          when(col("n_rr") >= 8, 1L).otherwise(0L)
+            .as("rerank_recall_ge_80"))
     }),
 
     // stored-index query path: partition-pruned scan over the saved codes
@@ -514,7 +566,7 @@ object SparkEntry {
       val enc = graft.index.Sq8.encode(model, emb, "vec_id", "embedding")
       // one REUSED store per sf dir, same discipline as ann_append
       val out = sq8Dir.getOrElseUpdate(dir,
-        java.nio.file.Files.createTempDirectory("graft_sq8").toString)
+        newStoreDir("graft_sq8"))
       graft.index.Sq8.save(model, enc, out)
       val (loaded, codes) = graft.index.Sq8.load(s, out)
       val mem = graft.index.Sq8.topK(enc, model, q, 10)
@@ -579,7 +631,7 @@ object SparkEntry {
       // so each run re-exercises the full save+append+load path without
       // accumulating a fresh directory per invocation
       val out = appendDir.getOrElseUpdate(dir,
-        java.nio.file.Files.createTempDirectory("graft_append").toString)
+        newStoreDir("graft_append"))
       IvfPqBuilder.save(model,
         IvfPqBuilder.encode(model, emb.where(col("vec_id") % 2 === 0),
           "vec_id", "embedding"), out)
@@ -617,7 +669,7 @@ object SparkEntry {
       // the whole save+delete rides inside the memo so a re-invocation
       // is read-only (same discipline as events_day_partitioned)
       val out = deleteDir.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_delete").toString
+        val p = newStoreDir("graft_delete")
         IvfPqBuilder.save(model, encoded, p)
         IvfPqBuilder.deleteFromStore(p, victims, "id")
         p
@@ -638,6 +690,54 @@ object SparkEntry {
       val dead = st.join(victims, "id")
         .agg(count(lit(1)).cast("long").as("n_deleted_in_hits"))
       cmp.crossJoin(dead)
+    }),
+
+    // store COMPACTION (the maintenance step that keeps append+tombstone
+    // honest): build a store from a half save + an appendToStore batch +
+    // 3 tombstoned deletes, stash the pre-compact LIVE answer, compact —
+    // the compacted store must answer BIT-IDENTICALLY, the tombstone log
+    // must be gone, and the codes file count must shrink (the append
+    // batches and anti-join side folded away). All inside the memo so a
+    // re-invocation is read-only over the compacted store.
+    "ann_compact" -> ((s, dir) => {
+      val (model, encoded) = fittedIndex(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val (out, preHits, preFiles, postFiles) =
+        compactMemo.getOrElseUpdate(dir, {
+          val p = newStoreDir("graft_compact")
+          IvfPqBuilder.save(model,
+            IvfPqBuilder.encode(model, emb.where(col("vec_id") % 2 === 0),
+              "vec_id", "embedding"), p)
+          IvfPqBuilder.appendToStore(model,
+            emb.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", p)
+          val victims = AnnQuery
+            .topK(encoded, model, q, k = 3, nprobe = 8).select("id")
+          IvfPqBuilder.deleteFromStore(p, victims, "id")
+          val (m0, live0) = IvfPqBuilder.load(s, p)
+          val pre = AnnQuery.topK(live0, m0, q, k = 10, nprobe = 4)
+            .select("id", "sq_dist").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          val before = parquetFileCount(s"$p/codes")
+          IvfPqBuilder.compactStore(s, p)
+          (p, pre, before, parquetFileCount(s"$p/codes"))
+        })
+      val (loaded, codes) = IvfPqBuilder.load(s, out)
+      val post = AnnQuery.topK(codes, loaded, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("post_dist"))
+      import s.implicits._
+      val pre = preHits.toSeq.toDF("id", "pre_dist")
+      val tombstonesLeft =
+        if (new java.io.File(s"$out/tombstones").exists) 1L else 0L
+      post.join(pre, Seq("id"), "full_outer").agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("post_dist").isNull || col("pre_dist").isNull,
+            1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+          coalesce(sum(when(abs(col("post_dist") - col("pre_dist")) > 1e-12,
+            1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(tombstonesLeft).as("n_tombstone_dirs"),
+          lit(if (postFiles < preFiles) 1L else 0L).as("files_reduced"))
     }),
 
     // batch ANN: all five query vectors against the stored codes in one
@@ -777,6 +877,36 @@ object SparkEntry {
     "knn_join" -> ((s, dir) =>
       ExactKnn.knnJoin(Tables.embeddings(s, dir), "embedding", "vec_id", 3)
         .orderBy("qid", "rank")),
+
+    // approximate kNN JOIN — the 100 TB kNN-graph path: candidates from
+    // shared IVF cells (query side probes nprobe cells, candidate side
+    // sits in its home cell), NOTHING broadcast, same bounded top-k
+    // aggregate as the exact path. Invariants vs the oracle-verified
+    // exact knn_join: every vector present as a query with exactly k
+    // rows, and ≥90% of the exact graph's edges recovered (pair
+    // distances are exact, so cell misses are the only error mode)
+    "knn_join_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, _) = fittedIndex(s, dir)
+      val ann = graft.query.AnnJoin.knnJoin(emb, "vec_id", "embedding",
+        model, k = 3, nprobe = 3)
+      val exact = ExactKnn.knnJoin(emb, "embedding", "vec_id", 3)
+      val nVecs = emb.agg(count(lit(1)).cast("long").as("n_vecs"))
+      val perQ = ann.groupBy("qid").agg(count(lit(1)).as("c"))
+      val qStats = perQ.agg(
+        count(lit(1)).cast("long").as("n_qids"),
+        coalesce(sum(when(col("c") =!= 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_bad_counts"))
+      val recalled = ann.select("qid", "vec_id")
+        .join(exact.select("qid", "vec_id"), Seq("qid", "vec_id"))
+        .agg(count(lit(1)).cast("long").as("n_recalled"))
+      val nExact = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+      qStats.crossJoin(nVecs).crossJoin(recalled).crossJoin(nExact)
+        .select((col("n_vecs") - col("n_qids")).as("n_missing_qids"),
+          col("n_bad_counts"),
+          when(col("n_recalled") * 100 >= col("n_exact") * 90, 1L)
+            .otherwise(0L).as("recall_ge_90"))
+    }),
 
     // ------------------------------------------------------- dedup family
     "dedup_exact" -> ((s, dir) =>
@@ -1331,8 +1461,7 @@ object SparkEntry {
     // spec-gated too), aggregated per day
     "events_day_partitioned" -> ((s, dir) => {
       val p = dayPartDir.getOrElseUpdate(dir, {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_daypart").toString
+        val out = newStoreDir("graft_daypart")
         graft.sources.PartitionedTables
           .writeEventsByDay(Tables.events(s, dir), out)
         out
@@ -1357,13 +1486,19 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
-    // set difference (EXCEPT DISTINCT): users who clicked but never
-    // purchased — the set-operator shape (planner rewrites to an
-    // aggregate + anti semantics)
+    // set difference (EXCEPT DISTINCT): users with a HIGH-VALUE click
+    // but no high-value purchase — the set-operator shape (planner
+    // rewrites to an aggregate + anti semantics). The value predicate
+    // matters: every user has every event type in this corpus, so the
+    // unfiltered difference is empty at every sf and the gate would be
+    // vacuous (any implementation returning 0 rows would pass); >200
+    // measured non-empty at sf0.01 (22 rows) and sf0.1 (249 rows)
     "rel_except" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      ev.where(col("event_type") === "click").select("user_id")
-        .except(ev.where(col("event_type") === "purchase").select("user_id"))
+      ev.where(col("event_type") === "click" && col("value") > 200.0)
+        .select("user_id")
+        .except(ev.where(col("event_type") === "purchase" &&
+          col("value") > 200.0).select("user_id"))
         .orderBy("user_id")
     }),
 
@@ -1767,6 +1902,11 @@ object SparkEntry {
         |SELECT qid, rank, vid AS vec_id FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    "knn_join_ann" ->
+      """SELECT CAST(0 AS BIGINT) AS n_missing_qids,
+        | CAST(0 AS BIGINT) AS n_bad_counts,
+        | CAST(1 AS BIGINT) AS recall_ge_90""".stripMargin,
+
     "rel_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |  CAST(row_number() OVER (PARTITION BY event_type
@@ -1815,12 +1955,20 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_mismatch,
         | CAST(0 AS BIGINT) AS n_deleted_in_hits""".stripMargin,
 
+    "ann_compact" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_tombstone_dirs,
+        | CAST(1 AS BIGINT) AS files_reduced""".stripMargin,
+
     "ann_filtered" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_outside_probed,
         | CAST(0 AS BIGINT) AS n_dist_bad,
         | CAST(0 AS BIGINT) AS n_label_bad,
-        | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
+        | CAST(1 AS BIGINT) AS recall_ge_30,
+        | CAST(1 AS BIGINT) AS rerank_recall_ge_80""".stripMargin,
 
     "ann_sq8" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
@@ -2370,10 +2518,16 @@ object SparkEntry {
 
     // window STRINGS group exactly as the Spark side's window hashes
     // (same space-joined construction; 64-bit collisions are the only
-    // divergence and are ~V²/2⁶⁴-improbable)
+    // divergence and are ~V²/2⁶⁴-improbable). The `guard` CTE makes the
+    // fixed series bound FAIL LOUDLY if the corpus ever outgrows it —
+    // without it a >4.1k-token document would silently drop windows on
+    // the oracle side only and the gate failure would blame the engine
     "dedup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4089 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
         |w AS (SELECT doc_id, g.i AS pos,
         |  array_to_string(toks[g.i : g.i + 7], ' ') AS s
         | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 7 <= nt),
@@ -2393,13 +2547,16 @@ object SparkEntry {
         | coalesce(a.n_dup_windows, 0) AS n_dup_windows,
         | coalesce(a.n_spans, 0) AS n_spans,
         | coalesce(a.max_span_tokens, 0) AS max_span_tokens
-        |FROM t LEFT JOIN agg a USING (doc_id)
+        |FROM t LEFT JOIN agg a USING (doc_id) CROSS JOIN guard
+        |WHERE guard.ok = 1
         |ORDER BY t.doc_id""".stripMargin,
 
     "rel_except" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      """SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'click' AND value > 200.0
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 200.0
         |ORDER BY user_id""".stripMargin,
 
     "stats_histogram" ->
@@ -2497,9 +2654,14 @@ object SparkEntry {
          |WHERE r.id % 5 = 0 AND r.id != coalesce(mc.min_corpus, r.comp)
          |ORDER BY drop_id""".stripMargin,
 
+    // guard CTE: loud failure if a document outgrows the series cap —
+    // see the dedup_spans note
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4093 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
         |sh AS (SELECT DISTINCT doc_id,
         |  array_to_string(toks[g.i : g.i + 2], ' ') AS s
         | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 2 <= nt),
@@ -2509,8 +2671,8 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
         | CAST(sa.n AS BIGINT) AS a_sz
-        |FROM ip JOIN sz sa ON sa.doc_id = a_id
-        |WHERE inter * 100 >= sa.n * 80
+        |FROM ip JOIN sz sa ON sa.doc_id = a_id CROSS JOIN guard
+        |WHERE inter * 100 >= sa.n * 80 AND guard.ok = 1
         |ORDER BY a_id, b_id""".stripMargin,
 
     // (1.2 + 1) instead of the literal 2.2: k1+1 is COMPUTED in the

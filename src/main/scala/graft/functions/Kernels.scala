@@ -776,7 +776,16 @@ object Kernels {
     * equal; small perturbations flip few bits, so near-duplicate images
     * sit at small Hamming distance and the SimHash banding machinery
     * (Dedup.hammingNearPairs) applies unchanged. Requires 1..64 pixels
-    * (pad shorter inputs upstream via meanPool geometry). */
+    * (pad shorter inputs upstream via meanPool geometry).
+    *
+    * Documented false-positive class (standard aHash behavior): every
+    * CONSTANT image maps to hash 0 — the strict `> mean` sets no bits —
+    * so two uniformly-colored frames of different brightness land at
+    * Hamming distance 0 and are reported near-duplicate. If constant
+    * frames occur in real payloads and must be distinguished, fold a
+    * brightness bucket into the signature downstream (e.g. pair the hash
+    * with `floor(mean / 32)` as a composite key); the banding machinery
+    * is unchanged by a wider key. */
   def bitsAboveMean(img: ArrayData): Long = {
     val n = img.numElements()
     require(n > 0 && n <= 64, s"aHash needs 1..64 pixels, got $n")

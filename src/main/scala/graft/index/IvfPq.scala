@@ -217,10 +217,63 @@ object IvfPqBuilder {
     * the attribute log). */
   def appendToStore(model: IvfPqModel, df: DataFrame, idCol: String,
                     vecCol: String, path: String): Unit =
-    encode(model, df, idCol, vecCol)
+    appendToStore(model, df, idCol, vecCol, path, _ => ())
+
+  /** As the 5-arg [[appendToStore]], plus APPEND-DRIFT TELEMETRY through
+    * the same log-callback shape as `fit`: vectors are encoded against a
+    * FROZEN model forever, so as the ingest distribution drifts the cell
+    * population skews — queries over a hot cell scan ever more codes per
+    * probe, and nothing would say so. Each append writes its per-cell
+    * batch histogram to a tiny `stats` sidecar (P rows per batch —
+    * cumulative totals come from aggregating the sidecar, NEVER from
+    * rescanning the codes table), and the imbalance of the cumulative
+    * histogram (max cell / mean cell) is reported; past
+    * `driftImbalanceThreshold` the log carries an explicit REBALANCE
+    * recommendation — re-fit on a fresh sample and re-encode (a rebuild,
+    * [[fit]] + [[save]]), the documented recovery for model drift. */
+  def appendToStore(model: IvfPqModel, df: DataFrame, idCol: String,
+                    vecCol: String, path: String,
+                    log: String => Unit): Unit = {
+    val enc = encode(model, df, idCol, vecCol)
       .select("id", "partition", "codes")
-      .write.mode(SaveMode.Append).partitionBy("partition")
-      .parquet(s"$path/codes")
+      .persist()
+    try {
+      enc.write.mode(SaveMode.Append).partitionBy("partition")
+        .parquet(s"$path/codes")
+      writeStats(enc, path, SaveMode.Append)
+      reportDrift(df.sparkSession, path, model.config.numPartitions, log)
+    } finally enc.unpersist()
+  }
+
+  /** Cells whose cumulative population exceeds this multiple of the mean
+    * trigger the rebalance recommendation in [[appendToStore]]'s log. */
+  val driftImbalanceThreshold: Double = 4.0
+
+  private def writeStats(enc: DataFrame, path: String,
+                         mode: SaveMode): Unit =
+    enc.groupBy("partition").agg(count(lit(1)).as("cnt"))
+      .write.mode(mode).parquet(s"$path/stats")
+
+  /** Cumulative per-cell totals from the stats sidecar (P rows). */
+  def cellHistogram(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/stats")
+      .groupBy("partition").agg(sum(col("cnt")).as("cnt"))
+
+  private def reportDrift(spark: SparkSession, path: String,
+                          numPartitions: Int, log: String => Unit): Unit = {
+    val counts = cellHistogram(spark, path)
+      .collect().map(_.getLong(1))
+    // empty cells count toward the mean: a drifted ingest that abandons
+    // most cells must read as imbalanced, not as a small dense index
+    val mean = counts.sum.toDouble / math.max(numPartitions, 1)
+    val imbalance = if (mean > 0) counts.max / mean else 0.0
+    log(f"append-drift: max-cell/mean-cell imbalance $imbalance%.2f " +
+      f"(threshold $driftImbalanceThreshold%.1f)")
+    if (imbalance > driftImbalanceThreshold)
+      log("append-drift: REBALANCE RECOMMENDED — the ingest distribution " +
+        "has drifted from the frozen model; re-fit on a fresh sample and " +
+        "re-encode (IvfPqBuilder.fit + save)")
+  }
 
   private def encodeResiduals(model: IvfPqModel, assigned: DataFrame): DataFrame = {
     val flatCbLit = litDoubles(model.codebooks.flatten.flatten)
@@ -270,6 +323,9 @@ object IvfPqBuilder {
       cb.zipWithIndex.map { case (cv, c) => (d, c, cv.toSeq) }
     }.toSeq.toDF("division", "code", "code_vector")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    // seed the drift-telemetry sidecar with the initial cell histogram
+    // so the first append's cumulative totals include the base build
+    writeStats(encoded, path, SaveMode.Overwrite)
     val m = model
     val manifest =
       s"""{"vector_size":${m.dim},"num_partitions":${m.config.numPartitions},
@@ -277,22 +333,49 @@ object IvfPqBuilder {
         .stripMargin.replace("\n", "")
     // through the Hadoop filesystem of the path, not java.nio — the index
     // must round-trip on hdfs://, s3a://, etc. like every other artifact
-    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(mPath, true)
-    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeString(spark, s"$path/manifest.json", manifest)
+    // read-verify discipline for the one artifact parquet doesn't
+    // checksum for us (matches the reference's re-hash-on-read,
+    // reference/src/io.rs:286-300): a SHA-256 sidecar, checked on load
+    writeString(spark, s"$path/manifest.json.sha256", sha256Hex(manifest))
+  }
+
+  private def writeString(spark: SparkSession, path: String,
+                          content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** Load index artifacts back; validates the same invariants the
     * reference checks on load (db/stored.rs:659-722: shape cross-checks). */
   def load(spark: SparkSession, path: String): (IvfPqModel, DataFrame) = {
     val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(mPath)
-    val manifestStr =
+    def readString(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
+    }
+    val manifestStr = readString(mPath)
+    // re-hash on read (reference/src/io.rs:286-300): a flipped bit in the
+    // manifest must fail loudly, not mis-shape the loaded model. The
+    // sidecar is optional (pre-sha stores still load) — when present it
+    // must match.
+    val shaPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json.sha256")
+    if (fs.exists(shaPath)) {
+      val expected = readString(shaPath).trim
+      val actual = sha256Hex(manifestStr)
+      require(actual == expected,
+        s"manifest integrity check failed at $path: sha256 $actual != recorded $expected")
+    }
     val manifest = ujsonLite(manifestStr)
     val dim = manifest("vector_size")
     val p = manifest("num_partitions")
@@ -337,6 +420,41 @@ object IvfPqBuilder {
                       idCol: String): Unit =
     ids.select(col(idCol).cast("long").as("id"))
       .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
+
+  /** MAINTENANCE COMPACTION — the step that keeps the append-then-
+    * tombstone discipline honest: a year of daily [[appendToStore]]
+    * batches grows one file set per append per touched cell, and
+    * [[deleteFromStore]] tombstones accumulate into an ever-larger
+    * anti-join side. Compaction folds both back to the minimal layout:
+    * read the LIVE rows (codes minus tombstones), rewrite ONE compacted
+    * file per cell directory, swap it in place of the old codes table,
+    * drop the tombstone log, and reset the stats sidecar to the actual
+    * per-cell histogram.
+    *
+    * Bit-exact by construction — the rewrite carries (id, partition,
+    * codes) rows unchanged, so the compacted store answers every query
+    * identically to the live pre-compaction view. Idempotent — a second
+    * compaction rewrites the same rows to the same layout. The swap is
+    * write-new → rename, so a reader crash mid-compaction never sees a
+    * half-written codes table (rename is atomic on HDFS-like stores;
+    * on object stores run compaction under the table lock you'd use for
+    * any rewrite). */
+  def compactStore(spark: SparkSession, path: String): Unit = {
+    val (_, live) = load(spark, path)
+    val tmp = s"$path/codes.compacting"
+    // one shuffle on the cell id → one task, one file, per cell dir
+    live.select("id", "partition", "codes")
+      .repartition(col("partition"))
+      .write.mode(SaveMode.Overwrite).partitionBy("partition").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the tmp write above already consumed the old table — safe to swap
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/codes"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    writeStats(spark.read.parquet(s"$path/codes"), path, SaveMode.Overwrite)
+  }
 
   /** Minimal flat-JSON int-field extractor (manifest only; avoids deps). */
   private def ujsonLite(s: String): Map[String, Int] =

@@ -362,16 +362,30 @@ object Dedup {
         salt, oph)
   }
 
-  /** Groups of docs with IDENTICAL hashed sets, keyed by the set:
-    * (hset, rep = min member id, members sorted, sz). Checkpointed —
+  /** Groups of docs with IDENTICAL hashed sets:
+    * (rep = min member id, members sorted, sz, hset). The groupBy key is
+    * `xxhash64(hset)` — a FIXED-WIDTH long — so the collapse exchange
+    * shuffles 8-byte keys, not whole hashed-set arrays (at corpus scale
+    * the array keys would dominate the exchange). The set itself rides
+    * once per group as an aggregated value, and a min = max cross-check
+    * verifies the key in-plan: a 64-bit collision (the same
+    * accepted-everywhere convention as the token hashes themselves)
+    * raises instead of silently merging distinct sets. Checkpointed —
     * every consumer uses it 2-3 times, and each recomputation would be a
     * corpus scan. */
   private def identicalSetGroupsOf(sets: DataFrame): DataFrame =
     sets
-      .groupBy("hset")
+      .groupBy(xxhash64(col("hset")).as("hkey"))
       .agg(min(col("doc_id")).as("rep"),
         array_sort(collect_list(col("doc_id"))).as("members"),
-        first(col("sz")).as("sz"))
+        first(col("sz")).as("sz"),
+        min(col("hset")).as("hmin"),
+        max(col("hset")).as("hmax"))
+      .select(col("rep"), col("members"), col("sz"),
+        when(col("hmin") === col("hmax"), col("hmin"))
+          .otherwise(raise_error(
+            lit("xxhash64 collision in identical-set collapse")))
+          .as("hset"))
       .localCheckpoint()
 
   /** Run a pair generator over ONE REPRESENTATIVE per identical set,
@@ -460,10 +474,21 @@ object Dedup {
   def minHashLshPairsBipartite(newDocs: DataFrame, corpusDocs: DataFrame,
                                thresholdPct: Int, numHashes: Int = 128,
                                bands: Int = 32, salt: Int = 4,
-                               oph: Boolean = true): DataFrame = {
+                               oph: Boolean = true): DataFrame =
+    minHashLshPairsBipartiteOnSets(hashedSets(newDocs),
+      hashedSets(corpusDocs), thresholdPct, numHashes, bands, salt, oph)
+      .withColumnRenamed("a_id", "new_id")
+      .withColumnRenamed("b_id", "corpus_id")
+
+  /** [[minHashLshPairsBipartite]] over prepared (doc_id, hset, sz)
+    * relations — lets callers that already hold the hashed sets (e.g.
+    * [[incrementalDropList]], which needs the new batch's sets for TWO
+    * pair generators) skip re-tokenizing. Output keeps (a_id, b_id)
+    * column names. */
+  private def minHashLshPairsBipartiteOnSets(
+      ls: DataFrame, rs: DataFrame, thresholdPct: Int, numHashes: Int,
+      bands: Int, salt: Int, oph: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val ls = hashedSets(newDocs)
-    val rs = hashedSets(corpusDocs)
     def keyed(sets: DataFrame): DataFrame = sets
       .withColumn("bands", bandKeys(sigCol(col("hset"), numHashes, oph), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
@@ -485,8 +510,6 @@ object Dedup {
         firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
     verifyCandidates2(cand, ls, rs, thresholdPct)
-      .withColumnRenamed("a_id", "new_id")
-      .withColumnRenamed("b_id", "corpus_id")
   }
 
   // ------------------------------------------------------------ SimHash
@@ -770,9 +793,19 @@ object Dedup {
     * across sides. */
   def incrementalDropList(newDocs: DataFrame, corpusDocs: DataFrame,
                           thresholdPct: Int): DataFrame = {
-    val bi = minHashLshPairsBipartite(newDocs, corpusDocs, thresholdPct)
-      .select(col("new_id").as("a_id"), col("corpus_id").as("b_id"))
-    val nn = minHashLshPairs(newDocs, thresholdPct).select("a_id", "b_id")
+    // ONE tokenize+hash pass over the new batch: its hashed-set relation
+    // is materialized once (localCheckpoint) and threaded through BOTH
+    // pair generators — the bipartite new↔corpus band join and the
+    // collapsed new↔new self-join each previously re-derived it from
+    // text, paying a second full tokenization of every new document
+    val newSets = hashedSets(newDocs).localCheckpoint()
+    val bi = minHashLshPairsBipartiteOnSets(newSets, hashedSets(corpusDocs),
+        thresholdPct, numHashes = 128, bands = 32, salt = 4, oph = true)
+      .select("a_id", "b_id")
+    val nn = collapsedPairs(newSets,
+        minHashLshPairsOn(_, thresholdPct, numHashes = 128, bands = 32,
+          salt = 4, oph = true))
+      .select("a_id", "b_id")
     val allIds = newDocs.select(col("doc_id"))
       .unionByName(corpusDocs.select(col("doc_id")))
     val comps = connectedComponents(allIds, bi.unionByName(nn))
@@ -790,17 +823,28 @@ object Dedup {
   // ------------------------------------------- embedding near-duplicates
 
   /** Near-duplicate pairs by embedding cosine similarity above
-    * thresholdMilli/1000. Brute-force all-pairs — correct baseline; the
-    * scale path buckets by IVF partition first (see graft.index) so only
-    * same/neighbor-cell pairs are scored. Output ids only (cosine values
-    * are order-stable but not bit-stable across engines). */
+    * thresholdMilli/1000. Brute-force all-pairs — the CAPPED correctness
+    * baseline and recall oracle, never the corpus-scale path: an
+    * unguarded cartesian is a scale-killer, so the operator refuses
+    * inputs above `maxRows` (one cheap count) instead of silently
+    * launching an O(n²) job. The 100 TB path is
+    * [[graft.query.AnnJoin.cosineSelfJoin]] — IVF-bucketed candidates,
+    * exact-cosine verified, same output contract. Output ids only
+    * (cosine values are order-stable but not bit-stable across
+    * engines). */
   def embeddingNearDupPairs(embeddings: DataFrame, thresholdMilli: Int,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding",
+                            maxRows: Long = 100000L): DataFrame = {
+    val n = embeddings.count()
+    require(n <= maxRows,
+      s"embeddingNearDupPairs is the all-pairs BASELINE, capped at " +
+        s"$maxRows rows (got $n) — use AnnJoin.cosineSelfJoin for the " +
+        s"IVF-bucketed scale path, or raise maxRows explicitly")
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       // the nested-loop join's parallelism follows the stream side's
       // partitioning — never inherit a single-split source layout
-      .repartition(col(idCol))
+      .repartition(col("id"))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         cosineF(col("x.v"), col("y.v")).as("cos"))

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Run named SparkEntry queries against one sf dir and print the rows —
+  * the fast inner loop for iterating on a single entry without the full
+  * Verify + DuckDB gate. Usage: EntryProbe <sfDir> <entry> [<entry>…] */
+object EntryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- names) {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"entry $name @ $sfDir [$sec%.1f s] n=${rows.length} " +
+        s"head=${rows.take(3).mkString(" | ")}")
+    }
+    spark.stop()
+  }
+}

@@ -39,6 +39,17 @@ object FilteredAnnProbe {
         println(s"$dir nprobe=$np n=${hits.size} " +
           s"recall=${exact.intersect(hits).size}/10")
       }
+      // pre-filter + ADC nominate + exact re-rank (the production
+      // filtered-ANN shape): ADC ranking error collapses to candidate error
+      for (np <- Seq(4, 8); kf <- Seq(3, 4)) {
+        val hits = AnnQuery.topKRerank(
+            withLabel.where(col("label") === 3).select("id", "partition", "codes"),
+            emb.where(col("label") === 3), "embedding", "vec_id",
+            model, qf.map(_.toDouble), 10, np, kFactor = kf)
+          .select("id").collect().map(_.getLong(0)).toSet
+        println(s"$dir RERANK nprobe=$np kFactor=$kf n=${hits.size} " +
+          s"recall=${exact.intersect(hits).size}/10")
+      }
       emb.unpersist(); withLabel.unpersist()
     }
     spark.stop()

@@ -249,6 +249,121 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("compactStore: bit-exact answers, tombstones folded, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    try {
+      // half save + half append + deletes → multi-batch store with tombstones
+      IvfPqBuilder.save(model,
+        IvfPqBuilder.encode(model, df.where(col("id") % 2 === 0), "id", "vec"),
+        dir)
+      IvfPqBuilder.appendToStore(model, df.where(col("id") % 2 =!= 0),
+        "id", "vec", dir)
+      val victims = Seq(0L, 7L, 13L).toDF("id")
+      IvfPqBuilder.deleteFromStore(dir, victims, "id")
+      val q = data.head._2.map(_.toDouble).toArray
+      def answer(): Seq[(Long, Double)] = {
+        val (m, codes) = IvfPqBuilder.load(spark, dir)
+        AnnQuery.topK(codes, m, q, 5, 4)
+          .collect().map(r => (r.getLong(0), r.getAs[Double]("sq_dist"))).toSeq
+      }
+      def files(): Long = {
+        def walk(f: java.io.File): Long = {
+          val cs = f.listFiles()
+          if (cs == null) 0L
+          else cs.map(c => if (c.isDirectory) walk(c)
+            else if (c.getName.endsWith(".parquet")) 1L else 0L).sum
+        }
+        walk(new java.io.File(s"$dir/codes"))
+      }
+      val pre = answer()
+      val preFiles = files()
+      IvfPqBuilder.compactStore(spark, dir)
+      val post = answer()
+      assert(post === pre, "compaction changed query answers")
+      assert(!new java.io.File(s"$dir/tombstones").exists,
+        "tombstone log survived compaction")
+      assert((IvfPqBuilder.load(spark, dir)._2.count(): Long) ===
+        data.length - 3L)
+      assert(files() < preFiles, "compaction did not reduce the file count")
+      // idempotent: compacting a compacted store is a no-op on answers
+      val filesAfterOnce = files()
+      IvfPqBuilder.compactStore(spark, dir)
+      assert(answer() === pre)
+      assert(files() === filesAfterOnce)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("manifest integrity: a corrupted manifest fails load loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_sha").toString
+    try {
+      IvfPqBuilder.save(model, encoded, dir)
+      // sanity: intact store loads
+      IvfPqBuilder.load(spark, dir)
+      // flip a digit in the manifest (valid JSON, wrong content — the
+      // shape checks alone would NOT catch a compatible-looking edit)
+      val mPath = java.nio.file.Paths.get(s"$dir/manifest.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(mPath))
+      java.nio.file.Files.write(mPath,
+        txt.replace(s""""vector_size":$dim""", s""""vector_size":${dim * 2}""")
+          .getBytes)
+      // drop Hadoop's local-FS CRC sidecar: on checksum-less filesystems
+      // (RawLocal, most object-store clients) nothing else would catch
+      // the edit — exactly the case the manifest SHA exists for
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/.manifest.json.crc"))
+      val e = intercept[IllegalArgumentException] {
+        IvfPqBuilder.load(spark, dir)
+      }
+      assert(e.getMessage.contains("manifest integrity"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("append-drift telemetry: skewed appends trigger the rebalance log") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_drift").toString
+    try {
+      // max/mean ≤ P, so a meaningful imbalance test needs P comfortably
+      // above the 4.0 threshold — 8 cells over the 4-blob corpus
+      val (m8, enc8) = IvfPqBuilder.fit(df, "id", "vec", dim,
+        IvfPqConfig(numPartitions = 8, numDivisions = 4, numCodes = 16,
+          maxIter = 20))
+      IvfPqBuilder.save(m8, enc8, dir)
+      val log = scala.collection.mutable.ArrayBuffer.empty[String]
+      // balanced append: blobs cover all cells → no recommendation
+      IvfPqBuilder.appendToStore(m8,
+        df.select((col("id") + 1000).as("id"), col("vec")),
+        "id", "vec", dir, log.append(_))
+      assert(log.exists(_.contains("imbalance")), "no telemetry emitted")
+      assert(!log.exists(_.contains("REBALANCE")),
+        s"balanced append flagged: $log")
+      // drifted ingest: every new batch is clones of ONE seed → one cell
+      // grows unboundedly and the recommendation must fire
+      log.clear()
+      val hot = data.take(1).head._2
+      val rnd = new scala.util.Random(3)
+      for (b <- 0 until 3) {
+        val batch = Seq.tabulate(data.length)(i =>
+          ((10000 + b * 1000 + i).toLong,
+            hot.map(v => v + rnd.nextGaussian().toFloat * 0.01f)))
+          .toDF("id", "vec")
+        IvfPqBuilder.appendToStore(m8, batch, "id", "vec", dir,
+          log.append(_))
+      }
+      assert(log.exists(_.contains("REBALANCE")),
+        s"drifted ingest not flagged: $log")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("withAssignedIds: uuid and deterministic paths (reference db/build.rs:86-91)") {
     import org.apache.spark.sql.functions.col
     val noIds = df.drop("id").select(col("vec"))

@@ -50,4 +50,58 @@ class AnnJoinSpec extends AnyFunSuite {
       model, thresholdMilli = 1001, nprobe = 2)
     assert(none.count() === 0)
   }
+
+  test("cosineSelfJoin: salt-invariant on a hot-cell corpus") {
+    // one tight blob → every vector lands in the same IVF cell: the
+    // exact regime the default salt exists for — output must be
+    // IDENTICAL for any salt (the sub-bucketing only splits tasks)
+    val rnd = new scala.util.Random(7)
+    val center = Array.fill(dim)(rnd.nextDouble() * 10 - 5)
+    val hot = Seq.tabulate(60)(i =>
+      (i.toLong, center.map(v => (v + rnd.nextGaussian() * 0.01).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val (model, _) = IvfPqBuilder.fit(hot, "vec_id", "embedding", dim,
+      IvfPqConfig(numPartitions = 2, numDivisions = 4, numCodes = 8, maxIter = 20))
+    val defSalt = pairs(AnnJoin.cosineSelfJoin(hot, "vec_id", "embedding",
+      model, thresholdMilli = 999, nprobe = 1))
+    val salt1 = pairs(AnnJoin.cosineSelfJoin(hot, "vec_id", "embedding",
+      model, thresholdMilli = 999, nprobe = 1, salt = 1))
+    val salt8 = pairs(AnnJoin.cosineSelfJoin(hot, "vec_id", "embedding",
+      model, thresholdMilli = 999, nprobe = 1, salt = 8))
+    assert(defSalt.nonEmpty)
+    assert(defSalt === salt1 && defSalt === salt8)
+  }
+
+  private def graph(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    d.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("knnJoin (approximate): full parity with exact kNN graph on clustered data") {
+    // clone triples sit in one cell; each vector's 2 nearest are its
+    // clones, so the cell-bucketed join must reproduce the exact graph
+    val (model, _) = IvfPqBuilder.fit(df, "vec_id", "embedding", dim,
+      IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 8, maxIter = 20))
+    val exact = graph(ExactKnn.knnJoin(df, "embedding", "vec_id", 2))
+    val ann = AnnJoin.knnJoin(df, "vec_id", "embedding", model, k = 2,
+      nprobe = 2)
+    // contract: exactly k rows per query, ranks 1..k
+    val perQ = ann.groupBy("qid").count().collect()
+    assert(perQ.length === data.length && perQ.forall(_.getLong(1) === 2L))
+    assert(graph(ann) === exact)
+  }
+
+  test("knnJoin: reported neighbors carry true ranks (subset at nprobe=1) " +
+    "and are salt-invariant") {
+    val (model, _) = IvfPqBuilder.fit(df, "vec_id", "embedding", dim,
+      IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 8, maxIter = 20))
+    val exact = graph(ExactKnn.knnJoin(df, "embedding", "vec_id", 2))
+    val g1 = graph(AnnJoin.knnJoin(df, "vec_id", "embedding", model,
+      k = 2, nprobe = 1, salt = 1))
+    val g8 = graph(AnnJoin.knnJoin(df, "vec_id", "embedding", model,
+      k = 2, nprobe = 1, salt = 8))
+    assert(g1 === g8, "salt changed the result")
+    // misses are the ONLY error mode: with clone triples co-celled even
+    // nprobe=1 finds every true edge (clones share the home cell)
+    assert(g1 === exact)
+  }
 }
