@@ -82,10 +82,11 @@ object ExactKnn {
     * points, ranked (dist asc, id) — the substrate for graph-based
     * dedup, diversity sampling, and cluster seeding. One
     * [[batchTopK]] pass with the point set on both sides: asks for k+1,
-    * drops the self-match, re-ranks. Broadcastable while one side's
-    * (id, vector) projection fits an executor; the 100 TB kNN-graph path
-    * generates candidates from shared IVF cells ([[graft.query.AnnJoin]])
-    * and feeds the same bounded top-k aggregate.
+    * drops the self-match, re-ranks. EXACT and broadcast-bound: use it
+    * only while the (id, vector) projection fits an executor; past
+    * that, [[graft.query.AnnJoin.knnJoin]] is the same contract with
+    * candidates from shared IVF cells and nothing broadcast (misses
+    * bounded by nprobe, distances still exact).
     * Output: (qid, rank, `idCol`). */
   def knnJoin(df: DataFrame, vecCol: String, idCol: String,
               k: Int): DataFrame = {
