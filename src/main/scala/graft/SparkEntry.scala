@@ -947,6 +947,19 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
         .orderBy("a_id", "b_id")),
 
+    // SemDeDup decision layer: drop all but the min id of every
+    // embedding near-dup cluster (connected components over the pair
+    // graph — cosine similarity is not transitive, so the closure is
+    // what makes the kept set pairwise-clean). Exact pairs here (the
+    // oracle-matched baseline); AnnJoin.cosineSelfJoin feeds the same
+    // decision layer at corpus scale
+    "embed_drop_list" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingDropList(emb.select(col("vec_id").as("doc_id")),
+          Dedup.embeddingNearDupPairs(emb, thresholdMilli = 400))
+        .orderBy("drop_id")
+    }),
+
     // per-label embedding centroids (class prototypes) in the
     // integer-exact formulation — see Embeddings.centroidSumsMilli
     "embed_centroids" -> ((s, dir) =>
@@ -2125,6 +2138,29 @@ object SparkEntry {
         |SELECT a_id, b_id FROM p
         |WHERE dp / (sqrt(na) * sqrt(nb)) * 1000 >= 400
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // same pair predicate as embed_neardup, closed into components by
+    // the same recursive-CTE shape as dedup_drop_list
+    "embed_drop_list" ->
+      """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS dp,
+        |  sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
+        |  sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS nb
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |  generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM p
+        | WHERE dp / (sqrt(na) * sqrt(nb)) * 1000 >= 400),
+        |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+        | UNION ALL SELECT b_id, a_id FROM pairs),
+        |r AS (
+        | WITH RECURSIVE reach(id, root) AS (
+        |   SELECT vec_id, vec_id FROM embeddings
+        |   UNION
+        |   SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+        | SELECT id, min(root) AS comp FROM reach GROUP BY id)
+        |SELECT id AS drop_id, comp AS keep_id FROM r
+        |WHERE id != comp ORDER BY drop_id""".stripMargin,
 
     "media_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,

@@ -851,4 +851,21 @@ object Dedup {
       .where(col("cos") * 1000 >= thresholdMilli)
       .select(col("a_id"), col("b_id"))
   }
+
+  /** SemDeDup-style decision layer (Abbas et al. 2023,
+    * arXiv:2303.09540): which documents to DROP given embedding
+    * near-duplicate pairs — keep the smallest id of every semantic
+    * cluster (cluster = connected component of the pair graph, the same
+    * closure [[dropList]] takes over token-Jaccard pairs: cosine
+    * near-duplication is not transitive, so without the component
+    * closure two keepers could themselves be near-dups through a
+    * middleman). `pairs` is any (a_id, b_id) near-dup relation — the
+    * capped exact baseline ([[embeddingNearDupPairs]]) for oracle runs,
+    * [[graft.query.AnnJoin.cosineSelfJoin]] at corpus scale; `ids` is
+    * the full (doc_id) universe so singletons survive. Output:
+    * (drop_id, keep_id), empty when no near-dup pairs exist. */
+  def embeddingDropList(ids: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(ids, pairs.select(col("a_id"), col("b_id")))
+      .where(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
 }

@@ -75,4 +75,37 @@ object StreamingKnn {
       .select(col(qidCol), col("hit.id").as("id"),
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** STREAMING INGEST into a stored index: every micro-batch of new
+    * vectors is encoded against the frozen model and appended to the
+    * partitioned codes store — exactly
+    * [[graft.index.IvfPqBuilder.appendToStore]] per trigger, so the
+    * stored contents equal a batch encode of the same rows (encoding is
+    * a pure function of (model, vector)), queries see each batch as
+    * soon as its files land, and the append-drift telemetry fires per
+    * batch through `log`. foreachBatch rather than a streaming parquet
+    * sink because an append is TWO writes (codes + stats sidecar) that
+    * must ride the same trigger.
+    *
+    * The caller owns trigger/checkpoint and `.start()`:
+    * {{{
+    *   StreamingKnn.ingestToStore(stream, "id", "vec", model, path)
+    *     .option("checkpointLocation", ckpt).start()
+    * }}}
+    * Exactly-once caveat (same as any foreachBatch file append): a
+    * trigger retried after a crash between the codes write and the
+    * checkpoint commit re-appends its batch; at-least-once appends are
+    * made harmless by [[graft.index.IvfPqBuilder.compactStore]]-style
+    * maintenance plus id-keyed dedup on read, or by keying batch files
+    * with batchId upstream. */
+  def ingestToStore(vectors: DataFrame, idCol: String, vecCol: String,
+                    model: IvfPqModel, path: String,
+                    log: String => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        log(s"ingest batch $batchId: ${batch.count()} vectors")
+        graft.index.IvfPqBuilder.appendToStore(model, batch.toDF(),
+          idCol, vecCol, path, log)
+    }
 }

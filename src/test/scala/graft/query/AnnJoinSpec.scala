@@ -90,6 +90,20 @@ class AnnJoinSpec extends AnyFunSuite {
     assert(graph(ann) === exact)
   }
 
+  test("embeddingDropList: IVF pairs produce the same drop list as exact pairs") {
+    import org.apache.spark.sql.functions.col
+    val (model, _) = IvfPqBuilder.fit(df, "vec_id", "embedding", dim,
+      IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 8, maxIter = 20))
+    val ids = df.select(col("vec_id").as("doc_id"))
+    val exact = pairs(Dedup.embeddingDropList(ids,
+      Dedup.embeddingNearDupPairs(df, thresholdMilli = 999)))
+    val ivf = pairs(Dedup.embeddingDropList(ids,
+      AnnJoin.cosineSelfJoin(df, "vec_id", "embedding", model,
+        thresholdMilli = 999, nprobe = 2)))
+    assert(exact.nonEmpty) // clone clusters each drop 2 of 3 members
+    assert(ivf === exact)
+  }
+
   test("knnJoin: reported neighbors carry true ranks (subset at nprobe=1) " +
     "and are salt-invariant") {
     val (model, _) = IvfPqBuilder.fit(df, "vec_id", "embedding", dim,

@@ -77,4 +77,43 @@ class StreamingKnnSpec extends AnyFunSuite {
       assert(got(90L) === expected(90L, 3, 2).map(_._1))
     } finally q.stop()
   }
+
+  test("ingestToStore: streamed appends equal a batch encode; telemetry per batch") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ingest_ck").toString
+    try {
+      // seed: stored index over the first half (the initial batch build)
+      val firstHalf = df.where(col("id") < 80)
+      IvfPqBuilder.save(model,
+        IvfPqBuilder.encode(model, firstHalf, "id", "vec"), dir)
+      val log = scala.collection.mutable.ArrayBuffer.empty[String]
+      val stream = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingKnn.ingestToStore(stream.toDF().toDF("id", "vec"),
+          "id", "vec", model, dir, log.synchronized { s => log += s })
+        .option("checkpointLocation", ckpt).start()
+      try {
+        stream.addData(data.filter(d => d._1 >= 80 && d._1 < 120))
+        q.processAllAvailable()
+        stream.addData(data.filter(_._1 >= 120))
+        q.processAllAvailable()
+      } finally q.stop()
+      // stored contents = batch encode of ALL vectors (pure function of
+      // model + vector, regardless of how rows were batched)
+      val (_, codesStored) = IvfPqBuilder.load(spark, dir)
+      val got = codesStored.select("id", "partition", "codes").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2).toSeq)).toMap
+      val want = encoded.select("id", "partition", "codes").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2).toSeq)).toMap
+      assert(got === want)
+      // telemetry fired once per non-empty trigger
+      assert(log.count(_.startsWith("ingest batch")) === 2)
+      assert(log.count(_.contains("imbalance")) === 2)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
+  }
 }
