@@ -878,6 +878,21 @@ object SparkEntry {
       ExactKnn.knnJoin(Tables.embeddings(s, dir), "embedding", "vec_id", 3)
         .orderBy("qid", "rank")),
 
+    // k-NN label propagation (weak supervision): every 10th vector is
+    // "unlabeled" and takes the majority label of its 5 nearest labeled
+    // neighbors; ties to the smallest label — integer-only output
+    "knn_classify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val labeled = emb.where(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("long").as("label"))
+      val queries = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ExactKnn.knnClassify(labeled, "embedding", "vec_id", "label",
+          queries, "qid", "qvec", k = 5)
+        .orderBy("qid")
+    }),
+
     // approximate kNN JOIN — the 100 TB kNN-graph path: candidates from
     // shared IVF cells (query side probes nprobe cells, candidate side
     // sits in its home cell), NOTHING broadcast, same bounded top-k
@@ -942,6 +957,16 @@ object SparkEntry {
     "dedup_drop_list" -> ((s, dir) =>
       Dedup.dropList(Tables.documents(s, dir), thresholdPct = 90)
         .orderBy("drop_id")),
+
+    // duplication DEGREE (the soft alternative to dropping): each doc's
+    // near-dup partner count, 0 included — feeds duplication-aware
+    // sampling weights (keep probability ∝ 1/(1+degree))
+    "dedup_degree" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.duplicationDegree(docs.select("doc_id"),
+          Dedup.minHashLshPairs(docs, thresholdPct = 90))
+        .orderBy("doc_id")
+    }),
 
     "embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
@@ -1920,6 +1945,26 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_bad_counts,
         | CAST(1 AS BIGINT) AS recall_ge_90""".stripMargin,
 
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |l AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+        |  FROM embeddings WHERE vec_id % 10 != 0),
+        |d AS (SELECT q.qid AS qid, l.vec_id AS vid, l.label AS label,
+        |  sum((CAST(l.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(l.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE)))
+        |    AS sq
+        | FROM l, q, generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2, 3),
+        |r AS (SELECT qid, label, row_number() OVER (PARTITION BY qid
+        |   ORDER BY sq, vid) AS rk FROM d),
+        |v AS (SELECT qid, label AS pred_label, count(*) AS votes FROM r
+        | WHERE rk <= 5 GROUP BY 1, 2)
+        |SELECT qid, pred_label, CAST(votes AS BIGINT) AS votes FROM (
+        | SELECT qid, pred_label, votes, row_number() OVER (PARTITION BY qid
+        |   ORDER BY votes DESC, pred_label) AS rr FROM v) t
+        |WHERE rr = 1 ORDER BY qid""".stripMargin,
+
     "rel_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |  CAST(row_number() OVER (PARTITION BY event_type
@@ -2097,6 +2142,15 @@ object SparkEntry {
         |WHERE inter * 100 >= (sa.n + sb.n - inter) * 60
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(90),
+
+    "dedup_degree" ->
+      s"""WITH pairs AS (${jaccardOracle(90)}),
+         |e AS (SELECT a_id AS doc_id FROM pairs
+         | UNION ALL SELECT b_id FROM pairs),
+         |d AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id)
+         |SELECT doc.doc_id, CAST(coalesce(d.n, 0) AS BIGINT) AS n_dups
+         |FROM documents doc LEFT JOIN d USING (doc_id)
+         |ORDER BY doc.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH k AS (SELECT doc_id,

@@ -340,7 +340,7 @@ object IvfPqBuilder {
     writeString(spark, s"$path/manifest.json.sha256", sha256Hex(manifest))
   }
 
-  private def writeString(spark: SparkSession, path: String,
+  private[index] def writeString(spark: SparkSession, path: String,
                           content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -349,7 +349,7 @@ object IvfPqBuilder {
     finally out.close()
   }
 
-  private def sha256Hex(s: String): String =
+  private[index] def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -450,8 +450,10 @@ object IvfPqBuilder {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the tmp write above already consumed the old table — safe to swap
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$path/codes"))
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/codes")),
+      s"compaction swap failed: could not rename $tmp over $path/codes " +
+        "(compacted data is intact at the tmp path)")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     writeStats(spark.read.parquet(s"$path/codes"), path, SaveMode.Overwrite)
   }

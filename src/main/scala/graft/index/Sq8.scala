@@ -75,11 +75,11 @@ object Sq8 {
     Seq((model.mins.toSeq, model.scales.toSeq)).toDF("mins", "scales")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
     val manifest = s"""{"vector_size":${model.dim}}"""
-    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(mPath, true)
-    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    IvfPqBuilder.writeString(spark, s"$path/manifest.json", manifest)
+    // read-verify discipline shared with the IVF+PQ store (reference
+    // io.rs:286-300): SHA-256 sidecar, checked on load
+    IvfPqBuilder.writeString(spark, s"$path/manifest.json.sha256",
+      IvfPqBuilder.sha256Hex(manifest))
   }
 
   /** Load an Sq8 store; validates the codec shape against the manifest
@@ -88,10 +88,19 @@ object Sq8 {
       : (Sq8Model, DataFrame) = {
     val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(mPath)
-    val manifestStr =
+    def readString(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
+    }
+    val manifestStr = readString(mPath)
+    val shaPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json.sha256")
+    if (fs.exists(shaPath)) {
+      val expected = readString(shaPath).trim
+      val actual = IvfPqBuilder.sha256Hex(manifestStr)
+      require(actual == expected,
+        s"manifest integrity check failed at $path: sha256 $actual != recorded $expected")
+    }
     val dim = "\"vector_size\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(manifestStr)
       .getOrElse(sys.error(s"bad Sq8 manifest: $manifestStr"))

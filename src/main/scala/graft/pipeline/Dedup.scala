@@ -868,4 +868,22 @@ object Dedup {
     connectedComponents(ids, pairs.select(col("a_id"), col("b_id")))
       .where(col("doc_id") =!= col("comp"))
       .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
+
+  /** Per-document DUPLICATION DEGREE — each document's number of
+    * near-duplicate partners (its degree in the pair graph). The soft
+    * alternative to a drop list: duplication-aware sampling down-weights
+    * heavily duplicated content (e.g. keep probability ∝ 1/(1+degree))
+    * instead of hard-dropping it, preserving rare text while flattening
+    * boilerplate clusters. `pairs` is any (a_id, b_id) near-dup relation
+    * from this module; `ids` the full (doc_id) universe so degree-0
+    * documents appear. One explode + map-side-combined count — degree
+    * rows are fixed-width, never the pair list per doc.
+    * Output: (doc_id, n_dups). */
+  def duplicationDegree(ids: DataFrame, pairs: DataFrame): DataFrame =
+    ids.select(col("doc_id"))
+      .join(pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_dups"))
 }

@@ -78,19 +78,49 @@ object ExactKnn {
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** k-NN LABEL PROPAGATION (weak supervision / pseudo-labeling): each
+    * query point takes the MAJORITY label of its k nearest labeled
+    * points — the classic kNN classifier run as one [[batchTopK]] pass
+    * plus a label join and a per-query vote. Ties break to the smallest
+    * label (deterministic, oracle-reproducible). The labeled relation
+    * streams through codegen once; the vote aggregates ≤ k rows per
+    * query. Output: (qid, pred_label, votes). */
+  def knnClassify(labeled: DataFrame, vecCol: String, idCol: String,
+                  labelCol: String, queries: DataFrame, qidCol: String,
+                  qvecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = batchTopK(labeled, vecCol, idCol, queries, qidCol, qvecCol, k)
+    val votes = hits
+      .join(labeled.select(col(idCol), col(labelCol).as("pred_label")), idCol)
+      .groupBy(col(qidCol), col("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("votes").desc, col("pred_label"))
+    votes.withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col(qidCol), col("pred_label"), col("votes"))
+  }
+
   /** Exact k-NN JOIN (the kNN graph): every point's k nearest OTHER
     * points, ranked (dist asc, id) — the substrate for graph-based
     * dedup, diversity sampling, and cluster seeding. One
     * [[batchTopK]] pass with the point set on both sides: asks for k+1,
     * drops the self-match, re-ranks. EXACT and broadcast-bound: use it
-    * only while the (id, vector) projection fits an executor; past
-    * that, [[graft.query.AnnJoin.knnJoin]] is the same contract with
+    * only while the (id, vector) projection fits an executor — the
+    * operator refuses inputs above `maxRows` (one cheap count) instead
+    * of silently shipping an executor-crushing broadcast; past the cap,
+    * [[graft.query.AnnJoin.knnJoin]] is the same contract with
     * candidates from shared IVF cells and nothing broadcast (misses
     * bounded by nprobe, distances still exact).
     * Output: (qid, rank, `idCol`). */
   def knnJoin(df: DataFrame, vecCol: String, idCol: String,
-              k: Int): DataFrame = {
+              k: Int, maxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    require(n <= maxRows,
+      s"ExactKnn.knnJoin broadcasts the full (id, vector) relation — " +
+        s"capped at $maxRows rows (got $n); use AnnJoin.knnJoin for the " +
+        s"IVF-bucketed path, or raise maxRows explicitly")
     val q = df.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
     batchTopK(df, vecCol, idCol, q, "__qid", "__qvec", k + 1)
       .where(col(idCol) =!= col("__qid"))

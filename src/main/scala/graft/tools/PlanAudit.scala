@@ -37,6 +37,18 @@ object PlanAudit {
       .groupBy("l_returnflag").agg(sum("l_quantity"))
       .explain("formatted")
 
+    // the approximate kNN join must stay broadcast-free even when the
+    // corpus WOULD broadcast: with the threshold disabled, the plan has
+    // to show a shuffle join on (cell, salt) and partial→final
+    // objHashAggregate pairs (map-side-combined top-k), never a
+    // BroadcastNestedLoopJoin
+    println("=== knn_join_ann: cell-bucketed join + combining top-k ===")
+    val noBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.query.AnnJoin.knnJoin(emb, "vec_id", "embedding", model,
+      k = 3, nprobe = 2).explain("formatted")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBcast)
+
     spark.stop()
   }
 }

@@ -68,6 +68,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicationDegree: pair-graph degree per doc, zeros included") {
+    import org.apache.spark.sql.functions.col
+    val pct = 80
+    val got = Dedup.duplicationDegree(docs.select(col("doc_id")),
+        Dedup.jaccardPairs(docs, pct))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = bruteJaccard(pct)
+    val want = corpus.map(_._1).map(id =>
+      id -> brute.count(p => p._1 == id || p._2 == id).toLong).toMap
+    assert(got === want)
+    assert(got.values.exists(_ === 0L)) // the unrelated docs
+    assert(got.values.exists(_ > 0L))   // the near-dup families
+  }
+
   test("minHashLshPairs: salting changes the plan, never the result") {
     for (salt <- Seq(2, 5)) {
       assert(pairs(Dedup.minHashLshPairs(docs, 80, salt = salt))

@@ -40,6 +40,34 @@ class ExactKnnSpec extends AnyFunSuite {
     assert(r.map(_.getLong(1)).toSeq === Seq(1L, 2L, 5L, 3L))
   }
 
+  test("knnClassify: majority label of the k nearest, ties to smallest label") {
+    // labels: cluster near origin -> 0, far cluster -> 1
+    val labeled = Seq(
+      (1L, Seq(0f, 0f), 0L), (2L, Seq(1f, 0f), 0L), (3L, Seq(0f, 1f), 0L),
+      (4L, Seq(9f, 9f), 1L), (5L, Seq(10f, 9f), 1L), (6L, Seq(9f, 10f), 1L))
+      .toDF("id", "vec", "label")
+    val queries = Seq((100L, Seq(0.2f, 0.2f)), (200L, Seq(9.5f, 9.5f)))
+      .toDF("qid", "qvec")
+    val r = ExactKnn.knnClassify(labeled, "vec", "id", "label",
+        queries, "qid", "qvec", k = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(100L) === ((0L, 3L))) // all 3 nearest are label 0
+    assert(r(200L) === ((1L, 3L)))
+    // tie case: k=2 neighbors of a midpoint split 1-1 -> smaller label wins
+    val mid = Seq((300L, Seq(4.75f, 4.75f))).toDF("qid", "qvec")
+    val t = ExactKnn.knnClassify(labeled, "vec", "id", "label",
+        mid, "qid", "qvec", k = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(t(300L) === ((0L, 1L)))
+  }
+
+  test("knnJoin: refuses inputs past the broadcast cap") {
+    val e = intercept[IllegalArgumentException] {
+      ExactKnn.knnJoin(points, "vec", "id", 2, maxRows = 3)
+    }
+    assert(e.getMessage.contains("AnnJoin.knnJoin"))
+  }
+
   test("batchTopK matches per-query topK for every query") {
     val queries = Seq((10L, Seq(0f, 0f)), (20L, Seq(3f, 3f))).toDF("qid", "qvec")
     val batch = ExactKnn.batchTopK(points, "vec", "id", queries, "qid", "qvec", 3)
