@@ -1014,6 +1014,35 @@ object SparkEntry {
             .as("recall_ge_90"))
     }),
 
+    // BIPARTITE embedding near-dup (the incremental-ingest shape for
+    // vectors): a new batch joined against the stored corpus through
+    // shared IVF cells, never corpus×corpus. Invariants vs the exact
+    // bipartite cross product: every emitted pair is exact-verified
+    // (n_extra = 0) and ≥90% of true pairs are recovered
+    "embed_neardup_incr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, _) = fittedIndex(s, dir)
+      val newE = emb.where(col("vec_id") % 5 === 0)
+      val corpusE = emb.where(col("vec_id") % 5 =!= 0)
+      val ivf = graft.query.AnnJoin.cosineBipartiteJoin(newE, corpusE,
+        "vec_id", "embedding", model, thresholdMilli = 400, nprobe = 3)
+      val exact = newE.select(col("vec_id").as("new_id"),
+          col("embedding").as("nv"))
+        .crossJoin(corpusE.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("cv")))
+        .where(graft.functions.FastFunctions.cosineF(col("nv"), col("cv"))
+          * 1000 >= 400)
+        .select("new_id", "corpus_id")
+      val extra = ivf.join(exact, Seq("new_id", "corpus_id"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_extra"))
+      val counts = ivf.agg(count(lit(1)).cast("long").as("n_ivf")).crossJoin(
+        exact.agg(count(lit(1)).cast("long").as("n_exact")))
+      extra.crossJoin(counts)
+        .select(col("n_extra"),
+          when(col("n_ivf") * 100 >= col("n_exact") * 90, 1L).otherwise(0L)
+            .as("recall_ge_90"))
+    }),
+
     // ------------------------------------ multimodal binary-column family
     // multimodal → similarity composition: media float features (bucket
     // sums normalized by byte length, cast to f32) feed the exact k-NN
@@ -2067,6 +2096,10 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dup_missed""".stripMargin,
 
     "embed_neardup_ivf" ->
+      """SELECT CAST(0 AS BIGINT) AS n_extra,
+        | CAST(1 AS BIGINT) AS recall_ge_90""".stripMargin,
+
+    "embed_neardup_incr" ->
       """SELECT CAST(0 AS BIGINT) AS n_extra,
         | CAST(1 AS BIGINT) AS recall_ge_90""".stripMargin,
 

@@ -69,6 +69,47 @@ object AnnJoin {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** BIPARTITE cosine near-dup join — the embedding analogue of
+    * `Dedup.minHashLshPairsBipartite`: a NEW batch of vectors against a
+    * (much larger) stored corpus, never corpus×corpus. Same symmetric
+    * probe-set bucketing as [[cosineSelfJoin]] (pair scored iff probe
+    * sets intersect, emit-once under the new side's probe order, exact
+    * cosine verify → no false pairs), with the `a < b` ordering replaced
+    * by the two relations being distinct. At 100 TB the corpus side's
+    * (id, vector, cells) relation is the thing you PERSIST bucketed by
+    * cell so each daily batch joins against the layout without
+    * re-assigning history. Stateless and stream-safe: with `newEmb` a
+    * streaming DataFrame this is a stream-static join (no watermarks, no
+    * state) — each micro-batch's pairs land in its own trigger.
+    * Ids must be disjoint across sides (same contract as the bipartite
+    * LSH join). Output: (new_id, corpus_id). */
+  def cosineBipartiteJoin(newEmb: DataFrame, corpusEmb: DataFrame,
+                          idCol: String, vecCol: String, model: IvfPqModel,
+                          thresholdMilli: Int, nprobe: Int = 2,
+                          salt: Int = 4): DataFrame = {
+    val flat = model.partitionCentroids.flatten.toSeq
+    def keyed(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cells", topCellsL2(col("v"), flat, nprobe))
+      .select(col("id"), col("v"), col("cells"),
+        explode(col("cells")).as("cell"))
+    val left = keyed(newEmb)
+      .withColumn("salt", explode(typedlit((0 until salt).map(_.toLong))))
+    val right = keyed(corpusEmb)
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(salt)))
+      .repartition(col("cell"), col("salt"))
+    left.as("x").join(right.as("y"),
+        col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
+        // sides are documented disjoint, but guard so an overlapping
+        // re-ingest can't emit (x, x) self-pairs
+        col("x.id") =!= col("y.id") &&
+        firstCommon(col("x.cells"), col("y.cells")) === col("x.cell"))
+      .select(col("x.id").as("new_id"), col("y.id").as("corpus_id"),
+        cosineF(col("x.v"), col("y.v")).as("cos"))
+      .where(col("cos") * 1000 >= thresholdMilli)
+      .select(col("new_id"), col("corpus_id"))
+  }
+
   /** Approximate kNN JOIN — the 100 TB kNN-graph path
     * [[graft.query.ExactKnn.knnJoin]] points to when the corpus stops
     * being broadcastable. Candidate generation is SYMMETRIC cell

@@ -76,6 +76,48 @@ class AnnJoinSpec extends AnyFunSuite {
     d.select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("cosineBipartiteJoin: no false pairs, full recall across sides; streaming ≡ batch") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.FastFunctions.cosineF
+    val (model, _) = IvfPqBuilder.fit(df, "vec_id", "embedding", dim,
+      IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 8, maxIter = 20))
+    // one clone of each triple is the "new batch"; its 2 siblings stay
+    // in the corpus, so every true pair straddles the sides
+    val newE = df.where(col("vec_id") % 3 === 0)
+    val corpusE = df.where(col("vec_id") % 3 =!= 0)
+    val exact = newE.select(col("vec_id").as("new_id"), col("embedding").as("nv"))
+      .crossJoin(corpusE.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cv")))
+      .where(cosineF(col("nv"), col("cv")) * 1000 >= 999)
+      .select("new_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnJoin.cosineBipartiteJoin(newE, corpusE, "vec_id", "embedding",
+        model, thresholdMilli = 999, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // clone siblings across the split
+    assert(ivf === exact)
+    // stream-safe: the same join over a MemoryStream of new batches
+    // emits each batch's pairs in its own trigger, total ≡ batch
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val newRows = newE.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val sdf = stream.toDF().toDF("vec_id", "embedding")
+    val q = AnnJoin.cosineBipartiteJoin(sdf, corpusE, "vec_id", "embedding",
+        model, thresholdMilli = 999, nprobe = 2)
+      .writeStream.format("memory").queryName("bipartite_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = newRows.splitAt(newRows.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("bipartite_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === exact)
+    } finally q.stop()
+  }
+
   test("knnJoin (approximate): full parity with exact kNN graph on clustered data") {
     // clone triples sit in one cell; each vector's 2 nearest are its
     // clones, so the cell-bucketed join must reproduce the exact graph
