@@ -50,7 +50,8 @@ object Bench {
     // nothing — the median is robust to one bad draw while keeping the
     // suite linear in N. Override with SPARK_GRAFT_BENCH_RUNS=1 for a
     // quick iteration loop.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.trim.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

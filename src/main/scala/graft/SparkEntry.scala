@@ -61,17 +61,6 @@ object SparkEntry {
   private val compactMemo = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[(Long, Double)], Long, Long)]
 
-  /** Parquet data files under a local store directory (recursive). */
-  private def parquetFileCount(path: String): Long = {
-    def walk(f: java.io.File): Long = {
-      val cs = f.listFiles()
-      if (cs == null) 0L
-      else cs.map(c => if (c.isDirectory) walk(c)
-        else if (c.getName.endsWith(".parquet")) 1L else 0L).sum
-    }
-    walk(new java.io.File(path))
-  }
-
   /** One per-process root for every memoized store fixture, deleted on
     * JVM exit — repeated suite runs on one machine must not accumulate
     * store copies (each run would otherwise leak ~6 temp directories of
@@ -718,9 +707,9 @@ object SparkEntry {
           val pre = AnnQuery.topK(live0, m0, q, k = 10, nprobe = 4)
             .select("id", "sq_dist").collect()
             .map(r => (r.getLong(0), r.getDouble(1)))
-          val before = parquetFileCount(s"$p/codes")
+          val before = IvfPqBuilder.parquetFileCount(s, s"$p/codes")
           IvfPqBuilder.compactStore(s, p)
-          (p, pre, before, parquetFileCount(s"$p/codes"))
+          (p, pre, before, IvfPqBuilder.parquetFileCount(s, s"$p/codes"))
         })
       val (loaded, codes) = IvfPqBuilder.load(s, out)
       val post = AnnQuery.topK(codes, loaded, q, k = 10, nprobe = 4)

@@ -214,10 +214,12 @@ object IvfPqBuilder {
   /** Append freshly encoded vectors to a stored index's codes table —
     * one new parquet file set under the affected partition directories;
     * nothing existing is rewritten (the same append-only discipline as
-    * the attribute log). */
+    * the attribute log). The per-cell stats sidecar is maintained but no
+    * drift report is computed — use the `log`-taking overload for
+    * telemetry. */
   def appendToStore(model: IvfPqModel, df: DataFrame, idCol: String,
                     vecCol: String, path: String): Unit =
-    appendToStore(model, df, idCol, vecCol, path, _ => ())
+    appendToStoreImpl(model, df, idCol, vecCol, path, None)
 
   /** As the 5-arg [[appendToStore]], plus APPEND-DRIFT TELEMETRY through
     * the same log-callback shape as `fit`: vectors are encoded against a
@@ -225,15 +227,33 @@ object IvfPqBuilder {
     * population skews — queries over a hot cell scan ever more codes per
     * probe, and nothing would say so. Each append writes its per-cell
     * batch histogram to a tiny `stats` sidecar (P rows per batch —
-    * cumulative totals come from aggregating the sidecar, NEVER from
-    * rescanning the codes table), and the imbalance of the cumulative
-    * histogram (max cell / mean cell) is reported; past
+    * cumulative totals come from aggregating the sidecar, never from
+    * rescanning the codes table; a pre-sidecar store gets a one-time
+    * backfill scan of its existing codes, logged), and the imbalance of
+    * the cumulative histogram (max cell / mean cell) is reported; past
     * `driftImbalanceThreshold` the log carries an explicit REBALANCE
     * recommendation — re-fit on a fresh sample and re-encode (a rebuild,
     * [[fit]] + [[save]]), the documented recovery for model drift. */
   def appendToStore(model: IvfPqModel, df: DataFrame, idCol: String,
                     vecCol: String, path: String,
-                    log: String => Unit): Unit = {
+                    log: String => Unit): Unit =
+    appendToStoreImpl(model, df, idCol, vecCol, path, Some(log))
+
+  private def appendToStoreImpl(model: IvfPqModel, df: DataFrame,
+                                idCol: String, vecCol: String, path: String,
+                                log: Option[String => Unit]): Unit = {
+    val spark = df.sparkSession
+    // backward compat: a store saved before the stats sidecar existed
+    // gets a one-time backfill from its codes table — without it the
+    // "cumulative" histogram would silently cover only post-upgrade
+    // batches and the drift report would be wrong forever after
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) {
+      log.foreach(_("append-drift: no stats sidecar — backfilling the " +
+        "histogram from the existing codes table (one-time scan)"))
+      writeStats(spark.read.parquet(s"$path/codes"), path, SaveMode.Overwrite)
+    }
     val enc = encode(model, df, idCol, vecCol)
       .select("id", "partition", "codes")
       .persist()
@@ -241,7 +261,8 @@ object IvfPqBuilder {
       enc.write.mode(SaveMode.Append).partitionBy("partition")
         .parquet(s"$path/codes")
       writeStats(enc, path, SaveMode.Append)
-      reportDrift(df.sparkSession, path, model.config.numPartitions, log)
+      // the sidecar read + collect runs only when someone is listening
+      log.foreach(reportDrift(spark, path, model.config.numPartitions, _))
     } finally enc.unpersist()
   }
 
@@ -354,9 +375,12 @@ object IvfPqBuilder {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** Load index artifacts back; validates the same invariants the
-    * reference checks on load (db/stored.rs:659-722: shape cross-checks). */
-  def load(spark: SparkSession, path: String): (IvfPqModel, DataFrame) = {
+  /** Read `path`/manifest.json and, when its SHA-256 sidecar exists,
+    * verify it (re-hash on read — reference io.rs:286-300). Shared by
+    * every store family's load path so the integrity rule cannot
+    * drift between them. Pre-sidecar stores still load. */
+  private[index] def readVerifiedManifest(spark: SparkSession,
+                                          path: String): String = {
     val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readString(p: org.apache.hadoop.fs.Path): String = {
@@ -365,10 +389,6 @@ object IvfPqBuilder {
       finally in.close()
     }
     val manifestStr = readString(mPath)
-    // re-hash on read (reference/src/io.rs:286-300): a flipped bit in the
-    // manifest must fail loudly, not mis-shape the loaded model. The
-    // sidecar is optional (pre-sha stores still load) — when present it
-    // must match.
     val shaPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json.sha256")
     if (fs.exists(shaPath)) {
       val expected = readString(shaPath).trim
@@ -376,7 +396,28 @@ object IvfPqBuilder {
       require(actual == expected,
         s"manifest integrity check failed at $path: sha256 $actual != recorded $expected")
     }
-    val manifest = ujsonLite(manifestStr)
+    manifestStr
+  }
+
+  /** Count of parquet data files under a store subtree (any Hadoop
+    * filesystem) — the compaction effectiveness metric. */
+  def parquetFileCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
+  /** Load index artifacts back; validates the same invariants the
+    * reference checks on load (db/stored.rs:659-722: shape cross-checks). */
+  def load(spark: SparkSession, path: String): (IvfPqModel, DataFrame) = {
+    val manifest = ujsonLite(readVerifiedManifest(spark, path))
     val dim = manifest("vector_size")
     val p = manifest("num_partitions")
     val d = manifest("num_divisions")
@@ -399,6 +440,7 @@ object IvfPqBuilder {
       centroids, codebooks)
     val codes = spark.read.parquet(s"$path/codes")
     val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live =
       if (fs.exists(tPath))
         codes.join(spark.read.parquet(s"$path/tombstones"),
@@ -435,27 +477,50 @@ object IvfPqBuilder {
     * codes) rows unchanged, so the compacted store answers every query
     * identically to the live pre-compaction view. Idempotent — a second
     * compaction rewrites the same rows to the same layout. The swap is
-    * write-new → rename, so a reader crash mid-compaction never sees a
-    * half-written codes table (rename is atomic on HDFS-like stores;
-    * on object stores run compaction under the table lock you'd use for
-    * any rewrite). */
+    * write-new → park-old → install-new → drop-old: no point in the
+    * sequence deletes data that is not already installed elsewhere, so
+    * a crash at any step is recoverable (the table sits at `codes`,
+    * `codes.old`, or `codes.compacting` — never nowhere). A concurrent
+    * reader in the instant between the two renames can still miss the
+    * table: run maintenance under the same table lock you'd use for any
+    * rewrite. A fully-tombstoned store compacts to a zero-row but
+    * schema-bearing codes table (load and queries keep working). */
   def compactStore(spark: SparkSession, path: String): Unit = {
-    val (_, live) = load(spark, path)
+    import spark.implicits._
+    val (_, live0) = load(spark, path)
+    val live = live0.select("id", "partition", "codes")
+    // the post-compaction histogram, collected BEFORE the swap (P rows)
+    // — reading the new table after the swap would crash on a zero-row
+    // store, and re-reading what we just wrote is wasted IO anyway
+    val statRows = live.groupBy("partition").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     val tmp = s"$path/codes.compacting"
-    // one shuffle on the cell id → one task, one file, per cell dir
-    live.select("id", "partition", "codes")
-      .repartition(col("partition"))
-      .write.mode(SaveMode.Overwrite).partitionBy("partition").parquet(tmp)
+    if (statRows.isEmpty)
+      // everything tombstoned: partitionBy of zero rows writes no files
+      // and an empty dir cannot be read back — install a zero-row
+      // UNPARTITIONED parquet instead (schema in the footer, reads fine;
+      // `partition` becomes a regular empty column, which every consumer
+      // projects identically)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], live.schema)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    else
+      // one shuffle on the cell id → one task, one file, per cell dir
+      live.repartition(col("partition"))
+        .write.mode(SaveMode.Overwrite).partitionBy("partition").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the tmp write above already consumed the old table — safe to swap
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$path/codes")),
-      s"compaction swap failed: could not rename $tmp over $path/codes " +
-        "(compacted data is intact at the tmp path)")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    writeStats(spark.read.parquet(s"$path/codes"), path, SaveMode.Overwrite)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(s"$path/codes.old"), true)
+    require(fs.rename(p(s"$path/codes"), p(s"$path/codes.old")),
+      s"compaction swap failed: could not park $path/codes — store unchanged")
+    require(fs.rename(p(tmp), p(s"$path/codes")),
+      s"compaction swap failed: could not install $tmp; the previous " +
+        s"table is intact at $path/codes.old — rename it back to recover")
+    fs.delete(p(s"$path/codes.old"), true)
+    fs.delete(p(s"$path/tombstones"), true)
+    statRows.toDF("partition", "cnt")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
   /** Minimal flat-JSON int-field extractor (manifest only; avoids deps). */

@@ -86,21 +86,7 @@ object Sq8 {
     * (same load-time invariant discipline as IvfPqBuilder.load). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Sq8Model, DataFrame) = {
-    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readString(p: org.apache.hadoop.fs.Path): String = {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    val manifestStr = readString(mPath)
-    val shaPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json.sha256")
-    if (fs.exists(shaPath)) {
-      val expected = readString(shaPath).trim
-      val actual = IvfPqBuilder.sha256Hex(manifestStr)
-      require(actual == expected,
-        s"manifest integrity check failed at $path: sha256 $actual != recorded $expected")
-    }
+    val manifestStr = IvfPqBuilder.readVerifiedManifest(spark, path)
     val dim = "\"vector_size\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(manifestStr)
       .getOrElse(sys.error(s"bad Sq8 manifest: $manifestStr"))

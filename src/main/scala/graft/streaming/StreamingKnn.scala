@@ -104,7 +104,9 @@ object StreamingKnn {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        log(s"ingest batch $batchId: ${batch.count()} vectors")
+        // no batch.count() here — that would be a whole extra job per
+        // trigger just for a log line; the drift report carries the sizes
+        log(s"ingest batch $batchId")
         graft.index.IvfPqBuilder.appendToStore(model, batch.toDF(),
           idCol, vecCol, path, log)
     }

@@ -267,15 +267,7 @@ class IvfPqSpec extends AnyFunSuite {
         AnnQuery.topK(codes, m, q, 5, 4)
           .collect().map(r => (r.getLong(0), r.getAs[Double]("sq_dist"))).toSeq
       }
-      def files(): Long = {
-        def walk(f: java.io.File): Long = {
-          val cs = f.listFiles()
-          if (cs == null) 0L
-          else cs.map(c => if (c.isDirectory) walk(c)
-            else if (c.getName.endsWith(".parquet")) 1L else 0L).sum
-        }
-        walk(new java.io.File(s"$dir/codes"))
-      }
+      def files(): Long = IvfPqBuilder.parquetFileCount(spark, s"$dir/codes")
       val pre = answer()
       val preFiles = files()
       IvfPqBuilder.compactStore(spark, dir)
@@ -291,6 +283,15 @@ class IvfPqSpec extends AnyFunSuite {
       IvfPqBuilder.compactStore(spark, dir)
       assert(answer() === pre)
       assert(files() === filesAfterOnce)
+      // fully-tombstoned store: compaction must leave a LOADABLE zero-row
+      // table (zero-row partitionBy writes nothing readable — the
+      // unpartitioned fallback keeps the schema in a footer)
+      val (_, allLive) = IvfPqBuilder.load(spark, dir)
+      IvfPqBuilder.deleteFromStore(dir, allLive.select("id"), "id")
+      IvfPqBuilder.compactStore(spark, dir)
+      val (m2, codes2) = IvfPqBuilder.load(spark, dir)
+      assert(codes2.count() === 0L)
+      assert(AnnQuery.topK(codes2, m2, q, 5, 4).count() === 0L)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
@@ -358,6 +359,17 @@ class IvfPqSpec extends AnyFunSuite {
       }
       assert(log.exists(_.contains("REBALANCE")),
         s"drifted ingest not flagged: $log")
+      // pre-sidecar store (backward compat): with the stats dir gone, the
+      // next telemetry append must backfill the histogram from the codes
+      // table instead of silently reporting on one batch
+      log.clear()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/stats")).deleteRecursively()
+      IvfPqBuilder.appendToStore(m8,
+        df.select((col("id") + 50000).as("id"), col("vec")),
+        "id", "vec", dir, log.append(_))
+      assert(log.exists(_.contains("backfilling")), s"no backfill: $log")
+      assert(log.exists(_.contains("imbalance")))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

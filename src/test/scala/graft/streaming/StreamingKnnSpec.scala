@@ -91,7 +91,7 @@ class StreamingKnnSpec extends AnyFunSuite {
       val log = scala.collection.mutable.ArrayBuffer.empty[String]
       val stream = MemoryStream[(Long, Seq[Float])]
       val q = StreamingKnn.ingestToStore(stream.toDF().toDF("id", "vec"),
-          "id", "vec", model, dir, log.synchronized { s => log += s })
+          "id", "vec", model, dir, s => log.synchronized { log += s })
         .option("checkpointLocation", ckpt).start()
       try {
         stream.addData(data.filter(d => d._1 >= 80 && d._1 < 120))
