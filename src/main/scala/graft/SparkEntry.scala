@@ -957,6 +957,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // duplication-aware SAMPLING: survivors of the 1/(1+degree)
+    // md5-bucket downsample — a cluster of d+1 near-identical docs keeps
+    // ~1 expected member, unique docs pass whole; deterministic, so the
+    // oracle reproduces it exactly
+    "sample_dedup_aware" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val degrees = Dedup.duplicationDegree(docs.select("doc_id"),
+        Dedup.minHashLshPairs(docs, thresholdPct = 90))
+      graft.pipeline.TrainingData
+        .degreeWeightedSample(docs.select("doc_id"), degrees)
+        .orderBy("doc_id")
+    }),
+
     "embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), thresholdMilli = 400)
         .orderBy("a_id", "b_id")),
@@ -2173,6 +2186,22 @@ object SparkEntry {
          |SELECT doc.doc_id, CAST(coalesce(d.n, 0) AS BIGINT) AS n_dups
          |FROM documents doc LEFT JOIN d USING (doc_id)
          |ORDER BY doc.doc_id""".stripMargin,
+
+    // `//` (floor division) mirrors the Spark side's double-divide +
+    // int cast exactly for positive operands; a rounding CAST would
+    // disagree at exact .5 fractions
+    "sample_dedup_aware" ->
+      s"""WITH pairs AS (${jaccardOracle(90)}),
+         |e AS (SELECT a_id AS doc_id FROM pairs
+         | UNION ALL SELECT b_id FROM pairs),
+         |d AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+         |deg AS (SELECT doc.doc_id, coalesce(d.n, 0) AS n_dups
+         | FROM documents doc LEFT JOIN d USING (doc_id))
+         |SELECT doc_id FROM deg
+         |WHERE n_dups = 0
+         |  OR substr(md5('dw:' || CAST(doc_id AS VARCHAR)), 1, 2)
+         |     < printf('%02x', 256 // (n_dups + 1))
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH k AS (SELECT doc_id,

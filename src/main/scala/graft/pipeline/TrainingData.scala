@@ -161,4 +161,28 @@ object TrainingData {
     }
     df.where(keep)
   }
+
+  /** DUPLICATION-AWARE downsampling — the consumer
+    * [[graft.pipeline.Dedup.duplicationDegree]]'s output is for: each
+    * document survives with probability ⌊256/(1+degree)⌋/256, so a
+    * cluster of d+1 near-identical documents contributes ~1 expected
+    * survivor while unique text (degree 0) passes whole — flattening
+    * boilerplate without hard-dropping it. Deterministic pure function
+    * of the row id (the same md5-bucket idiom as [[mixtureSample]]):
+    * stable under reruns and appends, no RNG, no extra shuffle beyond
+    * the degree join (fixed-width rows, broadcastable below corpus
+    * scale). Degrees ≥ 256 floor to keep-probability 0 — compose with a
+    * [[graft.pipeline.Dedup.dropList]] keeper if every cluster must
+    * retain at least one survivor. `degrees` is (idCol, n_dups). */
+  def degreeWeightedSample(docs: DataFrame, degrees: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    // integer floor both here and in any SQL twin (`256 // (n+1)`) —
+    // a rounding cast would disagree at exact .5 fractions
+    val w = (lit(256) / (col("n_dups") + 1)).cast("int")
+    val b = substring(
+      md5(concat(lit("dw:"), col(idCol).cast("string")).cast("binary")), 1, 2)
+    docs.join(degrees, Seq(idCol))
+      .where(col("n_dups") === 0 || b < format_string("%02x", w))
+      .drop("n_dups")
+  }
 }

@@ -105,6 +105,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(g2 > 0.95, s"g2 rate $g2")
   }
 
+  test("degreeWeightedSample: zeros pass whole, clusters thin per the md5 rule") {
+    val degrees = Seq(
+      (0L, 0L), (1L, 0L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 3L),
+      (6L, 255L), (7L, 300L))
+      .toDF("doc_id", "n_dups")
+    val ids = degrees.select("doc_id")
+    val kept = graft.pipeline.TrainingData
+      .degreeWeightedSample(ids, degrees)
+      .collect().map(_.getLong(0)).toSet
+    // degree-0 docs ALWAYS survive (even when their bucket is 'ff')
+    assert(kept.contains(0L) && kept.contains(1L))
+    // the rule is the exact md5-bucket comparison, reproduced in-JVM
+    def bucket(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dw:$id".getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x"
+    }
+    for (id <- 2L to 5L) // degree 3 -> threshold 256/4 = 64 -> "40"
+      assert(kept.contains(id) === (bucket(id) < "40"), s"doc $id")
+    // degree >= 255 floors the keep probability to (near) zero
+    assert(kept.contains(6L) === (bucket(6L) < "01"))
+    assert(!kept.contains(7L)) // 256 // 301 = 0 -> threshold "00"
+    // deterministic: a second evaluation is identical
+    val again = graft.pipeline.TrainingData
+      .degreeWeightedSample(ids, degrees)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
   test("ngramFingerprints: short docs yield EMPTY, not a descending range") {
     val d = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d"))
       .toDF("doc_id", "text")
