@@ -766,6 +766,46 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_low_recall"))
     }),
 
+    // table-free batch ANN: queries as a DATAFRAME, probe planning on the
+    // executors (topCellsL2 + pqDistDirect kernels) — nothing broadcast
+    // or built per query on the driver, so the batch can be as large as
+    // the cluster. Gated on PARITY with the driver-planned batchTopK
+    // (same id at every (qid, rank), distances equal within 1e-6 — the
+    // two paths differ only in float summation order) plus the standard
+    // per-query recall invariant vs the oracle-verified exact batch k-NN.
+    "ann_batch_direct" -> ((s, dir) => {
+      val (model, codes) = IvfPqBuilder.load(s, storedIndexPath(s, dir))
+      val emb = Tables.embeddings(s, dir)
+      val qsDf = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val direct = AnnQuery
+        .batchTopKDirect(codes, model, qsDf, "qid", "qvec", k = 10, nprobe = 4)
+      val qs = emb.where(col("vec_id") <= 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toSeq
+      val planned = AnnQuery.batchTopK(codes, model, qs, k = 10, nprobe = 4)
+        .select(col("qid"), col("rank"),
+          col("id").as("p_id"), col("sq_dist").as("p_dist"))
+      val exact = ExactKnn
+        .batchTopK(emb, "embedding", "vec_id", qsDf, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id").as("id"))
+      val par = direct.join(planned, Seq("qid", "rank"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("id").isNull || col("p_id").isNull
+          || col("id") =!= col("p_id"), 1L).otherwise(0L)), lit(0L))
+          .as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("sq_dist") - col("p_dist")) > 1e-6, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_far"))
+      val rec = direct.join(exact, Seq("qid", "id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_rec"))
+        .agg(count(lit(1)).cast("long").as("n_qids"),
+          coalesce(sum(when(col("n_rec") < 3, 1L).otherwise(0L)), lit(0L))
+            .as("n_low_recall"))
+      par.crossJoin(rec).select(col("n_rows"), col("n_id_mismatch"),
+        col("n_dist_far"), col("n_qids"), col("n_low_recall"))
+    }),
+
     // refine path: ADC nominates k'=4k candidates, exact re-rank over
     // just those rows picks the final k (FAISS IndexRefineFlat pattern).
     // Invariants: k rows; every reported distance EQUALS an independent
@@ -2085,6 +2125,11 @@ object SparkEntry {
     "ann_batch" ->
       """SELECT CAST(5 AS BIGINT) AS n_qids, CAST(0 AS BIGINT) AS n_bad_k,
         | CAST(0 AS BIGINT) AS n_order_viol,
+        | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
+
+    "ann_batch_direct" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_far, CAST(5 AS BIGINT) AS n_qids,
         | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
 
     "ann_rerank" ->

@@ -134,6 +134,59 @@ object AnnQuery {
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Table-free batch ANN: queries arrive as a DATAFRAME and nothing is
+    * planned or broadcast per query on the driver — the shape that
+    * survives a million-query batch, where [[batchTopK]]'s driver-side
+    * ADC-table planning (~nprobe·D·C·8 B per query) would exhaust driver
+    * memory before the job starts.
+    *
+    * Per query ROW (all executor-side): nprobe cells via the
+    * [[graft.functions.Kernels.topCellsL2]] kernel, an equi-join on the
+    * cell id against the coded table, distances from the table-free
+    * [[graft.functions.Kernels.pqDistDirect]] kernel — centroids and
+    * codebooks ride as plan literals (driver-resident by IVF design, a
+    * few MB total, independent of batch size). Same distance semantics
+    * as [[batchTopK]] (asymmetric ‖(q−c) − decode(codes)‖², equal up to
+    * float summation order) and the same cell tie-breaking (lowest id).
+    * The join needs no broadcast: with auto-broadcast off it plans as a
+    * shuffle join on the cell id, so both sides scale out.
+    *
+    * This is also exactly the per-micro-batch plan of
+    * [[graft.streaming.StreamingKnn.annTopKPerQuery]] (which delegates
+    * here) — the reference's async per-query loop
+    * (asyncdb/stored/query.rs:221-355) generalized to a relation of
+    * queries. Trade-off vs [[batchTopK]]: dim mul-adds per (row, query)
+    * instead of D table lookups — the ADC-table path stays preferable
+    * for driver-small batches; this one has no driver bottleneck.
+    *
+    * `queries` must carry (`qidCol`: long, `qvecCol`: array<float>);
+    * names must not collide with id/partition/codes. Output
+    * (qid, id, sq_dist, rank), rank 1..k ascending per query. */
+  def batchTopKDirect(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
+                      qidCol: String, qvecCol: String, k: Int,
+                      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.config.numPartitions,
+      s"nprobe $nprobe out of range 1..${model.config.numPartitions}")
+    val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    // flat codebook: primitive-backed literal — pqDistDirect reads it in
+    // full (D×C×m doubles) per row; boxed typedlit reads would dominate
+    val cbLit = graft.functions.FastFunctions
+      .litDoubles(model.codebooks.flatten.flatten)
+    val probed = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      explode(graft.functions.FastFunctions.topCellsL2(col(qvecCol),
+        model.partitionCentroids.flatten.toSeq, nprobe)).as("probe_cell"))
+    probed.join(codes, col("probe_cell") === col("partition"))
+      .select(col("qid"), col("id"),
+        graft.functions.FastFunctions.pqDistDirect(col("qvec"),
+          element_at(centLit, col("probe_cell").cast("int") + 1),
+          col("codes"), cbLit).as("sq_dist"))
+      .groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.id").as("id"),
+        col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** ADC top-k′ then exact re-rank over the original vectors — the
     * standard refine pattern (FAISS IndexRefineFlat; the reference keeps
     * full vectors per partition for the same reason, db/stored.rs:86-99):

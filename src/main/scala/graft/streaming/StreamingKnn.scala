@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.FastFunctions.{litDoubles, pqDistDirect, squaredL2F, topCellsL2}
+import graft.functions.FastFunctions.squaredL2F
 import graft.index.IvfPqModel
 import graft.query.TopKAggregator
 
@@ -56,25 +56,10 @@ object StreamingKnn {
     * DataFrame. Output: (qid, id, sq_dist, rank), outputMode("update"). */
   def annTopKPerQuery(queries: DataFrame, qidCol: String, qvecCol: String,
                       codes: DataFrame, model: IvfPqModel,
-                      k: Int, nprobe: Int): DataFrame = {
-    val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
-    // flat codebook: primitive-backed literal — pqDistDirect reads it in
-    // full (D×C×m doubles) per row; boxed typedlit reads would dominate
-    val cbLit = litDoubles(model.codebooks.flatten.flatten)
-    val probed = queries.select(col(qidCol), col(qvecCol),
-        explode(topCellsL2(col(qvecCol),
-          model.partitionCentroids.flatten.toSeq, nprobe)).as("probe_cell"))
-    probed.join(codes, col("probe_cell") === col("partition"))
-      .select(col(qidCol), col("id"),
-        pqDistDirect(col(qvecCol),
-          element_at(centLit, col("probe_cell").cast("int") + 1),
-          col("codes"), cbLit).as("sq_dist"))
-      .groupBy(col(qidCol))
-      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
-      .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col(qidCol), col("hit.id").as("id"),
-        col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
-  }
+                      k: Int, nprobe: Int): DataFrame =
+    graft.query.AnnQuery
+      .batchTopKDirect(codes, model, queries, qidCol, qvecCol, k, nprobe)
+      .withColumnRenamed("qid", qidCol)
 
   /** STREAMING INGEST into a stored index: every micro-batch of new
     * vectors is encoded against the frozen model and appended to the

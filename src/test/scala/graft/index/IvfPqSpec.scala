@@ -112,6 +112,39 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("batchTopKDirect: parity with batchTopK; plan needs NO broadcast") {
+    val qids = Seq(0L, 7L, 55L)
+    val queries = qids.map(i => i -> data(i.toInt)._2).toDF("qid", "qvec")
+    val qs = qids.map(i => i -> data(i.toInt)._2.map(_.toDouble).toArray)
+    // the scale contract: with auto-broadcast disabled the table-free plan
+    // still executes (shuffle join on the cell id) and its FINAL adaptive
+    // plan carries no BroadcastExchange — probe planning never produces a
+    // driver-resident relation, unlike batchTopK's broadcast ADC tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val direct = AnnQuery
+        .batchTopKDirect(encoded, model, queries, "qid", "qvec", k = 5, nprobe = 2)
+      val got = direct.collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3))
+          .map(r => r.getLong(1) -> r.getDouble(2)).toSeq).toMap
+      assert(!direct.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+      val planned = AnnQuery.batchTopK(encoded, model, qs, k = 5, nprobe = 2)
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3))
+          .map(r => r.getLong(1) -> r.getDouble(2)).toSeq).toMap
+      qids.foreach { qid =>
+        assert(got(qid).map(_._1) === planned(qid).map(_._1), s"ids, query $qid")
+        got(qid).zip(planned(qid)).foreach { case ((_, d1), (_, d2)) =>
+          assert(math.abs(d1 - d2) <= 1e-9 * math.max(1.0, d2), s"dist, q $qid")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("rerank returns exact distances and never loses recall vs raw ADC") {
     val qf = data.head._2
     val q = qf.map(_.toDouble).toArray
