@@ -2394,6 +2394,9 @@ object SparkEntry {
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4094 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
         |sh AS (SELECT doc_id, array_to_string(toks[g.i : g.i + 2], ' ') AS s
         | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 2 <= nt),
         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id, s),
@@ -2406,11 +2409,15 @@ object SparkEntry {
         | CAST(CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0
         |   ELSE (a.max_rep * 100) // a.n_shingles END AS BIGINT) AS rep_pct
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |CROSS JOIN guard WHERE guard.ok = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     "text_novelty" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
         |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4095 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
         |g AS (SELECT DISTINCT doc_id,
         |  md5(array_to_string(ts[i.i : i.i + 1], ' ')) AS g
         | FROM tok, generate_series(1, 4096) AS i(i)
@@ -2425,6 +2432,7 @@ object SparkEntry {
         | CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
         |   ELSE (pd.n_rare * 100) // pd.n_grams END AS BIGINT) AS rare_pct
         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |CROSS JOIN guard WHERE guard.ok = 1
         |ORDER BY d.doc_id""".stripMargin,
 
     "events_dedup_first" ->
@@ -2580,6 +2588,9 @@ object SparkEntry {
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
         |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4094 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
         |be AS (SELECT DISTINCT md5(array_to_string(ts[g.i : g.i + 2], ' '))
         |   AS g
         | FROM tok, generate_series(1, 4096) AS g(i)
@@ -2589,6 +2600,7 @@ object SparkEntry {
         | FROM tok, generate_series(1, 4096) AS g(i)
         | WHERE doc_id % 23 <> 0 AND g.i + 2 <= len(ts))
         |SELECT doc_id, count(*) AS n_hits FROM tg JOIN be USING (g)
+        |CROSS JOIN guard WHERE guard.ok = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "events_range_join" ->
