@@ -826,8 +826,11 @@ object Dedup {
     * thresholdMilli/1000. Brute-force all-pairs — the CAPPED correctness
     * baseline and recall oracle, never the corpus-scale path: an
     * unguarded cartesian is a scale-killer, so the operator refuses
-    * inputs above `maxRows` (one cheap count) instead of silently
-    * launching an O(n²) job. The 100 TB path is
+    * inputs above `maxRows` instead of silently launching an O(n²)
+    * job. The guard costs one count() job per call; callers that
+    * already know the size pass `knownRows` (>= 0) to skip it, and
+    * `maxRows = Long.MaxValue` skips the guard entirely (keeping the
+    * plan lazy) and means "I accept the cartesian". The 100 TB path is
     * [[graft.query.AnnJoin.cosineSelfJoin]] — IVF-bucketed candidates,
     * exact-cosine verified, same output contract. Output ids only
     * (cosine values are order-stable but not bit-stable across
@@ -835,12 +838,15 @@ object Dedup {
   def embeddingNearDupPairs(embeddings: DataFrame, thresholdMilli: Int,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
-                            maxRows: Long = 100000L): DataFrame = {
-    val n = embeddings.count()
-    require(n <= maxRows,
-      s"embeddingNearDupPairs is the all-pairs BASELINE, capped at " +
-        s"$maxRows rows (got $n) — use AnnJoin.cosineSelfJoin for the " +
-        s"IVF-bucketed scale path, or raise maxRows explicitly")
+                            maxRows: Long = 100000L,
+                            knownRows: Long = -1L): DataFrame = {
+    if (maxRows < Long.MaxValue) {
+      val n = if (knownRows >= 0L) knownRows else embeddings.count()
+      require(n <= maxRows,
+        s"embeddingNearDupPairs is the all-pairs BASELINE, capped at " +
+          s"$maxRows rows (got $n) — use AnnJoin.cosineSelfJoin for the " +
+          s"IVF-bucketed scale path, or raise maxRows explicitly")
+    }
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       // the nested-loop join's parallelism follows the stream side's
       // partitioning — never inherit a single-split source layout

@@ -107,20 +107,30 @@ object ExactKnn {
     * [[batchTopK]] pass with the point set on both sides: asks for k+1,
     * drops the self-match, re-ranks. EXACT and broadcast-bound: use it
     * only while the (id, vector) projection fits an executor — the
-    * operator refuses inputs above `maxRows` (one cheap count) instead
-    * of silently shipping an executor-crushing broadcast; past the cap,
+    * operator refuses inputs above `maxRows` instead of silently
+    * shipping an executor-crushing broadcast; past the cap,
     * [[graft.query.AnnJoin.knnJoin]] is the same contract with
     * candidates from shared IVF cells and nothing broadcast (misses
     * bounded by nprobe, distances still exact).
+    *
+    * The guard costs one count() job per call — a skipped-column scan,
+    * cheap on parquet but a full materialization of a computed input.
+    * Callers that already know the size pass `knownRows` (>= 0) to
+    * skip the job; `maxRows = Long.MaxValue` skips the guard entirely
+    * (keeping the plan lazy — required for streaming inputs) and means
+    * "I accept the broadcast".
     * Output: (qid, rank, `idCol`). */
   def knnJoin(df: DataFrame, vecCol: String, idCol: String,
-              k: Int, maxRows: Long = 1000000L): DataFrame = {
+              k: Int, maxRows: Long = 1000000L,
+              knownRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.count()
-    require(n <= maxRows,
-      s"ExactKnn.knnJoin broadcasts the full (id, vector) relation — " +
-        s"capped at $maxRows rows (got $n); use AnnJoin.knnJoin for the " +
-        s"IVF-bucketed path, or raise maxRows explicitly")
+    if (maxRows < Long.MaxValue) {
+      val n = if (knownRows >= 0L) knownRows else df.count()
+      require(n <= maxRows,
+        s"ExactKnn.knnJoin broadcasts the full (id, vector) relation — " +
+          s"capped at $maxRows rows (got $n); use AnnJoin.knnJoin for the " +
+          s"IVF-bucketed path, or raise maxRows explicitly")
+    }
     val q = df.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
     batchTopK(df, vecCol, idCol, q, "__qid", "__qvec", k + 1)
       .where(col(idCol) =!= col("__qid"))
