@@ -23,8 +23,59 @@ object TopKAggregator {
   final case class Cand(dist: Double, id: Long)
   final case class Buf(items: Seq[Cand])
 
-  private def insert(buf: Seq[Cand], k: Int, extra: Seq[Cand]): Seq[Cand] =
-    (buf ++ extra).sortBy(c => (c.dist, c.id)).take(k)
+  // (dist, id) order with java.lang.Double.compare — the same total order
+  // the previous sortBy used (NaN last, -0.0 < 0.0), so results are
+  // bit-identical to the sort-based implementation
+  private def beforeOrAt(a: Cand, b: Cand): Boolean = {
+    val c = java.lang.Double.compare(a.dist, b.dist)
+    if (c != 0) c < 0 else a.id <= b.id
+  }
+
+  /** Binary-search insertion into a sorted bounded buffer — O(log k)
+    * compares + one array copy, replacing the previous per-candidate
+    * O(k log k) sortBy.take(k) allocation in the hottest reduce path. */
+  private def insertOne(items: Seq[Cand], k: Int, a: Cand): Seq[Cand] = {
+    val arr = items.toArray
+    val n = arr.length
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (beforeOrAt(arr(mid), a)) lo = mid + 1 else hi = mid
+    }
+    if (lo >= k) items
+    else {
+      val m = math.min(n + 1, k)
+      val out = new Array[Cand](m)
+      System.arraycopy(arr, 0, out, 0, lo)
+      out(lo) = a
+      val tail = math.min(n - lo, m - lo - 1)
+      if (tail > 0) System.arraycopy(arr, lo, out, lo + 1, tail)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
+  /** Linear merge of two sorted buffers, bounded at k. */
+  private def mergeSorted(x: Seq[Cand], y: Seq[Cand], k: Int): Seq[Cand] = {
+    if (y.isEmpty) return x.take(k)
+    if (x.isEmpty) return y.take(k)
+    val xa = x.toArray
+    val ya = y.toArray
+    val m = math.min(xa.length + ya.length, k)
+    val out = new Array[Cand](m)
+    var i = 0
+    var j = 0
+    var o = 0
+    while (o < m) {
+      if (j >= ya.length || (i < xa.length && beforeOrAt(xa(i), ya(j)))) {
+        out(o) = xa(i); i += 1
+      } else {
+        out(o) = ya(j); j += 1
+      }
+      o += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 
   private class TopK(k: Int) extends Aggregator[Cand, Buf, Buf] {
     override def zero: Buf = Buf(Nil)
@@ -34,8 +85,8 @@ object TopKAggregator {
         val w = b.items.last
         a.dist > w.dist || (a.dist == w.dist && a.id > w.id)
       }) b
-      else Buf(insert(b.items, k, a :: Nil))
-    override def merge(x: Buf, y: Buf): Buf = Buf(insert(x.items, k, y.items))
+      else Buf(insertOne(b.items, k, a))
+    override def merge(x: Buf, y: Buf): Buf = Buf(mergeSorted(x.items, y.items, k))
     override def finish(r: Buf): Buf = r
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
