@@ -115,4 +115,53 @@ object Multimodal {
     }
     out
   }
+
+  /** REAL image decode via `javax.imageio` (JDK-only, no external
+    * codecs): decodes PNG/JPEG/BMP/GIF payloads, bilinear-resizes to
+    * w×h grayscale, returns pixels in [0,1] row-major — a drop-in
+    * `decode` for [[decodeBatched]], proving the batched seam carries a
+    * real codec, not just the stub (which remains the decoder for the
+    * synthetic oracle corpus, whose payloads are not image bytes).
+    * Fails loudly on undecodable payloads: a silent fallback would turn
+    * a corrupt shard into garbage hashes downstream. */
+  def imageIoDecode(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    val img = javax.imageio.ImageIO
+      .read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val scaled = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val raster = scaled.getRaster
+    val out = new Array[Float](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = raster.getSample(x, y, 0) / 255.0f
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** aHash over ALREADY-DECODED pixels (from [[decodeBatched]] with any
+    * decoder, e.g. [[imageIoDecode]]): mean-pool w×h to 8×8, bit i =
+    * pixel i above the thumbnail mean — the same hash [[aHash64]]
+    * computes stub-side, so real-codec media joins the identical
+    * [[graft.pipeline.Dedup.hammingNearPairs]] near-dup machinery. */
+  def aHash64FromPixels(decoded: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w % 8 == 0 && h % 8 == 0, s"aHash pools ${w}x$h to 8x8")
+    decoded.select(col("media_id"),
+      bitsAboveMean(meanPool(col("pixels"), w, h, w / 8, h / 8))
+        .as("ahash"))
+  }
 }

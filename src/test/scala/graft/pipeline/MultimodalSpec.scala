@@ -73,6 +73,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(batched === columnar)
   }
 
+  test("imageIoDecode: REAL PNG through the batched seam → aHash → near pairs") {
+    import java.awt.image.BufferedImage
+    // deterministic synthetic images: A = horizontal gradient with a dark
+    // left block; B = A plus a tiny bottom-right blemish (near-dup); C =
+    // inverted gradient (far). PNG-encoded via the same public JDK API.
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 32, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 32; x <- 0 until 64)
+        img.getRaster.setSample(x, y, 0, f(x, y) & 0xFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val a = png((x, _) => if (x < 16) 20 else x * 4)
+    val b = png((x, y) => if (x >= 60 && y >= 30) 255
+      else if (x < 16) 20 else x * 4)
+    val c = png((x, _) => if (x < 16) 235 else 255 - x * 4)
+    // a real PNG payload decodes through the SAME batched seam the stub
+    // uses — only the decode function differs
+    val ds = Seq(Multimodal.MediaRow(1L, a), Multimodal.MediaRow(2L, b),
+      Multimodal.MediaRow(3L, c)).toDS()
+    val decoded = Multimodal
+      .decodeBatched(ds, w = 16, h = 8)(Multimodal.imageIoDecode)
+    val hashes = Multimodal
+      .aHash64FromPixels(decoded.toDF("media_id", "pixels"), w = 16, h = 8)
+    val pairs = Dedup.hammingNearPairs(hashes, "media_id", "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "blemished copy is a near-dup of A")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "inverted image is not near any")
+    // parity with the stub-side hash pipeline: same kernel, so a decoded
+    // row hashes identically whichever entry point computes it
+    val direct = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = Multimodal
+      .aHash64FromPixels(decoded.toDF("media_id", "pixels"), w = 16, h = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct === again)
+    // undecodable payload fails loudly, never silently hashes garbage
+    val bad = Seq(Multimodal.MediaRow(9L, Array[Byte](1, 2, 3))).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeBatched(bad, 16, 8)(Multimodal.imageIoDecode).collect()
+    }
+    assert(ex.getMessage.contains("decodable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("decodable")))
+  }
+
   test("aHash64: deterministic, equal payloads collide, distinct differ") {
     val d = Seq(
       (1L, "the quick brown fox jumps over it"),
