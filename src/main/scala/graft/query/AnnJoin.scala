@@ -27,6 +27,46 @@ import graft.index.IvfPqModel
   */
 object AnnJoin {
 
+  /** Salt recommendation from a per-cell population histogram: the skew
+    * ratio max-cell/mean-cell (EMPTY cells included in the mean — a
+    * drifted ingest that abandons most cells must read as skewed, the
+    * same convention as IvfPqBuilder's append-drift telemetry), ceil'd
+    * and clamped to [floor, 64]. A cell `r`× the mean serializes into
+    * one r·g² task without salting; salt ≈ r restores ~mean-sized
+    * tasks, and the cost of over-salting is only linear replication of
+    * one join side, so the cap matters more than precision. */
+  def recommendedSalt(cellCounts: Seq[Long], numPartitions: Int,
+                      floor: Int = 4): Int = {
+    val mean = cellCounts.sum.toDouble / math.max(numPartitions, 1)
+    val imbalance =
+      if (mean > 0 && cellCounts.nonEmpty) cellCounts.max / mean else 0.0
+    math.min(64, math.max(floor, math.ceil(imbalance).toInt))
+  }
+
+  /** [[recommendedSalt]] for a STORED index, fed from the append-drift
+    * stats sidecar ([[graft.index.IvfPqBuilder.cellHistogram]] — P rows,
+    * no codes scan): the telemetry that recommends a rebalance is the
+    * same signal that sizes the salt for cell-bucketed joins run
+    * against the drifted store in the meantime. */
+  def autoSaltFromStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, numPartitions: Int,
+                        floor: Int = 4): Int =
+    recommendedSalt(
+      graft.index.IvfPqBuilder.cellHistogram(spark, path)
+        .collect().map(_.getLong(1)).toSeq,
+      numPartitions, floor)
+
+  // salt = 0 → derive from the join's OWN bucket histogram: one narrow
+  // count over the exploded (id, cell) relation, then recommendedSalt.
+  // An extra small job, paid only when the caller opts into auto.
+  private def resolveSalt(salt: Int, exploded: DataFrame,
+                          numPartitions: Int): Int =
+    if (salt > 0) salt
+    else recommendedSalt(
+      exploded.groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .collect().map(_.getLong(1)).toSeq,
+      numPartitions)
+
   /** All pairs with cosine ≥ thresholdMilli/1000 among vectors sharing an
     * IVF cell. Output: (a_id, b_id) — ids only, ordered a < b.
     *
@@ -40,7 +80,11 @@ object AnnJoin {
     *        exists to find — would otherwise serialize into one g² task
     *        unless the caller remembered the knob, and the cost (salt×
     *        replication of one side's rows) is linear and small. Raise
-    *        further when cluster size ≫ executor count × salt. */
+    *        further when cluster size ≫ executor count × salt. Pass 0
+    *        to AUTO-SIZE from the measured cell histogram
+    *        ([[recommendedSalt]]); with a stored index,
+    *        [[autoSaltFromStore]] reads the same skew from the drift
+    *        sidecar without touching the vectors. */
   def cosineSelfJoin(embeddings: DataFrame, idCol: String, vecCol: String,
                      model: IvfPqModel, thresholdMilli: Int,
                      nprobe: Int = 2, salt: Int = 4): DataFrame = {
@@ -50,14 +94,15 @@ object AnnJoin {
       .withColumn("cells", topCellsL2(col("v"), flat, nprobe))
       .select(col("id"), col("v"), col("cells"),
         explode(col("cells")).as("cell"))
+    val s = resolveSalt(salt, e, model.config.numPartitions)
     // spread rows on the JOIN keys: the broadcast-join case inherits this
     // parallelism (no single-split source layout), and the shuffle-join
     // case reuses the exchange outright — repartitioning on anything else
     // would be a full extra shuffle the join immediately redoes
-    val right = e.withColumn("salt", pmod(xxhash64(col("id")), lit(salt)))
+    val right = e.withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
       .repartition(col("cell"), col("salt"))
     val left = e.withColumn("salt",
-      explode(typedlit((0 until salt).map(_.toLong))))
+      explode(typedlit((0 until s).map(_.toLong))))
       .repartition(col("cell"), col("salt"))
     left.as("x").join(right.as("y"),
         col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
@@ -93,10 +138,13 @@ object AnnJoin {
       .withColumn("cells", topCellsL2(col("v"), flat, nprobe))
       .select(col("id"), col("v"), col("cells"),
         explode(col("cells")).as("cell"))
+    // auto mode sizes from the CORPUS side — the persisted, drift-prone
+    // relation; the new batch only replicates
+    val s = resolveSalt(salt, keyed(corpusEmb), model.config.numPartitions)
     val left = keyed(newEmb)
-      .withColumn("salt", explode(typedlit((0 until salt).map(_.toLong))))
+      .withColumn("salt", explode(typedlit((0 until s).map(_.toLong))))
     val right = keyed(corpusEmb)
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(salt)))
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
       .repartition(col("cell"), col("salt"))
     left.as("x").join(right.as("y"),
         col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
@@ -144,11 +192,12 @@ object AnnJoin {
       .withColumn("cells", topCellsL2(col("v"), flat, nprobe))
       .select(col("id"), col("v"), col("cells"),
         explode(col("cells")).as("cell"))
+    val s = resolveSalt(salt, e, model.config.numPartitions)
     val queries = e
-      .withColumn("salt", explode(typedlit((0 until salt).map(_.toLong))))
+      .withColumn("salt", explode(typedlit((0 until s).map(_.toLong))))
       .repartition(col("cell"), col("salt"))
     val cands = e
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(salt)))
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
       .repartition(col("cell"), col("salt"))
     // emit-once: the pair is scored only where the QUERY's probe list
     // first intersects the candidate's — unique per ordered pair

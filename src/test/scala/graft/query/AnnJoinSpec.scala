@@ -72,6 +72,40 @@ class AnnJoinSpec extends AnyFunSuite {
     assert(defSalt === salt1 && defSalt === salt8)
   }
 
+  test("auto salt (salt = 0): skewed buckets choose > default, output unchanged") {
+    // recommendedSalt is the clamped ceil of max-cell/mean-cell, empty
+    // cells counted — the drift-telemetry convention
+    assert(AnnJoin.recommendedSalt(Seq(100L), numPartitions = 10) === 10)
+    assert(AnnJoin.recommendedSalt(Seq(10L, 10L, 10L, 10L),
+      numPartitions = 4) === 4) // balanced → floor
+    assert(AnnJoin.recommendedSalt(Seq(1000000L), numPartitions = 1000) === 64,
+      "cap") // clamped
+    assert(AnnJoin.recommendedSalt(Nil, numPartitions = 4) === 4)
+    // a model with 8 cells fit on spread data, then joined over a corpus
+    // living in ONE blob: the join's own bucket histogram is skewed and
+    // auto mode must pick salt > the default 4 while emitting the exact
+    // same pairs
+    val (model, _) = IvfPqBuilder.fit(df, "vec_id", "embedding", dim,
+      IvfPqConfig(numPartitions = 8, numDivisions = 4, numCodes = 8,
+        maxIter = 20))
+    val skewed = df.where($"vec_id" < 30) // blob 0 only: 10 seeds × 3 clones
+    val manual = pairs(AnnJoin.cosineSelfJoin(skewed, "vec_id", "embedding",
+      model, thresholdMilli = 999, nprobe = 1, salt = 4))
+    val auto = pairs(AnnJoin.cosineSelfJoin(skewed, "vec_id", "embedding",
+      model, thresholdMilli = 999, nprobe = 1, salt = 0))
+    assert(auto === manual)
+    assert(manual.nonEmpty)
+    // the histogram auto mode sees: 30 rows over ≤ a few of 8 cells
+    import graft.functions.FastFunctions.topCellsL2
+    import org.apache.spark.sql.functions.{col, explode}
+    val counts = skewed
+      .select(explode(topCellsL2(col("embedding"),
+        model.partitionCentroids.flatten.toSeq, 1)).as("cell"))
+      .groupBy("cell").count().collect().map(_.getLong(1)).toSeq
+    assert(AnnJoin.recommendedSalt(counts, 8) > 4,
+      s"skewed corpus histogram $counts did not raise the salt")
+  }
+
   private def graph(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     d.select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
