@@ -254,6 +254,23 @@ object IvfPqBuilder {
         "histogram from the existing codes table (one-time scan)"))
       writeStats(spark.read.parquet(s"$path/codes"), path, SaveMode.Overwrite)
     }
+    // a fully-tombstoned compaction installs a zero-row UNPARTITIONED
+    // placeholder at codes/ root (see compactStore); a partitioned
+    // append into that directory would produce the mixed file layout
+    // Spark's partition discovery rejects, making the store unreadable.
+    // Remove the placeholder first — it carries no rows by construction,
+    // and we verify that before touching anything
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (fs.exists(codesRoot)) {
+      val rootFiles = fs.listStatus(codesRoot).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (rootFiles.nonEmpty) {
+        require(spark.read.parquet(s"$path/codes").isEmpty,
+          s"$path/codes holds root-level parquet files WITH rows — not a " +
+            "layout this store writes; refusing to append into it")
+        rootFiles.foreach(st => fs.delete(st.getPath, false))
+      }
+    }
     val enc = encode(model, df, idCol, vecCol)
       .select("id", "partition", "codes")
       .persist()
@@ -279,6 +296,31 @@ object IvfPqBuilder {
   def cellHistogram(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/stats")
       .groupBy("partition").agg(sum(col("cnt")).as("cnt"))
+
+  /** Reconcile the stats sidecar against the codes table. The codes
+    * append and the sidecar append are two non-atomic writes, so a
+    * failure between them leaves the cumulative histogram desynced with
+    * nothing to detect it — drift telemetry (and the auto-salt derived
+    * from it) would be silently wrong thereafter. Compares totals (one
+    * codes count — skipped-column scan, cheap on parquet) and
+    * re-backfills the sidecar from the codes table on mismatch.
+    * Compaction re-derives the sidecar as a matter of course; call this
+    * opportunistically between compactions, or after a crashed append.
+    * Returns true when a repair was performed. */
+  def reconcileStats(spark: SparkSession, path: String): Boolean = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statTotal =
+      if (!fs.exists(statsPath)) -1L
+      else cellHistogram(spark, path)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+    if (statTotal == codes.count()) false
+    else {
+      writeStats(codes, path, SaveMode.Overwrite)
+      true
+    }
+  }
 
   private def reportDrift(spark: SparkSession, path: String,
                           numPartitions: Int, log: String => Unit): Unit = {

@@ -364,25 +364,28 @@ object Dedup {
 
   /** Groups of docs with IDENTICAL hashed sets:
     * (rep = min member id, members sorted, sz, hset). The groupBy key is
-    * `xxhash64(hset)` — a FIXED-WIDTH long — so the collapse exchange
-    * shuffles 8-byte keys, not whole hashed-set arrays (at corpus scale
-    * the array keys would dominate the exchange). The set itself rides
-    * once per group as an aggregated value, and a min = max cross-check
-    * verifies the key in-plan: a 64-bit collision (the same
-    * accepted-everywhere convention as the token hashes themselves)
-    * raises instead of silently merging distinct sets. Checkpointed —
-    * every consumer uses it 2-3 times, and each recomputation would be a
-    * corpus scan. */
+    * `xxhash64(hset)` — a FIXED-WIDTH long — so the grouping columns of
+    * the collapse exchange are 8-byte keys, not whole hashed-set arrays
+    * (at corpus scale the array keys would dominate the exchange). The
+    * set itself still rides once per group as an aggregated value (it is
+    * the output), and the key is cross-checked in-plan by a SECOND,
+    * independently-seeded xxhash64: two distinct sets colliding on the
+    * key would have to collide on both hashes (~2⁻¹²⁸) to merge
+    * silently; otherwise min ≠ max over the second hash raises. The
+    * check buffers are two longs — NOT array copies, which would undo
+    * the fixed-width-key saving. Checkpointed — every consumer uses it
+    * 2-3 times, and each recomputation would be a corpus scan. */
   private def identicalSetGroupsOf(sets: DataFrame): DataFrame =
     sets
       .groupBy(xxhash64(col("hset")).as("hkey"))
       .agg(min(col("doc_id")).as("rep"),
         array_sort(collect_list(col("doc_id"))).as("members"),
         first(col("sz")).as("sz"),
-        min(col("hset")).as("hmin"),
-        max(col("hset")).as("hmax"))
+        first(col("hset")).as("hset"),
+        min(xxhash64(lit(0x9E3779B9L), col("hset"))).as("h2min"),
+        max(xxhash64(lit(0x9E3779B9L), col("hset"))).as("h2max"))
       .select(col("rep"), col("members"), col("sz"),
-        when(col("hmin") === col("hmax"), col("hmin"))
+        when(col("h2min") === col("h2max"), col("hset"))
           .otherwise(raise_error(
             lit("xxhash64 collision in identical-set collapse")))
           .as("hset"))

@@ -325,6 +325,16 @@ class IvfPqSpec extends AnyFunSuite {
       val (m2, codes2) = IvfPqBuilder.load(spark, dir)
       assert(codes2.count() === 0L)
       assert(AnnQuery.topK(codes2, m2, q, 5, 4).count() === 0L)
+      // appending into the placeholder store must clear the zero-row
+      // unpartitioned file first — otherwise the partitioned append
+      // creates the mixed layout partition discovery rejects and the
+      // store becomes unreadable
+      IvfPqBuilder.appendToStore(model, df.where(col("id") < 10),
+        "id", "vec", dir)
+      val (m3, codes3) = IvfPqBuilder.load(spark, dir)
+      assert((codes3.count(): Long) ===
+        (df.where(col("id") < 10).count(): Long))
+      assert(AnnQuery.topK(codes3, m3, q, 5, 4).count() === 5L)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
@@ -353,6 +363,30 @@ class IvfPqSpec extends AnyFunSuite {
         IvfPqBuilder.load(spark, dir)
       }
       assert(e.getMessage.contains("manifest integrity"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("reconcileStats: detects a desynced sidecar and re-backfills it") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_recon").toString
+    try {
+      IvfPqBuilder.save(model,
+        IvfPqBuilder.encode(model, df, "id", "vec"), dir)
+      // in-sync store: no repair
+      assert(!IvfPqBuilder.reconcileStats(spark, dir))
+      // simulate a crash between the codes append and the stats append:
+      // the sidecar is gone/desynced while codes kept growing
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/stats")).deleteRecursively()
+      assert(IvfPqBuilder.reconcileStats(spark, dir), "missing sidecar not repaired")
+      val repaired = IvfPqBuilder.cellHistogram(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum(col("cnt")))
+        .collect()(0).getLong(0)
+      assert(repaired === df.count())
+      assert(!IvfPqBuilder.reconcileStats(spark, dir), "repair not idempotent")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
@@ -392,6 +426,11 @@ class IvfPqSpec extends AnyFunSuite {
       }
       assert(log.exists(_.contains("REBALANCE")),
         s"drifted ingest not flagged: $log")
+      // the same drift signal sizes the salt for cell-bucketed joins
+      // run against the store in the meantime: a drifted histogram must
+      // recommend MORE than the default sub-bucketing
+      assert(graft.query.AnnJoin.autoSaltFromStore(spark, dir, 8) > 4,
+        "drifted store did not raise the recommended salt")
       // pre-sidecar store (backward compat): with the stats dir gone, the
       // next telemetry append must backfill the histogram from the codes
       // table instead of silently reporting on one batch
