@@ -161,10 +161,22 @@ object AnnQuery {
     *
     * `queries` must carry (`qidCol`: long, `qvecCol`: array<float>);
     * names must not collide with id/partition/codes. Output
-    * (qid, id, sq_dist, rank), rank 1..k ascending per query. */
+    * (qid, id, sq_dist, rank), rank 1..k ascending per query.
+    *
+    * @param pruneCells when true, pre-compute the batch's distinct
+    *        probe-cell set (≤ P values — BOUNDED BY THE MODEL, not the
+    *        batch, so the collect can never grow with query count) with
+    *        one extra pass over `queries`, and push it into the codes
+    *        scan as a static `partition IN` filter — the same partition
+    *        pruning the driver-planned [[batchTopK]] gets for free.
+    *        Worth it when the batch is SELECTIVE (probes few cells);
+    *        a corpus-wide batch probes every cell and only pays the
+    *        extra pass. Leave false for streaming inputs (an eager
+    *        action on an unbounded relation) and for huge diverse
+    *        batches. */
   def batchTopKDirect(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
                       qidCol: String, qvecCol: String, k: Int,
-                      nprobe: Int): DataFrame = {
+                      nprobe: Int, pruneCells: Boolean = false): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.config.numPartitions,
       s"nprobe $nprobe out of range 1..${model.config.numPartitions}")
     val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
@@ -175,7 +187,14 @@ object AnnQuery {
     val probed = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
       explode(graft.functions.FastFunctions.topCellsL2(col(qvecCol),
         model.partitionCentroids.flatten.toSeq, nprobe)).as("probe_cell"))
-    probed.join(codes, col("probe_cell") === col("partition"))
+    val scanned =
+      if (!pruneCells) codes
+      else {
+        val cells = probed.select("probe_cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        codes.where(col("partition").isin(cells: _*))
+      }
+    probed.join(scanned, col("probe_cell") === col("partition"))
       .select(col("qid"), col("id"),
         graft.functions.FastFunctions.pqDistDirect(col("qvec"),
           element_at(centLit, col("probe_cell").cast("int") + 1),

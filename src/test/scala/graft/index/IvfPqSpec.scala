@@ -142,6 +142,16 @@ class IvfPqSpec extends AnyFunSuite {
           assert(math.abs(d1 - d2) <= 1e-9 * math.max(1.0, d2), s"dist, q $qid")
         }
       }
+      // pruneCells: the selective-batch variant (static partition IN
+      // filter from the ≤ P distinct probe cells) returns the same hits
+      val pruned = AnnQuery
+        .batchTopKDirect(encoded, model, queries, "qid", "qvec", k = 5,
+          nprobe = 2, pruneCells = true)
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3))
+          .map(r => r.getLong(1) -> r.getDouble(2)).toSeq).toMap
+      qids.foreach(qid => assert(pruned(qid) === got(qid), s"pruned, q $qid"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
