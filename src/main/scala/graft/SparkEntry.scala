@@ -57,6 +57,8 @@ object SparkEntry {
   private val deleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val appendDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val sq8Dir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val rebalDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val rebalOutDir = scala.collection.concurrent.TrieMap.empty[String, String]
   // (path, pre-compact live hits, codes files before, after)
   private val compactMemo = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[(Long, Double)], Long, Long)]
@@ -823,6 +825,52 @@ object SparkEntry {
             .as("n_low_recall"))
       par.crossJoin(rec).select(col("n_rows"), col("n_id_mismatch"),
         col("n_dist_far"), col("n_qids"), col("n_low_recall"))
+    }),
+
+    // drift REPAIR (the operation the append-drift REBALANCE
+    // recommendation points at): skew a store with a broad appended
+    // cloud around one vector, then rebalanceStore re-fits the coarse
+    // layout from the store's OWN reconstructions (pqReconstructF) into
+    // a NEW blue/green store. Invariants: every live row survives, the
+    // old store is untouched, cell imbalance strictly drops, and the
+    // refreshed store still answers k rows.
+    "ann_rebalance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, _) = fittedIndex(s, dir)
+      val src = rebalDir.getOrElseUpdate(dir, newStoreDir("graft_rebal_src"))
+      val out = rebalOutDir.getOrElseUpdate(dir, newStoreDir("graft_rebal_out"))
+      IvfPqBuilder.save(model,
+        IvfPqBuilder.encode(model, emb, "vec_id", "embedding"), src)
+      // drifted ingest: a cloud of half the corpus size around vector 0,
+      // each coordinate perturbed ±50% relative — concentrated enough to
+      // skew the frozen layout, spread enough that a re-fit must split it
+      val base = queryVec(s, dir, 0L)
+      val nClones = emb.count() / 2
+      val clones = s.range(nClones).select(
+        (col("id") + 10000000L).as("vec_id"),
+        transform(zip_with(typedlit(base.toSeq),
+            graft.functions.FastFunctions.pseudoRandomVec(col("id"),
+              base.length, 2024L),
+            (a, b) => a + b * abs(a) * lit(0.5)),
+          x => x.cast("float")).as("embedding"))
+      IvfPqBuilder.appendToStore(model, clones, "vec_id", "embedding", src)
+      def imbalance(p: String): Double = {
+        val counts = IvfPqBuilder.cellHistogram(s, p)
+          .collect().map(_.getLong(1))
+        counts.max / (counts.sum.toDouble / model.config.numPartitions)
+      }
+      val before = imbalance(src)
+      IvfPqBuilder.rebalanceStore(s, src, out)
+      val after = imbalance(out)
+      val (mNew, codesNew) = IvfPqBuilder.load(s, out)
+      val nOldLive = IvfPqBuilder.load(s, src)._2.count()
+      val nNew = codesNew.count()
+      val q = base.map(_.toDouble)
+      val nHits = AnnQuery.topK(codesNew, mNew, q, k = 10, nprobe = 4).count()
+      s.range(1).select(
+        lit(nNew - nOldLive).cast("long").as("n_total_diff"),
+        when(lit(after < before), 1L).otherwise(0L).as("flattened"),
+        lit(nHits).cast("long").as("n_hits"))
     }),
 
     // refine path: ADC nominates k'=4k candidates, exact re-rank over
@@ -2149,6 +2197,11 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_far, CAST(5 AS BIGINT) AS n_qids,
         | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
+
+    "ann_rebalance" ->
+      """SELECT CAST(0 AS BIGINT) AS n_total_diff,
+        | CAST(1 AS BIGINT) AS flattened,
+        | CAST(10 AS BIGINT) AS n_hits""".stripMargin,
 
     "ann_rerank" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dist_bad,

@@ -57,7 +57,9 @@ object FastFunctions {
     "sq8Dist" -> Seq(ArrayType(DoubleType), BinaryType, ArrayType(DoubleType),
       ArrayType(DoubleType)),
     "pqDistDirect" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
-      ArrayType(IntegerType), ArrayType(DoubleType)))
+      ArrayType(IntegerType), ArrayType(DoubleType)),
+    "pqReconstructF" -> Seq(ArrayType(DoubleType), ArrayType(IntegerType),
+      ArrayType(DoubleType), IntegerType))
 
   /** A primitive-backed array<double> literal. `typedlit(Seq[Double])`
     * produces a GenericArrayData of BOXED doubles — every kernel
@@ -250,4 +252,10 @@ object FastFunctions {
   def pqDistDirect(q: Column, centroid: Column, codes: Column,
                    flatCodebooks: Column): Column =
     invoke(DoubleType, "pqDistDirect", q, centroid, codes, flatCodebooks)
+
+  /** PQ decode + de-residualize: centroid + codebook[codes] as f32. */
+  def pqReconstructF(centroid: Column, codes: Column, flatCodebooks: Column,
+                     c: Int): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "pqReconstructF",
+      centroid, codes, flatCodebooks, lit(c))
 }

@@ -557,6 +557,39 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** PQ decode + de-residualize in one pass: vec[d·m + i] =
+    * centroid[d·m + i] + codebook[d][codes[d]][i] as f32 — the inverse
+    * of [[subCentroidF]] ∘ [[pqEncodeF]] up to quantization error (the
+    * reconstruction the reference's query path builds per hit,
+    * db/stored.rs:86-99, here as a whole-vector kernel so a store can
+    * be decoded corpus-wide, e.g. to re-train a drifted model from its
+    * own contents). */
+  def pqReconstructF(centroid: ArrayData, codes: ArrayData,
+                     flatCodebooks: ArrayData, c: Int): ArrayData = {
+    val dim = centroid.numElements()
+    val d = codes.numElements()
+    require(d > 0 && dim % d == 0, s"dim $dim not divisible by $d divisions")
+    val m = dim / d
+    require(flatCodebooks.numElements() == d * c * m,
+      s"codebook size ${flatCodebooks.numElements()} != $d x $c x $m")
+    val out = new Array[Float](dim)
+    var di = 0
+    while (di < d) {
+      val code = codes.getInt(di)
+      require(code >= 0 && code < c, s"code $code out of range 0..${c - 1}")
+      val base = (di * c + code) * m
+      val off = di * m
+      var i = 0
+      while (i < m) {
+        out(off + i) = (centroid.getDouble(off + i) +
+          flatCodebooks.getDouble(base + i)).toFloat
+        i += 1
+      }
+      di += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ------------------------------------------- scalar quantization (SQ8)
 
   /** 8-bit scalar quantization encode: per-dimension affine codec

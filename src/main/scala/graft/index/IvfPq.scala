@@ -565,6 +565,44 @@ object IvfPqBuilder {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
+  /** Re-fit + re-encode a DRIFTED store from its own contents into a
+    * NEW store at `outPath` — the operation the append-drift REBALANCE
+    * recommendation points at ([[reportDrift]]), closing the loop from
+    * telemetry to repair. The store keeps codes, not original vectors,
+    * so the training corpus is the store's own reconstructions
+    * ([[graft.functions.Kernels.pqReconstructF]]: coarse centroid +
+    * decoded residual, one codegen projection) — the standard
+    * re-train-from-reconstructions trade: distortion is bounded by the
+    * OLD model's quantization error, and the refreshed coarse layout
+    * restores balanced cells, so nprobe pruning stops scanning one hot
+    * cell for most queries. BLUE/GREEN by design: a corpus-scale
+    * re-encode is never in-place — the new store is built beside the
+    * old one, which stays live and untouched until the caller flips the
+    * pointer. The attribute log is keyed by vector id, so it applies to
+    * either store; share or copy it at the flip. Tombstones are folded
+    * out (load anti-joins them), like compaction. Returns the new
+    * model. */
+  def rebalanceStore(spark: SparkSession, path: String, outPath: String,
+                     log: String => Unit = _ => ()): IvfPqModel = {
+    val (model, codes) = load(spark, path)
+    val dim = model.partitionCentroids.headOption
+      .map(_.length).getOrElse(0)
+    require(dim > 0, "cannot rebalance a store with no centroids")
+    val centLit = org.apache.spark.sql.functions
+      .typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    val cbLit = litDoubles(model.codebooks.flatten.flatten)
+    val recon = codes.select(col("id"),
+      graft.functions.FastFunctions.pqReconstructF(
+        element_at(centLit, col("partition").cast("int") + 1),
+        col("codes"), cbLit, model.config.numCodes).as("vec"))
+    val (newModel, newEnc) =
+      fit(recon, "id", "vec", dim, model.config, log)
+    save(newModel, newEnc, outPath)
+    log(s"rebalance: re-fit ${model.config.numPartitions} cells from " +
+      s"reconstructions; new store at $outPath (old store untouched)")
+    newModel
+  }
+
   /** Minimal flat-JSON int-field extractor (manifest only; avoids deps). */
   private def ujsonLite(s: String): Map[String, Int] =
     """"(\w+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)

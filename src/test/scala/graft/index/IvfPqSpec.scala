@@ -379,6 +379,82 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("pqReconstructF: ‖v − reconstruction‖² equals the direct PQ distance") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.FastFunctions.{litDoubles, pqDistDirect, pqReconstructF, squaredL2F}
+    // identity check against the independently-tested distance kernel:
+    // both compute the quantization error of a row's own codes
+    val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    val cbLit = litDoubles(model.codebooks.flatten.flatten)
+    val cent = element_at(centLit, col("partition").cast("int") + 1)
+    val rows = encoded.select(col("id"), col("partition"), col("codes"))
+      .join(df, Seq("id"))
+      .select(
+        squaredL2F(col("vec"),
+          pqReconstructF(cent, col("codes"), cbLit, config.numCodes))
+          .as("recon_err"),
+        pqDistDirect(col("vec"), cent, col("codes"), cbLit).as("direct"))
+      .collect()
+    assert(rows.length === data.length)
+    rows.foreach { r =>
+      val (e, d) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(e - d) <= 1e-3 * math.max(1.0, d), s"$e vs $d")
+    }
+  }
+
+  test("rebalanceStore: drifted store re-fits balanced from its own contents") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rebal").toString
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_rebal_new").toString
+    try {
+      val (m8, enc8) = IvfPqBuilder.fit(df, "id", "vec", dim,
+        IvfPqConfig(numPartitions = 8, numDivisions = 4, numCodes = 16,
+          maxIter = 20))
+      IvfPqBuilder.save(m8, enc8, dir)
+      // drifted ingest: a broad new cloud around one seed — most of the
+      // corpus mass ends up in a region the frozen model covers with one
+      // hot cell
+      val hot = data.head._2
+      val rnd = new scala.util.Random(5)
+      val batch = Seq.tabulate(400)(i => ((20000 + i).toLong,
+        hot.map(v => v + rnd.nextGaussian().toFloat * 1f)))
+        .toDF("id", "vec")
+      IvfPqBuilder.appendToStore(m8, batch, "id", "vec", dir)
+      def imbalance(p: String): Double = {
+        val counts = IvfPqBuilder.cellHistogram(spark, p)
+          .collect().map(_.getLong(1))
+        counts.max / (counts.sum.toDouble / 8)
+      }
+      val before = imbalance(dir)
+      assert(before > IvfPqBuilder.driftImbalanceThreshold,
+        s"fixture not drifted enough: $before")
+      val log = scala.collection.mutable.ArrayBuffer.empty[String]
+      IvfPqBuilder.rebalanceStore(spark, dir, out, log.append(_))
+      assert(log.exists(_.contains("rebalance")))
+      // blue/green: the old store is untouched, the new one holds every
+      // live row under a flattened layout
+      assert((IvfPqBuilder.load(spark, dir)._2.count(): Long) ===
+        data.length + 400L)
+      val (mNew, codesNew) = IvfPqBuilder.load(spark, out)
+      assert((codesNew.count(): Long) === data.length + 400L)
+      val after = imbalance(out)
+      assert(after < before && after < IvfPqBuilder.driftImbalanceThreshold,
+        s"rebalance did not flatten the layout: $before -> $after")
+      // the refreshed store still answers: the hot region's query finds
+      // the hot cloud, not stale geometry
+      val q = hot.map(_.toDouble).toArray
+      val hits = AnnQuery.topK(codesNew, mNew, q, 10, 3)
+        .collect().map(_.getLong(0))
+      assert(hits.length === 10)
+      assert(hits.count(h => h >= 20000L || h < 50L) >= 8,
+        s"hot-region query lost its neighborhood: ${hits.toSeq}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("reconcileStats: detects a desynced sidecar and re-backfills it") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_recon").toString
