@@ -48,6 +48,8 @@ object GraftFunctions {
       "subCentroidF", 3),
     ("graft_pq_encode", ArrayType(IntegerType, containsNull = false),
       "pqEncodeF", 4),
+    ("graft_pq_reconstruct", ArrayType(FloatType, containsNull = false),
+      "pqReconstructF", 4),
     ("graft_sq8_encode", BinaryType, "sq8Encode", 3),
     ("graft_sq8_decode", ArrayType(DoubleType, containsNull = false),
       "sq8Decode", 3),

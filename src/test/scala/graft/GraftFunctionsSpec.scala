@@ -66,6 +66,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r === 8.0)
   }
 
+  test("SQL surface: pq_reconstruct inverts encode up to the codebook grid") {
+    // dim=2, D=1, C=2, m=2; code 1 selects codebook row [1, 2]:
+    // reconstruction = centroid [10, 20] + [1, 2] = [11, 22]
+    val v = spark.sql(
+      """SELECT graft_pq_reconstruct(
+        |  array(10.0D, 20.0D), array(1), array(9.0D, 9.0D, 1.0D, 2.0D), 2)
+        |""".stripMargin).head().getSeq[Float](0)
+    assert(v === Seq(11.0f, 22.0f))
+  }
+
   test("SQL surface: index-build and sq8 kernels are registered") {
     val part = spark.sql(
       """SELECT graft_nearest_centroid(
