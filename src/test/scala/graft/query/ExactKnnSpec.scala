@@ -68,6 +68,24 @@ class ExactKnnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("AnnJoin.knnJoin"))
   }
 
+  test("knnJoin guard: knownRows skips the count, MaxValue skips the guard") {
+    // a caller-supplied size is TRUSTED (no counting job): an honest
+    // over-cap knownRows raises, an under-cap one passes the same data
+    // the count-based guard would refuse
+    val e = intercept[IllegalArgumentException] {
+      ExactKnn.knnJoin(points, "vec", "id", 2, maxRows = 3, knownRows = 4)
+    }
+    assert(e.getMessage.contains("got 4"))
+    val viaKnown = ExactKnn
+      .knnJoin(points, "vec", "id", 2, maxRows = 3, knownRows = 3)
+      .count()
+    // maxRows = MaxValue: guard (and its eager job) skipped entirely
+    val viaOptOut = ExactKnn
+      .knnJoin(points, "vec", "id", 2, maxRows = Long.MaxValue)
+      .count()
+    assert(viaKnown === viaOptOut)
+  }
+
   test("batchTopK matches per-query topK for every query") {
     val queries = Seq((10L, Seq(0f, 0f)), (20L, Seq(3f, 3f))).toDF("qid", "qvec")
     val batch = ExactKnn.batchTopK(points, "vec", "id", queries, "qid", "qvec", 3)
