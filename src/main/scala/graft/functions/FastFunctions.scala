@@ -45,6 +45,7 @@ object FastFunctions {
     "pseudoRandomVec" -> Seq(LongType, IntegerType, LongType),
     "momentsUpper" -> Seq(ArrayType(FloatType)),
     "matvecRows" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
+    "rotateF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "byteBucketSums" -> Seq(BinaryType, IntegerType),
     "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
     "stubDecodeGray" -> Seq(BinaryType, IntegerType, IntegerType),
@@ -98,6 +99,11 @@ object FastFunctions {
     * literal (see Kernels.matvecRows). */
   def matvecRowsF(v: Column, flatRows: Column): Column =
     invoke(ArrayType(DoubleType, containsNull = false), "matvecRows", v, flatRows)
+
+  /** R·v: orthonormal-rotation of an array<float> vector by a d×d
+    * row-major double literal, result back in f32 (see Kernels.rotateF). */
+  def rotateF(v: Column, flatRot: Column): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "rotateF", v, flatRot)
 
   /** Σ aᵢ·bᵢ for two array<float> columns. */
   def dotF(a: Column, b: Column): Column =

@@ -520,6 +520,35 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** R·v for an orthonormal rotation R (d×d, row-major f64 literal) over
+    * an f32 vector, rounded back to f32 — the OPQ pre-quantization
+    * rotation (Ge et al., CVPR 2013). Kept separate from [[matvecRows]]
+    * (which returns f64 projections of arbitrary shape): the rotated
+    * residual stays in the f32 residual domain that [[pqEncodeF]] and
+    * the stored codes contract expect. */
+  def rotateF(v: ArrayData, flatRot: ArrayData): ArrayData = {
+    val d = v.numElements()
+    require(flatRot.numElements() == d.toLong * d,
+      s"rotation size ${flatRot.numElements()} != $d x $d")
+    val vd = new Array[Double](d)
+    var i = 0
+    while (i < d) { vd(i) = v.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Float](d)
+    var r = 0
+    while (r < d) {
+      val base = r * d
+      var s = 0.0
+      i = 0
+      while (i < d) {
+        s += flatRot.getDouble(base + i) * vd(i)
+        i += 1
+      }
+      out(r) = s.toFloat
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** PQ encoding: per division d, the argmin over the C codebook entries
     * of ‖residual[d·m .. d·m+m) − codebook[d][c]‖² — all D codes of a row
     * in one call (reference db/build.rs:446-483), against a flattened

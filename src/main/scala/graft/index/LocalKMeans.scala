@@ -39,12 +39,31 @@ object LocalKMeans {
           seed: Long, init: String = "kmeans++"): KmResult = {
     require(data.nonEmpty, "k-means needs at least one training point")
     require(k > 0, s"k must be positive, got $k")
-    val n = data.length
-    val dim = data(0).length
     val centroids: Array[Array[Double]] = init match {
       case "random" => initRandom(data, k, seed)
       case _ => initPlusPlus(data, k, seed)
     }
+    lloyd(data, centroids, maxIter, tol)
+  }
+
+  /** Lloyd rounds from EXPLICIT initial centroids — the warm-start entry
+    * point (OPQ's alternating minimization refits the same codebooks
+    * every rotation update; re-seeding from scratch would both waste the
+    * previous iterate and break the monotone-descent argument). The init
+    * rows are not mutated: the loop replaces whole centroid rows. */
+  def fitFrom(data: Array[Array[Float]], initCentroids: Array[Array[Double]],
+              maxIter: Int, tol: Double): KmResult = {
+    require(data.nonEmpty, "k-means needs at least one training point")
+    require(initCentroids.nonEmpty, "warm start needs at least one centroid")
+    lloyd(data, initCentroids.clone(), maxIter, tol)
+  }
+
+  private def lloyd(data: Array[Array[Float]],
+                    centroids: Array[Array[Double]], maxIter: Int,
+                    tol: Double): KmResult = {
+    val n = data.length
+    val dim = data(0).length
+    val k = centroids.length
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -264,7 +283,7 @@ object LocalKMeans {
     * n (fixed 4096-point chunks, NOT core-count-derived), so partial-sum
     * grouping — and therefore the fitted centroids — are bit-identical
     * for the same (data, seed) on any machine. */
-  private def parChunks[T](n: Int)(body: (Int, Int) => T): Seq[T] = {
+  private[index] def parChunks[T](n: Int)(body: (Int, Int) => T): Seq[T] = {
     val size = 4096
     val chunks = (n + size - 1) / size
     val ranges = (0 until chunks)

@@ -135,7 +135,7 @@ object Embeddings {
     * Deterministic, O(d³) per sweep — for the d ≤ a-few-hundred matrices
     * a PCA over embeddings produces, the driver solve is microseconds
     * next to the corpus pass. */
-  private[pipeline] def jacobiEig(m: Array[Array[Double]])
+  private[graft] def jacobiEig(m: Array[Array[Double]])
       : (Array[Double], Array[Array[Double]]) = {
     val d = m.length
     val a = Array.tabulate(d, d)((i, j) => m(i)(j))

@@ -76,8 +76,15 @@ object AnnQuery {
     * partitionBy("partition") parquet written by IvfPqBuilder.save, so the
     * IN-filter prunes at file level. */
   def topK(codes: DataFrame, model: IvfPqModel, q: Array[Double],
-           k: Int, nprobe: Int): DataFrame = {
-    val probes = selectPartitions(model, q, nprobe)
+           k: Int, nprobe: Int): DataFrame =
+    topKWithProbes(codes, model, selectPartitions(model, q, nprobe), k)
+
+  /** The scan half of [[topK]], from an EXPLICIT probe set of
+    * (cell, localized query) pairs — shared with the OPQ query path
+    * ([[graft.index.OpqBuilder.topK]]), which rotates each localized
+    * query into code space before the ADC tables are built. */
+  def topKWithProbes(codes: DataFrame, model: IvfPqModel,
+                     probes: Array[(Int, Array[Double])], k: Int): DataFrame = {
     // one scan with a pruning IN-filter; per-cell ADC tables dispatched by
     // a CASE over the (small) probe set — single pass, single codegen span.
     val pruned = codes.where(col("partition").isin(probes.map(_._1): _*))
