@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.attrs.{AttributesLog, VectorAttributes}
-import graft.index.{IvfPqBuilder, IvfPqConfig, IvfPqModel}
+import graft.index.{IvfPqBuilder, IvfPqConfig, IvfPqModel, OpqBuilder}
 import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
 import graft.query.{AnnQuery, ExactKnn}
 
@@ -121,6 +121,32 @@ object SparkEntry {
       out
     })
 
+  /** Fit the IVF+OPQ index once per sf dir — same discipline (and same
+    * P/D/C shape) as [[fittedIndex]]; the rotation alternation is part of
+    * the build stage, never a query timing. */
+  private val fitOpq = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.index.OpqModel, DataFrame)]
+  private def fittedOpq(s: SparkSession, dir: String)
+      : (graft.index.OpqModel, DataFrame) =
+    fitOpq.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = OpqBuilder.fit(emb, "vec_id", "embedding", 64,
+        IvfPqConfig(numPartitions = 8, numDivisions = 16, numCodes = 256,
+          maxIter = 20), opqIters = 4)
+      val cached = encoded.cache()
+      cached.count()
+      (model, cached)
+    })
+
+  private val storedOpqDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def storedOpqPath(s: SparkSession, dir: String): String =
+    storedOpqDir.getOrElseUpdate(dir, {
+      val (model, encoded) = fittedOpq(s, dir)
+      val out = newStoreDir("graft_opq")
+      OpqBuilder.save(model, encoded, out)
+      out
+    })
+
   /** Materialize the shared fixtures (fitted index, stored index +
     * attribute batches) outside any per-query timing — the build is its
     * own pipeline stage in production, benchmarked separately (Bench
@@ -129,6 +155,8 @@ object SparkEntry {
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     fittedIndex(s, dir)
     storedIndexPath(s, dir)
+    fittedOpq(s, dir)
+    storedOpqPath(s, dir)
   }
 
   /** Integer invariants of an ANN result, checkable against a CONSTANT
@@ -521,6 +549,79 @@ object SparkEntry {
       val mem = AnnQuery.topK(encodedM, modelM, q, k = 10, nprobe = 4)
         .select(col("id"), col("sq_dist").as("mem_dist"))
       val st = AnnQuery.topK(codesL, modelL, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // OPQ index (beyond-reference codec family): product quantization
+    // behind a LEARNED orthonormal rotation of the residuals (Ge et al.,
+    // CVPR 2013 — trained by alternating warm-started codebook fits with
+    // an orthogonal Procrustes solve). The executor plan is byte-for-byte
+    // the ann_ivfpq one — the rotation touches only the nprobe localized
+    // query vectors on the driver. Invariants mirror ann_ivfpq with the
+    // independent distance recompute done in ROTATED space (where the
+    // codes live), plus two model contracts: the rotation is orthonormal
+    // (max |RᵀR − I| < 1e-9) and the final training objective does not
+    // exceed the first sweep's — the first sweep IS plain PQ on the same
+    // sample, so OPQ is never worse than PQ where both are measured
+    "ann_opq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedOpq(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val hits = OpqBuilder.topK(encoded, model, q, k = 10, nprobe = 4)
+      val probes = AnnQuery.selectPartitions(model.ivf, q, 4)
+        .map { case (p, l) => (p, OpqBuilder.rotateVec(model.rotation, l)) }
+      val exact = ExactKnn.rankedIds(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val dd = model.config.numDivisions
+      val cbLit = typedlit(model.ivf.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      def recDist(rotLocalized: Array[Double]) =
+        aggregate(zip_with(col("decoded"), typedlit(rotLocalized.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+      val withRec = hits
+        .join(encoded.select(col("id"), col("codes")), "id")
+        .withColumn("decoded", flatten(zip_with(
+          typedlit((1 to dd).toList), col("codes"),
+          (dv, c) => element_at(element_at(cbLit, dv), c + 1))))
+        .withColumn("rec_dist", probes.tail.foldLeft(
+          when(col("partition") === probes.head._1, recDist(probes.head._2))) {
+          case (acc, (p, rl)) => acc.when(col("partition") === p, recDist(rl))
+        })
+      val inv = withRec.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(not(col("partition")
+          .isin(probes.map(_._1).toSeq: _*)), 1L)
+          .otherwise(0L)), lit(0L)).as("n_outside_probed"),
+        coalesce(sum(when(abs(col("sq_dist") - col("rec_dist")) > 1e-6, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_bad"))
+      val recall = hits.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_recalled"))
+      inv.crossJoin(recall)
+        .select(col("n_rows"), col("n_outside_probed"), col("n_dist_bad"),
+          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"),
+          lit(if (model.orthonormalityError < 1e-9) 1L else 0L)
+            .as("rotation_orthonormal"),
+          lit(if (model.trainObjectives.last <=
+            model.trainObjectives.head * (1 + 1e-9)) 1L else 0L)
+            .as("opq_not_worse_than_pq"))
+    }),
+
+    // stored-OPQ query path: the rotation round-trips through its own
+    // f64 parquet beside centroids/codebooks (load re-verifies
+    // orthonormality), and the loaded store must answer bit-identically
+    "ann_opq_stored" -> ((s, dir) => {
+      val (modelM, encodedM) = fittedOpq(s, dir)
+      val (modelL, codesL) = OpqBuilder.load(s, storedOpqPath(s, dir))
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val mem = OpqBuilder.topK(encodedM, modelM, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val st = OpqBuilder.topK(codesL, modelL, q, k = 10, nprobe = 4)
         .select(col("id"), col("sq_dist").as("st_dist"))
       st.join(mem, Seq("id"), "full_outer").agg(
         count(lit(1)).cast("long").as("n_rows"),
@@ -2140,6 +2241,19 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
 
     "ann_ivfpq_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_opq" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_outside_probed,
+        | CAST(0 AS BIGINT) AS n_dist_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_30,
+        | CAST(1 AS BIGINT) AS rotation_orthonormal,
+        | CAST(1 AS BIGINT) AS opq_not_worse_than_pq""".stripMargin,
+
+    "ann_opq_stored" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,

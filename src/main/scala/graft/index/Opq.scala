@@ -456,8 +456,9 @@ object OpqBuilder {
     graft.query.AnnQuery.topKWithProbes(codes, model.ivf, probes, k)
   }
 
-  private[index] def rotateVec(rot: Array[Array[Double]],
-                               v: Array[Double]): Array[Double] = {
+  /** R·v driver-side (exact doubles) — query-rotation helper. */
+  def rotateVec(rot: Array[Array[Double]],
+                v: Array[Double]): Array[Double] = {
     val d = v.length
     val out = new Array[Double](d)
     var r = 0
