@@ -460,6 +460,13 @@ object SparkEntry {
       ExactKnn.rankedIdsCosine(Tables.embeddings(s, dir), "embedding", "vec_id",
         queryVec(s, dir, 0L), 10)),
 
+    // maximum-inner-product search (MIPS): dot-product scoring for
+    // retrieval embeddings whose norm carries signal — third exact
+    // metric beside L2 and cosine, same bounded top-k plan
+    "knn_exact_ip" -> ((s, dir) =>
+      ExactKnn.rankedIdsIp(Tables.embeddings(s, dir), "embedding", "vec_id",
+        queryVec(s, dir, 0L), 10)),
+
     // filtered vector search: the attribute predicate composes BEFORE the
     // top-k, so it reaches the parquet scan as a pushed filter — the
     // "pre-filtered" strategy (exact over the filtered subset), which is
@@ -1414,6 +1421,21 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // deterministic epoch shuffle + sharding: shard AND within-shard
+    // order are pure functions of (seed, id), so the training order is
+    // reproducible, epoch-reseedable, and needs no global sort — the
+    // output position is checked, not just membership
+    "train_shard" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("sort_key"), col("doc_id"))
+      graft.pipeline.TrainingData
+        .shuffleShards(Tables.documents(s, dir), "doc_id", seed = 7,
+          numShards = 8)
+        .select(col("doc_id"), col("shard"),
+          row_number().over(w).cast("long").as("shard_pos"))
+        .orderBy("doc_id")
+    }),
+
     // per-source cap subsampling: at most 150 docs per source, selected
     // by deterministic md5 order — corpus balancing
     "sample_per_source" -> ((s, dir) =>
@@ -2153,6 +2175,16 @@ object SparkEntry {
         | vec_id
         |FROM d ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
 
+    "knn_exact_ip" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dp
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER (ORDER BY dp DESC, vec_id) AS BIGINT)
+        |  AS rank, vec_id
+        |FROM d ORDER BY dp DESC, vec_id LIMIT 10""".stripMargin,
+
     "knn_filtered" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id AS vec_id,
@@ -2703,6 +2735,17 @@ object SparkEntry {
         |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |   ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "train_shard" ->
+      """WITH s AS (SELECT doc_id,
+        |  md5('shuffle:7:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+        |  ('0x' || substr(md5('shuffle:7:' || CAST(doc_id AS VARCHAR)), 1, 6))
+        |    ::BIGINT % 8 AS shard
+        | FROM documents)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard
+        |   ORDER BY sort_key, doc_id) AS BIGINT) AS shard_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "sample_per_source" ->
       """SELECT doc_id, source FROM (

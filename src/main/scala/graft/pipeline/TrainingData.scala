@@ -30,6 +30,28 @@ object TrainingData {
       when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
   }
 
+  /** Deterministic EPOCH SHUFFLE + sharding for training output. Both the
+    * shard and the within-shard order are pure functions of (seed, id) —
+    * md5 of "shuffle:<seed>:<id>" — so the pass is reproducible under
+    * reruns, repartitions and incremental appends, and a different seed
+    * yields an independent order for the next epoch. At 100 TB the whole
+    * "global shuffle" is ONE hash-partitioned write
+    * (`partitionBy("shard")` + `sortWithinPartitions("sort_key")`): no
+    * global sort, no driver state, and shards are size-balanced by the
+    * hash. Output adds (shard: long, sort_key: hex string). */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+                    numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = md5(concat(lit(s"shuffle:$seed:"), col(idCol).cast("string"))
+      .cast("binary"))
+    df.withColumn("sort_key", h)
+      // first 6 hex chars → 24-bit non-negative int, mod shard count —
+      // parseable identically by every engine that can read hex
+      .withColumn("shard",
+        pmod(conv(substring(col("sort_key"), 1, 6), 16, 10).cast("long"),
+          lit(numShards.toLong)))
+  }
+
   /** At most `cap` rows per group, chosen by deterministic pseudo-random
     * order (md5 of the id) — per-domain/per-source balancing ("keep ≤N
     * docs per domain"). One shuffle on the group key; the per-group sort

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.FastFunctions.{cosineF, squaredL2F}
+import graft.functions.FastFunctions.{cosineF, dotF, squaredL2F}
 import graft.functions.VectorFunctions.vecLit
 
 /** Brute-force exact k-NN — the reference's query semantics with nprobe=P
@@ -53,6 +53,25 @@ object ExactKnn {
                       q: Seq[Float], k: Int): DataFrame = {
     val w = Window.orderBy(col("cos_sim").desc, col(idCol))
     topKCosine(df, vecCol, idCol, q, k)
+      .select(row_number().over(w).cast("long").as("rank"), col(idCol))
+  }
+
+  /** Top-k by INNER PRODUCT (descending) — maximum-inner-product search
+    * (MIPS), the scoring of dot-product-trained retrieval embeddings
+    * (where vector norm carries signal, so neither L2 nor cosine order
+    * matches). Same single-projection + TakeOrderedAndProject plan as
+    * [[topK]]. */
+  def topKIp(df: DataFrame, vecCol: String, idCol: String,
+             q: Seq[Float], k: Int): DataFrame =
+    df.withColumn("ip", dotF(col(vecCol), vecLit(q)))
+      .orderBy(col("ip").desc, col(idCol))
+      .limit(k)
+
+  /** (rank, id) projection of [[topKIp]]. */
+  def rankedIdsIp(df: DataFrame, vecCol: String, idCol: String,
+                  q: Seq[Float], k: Int): DataFrame = {
+    val w = Window.orderBy(col("ip").desc, col(idCol))
+    topKIp(df, vecCol, idCol, q, k)
       .select(row_number().over(w).cast("long").as("rank"), col(idCol))
   }
 

@@ -87,6 +87,35 @@ class TrainingDataSpec extends AnyFunSuite {
       (2L, 0L, "only", 1L)))
   }
 
+  test("shuffleShards: stable under repartition, seed-sensitive, balanced") {
+    val r = TrainingData.shuffleShards(docs, "doc_id", seed = 7, numShards = 8)
+      .select("doc_id", "shard", "sort_key").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    // total cover, shards in range
+    assert(r.size === 1000)
+    assert(r.values.forall { case (sh, _) => sh >= 0 && sh < 8 })
+    // hash-balanced: no shard dominates (1000 rows / 8 shards ≈ 125)
+    val counts = r.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts.size === 8)
+    assert(counts.values.forall(c => c > 60 && c < 190), counts.toString)
+    // pure function of (seed, id): identical under repartition
+    val again = TrainingData
+      .shuffleShards(docs.repartition(13), "doc_id", seed = 7, numShards = 8)
+      .select("doc_id", "shard", "sort_key").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(again === r)
+    // a different seed reshuffles: the induced order must differ
+    val other = TrainingData.shuffleShards(docs, "doc_id", seed = 8, numShards = 8)
+      .select("doc_id", "sort_key").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val order7 = r.toSeq.sortBy(_._2._2).map(_._1)
+    val order8 = other.toSeq.sortBy(_._2).map(_._1)
+    assert(order7 !== order8)
+    // shuffled: the sort-key order decorrelates from id order (no long
+    // monotone run of ids at the head)
+    assert(order7.take(20) !== order7.take(20).sorted)
+  }
+
   test("mixtureSample: deterministic, per-group rates, unlisted kept whole") {
     val d = (0L until 2000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
     val sampled = TrainingData.mixtureSample(d, "grp", "doc_id",

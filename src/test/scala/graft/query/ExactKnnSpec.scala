@@ -34,6 +34,24 @@ class ExactKnnSpec extends AnyFunSuite {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("topKIp: descending inner product — norm matters, unlike cosine") {
+    // (3,3) has the largest dot with (1,1) even though (1,0) and (0,2)
+    // have cosine closer to some directions; MIPS must rank by raw dot
+    val r = ExactKnn.topKIp(points, "vec", "id", Seq(1f, 1f), 3).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(4L, 3L, 2L))
+    val ips = r.map(_.getAs[Double]("ip")).toSeq
+    assert(ips === Seq(6.0, 2.0, 1.0))
+  }
+
+  test("rankedIdsIp: dense ranks, ip ties broken by id") {
+    val withTie = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(2f, 0f)))
+      .toDF("id", "vec")
+    // query (1,1): ids 1 and 2 both dot = 1 — rank ties to lower id
+    val r = ExactKnn.rankedIdsIp(withTie, "vec", "id", Seq(1f, 1f), 3).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(r.map(_.getLong(1)).toSeq === Seq(3L, 1L, 2L))
+  }
+
   test("rankedIds: dense integer ranks from 1") {
     val r = ExactKnn.rankedIds(points, "vec", "id", Seq(0f, 0f), 4).collect()
     assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
