@@ -456,6 +456,28 @@ object OpqBuilder {
     graft.query.AnnQuery.topKWithProbes(codes, model.ivf, probes, k)
   }
 
+  /** Table-free BATCH OPQ query — the OPQ twin of
+    * [[graft.query.AnnQuery.batchTopKDirect]]: queries arrive as a
+    * DataFrame and nothing is planned or broadcast per query on the
+    * driver. Identity used: R orthonormal ⇒ R·(q − c_p) = R·q − R·c_p,
+    * so each query is rotated ONCE per row (one [[rotateF]] kernel call,
+    * O(d²), f32 like the encode path) and the scan subtracts PRE-ROTATED
+    * centroids — from there the per-(row, cell) work is exactly the
+    * shared pqDistDirect kernel over the rotated-space codebooks. Cell
+    * SELECTION stays in the unrotated space, where the coarse geometry
+    * lives. Distances match [[topK]] up to f32 query-rotation rounding
+    * (the same precision class as the stored residuals). */
+  def batchTopKDirect(codes: DataFrame, model: OpqModel, queries: DataFrame,
+                      qidCol: String, qvecCol: String, k: Int, nprobe: Int,
+                      pruneCells: Boolean = false): DataFrame = {
+    val rotLit = litDoubles(model.flatRotation)
+    val rotCentroids = model.ivf.partitionCentroids
+      .map(c => rotateVec(model.rotation, c))
+    graft.query.AnnQuery.batchTopKDirectWith(codes, model.ivf, queries,
+      qidCol, qvecCol, k, nprobe, pruneCells, rotCentroids,
+      q => rotateF(q, rotLit))
+  }
+
   /** R·v driver-side (exact doubles) — query-rotation helper. */
   def rotateVec(rot: Array[Array[Double]],
                 v: Array[Double]): Array[Double] = {

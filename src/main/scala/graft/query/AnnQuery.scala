@@ -183,15 +183,30 @@ object AnnQuery {
     *        batches. */
   def batchTopKDirect(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
                       qidCol: String, qvecCol: String, k: Int,
-                      nprobe: Int, pruneCells: Boolean = false): DataFrame = {
+                      nprobe: Int, pruneCells: Boolean = false): DataFrame =
+    batchTopKDirectWith(codes, model, queries, qidCol, qvecCol, k, nprobe,
+      pruneCells, model.partitionCentroids, identity)
+
+  /** [[batchTopKDirect]] with the scan geometry made explicit — the OPQ
+    * hook ([[graft.index.OpqBuilder.batchTopKDirect]]): cell SELECTION
+    * always uses the model's unrotated centroids, while `distCentroids`
+    * (the per-cell vectors subtracted inside pqDistDirect) and `qMap`
+    * (a per-row transform of the query vector) let a caller scan in a
+    * rotated code space — R·(q − c) = (R·q) − (R·c). */
+  private[graft] def batchTopKDirectWith(codes: DataFrame, model: IvfPqModel,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nprobe: Int, pruneCells: Boolean,
+      distCentroids: Array[Array[Double]],
+      qMap: Column => Column): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.config.numPartitions,
       s"nprobe $nprobe out of range 1..${model.config.numPartitions}")
-    val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    val centLit = typedlit(distCentroids.map(_.toSeq).toSeq)
     // flat codebook: primitive-backed literal — pqDistDirect reads it in
     // full (D×C×m doubles) per row; boxed typedlit reads would dominate
     val cbLit = graft.functions.FastFunctions
       .litDoubles(model.codebooks.flatten.flatten)
-    val probed = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+    val probed = queries.select(col(qidCol).as("qid"),
+      qMap(col(qvecCol)).as("qvec"),
       explode(graft.functions.FastFunctions.topCellsL2(col(qvecCol),
         model.partitionCentroids.flatten.toSeq, nprobe)).as("probe_cell"))
     val scanned =

@@ -61,6 +61,18 @@ object StreamingKnn {
       .batchTopKDirect(codes, model, queries, qidCol, qvecCol, k, nprobe)
       .withColumnRenamed("qid", qidCol)
 
+  /** [[annTopKPerQuery]] over an OPQ store — same stateless stream-static
+    * shape via the OPQ table-free batch path
+    * ([[graft.index.OpqBuilder.batchTopKDirect]]): the query rotation is
+    * a per-row kernel call, so nothing is planned per query or per
+    * micro-batch on the driver. */
+  def annTopKPerQueryOpq(queries: DataFrame, qidCol: String, qvecCol: String,
+                         codes: DataFrame, model: graft.index.OpqModel,
+                         k: Int, nprobe: Int): DataFrame =
+    graft.index.OpqBuilder
+      .batchTopKDirect(codes, model, queries, qidCol, qvecCol, k, nprobe)
+      .withColumnRenamed("qid", qidCol)
+
   /** STREAMING INGEST into a stored index: every micro-batch of new
     * vectors is encoded against the frozen model and appended to the
     * partitioned codes store — exactly

@@ -141,6 +141,31 @@ class OpqSpec extends AnyFunSuite {
     assert(rows.forall(r => probes.contains(r.getAs[Int]("partition"))))
   }
 
+  test("batchTopKDirect: per-query parity with topK, with and without pruning") {
+    val qids = Seq(0L, 7L, 55L)
+    val queries = qids.map(i => i -> data(i.toInt)._2).toDF("qid", "qvec")
+    for (prune <- Seq(false, true)) {
+      val batch = OpqBuilder.batchTopKDirect(encoded, model, queries,
+        "qid", "qvec", k = 5, nprobe = 2, pruneCells = prune)
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      qids.foreach { qid =>
+        val q = data(qid.toInt)._2.map(_.toDouble).toArray
+        val single = OpqBuilder.topK(encoded, model, q, k = 5, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        assert(batch(qid).map(_._1) === single.map(_._1),
+          s"ids diverge for query $qid (prune=$prune)")
+        // distances agree up to the f32 query-rotation rounding
+        batch(qid).zip(single).foreach { case ((_, bd), (_, sd)) =>
+          assert(math.abs(bd - sd) <= 1e-3 * math.max(1.0, sd),
+            s"distance diverged for query $qid: $bd vs $sd")
+        }
+      }
+    }
+  }
+
   test("save/load round-trip answers bit-identically") {
     val dir = java.nio.file.Files.createTempDirectory("opq_store").toString
     try {

@@ -78,6 +78,38 @@ class StreamingKnnSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("annTopKPerQueryOpq streams: per-trigger answers equal OPQ topK") {
+    implicit val sqlCtx = spark.sqlContext
+    val (opqModel, opqEncoded) =
+      graft.index.OpqBuilder.fit(df, "id", "vec", dim, config, opqIters = 3)
+    val opqCodes = opqEncoded.select("id", "partition", "codes").cache()
+    def expectedOpq(qid: Long) =
+      graft.index.OpqBuilder.topK(opqCodes, opqModel,
+          data(qid.toInt)._2.map(_.toDouble).toArray, 3, 2)
+        .collect().map(_.getLong(0)).toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingKnn.annTopKPerQueryOpq(
+        stream.toDF().toDF("qid", "qvec"), "qid", "qvec", opqCodes, opqModel,
+        k = 3, nprobe = 2)
+      .writeStream.format("memory").queryName("stream_ann_opq")
+      .outputMode("update").start()
+    try {
+      stream.addData((7L, data(7)._2))
+      q.processAllAvailable()
+      stream.addData((90L, data(90)._2))
+      q.processAllAvailable()
+      val got = spark.table("stream_ann_opq").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+      assert(got(7L) === expectedOpq(7L))
+      assert(got(90L) === expectedOpq(90L))
+    } finally {
+      q.stop()
+      opqCodes.unpersist()
+      ()
+    }
+  }
+
   test("ingestToStore: streamed appends equal a batch encode; telemetry per batch") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
