@@ -638,6 +638,39 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // OPQ + exact re-rank: the rotated-space ADC scan nominates
+    // candidates, true vectors re-score them exactly — quantization
+    // error collapses to candidate error (mirror of ann_rerank)
+    "ann_opq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedOpq(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val qLit = typedlit(q.toSeq)
+      val hits = OpqBuilder.topKRerank(encoded, emb, "embedding", "vec_id",
+        model, q, k = 10, nprobe = 4, kFactor = 4)
+      val adc = OpqBuilder.topK(encoded, model, q, k = 10, nprobe = 4)
+      val exact = ExactKnn.rankedIds(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val inv = hits
+        .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+        .withColumn("rec_dist", aggregate(zip_with(col("embedding"), qLit,
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(abs(col("sq_dist") - col("rec_dist")) > 1e-6, 1L)
+            .otherwise(0L)), lit(0L)).as("n_dist_bad"))
+      val rr = hits.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_rr"))
+      val ra = adc.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_ra"))
+      inv.crossJoin(rr).crossJoin(ra).select(
+        col("n_rows"), col("n_dist_bad"),
+        when(col("n_rr") >= 5, 1L).otherwise(0L).as("recall_ge_50"),
+        when(col("n_rr") >= col("n_ra"), 1L).otherwise(0L)
+          .as("rerank_not_worse"))
+    }),
+
     // SQ8 scalar-quantization index (the second codec family beside
     // IVF+PQ): per-dim affine bytes, asymmetric distance. Invariants:
     // k rows; every reported distance equals a decode-side recompute
@@ -1071,6 +1104,18 @@ object SparkEntry {
       val qs = emb.where(col("vec_id") <= 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       ExactKnn.batchTopK(emb, "embedding", "vec_id", qs, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // batch MIPS: many inner-product queries in ONE streamed pass — the
+    // dot-product twin of knn_batch (bounded top-k over the negated
+    // score, so the shuffle still carries k·|queries| rows)
+    "knn_batch_ip" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ExactKnn.batchTopKIp(emb, "embedding", "vec_id", qs, "qid", "qvec", 10)
         .select(col("qid"), col("vec_id"), col("rank"))
         .orderBy("qid", "rank")
     }),
@@ -2290,6 +2335,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
+    "ann_opq_rerank" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dist_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_50,
+        | CAST(1 AS BIGINT) AS rerank_not_worse""".stripMargin,
+
     "ann_delete" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
@@ -2384,6 +2434,19 @@ object SparkEntry {
         |SELECT qid, vec_id, rank FROM (
         | SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid
         |   ORDER BY sq, vec_id) AS BIGINT) AS rank
+        | FROM d) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "knn_batch_ip" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id <= 4),
+        |d AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+        |  sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dp
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2)
+        |SELECT qid, vec_id, rank FROM (
+        | SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid
+        |   ORDER BY dp DESC, vec_id) AS BIGINT) AS rank
         | FROM d) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 

@@ -478,6 +478,27 @@ object OpqBuilder {
       q => rotateF(q, rotLit))
   }
 
+  /** OPQ top-k′ then exact re-rank over the original vectors — the OPQ
+    * twin of [[graft.query.AnnQuery.topKRerank]] (FAISS IndexRefineFlat
+    * pattern): the rotated-space ADC scan nominates kFactor·k
+    * candidates, only those rows' true vectors are re-scored exactly
+    * (candidate ids push down as an IN filter on the vector scan), and
+    * the top-k of the EXACT distances is returned — quantization error
+    * collapses to candidate error. */
+  def topKRerank(codes: DataFrame, vectors: DataFrame, vecCol: String,
+                 idCol: String, model: OpqModel, q: Array[Double],
+                 k: Int, nprobe: Int, kFactor: Int = 4): DataFrame = {
+    val cand = topK(codes, model, q, k * kFactor, nprobe)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val qf = q.map(_.toFloat).toSeq
+    vectors.where(col(idCol).isin(cand: _*))
+      .select(col(idCol).as("id"),
+        graft.functions.FastFunctions.squaredL2F(col(vecCol),
+          graft.functions.VectorFunctions.vecLit(qf)).as("sq_dist"))
+      .orderBy(col("sq_dist"), col("id"))
+      .limit(k)
+  }
+
   /** R·v driver-side (exact doubles) — query-rotation helper. */
   def rotateVec(rot: Array[Array[Double]],
                 v: Array[Double]): Array[Double] = {

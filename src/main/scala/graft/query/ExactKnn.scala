@@ -97,6 +97,25 @@ object ExactKnn {
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Batch MIPS: [[batchTopK]] with inner-product scoring — the bounded
+    * top-k aggregate keeps the k LARGEST dots per query by aggregating
+    * the NEGATED score (the aggregate's (dist, id) total order then
+    * ranks ip descending with ties to the smaller id, matching
+    * [[topKIp]]). Same scale shape: broadcast queries, one streamed
+    * pass, k·|queries| shuffle rows. Output (qid, id, ip, rank). */
+  def batchTopKIp(df: DataFrame, vecCol: String, idCol: String,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int): DataFrame = {
+    val pairs = df.join(broadcast(queries))
+      .select(col(qidCol), col(idCol).as("id"),
+        dotF(col(vecCol), col(qvecCol)).as("ip"))
+    pairs.groupBy(col(qidCol))
+      .agg(TopKAggregator.topK(k)(-col("ip"), col("id")).as("hits"))
+      .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qidCol), col("hit.id").as(idCol),
+        (-col("hit.dist")).as("ip"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** k-NN LABEL PROPAGATION (weak supervision / pseudo-labeling): each
     * query point takes the MAJORITY label of its k nearest labeled
     * points — the classic kNN classifier run as one [[batchTopK]] pass

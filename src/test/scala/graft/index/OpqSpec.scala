@@ -166,6 +166,22 @@ class OpqSpec extends AnyFunSuite {
     }
   }
 
+  test("topKRerank: exact distances, recall never below raw ADC") {
+    val qv = data(3)._2
+    val q = qv.map(_.toDouble).toArray
+    val exact = ExactKnn.topK(df, "vec", "id", qv, 5)
+      .collect().map(_.getLong(0)).toSet
+    val rr = OpqBuilder.topKRerank(encoded, df, "vec", "id", model, q,
+      k = 5, nprobe = 4).collect()
+    assert(rr.length === 5)
+    val dists = rr.map(_.getAs[Double]("sq_dist")).toSeq
+    assert(dists == dists.sorted)
+    val adcIds = OpqBuilder.topK(encoded, model, q, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(rr.map(_.getLong(0)).toSet.intersect(exact).size
+      >= adcIds.intersect(exact).size)
+  }
+
   test("save/load round-trip answers bit-identically") {
     val dir = java.nio.file.Files.createTempDirectory("opq_store").toString
     try {

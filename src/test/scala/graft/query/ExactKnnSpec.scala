@@ -1,5 +1,6 @@
 package graft.query
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -50,6 +51,27 @@ class ExactKnnSpec extends AnyFunSuite {
     val r = ExactKnn.rankedIdsIp(withTie, "vec", "id", Seq(1f, 1f), 3).collect()
     assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     assert(r.map(_.getLong(1)).toSeq === Seq(3L, 1L, 2L))
+  }
+
+  test("batchTopKIp: per-query parity with topKIp") {
+    val qids = Seq(1L, 4L, 5L)
+    val queries = qids
+      .map(i => i -> points.where(col("id") === i)
+        .select("vec").head().getSeq[Float](0))
+      .toDF("qid", "qvec")
+    val batch = ExactKnn.batchTopKIp(points, "vec", "id", queries,
+        "qid", "qvec", 3)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    qids.foreach { qid =>
+      val qv = points.where(col("id") === qid)
+        .select("vec").head().getSeq[Float](0)
+      val single = ExactKnn.topKIp(points, "vec", "id", qv, 3)
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("ip"))).toSeq
+      assert(batch(qid) === single, s"query $qid")
+    }
   }
 
   test("rankedIds: dense integer ranks from 1") {
