@@ -58,7 +58,9 @@ object GraftFunctions {
     ("graft_moments_upper", ArrayType(DoubleType, containsNull = false),
       "momentsUpper", 1),
     ("graft_matvec_rows", ArrayType(DoubleType, containsNull = false),
-      "matvecRows", 2))
+      "matvecRows", 2),
+    ("graft_rotate", ArrayType(FloatType, containsNull = false),
+      "rotateF", 2))
 
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {

@@ -66,6 +66,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r === 8.0)
   }
 
+  test("SQL surface: graft_rotate applies a row-major rotation in f32") {
+    // 90° rotation [[0,-1],[1,0]] of (1, 2) = (-2, 1)
+    val v = spark.sql(
+      """SELECT graft_rotate(
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(0.0D, -1.0D, 1.0D, 0.0D))""".stripMargin)
+      .head().getSeq[Float](0)
+    assert(v === Seq(-2.0f, 1.0f))
+  }
+
   test("SQL surface: pq_reconstruct inverts encode up to the codebook grid") {
     // dim=2, D=1, C=2, m=2; code 1 selects codebook row [1, 2]:
     // reconstruction = centroid [10, 20] + [1, 2] = [11, 22]
