@@ -467,6 +467,21 @@ object SparkEntry {
       ExactKnn.rankedIdsIp(Tables.embeddings(s, dir), "embedding", "vec_id",
         queryVec(s, dir, 0L), 10)),
 
+    // binary quantization: 1-bit-per-dim sign signatures (64 dims pack
+    // into ONE long), ranked by popcount-xor Hamming distance — the
+    // cheapest sketch in the index family (below SQ8/PQ); the integer
+    // distance itself is oracle-compared, not just the ranking
+    "knn_hamming" -> ((s, dir) =>
+      graft.index.BinaryQuant.rankedIds(Tables.embeddings(s, dir),
+        "embedding", "vec_id", queryVec(s, dir, 0L), 10)),
+
+    // the production composition: Hamming nominates 4k candidates from
+    // the 8-byte signatures, exact L2 re-ranks just those rows (refine
+    // pattern) — candidate ids reach the re-rank scan as an IN filter
+    "knn_hamming_rerank" -> ((s, dir) =>
+      graft.index.BinaryQuant.rankedIdsRerank(Tables.embeddings(s, dir),
+        "embedding", "vec_id", queryVec(s, dir, 0L), 10, kFactor = 4)),
+
     // filtered vector search: the attribute predicate composes BEFORE the
     // top-k, so it reaches the parquet scan as a pushed filter — the
     // "pre-filtered" strategy (exact over the filtered subset), which is
@@ -1466,6 +1481,26 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // deterministic k-fold assignment (cross-validation): fold is a pure
+    // function of (seed, id) — stable under reruns/appends, re-drawable
+    // by seed, one narrow projection
+    "train_folds" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .kFolds(Tables.documents(s, dir), "doc_id", folds = 5, seed = 3)
+        .select("doc_id", "fold")
+        .orderBy("doc_id")),
+
+    // bounded top-k per group: the 3 longest docs per source via the
+    // map-side-combinable top-k aggregate — shuffle carries ≤ k·|groups|
+    // rows where the window formulation ships and sorts every row
+    "rel_top_per_group" -> ((s, dir) =>
+      graft.operators.GroupedTopK
+        .topPerGroup(Tables.documents(s, dir), "source", "n_chars",
+          "doc_id", k = 3)
+        .select(col("source"), col("rank"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("source", "rank")),
+
     // deterministic epoch shuffle + sharding: shard AND within-shard
     // order are pure functions of (seed, id), so the training order is
     // reproducible, epoch-reseedable, and needs no global sort — the
@@ -2230,6 +2265,35 @@ object SparkEntry {
         |  AS rank, vec_id
         |FROM d ORDER BY dp DESC, vec_id LIMIT 10""".stripMargin,
 
+    "knn_hamming" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum(CASE WHEN (CAST(e.embedding[t.i] AS DOUBLE) > 0.0)
+        |         != (CAST(q.qv[t.i] AS DOUBLE) > 0.0) THEN 1 ELSE 0 END) AS ham
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER (ORDER BY ham, vec_id) AS BIGINT) AS rank,
+        | vec_id, CAST(ham AS BIGINT) AS hamming
+        |FROM d ORDER BY ham, vec_id LIMIT 10""".stripMargin,
+
+    "knn_hamming_rerank" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |h AS (SELECT e.vec_id AS vec_id,
+        |  sum(CASE WHEN (CAST(e.embedding[t.i] AS DOUBLE) > 0.0)
+        |         != (CAST(q.qv[t.i] AS DOUBLE) > 0.0) THEN 1 ELSE 0 END) AS ham
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id),
+        |cand AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 40),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))) AS sq
+        | FROM embeddings e, cand c, q, generate_series(1, 64) AS t(i)
+        | WHERE e.vec_id = c.vec_id
+        | GROUP BY e.vec_id)
+        |SELECT CAST(row_number() OVER (ORDER BY sq, vec_id) AS BIGINT) AS rank,
+        | vec_id
+        |FROM d ORDER BY sq, vec_id LIMIT 10""".stripMargin,
+
     "knn_filtered" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id AS vec_id,
@@ -2798,6 +2862,21 @@ object SparkEntry {
         |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |   ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "train_folds" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5('fold:3:' || CAST(doc_id AS VARCHAR)), 1, 6))
+        |   ::BIGINT % 5 AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "rel_top_per_group" ->
+      """SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id,
+        | CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rnk
+        | FROM documents)
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
     "train_shard" ->
       """WITH s AS (SELECT doc_id,

@@ -28,6 +28,8 @@ object FastFunctions {
     "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
     "shingleHashes" -> Seq(ArrayType(StringType), IntegerType),
     "bitsAboveMean" -> Seq(ArrayType(FloatType)),
+    "signBits" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
+    "hammingDist" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "shingleRepetition" -> Seq(ArrayType(StringType), IntegerType),
     "interSortedSize" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "lastLeIdx" -> Seq(ArrayType(LongType), LongType),
@@ -104,6 +106,17 @@ object FastFunctions {
     * row-major double literal, result back in f32 (see Kernels.rotateF). */
   def rotateF(v: Column, flatRot: Column): Column =
     invoke(ArrayType(FloatType, containsNull = false), "rotateF", v, flatRot)
+
+  /** Packed sign-bit signature of an array<float> vector against a
+    * per-dim threshold literal (see Kernels.signBits). */
+  def signBitsF(v: Column, thresholds: Column): Column =
+    invoke(ArrayType(LongType, containsNull = false), "signBits",
+      v, thresholds)
+
+  /** Hamming distance between two packed array<long> signatures (see
+    * Kernels.hammingDist). */
+  def hammingDistF(a: Column, b: Column): Column =
+    invoke(IntegerType, "hammingDist", a, b)
 
   /** Σ aᵢ·bᵢ for two array<float> columns. */
   def dotF(a: Column, b: Column): Column =

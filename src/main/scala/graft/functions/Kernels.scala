@@ -864,6 +864,47 @@ object Kernels {
     bits
   }
 
+  /** Sign binarization of a float vector against per-dimension
+    * thresholds, packed little-endian into ⌈n/64⌉ 64-bit words: word j
+    * bit i is set iff v[64j+i] > thr[64j+i]. The 1-bit-per-dimension
+    * vector sketch (binary quantization): a 1536-dim f32 embedding
+    * (6 KB) compresses to 24 longs (192 B), and Hamming distance over
+    * the packed words approximates angular distance — pass
+    * `litDoubles(new Array[Double](dim))` for plain sign bits on
+    * centered embeddings, or fitted per-dim means for uncentered ones. */
+  def signBits(v: ArrayData, thr: ArrayData): ArrayData = {
+    val n = v.numElements()
+    require(n == thr.numElements(),
+      s"vector dimension mismatch: $n vs ${thr.numElements()}")
+    require(n > 0, "signBits needs a non-empty vector")
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i).toDouble > thr.getDouble(i))
+        words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(words)
+  }
+
+  /** Hamming distance between two equal-length packed bit arrays —
+    * Σ popcount(aⱼ xor bⱼ), one `Long.bitCount` per 64 dimensions. The
+    * scan kernel of the binary-quantized index: ranking 100 TB of
+    * embeddings by this distance reads the 8-byte-per-64-dims signature
+    * column only. */
+  def hammingDist(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"signature word-count mismatch: $n vs ${b.numElements()}")
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+
   /** Table-free asymmetric PQ distance ‖(q − centroid) − decode(codes)‖²
     * against a flattened D×C×m codebook: the same quantity the ADC-table
     * path computes (reference/src/db/stored.rs:549-595) but evaluated

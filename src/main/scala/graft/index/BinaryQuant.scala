@@ -1,0 +1,118 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastFunctions.{hammingDistF, litDoubles, litLongs, signBitsF}
+import graft.query.ExactKnn
+
+/** Binary quantization: a 1-bit-per-dimension vector sketch and the
+  * Hamming-distance search path over it — the cheapest point on the
+  * compression/recall curve, below SQ8 (8 bits/dim) and PQ (~bits/dim
+  * configurable). Bit i is `v[i] > threshold[i]`; for zero-centered
+  * embeddings the thresholds are all zero (sign bits), and for
+  * uncentered corpora [[fitThresholds]] learns per-dimension means so
+  * each bit splits the corpus roughly in half (maximum entropy per bit).
+  *
+  * Scale shape: signatures pack 64 dimensions per 8-byte long
+  * (`Kernels.signBits`), so 100 TB of f32 embeddings becomes ~3 TB of
+  * signatures; the scan ranks by `popcount(xor)` per word
+  * (`Kernels.hammingDist`, codegen) reading the signature column only,
+  * and `orderBy(hamming).limit(k)` compiles to `TakeOrderedAndProject`
+  * (per-partition bounded top-k + driver merge — no global sort). The
+  * standard production composition nominates by Hamming and re-ranks the
+  * nominees exactly ([[rankedIdsRerank]]), the same refine pattern as
+  * `AnnQuery.topKRerank`; signatures also feed the banded Hamming
+  * near-dup join (`Dedup.hammingNearPairs`) unchanged via [[signature64]].
+  *
+  * Reference scope note: the reference ships PQ only (flechasdb
+  * README.md:33-44); binary quantization is a beyond-reference member of
+  * the same family, kept API-parallel with [[Sq8]].
+  */
+object BinaryQuant {
+
+  /** Driver-side twin of `Kernels.signBits` — packs a query vector with
+    * the exact comparison rule the executor kernel applies. */
+  private[graft] def pack(q: Seq[Float], thr: Array[Double]): Array[Long] = {
+    require(q.nonEmpty, "signBits needs a non-empty vector")
+    require(q.length == thr.length,
+      s"vector dimension mismatch: ${q.length} vs ${thr.length}")
+    val words = new Array[Long]((q.length + 63) >>> 6)
+    var i = 0
+    while (i < q.length) {
+      if (q(i).toDouble > thr(i)) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    words
+  }
+
+  /** Per-dimension corpus means (in double) — thresholds that give each
+    * bit ~50% occupancy on uncentered embeddings. One map-side-combined
+    * aggregate over (pos, value) pairs; the result is dim-sized. */
+  def fitThresholds(df: DataFrame, vecCol: String): Array[Double] = {
+    val rows = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v").cast("double")).as("mu"))
+      .collect()
+    require(rows.nonEmpty, "fitThresholds over an empty corpus")
+    val out = new Array[Double](rows.length)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  private def thresholdsOrZeros(thr: Array[Double], dim: Int): Array[Double] =
+    if (thr != null) thr else new Array[Double](dim)
+
+  /** The packed signature column: array<long>, ⌈dim/64⌉ words. */
+  def signature(vecCol: Column, thresholds: Array[Double]): Column =
+    signBitsF(vecCol, litDoubles(thresholds))
+
+  /** Single-word (≤64-dim) signature as a plain long — the shape
+    * `Dedup.hammingNearPairs` banding consumes for all-pairs near-dup. */
+  def signature64(vecCol: Column, thresholds: Array[Double]): Column = {
+    require(thresholds.length <= 64,
+      s"signature64 packs ≤64 dims, got ${thresholds.length}")
+    element_at(signature(vecCol, thresholds), 1)
+  }
+
+  /** Top-k by Hamming distance to `q`; ties broken by id. `thresholds`
+    * null means sign bits (all-zero thresholds). */
+  def topK(df: DataFrame, vecCol: String, idCol: String, q: Seq[Float],
+           k: Int, thresholds: Array[Double] = null): DataFrame = {
+    val thr = thresholdsOrZeros(thresholds, q.length)
+    df.withColumn("hamming",
+        hammingDistF(signBitsF(col(vecCol), litDoubles(thr)),
+          litLongs(pack(q, thr))))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
+  /** (rank, id, hamming) integer-only projection of [[topK]] — Hamming
+    * distances are integers, so unlike the float-distance paths the
+    * distance itself is oracle-comparable. */
+  def rankedIds(df: DataFrame, vecCol: String, idCol: String, q: Seq[Float],
+                k: Int, thresholds: Array[Double] = null): DataFrame = {
+    val w = Window.orderBy(col("hamming"), col(idCol))
+    topK(df, vecCol, idCol, q, k, thresholds)
+      .select(row_number().over(w).cast("long").as("rank"), col(idCol),
+        col("hamming").cast("long"))
+  }
+
+  /** Hamming-nominate + exact re-rank: the signature scan nominates
+    * `kFactor·k` candidates, whose float vectors alone are re-scored by
+    * exact L2 (the refine pattern, FAISS IndexRefineFlat shape). The
+    * candidate ids push down as an IN filter on the re-rank scan, so the
+    * expensive float read touches `kFactor·k` rows however large the
+    * corpus. Output (rank, id). */
+  def rankedIdsRerank(df: DataFrame, vecCol: String, idCol: String,
+                      q: Seq[Float], k: Int, kFactor: Int = 4,
+                      thresholds: Array[Double] = null): DataFrame = {
+    require(kFactor >= 1, s"kFactor must be ≥1, got $kFactor")
+    val candidates = topK(df, vecCol, idCol, q, k * kFactor, thresholds)
+      .select(col(idCol)).collect().map(_.get(0))
+    ExactKnn.rankedIds(
+      df.where(col(idCol).isin(candidates.toIndexedSeq: _*)),
+      vecCol, idCol, q, k)
+  }
+}

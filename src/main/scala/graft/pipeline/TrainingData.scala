@@ -30,6 +30,23 @@ object TrainingData {
       when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5("fold:<seed>:<id>") mod k — the same pure-function-of-the-id
+    * idiom as [[hashSplit]]/[[shuffleShards]], so folds are stable under
+    * reruns, repartitions and incremental appends, size-balanced by the
+    * hash, and re-drawable with a different seed. One narrow projection,
+    * no shuffle. Output adds (fold: long) ∈ [0, folds). */
+  def kFolds(df: DataFrame, idCol: String, folds: Int,
+             seed: Long = 0): DataFrame = {
+    require(folds > 0, s"folds must be positive, got $folds")
+    val h = md5(concat(lit(s"fold:$seed:"), col(idCol).cast("string"))
+      .cast("binary"))
+    // first 6 hex chars → 24-bit non-negative int, mod fold count — the
+    // shuffleShards parsing rule, identical in every engine
+    df.withColumn("fold",
+      pmod(conv(substring(h, 1, 6), 16, 10).cast("long"), lit(folds.toLong)))
+  }
+
   /** Deterministic EPOCH SHUFFLE + sharding for training output. Both the
     * shard and the within-shard order are pure functions of (seed, id) —
     * md5 of "shuffle:<seed>:<id>" — so the pass is reproducible under

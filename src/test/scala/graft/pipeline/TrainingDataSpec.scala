@@ -30,6 +30,28 @@ class TrainingDataSpec extends AnyFunSuite {
       .foreach(x => assert(again(x.getLong(0)) === x.getString(1)))
   }
 
+  test("kFolds: total cover, balanced, repartition-stable, seed-sensitive") {
+    val r = TrainingData.kFolds(docs, "doc_id", folds = 5, seed = 3)
+    val counts = r.groupBy("fold").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(counts.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(counts.values.sum === 1000L)
+    // hash balance: each fold within ±40% of the expected 200
+    assert(counts.values.forall(c => c > 120 && c < 280))
+    // pure function of (seed, id): repartitioned input assigns identically
+    val again = TrainingData.kFolds(docs.repartition(13), "doc_id", 5, 3)
+      .select("doc_id", "fold").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.select("doc_id", "fold").collect()
+      .foreach(x => assert(again(x.getLong(0)) === x.getLong(1)))
+    // a different seed re-draws the assignment
+    val other = TrainingData.kFolds(docs, "doc_id", 5, 4)
+      .select("doc_id", "fold").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.select("doc_id", "fold").collect()
+      .count(x => other(x.getLong(0)) != x.getLong(1)) > 500)
+  }
+
   test("perGroupCap: cap respected, deterministic, subset of input") {
     val r = TrainingData.perGroupCap(docs, "source", "doc_id", cap = 30)
     val per = r.groupBy("source").count().collect().map(_.getLong(1))
