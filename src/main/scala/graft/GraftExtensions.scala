@@ -60,7 +60,10 @@ object GraftFunctions {
     ("graft_matvec_rows", ArrayType(DoubleType, containsNull = false),
       "matvecRows", 2),
     ("graft_rotate", ArrayType(FloatType, containsNull = false),
-      "rotateF", 2))
+      "rotateF", 2),
+    ("graft_sign_bits", ArrayType(LongType, containsNull = false),
+      "signBits", 2),
+    ("graft_hamming", IntegerType, "hammingDist", 2))
 
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {

@@ -76,6 +76,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(v === Seq(-2.0f, 1.0f))
   }
 
+  test("SQL surface: graft_sign_bits packs and graft_hamming counts") {
+    val r = spark.sql(
+      """SELECT graft_hamming(
+        |  graft_sign_bits(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)),
+        |    array(0.0D, 0.0D)),
+        |  graft_sign_bits(array(CAST(-1.0 AS FLOAT), CAST(-1.0 AS FLOAT)),
+        |    array(0.0D, 0.0D)))""".stripMargin).head().getInt(0)
+    assert(r === 1)
+  }
+
   test("SQL surface: pq_reconstruct inverts encode up to the codebook grid") {
     // dim=2, D=1, C=2, m=2; code 1 selects codebook row [1, 2]:
     // reconstruction = centroid [10, 20] + [1, 2] = [11, 22]
