@@ -482,6 +482,20 @@ object SparkEntry {
       graft.index.BinaryQuant.rankedIdsRerank(Tables.embeddings(s, dir),
         "embedding", "vec_id", queryVec(s, dir, 0L), 10, kFactor = 4)),
 
+    // batch Hamming top-k: many queries against the 8-byte signatures in
+    // ONE streamed pass — bounded top-k aggregate, k·|queries| shuffle
+    // rows; the integer distances are oracle-compared
+    "knn_hamming_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.index.BinaryQuant
+        .batchTopK(emb, "embedding", "vec_id", qs, "qid", "qvec", 10,
+          thresholds = null, dim = 64)
+        .select(col("qid"), col("vec_id"), col("hamming"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // filtered vector search: the attribute predicate composes BEFORE the
     // top-k, so it reaches the parquet scan as a pushed filter — the
     // "pre-filtered" strategy (exact over the filtered subset), which is
@@ -2293,6 +2307,20 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY sq, vec_id) AS BIGINT) AS rank,
         | vec_id
         |FROM d ORDER BY sq, vec_id LIMIT 10""".stripMargin,
+
+    "knn_hamming_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id <= 4),
+        |d AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+        |  sum(CASE WHEN (CAST(e.embedding[t.i] AS DOUBLE) > 0.0)
+        |         != (CAST(q.qv[t.i] AS DOUBLE) > 0.0) THEN 1 ELSE 0 END) AS ham
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2)
+        |SELECT qid, vec_id, CAST(ham AS BIGINT) AS hamming, rank FROM (
+        | SELECT qid, vec_id, ham, CAST(row_number() OVER (PARTITION BY qid
+        |   ORDER BY ham, vec_id) AS BIGINT) AS rank
+        | FROM d) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "knn_filtered" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -99,6 +99,35 @@ object BinaryQuant {
         col("hamming").cast("long"))
   }
 
+  /** Batch Hamming top-k: many queries in one streamed pass — the
+    * `ExactKnn.batchTopK` shape over signatures. Both sides binarize
+    * through the same kernel (the broadcast query side once, the corpus
+    * inside the streamed scan), the joined pair relation compares 8-byte
+    * words instead of float vectors, and the bounded top-k aggregate
+    * keeps ≤ k candidates per query per task, so the shuffle carries
+    * k·|queries| rows at any corpus size. `dim` sizes the zero-threshold
+    * default when `thresholds` is null. Output (qid, id, hamming, rank),
+    * rank 1..k ascending by (hamming, id). */
+  def batchTopK(df: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+                thresholds: Array[Double], dim: Int): DataFrame = {
+    val thr = litDoubles(thresholdsOrZeros(thresholds, dim))
+    val qsigs = queries.select(col(qidCol),
+      signBitsF(col(qvecCol), thr).as("__qsig"))
+    val pairs = df
+      .withColumn("__sig", signBitsF(col(vecCol), thr))
+      .join(broadcast(qsigs))
+      .select(col(qidCol), col(idCol).as("id"),
+        hammingDistF(col("__sig"), col("__qsig")).cast("double").as("ham"))
+    pairs.groupBy(col(qidCol))
+      .agg(graft.query.TopKAggregator.topK(k)(col("ham"), col("id"))
+        .as("hits"))
+      .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qidCol), col("hit.id").as(idCol),
+        col("hit.dist").cast("long").as("hamming"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Hamming-nominate + exact re-rank: the signature scan nominates
     * `kFactor·k` candidates, whose float vectors alone are re-scored by
     * exact L2 (the refine pattern, FAISS IndexRefineFlat shape). The

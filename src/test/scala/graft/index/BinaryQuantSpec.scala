@@ -107,6 +107,41 @@ class BinaryQuantSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a % 3 == b % 3 })
   }
 
+  test("batchTopK ≡ per-query rankedIds for every query") {
+    val qids = Seq(0L, 1L, 2L, 5L)
+    val qs = df.where(col("id").isin(qids: _*))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val batch = BinaryQuant
+      .batchTopK(df, "vec", "id", qs, "qid", "qvec", 10,
+        thresholds = null, dim = dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getLong(2)))
+      .sorted
+    val single = qids.flatMap { qid =>
+      val q = data(qid.toInt)._2
+      BinaryQuant.rankedIds(df, "vec", "id", q, 10).collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.sorted
+    assert(batch.toSeq === single)
+  }
+
+  test("plans: single-query top-k is TakeOrderedAndProject; batch has no sort") {
+    val singlePlan = BinaryQuant.topK(df, "vec", "id", data.head._2, 10)
+      .queryExecution.executedPlan.toString
+    assert(singlePlan.contains("TakeOrderedAndProject"))
+    val qs = df.where(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val batchPlan = BinaryQuant
+      .batchTopK(df, "vec", "id", qs, "qid", "qvec", 10, null, dim)
+      .queryExecution.executedPlan.toString
+    // the bounded aggregate replaces any per-group sort; the only join is
+    // the broadcast of the query side
+    assert(!batchPlan.contains("CartesianProduct"))
+    assert(batchPlan.contains("BroadcastNestedLoopJoin")
+      || batchPlan.contains("BroadcastHashJoin"))
+    assert(!batchPlan.contains("SortExec"))
+  }
+
   test("dimension mismatch and empty vectors fail loudly") {
     intercept[IllegalArgumentException] {
       BinaryQuant.pack(Seq(1.0f), new Array[Double](2))

@@ -60,6 +60,15 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(tiny === Array((1L, 1000L), (2L, 1001L)))
   }
 
+  test("plan: bounded aggregate with a map-side partial, no window sort") {
+    val plan = GroupedTopK.topPerGroup(df, "grp", "score", "id", 5)
+      .queryExecution.executedPlan.toString
+    // two aggregate stages (partial + final) — the map-side combine that
+    // bounds the shuffle at k rows per group per task
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2)
+    assert(!plan.contains("Window"))
+  }
+
   test("never more than k rows per group") {
     val counts = GroupedTopK.topPerGroup(df, "grp", "score", "id", 4)
       .groupBy("grp").count().collect().map(_.getLong(1))
