@@ -73,6 +73,41 @@ object StreamingKnn {
       .batchTopKDirect(codes, model, queries, qidCol, qvecCol, k, nprobe)
       .withColumnRenamed("qid", qidCol)
 
+  /** Streaming HAMMING top-k per query row against broadcast binary
+    * signatures — the [[topKPerQuery]] shape with the static side
+    * compressed 32× (8 bytes per 64 dims via `Kernels.signBits`), which
+    * lifts the broadcast ceiling by the same factor: a corpus whose raw
+    * f32 vectors stopped fitting a broadcast at ~10M rows carries
+    * ~300M rows as signatures. Each micro-batch binarizes its queries
+    * with the same kernel and ranks by popcount-xor
+    * (`Kernels.hammingDist`); results are bit-identical to
+    * [[graft.index.BinaryQuant.rankedIds]] per query. `dim` sizes the
+    * zero-threshold default when `thresholds` is null. Output:
+    * (qid, id, hamming, rank), outputMode("update"). */
+  def hammingTopKPerQuery(queries: DataFrame, qidCol: String,
+                          qvecCol: String, points: DataFrame, idCol: String,
+                          vecCol: String, k: Int,
+                          thresholds: Array[Double], dim: Int): DataFrame = {
+    val thr = graft.functions.FastFunctions.litDoubles(
+      if (thresholds != null) thresholds else new Array[Double](dim))
+    val sigs = points.select(col(idCol).as("id"),
+      graft.functions.FastFunctions.signBitsF(col(vecCol), thr).as("__sig"))
+    val pairs = queries
+      .select(col(qidCol),
+        graft.functions.FastFunctions.signBitsF(col(qvecCol), thr)
+          .as("__qsig"))
+      .join(broadcast(sigs))
+      .select(col(qidCol), col("id"),
+        graft.functions.FastFunctions.hammingDistF(col("__sig"),
+          col("__qsig")).cast("double").as("ham"))
+    pairs.groupBy(col(qidCol))
+      .agg(TopKAggregator.topK(k)(col("ham"), col("id")).as("hits"))
+      .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qidCol), col("hit.id").as(idCol),
+        col("hit.dist").cast("long").as("hamming"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** STREAMING INGEST into a stored index: every micro-batch of new
     * vectors is encoded against the frozen model and appended to the
     * partitioned codes store — exactly

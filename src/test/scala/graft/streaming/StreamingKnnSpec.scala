@@ -78,6 +78,33 @@ class StreamingKnnSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hammingTopKPerQuery streams: per-trigger ≡ BinaryQuant.rankedIds") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val sdf = stream.toDF().toDF("qid", "qvec")
+    val q = StreamingKnn.hammingTopKPerQuery(
+        sdf, "qid", "qvec", df, "id", "vec", k = 5,
+        thresholds = null, dim = dim)
+      .writeStream.format("memory").queryName("stream_ham")
+      .outputMode("update").start()
+    try {
+      stream.addData((3L, data(3)._2))
+      q.processAllAvailable()
+      stream.addData((77L, data(77)._2))
+      q.processAllAvailable()
+      val got = spark.table("stream_ham").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3))
+          .map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+      for (qid <- Seq(3L, 77L)) {
+        val want = graft.index.BinaryQuant
+          .rankedIds(df, "vec", "id", data(qid.toInt)._2, 5)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+        assert(got(qid) === want)
+      }
+    } finally q.stop()
+  }
+
   test("annTopKPerQueryOpq streams: per-trigger answers equal OPQ topK") {
     implicit val sqlCtx = spark.sqlContext
     val (opqModel, opqEncoded) =
