@@ -54,6 +54,7 @@ object SparkEntry {
     * last-write-wins, not just read a table. */
   private val storedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
   private val dayPartDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val zorderDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val deleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val appendDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val sq8Dir = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1383,6 +1384,14 @@ object SparkEntry {
       TextAnalysis.noveltySignals(Tables.documents(s, dir), n = 2, rareDf = 1)
         .orderBy("doc_id")),
 
+    // bigram-LM fit score (CCNet-style quality signal): each doc scored
+    // against an add-one-smoothed bigram model trained on the corpus;
+    // integer floor(1e6·p) terms so the oracle never hashes a float
+    "text_lm_fit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bigramLmScores(docs, docs).orderBy("doc_id")
+    }),
+
     // batch twin of the streaming key-dedup (dropDuplicatesWithin-
     // Watermark semantics): the FIRST event per (user_id, event_type)
     // in (ts, event_id) order survives
@@ -1434,6 +1443,23 @@ object SparkEntry {
     // the oracle checks the exact count (engine-comparable) plus the
     // sketch's error staying far inside its 5%-rsd contract (|est −
     // exact| ≤ 20%·exact ⇒ within_bound = 1 for every source).
+    // MERGEABLE distinct-count sketches: per-day HLL sketches of the
+    // active-user set, then the all-time distinct as a UNION OF FINISHED
+    // SKETCHES — the raw events are scanned exactly once. At this
+    // cardinality the DataSketches HLL is in exact sparse mode, so the
+    // rounded estimates equal DuckDB's exact distincts (full oracle);
+    // the scale story is the merge itself: at 100 TB the daily sketches
+    // persist beside the data and any rollup unions a handful of rows
+    "stats_hll_merge" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      val sk = graft.pipeline.Sketches.hllByGroup(e, "day", "user_id")
+      val perDay = graft.pipeline.Sketches.hllEstimates(sk, "day")
+      val total = graft.pipeline.Sketches.hllUnionEstimate(sk)
+        .select(lit(-1L).as("day"), col("n_distinct"))
+      perDay.unionByName(total).orderBy("day")
+    }),
+
     "stats_approx_distinct" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("source"),
@@ -1851,6 +1877,26 @@ object SparkEntry {
     // filter that prunes to 3 of ~30 directories (PartitionFilters on
     // the scan — asserted in PartitionedTablesSpec; the DPP variant is
     // spec-gated too), aggregated per day
+    // Z-ordered (Morton-curve) layout: events rewritten clustered on the
+    // interleaved bits of (user_id, floor(value)) so parquet row-group
+    // min/max stats prune box predicates on EITHER column; the entry
+    // round-trips the layout (no rows lost) and gates the Morton code
+    // bit-for-bit (ZOrderSpec measures the actual pruning win)
+    "layout_zorder" -> ((s, dir) => {
+      val p = zorderDir.getOrElseUpdate(dir, {
+        val out = newStoreDir("graft_zorder")
+        graft.sources.ZOrder.writeZOrdered(
+          Tables.events(s, dir).withColumn("vb", floor(col("value"))),
+          out, "user_id", "vb", numFiles = 8)
+        out
+      })
+      s.read.parquet(p)
+        .select(col("event_id"),
+          graft.sources.ZOrder.zValue2(col("user_id"), col("vb"), 16)
+            .as("zv"))
+        .orderBy("event_id")
+    }),
+
     "events_day_partitioned" -> ((s, dir) => {
       val p = dayPartDir.getOrElseUpdate(dir, {
         val out = newStoreDir("graft_daypart")
@@ -2807,6 +2853,32 @@ object SparkEntry {
         |CROSS JOIN guard WHERE guard.ok = 1
         |ORDER BY d.doc_id""".stripMargin,
 
+    "text_lm_fit" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4095 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |bg AS (SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+        | FROM tok, generate_series(1, 4096) AS i(i)
+        | WHERE i.i + 1 <= len(ts)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(ts) AS t FROM tok)),
+        |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  sum((1000000 * (c12 + 1)) // (c1 + v.v)) AS sum_p
+        | FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        | GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(coalesce(pd.sum_p, 0) AS BIGINT) AS sum_p_x1e6,
+        | CAST(CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
+        |   ELSE pd.sum_p // pd.n_bigrams END AS BIGINT) AS mean_p_x1e6
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |CROSS JOIN guard WHERE guard.ok = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
     "events_dedup_first" ->
       """SELECT user_id, event_type, event_id FROM (
         | SELECT user_id, event_type, event_id,
@@ -2819,6 +2891,17 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5,
         | substring(md5(text), 1, 15) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stats_hll_merge" ->
+      """WITH e AS (SELECT
+        |  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, user_id
+        | FROM events)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM e GROUP BY day
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS day,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM e
+        |ORDER BY day""".stripMargin,
 
     "stats_approx_distinct" ->
       """SELECT source,
@@ -3104,6 +3187,12 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS trace_ok,
         | CAST(0 AS BIGINT) AS n_var_bad,
         | CAST(0 AS BIGINT) AS n_proj_bad""".stripMargin,
+
+    "layout_zorder" ->
+      s"""SELECT event_id,
+         | CAST(${graft.sources.ZOrder.zValue2Sql("user_id", "floor(value)", 16)}
+         |   AS BIGINT) AS zv
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "events_day_partitioned" ->
       """SELECT epoch_ns(ts) // 86400000000000 AS day,

@@ -58,4 +58,33 @@ object Sketches {
           pmod(xxhash64(item, lit(j)), lit(cm.width.toLong)) + 1L).cast("int"))
     }.reduce(least(_, _))
   }
+
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`): one sketch per group, materialized as a
+    * binary column a caller can persist beside the data. This is the
+    * 100 TB rollup idiom `approx_count_distinct` cannot express: daily
+    * sketches are built once in the daily load, and ANY coarser distinct
+    * count — week, quarter, all-time — is a [[hllUnionEstimate]] over a
+    * handful of finished sketches, never a rescan of the raw corpus.
+    * (`approx_count_distinct` answers one fixed grouping per scan and
+    * discards its state.)
+    *
+    * lgK = 12 keeps the worst-case sketch at ~4 KB with ~1.6% standard
+    * error; below ~k·3/4 distincts the sketch is still in its exact
+    * sparse mode, so small-group estimates are exact integers. */
+  def hllByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                 lgK: Int = 12): DataFrame =
+    df.groupBy(groupCol)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Per-group rounded estimates from finished sketches. */
+  def hllEstimates(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.select(col(groupCol),
+      round(hll_sketch_estimate(col("sketch"))).cast("long").as("n_distinct"))
+
+  /** Union ALL finished sketches into one estimate — the rollup that
+    * never touches the raw data. One row: (n_distinct). */
+  def hllUnionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(round(hll_sketch_estimate(
+      hll_union_agg(col("sketch"), false))).cast("long").as("n_distinct"))
 }

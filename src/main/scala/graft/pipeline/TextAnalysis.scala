@@ -185,4 +185,66 @@ object TextAnalysis {
           .cast("long"))
       .select("rank", "tok", "df")
   }
+
+  /** Per-document (doc_id, w1, w2) bigram occurrences — one narrow
+    * projection + explode, each position once (no shuffle). */
+  private def bigramOccurrences(docs: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val heads = slice(ts, lit(1), size(ts) - lit(1))
+    val tails = slice(ts, lit(2), size(ts) - lit(1))
+    docs.select(col("doc_id"),
+        explode(zip_with(heads, tails,
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+  }
+
+  /** Language-model fit score: how well each document matches a bigram
+    * LM trained on a reference corpus (the CCNet quality idea — Wenzek
+    * et al. 2020 score CommonCrawl against a Wikipedia KenLM and keep the
+    * best-fitting fraction; here the LM is a corpus-trained add-one-
+    * smoothed bigram model, so the signal is self-contained).
+    *
+    * Model: p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), with counts from
+    * `train` and V = train's unigram vocabulary size; unseen bigrams and
+    * unseen contexts fall back to the smoothing mass (left joins). Each
+    * scored position contributes the INTEGER floor(1e6 · p) — BIGINT
+    * floor-division in both engines — so per-doc sums and means are
+    * order-free integer arithmetic and the oracle never hashes a float.
+    * Corpus-typical text scores high; out-of-distribution or shuffled
+    * text scores low (DedupSpec-style discipline: the float-free twin of
+    * mean log-likelihood; the ranking it induces is what the filter
+    * consumes).
+    *
+    * Shape: one bigram explode over `train` feeding two vocabulary-sized
+    * map-side-combined aggregations (bigram counts, context totals); one
+    * bigram explode over `score` joined against those two relations and
+    * summed per doc. At 100 TB the count relations stay vocabulary- not
+    * corpus-sized (a natural-language bigram table broadcasts or at worst
+    * hash-joins on w1/w2); nothing corpus-sized is ever collected — only
+    * the scalar V reaches the driver.
+    *
+    * Output: (doc_id, n_bigrams, sum_p_x1e6, mean_p_x1e6), zeros for
+    * docs with fewer than two tokens. */
+  def bigramLmScores(train: DataFrame, score: DataFrame): DataFrame = {
+    val trainBg = bigramOccurrences(train)
+    val bigCnt = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctxCnt = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v: Long = train
+      .select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v")).head().getLong(0)
+    val perDoc = bigramOccurrences(score)
+      .join(bigCnt, Seq("w1", "w2"), "left")
+      .join(ctxCnt, Seq("w1"), "left")
+      .select(col("doc_id"),
+        expr(s"(1000000 * (coalesce(c12, 0L) + 1L)) div (coalesce(c1, 0L) + ${v}L)")
+          .as("p_x1e6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_x1e6").as("sum_p_x1e6"))
+    score.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_x1e6"), lit(0L)).as("sum_p_x1e6"))
+      .withColumn("mean_p_x1e6", when(col("n_bigrams") === 0, 0L)
+        .otherwise(expr("sum_p_x1e6 div n_bigrams")))
+  }
 }

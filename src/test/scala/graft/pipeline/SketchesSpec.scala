@@ -46,4 +46,21 @@ class SketchesSpec extends AnyFunSuite {
       .where($"est" > bound).count()
     assert(over === 0L)
   }
+
+  test("hll: sparse-mode per-group estimates are exact, union = global") {
+    // 3 groups with overlapping member sets: per-group distincts 50/80/30,
+    // global distinct 100 (g2 spans 40..119, g3 repeats 0..29)
+    val rows = ((0 until 50).map(i => ("g1", i.toLong)) ++
+      (40 until 120).map(i => ("g2", i.toLong)) ++
+      (0 until 30).flatMap(i => Seq(("g3", i.toLong), ("g3", i.toLong))))
+      .toDF("grp", "uid")
+    val sk = Sketches.hllByGroup(rows, "grp", "uid")
+    val per = Sketches.hllEstimates(sk, "grp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per === Map("g1" -> 50L, "g2" -> 80L, "g3" -> 30L))
+    // the union of FINISHED sketches answers the global rollup exactly,
+    // deduplicating the overlap without revisiting the raw rows
+    val total = Sketches.hllUnionEstimate(sk).collect().head.getLong(0)
+    assert(total === 120L)
+  }
 }

@@ -109,6 +109,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("bigramLmScores: hand-computed add-one-smoothed bigram model") {
+    val train = Seq(
+      (1L, "a b a b"), // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b c"),   // bigrams (a,b) (b,c)
+      (3L, "z"))       // no bigrams, but z joins the vocabulary
+      .toDF("doc_id", "text")
+    // c12: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=3 b=2 ; V = |{a,b,c,z}| = 4
+    // p(b|a) = 4/7 -> 571428 ; p(a|b) = p(c|b) = 2/6 -> 333333
+    val r = TextAnalysis.bigramLmScores(train, train).orderBy("doc_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(r === Seq(
+      (1L, 3L, 571428L + 333333L + 571428L, 1476189L / 3),
+      (2L, 2L, 571428L + 333333L, 904761L / 2),
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("bigramLmScores: unseen bigrams fall back to the smoothing mass") {
+    val train = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // (q,q): c12 -> 0, context q unseen -> c1 = 0, so p = 1/(0+4)
+    val oov = Seq((9L, "q q")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScores(train, oov).collect().head
+    assert(r.getLong(1) === 1L)
+    assert(r.getLong(2) === 250000L)
+    // an in-distribution doc outranks the OOV doc under the same model
+    val typical = Seq((8L, "a b")).toDF("doc_id", "text")
+    val t = TextAnalysis.bigramLmScores(train, typical).collect().head
+    assert(t.getLong(3) > r.getLong(3))
+  }
+
   test("vocabulary: document frequency, tokens counted once per doc") {
     val d = Seq(
       (1L, "a a b c"),   // a counts ONCE for doc 1
