@@ -1521,6 +1521,17 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // LEAKAGE-FREE split: every doc follows its near-dup component
+    // representative through the md5 split rule, so a near-dup cluster
+    // can never straddle train and test (held-out eval would otherwise
+    // score memorized text); singletons reduce to plain hashSplit
+    "train_split_safe" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .groupAwareSplit(Tables.documents(s, dir).select("doc_id"),
+          lshPairs90(s, dir))
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")),
+
     // deterministic k-fold assignment (cross-validation): fold is a pure
     // function of (seed, id) — stable under reruns/appends, re-drawable
     // by seed, one narrow projection
@@ -2973,6 +2984,26 @@ object SparkEntry {
         |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |   ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // components over the exact J>=90 pair relation (dedup_drop_list's
+    // recursive-CTE shape), then train_split's md5 rule on the component
+    // minimum instead of the doc's own id
+    "train_split_safe" ->
+      s"""WITH pairs AS (${jaccardOracle(90)}),
+         |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |r AS (
+         |  WITH RECURSIVE reach(id, root) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+         |  SELECT id, min(root) AS comp FROM reach GROUP BY id)
+         |SELECT id AS doc_id, comp AS rep,
+         | CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 2) < 'cc'
+         |     THEN 'train'
+         |   WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |   ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "train_folds" ->
       """SELECT doc_id,

@@ -30,6 +30,35 @@ object TrainingData {
       when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
   }
 
+  /** LEAKAGE-FREE train/val/test split. A plain id-hash split puts two
+    * near-duplicate documents in different splits ~1/3 of the time, so
+    * held-out evaluation scores text the model effectively trained on.
+    * Here every document follows its near-dup COMPONENT representative
+    * (component = min reachable id over `pairs`, closed transitively via
+    * [[graft.pipeline.Dedup.connectedComponents]] — near-dup is not
+    * transitive, the closure is the conservative leak boundary), through
+    * exactly [[hashSplit]]'s md5-bucket rule; docs in no pair follow
+    * their own id, which is the identical arithmetic. Assignment stays a
+    * pure function of (pair relation, id): stable under reruns and
+    * repartitions, and a grown corpus only re-splits docs whose
+    * component changed. Cost beyond hashSplit = the component closure
+    * over the pair relation (pairs-sized, not corpus-sized).
+    *
+    * Output adds (rep, split). `pairs` carries (a_id, b_id). */
+  def groupAwareSplit(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id",
+                      trainHi: String = "cc", valHi: String = "e6"): DataFrame = {
+    val comp = graft.pipeline.Dedup
+      .connectedComponents(docs.select(col(idCol).as("doc_id")), pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val b = substring(md5(col("rep").cast("string").cast("binary")), 1, 2)
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("split",
+        when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
+  }
+
   /** Deterministic k-fold assignment for cross-validation: fold =
     * md5("fold:<seed>:<id>") mod k — the same pure-function-of-the-id
     * idiom as [[hashSplit]]/[[shuffleShards]], so folds are stable under

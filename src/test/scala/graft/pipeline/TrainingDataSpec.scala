@@ -30,6 +30,31 @@ class TrainingDataSpec extends AnyFunSuite {
       .foreach(x => assert(again(x.getLong(0)) === x.getString(1)))
   }
 
+  test("groupAwareSplit: clusters move as a unit, singletons = hashSplit") {
+    val ids = (0L until 50L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2-3 is ONE component (closure over non-transitive pairs);
+    // 10-11 a second; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val r = TrainingData.groupAwareSplit(ids, pairs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(Seq(1L, 2L, 3L).map(r(_)._1).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(r(_)._2).distinct.size === 1)
+    assert(r(10L) === r(11L))
+    // cluster split = the REPRESENTATIVE's hashSplit outcome
+    val base = TrainingData.hashSplit(ids, "doc_id").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(3L)._2 === base(1L))
+    assert(r(11L)._2 === base(10L))
+    // docs in no pair keep their own id and exact hashSplit assignment
+    (0L until 50L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(r(i) === ((i, base(i))))
+    }
+    // no near-dup pair ever straddles a split boundary
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).foreach { case (a, b) =>
+      assert(r(a)._2 === r(b)._2)
+    }
+  }
+
   test("kFolds: total cover, balanced, repartition-stable, seed-sensitive") {
     val r = TrainingData.kFolds(docs, "doc_id", folds = 5, seed = 3)
     val counts = r.groupBy("fold").count().collect()
