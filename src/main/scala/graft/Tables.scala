@@ -20,7 +20,24 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** Events with `ts` normalized to LONG nanoseconds since the epoch,
+    * whatever the parquet physical type: TIMESTAMP(NANOS) arrives as long
+    * already (`spark.sql.legacy.parquet.nanosAsLong=true`), while
+    * TIMESTAMP(MICROS) arrives as a (NTZ) timestamp and is converted
+    * exactly — the session timezone is pinned to UTC, so the NTZ→LTZ cast
+    * is the identity and `unix_micros * 1000` loses nothing. Downstream
+    * event operators and their DuckDB oracles (`epoch_ns(ts)`) both see
+    * the same ns-long timeline either way. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -16,8 +16,9 @@ object Verify {
       // graft arithmetic (hash mixing, floor divisions) is wrap-around by
       // design; ANSI overflow errors are not wanted here.
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
-      // rejects; read as long (ns since epoch) — used for ordering only.
+      // some testdata generations write events.ts as TIMESTAMP(NANOS),
+      // which vanilla Spark rejects; read those as long (ns since epoch).
+      // Tables.events normalizes either physical type to ns-longs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

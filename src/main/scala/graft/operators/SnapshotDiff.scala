@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between two snapshots of a keyed table: which
+  * keys were inserted, deleted, or updated — the primitive behind
+  * incremental pipeline refresh ("re-embed only the documents that
+  * changed since the last index build") and snapshot reconciliation.
+  *
+  * Shape: ONE full-outer sort-merge join on the key columns plus a
+  * null-safe column compare — no window, no driver state, no second
+  * pass. At 100 TB both snapshots shuffle once on the key; if the
+  * snapshots are written bucketed by the key (sources/BucketedTables),
+  * the exchange disappears entirely and the diff is a zero-shuffle
+  * zip of co-located buckets. Unchanged rows are dropped before
+  * anything leaves the join, so the output is |changes|, not |table|.
+  */
+object SnapshotDiff {
+
+  /** Rows whose key set or value columns differ between `old` and `cur`.
+    *
+    * Both inputs must share a schema; every non-key column participates
+    * in the update check with null-safe semantics (`<=>`: a null→value
+    * or value→null transition is an update, null→null is not). Output:
+    * the key columns plus `change` ∈ {'insert','delete','update'} —
+    * inserts are keys only in `cur`, deletes only in `old`. Unchanged
+    * keys are filtered out inside the join projection. */
+  def diff(old: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(old.columns.sorted.sameElements(cur.columns.sorted),
+      s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    val valCols = cur.columns.filterNot(keys.contains).toSeq
+    val o = old.select(keys.map(col) ++ valCols.map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("in_old", lit(true))
+    val n = cur.select(keys.map(col) ++ valCols.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("in_new", lit(true))
+    val changed = valCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("in_old").isNull, "insert")
+          .when(col("in_new").isNull, "delete")
+          .when(changed, "update"))
+      .where(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+}
