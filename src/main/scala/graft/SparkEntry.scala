@@ -2097,6 +2097,101 @@ object SparkEntry {
         when(count(lit(1)) > 0, 1L).otherwise(0L).as("has_pairs"))
       inv.crossJoin(missed).crossJoin(extra)
     }),
+
+    // ------------------------------------------ round-6 pipeline additions
+
+    // CDC snapshot diff: two deterministic variants of orders (drops,
+    // price updates) through one full-outer co-partitioned join; output
+    // is |changes|, not |table| (operators/SnapshotDiff.scala)
+    "snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val v1 = o.where(expr("o_orderkey % 11 != 0"))
+      val v2 = o.where(expr("o_orderkey % 7 != 0"))
+        .withColumn("o_totalprice",
+          when(expr("o_orderkey % 5 = 0"), col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      graft.operators.SnapshotDiff.diff(v1, v2, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // SCD type-2 history: the events change log collapsed to per-user
+    // state validity intervals (gaps-and-islands, one shuffle by user)
+    "scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.history(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "valid_from")),
+
+    // deterministic weighted sampling without replacement (Efraimidis-
+    // Spirakis exponential race on an md5-derived uniform): 100 docs
+    // biased by length; bounded top-k, never a global sort
+    "sample_weighted" -> ((s, dir) =>
+      graft.pipeline.TrainingData.weightedSample(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+        .orderBy("doc_id")),
+
+    // PII scrub: e-mail/phone/IPv4 redaction + match counts over text
+    // with deterministically injected PII (the corpus itself is clean);
+    // pure narrow regex projections (pipeline/Redact.scala)
+    "text_pii_redact" -> ((s, dir) => {
+      val injected = Tables.documents(s, dir)
+        .withColumn("pii_text", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id") * 7919, lit(10000)).cast("string"), 4, "0"),
+          lit(" from "), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.0."), pmod(col("doc_id") * 31, lit(256)).cast("string")))
+      injected.select(col("doc_id"),
+        graft.pipeline.Redact.countMatches(col("pii_text"),
+          graft.pipeline.Redact.emailRe).as("n_email"),
+        graft.pipeline.Redact.countMatches(col("pii_text"),
+          graft.pipeline.Redact.phoneRe).as("n_phone"),
+        graft.pipeline.Redact.countMatches(col("pii_text"),
+          graft.pipeline.Redact.ipv4Re).as("n_ip"),
+        graft.pipeline.Redact.scrub(col("pii_text")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // exact heavy hitters via mergeable Misra-Gries + exact second pass:
+    // tokens with freq > n/32; the shuffle carries <= k-1 counters per
+    // task, never the full domain (Sketches.heavyHitters)
+    "stats_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      graft.pipeline.Sketches.heavyHitters(toks, "tok", k = 32)
+        .orderBy("item")
+    }),
+
+    // per-doc characteristic keywords: smoothed TF-IDF top-3 with a
+    // deterministic (score desc, term) rank; corpus stats are one
+    // vocabulary-sized aggregate broadcast back (TextAnalysis)
+    "text_keywords" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis
+        .tfidfKeywords(Tables.documents(s, dir), k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // temperature-balanced mixture (τ=2): keep ~half the length-filtered
+    // corpus with per-source rates ∝ 1/√n_s so small sources are
+    // up-weighted; thresholds derived IN-PLAN from source stats (√ is
+    // correctly rounded everywhere — exact cross-engine thresholds)
+    "mixture_temperature" -> ((s, dir) =>
+      graft.pipeline.TrainingData.temperatureMixture(
+        Tables.documents(s, dir).where(col("n_chars") >= 220),
+        "source", "doc_id", targetFrac = 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // per-group winsorization at exact [p05, p95] rank statistics:
+    // every event keeps its identity, value clamped into its type's
+    // bounds, clip side flagged (pipeline/Outliers.scala)
+    "outlier_winsorize" -> ((s, dir) =>
+      graft.pipeline.Outliers.winsorize(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", "event_id")
+        .select("event_id", "event_type", "value", "clipped")
+        .orderBy("event_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3457,6 +3552,138 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS has_pairs,
         | CAST(0 AS BIGINT) AS n_missed,
         | CAST(0 AS BIGINT) AS n_extra""".stripMargin,
+
+    // ------------------------------------------ round-6 pipeline additions
+
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+        |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderkey, change FROM (
+        | SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |       WHEN v2.o_orderkey IS NULL THEN 'delete'
+        |       WHEN (v1.o_custkey IS DISTINCT FROM v2.o_custkey)
+        |         OR (v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus)
+        |         OR (v1.o_totalprice IS DISTINCT FROM v2.o_totalprice)
+        |         OR (v1.o_orderdate IS DISTINCT FROM v2.o_orderdate)
+        |         OR (v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority)
+        |       THEN 'update' END AS change
+        | FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey) t
+        |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
+        |  event_id, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |    AS is_start
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS seg FROM m),
+        |g AS (SELECT user_id, seg, min(event_type) AS state,
+        |  min(ts) AS valid_from, count(*) AS n_events
+        | FROM s GROUP BY user_id, seg)
+        |SELECT user_id, state, valid_from,
+        | COALESCE(lead(valid_from) OVER w2, -1) AS valid_to,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+        |   THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  -ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+        |      1, 6))::BIGINT + 1.0) / 16777216.0)
+        |    / CAST(n_chars AS DOUBLE) AS race_key
+        | FROM documents)
+        |SELECT doc_id, n_chars FROM (
+        | SELECT doc_id, n_chars FROM r ORDER BY race_key, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or call 555-'
+        |    || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0')
+        |    || ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.0.0.'
+        |    || CAST((doc_id * 31) % 256 AS VARCHAR) AS pii_text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(pii_text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_email,
+        | CAST(len(regexp_extract_all(pii_text,
+        |   '(\(\d{3}\)[ -]?|\b\d{3}[ -])?\b\d{3}[ -]\d{4}\b')) AS BIGINT)
+        |   AS n_phone,
+        | CAST(len(regexp_extract_all(pii_text,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        | regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |   'g'),
+        |   '(\(\d{3}\)[ -]?|\b\d{3}[ -])?\b\d{3}[ -]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "stats_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        | FROM documents)
+        |SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t GROUP BY tok
+        |HAVING count(*) * 32 > (SELECT count(*) FROM t)
+        |ORDER BY item""".stripMargin,
+
+    "text_keywords" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf
+        | FROM tf GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents) t GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |  CAST(tf AS DOUBLE) * ln((CAST(n AS DOUBLE) + 1.0)
+        |    / (CAST(df AS DOUBLE) + 1.0)) AS score
+        | FROM tfc JOIN df USING (term), n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        | round(score, 4) AS score_r4
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, term) AS rank FROM sc) r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "mixture_temperature" ->
+      """WITH d0 AS (SELECT * FROM documents WHERE n_chars >= 220),
+        |s AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        | FROM d0 GROUP BY source),
+        |t AS (SELECT sum(sqrt(n_s)) AS z, sum(n_s) AS n FROM s),
+        |thr AS (SELECT source,
+        |  least(256.0, floor(256.0 * 0.5 * n * sqrt(n_s) / z / n_s)) AS t_s
+        | FROM s, t)
+        |SELECT doc_id, source FROM d0 JOIN thr USING (source)
+        |WHERE ('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)),
+        |  1, 2))::BIGINT < t_s
+        |ORDER BY doc_id""".stripMargin,
+
+    "outlier_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |b AS (SELECT event_type,
+        |  max(CASE WHEN rn = (n * 1 + 19) // 20 THEN value END) AS lo,
+        |  max(CASE WHEN rn = (n * 19 + 19) // 20 THEN value END) AS hi
+        | FROM r GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        | least(greatest(e.value, b.lo), b.hi) AS value,
+        | CAST(CASE WHEN e.value < b.lo THEN -1
+        |   WHEN e.value > b.hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
+        |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
   )
 
   /** Shared oracle for exact token-set Jaccard at a given integer

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.FastFunctions.litLongs
@@ -87,4 +88,76 @@ object Sketches {
   def hllUnionEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(round(hll_sketch_estimate(
       hll_union_agg(col("sketch"), false))).cast("long").as("n_distinct"))
+
+  // ------------------------------------------------------- heavy hitters
+
+  /** Misra-Gries buffer: ≤ k−1 (item, lower-bound count) summaries. */
+  final case class MgBuf(m: Map[String, Long])
+
+  /** Mergeable Misra-Gries heavy-hitter summary (Misra & Gries 1982;
+    * merge rule from Agarwal et al., "Mergeable Summaries", PODS 2012):
+    * ≤ k−1 counters per task, and ANY merge order preserves the
+    * guarantee that every item with true frequency > n/k is still in
+    * the summary. Counts in the buffer are undercounts (by ≤ n/k), so
+    * the summary alone nominates CANDIDATES — [[heavyHitters]] adds the
+    * exact second pass that makes the final answer deterministic and
+    * exact, independent of Spark's nondeterministic merge order. */
+  private class MisraGries(k: Int) extends Aggregator[String, MgBuf, Seq[String]] {
+    override def zero: MgBuf = MgBuf(Map.empty)
+    override def reduce(b: MgBuf, item: String): MgBuf =
+      b.m.get(item) match {
+        case Some(c) => MgBuf(b.m.updated(item, c + 1))
+        case None if b.m.size < k - 1 => MgBuf(b.m.updated(item, 1L))
+        case None => // decrement-all; drop zeros
+          MgBuf(b.m.collect { case (i, c) if c > 1 => (i, c - 1L) })
+      }
+    override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val s = (x.m.keySet ++ y.m.keySet).iterator
+        .map(i => i -> (x.m.getOrElse(i, 0L) + y.m.getOrElse(i, 0L))).toMap
+      if (s.size <= k - 1) MgBuf(s)
+      else { // subtract the k-th largest summed count, drop non-positive
+        val kth = s.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k - 1)
+        MgBuf(s.collect { case (i, c) if c > kth => (i, c - kth) })
+      }
+    }
+    override def finish(b: MgBuf): Seq[String] = b.m.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Candidate heavy hitters: array<string> column (one row per group
+    * scope it aggregates over), sorted for display stability. */
+  def misraGriesCandidates(k: Int)(item: Column): Column = {
+    require(k >= 2, s"Misra-Gries needs k >= 2, got $k")
+    udaf(new MisraGries(k), Encoders.STRING).apply(item)
+  }
+
+  /** EXACT heavy hitters — every item with frequency strictly above
+    * n/k — in two bounded passes, never a full groupBy over the domain:
+    *
+    *   1. one scan: Misra-Gries candidates (≤ k−1 survivors regardless
+    *      of merge order) + the total count n, in the SAME aggregate;
+    *   2. one scan: exact counts of candidate items only (broadcast
+    *      semi-join of the item stream against ≤ k−1 candidate keys),
+    *      filtered by cnt·k > n.
+    *
+    * The MG no-false-negative guarantee makes pass 2's output exactly
+    * the true heavy-hitter set — the nondeterminism of partial-aggregate
+    * merge order affects only which sub-threshold candidates get
+    * exactly counted and then discarded. At 100 TB the shuffle carries
+    * ≤ k−1 counters per task in pass 1 and ≤ k−1 groups in pass 2 —
+    * the full-domain `groupBy(item).count` this replaces would shuffle
+    * every distinct item. Output: (item, cnt) for cnt·k > n. */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val firstPass = items.agg(
+      misraGriesCandidates(k)(col(itemCol)).as("cand"),
+      count(lit(1)).as("n")).collect()(0)
+    val cand = firstPass.getSeq[String](0)
+    val n = firstPass.getLong(1)
+    items.where(col(itemCol).isin(cand: _*))
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * k > n)
+  }
 }

@@ -247,4 +247,38 @@ object TextAnalysis {
       .withColumn("mean_p_x1e6", when(col("n_bigrams") === 0, 0L)
         .otherwise(expr("sum_p_x1e6 div n_bigrams")))
   }
+
+  /** Top-k characteristic keywords per document by smoothed TF-IDF:
+    * score = tf · ln((N+1)/(df+1)), ranked (score desc, term asc) with a
+    * deterministic dense rank. The corpus statistics are ONE vocabulary-
+    * sized aggregate (df per term) plus a 1-row count, both broadcast
+    * back onto the per-doc term counts; the rank window partitions by
+    * doc_id, so its sort is bounded by a document's distinct-term count,
+    * never the corpus. Output: (doc_id, rank 1..k, term, score_r4) —
+    * the score rounded to 4 decimals for engine-portable display (the
+    * ORDER uses the unrounded double).
+    *
+    * Equal (tf, df) pairs produce bit-identical scores in any IEEE
+    * engine, so ties and their term-order resolution are portable. */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        log((col("n").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 4).as("score_r4"))
+  }
 }

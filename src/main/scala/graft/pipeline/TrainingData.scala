@@ -113,6 +113,69 @@ object TrainingData {
       .drop("rnk")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006, exponential-race form): row i wins a slot iff its
+    * race key −ln(uᵢ)/wᵢ is among the k smallest, where uᵢ ∈ (0,1] is a
+    * pseudo-random uniform derived from md5 of the row id (NOT an RNG —
+    * a pure function of (seed, id), so the sample is identical under
+    * reruns, repartitions, and engine changes) and wᵢ is the row's
+    * weight. Inclusion probability is proportional to weight for the
+    * successive-draws-without-replacement process — the principled way
+    * to bias a training mix toward long/high-quality documents without
+    * duplicating rows.
+    *
+    * Scale shape: one narrow projection to compute the key, then a
+    * global bounded top-k (`orderBy.limit` → TakeOrderedAndProject:
+    * per-partition k candidates + driver merge) — the corpus is never
+    * globally sorted. The race key stays internal, so cross-engine
+    * float agreement only has to preserve the ORDER of keys (ulp-level
+    * divergence would need two keys within ~1e-15 relative to flip). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String = "ws"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary")),
+      1, 6), 16, 10).cast("double") + lit(1.0)) / lit(16777216.0)
+    df.withColumn("race_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("race_key"), col(idCol))
+      .limit(k)
+      .drop("race_key")
+  }
+
+  /** Temperature-balanced source mixture at τ = 2 (α = ½): keep a
+    * deterministic per-source fraction so the KEPT corpus's source mass
+    * is ∝ √n_s — the standard "temperature sampling" that up-weights
+    * small sources without duplicating rows. Target kept-total is
+    * `targetFrac` of the corpus; per-source keep rate
+    * r_s = targetFrac·N·√n_s / (Z·n_s) (Z = Σ√n_t, capped at 1) is
+    * quantized to a 256-bucket md5 threshold, and a row survives iff
+    * its md5 bucket (a pure function of (seed, id) — rerun/append
+    * stable, the [[mixtureSample]] idiom with DERIVED weights) falls
+    * under its source's threshold.
+    *
+    * α = ½ specifically because √ is IEEE-correctly-rounded in every
+    * engine (general pow is not), so the oracle reproduces thresholds
+    * bit-for-bit. Scale shape: source stats are one tiny aggregate
+    * broadcast back; the keep test is a narrow projection. */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         targetFrac: Double): DataFrame = {
+    val stats = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("n_s"))
+    val tot = stats.agg(sum(sqrt(col("n_s"))).as("z"),
+      sum(col("n_s")).as("n"))
+    val thr = stats.crossJoin(broadcast(tot))
+      .withColumn("t_s", least(lit(256.0),
+        floor(lit(256.0) * lit(targetFrac) * col("n") * sqrt(col("n_s"))
+          / col("z") / col("n_s"))))
+      .select(col(sourceCol), col("t_s"))
+    val bucket = conv(substring(
+      md5(concat(lit("tmix:"), col(idCol).cast("string")).cast("binary")),
+      1, 2), 16, 10).cast("long")
+    df.join(broadcast(thr), Seq(sourceCol))
+      .where(bucket < col("t_s"))
+      .drop("t_s")
+  }
+
   /** GPT-style sequence packing by concat-then-chunk: documents are laid
     * out in deterministic id order within `shards` independent shards,
     * token counts accumulate, and a document's training sequence is its

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SnapshotDiff change classification: inserts, deletes, value updates,
+  * null-transition updates, and the silence of unchanged rows. */
+class SnapshotDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def m(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("classifies insert / delete / update and drops unchanged rows") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "v")
+    val cur = Seq((2L, "b", 20), (3L, "CHANGED", 30), (4L, "d", 40))
+      .toDF("k", "s", "v")
+    val got = m(SnapshotDiff.diff(old, cur, Seq("k")))
+    assert(got === Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+  }
+
+  test("null transitions are updates; null == null is unchanged") {
+    val old = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("k", "s")
+    val cur = Seq((1L, Option.empty[String]), (2L, Option("y")),
+      (3L, Option.empty[String])).toDF("k", "s")
+    val got = m(SnapshotDiff.diff(old, cur, Seq("k")))
+    assert(got === Map(1L -> "update", 2L -> "update"))
+  }
+
+  test("compound keys and column-order robustness") {
+    val old = Seq((1L, "p", 5.0), (1L, "q", 6.0)).toDF("k1", "k2", "v")
+    val cur = Seq((1L, "q", 6.5), (1L, "p", 5.0))
+      .toDF("k1", "k2", "v").select("k2", "v", "k1") // scrambled order
+      .select(col("k1"), col("k2"), col("v"))
+    val got = SnapshotDiff.diff(old, cur, Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq((1L, "q", "update")))
+  }
+
+  test("identical snapshots produce an empty diff") {
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    assert(SnapshotDiff.diff(a, a, Seq("k")).count() === 0L)
+  }
+}

@@ -63,4 +63,36 @@ class SketchesSpec extends AnyFunSuite {
     val total = Sketches.hllUnionEstimate(sk).collect().head.getLong(0)
     assert(total === 120L)
   }
+
+  // ------------------------------------------------------- Misra-Gries
+
+  test("heavyHitters: exact heavy-hitter set on a skewed stream with domain >> k") {
+    // 3 heavy items (freq 3000/2000/1500 of n=10100) + 3600 rare items;
+    // k=8 => threshold n/8 = 1262.5 -- eviction fires constantly
+    val rows = (Seq.fill(3000)("hh1") ++ Seq.fill(2000)("hh2") ++
+      Seq.fill(1500)("hh3") ++ (0 until 3600).map(i => s"rare$i"))
+    val items = rows.toDF("item").repartition(13)
+    val got = Sketches.heavyHitters(items, "item", k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("hh1" -> 3000L, "hh2" -> 2000L, "hh3" -> 1500L))
+  }
+
+  test("heavyHitters: borderline frequencies respect the STRICT > n/k bound") {
+    // n = 100, k = 4: threshold 25. freq-25 item must NOT qualify.
+    val rows = Seq.fill(26)("over") ++ Seq.fill(25)("at") ++
+      Seq.fill(24)("under") ++ (0 until 25).map(i => s"r$i")
+    val got = Sketches.heavyHitters(rows.toDF("item"), "item", k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("over" -> 26L))
+  }
+
+  test("heavyHitters: result is stable under repartitioning (merge order)") {
+    val rows = (Seq.fill(500)("a") ++ Seq.fill(300)("b") ++
+      (0 until 900).map(i => s"x${i % 450}"))
+    val a = Sketches.heavyHitters(rows.toDF("item").repartition(3),
+      "item", k = 6).collect().map(_.getString(0)).sorted.toSeq
+    val b = Sketches.heavyHitters(rows.toDF("item").repartition(17),
+      "item", k = 6).collect().map(_.getString(0)).sorted.toSeq
+    assert(a === b)
+  }
 }

@@ -154,4 +154,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     // rank by (df desc, tok asc)
     assert(top === Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L), (4L, "z", 1L)))
   }
+
+  // --------------------------------------------------- TF-IDF keywords
+
+  test("tfidfKeywords: rare repeated terms beat ubiquitous ones") {
+    // 'zebra' is unique to doc 1 and repeated; 'common' is in every doc
+    val docs = Seq(
+      (1L, "common zebra zebra common alpha"),
+      (2L, "common beta beta gamma"),
+      (3L, "common gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val top1 = got.filter(t => t._1 == 1L && t._2 == 1L).map(_._3)
+    assert(top1.toSeq === Seq("zebra"))
+    // 'common' has df = N -> idf = ln((N+1)/(N+1)) = 0: never a keyword
+    assert(!got.exists(_._3 == "common"))
+  }
+
+  test("tfidfKeywords: k bound, dense rank, deterministic tie order") {
+    val docs = Seq((1L, "x y z w"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.count(_._1 == 1L) === 3)  // capped at k of 4 terms
+    assert(got.count(_._1 == 2L) === 2)  // short doc yields < k
+    // doc 1: z and w (df=1) tie ahead of x/y (df=2); term order breaks it
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq("w", "z", "x"))
+  }
 }

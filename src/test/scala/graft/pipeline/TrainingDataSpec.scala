@@ -241,4 +241,79 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L)))
   }
+
+  // ------------------------------------------------- weighted sampling
+
+  test("weightedSample: deterministic under repartitioning, k rows, subset") {
+    val docs = (0 until 400).map(i => (i.toLong, (i % 37) + 1)).toDF("id", "w")
+    val a = TrainingData.weightedSample(docs.repartition(3), "id", "w", 50)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = TrainingData.weightedSample(docs.repartition(19), "id", "w", 50)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    assert(a.length === 50)
+    assert(a.forall(id => id >= 0 && id < 400))
+  }
+
+  test("weightedSample: an overwhelming weight is always drawn") {
+    val docs = ((0 until 200).map(i => (i.toLong, 1.0)) :+ (999L, 1e12))
+      .toDF("id", "w")
+    val got = TrainingData.weightedSample(docs, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(999L))
+  }
+
+  test("weightedSample: equal weights reduce to the pure md5 race order") {
+    val docs = (0 until 100).map(i => (i.toLong, 7.0)).toDF("id", "w")
+    val got = TrainingData.weightedSample(docs, "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    // with equal weights the k smallest -ln(u)/w are the k LARGEST u
+    // (-ln is decreasing), i.e. the k largest md5 buckets -- compute them
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (0 until 100).map { i =>
+      val h = md.digest(s"ws:$i".getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16), i.toLong)
+    }.sortBy(t => (-t._1, t._2)).take(10).map(_._2).toSet
+    assert(got === expect)
+  }
+
+  test("weightedSample: different seeds draw different samples") {
+    val docs = (0 until 300).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val s1 = TrainingData.weightedSample(docs, "id", "w", 30, seed = "s1")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = TrainingData.weightedSample(docs, "id", "w", 30, seed = "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 !== s2)
+  }
+
+  // ------------------------------------------- temperature mixture
+
+  test("temperatureMixture: small sources keep a HIGHER rate, mass ~ sqrt") {
+    // 40 docs in 'big', 10 in 'small'
+    val docs = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val kept = TrainingData.temperatureMixture(docs, "src", "id", 0.6)
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    // thresholds: Z = sqrt(40)+sqrt(10); t_s = floor(256*.6*50*sqrt(n)/Z/n)
+    val z = math.sqrt(40.0) + math.sqrt(10.0)
+    def t(n: Int) = math.min(256.0, math.floor(256.0 * 0.6 * 50.0 * math.sqrt(n.toDouble) / z / n))
+    assert(t(10) > t(40)) // smaller source, higher keep rate
+    // exact membership via the same md5-bucket rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long) = java.lang.Integer.parseInt(
+      md.digest(s"tmix:$id".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString, 16)
+    val expect = ((0 until 40).filter(i => bucket(i) < t(40)).map(i => (i.toLong, "big")) ++
+      (100 until 110).filter(i => bucket(i) < t(10)).map(i => (i.toLong, "small"))).toSet
+    assert(kept.toSet === expect)
+  }
+
+  test("temperatureMixture: deterministic under repartitioning") {
+    val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val a = TrainingData.temperatureMixture(docs.repartition(4), "src", "id", 0.3)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val b = TrainingData.temperatureMixture(docs.repartition(23), "src", "id", 0.3)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(a === b)
+  }
 }
