@@ -2164,6 +2164,31 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // CDC round trip: extract the change set between two snapshot
+    // variants, MERGE it back onto v1, and return the result — the
+    // oracle derives v2 INDEPENDENTLY, so the gate proves
+    // apply(v1, diffRows(v1, v2)) == v2 row-for-row
+    "snapshot_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val v1 = o.where(expr("o_orderkey % 11 != 0"))
+      val v2 = o.where(expr("o_orderkey % 7 != 0"))
+        .withColumn("o_totalprice",
+          when(expr("o_orderkey % 5 = 0"), col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val changes = graft.operators.SnapshotDiff
+        .diffRows(v1, v2, Seq("o_orderkey"))
+      graft.operators.SnapshotDiff
+        .applyChanges(v1, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // first-order Markov transition matrix over each user's event
+    // timeline: one lag window by user + a |types|^2-bounded count
+    "events_transitions" -> ((s, dir) =>
+      graft.streaming.EventPipeline
+        .transitionCounts(Tables.events(s, dir))
+        .orderBy("from_type", "to_type")),
+
     // per-doc characteristic keywords: smoothed TF-IDF top-3 with a
     // deterministic (score desc, term) rank; corpus stats are one
     // vocabulary-sized aggregate broadcast back (TextAnalysis)
@@ -3636,6 +3661,26 @@ object SparkEntry {
         |FROM t GROUP BY tok
         |HAVING count(*) * 32 > (SELECT count(*) FROM t)
         |ORDER BY item""".stripMargin,
+
+    // the INDEPENDENT v2 derivation — the Spark side reaches the same
+    // relation only through diffRows + applyChanges
+    "snapshot_apply" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
+        |  event_id, event_type FROM events),
+        |p AS (SELECT event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS from_type FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "text_keywords" ->
       """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

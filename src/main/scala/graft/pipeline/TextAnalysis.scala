@@ -271,7 +271,11 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    // df is VOCABULARY-sized: broadcastable for most corpora but not by
+    // contract (a web-scale corpus has 10⁸ terms) — no broadcast hint,
+    // AQE picks broadcast vs shuffle from the measured size. The 1-row
+    // count is always broadcast.
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf").cast("double") *
         log((col("n").cast("double") + lit(1.0)) /

@@ -141,6 +141,23 @@ object EventPipeline {
       .drop("__prev", "__brk")
   }
 
+  /** Behavioral transition matrix: counts of (previous event type →
+    * event type) steps within each user's (ts, event_id)-ordered
+    * timeline — the first-order Markov summary behind funnel discovery
+    * and anomalous-flow detection. One lag window partitioned by user
+    * (single shuffle, per-user sort bounded by the user's activity),
+    * then a map-side-combining count over at most |types|² groups.
+    * Output: (from_type, to_type, cnt). */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-session stats via Spark's native `session_window` — gap-merged
     * sessions per user, identical semantics to [[sessionized]]'s
     * labeling (see boundary note there). Works as a streaming stateful

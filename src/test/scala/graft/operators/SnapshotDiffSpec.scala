@@ -46,4 +46,32 @@ class SnapshotDiffSpec extends AnyFunSuite {
     val a = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     assert(SnapshotDiff.diff(a, a, Seq("k")).count() === 0L)
   }
+
+  test("diffRows carries payloads; applyChanges round-trips exactly") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val v2 = Seq((2L, "b", 20.0), (3L, "c", 33.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val ch = SnapshotDiff.diffRows(v1, v2, Seq("k"))
+    val byK = ch.collect()
+      .map(r => r.getLong(0) -> (r.getString(3), Option(r.get(2)))).toMap
+    assert(byK(1L)._1 === "delete" && byK(1L)._2.isEmpty) // nulled payload
+    assert(byK(3L) === (("update", Some(33.0))))
+    assert(byK(4L) === (("insert", Some(40.0))))
+    // MERGE replay reconstructs v2 exactly
+    val applied = SnapshotDiff.applyChanges(v1, ch, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val want = v2.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(applied === want)
+  }
+
+  test("applyChanges on an empty change set is the identity") {
+    val v = Seq((1L, "x", 1.0)).toDF("k", "s", "v")
+    val ch = SnapshotDiff.diffRows(v, v, Seq("k"))
+    assert(ch.count() === 0L)
+    assert(SnapshotDiff.applyChanges(v, ch, Seq("k")).collect().toSeq ===
+      v.collect().toSeq)
+  }
 }
