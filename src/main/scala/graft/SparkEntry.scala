@@ -2208,6 +2208,16 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // robust outlier flags: |x − median| > 3·MAD per event type, both
+    // statistics exact lower-median order statistics (deterministic,
+    // engine-portable; immune to the outliers they hunt)
+    "outlier_mad" -> ((s, dir) =>
+      graft.pipeline.Outliers.madOutliers(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", "event_id", k = 3.0)
+        .select("event_id", "event_type", "is_outlier")
+        .orderBy("event_id")),
+
     // per-group winsorization at exact [p05, p95] rank statistics:
     // every event keeps its identity, value clamped into its type's
     // bounds, clip side flagged (pipeline/Outliers.scala)
@@ -3713,6 +3723,29 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)),
         |  1, 2))::BIGINT < t_s
         |ORDER BY doc_id""".stripMargin,
+
+    "outlier_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r1 AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        | FROM r1 GROUP BY event_type),
+        |d AS (SELECT e.event_id, e.event_type, e.value,
+        |  abs(e.value - med.med) AS dev FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev, event_id) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+        | FROM r2 GROUP BY event_type)
+        |SELECT d.event_id, d.event_type,
+        | CAST(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_outlier
+        |FROM d JOIN mad USING (event_type) ORDER BY event_id""".stripMargin,
 
     "outlier_winsorize" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),

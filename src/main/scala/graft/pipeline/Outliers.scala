@@ -58,4 +58,40 @@ object Outliers {
         least(greatest(col(valueCol), col("lo")), col("hi")))
       .drop("lo", "hi")
   }
+
+  /** Exact per-group LOWER MEDIAN (rank ⌈n/2⌉ in (value, id) order) of
+    * an arbitrary value expression — the deterministic, engine-portable
+    * median convention shared with [[clipBounds]]. */
+  private def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
+                          idCol: String, out: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    val cw = Window.partitionBy(groupCol)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .groupBy(groupCol)
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col(valueCol)))
+        .as(out))
+  }
+
+  /** Robust per-group outlier flags by MEDIAN ABSOLUTE DEVIATION: a row
+    * is an outlier iff |x − median| > k·MAD (both statistics exact
+    * lower-median order statistics — deterministic and engine-portable;
+    * mean/stddev would let one corrupt row drag its own threshold,
+    * which is the failure MAD exists to prevent). Two bounded
+    * window-sort passes over the group plus two \|groups\|-row
+    * broadcast joins; every intermediate (median is an input value,
+    * deviation a single subtraction, MAD one of the deviations) is
+    * exactly representable, so the strict-> flag is portable too.
+    * Output: input columns + `is_outlier` ∈ {0, 1}. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, k: Double = 3.0): DataFrame = {
+    val med = groupMedian(df, groupCol, valueCol, idCol, "med")
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = groupMedian(withDev, groupCol, "dev", idCol, "mad")
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+      .drop("med", "dev", "mad")
+  }
 }

@@ -158,6 +158,38 @@ object EventPipeline {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  final case class StepEvent(user_id: Long, ts: Long, event_id: Long,
+                             event_type: String)
+  final case class Step(user_id: Long, from_type: String, to_type: String,
+                        ts: Long)
+
+  /** STREAMING twin of [[transitionCounts]]'s pair extraction: each
+    * arriving event emits its (previous type → this type) step, with
+    * only the LAST event per user held in `flatMapGroupsWithState` —
+    * O(users) state, not O(events). Append mode: a step is emitted
+    * exactly once, by the event that completes it; downstream windowed
+    * counts aggregate the steps. Same per-entity arrival-order contract
+    * as [[graft.operators.Scd2.closedHistoryStream]]; batch mode yields
+    * exactly the batch lag-window pairs. */
+  def transitionSteps(events: Dataset[StepEvent]): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StepEvent, Step](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, gs) =>
+          val batch = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var last = gs.getOption
+          val out = Seq.newBuilder[Step]
+          batch.foreach { e =>
+            last.foreach(l => out += Step(uid, l.event_type, e.event_type, e.ts))
+            last = Some(e)
+          }
+          last.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+
   /** Per-session stats via Spark's native `session_window` — gap-merged
     * sessions per user, identical semantics to [[sessionized]]'s
     * labeling (see boundary note there). Works as a streaming stateful
