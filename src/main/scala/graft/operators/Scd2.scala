@@ -72,26 +72,36 @@ object Scd2 {
     * deterministically. Output: (entity, state, valid_from, valid_to,
     * n_events, is_current), where `valid_to` is the NEXT interval's
     * start (half-open [from, to)) and -1 on the current row, and
-    * `n_events` counts the log rows the interval collapsed. */
+    * `n_events` counts the log rows the interval collapsed.
+    *
+    * ONE exchange: segments are contiguous in the per-entity timeline,
+    * so instead of the textbook running-sum-segment-id + groupBy
+    * (a second hash exchange on (entity, segment)), only the segment
+    * START rows are kept and `lead` over the SAME entity partitioning
+    * supplies the closing timestamp and the collapsed-row count
+    * (difference of overall row numbers). The filter between the two
+    * window passes preserves partitioning and (ts, seq) order, so
+    * Catalyst plans a single hashpartitioning(entity) exchange and a
+    * single sort for the whole operator. */
   def history(log: DataFrame, entityCol: String, tsCol: String,
               seqCol: String, stateCol: String): DataFrame = {
     val byRow = Window.partitionBy(entityCol).orderBy(col(tsCol), col(seqCol))
-    val byFrom = Window.partitionBy(entityCol).orderBy(col("valid_from"))
+    val whole = Window.partitionBy(entityCol)
     log
-      .withColumn("is_start",
-        when(lag(col(stateCol), 1).over(byRow).isNull ||
-          lag(col(stateCol), 1).over(byRow) =!= col(stateCol), 1L)
-          .otherwise(0L))
-      .withColumn("seg", sum(col("is_start")).over(byRow))
-      .groupBy(col(entityCol), col("seg"))
-      .agg(first(col(stateCol)).as("state"),
-        min(col(tsCol)).as("valid_from"),
-        count(lit(1)).as("n_events"))
+      .withColumn("rn", row_number().over(byRow).cast("long"))
+      .withColumn("prev_state", lag(col(stateCol), 1).over(byRow))
+      .withColumn("n_rows", count(lit(1)).over(whole))
+      .where(col("prev_state").isNull ||
+        col("prev_state") =!= col(stateCol)) // segment start rows only
       .withColumn("valid_to",
-        coalesce(lead(col("valid_from"), 1).over(byFrom), lit(-1L)))
+        coalesce(lead(col(tsCol), 1).over(byRow), lit(-1L)))
+      .withColumn("n_events",
+        coalesce(lead(col("rn"), 1).over(byRow), col("n_rows") + 1L)
+          - col("rn"))
       .withColumn("is_current",
         when(col("valid_to") === -1L, 1L).otherwise(0L))
-      .select(col(entityCol), col("state"), col("valid_from"),
-        col("valid_to"), col("n_events"), col("is_current"))
+      .select(col(entityCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col("valid_to"), col("n_events"),
+        col("is_current"))
   }
 }
