@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.pipeline.Sketches
+
+/** Randomized brute-force equivalence for the round-6 operators whose
+  * hand-picked spec cases can't cover the input space: SnapshotDiff /
+  * applyChanges round trips, SCD2 gaps-and-islands, and Misra-Gries
+  * heavy hitters, each checked against a from-first-principles Scala
+  * reference on arbitrary generated inputs. */
+class OperatorPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Run a ScalaCheck property, failing the suite with its message. */
+  private def check(prop: Prop): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  // small keyed tables with overlapping key ranges and repeated values
+  private val snapshotGen: Gen[Seq[(Long, String, Int)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(0L, 15L)
+      s <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 3)
+    } yield (k, s, v)).map(_.groupBy(_._1).map(_._2.head).toSeq) // unique keys
+
+  test("diff/diffRows/applyChanges equal a set-arithmetic reference") {
+    check(forAll(snapshotGen, snapshotGen) { (o, c) =>
+      val old = o.toDF("k", "s", "v")
+      val cur = c.toDF("k", "s", "v")
+      val om = o.map(t => t._1 -> ((t._2, t._3))).toMap
+      val cm = c.map(t => t._1 -> ((t._2, t._3))).toMap
+      val want = (om.keySet ++ cm.keySet).flatMap { k =>
+        (om.get(k), cm.get(k)) match {
+          case (None, Some(_)) => Some(k -> "insert")
+          case (Some(_), None) => Some(k -> "delete")
+          case (Some(a), Some(b)) if a != b => Some(k -> "update")
+          case _ => None
+        }
+      }.toMap
+      val got = SnapshotDiff.diff(old, cur, Seq("k")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val applied = SnapshotDiff.applyChanges(old,
+          SnapshotDiff.diffRows(old, cur, Seq("k")), Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .toSet
+      Prop(got == want) :| s"diff: got $got want $want" &&
+        Prop(applied == c.toSet) :| s"round-trip: got $applied want ${c.toSet}"
+    })
+  }
+
+  // per-entity logs with ts collisions (seq breaks them) and few states
+  private val logGen: Gen[Seq[(Long, Long, Long, String)]] =
+    Gen.listOf(for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 6L)
+      s <- Gen.oneOf("x", "y")
+    } yield (u, t, s)).map(_.zipWithIndex
+      .map { case ((u, t, s), i) => (u, t, i.toLong, s) })
+
+  test("Scd2.history equals a sequential fold over each entity's log") {
+    check(forAll(logGen) { rows =>
+      val got = Scd2.history(rows.toDF("u", "ts", "seq", "st"),
+          "u", "ts", "seq", "st")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (u, evs) =>
+        val ordered = evs.sortBy(e => (e._2, e._3))
+        // fold into (state, from, count) runs
+        val runs = ordered.foldLeft(Vector.empty[(String, Long, Long)]) {
+          case (acc, (_, t, _, s)) =>
+            if (acc.nonEmpty && acc.last._1 == s)
+              acc.init :+ acc.last.copy(_3 = acc.last._3 + 1)
+            else acc :+ ((s, t, 1L))
+        }
+        runs.zipWithIndex.map { case ((s, from, n), i) =>
+          val to = if (i + 1 < runs.length) runs(i + 1)._2 else -1L
+          (u, s, from, to, n, if (to == -1L) 1L else 0L)
+        }
+      }.toSet
+      Prop(got == want) :| s"got $got want $want"
+    })
+  }
+
+  private val itemsGen: Gen[(Seq[String], Int)] = for {
+    n <- Gen.choose(1, 400)
+    zipf <- Gen.listOfN(n, Gen.frequency(
+      (6, Gen.const("hot")), (3, Gen.const("warm")),
+      (2, Gen.oneOf("c1", "c2", "c3")),
+      (4, Gen.choose(0, 200).map(i => s"cold$i"))))
+    k <- Gen.choose(2, 12)
+  } yield (zipf, k)
+
+  test("heavyHitters equals the exact freq > n/k set on arbitrary streams") {
+    check(forAll(itemsGen) { case (items, k) =>
+      val got = Sketches
+        .heavyHitters(items.toDF("item").repartition(5), "item", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = items.length
+      val want = items.groupBy(identity).view.mapValues(_.length.toLong)
+        .filter(_._2 * k > n).toMap
+      Prop(got == want) :| s"n=$n k=$k got $got want $want"
+    })
+  }
+}
