@@ -50,4 +50,18 @@ class Scd2Spec extends AnyFunSuite {
       (1L, "a", 1L, -1L, 1L, 1L),
       (2L, "z", 9L, -1L, 1L, 1L)))
   }
+
+  test("history plans ONE hash exchange and one sort (scale shape)") {
+    val df = Scd2.history(
+      (0 until 200).map(i => ((i % 7).toLong, (i / 7).toLong, i.toLong,
+        if (i % 3 == 0) "a" else "b")).toDF("u", "ts", "seq", "st"),
+      "u", "ts", "seq", "st")
+    // count on the rendered plan: executedPlan.collect does not descend
+    // into the AdaptiveSparkPlan wrapper
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"want 1 exchange:\n$plan")
+    assert("\\bSort \\[".r.findAllIn(plan).size === 1,
+      s"want 1 sort:\n$plan")
+  }
 }

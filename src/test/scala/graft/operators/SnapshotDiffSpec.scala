@@ -74,4 +74,18 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(SnapshotDiff.applyChanges(v, ch, Seq("k")).collect().toSeq ===
       v.collect().toSeq)
   }
+
+  test("diff plans equi sort-merge joins, never a nested-loop (scale shape)") {
+    val a = (0L until 500L).map(i => (i, s"s$i")).toDF("k", "s")
+    val b = (250L until 750L).map(i => (i, s"s$i")).toDF("k", "s")
+    // string-match: executedPlan.collect does not descend into the
+    // AdaptiveSparkPlan wrapper
+    val plan = SnapshotDiff.diff(a, b, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"non-equi join shape leaked into the diff:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected an equi full-outer join:\n$plan")
+  }
 }
