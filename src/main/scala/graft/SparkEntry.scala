@@ -2164,6 +2164,14 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // PMI collocation mining: adjacent pairs co-occurring beyond their
+    // marginals — one bigram aggregate feeds marginals + total, global
+    // bounded top-k (TextAnalysis.collocations)
+    "text_collocations" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis
+        .collocations(Tables.documents(s, dir), k = 20, minCount = 5L)
+        .orderBy("rank")),
+
     // CDC round trip: extract the change set between two snapshot
     // variants, MERGE it back onto v1, and return the result — the
     // oracle derives v2 INDEPENDENTLY, so the gate proves
@@ -3671,6 +3679,31 @@ object SparkEntry {
         |FROM t GROUP BY tok
         |HAVING count(*) * 32 > (SELECT count(*) FROM t)
         |ORDER BY item""".stripMargin,
+
+    "text_collocations" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4095 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |bg AS (SELECT ts[i.i] AS w1, ts[i.i + 1] AS w2
+        | FROM tok, generate_series(1, 4096) AS i(i)
+        | WHERE i.i + 1 <= len(ts)),
+        |pairs AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(n_pair) AS n_left FROM pairs GROUP BY 1),
+        |r AS (SELECT w2, sum(n_pair) AS n_right FROM pairs GROUP BY 1),
+        |t AS (SELECT sum(n_pair) AS n_total FROM pairs),
+        |sc AS (SELECT w1, w2, n_pair,
+        |  ln(CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))) AS pmi
+        | FROM pairs JOIN l USING (w1) JOIN r USING (w2), t
+        | WHERE n_pair >= 5)
+        |SELECT CAST(row_number() OVER
+        |   (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank,
+        | w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+        | round(pmi, 4) AS pmi_r4
+        |FROM sc CROSS JOIN guard WHERE guard.ok = 1
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // the INDEPENDENT v2 derivation — the Spark side reaches the same
     // relation only through diffRows + applyChanges

@@ -285,4 +285,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"),
         round(col("score"), 4).as("score_r4"))
   }
+
+  /** Collocation mining by pointwise mutual information: adjacent word
+    * pairs that co-occur far more than their marginals predict —
+    * PMI = ln(c(ab)·N / (cl(a)·cr(b))) over the corpus bigram table,
+    * with cl/cr the left/right marginal counts and N the bigram total.
+    * The standard first pass of phrase/vocabulary induction
+    * (word2vec-phrases, subword corpora).
+    *
+    * One bigram explode feeds ONE pair aggregate (vocabulary²-bounded
+    * with map-side combine, in practice bigram-type-bounded); the two
+    * marginals and the 1-row total derive from THAT aggregate, not from
+    * a second corpus scan, and join back at vocabulary size. `minCount`
+    * suppresses the unstable low-frequency tail (classic PMI pathology:
+    * a pair seen once has maximal PMI). Global top-k by (pmi desc,
+    * w1, w2) is a bounded TakeOrderedAndProject, never a full sort.
+    * Output: (rank, w1, w2, n_pair, pmi_r4). */
+  def collocations(docs: DataFrame, k: Int, minCount: Long = 5L): DataFrame = {
+    val pairs = bigramOccurrences(docs)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val left = pairs.groupBy("w1").agg(sum("n_pair").as("n_left"))
+    val right = pairs.groupBy("w2").agg(sum("n_pair").as("n_right"))
+    val tot = pairs.agg(sum("n_pair").as("n_total"))
+    import org.apache.spark.sql.expressions.Window
+    pairs.where(col("n_pair") >= minCount)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        log(col("n_pair").cast("double") * col("n_total").cast("double") /
+          (col("n_left").cast("double") * col("n_right").cast("double"))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("n_pair"),
+        round(col("pmi"), 4).as("pmi_r4"))
+  }
 }

@@ -181,4 +181,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 1: z and w (df=1) tie ahead of x/y (df=2); term order breaks it
     assert(got.filter(_._1 == 1L).map(_._3).toSeq === Seq("w", "z", "x"))
   }
+
+  // ------------------------------------------------------ collocations
+
+  test("collocations: an exclusive pair outranks promiscuous ones") {
+    // 'alpha beta' always co-occur exclusively (6x); 'x'/'y' pair with
+    // everything. Exclusive pair -> maximal PMI.
+    val docs = Seq(
+      (1L, "alpha beta x y alpha beta x alpha beta y"),
+      (2L, "alpha beta y x alpha beta x y x y"),
+      (3L, "x y alpha beta y x y x y x")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, k = 3, minCount = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.head._2 === "alpha")
+    assert(got.head._3 === "beta")
+  }
+
+  test("collocations: minCount suppresses the unstable singleton tail") {
+    // 'rare once' occurs once with maximal PMI -- must not surface
+    val docs = Seq(
+      (1L, "a b a b a b a b rare once"),
+      (2L, "a b a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(!got.contains(("rare", "once")))
+    assert(got.contains(("a", "b")))
+  }
 }
