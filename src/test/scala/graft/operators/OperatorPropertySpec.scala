@@ -110,4 +110,55 @@ class OperatorPropertySpec extends AnyFunSuite {
       Prop(got == want) :| s"n=$n k=$k got $got want $want"
     })
   }
+
+  // grouped doubles with ties and tiny/large groups
+  private val groupedGen: Gen[Seq[(Long, String, Double)]] =
+    Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("g1", "g2")
+      v <- Gen.choose(0, 12).map(_.toDouble)
+    } yield (g, v)).map(_.zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) })
+
+  /** Lower median by the operator's (value, id) rank convention. */
+  private def lowerMedian(vs: Seq[(Double, Long)]): Double = {
+    val sorted = vs.sortBy(identity)
+    sorted(((sorted.length + 1) / 2) - 1)._1
+  }
+
+  test("winsorize equals brute-force rank bounds on arbitrary groups") {
+    check(forAll(groupedGen) { rows =>
+      val df = rows.toDF("id", "grp", "v").repartition(3)
+      val got = graft.pipeline.Outliers.winsorize(df, "grp", "v", "id")
+        .select("id", "v", "clipped").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        val sorted = grp.map(t => (t._3, t._1)).sortBy(identity)
+        val n = sorted.length
+        val lo = sorted((n * 1 + 19) / 20 - 1)._1
+        val hi = sorted((n * 19 + 19) / 20 - 1)._1
+        grp.map { case (id, _, v) =>
+          val c = if (v < lo) -1L else if (v > hi) 1L else 0L
+          id -> ((math.min(math.max(v, lo), hi), c))
+        }
+      }
+      Prop(got == want) :| s"got $got want $want"
+    })
+  }
+
+  test("madOutliers equals brute-force median/MAD on arbitrary groups") {
+    check(forAll(groupedGen) { rows =>
+      val df = rows.toDF("id", "grp", "v").repartition(3)
+      val got = graft.pipeline.Outliers.madOutliers(df, "grp", "v", "id")
+        .select("id", "is_outlier").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        val med = lowerMedian(grp.map(t => (t._3, t._1)))
+        val mad = lowerMedian(grp.map(t => (math.abs(t._3 - med), t._1)))
+        grp.map { case (id, _, v) =>
+          id -> (if (math.abs(v - med) > 3.0 * mad) 1L else 0L)
+        }
+      }
+      Prop(got == want) :| s"got $got want $want"
+    })
+  }
 }
