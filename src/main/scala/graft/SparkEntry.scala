@@ -2164,6 +2164,16 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // best-of-cluster dedup: keep the LONGEST member of each near-dup
+    // component (not the min id) — what a pipeline wants when
+    // duplicates differ in truncation; shares the memoized LSH pair
+    // fixture with dedup_degree / sample_dedup_aware
+    "dedup_keep_best" -> ((s, dir) =>
+      graft.pipeline.Dedup.keepBest(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "n_chars", lshPairs90(s, dir))
+        .orderBy("doc_id")),
+
     // PMI collocation mining: adjacent pairs co-occurring beyond their
     // marginals — one bigram aggregate feeds marginals + total, global
     // bounded top-k (TextAnalysis.collocations)
@@ -3679,6 +3689,24 @@ object SparkEntry {
         |FROM t GROUP BY tok
         |HAVING count(*) * 32 > (SELECT count(*) FROM t)
         |ORDER BY item""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH pairs AS (${jaccardOracle(90)}),
+         |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |r AS (
+         |  WITH RECURSIVE reach(id, root) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+         |  SELECT id, min(root) AS comp FROM reach GROUP BY id)
+         |SELECT doc_id, comp, n_chars,
+         | CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM (SELECT d.doc_id, r.comp, d.n_chars,
+         |  row_number() OVER (PARTITION BY r.comp
+         |    ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         | FROM documents d JOIN r ON r.id = d.doc_id) t
+         |ORDER BY doc_id""".stripMargin,
 
     "text_collocations" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts

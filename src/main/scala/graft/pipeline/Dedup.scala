@@ -786,6 +786,28 @@ object Dedup {
       .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
   }
 
+  /** BEST-of-cluster dedup decision: for every near-dup component keep
+    * the highest-SCORING member (ties toward the smaller id) instead of
+    * the smallest id — "of these near-duplicates, keep the longest /
+    * highest-quality copy", which is what a training pipeline actually
+    * wants when duplicates differ in truncation or cleanliness. Same
+    * component machinery as [[dropList]]'s decision layer (near-dup is
+    * not transitive; the closure is the pairwise-clean boundary); the
+    * ranking window partitions by component, so its sort is bounded by
+    * the component size, never the corpus. `scored` carries
+    * (doc_id, `scoreCol`); output adds (comp, keep ∈ {0,1}), exactly one
+    * keep = 1 per component. */
+  def keepBest(scored: DataFrame, scoreCol: String,
+               pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(scored.select(col("doc_id")), pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    scored.join(comp, "doc_id")
+      .withColumn("keep",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("doc_id"), col("comp"), col(scoreCol), col("keep"))
+  }
+
   /** Incremental drop list — the ingest decision layered on
     * [[minHashLshPairsBipartite]]: which NEW documents to drop, given a
     * protected stored corpus (corpus docs are never dropped). A new doc

@@ -350,4 +350,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got === want)
     assert(want.nonEmpty) // the corpus genuinely exercises the join
   }
+
+  test("keepBest keeps the highest score per component, min-id on ties") {
+    import org.apache.spark.sql.functions.col
+    // components: {1,2,3} (chain), {10,11}, singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L),
+      (20L, 1L), (21L, 0L)).toDF("doc_id", "n_chars")
+    val got = Dedup.keepBest(scored, "n_chars", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    // chain: 2 and 3 tie at 9 -> smaller id 2 wins; 10/11 tie -> 10
+    assert(got === Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 0L)),
+      10L -> ((10L, 1L)), 11L -> ((10L, 0L)),
+      20L -> ((20L, 1L)), 21L -> ((21L, 1L))))
+  }
 }
