@@ -2164,6 +2164,21 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // corpus drift (PSI) between two snapshot variants: fixed-width
+    // price buckets, Laplace-smoothed shares, per-bucket contributions
+    // floor-scaled ×1e6 — the ingest regression check (pipeline/Drift)
+    "drift_psi" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val v1 = o.where(expr("o_orderkey % 11 != 0"))
+      val v2 = o.where(expr("o_orderkey % 7 != 0"))
+        .withColumn("o_totalprice",
+          when(expr("o_orderkey % 2 = 0"), col("o_totalprice") * lit(1.2))
+            .otherwise(col("o_totalprice")))
+      graft.pipeline.Drift.psiBuckets(v1, v2, "o_totalprice",
+          width = 50000.0, numBuckets = 10)
+        .orderBy("bucket")
+    }),
+
     // best-of-cluster dedup: keep the LONGEST member of each near-dup
     // component (not the min id) — what a pipeline wants when
     // duplicates differ in truncation; shares the memoized LSH pair
@@ -3689,6 +3704,36 @@ object SparkEntry {
         |FROM t GROUP BY tok
         |HAVING count(*) * 32 > (SELECT count(*) FROM t)
         |ORDER BY item""".stripMargin,
+
+    "drift_psi" ->
+      """WITH v1 AS (SELECT o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 <> 0),
+        |v2 AS (SELECT CASE WHEN o_orderkey % 2 = 0
+        |    THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 7 <> 0),
+        |b AS (SELECT CAST(i AS BIGINT) AS bucket
+        |  FROM generate_series(0, 9) AS g(i)),
+        |c1 AS (SELECT CAST(least(greatest(floor(o_totalprice / 50000.0),
+        |    0.0), 9.0) AS BIGINT) AS bucket, count(*) AS n_old
+        | FROM v1 GROUP BY 1),
+        |c2 AS (SELECT CAST(least(greatest(floor(o_totalprice / 50000.0),
+        |    0.0), 9.0) AS BIGINT) AS bucket, count(*) AS n_new
+        | FROM v2 GROUP BY 1),
+        |j AS (SELECT b.bucket, coalesce(n_old, 0) AS n_old,
+        |  coalesce(n_new, 0) AS n_new
+        | FROM b LEFT JOIN c1 USING (bucket) LEFT JOIN c2 USING (bucket))
+        |SELECT bucket, CAST(n_old AS BIGINT) AS n_old,
+        | CAST(n_new AS BIGINT) AS n_new,
+        | CAST(floor(((CAST(n_new AS DOUBLE) + 1.0)
+        |     / (sum(CAST(n_new AS DOUBLE)) OVER () + 10.0)
+        |   - (CAST(n_old AS DOUBLE) + 1.0)
+        |     / (sum(CAST(n_old AS DOUBLE)) OVER () + 10.0))
+        |  * ln(((CAST(n_new AS DOUBLE) + 1.0)
+        |     / (sum(CAST(n_new AS DOUBLE)) OVER () + 10.0))
+        |   / ((CAST(n_old AS DOUBLE) + 1.0)
+        |     / (sum(CAST(n_old AS DOUBLE)) OVER () + 10.0)))
+        |  * 1000000.0) AS BIGINT) AS contrib_x1e6
+        |FROM j ORDER BY bucket""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH pairs AS (${jaccardOracle(90)}),

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two corpus snapshots — the
+  * regression check a recurring ingest runs before a new crawl replaces
+  * the old one ("did the length/quality distribution shift?"), using the
+  * population stability index over a FIXED bucketing:
+  *
+  *   PSI = Σ_buckets (p_new − p_old) · ln(p_new / p_old)
+  *
+  * with Laplace-smoothed shares p = (c+1)/(n+B) so empty buckets
+  * contribute finitely and deterministically (no engine-specific ±∞ or
+  * epsilon conventions). Rule-of-thumb thresholds: < 0.1 stable,
+  * 0.1-0.25 moderate shift, > 0.25 investigate.
+  *
+  * The bucketing is caller-fixed integer arithmetic (a pure projection),
+  * so the operator is two map-side-combining aggregates of ≤ B groups
+  * each, one B-row outer join, and a 1-row reduction — nothing scales
+  * with the corpus but the scans.
+  */
+object Drift {
+
+  /** Fixed-width bucket id: floor(value / width), clamped to
+    * [0, numBuckets). Integer-deterministic for any engine. */
+  def bucketOf(value: Column, width: Double, numBuckets: Int): Column =
+    least(greatest(floor(value / width), lit(0.0)), lit(numBuckets - 1.0))
+      .cast("long")
+
+  /** Per-bucket counts of both snapshots (empty buckets present with
+    * zeros) plus each bucket's smoothed PSI contribution ×10⁶ floor —
+    * integer output, engine-exact. Contributions are never negative
+    * ((Δp)·ln-ratio has matching factor signs), so drift localizes:
+    * a nonzero row means mass moved in or out of THAT bucket. Output:
+    * (bucket, n_old, n_new, contrib_x1e6; PSI total = Σ contrib). */
+  def psiBuckets(old: DataFrame, cur: DataFrame, valueCol: String,
+                 width: Double, numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2, s"need >= 2 buckets, got $numBuckets")
+    def counts(df: DataFrame, as: String) =
+      df.select(bucketOf(col(valueCol), width, numBuckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val spark = old.sparkSession
+    import spark.implicits._
+    val all = (0L until numBuckets.toLong).toDF("bucket")
+    val joined = all
+      .join(counts(old, "n_old"), Seq("bucket"), "left")
+      .join(counts(cur, "n_new"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totOld = sum(col("n_old")).over()
+    val totNew = sum(col("n_new")).over()
+    val b = lit(numBuckets.toDouble)
+    val pOld = (col("n_old").cast("double") + lit(1.0)) /
+      (totOld.cast("double") + b)
+    val pNew = (col("n_new").cast("double") + lit(1.0)) /
+      (totNew.cast("double") + b)
+    joined
+      .withColumn("contrib_x1e6",
+        floor((pNew - pOld) * log(pNew / pOld) * lit(1e6)).cast("long"))
+  }
+
+  /** One-row PSI summary: (psi_x1e6, n_old, n_new). */
+  def psi(old: DataFrame, cur: DataFrame, valueCol: String,
+          width: Double, numBuckets: Int): DataFrame =
+    psiBuckets(old, cur, valueCol, width, numBuckets)
+      .agg(sum(col("contrib_x1e6")).as("psi_x1e6"),
+        sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
+}

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Drift.psiBuckets: zero drift on identical snapshots, sign structure
+  * on a known shift, bucket clamping, and the smoothing convention. */
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(vs: Seq[Double]) = vs.map(Tuple1(_)).toDF("v")
+
+  test("identical snapshots have zero PSI in every bucket") {
+    val a = df(Seq(5.0, 15.0, 25.0, 25.0, 95.0))
+    val rows = Drift.psiBuckets(a, a, "v", width = 10.0, numBuckets = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10) // every bucket present, empties included
+    assert(rows.forall(_._4 === 0L))
+    assert(rows.map(t => t._2).sum === 5L)
+  }
+
+  test("a mass shift contributes positively at BOTH ends, zero elsewhere") {
+    // (p_new − p_old)·ln(p_new/p_old) has matching factor signs, so every
+    // bucket's contribution is ≥ 0 — drift shows up wherever mass moved
+    val a = df(Seq.fill(50)(5.0))   // all bucket 0
+    val b = df(Seq.fill(50)(95.0))  // all bucket 9
+    val m = Drift.psiBuckets(a, b, "v", 10.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(0L) > 0L) // mass left bucket 0
+    assert(m(9L) > 0L) // mass arrived in bucket 9
+    assert((1L to 8L).forall(m(_) === 0L)) // untouched buckets: p equal
+    // summary row agrees with the bucket sum
+    val s = Drift.psi(a, b, "v", 10.0, 10).collect()(0)
+    assert(s.getLong(0) === m.values.sum)
+    assert((s.getLong(1), s.getLong(2)) === ((50L, 50L)))
+  }
+
+  test("out-of-range values clamp into the edge buckets") {
+    val a = df(Seq(-100.0, 1e9))
+    val rows = Drift.psiBuckets(a, a, "v", 10.0, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(0L) === 1L) // -100 clamped up
+    assert(rows(3L) === 1L) // 1e9 clamped down
+  }
+}
