@@ -1152,9 +1152,12 @@ object SparkEntry {
 
     // exact kNN JOIN (the kNN graph): every vector's 3 nearest others —
     // one map-side-combined bounded top-k pass, never a window over the
-    // full pairwise relation
+    // full pairwise relation. maxRows=MaxValue: the sf fixtures are
+    // bounded by construction, so skip the guard's count() job and
+    // accept the broadcast (the guard exists for unknown inputs)
     "knn_join" -> ((s, dir) =>
-      ExactKnn.knnJoin(Tables.embeddings(s, dir), "embedding", "vec_id", 3)
+      ExactKnn.knnJoin(Tables.embeddings(s, dir), "embedding", "vec_id", 3,
+          maxRows = Long.MaxValue)
         .orderBy("qid", "rank")),
 
     // k-NN label propagation (weak supervision): every 10th vector is
@@ -1184,7 +1187,8 @@ object SparkEntry {
       val (model, _) = fittedIndex(s, dir)
       val ann = graft.query.AnnJoin.knnJoin(emb, "vec_id", "embedding",
         model, k = 3, nprobe = 3)
-      val exact = ExactKnn.knnJoin(emb, "embedding", "vec_id", 3)
+      val exact = ExactKnn.knnJoin(emb, "embedding", "vec_id", 3,
+        maxRows = Long.MaxValue)
       val nVecs = emb.agg(count(lit(1)).cast("long").as("n_vecs"))
       val perQ = ann.groupBy("qid").agg(count(lit(1)).as("c"))
       val qStats = perQ.agg(
@@ -3653,15 +3657,17 @@ object SparkEntry {
         |s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id
         |  ORDER BY ts, event_id) AS seg FROM m),
         |g AS (SELECT user_id, seg, min(event_type) AS state,
-        |  min(ts) AS valid_from, count(*) AS n_events
+        |  min(ts) AS valid_from, min(event_id) AS min_eid,
+        |  count(*) AS n_events
         | FROM s GROUP BY user_id, seg)
         |SELECT user_id, state, valid_from,
         | COALESCE(lead(valid_from) OVER w2, -1) AS valid_to,
         | CAST(n_events AS BIGINT) AS n_events,
         | CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
         |   THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
-        |ORDER BY user_id, valid_from""".stripMargin,
+        |FROM g WINDOW w2 AS (PARTITION BY user_id
+        |  ORDER BY valid_from, min_eid)
+        |ORDER BY user_id, valid_from, min_eid""".stripMargin,
 
     "sample_weighted" ->
       """WITH r AS (SELECT doc_id, n_chars,

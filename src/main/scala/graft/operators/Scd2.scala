@@ -23,8 +23,13 @@ object Scd2 {
 
   final case class ChangeEvent(user_id: Long, ts: Long, event_id: Long,
                                state: String)
+  /** Per-entity stream state: the open interval PLUS the last-seen
+    * (ts, event_id), which is how [[closedHistoryStream]] detects a
+    * violated arrival-order contract instead of silently corrupting
+    * history. */
   final case class OpenInterval(state: String, valid_from: Long,
-                                n_events: Long)
+                                n_events: Long, last_ts: Long,
+                                last_eid: Long)
   final case class ClosedInterval(user_id: Long, state: String,
                                   valid_from: Long, valid_to: Long,
                                   n_events: Long)
@@ -35,10 +40,15 @@ object Scd2 {
     * per entity, not per event). Append-mode output — an interval is
     * emitted exactly once, when the event that closes it arrives; the
     * batch operator's `is_current` rows are precisely the ones still
-    * open in state. Assumes per-entity event-time order ACROSS
+    * open in state. Requires per-entity event-time order ACROSS
     * micro-batches (the CDC-source contract); within a batch events are
-    * sorted by (ts, seq). Works identically in batch mode (state starts
-    * empty), which is what the spec's streaming ≡ batch gate uses. */
+    * sorted by (ts, seq). The contract is ENFORCED, not assumed: state
+    * carries the last-seen (ts, event_id), and an arrival ordered
+    * before it fails the query loudly (IllegalStateException naming the
+    * entity and both positions) — silently mis-ordered history is the
+    * one thing a validity-interval table must never produce. Works
+    * identically in batch mode (state starts empty), which is what the
+    * spec's streaming ≡ batch gate uses. */
   def closedHistoryStream(events: org.apache.spark.sql.Dataset[ChangeEvent])
       : org.apache.spark.sql.Dataset[ClosedInterval] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -51,15 +61,26 @@ object Scd2 {
           var open = gs.getOption
           val out = Seq.newBuilder[ClosedInterval]
           batch.foreach { e =>
+            open.foreach { o =>
+              if (e.ts < o.last_ts ||
+                  (e.ts == o.last_ts && e.event_id < o.last_eid))
+                throw new IllegalStateException(
+                  s"closedHistoryStream: out-of-order arrival for entity " +
+                    s"$uid — event (ts=${e.ts}, id=${e.event_id}) after " +
+                    s"(ts=${o.last_ts}, id=${o.last_eid}); the CDC source " +
+                    s"must deliver each entity's events in (ts, id) order " +
+                    s"across micro-batches")
+            }
             open match {
               case Some(o) if o.state == e.state =>
-                open = Some(o.copy(n_events = o.n_events + 1))
+                open = Some(o.copy(n_events = o.n_events + 1,
+                  last_ts = e.ts, last_eid = e.event_id))
               case Some(o) =>
                 out += ClosedInterval(uid, o.state, o.valid_from, e.ts,
                   o.n_events)
-                open = Some(OpenInterval(e.state, e.ts, 1L))
+                open = Some(OpenInterval(e.state, e.ts, 1L, e.ts, e.event_id))
               case None =>
-                open = Some(OpenInterval(e.state, e.ts, 1L))
+                open = Some(OpenInterval(e.state, e.ts, 1L, e.ts, e.event_id))
             }
           }
           open.foreach(gs.update)
@@ -73,6 +94,17 @@ object Scd2 {
     * n_events, is_current), where `valid_to` is the NEXT interval's
     * start (half-open [from, to)) and -1 on the current row, and
     * `n_events` counts the log rows the interval collapsed.
+    *
+    * CONTRACT: `tsCol` must be non-negative — -1 is the open-interval
+    * sentinel, so a log that can legally contain negative timestamps
+    * (pre-1970 epoch values, say) would make a real `valid_to = -1`
+    * indistinguishable from "still open" to consumers that key on the
+    * sentinel rather than `is_current`. `is_current` is always the
+    * authoritative open-row flag; the sentinel is kept (rather than a
+    * NULL `valid_to`) so the output stays join-friendly for range
+    * predicates without null-handling. Timestamps here are epoch
+    * nanoseconds in practice (the driver's event fixtures), which are
+    * non-negative by construction.
     *
     * ONE exchange: segments are contiguous in the per-entity timeline,
     * so instead of the textbook running-sum-segment-id + groupBy

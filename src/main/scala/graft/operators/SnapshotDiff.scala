@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
+  /** The diff plan synthesizes `old_<col>`/`new_<col>` renames plus
+    * `in_old`/`in_new`/`change` markers; an input column matching one of
+    * those would resolve ambiguously (e.g. a key named `old_x` next to a
+    * value column `x`, or a key named `change`). Refuse loudly up front
+    * instead of letting Catalyst throw an opaque ambiguous-reference —
+    * or worse, silently overwrite a user column. */
+  private def requireNoReservedColumns(df: DataFrame, op: String): Unit = {
+    val reserved = df.columns.filter(c =>
+      c == "in_old" || c == "in_new" || c == "change" ||
+        c.startsWith("old_") || c.startsWith("new_"))
+    require(reserved.isEmpty,
+      s"SnapshotDiff.$op reserves column names in_old/in_new/change and " +
+        s"prefixes old_/new_ for its internal join markers; rename input " +
+        s"column(s) ${reserved.mkString(", ")} before diffing")
+  }
+
   /** Rows whose key set or value columns differ between `old` and `cur`.
     *
     * Both inputs must share a schema; every non-key column participates
@@ -28,6 +44,7 @@ object SnapshotDiff {
     * keys are filtered out inside the join projection. */
   def diff(old: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")
+    requireNoReservedColumns(cur, "diff")
     require(old.columns.sorted.sameElements(cur.columns.sorted),
       s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
     val valCols = cur.columns.filterNot(keys.contains).toSeq
@@ -54,6 +71,7 @@ object SnapshotDiff {
     * classification, one more projection. */
   def diffRows(old: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diffRows needs at least one key column")
+    requireNoReservedColumns(cur, "diffRows")
     require(old.columns.sorted.sameElements(cur.columns.sorted),
       s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
     val valCols = cur.columns.filterNot(keys.contains).toSeq

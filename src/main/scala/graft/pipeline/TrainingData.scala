@@ -129,14 +129,26 @@ object TrainingData {
     * per-partition k candidates + driver merge) — the corpus is never
     * globally sorted. The race key stays internal, so cross-engine
     * float agreement only has to preserve the ORDER of keys (ulp-level
-    * divergence would need two keys within ~1e-15 relative to flip). */
+    * divergence would need two keys within ~1e-15 relative to flip).
+    *
+    * Weights must be STRICTLY POSITIVE: a negative weight flips the
+    * race-key sign (that row would always win) and a zero weight with
+    * u=1 yields 0/0 = NaN — neither is a sample, both are silent
+    * corruption. The race-key projection therefore asserts w > 0 per
+    * row (codegen `raise_error`, no extra pass); callers with
+    * legitimately zero-weighted rows filter them out first — a
+    * zero-weight row can never be drawn anyway. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, seed: String = "ws"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val u = (conv(substring(
       md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary")),
       1, 6), 16, 10).cast("double") + lit(1.0)) / lit(16777216.0)
-    df.withColumn("race_key", -log(u) / col(weightCol).cast("double"))
+    val w = col(weightCol).cast("double")
+    val checkedW = when(w > 0.0, w).otherwise(raise_error(concat(
+      lit(s"weightedSample requires $weightCol > 0; got "),
+      w.cast("string"), lit(" at "), col(idCol).cast("string"))))
+    df.withColumn("race_key", -log(u) / checkedW)
       .orderBy(col("race_key"), col(idCol))
       .limit(k)
       .drop("race_key")

@@ -141,11 +141,13 @@ object ExactKnn {
 
   /** Exact k-NN JOIN (the kNN graph): every point's k nearest OTHER
     * points, ranked (dist asc, id) — the substrate for graph-based
-    * dedup, diversity sampling, and cluster seeding. One
-    * [[batchTopK]] pass with the point set on both sides: asks for k+1,
-    * drops the self-match, re-ranks. EXACT and broadcast-bound: use it
-    * only while the (id, vector) projection fits an executor — the
-    * operator refuses inputs above `maxRows` instead of silently
+    * dedup, diversity sampling, and cluster seeding. The self-match is
+    * excluded in the pair projection BEFORE the bounded top-k
+    * aggregate, so the aggregate asks for exactly k per query and the
+    * output ranks come straight from the aggregate's total order — no
+    * second window pass, no k+1 overshoot. EXACT and broadcast-bound:
+    * use it only while the (id, vector) projection fits an executor —
+    * the operator refuses inputs above `maxRows` instead of silently
     * shipping an executor-crushing broadcast; past the cap,
     * [[graft.query.AnnJoin.knnJoin]] is the same contract with
     * candidates from shared IVF cells and nothing broadcast (misses
@@ -161,7 +163,6 @@ object ExactKnn {
   def knnJoin(df: DataFrame, vecCol: String, idCol: String,
               k: Int, maxRows: Long = 1000000L,
               knownRows: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     if (maxRows < Long.MaxValue) {
       val n = if (knownRows >= 0L) knownRows else df.count()
       require(n <= maxRows,
@@ -170,11 +171,14 @@ object ExactKnn {
           s"IVF-bucketed path, or raise maxRows explicitly")
     }
     val q = df.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
-    batchTopK(df, vecCol, idCol, q, "__qid", "__qvec", k + 1)
+    val pairs = df.join(broadcast(q))
       .where(col(idCol) =!= col("__qid"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("__qid").orderBy("rank")).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("__qid").as("qid"), col("rank"), col(idCol))
+      .select(col("__qid"), col(idCol).as("id"),
+        squaredL2F(col(vecCol), col("__qvec")).as("sq_dist"))
+    pairs.groupBy(col("__qid"))
+      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
+      .select(col("__qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("__qid").as("qid"),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.id").as(idCol))
   }
 }

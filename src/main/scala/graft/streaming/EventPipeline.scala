@@ -169,8 +169,11 @@ object EventPipeline {
     * O(users) state, not O(events). Append mode: a step is emitted
     * exactly once, by the event that completes it; downstream windowed
     * counts aggregate the steps. Same per-entity arrival-order contract
-    * as [[graft.operators.Scd2.closedHistoryStream]]; batch mode yields
-    * exactly the batch lag-window pairs. */
+    * as [[graft.operators.Scd2.closedHistoryStream]], and ENFORCED the
+    * same way: the retained last event doubles as the high-water mark,
+    * and an arrival ordered before it fails the query loudly instead of
+    * emitting a fabricated backwards step. Batch mode yields exactly
+    * the batch lag-window pairs. */
   def transitionSteps(events: Dataset[StepEvent]): Dataset[Step] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -182,7 +185,16 @@ object EventPipeline {
           var last = gs.getOption
           val out = Seq.newBuilder[Step]
           batch.foreach { e =>
-            last.foreach(l => out += Step(uid, l.event_type, e.event_type, e.ts))
+            last.foreach { l =>
+              if (e.ts < l.ts || (e.ts == l.ts && e.event_id < l.event_id))
+                throw new IllegalStateException(
+                  s"transitionSteps: out-of-order arrival for entity $uid " +
+                    s"— event (ts=${e.ts}, id=${e.event_id}) after " +
+                    s"(ts=${l.ts}, id=${l.event_id}); the source must " +
+                    s"deliver each entity's events in (ts, id) order " +
+                    s"across micro-batches")
+              out += Step(uid, l.event_type, e.event_type, e.ts)
+            }
             last = Some(e)
           }
           last.foreach(gs.update)

@@ -14,6 +14,20 @@ class SnapshotDiffSpec extends AnyFunSuite {
   private def m(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
     df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("reserved column names are refused loudly, not resolved ambiguously") {
+    val old = Seq((1L, "a")).toDF("k", "old_s")
+    val cur = Seq((1L, "b")).toDF("k", "old_s")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(old, cur, Seq("k"))
+    }
+    assert(e.getMessage.contains("old_s"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotDiff.diffRows(Seq((1L, "a")).toDF("k", "change"),
+        Seq((1L, "b")).toDF("k", "change"), Seq("k"))
+    }
+    assert(e2.getMessage.contains("change"))
+  }
+
   test("classifies insert / delete / update and drops unchanged rows") {
     val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("k", "s", "v")

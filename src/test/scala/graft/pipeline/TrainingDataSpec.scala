@@ -255,6 +255,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(a.forall(id => id >= 0 && id < 400))
   }
 
+  test("weightedSample: non-positive weights fail loudly, never corrupt " +
+      "the sample") {
+    val docs = ((0 until 10).map(i => (i.toLong, 1.0)) :+ (99L, -2.0))
+      .toDF("id", "w")
+    val e = intercept[Exception] {
+      TrainingData.weightedSample(docs, "id", "w", 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("requires w > 0")))
+    val zero = ((0 until 10).map(i => (i.toLong, 1.0)) :+ (99L, 0.0))
+      .toDF("id", "w")
+    val ez = intercept[Exception] {
+      TrainingData.weightedSample(zero, "id", "w", 5).collect()
+    }
+    assert(msgs(ez).exists(_.contains("requires w > 0")))
+  }
+
   test("weightedSample: an overwhelming weight is always drawn") {
     val docs = ((0 until 200).map(i => (i.toLong, 1.0)) :+ (999L, 1e12))
       .toDF("id", "w")

@@ -67,4 +67,27 @@ class StreamingScd2Spec extends AnyFunSuite {
       assert(all === batchClosed)
     } finally q.stop()
   }
+
+  test("out-of-order arrival across micro-batches fails loudly, " +
+      "never corrupts history") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ChangeEvent]
+    val q = Scd2.closedHistoryStream(stream.toDS())
+      .writeStream.format("memory").queryName("scd2_ooo")
+      .outputMode("append").start()
+    try {
+      stream.addData(ChangeEvent(9L, 100L, 10L, "paid"))
+      q.processAllAvailable()
+      // ts=100 ties the high-water mark but a smaller event_id breaks
+      // the (ts, id) order → contract violation
+      stream.addData(ChangeEvent(9L, 100L, 5L, "free"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("out-of-order arrival")))
+      assert(spark.table("scd2_ooo").count() === 0L)
+    } finally q.stop()
+  }
 }

@@ -64,4 +64,26 @@ class StreamingTransitionsSpec extends AnyFunSuite {
         .map(asTuple).toSet === batchPairs)
     } finally q.stop()
   }
+
+  test("out-of-order arrival across micro-batches fails loudly, " +
+      "never emits a backwards step") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StepEvent]
+    val q = EventPipeline.transitionSteps(stream.toDS())
+      .writeStream.format("memory").queryName("steps_ooo")
+      .outputMode("append").start()
+    try {
+      stream.addData(StepEvent(7L, 100L, 10L, "click"))
+      q.processAllAvailable()
+      // ts=90 < high-water 100 for entity 7 → contract violation
+      stream.addData(StepEvent(7L, 90L, 11L, "view"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("out-of-order arrival")))
+      assert(spark.table("steps_ooo").count() === 0L)
+    } finally q.stop()
+  }
 }
