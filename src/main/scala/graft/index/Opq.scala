@@ -448,12 +448,25 @@ object OpqBuilder {
     * vectors (R·(q − centroid), exact doubles), then the shared pruned
     * scan + ADC CASE + TakeOrderedAndProject assembly runs over the
     * rotated-space codebooks. R orthonormal ⇒ the reported sq_dist IS
-    * the original-space approximate distance. */
+    * the original-space approximate distance.
+    *
+    * `log` mirrors [[graft.query.AnnQuery.topK]]'s query events, with one
+    * OPQ-specific stage in between: `rotate-probes` (the driver-side
+    * R·(q − c) of each localized query). */
   def topK(codes: DataFrame, model: OpqModel, q: Array[Double],
-           k: Int, nprobe: Int): DataFrame = {
-    val probes = graft.query.AnnQuery.selectPartitions(model.ivf, q, nprobe)
+           k: Int, nprobe: Int,
+           log: String => Unit = _ => ()): DataFrame = {
+    val t0 = System.nanoTime()
+    val selected = graft.query.AnnQuery.selectPartitions(model.ivf, q, nprobe)
+    log(f"select-partitions nprobe=$nprobe " +
+      f"cells=${selected.map(_._1).mkString(",")} " +
+      f"${(System.nanoTime() - t0) / 1e9}%.4f s")
+    val t1 = System.nanoTime()
+    val probes = selected
       .map { case (p, localized) => (p, rotateVec(model.rotation, localized)) }
-    graft.query.AnnQuery.topKWithProbes(codes, model.ivf, probes, k)
+    log(f"rotate-probes n=${probes.length} dim=${model.rotation.length} " +
+      f"${(System.nanoTime() - t1) / 1e9}%.4f s")
+    graft.query.AnnQuery.topKWithProbes(codes, model.ivf, probes, k, log)
   }
 
   /** Table-free BATCH OPQ query — the OPQ twin of

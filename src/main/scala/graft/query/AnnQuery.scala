@@ -74,31 +74,62 @@ object AnnQuery {
   /** Approximate top-k: returns (id, partition, sq_dist) ascending.
     * `codes` must carry (id, partition, codes) — typically the
     * partitionBy("partition") parquet written by IvfPqBuilder.save, so the
-    * IN-filter prunes at file level. */
+    * IN-filter prunes at file level.
+    *
+    * `log` is the QUERY-side stage-event callback, the analogue of the
+    * reference's QueryEvents around partition selection / table build /
+    * scan / merge (reference/src/db/stored.rs:513-532,
+    * asyncdb/stored/query.rs:150-177) and the twin of the build side's
+    * `fit(log=)`. Driver-side planning stages (`select-partitions`,
+    * `build-adc-tables`) are timed; `scan` and `merge` are emitted when
+    * their plan halves are assembled — they execute as ONE fused lazy
+    * Spark job (the pruned scan feeds TakeOrderedAndProject directly),
+    * whose scheduling is Spark's analogue of the reference's async
+    * runtime (Q9 by design, SURVEY §2). */
   def topK(codes: DataFrame, model: IvfPqModel, q: Array[Double],
-           k: Int, nprobe: Int): DataFrame =
-    topKWithProbes(codes, model, selectPartitions(model, q, nprobe), k)
+           k: Int, nprobe: Int,
+           log: String => Unit = _ => ()): DataFrame = {
+    val t0 = System.nanoTime()
+    val probes = selectPartitions(model, q, nprobe)
+    log(f"select-partitions nprobe=$nprobe " +
+      f"cells=${probes.map(_._1).mkString(",")} " +
+      f"${(System.nanoTime() - t0) / 1e9}%.4f s")
+    topKWithProbes(codes, model, probes, k, log)
+  }
 
   /** The scan half of [[topK]], from an EXPLICIT probe set of
     * (cell, localized query) pairs — shared with the OPQ query path
     * ([[graft.index.OpqBuilder.topK]]), which rotates each localized
-    * query into code space before the ADC tables are built. */
+    * query into code space before the ADC tables are built. Emits the
+    * `build-adc-tables` / `scan` / `merge` query events (see [[topK]]). */
   def topKWithProbes(codes: DataFrame, model: IvfPqModel,
-                     probes: Array[(Int, Array[Double])], k: Int): DataFrame = {
+                     probes: Array[(Int, Array[Double])], k: Int,
+                     log: String => Unit = _ => ()): DataFrame = {
     // one scan with a pruning IN-filter; per-cell ADC tables dispatched by
     // a CASE over the (small) probe set — single pass, single codegen span.
-    val pruned = codes.where(col("partition").isin(probes.map(_._1): _*))
-    val dist = probes.tail.foldLeft(
-      when(col("partition") === probes.head._1,
-        adcDistCol(adcTable(model, probes.head._2), col("codes")))) {
-      case (acc, (p, localized)) =>
-        acc.when(col("partition") === p,
-          adcDistCol(adcTable(model, localized), col("codes")))
+    val t0 = System.nanoTime()
+    val tables = probes.map { case (p, localized) =>
+      (p, adcTable(model, localized))
     }
-    pruned.withColumn("sq_dist", dist)
+    log(f"build-adc-tables n=${tables.length} " +
+      f"shape=${model.config.numDivisions}x${model.config.numCodes} " +
+      f"${(System.nanoTime() - t0) / 1e9}%.4f s")
+    val pruned = codes.where(col("partition").isin(probes.map(_._1): _*))
+    val dist = tables.tail.foldLeft(
+      when(col("partition") === tables.head._1,
+        adcDistCol(tables.head._2, col("codes")))) {
+      case (acc, (p, table)) =>
+        acc.when(col("partition") === p, adcDistCol(table, col("codes")))
+    }
+    log(s"scan cells=${probes.map(_._1).mkString(",")} — pruned IN-filter " +
+      s"+ ADC lookup distance, lazy (fused with merge)")
+    val out = pruned.withColumn("sq_dist", dist)
       .orderBy(col("sq_dist"), col("id"))
       .limit(k)
       .select(col("id"), col("partition"), col("sq_dist"))
+    log(s"merge k=$k — per-partition bounded top-k + driver merge " +
+      s"(TakeOrderedAndProject), lazy")
+    out
   }
 
   /** Batch ANN: many queries against the coded table in ONE job — the

@@ -231,6 +231,26 @@ class IvfPqSpec extends AnyFunSuite {
     assert(!fromStored.contains(0L))
   }
 
+  test("query events: a stored query logs select-partitions / " +
+      "build-adc-tables / scan / merge, in order (db/stored.rs:513-532)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_qlog").toString
+    IvfPqBuilder.save(model, encoded, dir)
+    val (loaded, codes) = IvfPqBuilder.load(spark, dir)
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = data.head._2.map(_.toDouble).toArray
+    val res = AnnQuery.topK(codes, loaded, q, 5, 2, events += _)
+    assert(res.count() === 5)
+    assert(events.map(_.split(" ").head).toSeq ===
+      Seq("select-partitions", "build-adc-tables", "scan", "merge"))
+    assert(events(0).contains("nprobe=2"))
+    assert(events(1).contains(s"shape=${config.numDivisions}x${config.numCodes}"))
+    assert(events(3).contains("k=5"))
+    // the default callback stays silent and changes nothing
+    val quiet = AnnQuery.topK(codes, loaded, q, 5, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(quiet === res.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("save/load round-trips model and codes") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
     try {

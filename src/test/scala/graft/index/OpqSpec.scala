@@ -141,6 +141,17 @@ class OpqSpec extends AnyFunSuite {
     assert(rows.forall(r => probes.contains(r.getAs[Int]("partition"))))
   }
 
+  test("opq query events: rotate-probes slots between select-partitions " +
+      "and the shared scan assembly") {
+    val q = data.head._2.map(_.toDouble).toArray
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hits = OpqBuilder.topK(encoded, model, q, k = 5, nprobe = 2,
+      log = events += _)
+    assert(hits.count() === 5)
+    assert(events.map(_.split(" ").head).toSeq === Seq("select-partitions",
+      "rotate-probes", "build-adc-tables", "scan", "merge"))
+  }
+
   test("batchTopKDirect: per-query parity with topK, with and without pruning") {
     val qids = Seq(0L, 7L, 55L)
     val queries = qids.map(i => i -> data(i.toInt)._2).toDF("qid", "qvec")
