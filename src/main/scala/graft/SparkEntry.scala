@@ -1083,6 +1083,50 @@ object SparkEntry {
           .as("rerank_not_worse"))
     }),
 
+    // recall CALIBRATION (the production nprobe knob): one-pass
+    // probe-rank curve over a deterministic query sample; the
+    // recommended setting must DELIVER its promised recall end-to-end
+    // through the IVF-flat query path (exact distances in probed cells
+    // — where measured recall provably equals the curve's value).
+    // Invariants: full 1..P curve, monotone, exactly 1.0 at P, and the
+    // delivered-promise check
+    "ann_calibrate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val p = model.config.numPartitions
+      val target = 0.9
+      val curve = graft.query.Calibrate.nprobeRecallCurve(emb, "embedding",
+        "vec_id", encoded, model, k = 10, sampleN = 25)
+      val np = graft.query.Calibrate.recommend(curve, target)
+      val curveInv = curve
+        .withColumn("prev", lag(col("recall"), 1).over(Window.orderBy("nprobe")))
+        .agg(
+          count(lit(1)).cast("long").as("n_curve_rows"),
+          coalesce(sum(when(col("prev").isNotNull &&
+            col("recall") < col("prev"), 1L).otherwise(0L)), lit(0L))
+            .as("n_mono_viol"),
+          coalesce(sum(when(col("nprobe") === p && col("recall") === 1.0, 1L)
+            .otherwise(0L)), lit(0L)).as("recall_p_exact"))
+      val queries = graft.query.Calibrate.sampleQueries(emb, "embedding",
+        "vec_id", 25)
+      val truth = graft.query.Calibrate.exactNeighbors(emb, "embedding",
+        "vec_id", queries, 10)
+      // k+1 then drop self: calibration queries are corpus points, and
+      // the self-match (dist 0, probe rank 1) always wins a slot
+      val got = AnnQuery.batchTopKIvfFlat(encoded, emb, "embedding",
+          "vec_id", model, queries, "qid", "qvec", k = 11, nprobe = np)
+        .where(col("qid") =!= col("id"))
+      val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      val nRec = truth.select("qid", "id")
+        .join(got.select("qid", "id"), Seq("qid", "id"))
+        .agg(count(lit(1)).cast("long").as("n_rec"))
+      curveInv.crossJoin(nTruth).crossJoin(nRec).select(
+        col("n_curve_rows"), col("n_mono_viol"), col("recall_p_exact"),
+        when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
+          .as("promise_delivered"))
+    }),
+
     // Q6 semantics: attribute fetch for the top-k hits — resolved from
     // the per-vector attribute store bound to the stored index (B13),
     // semi-joined down to the hit ids before the LWW replay — the
@@ -2719,6 +2763,15 @@ object SparkEntry {
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dist_bad,
         | CAST(1 AS BIGINT) AS recall_ge_50,
         | CAST(1 AS BIGINT) AS rerank_not_worse""".stripMargin,
+
+    // curve invariants are exact by construction (probe ranks ≤ P ⇒
+    // recall@P = 1; cumulative ⇒ monotone) and the promise check runs
+    // the IVF-flat path where measured recall equals the curve value
+    "ann_calibrate" ->
+      """SELECT CAST(8 AS BIGINT) AS n_curve_rows,
+        | CAST(0 AS BIGINT) AS n_mono_viol,
+        | CAST(1 AS BIGINT) AS recall_p_exact,
+        | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
 
     "dedup_simhash_near" ->
       """SELECT CAST(0 AS BIGINT) AS n_hamming_viol,

@@ -317,6 +317,48 @@ object AnnQuery {
         col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Batch IVF-FLAT search: EXACT distances inside the nprobe probed
+    * cells — the FAISS `IndexIVFFlat` shape, and the missing middle
+    * between brute force (all cells, exact) and IVF+PQ (probed cells,
+    * quantized). Recall is governed purely by cell selection, which is
+    * what makes it the measurement arm of [[Calibrate]]: its recall at
+    * nprobe = n EQUALS the calibration curve's value at n (a probed true
+    * neighbor always outranks non-neighbors under exact scoring), so a
+    * calibrated promise can be verified end-to-end deterministically.
+    *
+    * Plan: queries (driver-small, broadcast) explode to (qid, cell) via
+    * the [[graft.functions.FastFunctions.topCellsL2]] kernel; an
+    * equi-join on the cell id against the (id, partition) codes
+    * projection nominates candidates; one keyed join against the vector
+    * table scores them exactly; the bounded top-k aggregate ships
+    * k·|queries| rows. No cartesian, nothing corpus × corpus; the codes
+    * and vector scans are both pruned to probed-cell candidates.
+    * Output (qid, id, sq_dist, rank), exact, rank 1..k ascending. */
+  def batchTopKIvfFlat(codes: DataFrame, vectors: DataFrame, vecCol: String,
+                       idCol: String, model: IvfPqModel, queries: DataFrame,
+                       qidCol: String, qvecCol: String, k: Int,
+                       nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.config.numPartitions,
+      s"nprobe $nprobe out of range 1..${model.config.numPartitions}")
+    val flat = model.partitionCentroids.flatten.toSeq
+    val probed = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).as("__qvec"),
+      explode(graft.functions.FastFunctions.topCellsL2(col(qvecCol),
+        flat, nprobe)).as("__cell"))
+    codes.select(col("id"), col("partition"))
+      .join(broadcast(probed), col("partition") === col("__cell"))
+      .join(vectors.select(col(idCol).as("id"), col(vecCol).as("__vec")),
+        "id")
+      .select(col("qid"), col("id"),
+        graft.functions.FastFunctions.squaredL2F(col("__vec"), col("__qvec"))
+          .as("sq_dist"))
+      .groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("sq_dist"), col("id")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.id").as("id"),
+        col("hit.dist").as("sq_dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Exact recall of an approximate result against brute force: fraction
     * of true top-k ids recovered. Driver-side, for tests and calibration. */
   def recallAtK(approx: Seq[Any], exact: Seq[Any]): Double =
