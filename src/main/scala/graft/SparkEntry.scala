@@ -29,6 +29,82 @@ object SparkEntry {
     * stage in production; dependent entries measure THEIR operator, not a
     * rebuild — build cost is benchmarked by the reference-scale build
     * entry Bench emits in its "build" field). */
+  /** BPE vocabulary fit once per sf dir (train is its own pipeline stage
+    * in production; the encode entry measures encoding, not training). */
+  private val bpeModels = scala.collection.concurrent.TrieMap
+    .empty[String, graft.pipeline.Bpe.BpeModel]
+  private val bpeMerges = 24
+  private def fittedBpe(s: SparkSession, dir: String): graft.pipeline.Bpe.BpeModel =
+    bpeModels.getOrElseUpdate(dir,
+      graft.pipeline.Bpe.fit(Tables.documents(s, dir), "text", bpeMerges))
+
+  /** Generated DuckDB replica of [[graft.pipeline.Bpe]] training: the
+    * merge loop unrolled as MATERIALIZED CTE stages (materialization is
+    * load-bearing — seg_k is referenced three times per stage, so
+    * inlining would blow up exponentially). seg strings use the same
+    * double-space symbol encoding as the Spark side, so one merge
+    * application is the same plain replace(). */
+  private def bpeTrainCtes: String = {
+    val tok = "[\\p{L}\\p{M}]+|\\p{N}+|[^\\p{L}\\p{M}\\p{N}\\s]"
+    val head =
+      s"""w AS MATERIALIZED (
+         | SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+         | FROM (SELECT unnest(regexp_extract_all(text, '$tok')) AS tok
+         |       FROM documents)
+         | GROUP BY tok),
+         |seg_0 AS MATERIALIZED (
+         | SELECT word, cnt,
+         |  '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS sym
+         | FROM w)""".stripMargin
+    val stages = (0 until bpeMerges).map { k =>
+      s"""p_$k AS MATERIALIZED (
+         | SELECT ss[g.i] AS l, ss[g.i+1] AS r, SUM(cnt) AS c
+         | FROM (SELECT string_split(trim(sym), '  ') AS ss, cnt
+         |       FROM seg_$k) t,
+         |      generate_series(1, 600) AS g(i)
+         | WHERE g.i < len(ss)
+         | GROUP BY 1, 2),
+         |m_$k AS MATERIALIZED (SELECT l, r FROM p_$k ORDER BY c DESC, l, r LIMIT 1),
+         |seg_${k + 1} AS MATERIALIZED (
+         | SELECT word, cnt, replace(sym,
+         |   coalesce((SELECT ' '||l||'  '||r||' ' FROM m_$k), chr(2)),
+         |   coalesce((SELECT ' '||l||r||' ' FROM m_$k), chr(2))) AS sym
+         | FROM seg_$k)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** Oracle for the merges TABLE: rank + pair per training stage. */
+  private def bpeTrainSql: String = {
+    val union = (0 until bpeMerges).map { k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS rank, l AS left_sym, " +
+        s"r AS right_sym FROM m_$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $bpeTrainCtes\n$union\nORDER BY rank"
+  }
+
+  /** Oracle for per-document encoding: the same replace chain applied
+    * to the chr(1)-sentinelled document symbol stream. */
+  private def bpeEncodeSql: String = {
+    val tok = "[\\p{L}\\p{M}]+|\\p{N}+|[^\\p{L}\\p{M}\\p{N}\\s]"
+    val base = s"'  ' || array_to_string(list_transform(" +
+      s"regexp_extract_all(text, '$tok'), " +
+      s"t -> array_to_string(string_split(t, ''), '  ')), " +
+      s"'  ' || chr(1) || '  ') || '  '"
+    val chain = (0 until bpeMerges).foldLeft(base) { (acc, k) =>
+      s"replace($acc,\n  coalesce((SELECT ' '||l||'  '||r||' ' FROM m_$k), chr(2)),\n" +
+        s"  coalesce((SELECT ' '||l||r||' ' FROM m_$k), chr(2)))"
+    }
+    val nToks = s"len(regexp_extract_all(text, '$tok'))"
+    s"""WITH $bpeTrainCtes
+       |SELECT doc_id,
+       | CAST(CASE WHEN $nToks = 0 THEN 0
+       |   ELSE len(string_split(trim($chain), '  ')) - ($nToks - 1)
+       |   END AS BIGINT) AS n_subwords,
+       | $chain AS bpe_text
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private val fitIdx = scala.collection.concurrent.TrieMap
     .empty[String, (graft.index.IvfPqModel, DataFrame)]
   private def fittedIndex(s: SparkSession, dir: String)
@@ -1424,6 +1500,19 @@ object SparkEntry {
 
     "text_subwords" -> ((s, dir) =>
       TextAnalysis.subwordStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // trainable BPE vocabulary (the REAL subword tokenizer, not the
+    // regex proxy): corpus-fit merges table, hash-compared against a
+    // DuckDB replica that unrolls the identical merge loop
+    "text_bpe" -> ((s, dir) =>
+      fittedBpe(s, dir).mergesDf(s).orderBy("rank")),
+
+    // BPE encoding as one narrow projection: per-doc REAL subword count
+    // plus the full segmentation string — both hash-compared against
+    // the oracle's identical replace-chain encode
+    "text_bpe_encode" -> ((s, dir) =>
+      graft.pipeline.Bpe.encode(Tables.documents(s, dir), "text", "doc_id",
+        fittedBpe(s, dir)).orderBy("doc_id")),
 
     // cross-document novelty: fraction of a doc's bigrams that are
     // corpus-unique (df = 1) — the statistical quality signal the
@@ -3039,6 +3128,10 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
         |   AS n_number_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe" -> bpeTrainSql,
+
+    "text_bpe_encode" -> bpeEncodeSql,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,

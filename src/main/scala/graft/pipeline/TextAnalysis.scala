@@ -17,8 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer — one token per space-separated run. */
+  /** Whitespace tokenizer — one token per space-separated run. This is
+    * the ORACLE-CONTRACT tokenizer: every gate entry built on it encodes
+    * `split(text, ' ')` in its DuckDB SQL, so it stays the default here.
+    * For real multilingual text use [[unicodeTokens]] (and the trained
+    * subword vocabulary in [[Bpe]]); on the driver's space-separated
+    * ASCII corpus the two segment identically. */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Unicode-aware tokenizer: letter(+combining-mark) runs, digit runs,
+    * single non-space symbols — [[Bpe.pretokenPattern]], the GPT-2-style
+    * pre-token shape, restricted to Unicode classes Java regex and RE2
+    * agree on. Punctuation separates (unlike [[tokens]], which glues
+    * "word," into one token). */
+  def unicodeTokens(text: Column): Column = Bpe.pretokens(text)
 
   /** A small English stopword set for quality scoring (heuristic; the
     * point is the operator shape, not the lexicon). */
