@@ -25,21 +25,32 @@ object Bench {
       import org.apache.spark.sql.functions.col
       import graft.functions.FastFunctions.pseudoRandomVec
       import graft.index.{IvfPqBuilder, IvfPqConfig}
-      val vecs = spark.range(100000L).repartition(64)
-        .select(col("id"), pseudoRandomVec(col("id"), 1536, 42L).as("vec"))
-        .cache()
-      vecs.count()
-      val t0 = System.nanoTime()
-      val (_, enc) = IvfPqBuilder.fit(vecs, "id", "vec", 1536,
-        IvfPqConfig(numPartitions = 100, numDivisions = 12, numCodes = 256,
-          maxIter = 20),
-        // convergence evidence for the maxIter=20 vs reference ≤100+ε
-        // comparison: rounds < maxIter means the tol stop fired
-        s => System.err.println(s"[build-bench] $s"))
-      enc.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop the 600 MB build input before the suite
-      s""","build":{"ivfpq_build_100k_1536":$sec,"baseline_sec":906.52}"""
+      // both scales are STANDING per-round record fields: the 100k run
+      // is the apples-to-apples baseline comparison, the 1M run is the
+      // scale regression canary (10× the rows through the same
+      // assignment/encode passes — a plan that stops scaling linearly
+      // shows up here first, not at sf0.1)
+      def buildAt(n: Long): Double = {
+        val vecs = spark.range(n).repartition(64)
+          .select(col("id"), pseudoRandomVec(col("id"), 1536, 42L).as("vec"))
+          .cache()
+        vecs.count()
+        val t0 = System.nanoTime()
+        val (_, enc) = IvfPqBuilder.fit(vecs, "id", "vec", 1536,
+          IvfPqConfig(numPartitions = 100, numDivisions = 12, numCodes = 256,
+            maxIter = 20),
+          // convergence evidence for the maxIter=20 vs reference ≤100+ε
+          // comparison: rounds < maxIter means the tol stop fired
+          s => System.err.println(s"[build-bench n=$n] $s"))
+        enc.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        vecs.unpersist(true) // drop the build input before what follows
+        sec
+      }
+      val sec100k = buildAt(100000L)
+      val sec1m = buildAt(1000000L)
+      s""","build":{"ivfpq_build_100k_1536":$sec100k,""" +
+        s""""ivfpq_build_1m_1536":$sec1m,"baseline_sec":906.52}"""
     } else ""
     // shared fixtures (index fit/save, attribute batches) are pipeline
     // stages, not operators — materialize them outside the timed loop so

@@ -63,7 +63,23 @@ object GraftFunctions {
       "rotateF", 2),
     ("graft_sign_bits", ArrayType(LongType, containsNull = false),
       "signBits", 2),
-    ("graft_hamming", IntegerType, "hammingDist", 2))
+    ("graft_hamming", IntegerType, "hammingDist", 2),
+    ("graft_top_cells", ArrayType(LongType, containsNull = false),
+      "topCellsL2", 3),
+    ("graft_last_le_idx", IntegerType, "lastLeIdx", 2),
+    ("graft_adc_dist", DoubleType, "adcDist", 3),
+    ("graft_mean_pool", ArrayType(FloatType, containsNull = false),
+      "meanPool", 5))
+
+  /** The advertised SQL surface, in registration order. Every kernel
+    * with stable semantics is here; the only deliberate omission is
+    * `stubDecodeGray` (a documented TEST SEAM for the multimodal decode
+    * boundary, not an operator — see Multimodal.scala). Pipeline
+    * OPERATORS (dedup, SCD2, sampling, BPE…) stay Scala-API-only by
+    * design: they are multi-stage plans with tuning contracts, not
+    * scalar functions — the README's SQL-surface table records the
+    * split. */
+  def names: Seq[String] = specs.map(_._1)
 
   private def builder(name: String, dt: DataType, method: String, arity: Int)
       (args: Seq[Expression]): Expression = {
