@@ -64,7 +64,20 @@ object Bench {
     // quick iteration loop.
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.trim.toIntOption).getOrElse(3))
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite to the named
+    // entries — the bench-alone re-measure loop for a flagged regression
+    // (run the suspect by itself, median-of-N, nothing else on the heap)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val missing = names.diff(SparkEntry.queries.keySet)
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown entries: ${missing.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
