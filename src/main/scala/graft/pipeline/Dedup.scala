@@ -88,7 +88,15 @@ object Dedup {
         .where(col("sz") > 0),
       jaccardPairsOn(_, thresholdPct))
 
-  private def jaccardPairsOn(sets: DataFrame, thresholdPct: Int): DataFrame = {
+  private[graft] def jaccardPairsOn(sets: DataFrame,
+                                    thresholdPct: Int): DataFrame =
+    verifyCandidates(ppjoinCandidates(sets, thresholdPct), sets, thresholdPct)
+
+  /** PPJoin candidate pairs (a_id < b_id, exactly one row per pair) for
+    * the exact-Jaccard verification — package-visible so the stage can
+    * be profiled apart from verification. */
+  private[graft] def ppjoinCandidates(sets: DataFrame,
+                                      thresholdPct: Int): DataFrame = {
     val toks = sets.select(col("doc_id"), col("sz"), explode(col("hset")).as("h"))
     val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
     // per-doc PREFIX ARRAY: the L = |A| − ⌈t·|A|⌉ + 1 globally rarest
@@ -103,28 +111,37 @@ object Dedup {
             (col("sz") - ceilDiv(col("sz") * thresholdPct, 100) + 1).cast("int")),
           s => s.getField("h")).as("prefix"))
     // posexplode keeps each token's POSITION in the global (df, h) order —
-    // the PPJoin position filter needs it. Repartitioning on the join key
+    // the PPJoin position filter needs it. The exploded prefix relation is
+    // FIXED-WIDTH (doc_id, sz, p, h) — the prefix array itself never rides
+    // the exchange (an earlier revision carried it per row for a
+    // first-common pair-dedupe scan; at ~0.4·|A| prefix rows each dragging
+    // the full ~0.4·|A|-long array, the exchange was quadratic in set size
+    // and dominated the whole operator). Repartitioning on the join key
     // `h` both spreads a single-split source across the cluster and is
     // reused by the self-join's exchange (same hash partitioning), so it
     // costs no extra shuffle in the shuffle-join case.
     val prefix = prefixed
-      .select(col("doc_id"), col("sz"), col("prefix"),
+      .select(col("doc_id"), col("sz"),
         posexplode(col("prefix")).as(Seq("p", "h")))
       .repartition(col("h"))
-    // each qualifying pair shares ≥1 prefix token; the firstCommon filter
-    // (= the globally-least shared prefix token, symmetric in x/y) keeps
-    // exactly one joined row per pair — no distinct() over candidates.
-    // At that first-common row no earlier token is shared, so the PPJoin
-    // position filter (Xiao et al., WWW'08 §3.2) bounds the overlap by
-    // 1 + min(remaining tokens in A, remaining tokens in B) — an integer
-    // conjunct that kills most candidates before the firstCommon scan.
+    // Each qualifying pair shares ≥1 prefix token, so the prefix self-join
+    // is a complete candidate generator; a pair appearing once per shared
+    // prefix token is collapsed by the groupBy — a shuffle of fixed-width
+    // candidate rows, which verification re-shuffles anyway. The PPJoin
+    // position filter (Xiao et al., WWW'08 §3.2) is complete at the pair's
+    // FIRST common token (no earlier token shared ⇒ overlap ≤ 1 +
+    // min(remaining in A, remaining in B)); at later common tokens the
+    // same bound may spuriously prune or keep individual rows, which is
+    // harmless: the first-common row always survives, and spurious
+    // survivors only add candidates that exact verification removes.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
         sizeCompatible(thresholdPct) &&
-        positionCompatible(thresholdPct) &&
-        firstCommon(col("x.prefix"), col("y.prefix")) === col("x.h"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    verifyCandidates(cand, sets, thresholdPct)
+        positionCompatible(thresholdPct))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_prefix"))
+      .select("a_id", "b_id")
+    cand
   }
 
   /** ⌈a/b⌉ for positive integer columns. */
