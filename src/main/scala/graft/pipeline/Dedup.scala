@@ -311,7 +311,9 @@ object Dedup {
   /** LSH candidate pairs: one 64-bit band key per band (band index salted
     * in), self-join on the key; the firstEqualIdx filter emits each pair
     * from its first shared band only, replacing a distinct() over the
-    * (quadratic) candidate multiset. Shuffles only fixed-width rows. */
+    * (quadratic) candidate multiset. The bands array riding the join is
+    * FIXED-width (bands × 8 B), so the in-codegen emit-once scan beats
+    * aggregating the joined-row multiset — see [[minHashLshPairs]]. */
   def lshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
     val keyed = signatures
       .select(col("doc_id"), bandKeys(col("sig"), bands).as("bands"))
@@ -334,13 +336,19 @@ object Dedup {
     *
     * Shape, designed for the worst case (dense near-dup clusters, where
     * band buckets pair quadratically):
-    *  - band-join rows carry (doc_id, sz, bands, b, k) — the 32-long band
-    *    array rides along (≈300 B/row, linear in corpus size) but hashed
-    *    sets do NOT;
+    *  - band-join rows carry (doc_id, sz, bands, b, k) — the bands-long
+    *    band-key array rides along (fixed ≈300 B/row, NOT proportional
+    *    to set size — unlike the PPJoin prefix array, which is why that
+    *    path dropped its array and this one keeps it) but hashed sets do
+    *    NOT;
     *  - a pair sharing m bands appears in m joined rows; the
     *    `firstEqualIdx(x.bands, y.bands) = b` filter keeps exactly the
-    *    first shared band, so each candidate survives ONCE with no
-    *    distinct() over the (quadratic) candidate multiset;
+    *    first shared band INSIDE the codegen join loop, so each
+    *    candidate survives once with no aggregation over the joined-row
+    *    multiset (a groupBy pair-collapse was measured 4-5× slower here:
+    *    a J ≥ 0.9 pair matches in ~21 of 32 bands, and hash-aggregating
+    *    that multiset costs more than scanning two 32-long arrays per
+    *    joined row);
     *  - the length filter prunes size-incompatible pairs inside the join;
     *  - verification joins the surviving pairs back to the hashed sets
     *    and merge-counts each intersection exactly once. */
@@ -392,7 +400,7 @@ object Dedup {
     * check buffers are two longs — NOT array copies, which would undo
     * the fixed-width-key saving. Checkpointed — every consumer uses it
     * 2-3 times, and each recomputation would be a corpus scan. */
-  private def identicalSetGroupsOf(sets: DataFrame): DataFrame =
+  private[graft] def identicalSetGroupsOf(sets: DataFrame): DataFrame =
     sets
       .groupBy(xxhash64(col("hset")).as("hkey"))
       .agg(min(col("doc_id")).as("rep"),
@@ -446,9 +454,19 @@ object Dedup {
 
   /** The band join + verification over a prepared (doc_id, hset, sz)
     * relation — see [[minHashLshPairs]] for the algorithm notes. */
-  private def minHashLshPairsOn(sets: DataFrame, thresholdPct: Int,
+  private[graft] def minHashLshPairsOn(sets: DataFrame, thresholdPct: Int,
                                 numHashes: Int, bands: Int,
-                                salt: Int, oph: Boolean): DataFrame = {
+                                salt: Int, oph: Boolean): DataFrame =
+    verifyCandidates(
+      lshBandCandidates(sets, thresholdPct, numHashes, bands, salt, oph),
+      sets, thresholdPct)
+
+  /** LSH band-join candidate pairs (a_id < b_id, one row per pair) —
+    * package-visible so the stage can be profiled apart from
+    * verification. */
+  private[graft] def lshBandCandidates(sets: DataFrame, thresholdPct: Int,
+                                       numHashes: Int, bands: Int,
+                                       salt: Int, oph: Boolean): DataFrame = {
     val keyed = sets
       .withColumn("bands",
         bandKeys(sigCol(col("hset"), numHashes, oph), bands))
@@ -473,7 +491,7 @@ object Dedup {
         sizeCompatible(thresholdPct) &&
         firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    verifyCandidates(cand, sets, thresholdPct)
+    cand
   }
 
   /** BIPARTITE MinHash+LSH dedup — the incremental-ingest shape: a NEW
