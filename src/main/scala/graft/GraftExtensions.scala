@@ -22,6 +22,8 @@ object GraftFunctions {
     ("graft_sq_l2", DoubleType, "sqL2f", 2),
     ("graft_dot", DoubleType, "dotf", 2),
     ("graft_cosine", DoubleType, "cosinef", 2),
+    ("graft_norm2", DoubleType, "norm2SafeF", 1),
+    ("graft_norm2_d", DoubleType, "norm2Safe", 1),
     ("graft_token_hashes", ArrayType(LongType, containsNull = false),
       "tokenHashesSorted", 1),
     ("graft_inter_size", LongType, "interSortedSize", 2),

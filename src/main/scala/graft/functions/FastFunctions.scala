@@ -24,6 +24,8 @@ object FastFunctions {
     "sqL2f" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
     "dotf" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
     "cosinef" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
+    "norm2Safe" -> Seq(ArrayType(DoubleType)),
+    "norm2SafeF" -> Seq(ArrayType(FloatType)),
     "tokenHashesSorted" -> Seq(ArrayType(StringType)),
     "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
     "shingleHashes" -> Seq(ArrayType(StringType), IntegerType),
@@ -88,6 +90,16 @@ object FastFunctions {
       inputTypes = kernelInputTypes.getOrElse(name, Nil),
       propagateNull = true,
       returnNullable = false))
+
+  /** ‖x‖₂ of an array<float> column with the reference's √max|x|
+    * pre-scaling (Kernels.norm2SafeF). */
+  def norm2SafeF(a: Column): Column =
+    invoke(DoubleType, "norm2SafeF", a)
+
+  /** ‖x‖₂ of an array<double> column, overflow-safe beyond |xᵢ|≈1e154
+    * (Kernels.norm2Safe). */
+  def norm2Safe(a: Column): Column =
+    invoke(DoubleType, "norm2Safe", a)
 
   /** Σ (aᵢ−bᵢ)² for two array<float> columns. */
   def squaredL2F(a: Column, b: Column): Column =

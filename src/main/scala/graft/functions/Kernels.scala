@@ -77,6 +77,65 @@ object Kernels {
     if (denom == 0.0) 0.0 else dp / denom
   }
 
+  /** ‖x‖₂ with the reference's √max|x| pre-scaling (reference
+    * src/linalg.rs:61-146, `norm2`/`norm2_scaled`): mx = max|xᵢ|;
+    * result = √mx · √Σ(xᵢ/√mx)². Scaling by 1/√mx bounds every scaled
+    * square by mx itself, so the accumulator never overflows even when
+    * xᵢ² would. This closes the last documented divergence from the
+    * reference: the plain double accumulation used everywhere else in
+    * this file is exact for all f32 inputs (max f32² ≈ 1.2e77 ≪ double
+    * max), but a DOUBLE vector with |xᵢ| beyond ~1.3e154 overflows xᵢ²
+    * to +Inf — this kernel returns the finite norm there, and on the
+    * small end keeps subnormal components (|xᵢ| < ~1.5e-162) from
+    * squaring to 0. Returns 0.0 for an empty or all-zero vector, as the
+    * reference does. NaN/±Inf elements propagate (mirrors the
+    * reference's unguarded arithmetic). */
+  def norm2Safe(a: ArrayData): Double = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i))
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx == 0.0) return 0.0
+    val ms = math.sqrt(mx)
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val v = a.getDouble(i) / ms
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s) * ms
+  }
+
+  /** Float-array variant of [[norm2Safe]] — identical contract. f32
+    * squares cannot overflow a double accumulator, so here the rescale
+    * only guards the subnormal floor; it exists so the f32 engine
+    * surface mirrors the reference's `norm2<f32>` exactly. */
+  def norm2SafeF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx == 0.0) return 0.0
+    val ms = math.sqrt(mx)
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble / ms
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s) * ms
+  }
+
   /** Sorted (ascending) xxhash64 values of a string array's DISTINCT
     * elements — the hashed token-set representation used by the dedup
     * family. 64-bit hashing makes equality/intersection counts collide

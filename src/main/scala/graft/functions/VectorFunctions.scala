@@ -37,9 +37,12 @@ object VectorFunctions {
   def normSq(a: Column): Column =
     aggregate(a, lit(0.0), (acc, v) => acc + d(v) * d(v))
 
-  /** ‖x‖₂ — reference `norm2` (linalg.rs:61-146). The reference scales by
-    * √max|x| for f32 overflow safety; in Double that matters only beyond
-    * ~1e150, far outside embedding ranges, so we keep the direct form. */
+  /** ‖x‖₂ — reference `norm2` (linalg.rs:61-146). This HOF form squares
+    * directly (exact for all f32 inputs in a double accumulator and
+    * oracle-locked by the cosine entries); the reference's √max|x|
+    * pre-scaled variant — safe for double inputs beyond ~1e154 — is
+    * [[FastFunctions.norm2Safe]]/[[FastFunctions.norm2SafeF]]
+    * (`graft_norm2` in SQL). */
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity dot/(‖a‖·‖b‖); 0 for zero-norm inputs. */

@@ -24,6 +24,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 25.0)
   }
 
+  test("SQL surface: norm2 variants (float and overflow-safe double)") {
+    val r = spark.sql(
+      """SELECT
+        | graft_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nf,
+        | graft_norm2_d(array(1e200, -1e200)) AS nd""".stripMargin).head()
+    assert(r.getDouble(0) === 5.0)
+    assert(r.getDouble(1) === 1e200 * math.sqrt(2.0)) // plain squaring -> Inf
+  }
+
   test("SQL surface: token hashing and set intersection compose") {
     val r = spark.sql(
       """SELECT graft_inter_size(graft_token_hashes(split('a b c', ' ')),

@@ -252,6 +252,37 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.shingleHashes(sa("x"), 2).numElements() === 0)
   }
 
+  test("norm2Safe: overflow-safe where plain squaring is Inf, else agrees") {
+    def da(xs: Double*): ArrayData =
+      UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    // plain path: 1e200² = Inf; the √max|x|-scaled path stays finite
+    val big = da(1e200, 0.0, -1e200)
+    assert(java.lang.Double.isInfinite(1e200 * 1e200 + 1e200 * 1e200))
+    assert(Kernels.norm2Safe(big) === 1e200 * math.sqrt(2.0))
+    // subnormal floor: 1e-300² underflows to 0 in the plain form
+    assert(1e-300 * 1e-300 === 0.0)
+    assert(Kernels.norm2Safe(da(1e-300)) === 1e-300)
+    // ordinary inputs agree with the direct form to 1 ulp
+    val xs = Seq(3.0, -4.0, 12.0)
+    val direct = math.sqrt(xs.map(x => x * x).sum)
+    assert(math.abs(Kernels.norm2Safe(da(xs: _*)) - direct) <=
+      math.ulp(direct))
+    // empty and all-zero -> 0, as the reference
+    assert(Kernels.norm2Safe(da()) === 0.0)
+    assert(Kernels.norm2Safe(da(0.0, 0.0)) === 0.0)
+  }
+
+  test("norm2SafeF: float variant matches direct double computation") {
+    assert(Kernels.norm2SafeF(fa(3f, 4f)) === 5.0)
+    assert(Kernels.norm2SafeF(fa()) === 0.0)
+    assert(Kernels.norm2SafeF(fa(0f)) === 0.0)
+    // max-magnitude f32s: direct double form is exact; scaled agrees ~1 ulp
+    val m = Float.MaxValue
+    val direct = math.sqrt(2.0 * m.toDouble * m.toDouble)
+    val got = Kernels.norm2SafeF(fa(m, -m))
+    assert(math.abs(got - direct) <= 2 * math.ulp(direct))
+  }
+
   test("bitsAboveMean: aHash bits, equal-input stability, size guard") {
     // [0,1,0,1]: mean 0.5 -> bits at positions 1 and 3
     assert(Kernels.bitsAboveMean(fa(0f, 1f, 0f, 1f)) === ((1L << 1) | (1L << 3)))
