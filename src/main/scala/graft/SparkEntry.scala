@@ -1529,6 +1529,19 @@ object SparkEntry {
       TextAnalysis.bigramLmScores(docs, docs).orderBy("doc_id")
     }),
 
+    // multinomial Naive Bayes language classifier (the fastText-shaped
+    // count model): train on even doc_ids labeled by lang, predict the
+    // odd ones — integer-arithmetic fit scores so the argmax cannot
+    // flake on a float ulp (log-space variant is API-only, spec-covered)
+    "text_nb_classify" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.NaiveBayes.classify(
+          docs.where(col("doc_id") % 2 === 0).select(col("text"), col("lang")),
+          docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          labelCol = "lang")
+        .orderBy("doc_id")
+    }),
+
     // batch twin of the streaming key-dedup (dropDuplicatesWithin-
     // Watermark semantics): the FIRST event per (user_id, event_type)
     // in (ts, event_id) order survives
@@ -1677,6 +1690,20 @@ object SparkEntry {
         .kFolds(Tables.documents(s, dir), "doc_id", folds = 5, seed = 3)
         .select("doc_id", "fold")
         .orderBy("doc_id")),
+
+    // DSIR data selection (Xie et al. 2023): candidates from the
+    // src4..src19 pool ranked by how target-like (src0..src3) their
+    // unigram distribution is — integer probability-difference scores,
+    // deterministic top-100 by (score, doc_id)
+    "dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tgt = docs.where(
+        col("source").isin("src0", "src1", "src2", "src3"))
+      val cand = docs.where(
+        !col("source").isin("src0", "src1", "src2", "src3"))
+      graft.pipeline.TrainingData.dsirSelect(tgt, cand, n = 100)
+        .orderBy("rank")
+    }),
 
     // bounded top-k per group: the 3 longest docs per source via the
     // map-side-combinable top-k aggregate — shuffle carries ≤ k·|groups|
@@ -3203,6 +3230,35 @@ object SparkEntry {
         |CROSS JOIN guard WHERE guard.ok = 1
         |ORDER BY d.doc_id""".stripMargin,
 
+    "text_nb_classify" ->
+      """WITH tr AS (SELECT lang AS label, string_split(text, ' ') AS ts
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |te AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ttok AS (SELECT label, unnest(ts) AS tok FROM tr),
+        |cnt AS (SELECT label, tok, count(*) AS cnt FROM ttok GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*) AS t_c FROM ttok GROUP BY 1),
+        |pri AS (SELECT label, count(*) AS n_c FROM tr GROUP BY 1),
+        |ntr AS (SELECT count(*) AS n_train FROM tr),
+        |voc AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+        |ptok AS (SELECT s.doc_id, p.label,
+        |  (1000000 * (coalesce(c.cnt, 0) + 1)) // (t.t_c + voc.v) AS p
+        | FROM (SELECT doc_id, unnest(ts) AS tok FROM te) s
+        | CROSS JOIN pri p
+        | JOIN tot t ON t.label = p.label CROSS JOIN voc
+        | LEFT JOIN cnt c ON c.label = p.label AND c.tok = s.tok),
+        |dc AS (SELECT doc_id, label, sum(p) AS sum_p
+        |  FROM ptok GROUP BY 1, 2),
+        |sc AS (SELECT dc.doc_id, dc.label,
+        |  (1000000 * pri.n_c) // ntr.n_train + dc.sum_p AS score
+        | FROM dc JOIN pri USING (label) CROSS JOIN ntr),
+        |r AS (SELECT doc_id, label, score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, label) AS rn FROM sc)
+        |SELECT doc_id, label AS pred_label,
+        | CAST(score AS BIGINT) AS score_x1e6
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "events_dedup_first" ->
       """SELECT user_id, event_type, event_id FROM (
         | SELECT user_id, event_type, event_id,
@@ -3323,6 +3379,35 @@ object SparkEntry {
         | ('0x' || substr(md5('fold:3:' || CAST(doc_id AS VARCHAR)), 1, 6))
         |   ::BIGINT % 5 AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dsir_select" ->
+      """WITH tgt AS (SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |cand AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents
+        |  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+        |tt AS (SELECT unnest(ts) AS tok FROM tgt),
+        |rt AS (SELECT unnest(ts) AS tok FROM cand),
+        |tc AS (SELECT tok, count(*) AS c_t FROM tt GROUP BY 1),
+        |rc AS (SELECT tok, count(*) AS c_r FROM rt GROUP BY 1),
+        |k AS (SELECT
+        |  (SELECT count(*) FROM tt) AS t_t,
+        |  (SELECT count(*) FROM rt) AS t_r,
+        |  (SELECT count(*) FROM (SELECT tok FROM tt UNION
+        |    SELECT tok FROM rt)) AS v),
+        |sc AS (SELECT s.doc_id, count(*) AS n_tokens,
+        |  sum((1000000000 * (coalesce(tc.c_t, 0) + 1)) // (k.t_t + k.v)
+        |    - (1000000000 * (coalesce(rc.c_r, 0) + 1)) // (k.t_r + k.v))
+        |    AS score
+        | FROM (SELECT doc_id, unnest(ts) AS tok FROM cand) s
+        | LEFT JOIN tc USING (tok) LEFT JOIN rc USING (tok) CROSS JOIN k
+        | GROUP BY 1),
+        |r AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id)
+        |   AS rank, doc_id, n_tokens, score FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(score AS BIGINT) AS score_x1e9
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     "rel_top_per_group" ->
       """SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id,

@@ -328,4 +328,71 @@ object TrainingData {
       .where(col("n_dups") === 0 || b < format_string("%02x", w))
       .drop("n_dups")
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each candidate doc
+    * scored by how much more likely its tokens are under a unigram model
+    * of the TARGET distribution than under the model of the raw
+    * candidate pool itself. The paper scores Σ(log p̂_target −
+    * log p̂_raw) over hashed n-gram features and Gumbel-top-k resamples;
+    * the gate-deterministic rule here sums the floor-scaled smoothed
+    * probability DIFFERENCE per token occurrence,
+    * `floor(1e9·(cnt_t(w)+1)/(T_t+V)) − floor(1e9·(cnt_r(w)+1)/(T_r+V))`,
+    * integer end to end (the repo's oracle idiom), with the true
+    * log-ratio riding along as a double for API users. V is the shared
+    * vocabulary (distinct tokens across both corpora) so both models
+    * smooth over the same feature space, as DSIR's shared hash space
+    * does.
+    *
+    * Plan shape: two vocabulary-sized count aggregates (target model,
+    * raw model — the raw model is fit on the candidates themselves, as
+    * in the paper), one shared 1-row vocab/total aggregate set
+    * (broadcast), then the candidate token stream left-joins the target
+    * table at vocabulary scale and collapses per doc. No corpus×corpus
+    * join anywhere; at 100 TB this is the TF-IDF/LM-fit shape.
+    *
+    * Output: (doc_id, n_tokens, score_x1e9, log_ratio) per candidate. */
+  def dsirScores(target: DataFrame, candidates: DataFrame): DataFrame = {
+    def unigrams(df: DataFrame) = df.select(
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val tCnt = unigrams(target).groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val rCnt = unigrams(candidates).groupBy("tok").agg(count(lit(1)).as("c_r"))
+    // one row: both totals + the shared-vocabulary size
+    val consts = tCnt.join(rCnt, Seq("tok"), "full")
+      .agg(coalesce(sum("c_t"), lit(0L)).as("t_t"),
+        coalesce(sum("c_r"), lit(0L)).as("t_r"),
+        count(lit(1)).as("v"))
+    candidates
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .join(tCnt, Seq("tok"), "left")
+      .join(rCnt, Seq("tok"), "left") // no miss possible: raw model IS the pool
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        (expr("(1000000000L * (coalesce(c_t, 0L) + 1L)) div (t_t + v)") -
+          expr("(1000000000L * (coalesce(c_r, 0L) + 1L)) div (t_r + v)"))
+          .as("d_x1e9"),
+        (log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_t") + col("v")).cast("double")) -
+          log((coalesce(col("c_r"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_r") + col("v")).cast("double"))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("d_x1e9").as("score_x1e9"),
+        sum("lr").as("log_ratio"))
+  }
+
+  /** Deterministic DSIR selection: the top `n` candidates by
+    * (score_x1e9 desc, doc_id asc) — rank-equivalent to the paper's
+    * importance resampling at temperature → 0, and a bounded
+    * TakeOrderedAndProject, never a full sort. Output: (rank, doc_id,
+    * n_tokens, score_x1e9). */
+  def dsirSelect(target: DataFrame, candidates: DataFrame,
+                 n: Int): DataFrame = {
+    val w = Window.orderBy(col("score_x1e9").desc, col("doc_id"))
+    dsirScores(target, candidates)
+      .orderBy(col("score_x1e9").desc, col("doc_id"))
+      .limit(n)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_tokens"), col("score_x1e9"))
+  }
 }

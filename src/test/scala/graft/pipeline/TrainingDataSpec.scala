@@ -334,4 +334,35 @@ class TrainingDataSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sorted.toSeq
     assert(a === b)
   }
+
+  // ------------------------------------------- DSIR selection
+
+  test("dsirScores: target-like candidates outrank off-target ones, " +
+    "integer and log scores agree on the ordering") {
+    val target = Seq((100L, "ml ai ml data")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "ml ai"),   // all target vocabulary
+      (2L, "cat dog"), // none
+      (3L, "ml cat")   // half
+    ).toDF("doc_id", "text")
+    val r = TrainingData.dsirScores(target, cand).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 > r(3L)._1 && r(3L)._1 > r(2L)._1)
+    assert(r(1L)._2 > r(3L)._2 && r(3L)._2 > r(2L)._2)
+    assert(r(2L)._1 < 0 && r(2L)._2 < 0) // off-target scores negative
+  }
+
+  test("dsirSelect: bounded top-n with (score desc, doc_id) rank order") {
+    val target = Seq((100L, "ml ai ml data")).toDF("doc_id", "text")
+    val cand = Seq((1L, "ml ai"), (2L, "cat dog"), (3L, "ml cat"))
+      .toDF("doc_id", "text")
+    val r = TrainingData.dsirSelect(target, cand, n = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq === Seq((1L, 1L), (2L, 3L)))
+    // ties (identical text) rank by doc_id ascending
+    val dup = Seq((5L, "ml ai"), (4L, "ml ai")).toDF("doc_id", "text")
+    val t = TrainingData.dsirSelect(target, dup, n = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(t.toSeq === Seq((1L, 4L), (2L, 5L)))
+  }
 }
