@@ -24,6 +24,8 @@ object GraftFunctions {
     ("graft_cosine", DoubleType, "cosinef", 2),
     ("graft_norm2", DoubleType, "norm2SafeF", 1),
     ("graft_norm2_d", DoubleType, "norm2Safe", 1),
+    ("graft_hash_embed", ArrayType(FloatType, containsNull = false),
+      "hashEmbedF", 2),
     ("graft_token_hashes", ArrayType(LongType, containsNull = false),
       "tokenHashesSorted", 1),
     ("graft_inter_size", LongType, "interSortedSize", 2),

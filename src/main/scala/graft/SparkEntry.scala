@@ -1458,6 +1458,55 @@ object SparkEntry {
             .as("recall_ge_90"))
     }),
 
+    // model-free document embedding by the feature-hashing trick
+    // (Weinberger et al. 2009): one narrow kernel projection, no
+    // vocabulary table. The hash is engine-local (xxh64), so the gate
+    // checks the EXACT invariant instead of values: every doc's bucket
+    // counts sum to its token count and the vector is dim-wide
+    "embed_hash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = graft.pipeline.Embeddings.hashEmbed(docs, dim = 64)
+      emb.join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          aggregate(col("embedding"), lit(0.0d), (a, x) => a + x)
+            .cast("long").as("v_sum"),
+          size(col("embedding")).cast("long").as("v_dim"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(when(col("v_sum") =!= col("n_tokens"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_bad_sum"),
+          coalesce(sum(when(col("v_dim") =!= 64, 1L).otherwise(0L)), lit(0L))
+            .as("n_bad_dim"))
+    }),
+
+    // text → ANN bridge with NO pretrained embeddings: hash-embed the
+    // corpus, L2-normalize, batch MIPS (= cosine on unit vectors) for
+    // every 100th doc. Invariants: k rows per query and the top-1
+    // similarity ≈ 1 (each query is its own nearest neighbor up to
+    // count-vector ties, which still score 1)
+    "embed_hash_knn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def unit(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val n = graft.functions.VectorFunctions.l2Norm(c)
+        transform(c, x => (x.cast("double") / n).cast("float"))
+      }
+      val emb = graft.pipeline.Embeddings.hashEmbed(docs, dim = 64)
+        .select(col("doc_id"), unit(col("embedding")).as("embedding"))
+      val qs = emb.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
+      val knn = ExactKnn.batchTopKIp(emb, "embedding", "doc_id",
+        qs, "qid", "qvec", k = 5)
+      knn.groupBy("qid")
+        .agg(count(lit(1)).as("c"),
+          max(when(col("rank") === 1, col("ip"))).as("top1"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          coalesce(sum(when(col("c") =!= 5, 1L).otherwise(0L)), lit(0L))
+            .as("n_bad_counts"),
+          coalesce(sum(when(col("top1") < 0.999, 1L).otherwise(0L)), lit(0L))
+            .as("n_bad_top1"))
+    }),
+
     // ------------------------------------ multimodal binary-column family
     // multimodal → similarity composition: media float features (bucket
     // sums normalized by byte length, cast to f32) feed the exact k-NN
@@ -2901,6 +2950,18 @@ object SparkEntry {
     "embed_neardup_incr" ->
       """SELECT CAST(0 AS BIGINT) AS n_extra,
         | CAST(1 AS BIGINT) AS recall_ge_90""".stripMargin,
+
+    "embed_hash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(0 AS BIGINT) AS n_bad_sum,
+        | CAST(0 AS BIGINT) AS n_bad_dim
+        |FROM documents""".stripMargin,
+
+    "embed_hash_knn" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(0 AS BIGINT) AS n_bad_counts,
+        | CAST(0 AS BIGINT) AS n_bad_top1
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
 
     "attrs_vector_get" ->
       """SELECT vec_id AS vector_id,

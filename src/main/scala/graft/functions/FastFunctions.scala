@@ -25,6 +25,7 @@ object FastFunctions {
     "dotf" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
     "cosinef" -> Seq(ArrayType(FloatType), ArrayType(FloatType)),
     "norm2Safe" -> Seq(ArrayType(DoubleType)),
+    "hashEmbedF" -> Seq(ArrayType(StringType), IntegerType),
     "norm2SafeF" -> Seq(ArrayType(FloatType)),
     "tokenHashesSorted" -> Seq(ArrayType(StringType)),
     "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
@@ -100,6 +101,12 @@ object FastFunctions {
     * (Kernels.norm2Safe). */
   def norm2Safe(a: Column): Column =
     invoke(DoubleType, "norm2Safe", a)
+
+  /** Feature-hashing embedding of a token array (Kernels.hashEmbedF):
+    * dense array<float> of per-bucket token counts. */
+  def hashEmbedF(toks: Column, dim: Int): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "hashEmbedF",
+      toks, lit(dim))
 
   /** Σ (aᵢ−bᵢ)² for two array<float> columns. */
   def squaredL2F(a: Column, b: Column): Column =

@@ -136,6 +136,31 @@ object Kernels {
     math.sqrt(s) * ms
   }
 
+  /** Feature-hashing bag-of-words embedding (the "hashing trick",
+    * Weinberger et al. 2009): token t increments bucket
+    * `xxh64(t) mod dim`, yielding a dense float count vector. One
+    * narrow kernel call per row — no vocabulary table, no shuffle, no
+    * model — that bridges raw text into the whole ANN/kNN family
+    * (cosine is scale-invariant, so raw counts behave like TF vectors).
+    * Unsigned counts (no hash-sign trick) keep the exact invariant
+    * Σ_buckets v = token count, which the gate checks cross-engine.
+    * Null tokens (possible via the SQL surface) contribute nothing. */
+  def hashEmbedF(toks: ArrayData, dim: Int): ArrayData = {
+    require(dim > 0, s"hashEmbedF: dim must be positive, got $dim")
+    val v = new Array[Float](dim)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val u = toks.getUTF8String(i)
+      if (u != null) {
+        val h = XXH64.hashUTF8String(u, 42L)
+        v((((h % dim) + dim) % dim).toInt) += 1f
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(v)
+  }
+
   /** Sorted (ascending) xxhash64 values of a string array's DISTINCT
     * elements — the hashed token-set representation used by the dedup
     * family. 64-bit hashing makes equality/intersection counts collide

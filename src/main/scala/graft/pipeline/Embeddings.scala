@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Model-free document embedding by the feature-hashing trick
+    * (Weinberger et al. 2009; [[graft.functions.Kernels.hashEmbedF]]):
+    * (doc_id, embedding: array<float> of per-bucket token counts). One
+    * narrow codegen projection — no vocabulary table, no training, no
+    * shuffle — so raw text plugs straight into the exact-kNN and IVF
+    * index family (cosine over count vectors = TF similarity). The
+    * invariant Σ_buckets v = token count holds exactly, which the gate
+    * entry checks cross-engine. */
+  def hashEmbed(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.FastFunctions.hashEmbedF(
+        TextAnalysis.tokens(col("text")), dim).as("embedding"))
+
   /** Per-group mean vector (class centroid / prototype), re-assembled in
     * position order: (group, centroid: array<double>, n_vectors). */
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =

@@ -33,6 +33,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 1e200 * math.sqrt(2.0)) // plain squaring -> Inf
   }
 
+  test("SQL surface: hash_embed bucket counts sum to the token count") {
+    val r = spark.sql(
+      """SELECT aggregate(graft_hash_embed(split('a b a c', ' '), 16),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS s,
+        |  size(graft_hash_embed(split('a b a c', ' '), 16)) AS d
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getInt(1) === 16)
+  }
+
   test("SQL surface: token hashing and set intersection compose") {
     val r = spark.sql(
       """SELECT graft_inter_size(graft_token_hashes(split('a b c', ' ')),

@@ -252,6 +252,20 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.shingleHashes(sa("x"), 2).numElements() === 0)
   }
 
+  test("hashEmbedF: counts sum to token count, order-invariant, dim guard") {
+    val v = Kernels.hashEmbedF(sa("a", "b", "a"), 8)
+    val arr = (0 until 8).map(v.getFloat)
+    assert(arr.sum === 3f)
+    assert(arr.max >= 2f) // "a" twice lands in one bucket
+    // a permutation of the same multiset embeds identically
+    val v2 = Kernels.hashEmbedF(sa("b", "a", "a"), 8)
+    assert((0 until 8).map(v2.getFloat) === arr)
+    // empty input -> zero vector of the right width
+    val z = Kernels.hashEmbedF(sa(), 4)
+    assert((0 until 4).map(z.getFloat).forall(_ === 0f))
+    intercept[IllegalArgumentException](Kernels.hashEmbedF(sa("x"), 0))
+  }
+
   test("norm2Safe: overflow-safe where plain squaring is Inf, else agrees") {
     def da(xs: Double*): ArrayData =
       UnsafeArrayData.fromPrimitiveArray(xs.toArray)
