@@ -2200,6 +2200,23 @@ object SparkEntry {
     // corpus audit profile: per-source volume, token mass, vocabulary
     // width, length extremes — the inspection step every ingest pipeline
     // runs before training; one pass, map-side-combined
+    // declarative data-quality expectations (the dbt-test shape): six
+    // rules over events in one scan + two key aggregates + one
+    // anti-join; the mixed zero/nonzero violation counts are computed
+    // independently by the oracle, so the gate checks real counting,
+    // not just "clean data passes"
+    "quality_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      violations(Tables.events(s, dir), Seq(
+        NotNull("user_id"),
+        Unique(Seq("event_id")),
+        Unique(Seq("user_id", "event_type")),
+        InRange("value", 0.0, 100.0),
+        Accepted("event_type", Seq("view", "click", "purchase", "signup")),
+        RefersTo("user_id",
+          Tables.customer(s, dir).select("c_custkey"), "c_custkey")))
+    }),
+
     "corpus_profile" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       Tables.documents(s, dir)
@@ -3753,6 +3770,32 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         | (SELECT count(*) FROM s2) AS n_click_after,
         | (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "quality_expectations" ->
+      """SELECT rule, CAST(n AS BIGINT) AS n_violations FROM (
+        | SELECT 'accepted:event_type' AS rule,
+        |  sum(CASE WHEN event_type NOT IN
+        |    ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END) AS n
+        | FROM events
+        | UNION ALL
+        | SELECT 'in_range:value',
+        |  sum(CASE WHEN value < 0.0 OR value > 100.0 THEN 1 ELSE 0 END)
+        | FROM events
+        | UNION ALL
+        | SELECT 'not_null:user_id',
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+        | UNION ALL
+        | SELECT 'refers_to:user_id', count(*) FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = e.user_id)
+        | UNION ALL
+        | SELECT 'unique:event_id',
+        |  count(*) - count(DISTINCT event_id) FROM events
+        | UNION ALL
+        | SELECT 'unique:user_id,event_type',
+        |  count(*) - (SELECT count(*) FROM
+        |    (SELECT DISTINCT user_id, event_type FROM events)) FROM events
+        |) ORDER BY rule""".stripMargin,
 
     "corpus_profile" ->
       """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks

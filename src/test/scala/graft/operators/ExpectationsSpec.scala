@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ExpectationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import Expectations._
+
+  // id 3 duplicated; one NULL name; one out-of-range v; one bad status;
+  // fk 99 dangles; NULL fk dangles by anti-join semantics
+  private lazy val df = Seq(
+    (1L, Option("a"), 5.0, "ok", Option(10L)),
+    (2L, Option("b"), 50.0, "ok", Option(20L)),
+    (3L, Option("c"), 150.0, "bad", Option(99L)),
+    (3L, None, 7.0, "ok", None)
+  ).toDF("id", "name", "v", "status", "fk")
+  private lazy val ref = Seq(10L, 20L, 30L).toDF("k")
+
+  private def counts(rules: Seq[Rule]) =
+    violations(df, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("each rule kind counts its violations; NULLs pass range/accepted") {
+    val c = counts(Seq(
+      NotNull("name"), Unique(Seq("id")), InRange("v", 0.0, 100.0),
+      Accepted("status", Seq("ok")), RefersTo("fk", ref, "k")))
+    assert(c("not_null:name") === 1L)
+    assert(c("unique:id") === 1L) // 4 rows, 3 distinct ids
+    assert(c("in_range:v") === 1L) // 150 only; NULL-free column here
+    assert(c("accepted:status") === 1L) // "bad"
+    assert(c("refers_to:fk") === 2L) // 99 and NULL both dangle
+  }
+
+  test("a clean relation yields zero for every rule, one row per rule") {
+    val clean = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "name", "v")
+    val r = violations(clean, Seq(NotNull("name"), Unique(Seq("id")),
+      InRange("v", 0.0, 10.0))).collect()
+    assert(r.length === 3)
+    assert(r.forall(_.getLong(1) === 0L))
+    // sorted by rule name
+    assert(r.map(_.getString(0)).toSeq === r.map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("multi-column Unique counts rows beyond each group's first") {
+    val d = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"))
+      .toDF("x", "y")
+    val c = violations(d, Seq(Unique(Seq("x", "y")))).head()
+    assert(c.getLong(1) === 2L)
+  }
+
+  test("validated: passes clean data through, fails loudly with counts") {
+    val clean = Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
+    assert(validated(clean, Seq(Unique(Seq("id")))).count() === 2L)
+    val e = intercept[IllegalStateException] {
+      validated(df, Seq(NotNull("name"), Unique(Seq("id"))))
+    }
+    assert(e.getMessage.contains("not_null:name=1"))
+    assert(e.getMessage.contains("unique:id=1"))
+  }
+}
