@@ -1740,6 +1740,30 @@ object SparkEntry {
         .select("doc_id", "fold")
         .orderBy("doc_id")),
 
+    // token-budget mixture planning (water-filling under per-source
+    // epoch caps): quotas for a 10k-token budget over the 20 sources,
+    // weighted by source number. The plan itself is driver-computed
+    // over the metadata-sized per-source table; the gate cross-checks
+    // the conservation law total_quota = min(budget, total_capacity)
+    // and the per-source cap/epoch bounds
+    "mixture_budget" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+        .withColumn("weight",
+          expr("cast(substring(source, 4) as long) + 1"))
+      graft.pipeline.TrainingData
+        .mixtureBudget(per, budget = 10000L, maxEpochsX100 = 150L)
+        .agg(count(lit(1)).cast("long").as("n_sources"),
+          sum("quota_tokens").cast("long").as("total_quota"),
+          coalesce(sum(when(col("epochs_x100") > 150, 1L).otherwise(0L)),
+            lit(0L)).as("n_over_epochs"),
+          coalesce(sum(when(
+            col("quota_tokens") > expr("(n_tokens * 150) div 100"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_over_cap"))
+    }),
+
     // DSIR data selection (Xie et al. 2023): candidates from the
     // src4..src19 pool ranked by how target-like (src0..src3) their
     // unigram distribution is — integer probability-difference scores,
@@ -3457,6 +3481,17 @@ object SparkEntry {
         | ('0x' || substr(md5('fold:3:' || CAST(doc_id AS VARCHAR)), 1, 6))
         |   ::BIGINT % 5 AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mixture_budget" ->
+      """WITH t AS (SELECT source,
+        |  sum(len(string_split(text, ' '))) AS n_tokens
+        | FROM documents GROUP BY source)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        | CAST(least(10000, sum((n_tokens * 150) // 100)) AS BIGINT)
+        |   AS total_quota,
+        | CAST(0 AS BIGINT) AS n_over_epochs,
+        | CAST(0 AS BIGINT) AS n_over_cap
+        |FROM t""".stripMargin,
 
     "dsir_select" ->
       """WITH tgt AS (SELECT string_split(text, ' ') AS ts FROM documents

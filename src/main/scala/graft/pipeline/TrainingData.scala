@@ -329,6 +329,86 @@ object TrainingData {
       .drop("n_dups")
   }
 
+  /** Token-budget mixture planning: given per-source token counts and
+    * integer mixture weights, apportion a total token budget across
+    * sources by weight, capping every source at `maxEpochsX100/100`
+    * epochs of its own data and re-apportioning the surplus among the
+    * uncapped sources (water-filling) — the Chinchilla-style "how many
+    * epochs of each source fit this budget" planning step that precedes
+    * [[temperatureMixture]]-style row sampling.
+    *
+    * `perSource` is (source, n_tokens, weight) — a METADATA-sized
+    * relation (one row per source), so the water-filling loop runs on
+    * the driver over the collected rows; each round either finishes or
+    * caps ≥1 source, bounding it at |sources| iterations. All integer
+    * arithmetic (BigInt internally against share overflow): floor
+    * proportional shares with the ≤|active| leftover units going to the
+    * first sources in name order — fully deterministic.
+    *
+    * Output: (source, n_tokens, weight, quota_tokens, epochs_x100,
+    * capped). Conservation: Σ quota = min(budget, Σ cap_s) with
+    * cap_s = n_tokens·maxEpochsX100/100 floored — the gate entry checks
+    * that equality cross-engine. */
+  def mixtureBudget(perSource: DataFrame, budget: Long,
+                    maxEpochsX100: Long): DataFrame = {
+    require(budget >= 0, s"mixtureBudget: negative budget $budget")
+    require(maxEpochsX100 > 0, s"mixtureBudget: non-positive epoch cap")
+    val spark = perSource.sparkSession
+    import spark.implicits._
+    // one row per source BY CONTRACT (metadata cardinality) — the
+    // require below fails loudly if a caller passes a row-level relation
+    val rows = perSource.select(
+        col("source").cast("string"), col("n_tokens").cast("long"),
+        col("weight").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.map(_._1).distinct.length == rows.length,
+      "mixtureBudget: duplicate source rows")
+    rows.foreach { case (s, n, w) =>
+      require(n >= 0 && w > 0,
+        s"mixtureBudget: source $s needs n_tokens >= 0 and weight > 0")
+    }
+    val cap = rows.map { case (_, n, _) =>
+      (BigInt(n) * maxEpochsX100 / 100).toLong
+    }
+    val quota = Array.fill(rows.length)(0L)
+    val active = scala.collection.mutable.LinkedHashSet(rows.indices: _*)
+    var remaining = budget
+    var done = false
+    while (!done && remaining > 0 && active.nonEmpty) {
+      val totalW = active.iterator.map(i => BigInt(rows(i)._3)).sum
+      val share = active.iterator.map { i =>
+        i -> (BigInt(remaining) * rows(i)._3 / totalW).toLong
+      }.toMap
+      var leftover = remaining - share.valuesIterator.sum
+      val tentative = active.iterator.map { i =>
+        val extra = if (leftover > 0) { leftover -= 1; 1L } else 0L
+        i -> (share(i) + extra)
+      }.toMap
+      val capped = active.filter(i => quota(i) + tentative(i) >= cap(i))
+      if (capped.isEmpty) {
+        active.foreach(i => quota(i) += tentative(i))
+        remaining = 0
+      } else {
+        capped.foreach { i =>
+          remaining -= (cap(i) - quota(i))
+          quota(i) = cap(i)
+          active -= i
+        }
+        // uncapped sources keep their PREVIOUS quota; the freed budget
+        // re-apportions among them next round
+      }
+      done = active.isEmpty
+    }
+    rows.indices.map { i =>
+      val (s, n, w) = rows(i)
+      val e = if (n == 0) 0L else (BigInt(quota(i)) * 100 / n).toLong
+      (s, n, w, quota(i), e, if (quota(i) == cap(i)) 1L else 0L)
+    }.toDF("source", "n_tokens", "weight", "quota_tokens", "epochs_x100",
+      "capped")
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each candidate doc
     * scored by how much more likely its tokens are under a unigram model

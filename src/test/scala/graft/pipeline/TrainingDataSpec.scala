@@ -335,6 +335,47 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ------------------------------------------- mixture budget planning
+
+  private def plan(rows: Seq[(String, Long, Long)], b: Long, e: Long) =
+    TrainingData.mixtureBudget(rows.toDF("source", "n_tokens", "weight"), b, e)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("mixtureBudget: pure weight apportionment when no cap binds") {
+    val p = plan(Seq(("a", 100000L, 1L), ("b", 100000L, 3L)), 100L, 100L)
+    assert(p("a")._1 === 25L)
+    assert(p("b")._1 === 75L)
+    assert(p.values.map(_._3).sum === 0L) // nothing capped
+  }
+
+  test("mixtureBudget: capped source's surplus re-apportions (water-fill)") {
+    // a caps at 10 tokens (1 epoch of 10); its surplus flows to b
+    val p = plan(Seq(("a", 10L, 1L), ("b", 1000L, 1L)), 100L, 100L)
+    assert(p("a") === ((10L, 100L, 1L))) // full epoch, capped
+    assert(p("b")._1 === 90L)
+    assert(p("b")._3 === 0L)
+  }
+
+  test("mixtureBudget: budget beyond total capacity stops at the caps") {
+    val p = plan(Seq(("a", 10L, 1L), ("b", 20L, 1L)), 10000L, 100L)
+    assert(p("a")._1 === 10L && p("b")._1 === 20L)
+    assert(p.values.map(_._3).toSeq.sorted === Seq(1L, 1L))
+  }
+
+  test("mixtureBudget: floor-share leftover goes to first sources by name") {
+    val p = plan(Seq(("a", 1000L, 1L), ("b", 1000L, 1L), ("c", 1000L, 1L)),
+      10L, 100L)
+    assert(Seq(p("a")._1, p("b")._1, p("c")._1) === Seq(4L, 3L, 3L))
+  }
+
+  test("mixtureBudget: epochs_x100 reports repeat factor; >100 means reuse") {
+    // one source, budget forces 1.5 epochs under a 2-epoch cap
+    val p = plan(Seq(("a", 10L, 1L)), 15L, 200L)
+    assert(p("a") === ((15L, 150L, 0L)))
+  }
+
   // ------------------------------------------- DSIR selection
 
   test("dsirScores: target-like candidates outrank off-target ones, " +
