@@ -2224,6 +2224,16 @@ object SparkEntry {
     // corpus audit profile: per-source volume, token mass, vocabulary
     // width, length extremes — the inspection step every ingest pipeline
     // runs before training; one pass, map-side-combined
+    // ANALYZE-style per-column profile in ONE aggregate pass (nulls,
+    // exact distincts, min/max) — the schema-drift companion to the
+    // expectations gate. The double-typed `value` column stays out of
+    // the GATE selection only because float→string rendering is
+    // engine-specific; the operator itself profiles any column type
+    "rel_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type"))),
+
     // declarative data-quality expectations (the dbt-test shape): six
     // rules over events in one scan + two key aggregates + one
     // anti-join; the mixed zero/nonzero violation counts are computed
@@ -3805,6 +3815,33 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         | (SELECT count(*) FROM s2) AS n_click_after,
         | (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "rel_profile" ->
+      """WITH e AS (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
+        |  user_id, event_type FROM events)
+        |SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_nulls,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(min(event_id) AS VARCHAR) AS min_str,
+        | CAST(max(event_id) AS VARCHAR) AS max_str FROM e
+        |UNION ALL
+        |SELECT 'ts', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT ts) AS BIGINT),
+        | CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM e
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT user_id) AS BIGINT),
+        | CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |FROM e
+        |UNION ALL
+        |SELECT 'event_type', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        | CAST(count(DISTINCT event_type) AS BIGINT),
+        | min(event_type), max(event_type) FROM e""".stripMargin,
 
     "quality_expectations" ->
       """SELECT rule, CAST(n AS BIGINT) AS n_violations FROM (
