@@ -1270,6 +1270,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // retrieval evaluation: exact kNN@10 results scored against
+    // label-relevance ground truth (a hit = neighbor shares the query's
+    // label) — integer per-query counters; the oracle recomputes the
+    // same kNN AND the same scoring independently
+    "rank_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val res = ExactKnn.batchTopK(emb, "embedding", "vec_id",
+          qs, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+      val ql = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("label"))
+      val truth = emb.select(col("vec_id").as("doc_id"), col("label"))
+        .join(ql, "label").select("qid", "doc_id")
+      graft.query.RankEval.perQuery(res, truth).orderBy("qid")
+    }),
+
     // exact kNN JOIN (the kNN graph): every vector's 3 nearest others —
     // one map-side-combined bounded top-k pass, never a window over the
     // full pairwise relation. maxRows=MaxValue: the sf fixtures are
@@ -3033,6 +3051,35 @@ object SparkEntry {
         |   ORDER BY sq, vec_id) AS BIGINT) AS rank
         | FROM d) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "rank_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id <= 4),
+        |d AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE)))
+        |    AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id AS doc_id, rank FROM (
+        | SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid
+        |   ORDER BY sq, vec_id) AS BIGINT) AS rank
+        | FROM d) t WHERE rank <= 10),
+        |ql AS (SELECT vec_id AS qid, label FROM embeddings
+        |  WHERE vec_id <= 4),
+        |tr AS (SELECT ql.qid, e.vec_id AS doc_id FROM embeddings e
+        |  JOIN ql ON e.label = ql.label),
+        |tc AS (SELECT qid, count(*) AS n_relevant FROM tr GROUP BY 1),
+        |m AS (SELECT r.qid, r.rank,
+        |  CASE WHEN tr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+        | FROM r LEFT JOIN tr ON tr.qid = r.qid AND tr.doc_id = r.doc_id)
+        |SELECT m.qid, CAST(count(*) AS BIGINT) AS n_retrieved,
+        | CAST(coalesce(tc.n_relevant, 0) AS BIGINT) AS n_relevant,
+        | CAST(sum(m.rel) AS BIGINT) AS n_hits,
+        | CAST(coalesce(min(CASE WHEN m.rel = 1 THEN m.rank END), 0)
+        |   AS BIGINT) AS first_hit_rank
+        |FROM m LEFT JOIN tc ON tc.qid = m.qid
+        |GROUP BY m.qid, tc.n_relevant ORDER BY m.qid""".stripMargin,
 
     "knn_batch_ip" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
