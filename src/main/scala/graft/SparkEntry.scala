@@ -1758,6 +1758,15 @@ object SparkEntry {
         .select("doc_id", "fold")
         .orderBy("doc_id")),
 
+    // deterministic exact-n sampling: 100 docs by md5 race key — exact
+    // output size (fraction sampling can't promise it) via a bounded
+    // TakeOrderedAndProject, stable under reruns and repartitioning
+    "sample_exact_n" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .exactSample(Tables.documents(s, dir), "doc_id", n = 100, seed = 5)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // token-budget mixture planning (water-filling under per-source
     // epoch caps): quotas for a 10k-token budget over the 20 sources,
     // weighted by source number. The plan itself is driver-computed
@@ -3538,6 +3547,13 @@ object SparkEntry {
         | ('0x' || substr(md5('fold:3:' || CAST(doc_id AS VARCHAR)), 1, 6))
         |   ::BIGINT % 5 AS fold
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_exact_n" ->
+      """SELECT doc_id FROM (
+        | SELECT doc_id FROM documents
+        | ORDER BY md5('es:5:' || CAST(doc_id AS VARCHAR)), doc_id
+        | LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     "mixture_budget" ->
       """WITH t AS (SELECT source,

@@ -329,6 +329,25 @@ object TrainingData {
       .drop("n_dups")
   }
 
+  /** Deterministic EXACT-n uniform sample: the n smallest md5 race keys
+    * over ('es:<seed>:' || id). A pure function of (seed, id) like
+    * [[hashSplit]] — rerun/repartition-stable, re-drawable by seed —
+    * but with an exact output size, which fraction-based bucket
+    * sampling cannot promise. The global "sort" is a bounded
+    * TakeOrderedAndProject (per-partition top-n heap, n-row driver
+    * merge), never a full shuffle, so exact-n stays cheap at corpus
+    * scale. Ties (md5 collisions) break on the id. */
+  def exactSample(df: DataFrame, idCol: String, n: Int,
+                  seed: Long): DataFrame = {
+    require(n >= 0, s"exactSample: negative n $n")
+    df.withColumn("__es_rk",
+        md5(concat(lit(s"es:$seed:"), col(idCol).cast("string"))
+          .cast("binary")))
+      .orderBy(col("__es_rk"), col(idCol))
+      .limit(n)
+      .drop("__es_rk")
+  }
+
   /** Token-budget mixture planning: given per-source token counts and
     * integer mixture weights, apportion a total token budget across
     * sources by weight, capping every source at `maxEpochsX100/100`

@@ -335,6 +335,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ------------------------------------------- exact-n sampling
+
+  test("exactSample: exact size, repartition-stable, seed re-draws") {
+    val a = TrainingData.exactSample(docs, "doc_id", 50, seed = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.length === 50)
+    val b = TrainingData.exactSample(docs.repartition(17), "doc_id", 50, 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    val c = TrainingData.exactSample(docs, "doc_id", 50, seed = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(c !== a) // a different seed draws a different sample
+    // n >= |df| returns everything; the plan is a bounded top-n
+    assert(TrainingData.exactSample(docs, "doc_id", 5000, 1).count() === 1000L)
+    val plan = TrainingData.exactSample(docs, "doc_id", 50, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   // ------------------------------------------- mixture budget planning
 
   private def plan(rows: Seq[(String, Long, Long)], b: Long, e: Long) =
