@@ -1767,6 +1767,20 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // exact per-group stratified sampling: each source contributes
+    // exactly its quota (derived here from the source number) by the
+    // per-group md5 race — the row-level materialization of a
+    // mixture-budget plan
+    "sample_stratified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quotas = docs.select("source").distinct()
+        .withColumn("n", expr("cast(substring(source, 4) as int) % 7 + 3"))
+      graft.pipeline.TrainingData
+        .stratifiedSample(docs, "source", "doc_id", quotas, seed = 9)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    }),
+
     // token-budget mixture planning (water-filling under per-source
     // epoch caps): quotas for a 10k-token budget over the 20 sources,
     // weighted by source number. The plan itself is driver-computed
@@ -3554,6 +3568,18 @@ object SparkEntry {
         | ORDER BY md5('es:5:' || CAST(doc_id AS VARCHAR)), doc_id
         | LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH q AS (SELECT source,
+        |  CAST(substr(source, 4) AS INTEGER) % 7 + 3 AS n
+        | FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (SELECT d.source, d.doc_id,
+        |  row_number() OVER (PARTITION BY d.source
+        |    ORDER BY md5('ss:9:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+        |    AS rn, q.n
+        | FROM documents d JOIN q USING (source))
+        |SELECT source, doc_id FROM r WHERE rn <= n
+        |ORDER BY source, doc_id""".stripMargin,
 
     "mixture_budget" ->
       """WITH t AS (SELECT source,

@@ -348,6 +348,26 @@ object TrainingData {
       .drop("__es_rk")
   }
 
+  /** Exact per-group stratified sampling: from each group, the `n_g`
+    * smallest md5 race keys — the row-level materialization of a
+    * [[mixtureBudget]]-style plan (quotas in, exactly-that-many rows
+    * out, per group). `quotas` is (groupCol, n) — metadata-sized. Same
+    * determinism contract as [[exactSample]] (pure function of (seed,
+    * id); ties on id); the rank window partitions by group, so its sort
+    * is bounded by the group's rows, never the corpus, and the quota
+    * join broadcasts the metadata-sized table. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       quotas: DataFrame, seed: Long): DataFrame = {
+    val rk = md5(concat(lit(s"ss:$seed:"), col(idCol).cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__ss_rk"), col(idCol))
+    df.withColumn("__ss_rk", rk)
+      .join(broadcast(quotas.select(col(groupCol), col("n"))), Seq(groupCol))
+      .withColumn("__ss_rn", row_number().over(w))
+      .where(col("__ss_rn") <= col("n"))
+      .drop("__ss_rk", "__ss_rn", "n")
+  }
+
   /** Token-budget mixture planning: given per-source token counts and
     * integer mixture weights, apportion a total token budget across
     * sources by weight, capping every source at `maxEpochsX100/100`

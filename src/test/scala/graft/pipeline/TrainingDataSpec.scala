@@ -354,6 +354,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  // ------------------------------------------- stratified sampling
+
+  test("stratifiedSample: exact quota per group, short groups kept whole") {
+    // docs: 1000 rows over 5 sources (200 each); add a tiny 2-row group
+    val withTiny = docs.union(
+      Seq((2000L, "t t", "tiny"), (2001L, "t", "tiny"))
+        .toDF("doc_id", "text", "source"))
+    val quotas = Seq(("src0", 7), ("src1", 3), ("src2", 0), ("src3", 5),
+      ("src4", 1), ("tiny", 10)).toDF("source", "n")
+    val r = TrainingData.stratifiedSample(withTiny, "source", "doc_id",
+        quotas, seed = 4)
+      .groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.getOrElse("src0", 0L) === 7L)
+    assert(r.getOrElse("src1", 0L) === 3L)
+    assert(r.getOrElse("src2", 0L) === 0L) // zero quota -> no rows
+    assert(r.getOrElse("src3", 0L) === 5L)
+    assert(r.getOrElse("src4", 0L) === 1L)
+    assert(r.getOrElse("tiny", 0L) === 2L) // quota beyond size -> whole group
+  }
+
+  test("stratifiedSample: deterministic under repartitioning") {
+    val quotas = Seq(("src0", 5), ("src1", 5), ("src2", 5), ("src3", 5),
+      ("src4", 5)).toDF("source", "n")
+    def ids(parts: Int) = TrainingData.stratifiedSample(
+        docs.repartition(parts), "source", "doc_id", quotas, seed = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(3) === ids(19))
+  }
+
   // ------------------------------------------- mixture budget planning
 
   private def plan(rows: Seq[(String, Long, Long)], b: Long, e: Long) =
