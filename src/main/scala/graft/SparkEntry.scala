@@ -1781,6 +1781,21 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // repeat-factor materialization (the upsampling half of a mixture
+    // plan): sources at 50/125/200 centi-epochs emit ~half / all+~quarter
+    // / exactly-double rows, copy-indexed, by the md5 256-bucket race
+    "sample_repeat" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val epochs = docs.select("source").distinct()
+        .withColumn("epochs_x100",
+          expr("(cast(substring(source, 4) as int) % 3) * 75 + 50"))
+      graft.pipeline.TrainingData
+        .repeatSample(docs, "source", "doc_id", epochs, seed = 3)
+        .select(col("source"), col("doc_id"),
+          col("copy").cast("long").as("copy"))
+        .orderBy("source", "doc_id", "copy")
+    }),
+
     // token-budget mixture planning (water-filling under per-source
     // epoch caps): quotas for a 10k-token budget over the 20 sources,
     // weighted by source number. The plan itself is driver-computed
@@ -3568,6 +3583,21 @@ object SparkEntry {
         | ORDER BY md5('es:5:' || CAST(doc_id AS VARCHAR)), doc_id
         | LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_repeat" ->
+      """WITH e AS (SELECT source,
+        |  (CAST(substr(source, 4) AS INTEGER) % 3) * 75 + 50 AS e100
+        | FROM (SELECT DISTINCT source FROM documents)),
+        |c AS (SELECT d.source, d.doc_id,
+        |  e.e100 // 100 +
+        |  CASE WHEN ('0x' || substr(
+        |      md5('rs:3:' || CAST(d.doc_id AS VARCHAR)), 1, 2))::BIGINT
+        |    < ((e.e100 % 100) * 256) // 100 THEN 1 ELSE 0 END AS n
+        | FROM documents d JOIN e USING (source))
+        |SELECT source, doc_id, CAST(i.i AS BIGINT) AS copy
+        |FROM c, generate_series(0, 3) AS i(i)
+        |WHERE i.i < c.n
+        |ORDER BY source, doc_id, copy""".stripMargin,
 
     "sample_stratified" ->
       """WITH q AS (SELECT source,

@@ -368,6 +368,37 @@ object TrainingData {
       .drop("__ss_rk", "__ss_rn", "n")
   }
 
+  /** Repeat-factor materialization — the UPSAMPLING half of a
+    * [[mixtureBudget]] plan ([[stratifiedSample]] is the downsampling
+    * half): each group's rows are emitted `floor(epochs)` times plus
+    * one more with probability `frac(epochs)`, decided by the md5
+    * 256-bucket race on (seed, id) — so a source planned at
+    * epochs_x100 = 250 yields every row twice plus ~50% of rows a third
+    * time, deterministically. Output adds `copy` (0-based) so
+    * downstream shuffle-sharding ([[shuffleShards]] keyed on (id,
+    * copy)) spreads the repeats across the epoch. One broadcast join of
+    * the metadata-sized epochs table + a narrow explode — no shuffle,
+    * stable under reruns/repartitions/appends. */
+  def repeatSample(df: DataFrame, groupCol: String, idCol: String,
+                   epochs: DataFrame, seed: Long): DataFrame = {
+    val whole = expr("epochs_x100 div 100").cast("int")
+    // 256-bucket race scaled against frac(epochs): bucket <
+    // floor(256·rem/100) — integer div both engines; the ±1/256
+    // quantization is the documented md5-bucket idiom trade-off
+    val thresh = expr("((epochs_x100 % 100) * 256) div 100").cast("int")
+    val bucket = conv(substring(
+      md5(concat(lit(s"rs:$seed:"), col(idCol).cast("string"))
+        .cast("binary")), 1, 2), 16, 10).cast("int")
+    val copies = whole + when(bucket < thresh, 1).otherwise(0)
+    df.join(broadcast(epochs.select(col(groupCol), col("epochs_x100"))),
+        Seq(groupCol))
+      .withColumn("__rs_n", copies)
+      .where(col("__rs_n") > 0)
+      .select(col("*"), explode(sequence(lit(0),
+        col("__rs_n") - 1)).as("copy"))
+      .drop("__rs_n", "epochs_x100")
+  }
+
   /** Token-budget mixture planning: given per-source token counts and
     * integer mixture weights, apportion a total token budget across
     * sources by weight, capping every source at `maxEpochsX100/100`

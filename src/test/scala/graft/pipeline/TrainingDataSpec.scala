@@ -384,6 +384,38 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ids(3) === ids(19))
   }
 
+  // ------------------------------------------- repeat materialization
+
+  test("repeatSample: whole epochs exact, fractional epochs ~proportional") {
+    val epochs = Seq(("src0", 200L), ("src1", 100L), ("src2", 50L),
+      ("src3", 0L), ("src4", 150L)).toDF("source", "epochs_x100")
+    val r = TrainingData.repeatSample(docs, "source", "doc_id", epochs, 11L)
+    val bySrc = r.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySrc("src0") === 400L) // 200 rows × exactly 2
+    assert(bySrc("src1") === 200L) // exactly 1 copy each
+    assert(bySrc.getOrElse("src3", 0L) === 0L) // zero epochs -> dropped
+    // ~50% and ~150%: race-quantized, within ±15% of expectation
+    assert(math.abs(bySrc("src2") - 100L) <= 30L)
+    assert(math.abs(bySrc("src4") - 300L) <= 30L)
+    // copy indices are dense 0..n-1 per row
+    val copies = r.where($"source" === "src0").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.collect_list("copy").as("cs"))
+      .collect()
+    copies.foreach(x =>
+      assert(x.getSeq[Int](1).sorted === Seq(0, 1)))
+  }
+
+  test("repeatSample: deterministic under repartitioning") {
+    val epochs = Seq(("src0", 130L), ("src1", 130L), ("src2", 130L),
+      ("src3", 130L), ("src4", 130L)).toDF("source", "epochs_x100")
+    def sig(parts: Int) = TrainingData.repeatSample(
+        docs.repartition(parts), "source", "doc_id", epochs, 7L)
+      .select("doc_id", "copy").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).sorted.toSeq
+    assert(sig(2) === sig(31))
+  }
+
   // ------------------------------------------- mixture budget planning
 
   private def plan(rows: Seq[(String, Long, Long)], b: Long, e: Long) =
