@@ -51,6 +51,35 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(c.getLong(1) === 2L)
   }
 
+  test("random relations: every rule equals its brute-force count") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 5) {
+      val rows = (0 until 200).map { _ =>
+        (rnd.nextInt(50).toLong,
+          if (rnd.nextInt(10) == 0) null else "s" + rnd.nextInt(5),
+          rnd.nextDouble() * 200 - 50,
+          if (rnd.nextInt(8) == 0) null else Long.box(rnd.nextInt(30).toLong))
+      }
+      val refKeys = (0L until 20L).toSet
+      val d = rows.toDF("k", "s", "v", "fk")
+      val ref = refKeys.toSeq.toDF("rk")
+      val got = violations(d, Seq(
+          NotNull("s"), Unique(Seq("k")), InRange("v", 0.0, 100.0),
+          Accepted("s", Seq("s0", "s1", "s2")), RefersTo("fk", ref, "rk")))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(got("not_null:s") === rows.count(_._2 == null).toLong, s"r$round")
+      assert(got("unique:k") ===
+        (rows.size - rows.map(_._1).distinct.size).toLong, s"r$round")
+      assert(got("in_range:v") ===
+        rows.count(r => r._3 < 0.0 || r._3 > 100.0).toLong, s"r$round")
+      assert(got("accepted:s") === rows.count(r =>
+        r._2 != null && !Set("s0", "s1", "s2").contains(r._2)).toLong,
+        s"r$round")
+      assert(got("refers_to:fk") === rows.count(r =>
+        r._4 == null || !refKeys.contains(r._4)).toLong, s"r$round")
+    }
+  }
+
   test("validated: passes clean data through, fails loudly with counts") {
     val clean = Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
     assert(validated(clean, Seq(Unique(Seq("id")))).count() === 2L)

@@ -51,6 +51,46 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(predLog === Map(1L -> "fruit", 2L -> "animal", 3L -> "fruit"))
   }
 
+  test("fitScores equals an independent in-JVM replica on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val labels = Vector("x", "y", "z")
+    for (round <- 1 to 5) {
+      val trainRows = (0 until 30).map { _ =>
+        (Seq.fill(rnd.nextInt(8) + 1)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), labels(rnd.nextInt(labels.size)))
+      }
+      val testRows = (0 until 10).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(8) + 1)(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // independent replica: plain Scala counting, same integer rule
+      val cnt = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      val tot = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val pri = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      trainRows.foreach { case (t, l) =>
+        pri(l) += 1
+        t.split(" ").foreach { w => cnt((l, w)) += 1; tot(l) += 1 }
+      }
+      val v = trainRows.flatMap(_._1.split(" ")).distinct.size.toLong
+      val nTrain = trainRows.size.toLong
+      def score(doc: String, l: String): Long =
+        (1000000L * pri(l)) / nTrain +
+          doc.split(" ").map(w => (1000000L * (cnt((l, w)) + 1)) /
+            (tot(l) + v)).sum
+      val want = (for {
+        (id, doc) <- testRows
+        l <- pri.keys
+      } yield (id, l) -> score(doc, l)).toMap
+      val got = NaiveBayes.fitScores(trainRows.toDF("text", "label"),
+          testRows.toDF("doc_id", "text"))
+        .collect()
+        .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(3)).toMap
+      assert(got === want, s"round $round")
+    }
+  }
+
   test("classify: ties break to the smallest label, deterministically") {
     // symmetric training data => symmetric scores for a both-ways doc
     val sym = Seq(("x", "a"), ("y", "b")).toDF("text", "label")

@@ -457,6 +457,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(p("a") === ((15L, 150L, 0L)))
   }
 
+  test("mixtureBudget invariants hold on random inputs") {
+    val rnd = new scala.util.Random(31)
+    for (round <- 1 to 20) {
+      val srcs = (0 until rnd.nextInt(8) + 2).map { i =>
+        (f"s$i%02d", rnd.nextInt(5000).toLong, rnd.nextInt(9).toLong + 1)
+      }
+      val budget = rnd.nextInt(20000).toLong
+      val e100 = Seq(50L, 100L, 150L, 300L)(rnd.nextInt(4))
+      val p = plan(srcs, budget, e100)
+      val caps = srcs.map { case (s, n, _) => s -> n * e100 / 100 }.toMap
+      // conservation: all quotas spent up to min(budget, capacity)
+      assert(p.values.map(_._1).sum === math.min(budget, caps.values.sum),
+        s"round $round")
+      // cap respected per source; capped flag consistent
+      srcs.foreach { case (s, _, _) =>
+        assert(p(s)._1 <= caps(s), s"round $round src $s")
+        assert((p(s)._3 == 1L) === (p(s)._1 == caps(s)), s"round $round $s")
+      }
+      // weight monotonicity among UNCAPPED sources: a strictly larger
+      // weight never gets a smaller quota (same race, proportional
+      // shares; ±1 leftover units can't invert a strict ordering of
+      // floor shares by more than the +1, so compare with slack 1)
+      val un = srcs.filter { case (s, _, _) => p(s)._3 == 0L }
+      for ((a, _, wa) <- un; (b, _, wb) <- un if wa > wb)
+        assert(p(a)._1 + 1 >= p(b)._1, s"round $round: $a vs $b")
+    }
+  }
+
   // ------------------------------------------- DSIR selection
 
   test("dsirScores: target-like candidates outrank off-target ones, " +
