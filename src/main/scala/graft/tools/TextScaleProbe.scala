@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Embeddings, NaiveBayes, TrainingData}
+
+/** Scale canary for the round-6 text/scoring family: synthesizes a
+  * deterministic 1M-doc corpus (50 tokens/doc over a 50k-token
+  * vocabulary — all in-plan expression arithmetic, nothing driver-side)
+  * and times hash-embedding, NB classification, and DSIR scoring at
+  * 200× the sf0.1 document count. Recorded in BENCH_NOTES.md; rerun ad
+  * hoc, not part of the per-round bench. */
+object TextScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // token j of doc i = "w" + ((i·31 + j·7919) mod 50000): ~50k-term
+    // vocabulary with per-doc drift, fully codegen, rerun-stable
+    val docs = spark.range(n).repartition(64)
+      .select(col("id").as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 49), " +
+          "j -> concat('w', cast((id * 31 + j * 7919) % 50000 as string))))")
+          .as("text"),
+        expr("concat('s', cast(id % 5 as string))").as("source"))
+      .cache()
+    docs.count()
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+    }
+
+    timed("hash_embed dim=256 over 1M") {
+      Embeddings.hashEmbed(docs, dim = 256)
+        .agg(sum(element_at(col("embedding"), 1))).collect(); n
+    }
+    timed("nb_classify 100k train / 1M score, 5 classes") {
+      NaiveBayes.classify(
+        docs.where(col("doc_id") < 100000)
+          .withColumn("label", expr("cast(doc_id % 5 as string)")),
+        docs).count()
+    }
+    timed("dsir_scores 200k target vs 1M pool") {
+      TrainingData.dsirScores(
+        docs.where(col("doc_id") % 5 === 0), docs).count()
+    }
+    spark.stop()
+  }
+}
