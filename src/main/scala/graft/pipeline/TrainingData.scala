@@ -512,6 +512,12 @@ object TrainingData {
       .agg(coalesce(sum("c_t"), lit(0L)).as("t_t"),
         coalesce(sum("c_r"), lit(0L)).as("t_r"),
         count(lit(1)).as("v"))
+    // plan-shape note (measured, tools.TextScaleProbe at 1M docs): the
+    // tempting "merge both counts into one precomputed per-token score
+    // relation" variant is ~4× SLOWER — the two simple count aggregates
+    // each broadcast cleanly under AQE, while the merged full-join
+    // relation plans as a shuffle join against the 50M-row token
+    // stream; per-occurrence score arithmetic is free inside codegen
     candidates
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .join(tCnt, Seq("tok"), "left")
