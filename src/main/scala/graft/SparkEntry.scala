@@ -1270,6 +1270,26 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // contrastive hard-negative mining: each anchor's 3 nearest
+    // NON-same-label neighbors from its exact kNN@10 list — the
+    // (anchor, positive, hard-negative) assembly step for embedding
+    // training; the oracle recomputes kNN, the label filter, and the
+    // re-rank independently
+    "contrastive_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") <= 9)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val knn = ExactKnn.batchTopK(emb, "embedding", "vec_id",
+          qs, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+      val ql = emb.where(col("vec_id") <= 9)
+        .select(col("vec_id").as("qid"), col("label"))
+      val positives = emb.select(col("vec_id").as("doc_id"), col("label"))
+        .join(ql, "label").select("qid", "doc_id")
+      graft.pipeline.Contrastive.hardNegatives(knn, positives, k = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // retrieval evaluation: exact kNN@10 results scored against
     // label-relevance ground truth (a hit = neighbor shares the query's
     // label) — integer per-query counters; the oracle recomputes the
@@ -3089,6 +3109,30 @@ object SparkEntry {
         |   ORDER BY sq, vec_id) AS BIGINT) AS rank
         | FROM d) t
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "contrastive_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id <= 9),
+        |d AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE)))
+        |    AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id AS doc_id, rank FROM (
+        | SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid
+        |   ORDER BY sq, vec_id) AS BIGINT) AS rank
+        | FROM d) t WHERE rank <= 10),
+        |ql AS (SELECT vec_id AS qid, label FROM embeddings
+        |  WHERE vec_id <= 9),
+        |lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+        |neg AS (SELECT r.qid, r.doc_id,
+        |  row_number() OVER (PARTITION BY r.qid ORDER BY r.rank) AS rk
+        | FROM r JOIN ql ON ql.qid = r.qid
+        | JOIN lab ON lab.doc_id = r.doc_id
+        | WHERE r.doc_id <> r.qid AND lab.label <> ql.label)
+        |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rank FROM neg
+        |WHERE rk <= 3 ORDER BY qid, rank""".stripMargin,
 
     "rank_eval" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
