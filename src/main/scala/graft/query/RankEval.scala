@@ -29,10 +29,12 @@ object RankEval {
     * first_hit_rank) with first_hit_rank = 0 when no relevant document
     * was retrieved. */
   def perQuery(results: DataFrame, truth: DataFrame): DataFrame = {
-    val marked = results.join(
-      truth.select(col("qid"), col("doc_id"), lit(1L).as("rel")),
+    // relevance is a SET: dedupe defensively so a truth relation with
+    // repeated (qid, doc_id) rows can't inflate hits via join fan-out
+    val t = truth.select(col("qid"), col("doc_id")).distinct()
+    val marked = results.join(t.withColumn("rel", lit(1L)),
       Seq("qid", "doc_id"), "left")
-    val relCnt = truth.groupBy("qid").agg(count(lit(1)).as("n_relevant"))
+    val relCnt = t.groupBy("qid").agg(count(lit(1)).as("n_relevant"))
     marked.groupBy("qid")
       .agg(count(lit(1)).as("n_retrieved"),
         coalesce(sum(col("rel")), lit(0L)).as("n_hits"),

@@ -33,6 +33,14 @@ class RankEvalSpec extends AnyFunSuite {
     assert(math.abs(s.getDouble(4) - 0.5) < 1e-12) // hit rate
   }
 
+  test("duplicate truth rows don't inflate hits (relevance is a set)") {
+    val dup = truth.union(truth) // every relevance row twice
+    val r = RankEval.perQuery(results, dup).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) === ((3L, 3L, 2L, 2L)))
+  }
+
   test("perfect retrieval scores 1.0 across the board") {
     val res = Seq((7L, 1L, 1L), (7L, 2L, 2L)).toDF("qid", "doc_id", "rank")
     val tr = Seq((7L, 1L), (7L, 2L)).toDF("qid", "doc_id")
