@@ -1525,12 +1525,16 @@ object SparkEntry {
     // count-vector ties, which still score 1)
     "embed_hash_knn" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      def unit(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val n = graft.functions.VectorFunctions.l2Norm(c)
-        transform(c, x => (x.cast("double") / n).cast("float"))
-      }
+      // norm as its own projection column so the transform lambda reads
+      // a scalar — embedding the aggregate inside the lambda would
+      // re-evaluate the O(dim) norm per element (O(dim²) per row)
       val emb = graft.pipeline.Embeddings.hashEmbed(docs, dim = 64)
-        .select(col("doc_id"), unit(col("embedding")).as("embedding"))
+        .withColumn("nrm",
+          graft.functions.VectorFunctions.l2Norm(col("embedding")))
+        .select(col("doc_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") / col("nrm")).cast("float"))
+            .as("embedding"))
       val qs = emb.where(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
       val knn = ExactKnn.batchTopKIp(emb, "embedding", "doc_id",
@@ -4025,7 +4029,8 @@ object SparkEntry {
         |    WHERE c.c_custkey = e.user_id)
         | UNION ALL
         | SELECT 'unique:event_id',
-        |  count(*) - count(DISTINCT event_id) FROM events
+        |  count(*) - (SELECT count(*) FROM
+        |    (SELECT DISTINCT event_id FROM events)) FROM events
         | UNION ALL
         | SELECT 'unique:user_id,event_type',
         |  count(*) - (SELECT count(*) FROM

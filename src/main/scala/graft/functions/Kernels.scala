@@ -88,17 +88,23 @@ object Kernels {
     * to +Inf — this kernel returns the finite norm there, and on the
     * small end keeps subnormal components (|xᵢ| < ~1.5e-162) from
     * squaring to 0. Returns 0.0 for an empty or all-zero vector, as the
-    * reference does. NaN/±Inf elements propagate (mirrors the
-    * reference's unguarded arithmetic). */
+    * reference does; any NaN element → NaN, any ±Inf element → +Inf
+    * (checked in the max scan — `NaN > mx` is false, so without the
+    * explicit checks an all-NaN vector would fall through the mx == 0
+    * guard and report a clean zero norm). */
   def norm2Safe(a: ArrayData): Double = {
     val n = a.numElements()
     var mx = 0.0
+    var hasInf = false
     var i = 0
     while (i < n) {
       val v = math.abs(a.getDouble(i))
+      if (java.lang.Double.isNaN(v)) return Double.NaN
+      if (java.lang.Double.isInfinite(v)) hasInf = true
       if (v > mx) mx = v
       i += 1
     }
+    if (hasInf) return Double.PositiveInfinity
     if (mx == 0.0) return 0.0
     val ms = math.sqrt(mx)
     var s = 0.0
@@ -118,12 +124,16 @@ object Kernels {
   def norm2SafeF(a: ArrayData): Double = {
     val n = a.numElements()
     var mx = 0.0
+    var hasInf = false
     var i = 0
     while (i < n) {
       val v = math.abs(a.getFloat(i).toDouble)
+      if (java.lang.Double.isNaN(v)) return Double.NaN
+      if (java.lang.Double.isInfinite(v)) hasInf = true
       if (v > mx) mx = v
       i += 1
     }
+    if (hasInf) return Double.PositiveInfinity
     if (mx == 0.0) return 0.0
     val ms = math.sqrt(mx)
     var s = 0.0

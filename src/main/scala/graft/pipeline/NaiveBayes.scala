@@ -51,43 +51,60 @@ object NaiveBayes {
                          labelCol: String): (DataFrame, Seq[String]) = {
     val toks = train.select(col(labelCol).as("label"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    // model constants: (label, T_c, N_c) sorted by label, + vocab size
-    val stats = toks.groupBy("label").agg(count(lit(1)).as("t_c"))
-      .join(train.groupBy(col(labelCol).as("label"))
-        .agg(count(lit(1)).as("n_c")), Seq("label"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    require(stats.nonEmpty, "NaiveBayes: empty training set")
-    val labels = stats.map(_._1).toSeq
-    val nTrain = stats.map(_._3).sum
-    val v = toks.agg(countDistinct(col("tok"))).head().getLong(0)
-    val denom = stats.map(_._2 + v)
-    val priors = stats.map(s => (SCALE * s._3) / nTrain)
+    // the (label, tok, c) base aggregate feeds the per-label totals,
+    // the vocabulary count, AND the pivot — persisted across the two
+    // plan-build actions so the training text is tokenized ONCE, then
+    // released (final execution recomputes it once more)
+    val cnt = toks.groupBy("label", "tok").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      // model constants, driver-collected (metadata-sized): doc counts
+      // LEFT-joined with token totals so a class whose docs carry no
+      // tokens (e.g. all-NULL text) KEEPS its prior with T_c = 0 —
+      // matching the SQL oracle, which counts priors over all rows
+      val stats = train.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_c"))
+        .join(cnt.groupBy("label").agg(sum("c").as("t_c")),
+          Seq("label"), "left")
+        .select(col("label"), coalesce(col("t_c"), lit(0L)).as("t_c"),
+          col("n_c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      require(stats.nonEmpty, "NaiveBayes: empty training set")
+      require(stats.forall(_._1 != null),
+        "NaiveBayes: NULL label in training set")
+      val sorted = stats.sortBy(_._1)
+      val labels = sorted.map(_._1).toSeq
+      val nTrain = sorted.map(_._3).sum
+      val v = cnt.select("tok").distinct().count()
+      val denom = sorted.map(_._2 + v)
+      val priors = sorted.map(s => (SCALE * s._3) / nTrain)
 
-    // vocabulary-sized relation: tok -> per-label score array (label
-    // order = the sorted `labels`); pivot values passed explicitly so
-    // the column set is deterministic
-    val cntPiv = toks.groupBy("tok").pivot("label", labels)
-      .agg(count(lit(1)))
-      .toDF("tok" +: labels.indices.map(i => s"cnt_$i"): _*)
+      // vocabulary-sized relation: tok -> per-label score array (label
+      // order = the sorted `labels`); pivot values passed explicitly so
+      // the column set is deterministic
+      val cntPiv = cnt.groupBy("tok").pivot("label", labels)
+        .agg(sum("c"))
+        .toDF("tok" +: labels.indices.map(i => s"cnt_$i"): _*)
     val pArr = array(labels.indices.map { i =>
       expr(s"($SCALE * (coalesce(cnt_$i, 0L) + 1L)) div ${denom(i)}")
     }: _*)
     val oovArr = array(denom.map(d => lit(SCALE / d)): _*)
 
-    val aggs = count(lit(1)).as("n_tokens") +:
-      labels.indices.map(i =>
-        sum(element_at(col("p"), i + 1)).as(s"s$i"))
-    val scoreArr = array(labels.indices.map(i =>
-      col(s"s$i") + lit(priors(i))): _*)
-    val scored = test
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .join(cntPiv.select(col("tok"), pArr.as("p")), Seq("tok"), "left")
-      .select(col("doc_id"), coalesce(col("p"), oovArr).as("p"))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), col("n_tokens"), scoreArr.as("scores"))
-    (scored, labels)
+      val aggs = count(lit(1)).as("n_tokens") +:
+        labels.indices.map(i =>
+          sum(element_at(col("p"), i + 1)).as(s"s$i"))
+      val scoreArr = array(labels.indices.map(i =>
+        col(s"s$i") + lit(priors(i))): _*)
+      val scored = test
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .join(cntPiv.select(col("tok"), pArr.as("p")), Seq("tok"), "left")
+        .select(col("doc_id"), coalesce(col("p"), oovArr).as("p"))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), col("n_tokens"), scoreArr.as("scores"))
+      (scored, labels)
+    } finally cnt.unpersist(blocking = false)
   }
 
   /** Per-(test doc, class) integer fit scores. `train` needs (`labelCol`,

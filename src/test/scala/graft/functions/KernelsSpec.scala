@@ -284,6 +284,12 @@ class KernelsSpec extends AnyFunSuite {
     // empty and all-zero -> 0, as the reference
     assert(Kernels.norm2Safe(da()) === 0.0)
     assert(Kernels.norm2Safe(da(0.0, 0.0)) === 0.0)
+    // NaN propagates (even all-NaN, which the max scan alone would
+    // misreport as zero-norm); ±Inf -> +Inf
+    assert(java.lang.Double.isNaN(Kernels.norm2Safe(da(Double.NaN))))
+    assert(java.lang.Double.isNaN(Kernels.norm2Safe(da(Double.NaN, 1.0))))
+    assert(Kernels.norm2Safe(da(1.0, Double.NegativeInfinity))
+      === Double.PositiveInfinity)
   }
 
   test("norm2SafeF: float variant matches direct double computation") {

@@ -91,6 +91,20 @@ class NaiveBayesSpec extends AnyFunSuite {
     }
   }
 
+  test("a class whose docs carry no tokens keeps its prior (T_c = 0)") {
+    val tr = Seq((Option("x y"), "a"), (Option.empty[String], "b"))
+      .toDF("text", "label")
+    val q = Seq((1L, "x")).toDF("doc_id", "text")
+    val r = NaiveBayes.fitScores(tr, q).collect()
+      .map(x => x.getString(1) -> x.getLong(3)).toMap
+    // both classes present; V = 2 (x, y), nTrain = 2
+    // a: prior 500000 + (1e6*(1+1)) div (2+2) = 500000 + 500000
+    // b: prior 500000 + (1e6*(0+1)) div (0+2) = 500000 + 500000
+    assert(r.keySet === Set("a", "b"))
+    assert(r("a") === 1000000L)
+    assert(r("b") === 1000000L)
+  }
+
   test("classify: ties break to the smallest label, deterministically") {
     // symmetric training data => symmetric scores for a both-ways doc
     val sym = Seq(("x", "a"), ("y", "b")).toDF("text", "label")
