@@ -325,6 +325,59 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("cnt"))
         .orderBy("n_name")),
 
+    // TPC-H Q7 (volume shipping): the two-nation disjunction filters
+    // each broadcast nation dim down to 2 rows BEFORE the fact joins;
+    // the cross-pair OR residual applies after — so the big joins carry
+    // only rows touching the two nations
+    "rel_q7_volume" -> ((s, dir) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.load(s, dir, "nation")
+        .where(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .where(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        // each term rounded ONCE to integer 1e-4 units (bit-identical
+        // per row in any engine), then the LONG sum commutes exactly —
+        // a rounded double SUM can differ in the last cent by addition
+        // order (measured: 307843.59 vs .60 on q10's first cut)
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as long)"))
+          .as("revenue_x10000"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q10 (returned items by customer): one quarter of orders,
+    // returned lines only, revenue per customer with the nation dim
+    // broadcast; bounded top-20 by (revenue, c_custkey)
+    "rel_q10_returns" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") >= "1996-01-01" &&
+              col("o_orderdate") < "1996-04-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).where(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as long)"))
+          .as("revenue_x10000"),
+          expr("cast(round(max(c_acctbal) * 100) as long)").as("acctbal_cents"))
+        .orderBy(col("revenue_x10000").desc, col("c_custkey"))
+        .limit(20)),
+
     // dimension-enriched rollup over the part table (broadcast dim join)
     "rel_part_brand" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2637,6 +2690,35 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "rel_q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(sum(volume) AS BIGINT) AS revenue_x10000
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT) AS volume
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "rel_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_x10000,
+        | CAST(round(max(c_acctbal) * 100) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        | AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20""".stripMargin,
 
     "rel_part_brand" ->
       """SELECT p_brand, count(*) AS cnt,
