@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Declarative data-quality expectations (the dbt-test / Great-
   * Expectations shape): a rule set validated against a relation in as
@@ -101,6 +102,27 @@ object Expectations {
     * publish-gate form (`validated(df, rules).write...`). Runs the
     * validation eagerly (one action over the counts; the returned plan
     * re-reads `df` untouched). */
+  /** STREAMING publish gate: validate EVERY micro-batch against the
+    * rule set before handing it to the sink — foreachBatch around
+    * [[validated]], the same sink shape as
+    * [[graft.streaming.StreamingIngest]]. Rule scope is PER BATCH:
+    * [[Unique]] checks uniqueness within the arriving batch
+    * (cross-batch keys need a stateful dedup upstream — see
+    * [[graft.streaming.EventPipeline.dedupStream]]); [[RefersTo]]
+    * joins each batch against its (static) reference. A failing batch
+    * fails the QUERY loudly with the per-rule counts and nothing of
+    * that batch reaches the sink. */
+  def validatedStream(stream: DataFrame, rules: Seq[Rule],
+                      sink: (DataFrame, Long) => Unit,
+                      checkpoint: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(validated(batch, rules), batchId)
+      ()
+    }.start()
+  }
+
   def validated(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val bad = violations(df, rules)
       .where(col("n_violations") > 0)

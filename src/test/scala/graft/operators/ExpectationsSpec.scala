@@ -80,6 +80,32 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
+  test("validatedStream: clean batches reach the sink, a dirty batch " +
+    "fails the query and never reaches it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val seen = scala.collection.mutable.Buffer[(Long, Long)]() // (batch, rows)
+    val mem = MemoryStream[(Long, String)]
+    val q = Expectations.validatedStream(
+      mem.toDF().toDF("id", "name"),
+      Seq(NotNull("name"), Unique(Seq("id"))),
+      (b, id) => seen += ((id, b.count())))
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(seen.map(_._2).sum === 2L)
+      val before = seen.size
+      mem.addData((3L, null.asInstanceOf[String]), (3L, "c"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse(e.toString)
+      assert(msg.contains("not_null:name=1") && msg.contains("unique:id=1"),
+        msg)
+      assert(seen.size === before) // the dirty batch never reached the sink
+    } finally q.stop()
+  }
+
   test("validated: passes clean data through, fails loudly with counts") {
     val clean = Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v")
     assert(validated(clean, Seq(Unique(Seq("id")))).count() === 2L)
