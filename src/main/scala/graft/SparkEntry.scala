@@ -2357,6 +2357,31 @@ object SparkEntry {
     // corpus audit profile: per-source volume, token mass, vocabulary
     // width, length extremes — the inspection step every ingest pipeline
     // runs before training; one pass, map-side-combined
+    // JSONL corpus ingestion (the LLM-corpus wire format): documents
+    // round-trip through jsonl shards plus one injected corrupt line;
+    // the gate proves content identity (count + two content moments)
+    // and that the bad line lands in quarantine, not in the corpus
+    "source_jsonl" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      docs.write.mode("overwrite").json(s"$tmp/shards")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/shards/zz_corrupt.json"),
+        "{this line is not json\n")
+      val schema = new StructType()
+        .add("doc_id", LongType).add("text", StringType)
+      val (clean, quarantine) =
+        graft.sources.JsonlCorpus.read(s, s"$tmp/shards", schema)
+      clean.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(col("doc_id") * length(col("text"))).cast("long")
+            .as("sum_id_chars"))
+        .crossJoin(quarantine
+          .agg(count(lit(1)).cast("long").as("n_corrupt")))
+    }),
+
     // ANALYZE-style per-column profile in ONE aggregate pass (nulls,
     // exact distincts, min/max) — the schema-drift companion to the
     // expectations gate. The double-typed `value` column stays out of
@@ -4064,6 +4089,13 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         | (SELECT count(*) FROM s2) AS n_click_after,
         | (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "source_jsonl" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | CAST(sum(doc_id * length(text)) AS BIGINT) AS sum_id_chars,
+        | CAST(1 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
 
     "rel_profile" ->
       """WITH e AS (SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
