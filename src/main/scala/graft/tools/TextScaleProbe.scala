@@ -54,6 +54,30 @@ object TextScaleProbe {
       TrainingData.dsirScores(
         docs.where(col("doc_id") % 5 === 0), docs).count()
     }
+    // near-dup density ~1%: every 100th doc copies its predecessor's
+    // hash-generated tokens with one substitution (J ≈ 0.96), the rest
+    // are hash-unique — the realistic corpus shape, unlike sf0.1's
+    // deliberately template-dense fixture where the band join's
+    // structural floor dominates. (Tokens must be HASHED, not a linear
+    // formula: (a·i + b·j) mod V makes every doc a sliding window of
+    // one cyclic progression — a first cut of this probe accidentally
+    // built that corpus and verified 109.5M true pairs in 18.1 s.)
+    timed("minhash_lsh pairs over 1M docs (~1% near-dup)") {
+      val mixed = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast(hash(id - CASE WHEN id % 100 = 0 " +
+            "THEN 1 ELSE 0 END, j) + " +
+            "CASE WHEN id % 100 = 0 AND j = 0 THEN 1 ELSE 0 END " +
+            "as string))))").as("text"))
+      // salt=1: salting multiplies the LEFT band relation ×salt to
+      // split hot buckets — a hash-unique corpus has none, so the
+      // default ×4 would be pure exchange cost (the band rows carry
+      // the 32-long band array for the emit-once conjunct; at 1M docs
+      // that is ~10 GB/salt-copy through the shuffle)
+      graft.pipeline.Dedup.minHashLshPairs(mixed, thresholdPct = 80,
+        salt = 1).count()
+    }
     spark.stop()
   }
 }
