@@ -377,14 +377,16 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, thresholdPct: Int,
                       numHashes: Int = 128, bands: Int = 32,
                       salt: Int = 4, oph: Boolean = true,
-                      collapseIdentical: Boolean = true): DataFrame = {
+                      collapseIdentical: Boolean = true,
+                      emitOnce: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     if (collapseIdentical)
       collapsedPairs(hashedSets(docs),
-        minHashLshPairsOn(_, thresholdPct, numHashes, bands, salt, oph))
+        minHashLshPairsOn(_, thresholdPct, numHashes, bands, salt, oph,
+          emitOnce))
     else
       minHashLshPairsOn(hashedSets(docs), thresholdPct, numHashes, bands,
-        salt, oph)
+        salt, oph, emitOnce)
   }
 
   /** Groups of docs with IDENTICAL hashed sets:
@@ -456,9 +458,11 @@ object Dedup {
     * relation — see [[minHashLshPairs]] for the algorithm notes. */
   private[graft] def minHashLshPairsOn(sets: DataFrame, thresholdPct: Int,
                                 numHashes: Int, bands: Int,
-                                salt: Int, oph: Boolean): DataFrame =
+                                salt: Int, oph: Boolean,
+                                emitOnce: Boolean = true): DataFrame =
     verifyCandidates(
-      lshBandCandidates(sets, thresholdPct, numHashes, bands, salt, oph),
+      lshBandCandidates(sets, thresholdPct, numHashes, bands, salt, oph,
+        emitOnce),
       sets, thresholdPct)
 
   /** LSH band-join candidate pairs (a_id < b_id, one row per pair) —
@@ -466,32 +470,54 @@ object Dedup {
     * verification. */
   private[graft] def lshBandCandidates(sets: DataFrame, thresholdPct: Int,
                                        numHashes: Int, bands: Int,
-                                       salt: Int, oph: Boolean): DataFrame = {
-    val keyed = sets
+                                       salt: Int, oph: Boolean,
+                                       emitOnce: Boolean = true): DataFrame = {
+    // candidate dedup strategy is CORPUS-DEPENDENT, both measured
+    // (BENCH_NOTES): emitOnce=true scans the two 32-long band arrays
+    // per joined row (firstEqualIdx) and emits each pair exactly once —
+    // wins on duplicate-dense corpora, where buckets are huge and the
+    // joined multiset (~45x pair redundancy at sf0.1) would crush a
+    // hash aggregate, but every band row carries the bands array
+    // (~bands x 8 B) through the exchange. emitOnce=false drops the
+    // array — fixed-width (doc_id, sz, b, k) rows, ~8x less exchange
+    // payload — and collapses the (few) duplicate candidates with a
+    // pair groupBy; wins on near-unique corpora where buckets are tiny
+    // and the exchange payload is the whole cost (1M-doc probe:
+    // ~10 GB/salt-copy of band arrays vs ~1.3 GB fixed-width).
+    val exploded0 = sets
       .withColumn("bands",
         bandKeys(sigCol(col("hset"), numHashes, oph), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
+    val exploded = (if (emitOnce) exploded0 else exploded0.drop("bands"))
       // spread each doc's band rows across the cluster ON THE JOIN KEYS:
       // the broadcast-join case inherits this parallelism (never a
       // single-split source layout), and the shuffle-join case reuses the
       // exchange — (k, b) is a prefix of the equi-keys (k, b, salt), so
       // no second shuffle of the exploded relation
       .repartition(col("k"), col("b"))
-    val right = keyed.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt)))
-    val left = keyed.withColumn("salt",
+    val right = exploded.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt)))
+    val left = exploded.withColumn("salt",
       explode(typedlit((0 until salt).map(_.toLong))))
     // conjunct order matters: the cheap inequality/size predicates run
     // first, the firstEqualIdx scan last — it only ever sees pairs that
     // survived everything else
-    val cand = left.as("x").join(right.as("y"),
-        col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
-        col("x.salt") === col("y.salt") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        sizeCompatible(thresholdPct) &&
-        firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    cand
+    val cheap = col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
+      col("x.salt") === col("y.salt") &&
+      col("x.doc_id") < col("y.doc_id") &&
+      sizeCompatible(thresholdPct)
+    if (emitOnce)
+      // the emit-once conjunct stays INSIDE the join condition, last:
+      // moving it to a post-join filter reorders the predicates and the
+      // array scan stops being the guarded final conjunct (measured
+      // 2.5x slower on the dense sf0.1 fixture when refactored out)
+      left.as("x").join(right.as("y"), cheap &&
+          firstEqualIdx(col("x.bands"), col("y.bands")) === col("x.b"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    else
+      left.as("x").join(right.as("y"), cheap)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .groupBy("a_id", "b_id").agg(first(lit(1))).select("a_id", "b_id")
   }
 
   /** BIPARTITE MinHash+LSH dedup — the incremental-ingest shape: a NEW

@@ -78,6 +78,17 @@ object TextScaleProbe {
       graft.pipeline.Dedup.minHashLshPairs(mixed, thresholdPct = 80,
         salt = 1).count()
     }
+    timed("minhash_lsh 1M docs, fixed-width candidates (emitOnce=false)") {
+      val mixed = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast(hash(id - CASE WHEN id % 100 = 0 " +
+            "THEN 1 ELSE 0 END, j) + " +
+            "CASE WHEN id % 100 = 0 AND j = 0 THEN 1 ELSE 0 END " +
+            "as string))))").as("text"))
+      graft.pipeline.Dedup.minHashLshPairs(mixed, thresholdPct = 80,
+        salt = 1, emitOnce = false).count()
+    }
     spark.stop()
   }
 }

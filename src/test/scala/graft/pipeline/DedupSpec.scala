@@ -89,6 +89,15 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minHashLshPairs: fixed-width candidate path (emitOnce=false) " +
+    "equals the emit-once path and brute force") {
+    for (pct <- Seq(80, 90); collapse <- Seq(true, false)) {
+      assert(pairs(Dedup.minHashLshPairs(docs, pct,
+          collapseIdentical = collapse, emitOnce = false))
+        === bruteJaccard(pct), s"pct $pct collapse $collapse")
+    }
+  }
+
   test("minHashLshPairs: identical-set collapse never changes the result") {
     // reordered tokens (equal SETS, unequal text) + an identical trio so
     // both intra-group and cross-group expansion paths fire
