@@ -378,6 +378,90 @@ object SparkEntry {
         .orderBy(col("revenue_x10000").desc, col("c_custkey"))
         .limit(20)),
 
+    // TPC-H Q6 (forecast revenue): the classic pure scan benchmark —
+    // filter + ungrouped aggregate, NO join; every predicate reaches
+    // the parquet scan (shipdate range, discount band, quantity cap)
+    "rel_q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * l_discount * 10000) as long)"))
+          .as("revenue_x10000"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q14 (promo revenue share): one quarter of shipments joined
+    // to part, promo share as exact integer basis points (long div —
+    // no float ratio can flake the gate)
+    "rel_q14_promo" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", expr(
+            "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as long)"))
+            .otherwise(0L)).as("promo_x10000"),
+          sum(expr(
+            "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as long)"))
+            .as("total_x10000"))
+        .select(col("promo_x10000"), col("total_x10000"),
+          expr("promo_x10000 * 10000 div total_x10000").as("promo_bp"))),
+
+    // TPC-H Q19-shape (disjunctive brand/size/quantity predicates over
+    // the part join — the disjunction-pushdown stress query; adapted to
+    // this schema's columns: brand + size + quantity bands)
+    "rel_q19_disjunct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as long)"))
+          .as("revenue_x10000"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q8 (national market share): NATION_1's share of EUROPE
+    // customers' ECONOMY-part import volume by order year — the full
+    // seven-table star join with both nation roles and the region dim
+    // broadcast; share as exact integer basis points
+    "rel_q8_market_share" -> ((s, dir) => {
+      val cents = expr(
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as long)")
+      val europeNations = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")
+            .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppNations = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(europeNations), col("c_nationkey") === col("c_nk"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+        .join(Tables.load(s, dir, "part").where(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", cents).otherwise(0L))
+            .as("nation_x10000"),
+          sum(cents).as("total_x10000"))
+        .select(col("o_year"), col("nation_x10000"), col("total_x10000"),
+          expr("nation_x10000 * 10000 div total_x10000").as("share_bp"))
+        .orderBy("o_year")
+    }),
+
     // dimension-enriched rollup over the part table (broadcast dim join)
     "rel_part_brand" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2682,6 +2766,30 @@ object SparkEntry {
         "event_type", "value", "event_id")
         .select("event_id", "event_type", "value", "clipped")
         .orderBy("event_id")),
+
+    // LSH band planning: the S-curve p = 1-(1-t^r)^b over every
+    // factorization of 128 hashes at the t=0.85 dedup threshold — the
+    // knob-picker for minHashLshPairs' bands/rows split (the Jaccard
+    // twin of ann_calibrate); metadata-sized, computed in-plan
+    "dedup_lsh_plan" -> ((s, dir) =>
+      graft.pipeline.Dedup.lshPlan(s, numHashes = 128, thresholdPct = 85)
+        .orderBy("bands")),
+
+    // CCNet/RefinedWeb-style boilerplate removal: lines recurring in
+    // >= 5 DISTINCT docs drop (deterministically injected header /
+    // per-residue middle / footer lines, plus any naturally duplicated
+    // bodies); survivors keep their order, fully-boilerplate docs keep
+    // an empty clean_text (pipeline/Dedup.removeBoilerplate)
+    "dedup_lines" -> ((s, dir) => {
+      val lined = Tables.documents(s, dir).select(col("doc_id"), concat(
+        lit("shared header boilerplate\n"),
+        col("text"), lit("\n"),
+        lit("shared middle "), pmod(col("doc_id"), lit(5)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("\npromo footer line"))
+          .otherwise(lit(""))).as("text"))
+      graft.pipeline.Dedup.removeBoilerplate(lined, "\n", minDocs = 5)
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2744,6 +2852,61 @@ object SparkEntry {
         | AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "rel_q6_forecast" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_x10000,
+        | count(*) AS n_lines FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07
+        | AND l_quantity < 24""".stripMargin,
+
+    "rel_q14_promo" ->
+      """WITH j AS (SELECT p_type,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT) AS v
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+        |   AS BIGINT) AS promo_x10000,
+        | CAST(sum(v) AS BIGINT) AS total_x10000,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) * 10000
+        |   // sum(v) AS BIGINT) AS promo_bp
+        |FROM j""".stripMargin,
+
+    "rel_q19_disjunct" ->
+      """SELECT CAST(sum(CAST(round(
+        |   l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))
+        |   AS BIGINT) AS revenue_x10000,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "rel_q8_market_share" ->
+      """WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT) AS vol,
+        |  ns.n_name AS supp_nation
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        | WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END)
+        |   AS BIGINT) AS nation_x10000,
+        | CAST(sum(vol) AS BIGINT) AS total_x10000,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END)
+        |   * 10000 // sum(vol) AS BIGINT) AS share_bp
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "rel_part_brand" ->
       """SELECT p_brand, count(*) AS cnt,
@@ -4563,6 +4726,33 @@ object SparkEntry {
         | CAST(CASE WHEN e.value < b.lo THEN -1
         |   WHEN e.value > b.hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
         |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "dedup_lsh_plan" ->
+      """WITH g AS (SELECT CAST(b AS BIGINT) AS bands
+        |  FROM generate_series(1, 128) AS t(b) WHERE 128 % b = 0)
+        |SELECT bands, CAST(128 // bands AS BIGINT) AS rows_per_band,
+        | CAST(floor(10000.0 * (1.0 - power(
+        |   1.0 - power(0.85, CAST(128 // bands AS DOUBLE)),
+        |   CAST(bands AS DOUBLE)))) AS BIGINT) AS p_capture_bp
+        |FROM g ORDER BY bands""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |  'shared header boilerplate' || chr(10) || text || chr(10) ||
+        |  'shared middle ' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'promo footer line'
+        |       ELSE '' END AS t
+        | FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |  generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM d),
+        |b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+        |  FROM l GROUP BY line) WHERE nd >= 5)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CASE WHEN line IN (SELECT line FROM b) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_dropped,
+        | coalesce(string_agg(CASE WHEN line NOT IN (SELECT line FROM b)
+        |   THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared oracle for exact token-set Jaccard at a given integer

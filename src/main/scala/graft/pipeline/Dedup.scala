@@ -961,6 +961,105 @@ object Dedup {
       .where(col("doc_id") =!= col("comp"))
       .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
 
+  // --------------------------------------------------- LSH band planning
+
+  /** LSH band-plan curve — the knob-picker for [[minHashLshPairs]]'s
+    * (bands, rowsPerBand) split, the Jaccard twin of
+    * [[graft.query.Calibrate]] for nprobe. For every factorization
+    * b·r = `numHashes`, the S-curve probability that a pair at Jaccard
+    * `thresholdPct`/100 surfaces as a candidate:
+    *   p = 1 − (1 − t^r)^b
+    * exposed as integer basis points. More bands = higher capture but
+    * more candidate work (each band is one more hash-join key per doc);
+    * the planner makes the trade explicit instead of hard-coding it.
+    * Metadata-sized (divisor count of numHashes ≤ a few dozen rows) —
+    * computed in-plan so the SQL oracle replays identical arithmetic. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      thresholdPct: Int): DataFrame = {
+    val t = thresholdPct / 100.0
+    spark.range(1, numHashes + 1).toDF("bands")
+      .where(lit(numHashes) % col("bands") === 0)
+      .withColumn("rows_per_band", expr(s"$numHashes div bands"))
+      .withColumn("p_capture_bp",
+        floor(lit(10000.0) * (lit(1.0) -
+          pow(lit(1.0) - pow(lit(t), col("rows_per_band")), col("bands"))))
+          .cast("long"))
+  }
+
+  /** The cheapest plan reaching a target capture probability: the row of
+    * [[lshPlan]] with the FEWEST bands whose p ≥ `targetBp` basis points
+    * (fewer bands = fewer join keys = less candidate work). Empty when
+    * even all-bands-of-one can't reach the target — the caller needs
+    * more hashes, not a different split. */
+  def lshRecommend(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      thresholdPct: Int, targetBp: Int): DataFrame =
+    lshPlan(spark, numHashes, thresholdPct)
+      .where(col("p_capture_bp") >= targetBp)
+      .orderBy(col("bands")).limit(1)
+
+  // ------------------------------------------- line-level boilerplate
+
+  /** Line relation for line-level dedup: (doc_id, pos, lh) where `lh`
+    * is the xxhash64 of each `delim`-separated line. Narrow explode —
+    * the TEXT never leaves its row; only fixed-width hash rows flow
+    * into the aggregates and joins downstream. */
+  private def lineHashes(docs: DataFrame, delim: String): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+
+  /** Lines that recur across the corpus: (lh, line_docs) for every line
+    * appearing in >= `minDocs` DISTINCT documents. The CCNet / RefinedWeb
+    * boilerplate signal (Wenzek et al. 2020 dedup paragraphs by hash
+    * across shards; Penedo et al. 2023 strip repeated lines): headers,
+    * nav bars, cookie banners and license blurbs repeat across many
+    * pages while real content does not. Shuffle = distinct (lh, doc_id)
+    * pairs then a map-side-combined count — line-vocabulary-sized,
+    * never document-sized. */
+  def commonLines(docs: DataFrame, delim: String = "\n",
+      minDocs: Int = 5): DataFrame =
+    lineHashes(docs, delim).select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_docs"))
+      .where(col("line_docs") >= minDocs)
+
+  /** Boilerplate removal: strip every line occurring in >= `minDocs`
+    * distinct documents, preserving the order of the survivors. Output:
+    * (doc_id, n_lines, n_dropped, clean_text) for EVERY input document
+    * (fully-boilerplate documents keep an empty clean_text — dropping
+    * them is [[graft.pipeline.CorpusClean]]'s decision, not this
+    * operator's).
+    *
+    * Scale shape: the heavy text column is never exploded into a
+    * shuffle. Candidate generation runs on fixed-width (lh, doc_id,
+    * pos) rows; the per-doc DROPPED POSITIONS (bounded by each doc's
+    * boilerplate count, typically a handful) join back onto the intact
+    * docs relation — with AQE that join broadcasts the positions side —
+    * and the strip itself is one higher-order-function projection
+    * (`filter` by position) inside codegen. */
+  def removeBoilerplate(docs: DataFrame, delim: String = "\n",
+      minDocs: Int = 5): DataFrame = {
+    val qdelim = java.util.regex.Pattern.quote(delim)
+    val boiler = commonLines(docs, delim, minDocs).select("lh")
+    val drops = lineHashes(docs, delim)
+      .join(boiler, "lh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), qdelim, -1)).cast("long").as("n_lines"),
+        // size(NULL) is -1 under the default legacy sizeOfNull, so the
+        // no-drops case needs an explicit branch, not a coalesce
+        when(col("drop_pos").isNull, lit(0))
+          .otherwise(size(col("drop_pos"))).cast("long").as("n_dropped"),
+        array_join(
+          filter(split(col("text"), qdelim, -1),
+            (_, i) => !array_contains(coalesce(col("drop_pos"),
+              array().cast("array<int>")), i)),
+          delim).as("clean_text"))
+  }
+
   /** Per-document DUPLICATION DEGREE — each document's number of
     * near-duplicate partners (its degree in the pair graph). The soft
     * alternative to a drop list: duplication-aware sampling down-weights

@@ -360,6 +360,80 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the corpus genuinely exercises the join
   }
 
+  test("lshPlan: S-curve over the factorizations, monotone in bands") {
+    val rows = Dedup.lshPlan(spark, numHashes = 128, thresholdPct = 85)
+      .orderBy("bands")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ===
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    rows.foreach { case (b, r, _) => assert(b * r === 128L) }
+    // capture probability rises with more (shorter) bands
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted)
+    // closed-form endpoints: one 128-row band is hopeless (p = t^128 ~
+    // 4e-10), 128 single-row bands are near-certain
+    assert(rows.head._3 === 0L)
+    assert(rows.last._3 >= 9999L)
+  }
+
+  test("lshRecommend picks the fewest bands reaching the target") {
+    val rec = Dedup.lshRecommend(spark, 128, 85, targetBp = 9000)
+      .collect()
+    assert(rec.length === 1)
+    val bands = rec.head.getLong(0)
+    assert(rec.head.getLong(2) >= 9000L)
+    // every cheaper split must miss the target
+    val all = Dedup.lshPlan(spark, 128, 85).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    all.keys.filter(_ < bands).foreach(b => assert(all(b) < 9000L))
+    // unreachable target -> empty, not a wrong plan (4 hashes at t=0.1:
+    // best split captures 1-(0.9)^4 ~ 34%)
+    assert(Dedup.lshRecommend(spark, 4, 10, targetBp = 9000).isEmpty)
+  }
+
+  test("removeBoilerplate strips cross-doc common lines, keeps order") {
+    // 'shared header' in all 4 docs, 'nav bar' in 3; unique bodies stay.
+    // doc 4 is ALL boilerplate; doc 3 repeats the header twice (both
+    // instances must drop and both count in n_dropped).
+    val docs = Seq(
+      (1L, "shared header\nunique body one\nnav bar"),
+      (2L, "shared header\nnav bar\nunique body two"),
+      (3L, "shared header\nunique body three\nshared header\nnav bar"),
+      (4L, "shared header")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplate(docs, "\n", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, "unique body one")),
+      2L -> ((3L, 2L, "unique body two")),
+      3L -> ((4L, 3L, "unique body three")),
+      4L -> ((1L, 1L, ""))))
+  }
+
+  test("removeBoilerplate: within-doc repeats below minDocs survive") {
+    // 'solo line' repeats inside doc 1 only — ONE distinct doc, so it
+    // is not boilerplate at minDocs=2 and both instances survive
+    val docs = Seq(
+      (1L, "solo line\nmiddle\nsolo line"),
+      (2L, "other content\nmore other")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplate(docs, "\n", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 0L, "solo line\nmiddle\nsolo line")),
+      2L -> ((2L, 0L, "other content\nmore other"))))
+  }
+
+  test("commonLines counts distinct docs, not instances") {
+    val docs = Seq(
+      (1L, "dup\ndup\ndup"), // 3 instances, 1 doc
+      (2L, "dup\nx"),
+      (3L, "y\nz")).toDF("doc_id", "text")
+    val got = Dedup.commonLines(docs, "\n", minDocs = 2)
+      .collect().map(r => r.getLong(1))
+    // only 'dup' clears 2 distinct docs (docs 1 and 2)
+    assert(got.toSeq === Seq(2L))
+  }
+
   test("keepBest keeps the highest score per component, min-id on ties") {
     import org.apache.spark.sql.functions.col
     // components: {1,2,3} (chain), {10,11}, singletons 20, 21
