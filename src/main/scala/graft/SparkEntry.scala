@@ -123,6 +123,24 @@ object SparkEntry {
       (model, cached)
     })
 
+  // cosine-metric twin of fitIdx: the SAME IVF+PQ machinery fit over
+  // L2-normalized vectors (unit-sphere reduction — see
+  // AnnQuery.topKCosine); shared by the ann_cosine entry and bench
+  private val cosFitIdx = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.index.IvfPqModel, DataFrame)]
+  private def cosFittedIndex(s: SparkSession, dir: String)
+      : (graft.index.IvfPqModel, DataFrame) =
+    cosFitIdx.getOrElseUpdate(dir, {
+      val unit = graft.pipeline.Embeddings.l2Normalized(
+        Tables.embeddings(s, dir), "embedding")
+      val (model, encoded) = IvfPqBuilder.fit(unit, "vec_id", "embedding", 64,
+        IvfPqConfig(numPartitions = 8, numDivisions = 16, numCodes = 256,
+          maxIter = 20))
+      val cached = encoded.cache()
+      cached.count()
+      (model, cached)
+    })
+
   /** Save the fitted index once per sf dir, then seed its per-vector
     * attribute store (B12 semantics): batch 0 sets label (string) and
     * views = vec_id·10 (u64) for every vector; batch 1 UPSERTS
@@ -734,6 +752,48 @@ object SparkEntry {
         .select(col("vec_id").as("id"))
       annInvariants(hits, encoded, model, q, probes, exact)
         .select(col("n_rows"), col("n_outside_probed"), col("n_dist_bad"),
+          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
+    }),
+
+    // cosine-metric ANN via the unit-sphere reduction: the SAME IVF+PQ
+    // machinery over L2-normalized vectors answers cosine queries
+    // (‖q−x‖² = 2−2·cos on the sphere — AnnQuery.topKCosine). Gated:
+    // k rows, hits ⊆ probed cells, the reduction identity
+    // |(1 − d²_unit/2) − cos_raw| ≤ 1e-4 recomputed per hit from the
+    // TABLES (not the index), and recall ≥ 3/10 vs exact cosine top-k
+    // (the knn_exact_cosine twin; ADC quantization bounds recall, as
+    // at ann_ivfpq)
+    "ann_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = cosFittedIndex(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val qUnit = q.map(_ / qn)
+      val hits = AnnQuery.topKCosine(encoded, model, q, k = 10, nprobe = 4)
+      val probes = AnnQuery.selectPartitions(model, qUnit, 4).map(_._1).toSeq
+      val exact = ExactKnn.rankedIdsCosine(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val unit = graft.pipeline.Embeddings.l2Normalized(emb, "embedding")
+      val joined = hits
+        .join(emb.select(col("vec_id").as("id"), col("embedding").as("raw")),
+          "id")
+        .join(unit.select(col("vec_id").as("id"), col("embedding").as("u")),
+          "id")
+        .withColumn("sq_unit", graft.functions.VectorFunctions.squaredL2(
+          col("u"), typedlit(qUnit.toSeq)))
+        .withColumn("cos_exact", graft.functions.VectorFunctions.cosine(
+          col("raw"), typedlit(q.toSeq)))
+      val inv = joined.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(not(col("partition").isin(probes: _*)), 1L)
+          .otherwise(0L)), lit(0L)).as("n_outside_probed"),
+        coalesce(sum(when(
+          abs((lit(1.0) - col("sq_unit") / lit(2.0)) - col("cos_exact"))
+            > 1e-4, 1L).otherwise(0L)), lit(0L)).as("n_ident_bad"))
+      inv.crossJoin(hits.join(exact, "id")
+          .agg(count(lit(1)).cast("long").as("n_recalled")))
+        .select(col("n_rows"), col("n_outside_probed"), col("n_ident_bad"),
           when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
     }),
 
@@ -3319,6 +3379,12 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_far, CAST(5 AS BIGINT) AS n_qids,
         | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
+
+    "ann_cosine" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_outside_probed,
+        | CAST(0 AS BIGINT) AS n_ident_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
 
     "ann_rebalance" ->
       """SELECT CAST(0 AS BIGINT) AS n_total_diff,

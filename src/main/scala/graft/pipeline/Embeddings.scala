@@ -25,6 +25,24 @@ object Embeddings {
       graft.functions.FastFunctions.hashEmbedF(
         TextAnalysis.tokens(col("text")), dim).as("embedding"))
 
+  /** L2-normalize a float-vector column in place: every non-zero vector
+    * lands on the unit sphere (zero vectors pass through unchanged —
+    * dividing by a zero norm would NaN the row). The norm is computed
+    * ONCE as its own projection column before the per-element divide —
+    * inlining it inside the transform lambda would re-evaluate the
+    * O(dim) aggregate per element (the measured O(dim²) trap noted at
+    * the embed_hash_knn entry). On the unit sphere ‖q−x‖² = 2−2·cos(q,x),
+    * so the L2 index family ([[graft.index.IvfPqBuilder]] etc.) answers
+    * COSINE queries with no new machinery — see AnnQuery's cosine notes. */
+  def l2Normalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__graft_nrm",
+        graft.functions.VectorFunctions.l2Norm(col(vecCol)))
+      .withColumn(vecCol,
+        when(col("__graft_nrm") === 0.0, col(vecCol))
+          .otherwise(transform(col(vecCol),
+            x => (x.cast("double") / col("__graft_nrm")).cast("float"))))
+      .drop("__graft_nrm")
+
   /** Per-group mean vector (class centroid / prototype), re-assembled in
     * position order: (group, centroid: array<double>, n_vectors). */
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =

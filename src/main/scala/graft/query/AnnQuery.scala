@@ -97,6 +97,26 @@ object AnnQuery {
     topKWithProbes(codes, model, probes, k, log)
   }
 
+  /** Cosine-metric ANN via the unit-sphere reduction — the fourth
+    * metric of the exact family (L2 / cosine / IP) brought to the
+    * INDEXED family with no new machinery: with `codes` built over
+    * L2-NORMALIZED vectors ([[graft.pipeline.Embeddings.l2Normalized]]),
+    * ‖q−x‖² = 2 − 2·cos(q,x) on the sphere, so the ordinary L2 ADC scan
+    * ranks exactly by descending cosine and the approximate distance
+    * converts in one projection: cos ≈ 1 − sq_dist/2 (the standard
+    * normalize-then-L2 practice for inner-product-metric IVF indexes).
+    * `q` is normalized here, driver-side, so callers pass raw queries.
+    * Output: (id, partition, cos_approx), cosine descending. */
+  def topKCosine(codes: DataFrame, model: IvfPqModel, q: Array[Double],
+                 k: Int, nprobe: Int,
+                 log: String => Unit = _ => ()): DataFrame = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    val qUnit = if (n == 0.0) q else q.map(_ / n)
+    topK(codes, model, qUnit, k, nprobe, log)
+      .withColumn("cos_approx", lit(1.0) - col("sq_dist") / lit(2.0))
+      .drop("sq_dist")
+  }
+
   /** The scan half of [[topK]], from an EXPLICIT probe set of
     * (cell, localized query) pairs — shared with the OPQ query path
     * ([[graft.index.OpqBuilder.topK]]), which rotates each localized

@@ -90,6 +90,30 @@ class IvfPqSpec extends AnyFunSuite {
       s"recall too low: approx=$approx exact=$exact")
   }
 
+  test("topKCosine: unit-sphere reduction matches exact cosine ranking") {
+    // index fit over NORMALIZED vectors; query raw — topKCosine
+    // normalizes it driver-side. On the sphere the L2 ranking IS the
+    // cosine ranking, so the planted clone group must surface.
+    val unit = graft.pipeline.Embeddings.l2Normalized(
+      df.withColumnRenamed("vec", "embedding"), "embedding")
+      .withColumnRenamed("embedding", "vec")
+    val (cm, cEncoded) = IvfPqBuilder.fit(unit, "id", "vec", dim, config)
+    val q = data.head._2.map(_.toDouble).toArray
+    val hits = AnnQuery.topKCosine(cEncoded, cm, q, k = 5, nprobe = 4)
+      .collect()
+    assert(hits.length === 5)
+    // cosine descends (the L2-ascending scan, sign-flipped)
+    val cos = hits.map(_.getAs[Double]("cos_approx")).toSeq
+    assert(cos === cos.sorted.reverse)
+    val exact = ExactKnn.rankedIdsCosine(
+        df.withColumnRenamed("vec", "embedding"), "embedding", "id",
+        data.head._2, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(AnnQuery.recallAtK(hits.map(_.getLong(0)).toSeq, exact) >= 0.8)
+    // approximate cosine of the self-match is near 1
+    assert(cos.head > 0.95)
+  }
+
   test("ann query distances ascend and rows come from probed cells only") {
     val q = data(1)._2.map(_.toDouble).toArray
     val probes = AnnQuery.selectPartitions(model, q, 2).map(_._1).toSet

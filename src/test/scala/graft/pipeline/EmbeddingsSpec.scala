@@ -107,6 +107,24 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("l2Normalized: unit norms, direction preserved, zero passthrough") {
+    val df = Seq(
+      (1L, Seq(3f, 4f, 0f)),
+      (2L, Seq(0f, 0f, 0f)), // zero vector must pass through, not NaN
+      (3L, Seq(-2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.l2Normalized(df, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(1L).zip(Seq(0.6f, 0.8f, 0f))
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(got(2L) === Seq(0f, 0f, 0f))
+    assert(got(3L) === Seq(-1f, 0f, 0f))
+    // norms of non-zero rows are 1 within f32 rounding
+    got.filterKeys(_ != 2L).values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6)
+    }
+  }
+
   test("filtered k-NN: the attribute predicate reaches the parquet scan") {
     // write a small parquet table, filter + top-k, inspect the scan
     val dir = java.nio.file.Files.createTempDirectory("knnf").toString
