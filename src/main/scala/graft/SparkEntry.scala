@@ -2835,6 +2835,24 @@ object SparkEntry {
       graft.pipeline.Dedup.lshPlan(s, numHashes = 128, thresholdPct = 85)
         .orderBy("bands")),
 
+    // C4-style rule-based line filtering: >= 3 words, terminal
+    // punctuation, no banned phrase — line-LOCAL rules, so the whole
+    // pass is one codegen projection with NO shuffle (vs dedup_lines'
+    // cross-doc counting); injected short / banned / unpunctuated
+    // lines exercise every rule and the first-failing-rule precedence
+    "text_c4_filters" -> ((s, dir) => {
+      val lined = Tables.documents(s, dir).select(col("doc_id"), concat(
+        col("text"), lit(" end of document text.\nok."),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nClick Here to win a prize now.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\nthis line has no terminal punctuation here"))
+          .otherwise(lit(""))).as("text"))
+      graft.pipeline.TextAnalysis.c4LineFilters(lined, "\n", minWords = 3,
+        banned = Seq("click here"), requirePunct = true)
+        .orderBy("doc_id")
+    }),
+
     // CCNet/RefinedWeb-style boilerplate removal: lines recurring in
     // >= 5 DISTINCT docs drop (deterministically injected header /
     // per-residue middle / footer lines, plus any naturally duplicated
@@ -4801,6 +4819,36 @@ object SparkEntry {
         |   1.0 - power(0.85, CAST(128 // bands AS DOUBLE)),
         |   CAST(bands AS DOUBLE)))) AS BIGINT) AS p_capture_bp
         |FROM g ORDER BY bands""".stripMargin,
+
+    "text_c4_filters" ->
+      """WITH d AS (SELECT doc_id, text || ' end of document text.'
+        |  || chr(10) || 'ok.' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN chr(10) || 'Click Here to win a prize now.'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN chr(10) || 'this line has no terminal punctuation here'
+        |    ELSE '' END AS t
+        | FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |  generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM d),
+        |c AS (SELECT doc_id, pos, line,
+        |  CASE WHEN len(string_split(line, ' ')) < 3 THEN 'short'
+        |       WHEN contains(lower(line), 'click here') THEN 'banned'
+        |       WHEN NOT regexp_matches(line, '[.!?]$') THEN 'no_punct'
+        |       ELSE 'kept' END AS cls FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN cls = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_short,
+        | CAST(sum(CASE WHEN cls = 'banned' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_banned,
+        | CAST(sum(CASE WHEN cls = 'no_punct' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_no_punct,
+        | coalesce(string_agg(CASE WHEN cls = 'kept' THEN line END,
+        |   chr(10) ORDER BY pos), '') AS clean_text
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_lines" ->
       """WITH d AS (SELECT doc_id,

@@ -119,6 +119,49 @@ object TextAnalysis {
       md5(col("text")).as("fp_md5"),
       substring(md5(col("text")), 1, 15).as("fp_prefix"))
 
+  /** C4-style rule-based LINE filtering (Raffel et al. 2020 §2.2): keep
+    * a line only if it has ≥ `minWords` whitespace words, ends in
+    * terminal punctuation (when `requirePunct`), and contains none of
+    * the `banned` phrases (case-insensitive) — the deterministic
+    * cleaning pass C4 runs before any model-based scoring. Unlike
+    * [[graft.pipeline.Dedup.removeBoilerplate]] (cross-doc, needs the
+    * corpus) every rule here is LINE-LOCAL, so the whole operator is one
+    * narrow higher-order-function projection per document: no shuffle,
+    * no second scan, at any corpus size.
+    *
+    * Counters classify each dropped line by its FIRST failing rule
+    * (short → banned → no-punct), so
+    * n_kept + n_short + n_banned + n_no_punct = n_lines exactly.
+    * Output: (doc_id, n_lines, n_kept, n_short, n_banned, n_no_punct,
+    * clean_text). Banned phrases must be lowercase literals (they are
+    * matched by substring against the lowercased line). */
+  def c4LineFilters(docs: DataFrame, delim: String = "\n",
+      minWords: Int = 3, banned: Seq[String] = Seq("lorem ipsum", "{"),
+      requirePunct: Boolean = true): DataFrame = {
+    val qdelim = java.util.regex.Pattern.quote(delim)
+    val lines = split(col("text"), qdelim, -1)
+    def isShort(l: Column): Column = size(split(l, " ")) < minWords
+    def isBanned(l: Column): Column =
+      banned.map(b => l.contains(b)).reduce(_ || _)
+    def noPunct(l: Column): Column =
+      if (requirePunct) !l.rlike("[.!?]$") else lit(false)
+    def kept(l: Column): Column = {
+      val low = lower(l)
+      !isShort(l) && !isBanned(low) && !noPunct(l)
+    }
+    def countWhere(f: Column => Column): Column =
+      size(filter(lines, l => f(l))).cast("long")
+    docs.select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      countWhere(kept).as("n_kept"),
+      countWhere(isShort).as("n_short"),
+      countWhere(l => !isShort(l) && isBanned(lower(l))).as("n_banned"),
+      countWhere(l => !isShort(l) && !isBanned(lower(l)) && noPunct(l))
+        .as("n_no_punct"),
+      array_join(filter(lines, l => kept(l)), delim).as("clean_text"))
+  }
+
   /** Canonicalized text for normalization-aware dedup: lowercase,
     * non-alphanumerics to spaces, space runs collapsed, trimmed. Pure
     * codegen projection; patterns restricted to classes that mean the

@@ -207,4 +207,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(("rare", "once")))
     assert(got.contains(("a", "b")))
   }
+
+  // ----------------------------------------------------- C4 line rules
+
+  test("c4LineFilters: every rule fires, precedence keeps counts exact") {
+    val docs = Seq(
+      // kept / short ('ok.') / banned / no-punct — one of each
+      (1L, "a good long line stays here.\nok.\nfree Lorem Ipsum offer.\nno punctuation on this line"),
+      // short line that ALSO contains a banned phrase counts short
+      // (first failing rule), not banned
+      (2L, "lorem ipsum\nanother fine kept line here!")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineFilters(docs, "\n", minWords = 3,
+        banned = Seq("lorem ipsum"), requirePunct = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(got(1L) ===
+      ((4L, 1L, 1L, 1L, 1L, "a good long line stays here.")))
+    assert(got(2L) ===
+      ((2L, 1L, 1L, 0L, 0L, "another fine kept line here!")))
+    // conservation: kept + short + banned + no_punct = n_lines
+    got.values.foreach { case (n, k, s, b, p, _) => assert(k + s + b + p === n) }
+  }
+
+  test("c4LineFilters: requirePunct=false admits unpunctuated lines") {
+    val docs = Seq((1L, "three words suffice here\nok")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineFilters(docs, "\n", minWords = 3,
+        banned = Seq("zzz"), requirePunct = false)
+      .collect().map(r => (r.getLong(2), r.getString(6))).head
+    assert(got === ((1L, "three words suffice here")))
+  }
 }
