@@ -2835,6 +2835,84 @@ object SparkEntry {
       graft.pipeline.Dedup.lshPlan(s, numHashes = 128, thresholdPct = 85)
         .orderBy("bands")),
 
+    // END-TO-END pretraining-data pipeline: quality filter -> exact
+    // dedup -> near-dup drop (memoized LSH pairs) -> benchmark
+    // decontamination -> leakage-free split -> deterministic shards ->
+    // sequence packing — every stage individually oracle-gated
+    // elsewhere; THIS entry gates their composition: stage counts
+    // monotone, split covers exactly, NO near-dup pair straddles
+    // splits, shards cover the train set, packing preserves rows.
+    // All invariants sf-independent (literal-row oracle).
+    "pipeline_end_to_end" -> ((s, dir) => {
+      import graft.pipeline.{Dedup, TextAnalysis, TrainingData}
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val pairs = lshPairs90(s, dir).select("a_id", "b_id")
+      val q = TextAnalysis.qualitySignals(docs)
+        .where(col("n_tokens") >= 20 && col("stop_pct") <= 60)
+        .select("doc_id")
+      val qdocs = docs.join(q, Seq("doc_id"))
+      val uniq = qdocs.join(Dedup.exactDuplicates(qdocs).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val uniqIds = uniq.select("doc_id")
+      val p2 = pairs
+        .join(uniqIds.select(col("doc_id").as("a_id")), "a_id")
+        .join(uniqIds.select(col("doc_id").as("b_id")), "b_id")
+      val comp = Dedup.connectedComponents(uniqIds, p2)
+      val clean = uniq.join(
+        comp.where(col("doc_id") =!= col("comp")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val contam = TrainingData
+        .decontaminate(clean, bench, "doc_id", "text", n = 8)
+        .select("doc_id")
+      val ready = clean.join(contam, Seq("doc_id"), "left_anti")
+      val split = TrainingData.groupAwareSplit(ready, p2)
+      val train = split.where(col("split") === "train")
+      val shards = TrainingData.shuffleShards(train, "doc_id", seed = 42,
+        numShards = 4)
+      val packed = TrainingData.packSequences(
+        train.withColumn("n_toks",
+          size(TextAnalysis.tokens(col("text")))),
+        "doc_id", col("n_toks"), budget = 512, shards = 4)
+
+      val nIn = docs.agg(count(lit(1)).as("n_input"))
+      val nClean = clean.agg(count(lit(1)).as("n_clean"))
+      val nReady = ready.agg(count(lit(1)).as("n_ready"))
+      val splitCounts = split.agg(
+        count(lit(1)).as("n_split_rows"),
+        coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)),
+          lit(0L)).as("n_train"))
+      val leak = p2
+        .join(split.select(col("doc_id").as("a_id"),
+          col("split").as("split_a")), "a_id")
+        .join(split.select(col("doc_id").as("b_id"),
+          col("split").as("split_b")), "b_id")
+        .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_leak_pairs"))
+      val shardAgg = shards.agg(
+        count(lit(1)).as("n_shard_rows"),
+        countDistinct(col("shard")).as("n_shards"))
+      val packAgg = packed.agg(
+        count(lit(1)).as("n_packed"),
+        coalesce(sum(when(col("seq_offset") < 0 ||
+          col("seq_offset") >= 512, 1L).otherwise(0L)), lit(0L))
+          .as("n_offset_viol"))
+      nIn.crossJoin(nClean).crossJoin(nReady).crossJoin(splitCounts)
+        .crossJoin(leak).crossJoin(shardAgg).crossJoin(packAgg)
+        .select(
+          when(col("n_input") >= col("n_clean") &&
+            col("n_clean") >= col("n_ready"), 1L).otherwise(0L)
+            .as("monotone_ok"),
+          when(col("n_split_rows") === col("n_ready"), 1L).otherwise(0L)
+            .as("cover_ok"),
+          col("n_leak_pairs"),
+          when(col("n_shard_rows") === col("n_train") &&
+            col("n_shards") === 4, 1L).otherwise(0L).as("shards_ok"),
+          when(col("n_packed") === col("n_train") &&
+            col("n_offset_viol") === 0, 1L).otherwise(0L).as("pack_ok"),
+          when(col("n_train") > 0, 1L).otherwise(0L).as("nonempty"))
+    }),
+
     // C4-style rule-based line filtering: >= 3 words, terminal
     // punctuation, no banned phrase — line-LOCAL rules, so the whole
     // pass is one codegen projection with NO shuffle (vs dedup_lines'
@@ -4819,6 +4897,14 @@ object SparkEntry {
         |   1.0 - power(0.85, CAST(128 // bands AS DOUBLE)),
         |   CAST(bands AS DOUBLE)))) AS BIGINT) AS p_capture_bp
         |FROM g ORDER BY bands""".stripMargin,
+
+    "pipeline_end_to_end" ->
+      """SELECT CAST(1 AS BIGINT) AS monotone_ok,
+        | CAST(1 AS BIGINT) AS cover_ok,
+        | CAST(0 AS BIGINT) AS n_leak_pairs,
+        | CAST(1 AS BIGINT) AS shards_ok,
+        | CAST(1 AS BIGINT) AS pack_ok,
+        | CAST(1 AS BIGINT) AS nonempty""".stripMargin,
 
     "text_c4_filters" ->
       """WITH d AS (SELECT doc_id, text || ' end of document text.'
