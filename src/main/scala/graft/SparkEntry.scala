@@ -2835,6 +2835,19 @@ object SparkEntry {
       graft.pipeline.Dedup.lshPlan(s, numHashes = 128, thresholdPct = 85)
         .orderBy("bands")),
 
+    // contiguous dense ids 0..n-1 without a global single-node sort:
+    // range exchange + per-partition sort + counts-only offsets
+    // (TrainingData.denseIds) — the sample-index primitive; sort key =
+    // md5 of the doc id so the assignment is a genuine permutation,
+    // not the identity
+    "train_dense_ids" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("sort_key"))
+      graft.pipeline.TrainingData.denseIds(keyed, "sort_key")
+        .select("doc_id", "dense_id")
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END pretraining-data pipeline: quality filter -> exact
     // dedup -> near-dup drop (memoized LSH pairs) -> benchmark
     // decontamination -> leakage-free split -> deterministic shards ->
@@ -4897,6 +4910,12 @@ object SparkEntry {
         |   1.0 - power(0.85, CAST(128 // bands AS DOUBLE)),
         |   CAST(bands AS DOUBLE)))) AS BIGINT) AS p_capture_bp
         |FROM g ORDER BY bands""".stripMargin,
+
+    "train_dense_ids" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+        |   - 1 AS BIGINT) AS dense_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_end_to_end" ->
       """SELECT CAST(1 AS BIGINT) AS monotone_ok,

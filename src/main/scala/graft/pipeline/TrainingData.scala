@@ -537,6 +537,33 @@ object TrainingData {
         sum("lr").as("log_ratio"))
   }
 
+  /** Contiguous dense ids 0..n−1 in `sortCol` order WITHOUT a global
+    * single-node sort — the "zipWithIndex at corpus scale" primitive
+    * (sample indices for training runs, array offsets for memory-mapped
+    * token files). Physical shape: one RANGE exchange + per-partition
+    * sort (exactly what `orderBy` plans — partitions are ordered by
+    * construction), then a counts-only job turns per-partition sizes
+    * into exclusive prefix offsets and the id is offset + local index
+    * (`RDD.zipWithIndex`, which is that two-pass algorithm; the RDD hop
+    * is the justified per-partition imperative seam here — the
+    * DataFrame window formulation would re-shuffle the FULL data by
+    * partition id just to recover an ordering the range exchange
+    * already established). `sortCol` should be a unique key: ties get
+    * valid but arbitrary relative ids. The md5-race idioms
+    * ([[shuffleShards]], [[exactSample]]) stay the right answer when
+    * ids only need stability, not contiguity. */
+  def denseIds(df: DataFrame, sortCol: String,
+               idName: String = "dense_id"): DataFrame = {
+    val sorted = df.repartitionByRange(col(sortCol))
+      .sortWithinPartitions(sortCol)
+    val schema = sorted.schema
+      .add(idName, org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic DSIR selection: the top `n` candidates by
     * (score_x1e9 desc, doc_id asc) — rank-equivalent to the paper's
     * importance resampling at temperature → 0, and a bounded

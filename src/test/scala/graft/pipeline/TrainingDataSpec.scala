@@ -502,6 +502,37 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r(2L)._1 < 0 && r(2L)._2 < 0) // off-target scores negative
   }
 
+  test("denseIds: a contiguous permutation in sort-key order") {
+    // 1000 rows, deliberately shuffled input order and many partitions;
+    // keys are a scrambled space so range boundaries genuinely split it
+    val rows = scala.util.Random.shuffle(
+      (0L until 1000L).map(i => (i, f"${i * 2654435761L % 1000000}%07d")))
+    val df = rows.toDF("id", "key").repartition(13)
+    val got = TrainingData.denseIds(df, "key")
+      .select("id", "key", "dense_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly the ids 0..n-1, each once
+    assert(got.map(_._3).sorted.toSeq === (0L until 1000L).toSeq)
+    // dense order == key order
+    val byDense = got.sortBy(_._3).map(_._2).toSeq
+    assert(byDense === byDense.sorted)
+    // and for unique keys the assignment is exactly the key rank
+    val rank = got.map(_._2).sorted.zipWithIndex.toMap
+    got.foreach { case (_, k, d) => assert(d === rank(k).toLong) }
+  }
+
+  test("denseIds: duplicate keys still yield a valid permutation") {
+    val df = (0L until 100L).map(i => (i, (i % 7).toString))
+      .toDF("id", "key").repartition(5)
+    val got = TrainingData.denseIds(df, "key")
+      .select("key", "dense_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq === (0L until 100L).toSeq)
+    // ids respect key-group order even when ties are arbitrary inside
+    val byDense = got.sortBy(_._2).map(_._1).toSeq
+    assert(byDense === byDense.sorted)
+  }
+
   test("dsirSelect: bounded top-n with (score desc, doc_id) rank order") {
     val target = Seq((100L, "ml ai ml data")).toDF("doc_id", "text")
     val cand = Seq((1L, "ml ai"), (2L, "cat dog"), (3L, "ml cat"))
