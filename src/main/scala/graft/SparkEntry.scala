@@ -2926,6 +2926,43 @@ object SparkEntry {
           when(col("n_train") > 0, 1L).otherwise(0L).as("nonempty"))
     }),
 
+    // incremental boilerplate state: line-doc counts over DOC-DISJOINT
+    // batches merge additively (the persistable-state ingest shape, as
+    // with the LSH band relation) — gated: merged two-batch counts ==
+    // one-shot counts line-for-line, and stripping against the merged
+    // state reproduces the batch removeBoilerplate output exactly
+    "dedup_lines_incr" -> ((s, dir) => {
+      import graft.pipeline.Dedup
+      val lined = Tables.documents(s, dir).select(col("doc_id"), concat(
+        lit("shared header boilerplate\n"),
+        col("text"), lit("\n"),
+        lit("shared middle "), pmod(col("doc_id"), lit(5)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("\npromo footer line"))
+          .otherwise(lit(""))).as("text"))
+      val a = lined.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b = lined.where(pmod(col("doc_id"), lit(2)) === 1)
+      val merged = Dedup.mergeLineCounts(
+        Dedup.lineDocCounts(a, "\n"), Dedup.lineDocCounts(b, "\n"))
+      val oneShot = Dedup.lineDocCounts(lined, "\n")
+        .withColumnRenamed("line_docs", "ld2")
+      val countDiff = merged.join(oneShot, Seq("lh"), "full_outer")
+        .agg(coalesce(sum(when(col("line_docs") <=> col("ld2"), 0L)
+          .otherwise(1L)), lit(0L)).as("n_count_diff"))
+      val incrOut = Dedup.removeBoilerplateWith(lined,
+        merged.where(col("line_docs") >= 5), "\n")
+      val batchOut = Dedup.removeBoilerplate(lined, "\n", minDocs = 5)
+        .select(col("doc_id"), col("n_dropped").as("nd2"),
+          col("clean_text").as("ct2"))
+      val outDiff = incrOut.join(batchOut, Seq("doc_id"), "full_outer")
+        .agg(coalesce(sum(when(col("n_dropped") <=> col("nd2") &&
+          col("clean_text") <=> col("ct2"), 0L).otherwise(1L)), lit(0L))
+          .as("n_out_diff"))
+      val nonvac = merged.where(col("line_docs") >= 5)
+        .agg(when(count(lit(1)) > 0, 1L).otherwise(0L)
+          .as("boiler_nonempty"))
+      countDiff.crossJoin(outDiff).crossJoin(nonvac)
+    }),
+
     // C4-style rule-based line filtering: >= 3 words, terminal
     // punctuation, no banned phrase — line-LOCAL rules, so the whole
     // pass is one codegen projection with NO shuffle (vs dedup_lines'
@@ -4924,6 +4961,11 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS shards_ok,
         | CAST(1 AS BIGINT) AS pack_ok,
         | CAST(1 AS BIGINT) AS nonempty""".stripMargin,
+
+    "dedup_lines_incr" ->
+      """SELECT CAST(0 AS BIGINT) AS n_count_diff,
+        | CAST(0 AS BIGINT) AS n_out_diff,
+        | CAST(1 AS BIGINT) AS boiler_nonempty""".stripMargin,
 
     "text_c4_filters" ->
       """WITH d AS (SELECT doc_id, text || ' end of document text.'

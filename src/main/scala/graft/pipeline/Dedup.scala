@@ -1019,9 +1019,26 @@ object Dedup {
     * never document-sized. */
   def commonLines(docs: DataFrame, delim: String = "\n",
       minDocs: Int = 5): DataFrame =
+    lineDocCounts(docs, delim).where(col("line_docs") >= minDocs)
+
+  /** Per-line distinct-document counts WITHOUT a threshold —
+    * the mergeable STATE behind [[commonLines]]: (lh, line_docs).
+    * Counts over doc-disjoint batches are additive (each doc counts
+    * its lines once, in exactly one batch), so a 100 TB ingest keeps
+    * this relation as a persisted table and each arriving batch merges
+    * its own counts in via [[mergeLineCounts]] — no corpus rescan,
+    * the same persistable-state shape as the incremental LSH band
+    * relation. */
+  def lineDocCounts(docs: DataFrame, delim: String = "\n"): DataFrame =
     lineHashes(docs, delim).select("lh", "doc_id").distinct()
       .groupBy("lh").agg(count(lit(1)).as("line_docs"))
-      .where(col("line_docs") >= minDocs)
+
+  /** Merge two [[lineDocCounts]] relations built over DOC-DISJOINT
+    * batches (a document present in both would double-count): one
+    * map-side-combined sum per line hash, line-vocabulary-sized. */
+  def mergeLineCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("lh").agg(sum(col("line_docs")).as("line_docs"))
 
   /** Boilerplate removal: strip every line occurring in >= `minDocs`
     * distinct documents, preserving the order of the survivors. Output:
@@ -1038,9 +1055,18 @@ object Dedup {
     * and the strip itself is one higher-order-function projection
     * (`filter` by position) inside codegen. */
   def removeBoilerplate(docs: DataFrame, delim: String = "\n",
-      minDocs: Int = 5): DataFrame = {
+      minDocs: Int = 5): DataFrame =
+    removeBoilerplateWith(docs, commonLines(docs, delim, minDocs), delim)
+
+  /** The strip half of [[removeBoilerplate]], against an EXPLICIT
+    * boilerplate relation (any (lh) set — typically a thresholded
+    * [[lineDocCounts]] state maintained incrementally). This is the
+    * stream-static form: new documents clean against yesterday's
+    * corpus-wide line counts without touching the corpus. */
+  def removeBoilerplateWith(docs: DataFrame, boilerRel: DataFrame,
+      delim: String = "\n"): DataFrame = {
     val qdelim = java.util.regex.Pattern.quote(delim)
-    val boiler = commonLines(docs, delim, minDocs).select("lh")
+    val boiler = boilerRel.select("lh")
     val drops = lineHashes(docs, delim)
       .join(boiler, "lh")
       .groupBy("doc_id")

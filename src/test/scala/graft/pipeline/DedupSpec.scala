@@ -423,6 +423,33 @@ class DedupSpec extends AnyFunSuite {
       2L -> ((2L, 0L, "other content\nmore other"))))
   }
 
+  test("incremental line counts: disjoint-batch merge equals one-shot") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "header\nbody one"),
+      (2L, "header\nbody two"),
+      (3L, "header\nbody three"),
+      (4L, "header\nbody four")).toDF("doc_id", "text")
+    val a = docs.where(col("doc_id") <= 2)
+    val b = docs.where(col("doc_id") > 2)
+    val merged = Dedup.mergeLineCounts(
+        Dedup.lineDocCounts(a, "\n"), Dedup.lineDocCounts(b, "\n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val oneShot = Dedup.lineDocCounts(docs, "\n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged === oneShot)
+    // stripping against the merged state reproduces the batch operator
+    val viaState = Dedup.removeBoilerplateWith(docs,
+        Dedup.mergeLineCounts(Dedup.lineDocCounts(a, "\n"),
+          Dedup.lineDocCounts(b, "\n"))
+          .where(col("line_docs") >= 3), "\n")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    val batch = Dedup.removeBoilerplate(docs, "\n", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(viaState === batch)
+    assert(batch(1L) === "body one") // header really dropped
+  }
+
   test("commonLines counts distinct docs, not instances") {
     val docs = Seq(
       (1L, "dup\ndup\ndup"), // 3 instances, 1 doc
