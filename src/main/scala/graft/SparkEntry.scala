@@ -249,6 +249,7 @@ object SparkEntry {
     * ordering ran it first. */
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     fittedIndex(s, dir)
+    cosFittedIndex(s, dir)
     storedIndexPath(s, dir)
     fittedOpq(s, dir)
     storedOpqPath(s, dir)
@@ -2633,6 +2634,33 @@ object SparkEntry {
       graft.query.HybridSearch.rrfFuse(Seq(text, vec), "doc_id", k = 20)
     }),
 
+    // ColBERT-style late-interaction retrieval (query/MaxSim): every
+    // query token takes its best dot product against the candidate
+    // doc's token vectors, per-token maxima sum per pair. Token
+    // vectors = the 8×8-dim slices of each embedding, quantized
+    // round(1000·x) so every dot/max/sum is EXACT integer arithmetic
+    // in both engines; candidates are an explicit bounded relation,
+    // the first-stage-retriever contract at scale
+    "search_maxsim" -> ((s, dir) => {
+      val sliced = Tables.embeddings(s, dir).select(col("vec_id"),
+        posexplode(array((0 until 8).map(i =>
+          transform(slice(col("embedding"), i * 8 + 1, 8),
+            x => round(x.cast("double") * 1000))): _*))
+          .as(Seq("pos", "v")))
+      val q = sliced.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("pos").as("qpos"),
+          col("v").as("qvec"))
+      val d = sliced.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("doc_id"), col("pos").as("dpos"),
+          col("v").as("dvec"))
+      val cand = q.select("qid").distinct()
+        .crossJoin(d.select("doc_id").distinct())
+      graft.query.MaxSim.topK(q, d, cand, k = 5)
+        .select(col("qid"), col("doc_id"),
+          col("score").cast("long").as("score"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // multimodal near-dup: perceptual aHash (stub decode → 8×8 pool →
     // bits above mean) + the banded Hamming join. Invariants: the banded
     // result EQUALS brute-force all-pairs Hamming ≤ 3 (pigeonhole makes
@@ -4645,6 +4673,26 @@ object SparkEntry {
         |FROM tf, st
         |WHERE tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "search_maxsim" ->
+      """WITH s AS (SELECT vec_id, g AS pos,
+        |  list_transform(embedding[(g*8+1):(g*8+8)],
+        |    x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        | FROM embeddings, generate_series(0, 7) AS t(g)),
+        |q AS (SELECT vec_id AS qid, pos AS qpos, v AS qv FROM s
+        | WHERE vec_id % 100 = 0),
+        |d AS (SELECT vec_id AS doc_id, v AS dv FROM s
+        | WHERE vec_id % 10 = 0),
+        |p AS (SELECT qid, doc_id, qpos,
+        |  max(list_dot_product(qv, dv)) AS best
+        | FROM q CROSS JOIN d GROUP BY qid, doc_id, qpos),
+        |sc AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS score
+        | FROM p GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, score, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+        |  AS rank FROM sc)
+        |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "search_hybrid" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
