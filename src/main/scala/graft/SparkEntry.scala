@@ -2877,12 +2877,16 @@ object SparkEntry {
     }),
 
     // END-TO-END pretraining-data pipeline: quality filter -> exact
-    // dedup -> near-dup drop (memoized LSH pairs) -> benchmark
-    // decontamination -> leakage-free split -> deterministic shards ->
-    // sequence packing — every stage individually oracle-gated
-    // elsewhere; THIS entry gates their composition: stage counts
-    // monotone, split covers exactly, NO near-dup pair straddles
-    // splits, shards cover the train set, packing preserves rows.
+    // dedup -> benchmark decontamination -> LEAKAGE-FREE split (the
+    // SOFT near-dup path: surviving near-dup pairs co-assign through
+    // their component representative instead of being hard-dropped, so
+    // the no-straddling gate is NON-vacuous — the hard-drop
+    // alternative is corpus_clean's, after which no pairs remain to
+    // leak) -> deterministic shards -> sequence packing. Every stage
+    // individually oracle-gated elsewhere; THIS entry gates the
+    // composition: stage counts monotone, split covers exactly, NO
+    // near-dup pair straddles splits (and pairs exist — vacuity
+    // guarded), shards cover the train set, packing preserves rows.
     // All invariants sf-independent (literal-row oracle).
     "pipeline_end_to_end" -> ((s, dir) => {
       import graft.pipeline.{Dedup, TextAnalysis, TrainingData}
@@ -2892,21 +2896,17 @@ object SparkEntry {
         .where(col("n_tokens") >= 20 && col("stop_pct") <= 60)
         .select("doc_id")
       val qdocs = docs.join(q, Seq("doc_id"))
-      val uniq = qdocs.join(Dedup.exactDuplicates(qdocs).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      val uniqIds = uniq.select("doc_id")
-      val p2 = pairs
-        .join(uniqIds.select(col("doc_id").as("a_id")), "a_id")
-        .join(uniqIds.select(col("doc_id").as("b_id")), "b_id")
-      val comp = Dedup.connectedComponents(uniqIds, p2)
-      val clean = uniq.join(
-        comp.where(col("doc_id") =!= col("comp")).select("doc_id"),
+      val clean = qdocs.join(Dedup.exactDuplicates(qdocs).select("doc_id"),
         Seq("doc_id"), "left_anti")
       val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
       val contam = TrainingData
         .decontaminate(clean, bench, "doc_id", "text", n = 8)
         .select("doc_id")
       val ready = clean.join(contam, Seq("doc_id"), "left_anti")
+      val readyIds = ready.select("doc_id")
+      val p2 = pairs
+        .join(readyIds.select(col("doc_id").as("a_id")), "a_id")
+        .join(readyIds.select(col("doc_id").as("b_id")), "b_id")
       val split = TrainingData.groupAwareSplit(ready, p2)
       val train = split.where(col("split") === "train")
       val shards = TrainingData.shuffleShards(train, "doc_id", seed = 42,
@@ -2929,7 +2929,8 @@ object SparkEntry {
         .join(split.select(col("doc_id").as("b_id"),
           col("split").as("split_b")), "b_id")
         .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_leak_pairs"))
+          .otherwise(0L)), lit(0L)).as("n_leak_pairs"),
+          count(lit(1)).as("n_pairs_checked"))
       val shardAgg = shards.agg(
         count(lit(1)).as("n_shard_rows"),
         countDistinct(col("shard")).as("n_shards"))
@@ -2947,6 +2948,10 @@ object SparkEntry {
           when(col("n_split_rows") === col("n_ready"), 1L).otherwise(0L)
             .as("cover_ok"),
           col("n_leak_pairs"),
+          // the no-straddling gate only means something if pairs exist
+          // among the split docs — the soft path guarantees they do
+          when(col("n_pairs_checked") > 0, 1L).otherwise(0L)
+            .as("leak_nonvacuous"),
           when(col("n_shard_rows") === col("n_train") &&
             col("n_shards") === 4, 1L).otherwise(0L).as("shards_ok"),
           when(col("n_packed") === col("n_train") &&
@@ -5006,6 +5011,7 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS monotone_ok,
         | CAST(1 AS BIGINT) AS cover_ok,
         | CAST(0 AS BIGINT) AS n_leak_pairs,
+        | CAST(1 AS BIGINT) AS leak_nonvacuous,
         | CAST(1 AS BIGINT) AS shards_ok,
         | CAST(1 AS BIGINT) AS pack_ok,
         | CAST(1 AS BIGINT) AS nonempty""".stripMargin,

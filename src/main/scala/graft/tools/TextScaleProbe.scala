@@ -89,6 +89,30 @@ object TextScaleProbe {
       graft.pipeline.Dedup.minHashLshPairs(mixed, thresholdPct = 80,
         salt = 1, emitOnce = false).count()
     }
+    // lined corpus: 10 lines/doc — 2 injected boilerplate lines shared
+    // by all docs (a header and a per-residue footer, 20% of the line
+    // mass) + 8 hash-unique body lines
+    timed("boilerplate removal over 1M lined docs (10 lines/doc)") {
+      val lined = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat('shared header line\n', " +
+            "concat_ws('\n', transform(sequence(0, 7), " +
+            "j -> concat('body ', cast(hash(id, j) as string)))), " +
+            "'\nfooter variant ', cast(id % 10 as string))").as("text"))
+      graft.pipeline.Dedup.removeBoilerplate(lined, "\n", minDocs = 1000)
+        .agg(sum(col("n_dropped"))).collect()
+      n
+    }
+    timed("c4 line filters over 1M lined docs (pure projection)") {
+      val lined = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat('A good body sentence number ', " +
+            "cast(id as string), '.\nok.\nclick here now.')").as("text"))
+      graft.pipeline.TextAnalysis.c4LineFilters(lined, "\n", minWords = 3,
+        banned = Seq("click here"), requirePunct = true)
+        .agg(sum(col("n_kept"))).collect()
+      n
+    }
     spark.stop()
   }
 }
