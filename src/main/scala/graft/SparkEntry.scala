@@ -481,6 +481,78 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    // TPC-H Q13 (customer order-count distribution): left join keeps
+    // zero-order customers, two cascaded map-side-combined aggregates
+    "rel_q13_custdist" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q15 (top supplier): quarter revenue per supplier, winners
+    // at the exact integer maximum (the scalar subquery becomes a
+    // broadcast 1-row join; integer cents make the max tie-exact)
+    "rel_q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy("l_suppkey")
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as long)"))
+          .as("total_x10000"))
+      val mx = rev.agg(max(col("total_x10000")).as("mx"))
+      Tables.load(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_x10000") === col("mx"))
+        .select("s_suppkey", "s_name", "total_x10000")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue, adapted to brand-only
+    // predicates): the correlated avg becomes a per-part aggregate
+    // join-back, and qty < 0.2·avg is the INTEGER inequality
+    // 5·qty·n < Σqty — no float threshold can flake the gate
+    "rel_q17_small_qty" -> ((s, dir) => {
+      val pq = Tables.lineitem(s, dir).groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).cast("long").as("sq"),
+          count(lit(1)).as("n"))
+      Tables.lineitem(s, dir)
+        .join(Tables.load(s, dir, "part").where(col("p_brand") === "Brand#12"),
+          col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("pk"))
+        .where(col("l_quantity").cast("long") * lit(5L) * col("n") < col("sq"))
+        .agg(sum(expr("cast(round(l_extendedprice * 10000) as long)"))
+          .as("sum_price_x10000"),
+          count(lit(1)).as("n_lines"))
+        .select(col("sum_price_x10000"),
+          expr("sum_price_x10000 div 7").as("avg_yearly_x10000"),
+          col("n_lines"))
+    }),
+
+    // TPC-H Q22-shape (dormant high-balance customers): above-average
+    // positive balance (the average as the INTEGER inequality
+    // cents·n > Σcents — exact cross-engine) with no orders since 1999
+    // (the schema-expressible stand-in for the country-code filter;
+    // the unfiltered NOT EXISTS is vacuously empty on this corpus)
+    "rel_q22_dormant" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val bal = cust.where(col("c_acctbal") > 0)
+        .agg(sum(expr("cast(round(c_acctbal * 100) as long)")).as("s_cents"),
+          count(lit(1)).as("n"))
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= "1999-01-01")
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(bal))
+        .where(expr("cast(round(c_acctbal * 100) as long)") * col("n") >
+          col("s_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("numcust"),
+          sum(expr("cast(round(c_acctbal * 100) as long)"))
+            .as("totacctbal_cents"))
+    }),
+
     // dimension-enriched rollup over the part table (broadcast dim join)
     "rel_part_brand" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -3146,6 +3218,55 @@ object SparkEntry {
         | CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END)
         |   * 10000 // sum(vol) AS BIGINT) AS share_bp
         |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "rel_q13_custdist" ->
+      """WITH c_orders AS (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "rel_q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 10000) AS BIGINT)) AS BIGINT) AS total_x10000
+        | FROM lineitem
+        | WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_x10000
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_x10000 = (SELECT max(total_x10000) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "rel_q17_small_qty" ->
+      """WITH pq AS (SELECT l_partkey AS pk,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sq, count(*) AS n
+        | FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+        |   AS BIGINT) AS sum_price_x10000,
+        | CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) // 7
+        |   AS BIGINT) AS avg_yearly_x10000,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN pq ON l_partkey = pk
+        |WHERE p_brand = 'Brand#12'
+        | AND CAST(l_quantity AS BIGINT) * 5 * n < sq""".stripMargin,
+
+    "rel_q22_dormant" ->
+      """WITH bal AS (SELECT
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+        |  count(*) AS n
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT count(*) AS numcust,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |   AS totacctbal_cents
+        |FROM customer, bal
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= '1999-01-01')""".stripMargin,
 
     "rel_part_brand" ->
       """SELECT p_brand, count(*) AS cnt,

@@ -230,6 +230,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     got.values.foreach { case (n, k, s, b, p, _) => assert(k + s + b + p === n) }
   }
 
+  test("c4LineFilters plans ZERO exchanges — a pure projection") {
+    val docs = Seq((1L, "a line of text here.")).toDF("doc_id", "text")
+    val plan = TextAnalysis.c4LineFilters(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("c4LineFilters: requirePunct=false admits unpunctuated lines") {
     val docs = Seq((1L, "three words suffice here\nok")).toDF("doc_id", "text")
     val got = TextAnalysis.c4LineFilters(docs, "\n", minWords = 3,
