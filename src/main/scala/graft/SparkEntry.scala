@@ -2935,6 +2935,18 @@ object SparkEntry {
       graft.pipeline.Dedup.lshPlan(s, numHashes = 128, thresholdPct = 85)
         .orderBy("bands")),
 
+    // whole-document next-fit bin packing (TrainingData.binPack): each
+    // doc lands WHOLE in a <= 512-token bin, docs in id order per
+    // shard — the no-truncation counterpart of pack_sequences; the
+    // sequential (bin, used) state is per-partition imperative logic
+    // the oracle replays as a recursive CTE
+    "pack_bins" -> ((s, dir) =>
+      graft.pipeline.TrainingData.binPack(
+        Tables.documents(s, dir).withColumn("n_toks",
+          size(graft.pipeline.TextAnalysis.tokens(col("text")))),
+        "doc_id", col("n_toks"), budget = 512, shards = 4)
+        .orderBy("doc_id")),
+
     // contiguous dense ids 0..n-1 without a global single-node sort:
     // range exchange + per-partition sort + counts-only offsets
     // (TrainingData.denseIds) — the sample-index primitive; sort key =
@@ -5121,6 +5133,26 @@ object SparkEntry {
         |   1.0 - power(0.85, CAST(128 // bands AS DOUBLE)),
         |   CAST(bands AS DOUBLE)))) AS BIGINT) AS p_capture_bp
         |FROM g ORDER BY bands""".stripMargin,
+
+    "pack_bins" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id % 4 AS shard, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |  row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+        |    AS rn
+        | FROM documents),
+        |pack(shard, rn, doc_id, t, bin, used) AS (
+        | SELECT shard, rn, doc_id, t, CAST(0 AS BIGINT), t FROM t
+        |  WHERE rn = 1
+        | UNION ALL
+        | SELECT t.shard, t.rn, t.doc_id, t.t,
+        |  CASE WHEN p.used + t.t <= 512 THEN p.bin ELSE p.bin + 1 END,
+        |  CASE WHEN p.used + t.t <= 512 THEN p.used + t.t ELSE t.t END
+        | FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin_id,
+        | t AS n_tokens
+        |FROM pack ORDER BY doc_id""".stripMargin,
 
     "train_dense_ids" ->
       """SELECT doc_id,

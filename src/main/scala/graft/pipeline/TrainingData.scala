@@ -218,6 +218,55 @@ object TrainingData {
         (col("start") % budget).cast("long").as("seq_offset"))
   }
 
+  /** Whole-document BIN PACKING — the no-truncation counterpart of
+    * [[packSequences]] (which concatenates then chunks, splitting
+    * documents at sequence boundaries): each document lands WHOLE in a
+    * bin of ≤ `budget` tokens via the next-fit rule — docs in id order
+    * per shard, a doc that fits joins the current bin, otherwise a new
+    * bin opens (an oversized doc occupies its own bin). Next-fit is the
+    * deterministic streaming-order discipline — first-fit-decreasing
+    * packs tighter but needs a global sort by size and loses id-order
+    * locality.
+    *
+    * The running (bin, used) state is a sequential scan per shard —
+    * not a prefix sum (the reset on overflow breaks associativity), so
+    * this is genuine per-partition imperative logic: one hash exchange
+    * on the shard key + per-partition sort + a narrow `mapPartitions`
+    * over fixed-width (shard, id, tokens) rows. Shard count sets
+    * parallelism, exactly as in [[packSequences]].
+    * Output: (idCol, shard, bin_id, n_tokens). */
+  def binPack(docs: DataFrame, idCol: String, tokenCol: Column,
+              budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0,
+      s"need positive budget/shards, got $budget/$shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val narrow = docs
+      .select(pmod(col(idCol), lit(shards)).cast("long").as("shard"),
+        col(idCol).cast("long").as("id"),
+        tokenCol.cast("long").as("t"))
+      .as[(Long, Long, Long)]
+    val packed = narrow
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var bin = 0L
+        var used = 0L
+        var any = false
+        it.map { case (sh, id, t) =>
+          if (sh != curShard) { curShard = sh; bin = 0L; used = 0L; any = false }
+          if (any && used + t > budget) { bin += 1L; used = 0L }
+          used += t
+          any = true
+          (sh, id, bin, t)
+        }
+      }
+      .toDF("shard", "id", "bin_id", "n_tokens")
+    packed.select(col("id").as(idCol), col("shard"), col("bin_id"),
+      col("n_tokens"))
+  }
+
   /** Overlapping token-window chunking — the retrieval/embedding
     * preprocessing step: each document yields windows of `windowTokens`
     * tokens starting every `stride` tokens (the tail window may be

@@ -502,6 +502,40 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r(2L)._1 < 0 && r(2L)._2 < 0) // off-target scores negative
   }
 
+  test("binPack: next-fit semantics, whole docs, oversized own bin") {
+    // one shard; sizes 300, 300, 512, 600, 100 with budget 512:
+    // 300 -> bin 0 (used 300); 300 doesn't fit -> bin 1 (300);
+    // 512 doesn't fit -> bin 2 (512, exactly full);
+    // 600 oversized -> bin 3 alone; 100 -> bin 4
+    val docs = Seq((0L, 300L), (1L, 300L), (2L, 512L), (3L, 600L),
+      (4L, 100L)).toDF("doc_id", "n_toks")
+    val got = TrainingData.binPack(docs, "doc_id", col("n_toks"),
+        budget = 512, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("binPack: per-shard budgets hold and every doc packs once") {
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 400L).map(i => (i, 20L + rnd.nextInt(200)))
+      .toDF("doc_id", "n_toks").repartition(7)
+    val got = TrainingData.binPack(docs, "doc_id", col("n_toks"),
+        budget = 512, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length === 400)
+    assert(got.map(_._1).sorted.toSeq === (0L until 400L).toSeq)
+    // no bin over budget (no doc here is oversized)
+    got.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sum <= 512L)
+    }
+    // bins are dense per shard starting at 0
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val bins = rows.map(_._3).distinct.sorted
+      assert(bins === (0L to bins.max).toArray.toSeq)
+    }
+  }
+
   test("denseIds: a contiguous permutation in sort-key order") {
     // 1000 rows, deliberately shuffled input order and many partitions;
     // keys are a scrambled space so range boundaries genuinely split it
