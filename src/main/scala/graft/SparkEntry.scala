@@ -2935,6 +2935,22 @@ object SparkEntry {
       graft.pipeline.Dedup.lshPlan(s, numHashes = 128, thresholdPct = 85)
         .orderBy("bands")),
 
+    // relation-version drift report (operators/Profile.compare):
+    // schema evolution + per-column stat-change flags between two
+    // event variants — event_type dropped, extra added, event_id
+    // thinned (range + distinct change), user_id partially nulled
+    // (null-fraction change via the exact cross-multiplied identity)
+    "rel_profile_diff" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val v1 = e.select("event_id", "user_id", "event_type")
+      val v2 = e.where(col("event_id") % 3 =!= 0)
+        .select(col("event_id"),
+          when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(col("user_id")).as("user_id"),
+          (col("user_id") % 7).as("extra"))
+      graft.operators.Profile.compare(v1, v2).orderBy("column")
+    }),
+
     // whole-document next-fit bin packing (TrainingData.binPack): each
     // doc lands WHOLE in a <= 512-token bin, docs in id order per
     // shard — the no-truncation counterpart of pack_sequences; the
@@ -5133,6 +5149,68 @@ object SparkEntry {
         |   1.0 - power(0.85, CAST(128 // bands AS DOUBLE)),
         |   CAST(bands AS DOUBLE)))) AS BIGINT) AS p_capture_bp
         |FROM g ORDER BY bands""".stripMargin,
+
+    "rel_profile_diff" ->
+      """WITH v1 AS (SELECT event_id, user_id, event_type FROM events),
+        |v2 AS (SELECT event_id,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END
+        |    AS user_id,
+        |  user_id % 7 AS extra
+        | FROM events WHERE event_id % 3 <> 0),
+        |pa AS (
+        | SELECT 'event_id' AS col, count(*) AS nr,
+        |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  count(DISTINCT event_id) AS nd,
+        |  CAST(min(event_id) AS VARCHAR) AS mn,
+        |  CAST(max(event_id) AS VARCHAR) AS mx FROM v1
+        | UNION ALL SELECT 'user_id', count(*),
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR),
+        |  CAST(max(user_id) AS VARCHAR) FROM v1
+        | UNION ALL SELECT 'event_type', count(*),
+        |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT event_type), min(event_type), max(event_type)
+        |  FROM v1),
+        |pb AS (
+        | SELECT 'event_id' AS col, count(*) AS nr,
+        |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nn,
+        |  count(DISTINCT event_id) AS nd,
+        |  CAST(min(event_id) AS VARCHAR) AS mn,
+        |  CAST(max(event_id) AS VARCHAR) AS mx FROM v2
+        | UNION ALL SELECT 'user_id', count(*),
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR),
+        |  CAST(max(user_id) AS VARCHAR) FROM v2
+        | UNION ALL SELECT 'extra', count(*),
+        |  sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT extra), CAST(min(extra) AS VARCHAR),
+        |  CAST(max(extra) AS VARCHAR) FROM v2),
+        |j AS (SELECT coalesce(pa.col, pb.col) AS c,
+        |  pa.nr AS nra, pa.nn AS nna, pa.nd AS nda,
+        |  pa.mn AS mna, pa.mx AS mxa,
+        |  pb.nr AS nrb, pb.nn AS nnb, pb.nd AS ndb,
+        |  pb.mn AS mnb, pb.mx AS mxb
+        | FROM pa FULL OUTER JOIN pb ON pa.col = pb.col)
+        |SELECT c AS "column",
+        | CASE WHEN nra IS NULL THEN 'added'
+        |   WHEN nrb IS NULL THEN 'dropped'
+        |   ELSE 'kept' END AS presence,
+        | CAST(coalesce(nra, -1) AS BIGINT) AS n_rows_a,
+        | CAST(coalesce(nrb, -1) AS BIGINT) AS n_rows_b,
+        | CAST(coalesce(nna, -1) AS BIGINT) AS n_nulls_a,
+        | CAST(coalesce(nnb, -1) AS BIGINT) AS n_nulls_b,
+        | CAST(coalesce(nda, -1) AS BIGINT) AS n_distinct_a,
+        | CAST(coalesce(ndb, -1) AS BIGINT) AS n_distinct_b,
+        | CAST(CASE WHEN nra IS NOT NULL AND nrb IS NOT NULL
+        |   AND (mna IS DISTINCT FROM mnb OR mxa IS DISTINCT FROM mxb)
+        |   THEN 1 ELSE 0 END AS BIGINT) AS range_changed,
+        | CAST(CASE WHEN nra IS NOT NULL AND nrb IS NOT NULL
+        |   AND nda <> ndb THEN 1 ELSE 0 END AS BIGINT)
+        |   AS distinct_changed,
+        | CAST(CASE WHEN nra IS NOT NULL AND nrb IS NOT NULL
+        |   AND nna * nrb <> nnb * nra THEN 1 ELSE 0 END AS BIGINT)
+        |   AS null_frac_changed
+        |FROM j ORDER BY "column"""".stripMargin,
 
     "pack_bins" ->
       """WITH RECURSIVE t AS (

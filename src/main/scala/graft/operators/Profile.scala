@@ -49,4 +49,47 @@ object Profile {
       .orderBy("pos")
       .drop("pos")
   }
+
+  /** Schema + statistics drift between two VERSIONS of a relation —
+    * the data-contract monitor that pairs [[profile]] with
+    * [[graft.pipeline.Drift]]'s distribution view: profiles both sides
+    * (metadata-sized), full-outer joins on column name, and flags what
+    * changed. `presence` marks schema evolution (added/dropped/kept);
+    * for kept columns, `range_changed` compares min/max,
+    * `distinct_changed` the exact cardinalities, and
+    * `null_frac_changed` the null FRACTION via the cross-multiplied
+    * integer identity n_nulls_a·n_rows_b ≠ n_nulls_b·n_rows_a (row
+    * counts may legitimately differ between versions; the fraction is
+    * the contract). Absent-side counters render as −1, keeping every
+    * output column a non-null integer/string. */
+  def compare(a: DataFrame, b: DataFrame, exact: Boolean = true): DataFrame = {
+    val pa = profile(a, exact).select(col("column"),
+      col("n_rows").as("n_rows_a"), col("n_nulls").as("n_nulls_a"),
+      col("n_distinct").as("n_distinct_a"),
+      col("min_str").as("min_a"), col("max_str").as("max_a"))
+    val pb = profile(b, exact).select(col("column"),
+      col("n_rows").as("n_rows_b"), col("n_nulls").as("n_nulls_b"),
+      col("n_distinct").as("n_distinct_b"),
+      col("min_str").as("min_b"), col("max_str").as("max_b"))
+    val kept = col("n_rows_a").isNotNull && col("n_rows_b").isNotNull
+    pa.join(pb, Seq("column"), "full_outer")
+      .select(col("column"),
+        when(col("n_rows_a").isNull, lit("added"))
+          .when(col("n_rows_b").isNull, lit("dropped"))
+          .otherwise(lit("kept")).as("presence"),
+        coalesce(col("n_rows_a"), lit(-1L)).as("n_rows_a"),
+        coalesce(col("n_rows_b"), lit(-1L)).as("n_rows_b"),
+        coalesce(col("n_nulls_a"), lit(-1L)).as("n_nulls_a"),
+        coalesce(col("n_nulls_b"), lit(-1L)).as("n_nulls_b"),
+        coalesce(col("n_distinct_a"), lit(-1L)).as("n_distinct_a"),
+        coalesce(col("n_distinct_b"), lit(-1L)).as("n_distinct_b"),
+        when(kept && (!(col("min_a") <=> col("min_b")) ||
+          !(col("max_a") <=> col("max_b"))), 1L).otherwise(0L)
+          .as("range_changed"),
+        when(kept && col("n_distinct_a") =!= col("n_distinct_b"), 1L)
+          .otherwise(0L).as("distinct_changed"),
+        when(kept && col("n_nulls_a") * col("n_rows_b") =!=
+          col("n_nulls_b") * col("n_rows_a"), 1L).otherwise(0L)
+          .as("null_frac_changed"))
+  }
 }

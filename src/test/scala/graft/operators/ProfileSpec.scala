@@ -43,4 +43,32 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(r("id") - 1000L) <= 100L)
     assert(math.abs(r("k") - 100L) <= 10L)
   }
+
+  test("compare: presence, range/distinct/null-fraction drift flags") {
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L))
+      .toDF("id", "name", "gone")
+    val b = Seq((1L, "x", 7L), (2L, null.asInstanceOf[String], 7L),
+      (4L, "w", 7L)).toDF("id", "name", "fresh")
+    val got = Profile.compare(a, b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9)))).toMap
+    // columns: presence, n_distinct_a, n_distinct_b, range_changed,
+    // distinct_changed (index 6..9 are n_distinct_a, n_distinct_b,
+    // range_changed, distinct_changed)
+    assert(got("gone")._1 === "dropped")
+    assert(got("fresh")._1 === "added")
+    assert(got("id") === (("kept", 3L, 3L, 1L, 0L))) // max 3 -> 4
+    // name: a null appeared (null_frac) and 'z' -> 'w' moved the range
+    val name = Profile.compare(a, b).where("column = 'name'")
+      .select("presence", "range_changed", "distinct_changed",
+        "null_frac_changed").collect().head
+    assert(name.getString(0) === "kept")
+    assert(name.getLong(1) === 1L)
+    assert(name.getLong(3) === 1L)
+    // equal relations: every flag zero, all kept
+    val same = Profile.compare(a, a).collect()
+    assert(same.forall(r => r.getString(1) === "kept" &&
+      r.getLong(8) === 0L && r.getLong(9) === 0L && r.getLong(10) === 0L))
+  }
 }
