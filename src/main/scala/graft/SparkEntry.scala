@@ -1849,6 +1849,28 @@ object SparkEntry {
         frameBytes = 16, stride = 4)
         .orderBy("media_id", "frame_no")),
 
+    // keyframe selection: per-media top-3 frames by absolute change
+    // vs the previous sampled frame (the shot-boundary heuristic on
+    // the frame-sum signal); windows bounded by one media's frames
+    "media_keyframes" -> ((s, dir) =>
+      Multimodal.keyFrames(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        frameBytes = 16, stride = 4, k = 3)
+        .orderBy("media_id", "rank")),
+
+    // matryoshka truncation curve (Kusupati et al. 2022): exact top-10
+    // recall of prefix-sliced embeddings (d = 8/16/32/64) vs the
+    // full-dim ranking — the operating curve for serving at a cheap
+    // prefix dim; one batchTopK pass per dim over a narrower slice
+    "embed_matryoshka" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.pipeline.Embeddings.matryoshkaRecall(emb, "vec_id",
+        "embedding", qs, "qid", "qvec", dims = Seq(8, 16, 32, 64), k = 10)
+        .orderBy("dim")
+    }),
+
     // ------------------------------------------------------ text analysis
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -4013,6 +4035,53 @@ object SparkEntry {
         |   CAST(frame_no * 16 + i.i AS INT), 1))) AS BIGINT) AS frame_sum
         |FROM fr, generate_series(1, 16) AS i(i)
         |GROUP BY doc_id, frame_no ORDER BY media_id, frame_no""".stripMargin,
+
+    "media_keyframes" ->
+      """WITH fr AS (SELECT doc_id, text, t.f AS frame_no
+        | FROM documents, generate_series(0, 511) AS t(f)
+        | WHERE t.f <= CAST(length(text) AS BIGINT) // 16 - 1
+        |   AND t.f % 4 = 0),
+        |fs AS (SELECT doc_id AS media_id, CAST(frame_no AS BIGINT)
+        |   AS frame_no,
+        | CAST(sum(ascii(substring(text,
+        |   CAST(frame_no * 16 + i.i AS INT), 1))) AS BIGINT) AS frame_sum
+        | FROM fr, generate_series(1, 16) AS i(i)
+        | GROUP BY doc_id, frame_no),
+        |sc AS (SELECT media_id, frame_no,
+        |  abs(frame_sum - coalesce(lag(frame_sum) OVER
+        |    (PARTITION BY media_id ORDER BY frame_no), 0)) AS score
+        | FROM fs),
+        |r AS (SELECT media_id, frame_no, score,
+        |  CAST(row_number() OVER (PARTITION BY media_id
+        |    ORDER BY score DESC, frame_no) AS BIGINT) AS rank FROM sc)
+        |SELECT media_id, frame_no, CAST(score AS BIGINT) AS score, rank
+        |FROM r WHERE rank <= 3 ORDER BY media_id, rank""".stripMargin,
+
+    "embed_matryoshka" ->
+      """WITH dims(d) AS (VALUES (8), (16), (32), (64)),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        | WHERE vec_id % 100 = 0),
+        |dist AS (SELECT dims.d, q.qid, e.vec_id,
+        |  sum(CASE WHEN t.i <= dims.d THEN
+        |   (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |   * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |   ELSE 0 END) AS sq
+        | FROM embeddings e, q, dims, generate_series(1, 64) AS t(i)
+        | GROUP BY dims.d, q.qid, e.vec_id),
+        |topk AS (SELECT d, qid, vec_id,
+        |  row_number() OVER (PARTITION BY d, qid ORDER BY sq, vec_id)
+        |    AS rn FROM dist),
+        |sel AS (SELECT d, qid, vec_id FROM topk WHERE rn <= 10),
+        |f64 AS (SELECT qid, vec_id FROM sel WHERE d = 64),
+        |h AS (SELECT s.d, count(DISTINCT s.qid) AS nq,
+        |  count(f.vec_id) AS nh
+        | FROM sel s LEFT JOIN f64 f
+        |   ON s.qid = f.qid AND s.vec_id = f.vec_id
+        | GROUP BY s.d)
+        |SELECT CAST(d AS BIGINT) AS dim, CAST(nq AS BIGINT) AS n_queries,
+        | CAST(nh AS BIGINT) AS n_hits,
+        | CAST(nh * 10000 // (nq * 10) AS BIGINT) AS recall_bp
+        |FROM h ORDER BY dim""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

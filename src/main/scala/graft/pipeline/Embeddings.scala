@@ -43,6 +43,39 @@ object Embeddings {
             x => (x.cast("double") / col("__graft_nrm")).cast("float"))))
       .drop("__graft_nrm")
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022,
+    * arXiv:2205.13147): how much retrieval quality survives when the
+    * embedding is truncated to its first d dims — the operating curve
+    * for choosing a cheap prefix dim at serving time. For each d in
+    * `dims`, the exact top-k per query over PREFIX-SLICED vectors is
+    * compared against the full-dim top-k; output
+    * (dim, n_queries, n_hits, recall_bp), integers only. Each dim is
+    * one [[graft.query.ExactKnn.batchTopK]] pass (broadcast queries,
+    * k·|queries| shuffle rows) over a NARROWER slice — the scan cost
+    * itself shrinks with d. */
+  def matryoshkaRecall(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), s"bad dims: $dims")
+    val full = dims.max
+    def topAt(d: Int): DataFrame =
+      graft.query.ExactKnn.batchTopK(
+        df.withColumn(vecCol, slice(col(vecCol), 1, d)), vecCol, idCol,
+        queries.withColumn(qvecCol, slice(col(qvecCol), 1, d)),
+        qidCol, qvecCol, k)
+        .select(col(qidCol).as("qid"), col(idCol).as("id"))
+    val ref = topAt(full).withColumn("is_hit", lit(1L))
+    val perDim = dims.map(d => topAt(d).withColumn("dim", lit(d.toLong)))
+      .reduce(_ unionByName _)
+    perDim.join(ref, Seq("qid", "id"), "left")
+      .groupBy("dim")
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        coalesce(sum(coalesce(col("is_hit"), lit(0L))), lit(0L))
+          .as("n_hits"))
+      .withColumn("recall_bp", expr(s"n_hits * 10000 div (n_queries * $k)"))
+      .orderBy("dim")
+  }
+
   /** Per-group mean vector (class centroid / prototype), re-assembled in
     * position order: (group, centroid: array<double>, n_vectors). */
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =

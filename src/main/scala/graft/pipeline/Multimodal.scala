@@ -64,6 +64,27 @@ object Multimodal {
       .select(col("media_id"),
         (col("pos") * stride).cast("long").as("frame_no"), col("frame_sum"))
 
+  /** Keyframe selection over sampled frames: score each frame by its
+    * absolute change vs the previous sampled frame (the first frame
+    * scores its own sum — a scene always starts there) and keep the
+    * top `k` most-changed frames per media, ties to the earlier frame.
+    * The standard shot-boundary heuristic on the cheap frame-sum
+    * signal; both windows are bounded by a single media's frame count,
+    * never the corpus. Output: (media_id, frame_no, score, rank). */
+  def keyFrames(media: DataFrame, frameBytes: Int, stride: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("media_id").orderBy("frame_no")
+    val byScore = Window.partitionBy("media_id")
+      .orderBy(col("score").desc, col("frame_no"))
+    sampledFrames(media, frameBytes, stride)
+      .withColumn("score", abs(col("frame_sum") -
+        coalesce(lag(col("frame_sum"), 1).over(byTime), lit(0L))))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .where(col("rank") <= k)
+      .select("media_id", "frame_no", "score", "rank")
+  }
+
   /** 64-bit perceptual hash (aHash) per media row: STUB decode to w×h
     * gray, mean-pool to 8×8, bit i = pixel i above the thumbnail mean —
     * one codegen'd projection, no shuffle. Near-duplicate media then

@@ -125,6 +125,20 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshkaRecall: prefix ranking diverges, full dim is exact") {
+    // query at the origin; a's PREFIX is closest (d=2 winner) but its
+    // tail is huge (d=4 winner is b) -> recall 0% at d=2, 100% at d=4
+    val emb = Seq(
+      (1L, Seq(0f, 0f, 9f, 9f)),   // a
+      (2L, Seq(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding") // b
+    val qs = Seq((100L, Seq(0f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    val got = Embeddings.matryoshkaRecall(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", dims = Seq(2, 4), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((2L, 1L, 0L, 0L), (4L, 1L, 1L, 10000L)))
+  }
+
   test("filtered k-NN: the attribute predicate reaches the parquet scan") {
     // write a small parquet table, filter + top-k, inspect the scan
     val dir = java.nio.file.Files.createTempDirectory("knnf").toString

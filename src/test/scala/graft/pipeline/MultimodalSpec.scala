@@ -119,6 +119,19 @@ class MultimodalSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("decodable")))
   }
 
+  test("keyFrames: change-scored top-k, first frame scores its own sum") {
+    // one media, 4 frames of 8 bytes: sums 776 ('a'*8), 776, 976
+    // ('z'*8), 776 → scores (vs prev, first = own sum): 776, 0, 200,
+    // 200; top-3 by (score desc, frame_no): 0 (776), 2 (200), 3 (200)
+    val d = Seq((1L, "aaaaaaaa" + "aaaaaaaa" + "zzzzzzzz" + "aaaaaaaa"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.keyFrames(Multimodal.fromDocuments(d),
+        frameBytes = 8, stride = 1, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 776L, 1L), (2L, 200L, 2L), (3L, 200L, 3L)))
+  }
+
   test("aHash64: deterministic, equal payloads collide, distinct differ") {
     val d = Seq(
       (1L, "the quick brown fox jumps over it"),
