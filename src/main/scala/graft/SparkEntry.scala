@@ -2973,6 +2973,17 @@ object SparkEntry {
       graft.operators.Profile.compare(v1, v2).orderBy("column")
     }),
 
+    // curriculum sampling: rank docs into 4 equal-population length
+    // buckets (ties to doc_id), keep w/256 of each by the md5 rule —
+    // more of the long tail, a thin slice of the short head
+    // (TrainingData.curriculumSample)
+    "sample_curriculum" -> ((s, dir) =>
+      graft.pipeline.TrainingData.curriculumSample(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "doc_id", bucketWeights = Seq(32, 64, 128, 255))
+        .select("doc_id", "n_chars", "bucket")
+        .orderBy("doc_id")),
+
     // whole-document next-fit bin packing (TrainingData.binPack): each
     // doc lands WHOLE in a <= 512-token bin, docs in id order per
     // shard — the no-truncation counterpart of pack_sequences; the
@@ -5280,6 +5291,17 @@ object SparkEntry {
         |   AND nna * nrb <> nnb * nra THEN 1 ELSE 0 END AS BIGINT)
         |   AS null_frac_changed
         |FROM j ORDER BY "column"""".stripMargin,
+
+    "sample_curriculum" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |    AS bucket
+        | FROM documents)
+        |SELECT doc_id, n_chars, bucket FROM t
+        |WHERE substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE bucket WHEN 1 THEN '20' WHEN 2 THEN '40'
+        |    WHEN 3 THEN '80' ELSE 'ff' END
+        |ORDER BY doc_id""".stripMargin,
 
     "pack_bins" ->
       """WITH RECURSIVE t AS (

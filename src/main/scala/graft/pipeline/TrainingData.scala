@@ -354,6 +354,36 @@ object TrainingData {
     df.where(keep)
   }
 
+  /** CURRICULUM sampling by score quantile: rank rows into
+    * `bucketWeights.length` equal-population buckets by `scoreCol`
+    * (ascending; ties broken by the id for a deterministic frontier)
+    * and keep w/256 of bucket i by the [[mixtureSample]] md5 idiom —
+    * "sample more of the high-quality tail, keep a thin slice of the
+    * rest", the quality-curriculum primitive over any score (bigram-LM
+    * fit, NB posterior, quality signals). The ntile window is the one
+    * global sort; at 100 TB swap the exact ntile for approx-quantile
+    * BOUNDARIES broadcast as a literal (same md5 keep rule, frontier
+    * rows may land one bucket over — the documented trade). Selection
+    * stays a pure function of (id, bucket): rerun/repartition-stable.
+    * Output: input rows + (bucket) for the survivors. */
+  def curriculumSample(df: DataFrame, scoreCol: String, idCol: String,
+                       bucketWeights: Seq[Int]): DataFrame = {
+    require(bucketWeights.nonEmpty &&
+      bucketWeights.forall(w => w >= 0 && w <= 255),
+      "bucket weights are w/256 with w in 0..255, lowest-score bucket first")
+    def hex(w: Int): String = f"$w%02x"
+    val w = Window.orderBy(col(scoreCol), col(idCol))
+    val b = substring(
+      md5(concat(lit("cur:"), col(idCol).cast("string")).cast("binary")), 1, 2)
+    val thresh = bucketWeights.zipWithIndex.foldLeft(lit("00")) {
+      case (acc, (wt, i)) =>
+        when(col("bucket") === (i + 1), lit(hex(wt))).otherwise(acc)
+    }
+    df.withColumn("bucket",
+        ntile(bucketWeights.length).over(w).cast("long"))
+      .where(b < thresh)
+  }
+
   /** DUPLICATION-AWARE downsampling — the consumer
     * [[graft.pipeline.Dedup.duplicationDegree]]'s output is for: each
     * document survives with probability ⌊256/(1+degree)⌋/256, so a

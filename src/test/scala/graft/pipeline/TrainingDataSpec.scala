@@ -502,6 +502,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r(2L)._1 < 0 && r(2L)._2 < 0) // off-target scores negative
   }
 
+  test("curriculumSample: per-bucket rates, extreme weights exact") {
+    // 400 rows, score = id (so buckets are contiguous id ranges);
+    // weights 0 / 255 pin the bottom bucket empty and keep ~all of the
+    // top; middle buckets land near their expected w/256 rates
+    val df = (0L until 400L).map(i => (i, i)).toDF("doc_id", "score")
+    val got = TrainingData.curriculumSample(df, "score", "doc_id",
+        bucketWeights = Seq(0, 64, 128, 255))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!got.exists(_._2 == 1L)) // weight 0 -> nothing survives
+    val top = got.count(_._2 == 4L)
+    assert(top >= 95 && top <= 100, s"top bucket kept $top of 100")
+    val mid = got.count(_._2 == 2L)
+    assert(mid >= 10 && mid <= 40, s"w=64 bucket kept $mid of 100")
+    // buckets are score-ordered: every surviving bucket-4 id > every
+    // surviving bucket-2 id (scores are the ids here)
+    val b2max = got.filter(_._2 == 2L).map(_._1).max
+    val b4min = got.filter(_._2 == 4L).map(_._1).min
+    assert(b2max < b4min)
+    // deterministic under repartition
+    val again = TrainingData.curriculumSample(df.repartition(7), "score",
+        "doc_id", bucketWeights = Seq(0, 64, 128, 255))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === got.toSet)
+  }
+
   test("binPack: next-fit semantics, whole docs, oversized own bin") {
     // one shard; sizes 300, 300, 512, 600, 100 with budget 512:
     // 300 -> bin 0 (used 300); 300 doesn't fit -> bin 1 (300);
