@@ -976,6 +976,9 @@ object Dedup {
     * computed in-plan so the SQL oracle replays identical arithmetic. */
   def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
       thresholdPct: Int): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in 1..100, got $thresholdPct")
     val t = thresholdPct / 100.0
     spark.range(1, numHashes + 1).toDF("bands")
       .where(lit(numHashes) % col("bands") === 0)
