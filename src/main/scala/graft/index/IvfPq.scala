@@ -349,9 +349,11 @@ object IvfPqBuilder {
   /** Assign fresh ids to an id-less vector table — the reference's UUID
     * assignment when vectors arrive without keys (db/build.rs:86-91).
     * `uuid()` draws RFC-4122 v4 ids per row (non-deterministic across
-    * runs, like the reference); pass deterministic = true to derive
-    * stable ids from a total order instead (the replayable-pipeline
-    * default everywhere else in this library). */
+    * runs, like the reference); pass deterministic = true for
+    * `monotonically_increasing_id` — unique and repeatable for a FIXED
+    * partition layout, but neither contiguous nor repartition-stable.
+    * When ids must be a stable 0..n−1 enumeration of a sort order, use
+    * [[graft.pipeline.TrainingData.denseIds]] instead. */
   def withAssignedIds(df: DataFrame, idCol: String = "id",
                       deterministic: Boolean = false): DataFrame =
     if (deterministic)
