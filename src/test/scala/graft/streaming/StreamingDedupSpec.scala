@@ -49,6 +49,50 @@ class StreamingDedupSpec extends AnyFunSuite {
       Set((1L, 103L), (2L, 101L), (2L, 102L)))
   }
 
+  test("streaming boilerplate strip: foreachBatch against the static " +
+      "line-count state equals the batch operator") {
+    import org.apache.spark.sql.functions.col
+    // yesterday's corpus fixes the boilerplate state; new docs arrive
+    // as a stream and strip against it per trigger (the groupBy inside
+    // the strip makes direct append-mode streaming ill-typed — the
+    // foreachBatch gate is the documented seam, as with ingest)
+    val corpus = Seq(
+      (101L, "shared header\nold body a"),
+      (102L, "shared header\nold body b"),
+      (103L, "shared header\nold body c")).toDF("doc_id", "text")
+    val boiler = Dedup.lineDocCounts(corpus, "\n")
+      .where(col("line_docs") >= 3).cache()
+    val incoming = Seq(
+      (1L, "shared header\nnew body one"),
+      (2L, "new body two\nshared header")).toDF("doc_id", "text")
+    val want = Dedup.removeBoilerplateWith(incoming, boiler, "\n")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(want === Set((1L, 1L, "new body one"), (2L, 1L, "new body two")))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.Set.empty[(Long, Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= Dedup.removeBoilerplateWith(batch, boiler, "\n")
+            .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1L, "shared header\nnew body one"))
+      q.processAllAvailable()
+      assert(sink.synchronized(sink.toSet) ===
+        Set((1L, 1L, "new body one")))
+      stream.addData((2L, "new body two\nshared header"))
+      q.processAllAvailable()
+      assert(sink.synchronized(sink.toSet) === want)
+    } finally q.stop()
+  }
+
   test("streaming mode: per-micro-batch output equals batch, " +
       "each pair lands in its doc's trigger") {
     implicit val sqlCtx = spark.sqlContext
