@@ -21,10 +21,15 @@ object EntryProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val rows = df.collect()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"entry $name @ $sfDir [$sec%.1f s] n=${rows.length} " +
         s"head=${rows.take(3).mkString(" | ")}")
+      // SPARK_GRAFT_EXPLAIN=1 prints the executed plan after the run
+      // (post-AQE, so what actually executed)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
