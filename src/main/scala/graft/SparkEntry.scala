@@ -2070,6 +2070,17 @@ object SparkEntry {
         .select("doc_id", "rep", "split")
         .orderBy("doc_id")),
 
+    // LEAKAGE-FREE k-folds: the kFolds md5 rule applied to each doc's
+    // near-dup component representative — no cluster straddles folds,
+    // so no cross-validation fold evaluates on text another fold
+    // trained on; singletons reduce to plain kFolds
+    "train_folds_safe" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .groupAwareFolds(Tables.documents(s, dir).select("doc_id"),
+          lshPairs90(s, dir), "doc_id", folds = 5, seed = 3)
+        .select("doc_id", "rep", "fold")
+        .orderBy("doc_id")),
+
     // deterministic k-fold assignment (cross-validation): fold is a pure
     // function of (seed, id) — stable under reruns/appends, re-drawable
     // by seed, one narrow projection
@@ -4371,6 +4382,21 @@ object SparkEntry {
          |     THEN 'train'
          |   WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
          |   ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "train_folds_safe" ->
+      s"""WITH pairs AS (${jaccardOracle(90)}),
+         |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |r AS (
+         |  WITH RECURSIVE reach(id, root) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+         |  SELECT id, min(root) AS comp FROM reach GROUP BY id)
+         |SELECT id AS doc_id, comp AS rep,
+         | ('0x' || substr(md5('fold:3:' || CAST(comp AS VARCHAR)), 1, 6))
+         |   ::BIGINT % 5 AS fold
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "train_folds" ->

@@ -76,6 +76,32 @@ object TrainingData {
       pmod(conv(substring(h, 1, 6), 16, 10).cast("long"), lit(folds.toLong)))
   }
 
+  /** LEAKAGE-FREE k-fold assignment: [[kFolds]]' md5 rule applied to
+    * each document's near-dup COMPONENT representative (exactly
+    * [[groupAwareSplit]]'s closure over `pairs`), so a near-dup cluster
+    * can never straddle folds — plain per-id folds put two near-dups in
+    * different folds ~(k−1)/k of the time, and every such pair lets a
+    * cross-validation fold evaluate on text it effectively trained on.
+    * Docs in no pair follow their own id (bit-for-bit [[kFolds]]).
+    * Cost beyond kFolds = the component closure (pairs-sized).
+    * Output adds (rep, fold). */
+  def groupAwareFolds(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id", folds: Int = 5,
+                      seed: Long = 0): DataFrame = {
+    require(folds > 0, s"folds must be positive, got $folds")
+    val comp = graft.pipeline.Dedup
+      .connectedComponents(docs.select(col(idCol).as("doc_id")), pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val h = md5(concat(lit(s"fold:$seed:"), col("rep").cast("string"))
+      .cast("binary"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("fold",
+        pmod(conv(substring(h, 1, 6), 16, 10).cast("long"),
+          lit(folds.toLong)))
+  }
+
   /** Deterministic EPOCH SHUFFLE + sharding for training output. Both the
     * shard and the within-shard order are pure functions of (seed, id) —
     * md5 of "shuffle:<seed>:<id>" — so the pass is reproducible under

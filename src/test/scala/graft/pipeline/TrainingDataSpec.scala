@@ -502,6 +502,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r(2L)._1 < 0 && r(2L)._2 < 0) // off-target scores negative
   }
 
+  test("groupAwareFolds: clusters share a fold, singletons match kFolds") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 40L).toDF("doc_id")
+    // components: {1,2,3} (chain), {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = TrainingData.groupAwareFolds(docs, pairs, "doc_id",
+        folds = 5, seed = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // every cluster member carries the rep's fold
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(1L)._1 === 1L)
+    assert(got(10L) === got(11L) && got(10L)._1 === 10L)
+    // singletons are their own rep with plain kFolds' assignment
+    val plain = TrainingData.kFolds((1L to 40L).toDF("doc_id"),
+        "doc_id", folds = 5, seed = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (4L to 9L).foreach(i => assert(got(i) === ((i, plain(i)))))
+    // all folds in range
+    assert(got.values.forall { case (_, f) => f >= 0L && f < 5L })
+    // no pair straddles folds
+    val straddle = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => got(a)._2 != got(b)._2 }
+    assert(straddle.isEmpty)
+  }
+
   test("curriculumSample: per-bucket rates, extreme weights exact") {
     // 400 rows, score = id (so buckets are contiguous id ranges);
     // weights 0 / 255 pin the bottom bucket empty and keep ~all of the
