@@ -141,6 +141,24 @@ object SparkEntry {
       (model, cached)
     })
 
+  // MIPS twin of fitIdx: the same IVF+PQ machinery over Bachrach-style
+  // augmented vectors (dim+1 = 65 = 13 divisions × 5) — see
+  // Embeddings.mipsAugmented
+  private val mipsFitIdx = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.index.IvfPqModel, DataFrame, Double)]
+  private def mipsFittedIndex(s: SparkSession, dir: String)
+      : (graft.index.IvfPqModel, DataFrame, Double) =
+    mipsFitIdx.getOrElseUpdate(dir, {
+      val (aug, m) = graft.pipeline.Embeddings.mipsAugmented(
+        Tables.embeddings(s, dir), "embedding")
+      val (model, encoded) = IvfPqBuilder.fit(aug, "vec_id", "embedding", 65,
+        IvfPqConfig(numPartitions = 8, numDivisions = 13, numCodes = 256,
+          maxIter = 20))
+      val cached = encoded.cache()
+      cached.count()
+      (model, cached, m)
+    })
+
   /** Save the fitted index once per sf dir, then seed its per-vector
     * attribute store (B12 semantics): batch 0 sets label (string) and
     * views = vec_id·10 (u64) for every vector; batch 1 UPSERTS
@@ -250,6 +268,7 @@ object SparkEntry {
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     fittedIndex(s, dir)
     cosFittedIndex(s, dir)
+    mipsFittedIndex(s, dir)
     storedIndexPath(s, dir)
     fittedOpq(s, dir)
     storedOpqPath(s, dir)
@@ -869,6 +888,47 @@ object SparkEntry {
         coalesce(sum(when(
           abs((lit(1.0) - col("sq_unit") / lit(2.0)) - col("cos_exact"))
             > 1e-4, 1L).otherwise(0L)), lit(0L)).as("n_ident_bad"))
+      inv.crossJoin(hits.join(exact, "id")
+          .agg(count(lit(1)).cast("long").as("n_recalled")))
+        .select(col("n_rows"), col("n_outside_probed"), col("n_ident_bad"),
+          when(col("n_recalled") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
+    }),
+
+    // MIPS ANN via the augmented-vector reduction (Bachrach et al.
+    // 2014): one appended coordinate √(M²−‖x‖²) turns max-inner-product
+    // into L2-nearest on the SAME index machinery — the metric triple
+    // completes (L2 native, cosine = ann_cosine, IP here). Gated: k
+    // rows, hits ⊆ probed, the reduction identity ‖[q,0]−[x,s]‖² =
+    // ‖q‖²+M²−2·q·x recomputed per hit from the raw tables, recall ≥
+    // 3/10 vs exact MIPS (the knn_exact_ip twin)
+    "ann_mips" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded, m) = mipsFittedIndex(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val qRaw = qf.map(_.toDouble)
+      val q = qRaw :+ 0.0
+      val hits = AnnQuery.topK(encoded, model, q, k = 10, nprobe = 4)
+      val probes = AnnQuery.selectPartitions(model, q, 4).map(_._1).toSeq
+      val exact = ExactKnn.rankedIdsIp(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val (aug, _) = graft.pipeline.Embeddings.mipsAugmented(emb, "embedding")
+      val qn2 = qRaw.map(x => x * x).sum
+      val joined = hits
+        .join(emb.select(col("vec_id").as("id"), col("embedding").as("raw")),
+          "id")
+        .join(aug.select(col("vec_id").as("id"), col("embedding").as("augv")),
+          "id")
+        .withColumn("sq_aug", graft.functions.VectorFunctions.squaredL2(
+          col("augv"), typedlit(q.toSeq)))
+        .withColumn("ip_exact", graft.functions.VectorFunctions.dot(
+          col("raw"), typedlit(qRaw.toSeq)))
+      val inv = joined.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(not(col("partition").isin(probes: _*)), 1L)
+          .otherwise(0L)), lit(0L)).as("n_outside_probed"),
+        coalesce(sum(when(
+          abs(col("sq_aug") - (lit(qn2 + m * m) - lit(2.0) * col("ip_exact")))
+            > 1e-3, 1L).otherwise(0L)), lit(0L)).as("n_ident_bad"))
       inv.crossJoin(hits.join(exact, "id")
           .agg(count(lit(1)).cast("long").as("n_recalled")))
         .select(col("n_rows"), col("n_outside_probed"), col("n_ident_bad"),
@@ -3761,6 +3821,12 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_far, CAST(5 AS BIGINT) AS n_qids,
         | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
+
+    "ann_mips" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_outside_probed,
+        | CAST(0 AS BIGINT) AS n_ident_bad,
+        | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
 
     "ann_cosine" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,

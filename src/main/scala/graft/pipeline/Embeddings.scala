@@ -43,6 +43,31 @@ object Embeddings {
             x => (x.cast("double") / col("__graft_nrm")).cast("float"))))
       .drop("__graft_nrm")
 
+  /** MIPS→L2 augmentation (Bachrach et al., RecSys'14; the ALSH family):
+    * append one coordinate s = √(M² − ‖x‖²) where M = max corpus norm,
+    * so for a query padded with 0, ‖[q,0] − [x,s]‖² = ‖q‖² + M² − 2·q·x
+    * — monotone DECREASING in the inner product. The unchanged L2 index
+    * family then answers maximum-inner-product queries, completing the
+    * metric triple (L2 native, cosine via [[l2Normalized]], IP here).
+    * Returns (augmented df, M). The augmented geometry compresses the
+    * similarity range (known recall caveat of the reduction — points
+    * with small norms cluster near the sphere's pole), so calibrate
+    * nprobe against the exact MIPS oracle as with any index. M comes
+    * from one aggregate; the augmentation itself is a narrow projection
+    * with the norm as its own column (the O(dim²) lambda trap). */
+  def mipsAugmented(df: DataFrame, vecCol: String): (DataFrame, Double) = {
+    val m2 = df.agg(max(graft.functions.VectorFunctions.normSq(col(vecCol))))
+      .head.getDouble(0)
+    val aug = df
+      .withColumn("__graft_nsq",
+        graft.functions.VectorFunctions.normSq(col(vecCol)))
+      .withColumn(vecCol, concat(col(vecCol),
+        array(sqrt(greatest(lit(m2) - col("__graft_nsq"), lit(0.0)))
+          .cast("float"))))
+      .drop("__graft_nsq")
+    (aug, math.sqrt(m2))
+  }
+
   /** Matryoshka truncation evaluation (Kusupati et al. 2022,
     * arXiv:2205.13147): how much retrieval quality survives when the
     * embedding is truncated to its first d dims — the operating curve

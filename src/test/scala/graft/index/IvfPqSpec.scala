@@ -114,6 +114,25 @@ class IvfPqSpec extends AnyFunSuite {
     assert(cos.head > 0.95)
   }
 
+  test("MIPS via augmentation: L2 scan on augmented vectors ranks by IP") {
+    val (aug, m) = graft.pipeline.Embeddings.mipsAugmented(df, "vec")
+    // every augmented vector lands on the radius-M sphere (f32 rounding)
+    val norms = aug.select("vec").collect()
+      .map(_.getSeq[Float](0).map(x => x.toDouble * x).sum)
+    norms.foreach(n2 => assert(math.abs(math.sqrt(n2) - m) < 1e-3 * m))
+    // dim 17 is prime: 17 one-dim subquantizers
+    val (mm, enc) = IvfPqBuilder.fit(aug, "id", "vec", dim + 1,
+      IvfPqConfig(numPartitions = 4, numDivisions = 17, numCodes = 16,
+        maxIter = 20))
+    val q = data.head._2.map(_.toDouble).toArray :+ 0.0
+    val approx = AnnQuery.topK(enc, mm, q, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = ExactKnn.rankedIdsIp(df, "vec", "id", data.head._2, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(AnnQuery.recallAtK(approx, exact) >= 0.6,
+      s"MIPS recall too low: approx=$approx exact=$exact")
+  }
+
   test("ann query distances ascend and rows come from probed cells only") {
     val q = data(1)._2.map(_.toDouble).toArray
     val probes = AnnQuery.selectPartitions(model, q, 2).map(_._1).toSet
