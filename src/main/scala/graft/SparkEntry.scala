@@ -3025,6 +3025,20 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "clipped")
         .orderBy("event_id")),
 
+    // record-linkage fuzzy join: every customer-name pair within edit
+    // distance 1 (digit typos) — sound positional rare-gram signature
+    // candidates + exact levenshtein verify (Dedup.editDistancePairs);
+    // the oracle brute-forces all pairs. The %3 slice bounds the
+    // fixture's pair DENSITY, not the operator: sequentially numbered
+    // synthetic names give every row dozens of true edit-1 partners,
+    // a density real name data doesn't have
+    "link_fuzzy_names" -> ((s, dir) =>
+      graft.pipeline.Dedup.editDistancePairs(
+        Tables.customer(s, dir).select("c_custkey", "c_name")
+          .where(pmod(col("c_custkey"), lit(3)) === 0),
+        "c_custkey", "c_name", maxDist = 1, q = 3)
+        .orderBy("a_id", "b_id")),
+
     // LSH band planning: the S-curve p = 1-(1-t^r)^b over every
     // factorization of 128 hashes at the t=0.85 dedup threshold — the
     // knob-picker for minHashLshPairs' bands/rows split (the Jaccard
@@ -5322,6 +5336,16 @@ object SparkEntry {
         | CAST(CASE WHEN e.value < b.lo THEN -1
         |   WHEN e.value > b.hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
         |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "link_fuzzy_names" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey % 3 = 0)
+        |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a, c b
+        |WHERE a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_lsh_plan" ->
       """WITH g AS (SELECT CAST(b AS BIGINT) AS bands

@@ -360,6 +360,51 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the corpus genuinely exercises the join
   }
 
+  test("editDistancePairs equals brute-force Levenshtein <= k") {
+    // planted typo families (substitution, insertion, deletion) plus
+    // unrelated strings; long enough for the 3-gram signature floor
+    val rows = Seq(
+      (1L, "jonathan smithers"),
+      (2L, "jonathan smithers"),  // exact dup -> dist 0
+      (3L, "jonathon smithers"),  // substitution -> dist 1
+      (4L, "jonathan smitherss"), // insertion -> dist 1
+      (5L, "jonathan smither"),   // deletion -> dist 1
+      (6L, "veronica albright"),
+      (7L, "veronika albright"),  // substitution -> dist 1
+      (8L, "completely unrelated"),
+      (9L, "another distinct name"))
+    val df = rows.toDF("id", "name")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "id", "name", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = (for {
+        (a, sa) <- rows; (b, sb) <- rows if a < b
+        d = lev(sa, sb) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      assert(got === want, s"k=$k")
+      assert(want.nonEmpty)
+    }
+  }
+
+  test("editDistancePairs: below the gram floor fails loudly") {
+    val df = Seq((1L, "abc"), (2L, "abd")).toDF("id", "name")
+    // 3 chars -> ONE distinct 3-gram < maxDist*q+1 = 4
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "id", "name", maxDist = 1).collect()
+    }
+    assert(e.getMessage.contains("soundness floor"))
+  }
+
   test("lshPlan: S-curve over the factorizations, monotone in bands") {
     val rows = Dedup.lshPlan(spark, numHashes = 128, thresholdPct = 85)
       .orderBy("bands")
