@@ -3039,6 +3039,19 @@ object SparkEntry {
         "c_custkey", "c_name", maxDist = 1, q = 3)
         .orderBy("a_id", "b_id")),
 
+    // incremental record linkage: a new batch of names links against
+    // the master slice, never master x master — new-side signatures
+    // ranked by MASTER gram frequencies probe the persistable master
+    // gram relation (Dedup.editDistancePairsBipartite)
+    "link_fuzzy_incr" -> ((s, dir) =>
+      graft.pipeline.Dedup.editDistancePairsBipartite(
+        Tables.customer(s, dir).select("c_custkey", "c_name")
+          .where(pmod(col("c_custkey"), lit(21)) === 1),
+        Tables.customer(s, dir).select("c_custkey", "c_name")
+          .where(pmod(col("c_custkey"), lit(3)) === 0),
+        "c_custkey", "c_name", maxDist = 1, q = 3)
+        .orderBy("new_id", "master_id")),
+
     // LSH band planning: the S-curve p = 1-(1-t^r)^b over every
     // factorization of 128 hashes at the t=0.85 dedup threshold — the
     // knob-picker for minHashLshPairs' bands/rows split (the Jaccard
@@ -5346,6 +5359,17 @@ object SparkEntry {
         |WHERE a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "link_fuzzy_incr" ->
+      """WITH n AS (SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey % 21 = 1),
+        |m AS (SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey % 3 = 0)
+        |SELECT n.c_custkey AS new_id, m.c_custkey AS master_id,
+        | CAST(levenshtein(n.c_name, m.c_name) AS BIGINT) AS dist
+        |FROM n, m
+        |WHERE levenshtein(n.c_name, m.c_name) <= 1
+        |ORDER BY new_id, master_id""".stripMargin,
 
     "dedup_lsh_plan" ->
       """WITH g AS (SELECT CAST(b AS BIGINT) AS bands

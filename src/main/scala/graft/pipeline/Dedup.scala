@@ -1027,6 +1027,65 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 
+  /** Bipartite [[editDistancePairs]] — the record-linkage INGEST shape
+    * (the [[minHashLshPairsBipartite]] pattern): link a new batch
+    * against a master table, never master×master. Signatures come from
+    * the NEW side (the survival argument only needs the new string's
+    * k·q+1 positional grams; rarity ranks by the MASTER's gram
+    * frequencies, since master is what the signature probes) and the
+    * ±1-bucket explosion rides the small signature side. Master's gram
+    * relation is persistable — a daily batch links without re-gramming
+    * history. Output: (new_id, master_id, dist). */
+  def editDistancePairsBipartite(newDf: DataFrame, masterDf: DataFrame,
+      idCol: String, strCol: String, maxDist: Int, q: Int = 3,
+      validate: Boolean = true): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val sigSize = maxDist * q + 1
+    def basify(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    val newBase = basify(newDf)
+    val masterBase = basify(masterDf)
+    if (validate) {
+      val floor = q * (maxDist + 1)
+      val bad = newBase.unionByName(masterBase)
+        .where(length(col("s")) < floor).count()
+      require(bad == 0,
+        s"$bad strings shorter than $floor chars — below the soundness " +
+          s"floor for maxDist=$maxDist/q=$q")
+    }
+    def gramsOf(base: DataFrame): DataFrame =
+      base.select(col("id"), posexplode(expr(
+          s"transform(sequence(1, greatest(length(s) - ${q - 1}, 0)), " +
+            s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
+        .withColumn("bk", expr(s"pos div ${maxDist + 1}"))
+    val masterGrams = gramsOf(masterBase)
+    val dfreq = masterGrams.groupBy("g", "bk").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("g"), col("pos"))
+    val sig = gramsOf(newBase)
+      .join(dfreq, Seq("g", "bk"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= sigSize)
+      .select(col("id").as("new_id"), col("g"),
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+    val cand = sig
+      .join(masterGrams.select(col("id").as("master_id"), col("g"),
+        col("bk")), Seq("g", "bk"))
+      .select("new_id", "master_id").distinct()
+    cand
+      .join(newBase.select(col("id").as("new_id"), col("s").as("sa")),
+        "new_id")
+      .join(masterBase.select(col("id").as("master_id"),
+        col("s").as("sb")), "master_id")
+      .where(abs(length(col("sa")) - length(col("sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= maxDist)
+      .select(col("new_id"), col("master_id"),
+        col("dist").cast("long").as("dist"))
+  }
+
   // --------------------------------------------------- LSH band planning
 
   /** LSH band-plan curve — the knob-picker for [[minHashLshPairs]]'s

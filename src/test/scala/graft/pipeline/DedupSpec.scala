@@ -396,6 +396,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairsBipartite equals brute force, never master x master") {
+    val master = Seq(
+      (101L, "jonathan smithers"),
+      (102L, "veronica albright"),
+      (103L, "completely unrelated")).toDF("id", "name")
+    val incoming = Seq(
+      (1L, "jonathon smithers"),  // dist 1 to 101
+      (2L, "veronica albright"),  // dist 0 to 102
+      (3L, "veronika albrights"), // dist 2 to 102
+      (4L, "brand new person")).toDF("id", "name")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairsBipartite(incoming, master,
+          "id", "name", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val mRows = Seq((101L, "jonathan smithers"),
+        (102L, "veronica albright"), (103L, "completely unrelated"))
+      val nRows = Seq((1L, "jonathon smithers"), (2L, "veronica albright"),
+        (3L, "veronika albrights"), (4L, "brand new person"))
+      val want = (for {
+        (n, sn) <- nRows; (m, sm) <- mRows
+        d = lev(sn, sm) if d <= k
+      } yield (n, m, d.toLong)).toSet
+      assert(got === want, s"k=$k")
+      assert(want.nonEmpty)
+      // outputs pair new against master only
+      got.foreach { case (n, m, _) =>
+        assert(n < 100L && m >= 100L)
+      }
+    }
+  }
+
   test("editDistancePairs: below the gram floor fails loudly") {
     val df = Seq((1L, "abc"), (2L, "abd")).toDF("id", "name")
     // 3 chars -> ONE distinct 3-gram < maxDist*q+1 = 4
