@@ -3139,16 +3139,21 @@ object SparkEntry {
         .decontaminate(clean, bench, "doc_id", "text", n = 8)
         .select("doc_id")
       // the invariant report fans out into seven aggregate branches;
-      // cache the three shared relations so the clean/decontaminate
-      // lineage computes once, not once per branch (measured 14 s -> 6 s
-      // at sf0.1)
-      val ready = clean.join(contam, Seq("doc_id"), "left_anti").cache()
+      // materialize the three shared relations once (localCheckpoint,
+      // eager) so the clean/decontaminate lineage computes once, not
+      // once per branch (measured 14 s -> 6 s at sf0.1). localCheckpoint
+      // rather than cache(): the entry returns a lazy plan so it cannot
+      // unpersist, and un-unpersisted cache() entries would accumulate
+      // storage across repeated invocations — checkpoint blocks are
+      // released by the context cleaner once the plan is unreferenced
+      val ready = clean.join(contam, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val readyIds = ready.select("doc_id")
       val p2 = pairs
         .join(readyIds.select(col("doc_id").as("a_id")), "a_id")
         .join(readyIds.select(col("doc_id").as("b_id")), "b_id")
-        .cache()
-      val split = TrainingData.groupAwareSplit(ready, p2).cache()
+        .localCheckpoint()
+      val split = TrainingData.groupAwareSplit(ready, p2).localCheckpoint()
       val train = split.where(col("split") === "train")
       val shards = TrainingData.shuffleShards(train, "doc_id", seed = 42,
         numShards = 4)
@@ -5371,14 +5376,28 @@ object SparkEntry {
         |WHERE levenshtein(n.c_name, m.c_name) <= 1
         |ORDER BY new_id, master_id""".stripMargin,
 
+    // same scale-1e9 fixed-point fold as Dedup.lshPlan: integer ops are
+    // bit-identical across engines, unlike double power()
     "dedup_lsh_plan" ->
-      """WITH g AS (SELECT CAST(b AS BIGINT) AS bands
-        |  FROM generate_series(1, 128) AS t(b) WHERE 128 % b = 0)
-        |SELECT bands, CAST(128 // bands AS BIGINT) AS rows_per_band,
-        | CAST(floor(10000.0 * (1.0 - power(
-        |   1.0 - power(0.85, CAST(128 // bands AS DOUBLE)),
-        |   CAST(bands AS DOUBLE)))) AS BIGINT) AS p_capture_bp
-        |FROM g ORDER BY bands""".stripMargin,
+      """WITH RECURSIVE g AS (
+        |  SELECT CAST(b AS BIGINT) AS bands, CAST(128 // b AS BIGINT) AS r
+        |  FROM generate_series(1, 128) AS t(b) WHERE 128 % b = 0),
+        |tr(bands, r, i, acc) AS (
+        |  SELECT bands, r, CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT)
+        |  FROM g
+        |  UNION ALL
+        |  SELECT bands, r, i + 1, (acc * 850000000) // 1000000000
+        |  FROM tr WHERE i < r),
+        |ob(bands, r, miss, i, acc) AS (
+        |  SELECT bands, r, 1000000000 - acc, CAST(0 AS BIGINT),
+        |    CAST(1000000000 AS BIGINT)
+        |  FROM tr WHERE i = r
+        |  UNION ALL
+        |  SELECT bands, r, miss, i + 1, (acc * miss) // 1000000000
+        |  FROM ob WHERE i < bands)
+        |SELECT bands, r AS rows_per_band,
+        |  (10000 * (1000000000 - acc)) // 1000000000 AS p_capture_bp
+        |FROM ob WHERE i = bands ORDER BY bands""".stripMargin,
 
     "rel_profile_diff" ->
       """WITH v1 AS (SELECT event_id, user_id, event_type FROM events),
@@ -5506,7 +5525,8 @@ object SparkEntry {
         |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
         |  generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM d),
         |c AS (SELECT doc_id, pos, line,
-        |  CASE WHEN len(string_split(line, ' ')) < 3 THEN 'short'
+        |  CASE WHEN len(list_filter(regexp_split_to_array(line, '\s+'),
+        |      x -> len(x) > 0)) < 3 THEN 'short'
         |       WHEN contains(lower(line), 'click here') THEN 'banned'
         |       WHEN NOT regexp_matches(line, '[.!?]$') THEN 'no_punct'
         |       ELSE 'kept' END AS cls FROM l)

@@ -88,8 +88,14 @@ object Profile {
           .as("range_changed"),
         when(kept && col("n_distinct_a") =!= col("n_distinct_b"), 1L)
           .otherwise(0L).as("distinct_changed"),
-        when(kept && col("n_nulls_a") * col("n_rows_b") =!=
-          col("n_nulls_b") * col("n_rows_a"), 1L).otherwise(0L)
+        // cross-multiply in decimal(38,0): counts are Longs (< 9.3e18),
+        // so each product is < 8.6e37 and exactly representable — the
+        // Long·Long form silently wraps once both factors pass ~3e9,
+        // which multi-billion-row versions reach
+        when(kept && col("n_nulls_a").cast("decimal(20,0)") *
+          col("n_rows_b").cast("decimal(20,0)") =!=
+          col("n_nulls_b").cast("decimal(20,0)") *
+          col("n_rows_a").cast("decimal(20,0)"), 1L).otherwise(0L)
           .as("null_frac_changed"))
   }
 }

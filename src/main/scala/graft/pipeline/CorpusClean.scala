@@ -21,22 +21,43 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: stage 1 is a codegen projection (no shuffle); stage 2 is
   * one hash-groupBy; stage 3 is the banded-LSH machinery — nothing here
-  * adds a new shuffle beyond the operators it composes.
+  * adds a new shuffle beyond the operators it composes. Each stage's
+  * survivor relation is materialized once (`localCheckpoint`, eager) before
+  * the next stage consumes it: the branches below fan the lineage out into
+  * several consumers (the reason union, the next stage's anti-join, and the
+  * multi-pass LSH machinery), and without the checkpoint the raw corpus
+  * scan and the quality projection re-execute once per consumer — at the
+  * 100 TB target that is reading the corpus several times instead of once.
+  * Executor-local block storage (memory-and-disk) holds one corpus-sized
+  * relation per stage; blocks are released by the context cleaner when the
+  * returned plan is no longer referenced, so repeated invocations do not
+  * accumulate storage the way an un-unpersisted `cache()` would.
   */
 object CorpusClean {
 
   /** (doc_id, reason ∈ quality|exact_dup|near_dup) for every DROPPED
-    * document; survivors are absent. */
+    * document; survivors are absent. Eagerly materializes the two stage
+    * checkpoints (see the object doc) when called. */
   def dropDecisions(docs: DataFrame, minTokens: Int, maxStopPct: Int,
                     dedupThresholdPct: Int): DataFrame = {
-    val lowQ = TextAnalysis.qualitySignals(docs)
-      .where(col("n_tokens") < minTokens || col("stop_pct") > maxStopPct)
+    // one corpus scan: signals appended to the payload, flagged, kept
+    val sig = TextAnalysis.withQualitySignals(docs)
+      .withColumn("low_q",
+        col("n_tokens") < minTokens || col("stop_pct") > maxStopPct)
+      .localCheckpoint()
+    val lowQ = sig.where(col("low_q"))
       .select(col("doc_id"), lit("quality").as("reason"))
-    val qualityDocs = docs.join(lowQ.select("doc_id"), Seq("doc_id"), "left_anti")
+    // complementary filter of the same checkpoint — no anti-join needed
+    val qualityDocs = sig.where(!col("low_q"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    // dup-id relation is tiny but its lineage is a corpus groupBy+join;
+    // it feeds both the reason union and the next stage's anti-join
     val exact = Dedup.exactDuplicates(qualityDocs)
       .select(col("doc_id"), lit("exact_dup").as("reason"))
+      .localCheckpoint()
     val uniqueDocs = qualityDocs
       .join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val near = Dedup.dropList(uniqueDocs, dedupThresholdPct)
       .select(col("drop_id").as("doc_id"), lit("near_dup").as("reason"))
     lowQ.unionByName(exact).unionByName(near)

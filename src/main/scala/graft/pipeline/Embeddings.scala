@@ -77,12 +77,21 @@ object Embeddings {
     * (dim, n_queries, n_hits, recall_bp), integers only. Each dim is
     * one [[graft.query.ExactKnn.batchTopK]] pass (broadcast queries,
     * k·|queries| shuffle rows) over a NARROWER slice — the scan cost
-    * itself shrinks with d. */
+    * itself shrinks with d.
+    *
+    * The reference ranking is the top-k at `fullDim` — the embedding's
+    * TRUE dimension. When `fullDim` is omitted (0), `dims.max` is used
+    * and is assumed to be the full dimension; pass `fullDim` explicitly
+    * when evaluating a dims grid that stops short of it, otherwise the
+    * curve would be measured against a truncated reference. */
   def matryoshkaRecall(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      dims: Seq[Int], k: Int): DataFrame = {
+      dims: Seq[Int], k: Int, fullDim: Int = 0): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ > 0), s"bad dims: $dims")
-    val full = dims.max
+    val full = if (fullDim > 0) fullDim else dims.max
+    require(full >= dims.max,
+      s"fullDim $full is below dims.max ${dims.max} — the reference " +
+        "ranking must use at least every evaluated prefix")
     def topAt(d: Int): DataFrame =
       graft.query.ExactKnn.batchTopK(
         df.withColumn(vecCol, slice(col(vecCol), 1, d)), vecCol, idCol,

@@ -52,14 +52,22 @@ object TextAnalysis {
     *  - quality score in percent: floor(100 * stop_cnt / n_tokens)
     * Deterministic across engines because all divisions are floor(int/int).
     */
-  def qualitySignals(docs: DataFrame): DataFrame = {
+  def qualitySignals(docs: DataFrame): DataFrame =
+    withQualitySignals(docs).select(
+      col("doc_id"), col("n_tokens"), col("stop_cnt"), col("stop_pct"),
+      col("avg_tok_len_x10"))
+
+  /** [[qualitySignals]] appended to the input's own columns — one codegen
+    * projection, no re-join — for composites (e.g. [[CorpusClean]]) that
+    * need both the signals and the document payload downstream. */
+  def withQualitySignals(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val stopArr = typedlit(stopwords)
     val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
     val letterChars = (length(col("text")) - (size(toks) - lit(1))).cast("long")
     docs.select(
-      col("doc_id"),
+      col("*"),
       nTok.as("n_tokens"),
       stopCnt.as("stop_cnt"),
       floor(lit(100) * stopCnt.cast("double") / nTok.cast("double")).cast("long").as("stop_pct"),
@@ -140,7 +148,11 @@ object TextAnalysis {
       requirePunct: Boolean = true): DataFrame = {
     val qdelim = java.util.regex.Pattern.quote(delim)
     val lines = split(col("text"), qdelim, -1)
-    def isShort(l: Column): Column = size(split(l, " ")) < minWords
+    // C4's min-words rule counts WHITESPACE-delimited words: split on
+    // whitespace runs and drop empties (a bare split(" ") would count
+    // the empty tokens consecutive spaces produce as words)
+    def isShort(l: Column): Column =
+      size(filter(split(l, "\\s+"), w => length(w) > 0)) < minWords
     def isBanned(l: Column): Column =
       banned.map(b => l.contains(b)).reduce(_ || _)
     def noPunct(l: Column): Column =
