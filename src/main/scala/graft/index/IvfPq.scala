@@ -136,6 +136,11 @@ object IvfPqBuilder {
         val step = trainVecs.length.toDouble / coarseCap
         Array.tabulate(coarseCap.toInt)(i => trainVecs((i * step).toInt))
       } else trainVecs
+    require(coarseData.length >= config.numPartitions,
+      s"IVF+PQ build: coarse training sample has ${coarseData.length} " +
+        s"vectors < numPartitions P=${config.numPartitions} — lower P or " +
+        "ingest more vectors (k-means needs n >= k; reference kmeans.rs " +
+        "errors on this config)")
     val coarseFit = timed("coarse-kmeans")(
       LocalKMeans.fit(coarseData, config.numPartitions, config.maxIter,
         config.tol, config.seed, init = "kmeans++"))
@@ -171,6 +176,10 @@ object IvfPqBuilder {
         val step = trainVecs.length.toDouble / pqCap
         Array.tabulate(pqCap.toInt)(i => trainVecs((i * step).toInt))
       } else trainVecs
+    require(pqVecs.length >= config.numCodes,
+      s"IVF+PQ build: PQ training sample has ${pqVecs.length} vectors < " +
+        s"numCodes C=${config.numCodes} — lower C or ingest more vectors " +
+        "(k-means needs n >= k; reference kmeans.rs errors on this config)")
     val pqData = timed("local-residuals")(
       LocalKMeans.assignResiduals(pqVecs, centroids))
     val pqFits = timed("pq-kmeans-all")(

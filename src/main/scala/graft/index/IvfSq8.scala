@@ -44,6 +44,10 @@ object IvfSq8 {
         base.sample(withReplacement = false, cap.toDouble / nRows, seed)
       else base
     val train = sample.select("vec").as[Array[Float]].collect()
+    require(train.length >= numPartitions,
+      s"IVF+SQ8 build: training sample has ${train.length} vectors < " +
+        s"numPartitions P=$numPartitions — lower P or ingest more vectors " +
+        "(k-means needs n >= k)")
     val coarse = LocalKMeans.fit(train, numPartitions, maxIter,
       tol = 1e-4, seed = seed, init = "kmeans++")
     val flatCentLit = litDoubles(coarse.centroids.flatten)

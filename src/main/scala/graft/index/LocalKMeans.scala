@@ -32,13 +32,24 @@ object LocalKMeans {
     *             partition balance matters) or "random" (k distinct
     *             sampled points — the FAISS PQ-codebook practice; fine
     *             codes are refined by Lloyd rounds anyway)
-    * Empty clusters keep their previous centroid (MLlib behavior); if
-    * n < k, seeds repeat points so the model shape stays exactly k.
-    */
+    * Empty clusters keep their previous centroid (MLlib behavior).
+    *
+    * CONTRACT (reference kmeans.rs:116-119): n ≥ k, enforced loudly — a
+    * fit asked for more clusters than points would otherwise silently
+    * emit duplicate centroids, i.e. a store with empty/duplicate cells
+    * under a wrong P/C config the reference refuses. k == n is the
+    * exact-copy shortcut (kmeans.rs:158-170): every point is its own
+    * centroid, no Lloyd rounds. */
   def fit(data: Array[Array[Float]], k: Int, maxIter: Int, tol: Double,
           seed: Long, init: String = "kmeans++"): KmResult = {
     require(data.nonEmpty, "k-means needs at least one training point")
     require(k > 0, s"k must be positive, got $k")
+    require(k <= data.length,
+      s"k-means has fewer training points than clusters: n=${data.length}" +
+        s" < k=$k — more points, or a smaller cluster count, are required" +
+        " (a with-replacement fit would emit duplicate centroids)")
+    if (k == data.length)
+      return KmResult(data.map(_.map(_.toDouble)), 0)
     val centroids: Array[Array[Double]] = init match {
       case "random" => initRandom(data, k, seed)
       case _ => initPlusPlus(data, k, seed)
@@ -209,25 +220,21 @@ object LocalKMeans {
     out
   }
 
-  /** k distinct random points (repeats only when n < k). */
+  /** k distinct random points (fit guarantees k ≤ n). */
   private def initRandom(data: Array[Array[Float]], k: Int,
                          seed: Long): Array[Array[Double]] = {
     val n = data.length
+    assert(k <= n, s"initRandom called with k=$k > n=$n")
     val rnd = new java.util.Random(seed)
     val idx = new Array[Int](k)
-    if (k <= n) {
-      // partial Fisher-Yates over an index table: first k slots
-      val perm = Array.tabulate(n)(identity)
-      var i = 0
-      while (i < k) {
-        val j = i + rnd.nextInt(n - i)
-        val t = perm(i); perm(i) = perm(j); perm(j) = t
-        idx(i) = perm(i)
-        i += 1
-      }
-    } else {
-      var i = 0
-      while (i < k) { idx(i) = rnd.nextInt(n); i += 1 }
+    // partial Fisher-Yates over an index table: first k slots
+    val perm = Array.tabulate(n)(identity)
+    var i = 0
+    while (i < k) {
+      val j = i + rnd.nextInt(n - i)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      idx(i) = perm(i)
+      i += 1
     }
     idx.map(i => data(i).map(_.toDouble))
   }

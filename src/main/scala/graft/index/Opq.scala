@@ -127,6 +127,10 @@ object OpqBuilder {
         val step = trainVecs.length.toDouble / coarseCap
         Array.tabulate(coarseCap.toInt)(i => trainVecs((i * step).toInt))
       } else trainVecs
+    require(coarseData.length >= config.numPartitions,
+      s"OPQ build: coarse training sample has ${coarseData.length} " +
+        s"vectors < numPartitions P=${config.numPartitions} — lower P or " +
+        "ingest more vectors (k-means needs n >= k)")
     val coarseFit = LocalKMeans.fit(coarseData, config.numPartitions,
       config.maxIter, config.tol, config.seed, init = "kmeans++")
     log(s"opq coarse-kmeans rounds=${coarseFit.iters}/${config.maxIter}")
@@ -188,6 +192,10 @@ object OpqBuilder {
         ()
       }
       // 2. (re)fit the D codebooks on rotated slices — warm-started
+      require(rotated.length >= c,
+        s"OPQ build: PQ training sample has ${rotated.length} vectors < " +
+          s"numCodes C=$c — lower C or ingest more vectors (k-means " +
+          "needs n >= k)")
       codebooks = Array.tabulate(d) { dI =>
         val sliceData = rotated.map(r =>
           java.util.Arrays.copyOfRange(r, dI * m, (dI + 1) * m))

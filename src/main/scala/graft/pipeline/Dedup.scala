@@ -308,6 +308,38 @@ object Dedup {
     (if (oph) graft.functions.FastFunctions.minhashSigOPH(hset, numHashes)
      else minhashSig(hset, numHashes)).as("sig")
 
+  /** Corpus-dependent candidate-strategy decision for the banded join —
+    * the [[graft.query.AnnJoin.recommendedSalt]] pattern applied to LSH:
+    * instead of a manual `emitOnce` knob, probe the corpus's own
+    * band-bucket histogram and pick the regime it is in (both measured,
+    * BENCH_NOTES: dense corpora → emit-once ~3× better; near-unique →
+    * fixed-width ~6× better).
+    *
+    * The probe hashes ONE representative band (an r = numHashes/bands
+    * hash signature over the same OPH machinery — band-bucket structure
+    * is exchangeable across bands, so one band's histogram stands for
+    * all of them at 1/bands of the signature cost) and aggregates Σm and
+    * Σm² over its buckets. Emit-once wins when the joined multiset's
+    * redundancy (≈ (Σm²−Σm)/2 rows per band, which the fixed-width path
+    * must re-aggregate) outweighs the band-array exchange payload it
+    * pays (∝ Σm·bands extra longs): avg weighted bucket size Σm²/Σm >
+    * 1 + 2·bands/3. One narrow count job (map-side-combined bucket
+    * counts), paid only in auto mode; extreme-scale callers pin the
+    * strategy explicitly. */
+  private[graft] def lshEmitOnceAuto(sets: DataFrame, numHashes: Int,
+                                     bands: Int, oph: Boolean): Boolean = {
+    val r = math.max(numHashes / bands, 1)
+    val agg = sets
+      .select(xxhash64(sigCol(col("hset"), r, oph)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m")), lit(0L)).as("n"),
+        coalesce(sum((col("m") * col("m")).cast("double")), lit(0.0))
+          .as("ss"))
+      .head()
+    val n = agg.getLong(0)
+    n > 0 && agg.getDouble(1) / n > 1.0 + 2.0 * bands / 3.0
+  }
+
   /** LSH candidate pairs: one 64-bit band key per band (band index salted
     * in), self-join on the key; the firstEqualIdx filter emits each pair
     * from its first shared band only, replacing a distinct() over the
@@ -378,7 +410,7 @@ object Dedup {
                       numHashes: Int = 128, bands: Int = 32,
                       salt: Int = 4, oph: Boolean = true,
                       collapseIdentical: Boolean = true,
-                      emitOnce: Boolean = true): DataFrame = {
+                      emitOnce: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     if (collapseIdentical)
       collapsedPairs(hashedSets(docs),
@@ -459,11 +491,15 @@ object Dedup {
   private[graft] def minHashLshPairsOn(sets: DataFrame, thresholdPct: Int,
                                 numHashes: Int, bands: Int,
                                 salt: Int, oph: Boolean,
-                                emitOnce: Boolean = true): DataFrame =
+                                emitOnce: Option[Boolean] = None): DataFrame = {
+    // None = auto: derive the strategy from this corpus's own
+    // band-bucket histogram (see lshEmitOnceAuto)
+    val emit = emitOnce.getOrElse(lshEmitOnceAuto(sets, numHashes, bands, oph))
     verifyCandidates(
       lshBandCandidates(sets, thresholdPct, numHashes, bands, salt, oph,
-        emitOnce),
+        emit),
       sets, thresholdPct)
+  }
 
   /** LSH band-join candidate pairs (a_id < b_id, one row per pair) —
     * package-visible so the stage can be profiled apart from
@@ -994,24 +1030,20 @@ object Dedup {
     * candidates after the ‖a|−|b‖ ≤ k length filter.
     *
     * Contract: strings need length ≥ q·(maxDist+1), else k edits can
-    * wipe the whole signature; `validate = true` (default) checks this
-    * with one counts-only aggregate and fails loudly. Shuffles carry
-    * (gram, bucket, id) rows and candidate pairs — never the string
-    * table squared. Output: (a_id, b_id, dist), a_id < b_id. */
+    * wipe the whole signature; `validate = true` (default) enforces this
+    * IN-PASS — a codegen `raise_error` guard on the string projection
+    * fails the job loudly at the first violating row, at zero extra
+    * scans (an earlier revision paid a pre-flight counts-only job — a
+    * full extra pass over the corpus before the real work). Shuffles
+    * carry (gram, bucket, id) rows and candidate pairs — never the
+    * string table squared. Output: (a_id, b_id, dist), a_id < b_id. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 3, validate: Boolean = true): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
     val sigSize = maxDist * q + 1
     val base = df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("s"))
-    if (validate) {
-      val bad = base.where(length(col("s")) < q * (maxDist + 1)).count()
-      require(bad == 0,
-        s"$bad strings shorter than ${q * (maxDist + 1)} chars — below " +
-          s"the soundness floor for maxDist=$maxDist/q=$q; shorten q or " +
-          "route short strings to an exact pass")
-    }
+      checkedStr(col(strCol), q, maxDist, validate).as("s"))
     val grams = base.select(col("id"), posexplode(expr(
         s"transform(sequence(1, greatest(length(s) - ${q - 1}, 0)), " +
           s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
@@ -1039,6 +1071,23 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 
+  /** The in-pass soundness-floor guard for the edit-distance family:
+    * passes the string through unless it is shorter than q·(maxDist+1)
+    * chars, in which case the job fails loudly at that row — the same
+    * contract the old pre-flight count enforced, with no extra scan. */
+  private[graft] def checkedStr(s: Column, q: Int, maxDist: Int,
+                         validate: Boolean): Column = {
+    if (!validate) s
+    else {
+      val floor = q * (maxDist + 1)
+      when(length(s) >= floor, s).otherwise(raise_error(concat(
+        lit(s"editDistancePairs: string shorter than $floor chars — " +
+          s"below the soundness floor for maxDist=$maxDist/q=$q " +
+          "(shorten q or route short strings to an exact pass): '"),
+        s, lit("'"))))
+    }
+  }
+
   /** Bipartite [[editDistancePairs]] — the record-linkage INGEST shape
     * (the [[minHashLshPairsBipartite]] pattern): link a new batch
     * against a master table, never master×master. Signatures come from
@@ -1053,30 +1102,41 @@ object Dedup {
       validate: Boolean = true): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
-    val sigSize = maxDist * q + 1
     def basify(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
-    val newBase = basify(newDf)
+      df.select(col(idCol).cast("long").as("id"),
+        checkedStr(col(strCol), q, maxDist, validate).as("s"))
     val masterBase = basify(masterDf)
-    if (validate) {
-      val floor = q * (maxDist + 1)
-      val bad = newBase.unionByName(masterBase)
-        .where(length(col("s")) < floor).count()
-      require(bad == 0,
-        s"$bad strings shorter than $floor chars — below the soundness " +
-          s"floor for maxDist=$maxDist/q=$q")
-    }
-    def gramsOf(base: DataFrame): DataFrame =
-      base.select(col("id"), posexplode(expr(
-          s"transform(sequence(1, greatest(length(s) - ${q - 1}, 0)), " +
-            s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
-        .withColumn("bk", expr(s"pos div ${maxDist + 1}"))
-    val masterGrams = gramsOf(masterBase)
+    val masterGrams = linkageGramsOf(masterBase, maxDist, q)
     val dfreq = masterGrams.groupBy("g", "bk").agg(count(lit(1)).as("df"))
+    editDistancePairsAgainst(basify(newDf), masterGrams, dfreq, masterBase,
+      maxDist, q)
+  }
+
+  /** Positional q-gram relation (id, pos, g, bk) of a (id, s) base — the
+    * persistable master-side state of incremental record linkage (see
+    * [[graft.streaming.StreamingLinkage]]): a daily batch links against
+    * it without re-gramming history. */
+  private[graft] def linkageGramsOf(base: DataFrame, maxDist: Int,
+                                    q: Int): DataFrame =
+    base.select(col("id"), posexplode(expr(
+        s"transform(sequence(1, greatest(length(s) - ${q - 1}, 0)), " +
+          s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
+      .withColumn("bk", expr(s"pos div ${maxDist + 1}"))
+
+  /** The bipartite linkage core over PREPARED master relations:
+    * `masterGrams` = [[linkageGramsOf]] of the master, `masterDfreq` =
+    * its (g, bk, df) frequencies, `masterBase` = (id, s) for
+    * verification — all three persistable, so an incremental/streaming
+    * caller pays only the NEW side's grams per batch. `newBase` is
+    * (id, s). Output: (new_id, master_id, dist). */
+  private[graft] def editDistancePairsAgainst(newBase: DataFrame,
+      masterGrams: DataFrame, masterDfreq: DataFrame, masterBase: DataFrame,
+      maxDist: Int, q: Int): DataFrame = {
+    val sigSize = maxDist * q + 1
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("g"), col("pos"))
-    val sig = gramsOf(newBase)
-      .join(dfreq, Seq("g", "bk"), "left")
+    val sig = linkageGramsOf(newBase, maxDist, q)
+      .join(masterDfreq, Seq("g", "bk"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= sigSize)

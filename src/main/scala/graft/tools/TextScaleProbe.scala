@@ -87,7 +87,7 @@ object TextScaleProbe {
             "CASE WHEN id % 100 = 0 AND j = 0 THEN 1 ELSE 0 END " +
             "as string))))").as("text"))
       graft.pipeline.Dedup.minHashLshPairs(mixed, thresholdPct = 80,
-        salt = 1, emitOnce = false).count()
+        salt = 1, emitOnce = Some(false)).count()
     }
     // lined corpus: 10 lines/doc — 2 injected boilerplate lines shared
     // by all docs (a header and a per-residue footer, 20% of the line
@@ -102,6 +102,29 @@ object TextScaleProbe {
       graft.pipeline.Dedup.removeBoilerplate(lined, "\n", minDocs = 1000)
         .agg(sum(col("n_dropped"))).collect()
       n
+    }
+    // record linkage at ingest scale: 15k new names against a 1M-name
+    // master — 10k are 1-substitution variants of master rows (i·97),
+    // 5k are hash-unique; 12-char hash-derived names, all in-plan
+    timed("record linkage: 15k new names vs 1M master (maxDist=1)") {
+      def nameOf(idCol: String): String =
+        s"array_join(transform(sequence(0, 11), " +
+          s"j -> chr(97 + pmod(hash($idCol, j), 26))), '')"
+      val master = spark.range(n).repartition(64)
+        .select(col("id"), expr(nameOf("id")).as("name"))
+      val variants = spark.range(10000)
+        .select((col("id") + lit(2000000L)).as("id"),
+          expr(("array_join(transform(sequence(0, 11), j -> " +
+            "CASE WHEN j = pmod(id, 12) " +
+            "THEN chr(97 + pmod(hash(MID, j) + 1, 26)) " +
+            "ELSE chr(97 + pmod(hash(MID, j), 26)) END), '')")
+            .replace("MID", "id * 97")).as("name"))
+      val fresh = spark.range(5000)
+        .select((col("id") + lit(3000000L)).as("id"),
+          expr(nameOf("(id + 7777777)")).as("name"))
+      graft.pipeline.Dedup.editDistancePairsBipartite(
+        variants.unionByName(fresh), master, "id", "name", maxDist = 1)
+        .count()
     }
     timed("c4 line filters over 1M lined docs (pure projection)") {
       val lined = spark.range(n).repartition(64)

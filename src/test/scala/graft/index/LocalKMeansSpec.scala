@@ -25,14 +25,36 @@ class LocalKMeansSpec extends AnyFunSuite {
     assert(r.iters < 50)
   }
 
-  test("returns exactly k centroids even when n < k") {
+  test("n < k fails loudly (reference kmeans.rs errors on this config)") {
     val data = blobData(k = 2, perBlob = 3, dim = 4, spread = 0.1) // n = 6
     for (init <- Seq("kmeans++", "random")) {
-      val r = LocalKMeans.fit(data, k = 10, maxIter = 5, tol = 1e-9,
-        seed = 2L, init = init)
-      assert(r.centroids.length === 10, init)
-      assert(r.centroids.forall(_.length === 4), init)
+      val e = intercept[IllegalArgumentException] {
+        LocalKMeans.fit(data, k = 10, maxIter = 5, tol = 1e-9,
+          seed = 2L, init = init)
+      }
+      assert(e.getMessage.contains("n=6 < k=10"), init)
     }
+  }
+
+  test("k == n is the exact-copy shortcut: centroids are the points") {
+    val data = blobData(k = 2, perBlob = 3, dim = 4, spread = 0.1) // n = 6
+    val r = LocalKMeans.fit(data, k = 6, maxIter = 5, tol = 1e-9, seed = 2L)
+    assert(r.iters === 0)
+    assert(r.centroids.map(_.toSeq).toSeq ===
+      data.map(_.map(_.toDouble).toSeq).toSeq)
+  }
+
+  test("index builds surface the offending P in the n >= k message") {
+    import graft.TestSpark.spark
+    import spark.implicits._
+    val vecs = (0 until 4).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      graft.index.IvfPqBuilder.fit(vecs, "id", "vec", dim = 8,
+        graft.index.IvfPqConfig(numPartitions = 16, numDivisions = 2,
+          numCodes = 4))
+    }
+    assert(e.getMessage.contains("P=16"))
   }
 
   test("deterministic for a fixed (data, seed); seeds differ") {

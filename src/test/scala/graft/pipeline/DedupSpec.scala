@@ -93,9 +93,30 @@ class DedupSpec extends AnyFunSuite {
     "equals the emit-once path and brute force") {
     for (pct <- Seq(80, 90); collapse <- Seq(true, false)) {
       assert(pairs(Dedup.minHashLshPairs(docs, pct,
-          collapseIdentical = collapse, emitOnce = false))
+          collapseIdentical = collapse, emitOnce = Some(false)))
         === bruteJaccard(pct), s"pct $pct collapse $collapse")
     }
+  }
+
+  test("lshEmitOnceAuto pins both measured corpus regimes") {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
+    // dense regime: 200 docs sharing ~all tokens (one unique token each)
+    // collide into huge band buckets -> emit-once
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val dense = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit(base + " uniq"), col("id").cast("string")).as("text"))
+    assert(Dedup.lshEmitOnceAuto(Dedup.hashedSets(dense),
+      numHashes = 128, bands = 32, oph = true))
+    // near-unique regime: 200 docs with disjoint vocabularies -> buckets
+    // of size ~1 -> fixed-width
+    val uniq = spark.range(200)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(1, 40), " +
+          "i -> concat('d', cast(id as string), 'w', cast(i as string))), ' ')")
+          .as("text"))
+    assert(!Dedup.lshEmitOnceAuto(Dedup.hashedSets(uniq),
+      numHashes = 128, bands = 32, oph = true))
   }
 
   test("minHashLshPairs: identical-set collapse never changes the result") {
@@ -437,13 +458,16 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("editDistancePairs: below the gram floor fails loudly") {
+  test("editDistancePairs: below the gram floor fails loudly in-pass") {
     val df = Seq((1L, "abc"), (2L, "abd")).toDF("id", "name")
-    // 3 chars -> ONE distinct 3-gram < maxDist*q+1 = 4
-    val e = intercept[IllegalArgumentException] {
+    // 3 chars -> ONE distinct 3-gram < maxDist*q+1 = 4; the raise_error
+    // guard fires inside the job (no pre-flight count pass)
+    val e = intercept[Exception] {
       Dedup.editDistancePairs(df, "id", "name", maxDist = 1).collect()
     }
-    assert(e.getMessage.contains("soundness floor"))
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages.contains("soundness floor"))
   }
 
   test("lshPlan: S-curve over the factorizations, monotone in bands") {
