@@ -2159,6 +2159,78 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // unsupervised corpus clustering + cluster-balanced sampling
+    // (pipeline/Clustering): k-means cells over the embeddings table
+    // (capped driver fit + one distributed nearestCentroidL2 projection)
+    // composed with exact per-cluster quotas and the stratified md5
+    // race. The assignment itself is float/driver-seeded (not
+    // SQL-reproducible), so the gate is the invariant report: coverage,
+    // range, an INDEPENDENT zip_with-HOF argmin cross-check against the
+    // codegen kernel, exact balanced/proportional quota arithmetic, and
+    // sampled-count == min(quota, size) per cluster
+    "cluster_balanced" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.Clustering
+      val emb = Tables.embeddings(s, dir)
+      val model = Clustering.fit(emb, "embedding", k = 8, seed = 5,
+        trainPointsPerCentroid = 0)
+      val assigned = Clustering.assign(emb, "embedding", model)
+        .localCheckpoint()
+      val cents = model.centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cid", "cent")
+      val indep = assigned.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("cent"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+      val mismatches = assigned.join(indep, "vec_id")
+        .agg(coalesce(sum(when(col("cluster") =!= col("cid"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_argmin_mismatch"))
+      val quotas = Clustering.clusterQuotas(assigned, total = 160,
+        mode = "balanced")
+      val prop = Clustering.clusterQuotas(assigned, total = 77,
+        mode = "proportional")
+      val sample = graft.pipeline.TrainingData.stratifiedSample(
+        assigned, "cluster", "vec_id", quotas, seed = 5)
+      val sizes = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("sz"))
+      val sampleOk = sizes.join(quotas, "cluster")
+        .join(sample.groupBy("cluster").agg(count(lit(1)).as("got")),
+          Seq("cluster"), "left")
+        .agg(coalesce(sum(when(coalesce(col("got"), lit(0L)) ===
+          least(col("n"), col("sz")), 0L).otherwise(1L)), lit(0L))
+          .as("n_sample_bad"))
+      val stats = assigned.agg(
+        count(lit(1)).as("n_assigned"),
+        coalesce(sum(when(col("cluster") >= 0 && col("cluster") < 8, 0L)
+          .otherwise(1L)), lit(0L)).as("n_out_of_range"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      val quotaAgg = quotas.agg(
+        coalesce(sum(col("n")), lit(0L)).as("quota_sum"),
+        (max(col("n")) - min(col("n"))).as("quota_spread"))
+      val propAgg = prop.agg(
+        coalesce(sum(col("n")), lit(0L)).as("prop_sum"))
+      stats.crossJoin(mismatches).crossJoin(quotaAgg).crossJoin(propAgg)
+        .crossJoin(sampleOk)
+        .select(
+          col("n_assigned"),
+          col("n_out_of_range"),
+          when(col("n_clusters") >= 2, 1L).otherwise(0L)
+            .as("multi_cluster"),
+          col("n_argmin_mismatch"),
+          col("quota_sum"),
+          when(col("quota_spread") <= 1, 1L).otherwise(0L)
+            .as("balanced_spread_ok"),
+          col("prop_sum"),
+          col("n_sample_bad"))
+    }),
+
     // exact per-group stratified sampling: each source contributes
     // exactly its quota (derived here from the source number) by the
     // per-group md5 race — the row-level materialization of a
@@ -4524,6 +4596,20 @@ object SparkEntry {
         |FROM c, generate_series(0, 3) AS i(i)
         |WHERE i.i < c.n
         |ORDER BY source, doc_id, copy""".stripMargin,
+
+    // invariant oracle: the clustering gate's checks all resolve to
+    // constants (500 vectors covered, in-range clusters, zero argmin
+    // mismatches against the independent HOF recompute, exact quota
+    // sums, per-cluster sample counts correct)
+    "cluster_balanced" ->
+      """SELECT CAST(500 AS BIGINT) AS n_assigned,
+        | CAST(0 AS BIGINT) AS n_out_of_range,
+        | CAST(1 AS BIGINT) AS multi_cluster,
+        | CAST(0 AS BIGINT) AS n_argmin_mismatch,
+        | CAST(160 AS BIGINT) AS quota_sum,
+        | CAST(1 AS BIGINT) AS balanced_spread_ok,
+        | CAST(77 AS BIGINT) AS prop_sum,
+        | CAST(0 AS BIGINT) AS n_sample_bad""".stripMargin,
 
     "sample_stratified" ->
       """WITH q AS (SELECT source,

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastFunctions.{litDoubles, nearestCentroidL2}
+import graft.index.LocalKMeans
+
+/** Unsupervised corpus clustering over an embedding column — the missing
+  * topic-balance primitive: k-means cells assign every document a
+  * cluster, and per-cluster quotas materialize a cluster-proportional or
+  * cluster-BALANCED corpus sample (the unsupervised analogue of
+  * [[TrainingData.stratifiedSample]]'s source strata).
+  *
+  * The fit reuses the IVF coarse-fit machinery
+  * ([[graft.index.IvfPqBuilder]]'s discipline): centroid ESTIMATION runs
+  * driver-local ([[LocalKMeans]]) over a capped uniform sample
+  * (k·trainPointsPerCentroid rows — never the corpus), then the
+  * corpus-scaled ASSIGNMENT is one distributed codegen projection
+  * (`nearestCentroidL2` with the k×dim centroid table riding as a
+  * primitive literal — no join, no shuffle). Quota arithmetic is exact
+  * integer apportionment; sampling is the md5 race of
+  * [[TrainingData.stratifiedSample]], so the whole composite is
+  * deterministic for a fixed (data, k, seed).
+  */
+object Clustering {
+
+  /** Fitted cluster model: k × dim centroids (row-major). */
+  final case class ClusterModel(centroids: Array[Array[Double]], k: Int,
+                                iters: Int)
+
+  /** Fit k centroids from a capped uniform sample of `vecCol`.
+    * `trainPointsPerCentroid` caps the driver-collected sample at
+    * k·cap rows (0 = collect everything — in-memory corpora only). */
+  def fit(df: DataFrame, vecCol: String, k: Int, seed: Long,
+          trainPointsPerCentroid: Int = 256, maxIter: Int = 25,
+          tol: Double = 1e-4): ClusterModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(vecCol).as("vec"))
+    val cap = k.toLong * trainPointsPerCentroid
+    val nRows = if (trainPointsPerCentroid > 0) base.count() else 0L
+    val src =
+      if (trainPointsPerCentroid > 0 && cap < nRows)
+        base.sample(withReplacement = false, cap.toDouble / nRows, seed)
+      else base
+    val train = src.as[Array[Float]].collect()
+    require(train.length >= k,
+      s"corpus clustering: training sample has ${train.length} vectors " +
+        s"< k=$k — lower k or raise trainPointsPerCentroid " +
+        "(k-means needs n >= k)")
+    val r = LocalKMeans.fit(train, k, maxIter, tol, seed, init = "kmeans++")
+    ClusterModel(r.centroids, k, r.iters)
+  }
+
+  /** Centroid table as a plan literal (flat row-major doubles). */
+  private def centLit(model: ClusterModel): Column =
+    litDoubles(model.centroids.flatten)
+
+  /** The corpus-scaled assignment: input + `cluster` (long in [0, k)) —
+    * ONE codegen projection, no join, no shuffle. */
+  def assign(df: DataFrame, vecCol: String, model: ClusterModel): DataFrame =
+    df.withColumn("cluster",
+      nearestCentroidL2(col(vecCol), centLit(model)).cast("long"))
+
+  /** [[fit]] + [[assign]] in one call. */
+  def cluster(df: DataFrame, vecCol: String, k: Int, seed: Long,
+              trainPointsPerCentroid: Int = 256, maxIter: Int = 25,
+              tol: Double = 1e-4): DataFrame =
+    assign(df, vecCol,
+      fit(df, vecCol, k, seed, trainPointsPerCentroid, maxIter, tol))
+
+  /** Exact integer apportionment of `total` across the clusters present
+    * in `assigned` — METADATA-sized (k rows). Modes:
+    *  - "balanced": equal shares (total div k′ each, the first
+    *    total mod k′ clusters by id get one more) — inverse-proportional
+    *    corpus balancing, the flat-topic-mixture quota;
+    *  - "proportional": largest-remainder apportionment of
+    *    floor(total·size/N) with the leftover units going to the largest
+    *    fractional remainders (ties toward the smaller cluster id) —
+    *    preserves the corpus mixture at a smaller budget.
+    * Quotas are NOT capped at cluster size ([[TrainingData
+    * .stratifiedSample]] naturally yields min(quota, size) rows); a
+    * caller needing strict-total output under short clusters water-fills
+    * with [[TrainingData.mixtureBudget]].
+    *
+    * The apportionment runs on the DRIVER over the collected k-row size
+    * histogram (the [[TrainingData.mixtureBudget]] precedent for
+    * metadata-sized planning) in BigInt — sz·total would overflow Long
+    * in-plan once both pass ~3e9, which multi-billion-row corpora with
+    * corpus-sized budgets reach. Output: (cluster, n). */
+  def clusterQuotas(assigned: DataFrame, total: Long,
+                    mode: String): DataFrame = {
+    require(total >= 0, s"negative total $total")
+    require(mode == "balanced" || mode == "proportional",
+      s"unknown quota mode '$mode' (balanced | proportional)")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val quotas: Seq[(Long, Long)] = mode match {
+      case "balanced" =>
+        // equal shares; the first total mod k' clusters by id get +1
+        val kp = sizes.length.max(1)
+        sizes.zipWithIndex.map { case ((c, _), i) =>
+          (c, total / kp + (if (i < total % kp) 1L else 0L))
+        }.toSeq
+      case _ =>
+        // largest-remainder apportionment, ties toward smaller id
+        val tot = sizes.map(s => BigInt(s._2)).sum
+        require(tot > 0, "proportional quotas need a non-empty corpus")
+        val base = sizes.map { case (c, sz) =>
+          val prod = BigInt(sz) * BigInt(total)
+          (c, (prod / tot).toLong, prod % tot)
+        }
+        val leftover = total - base.map(_._2).sum
+        val bump = base.sortBy { case (c, _, rem) => (-rem, c) }
+          .take(leftover.toInt).map(_._1).toSet
+        base.map { case (c, b, _) =>
+          (c, b + (if (bump(c)) 1L else 0L))
+        }.toSeq
+    }
+    quotas.toDF("cluster", "n")
+  }
+
+  /** Cluster-balanced corpus sample: assign clusters, apportion `total`
+    * by `mode`, then take each cluster's quota by the deterministic
+    * md5 race ([[TrainingData.stratifiedSample]] with cluster strata).
+    * Output: the sampled input rows + their `cluster`. */
+  def balancedSample(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     total: Long, seed: Long, mode: String = "balanced",
+                     trainPointsPerCentroid: Int = 256): DataFrame = {
+    val assigned = cluster(df, vecCol, k, seed, trainPointsPerCentroid)
+      .localCheckpoint() // quota sizes + the race read the same assignment
+    TrainingData.stratifiedSample(assigned, "cluster", idCol,
+      clusterQuotas(assigned, total, mode), seed)
+  }
+}

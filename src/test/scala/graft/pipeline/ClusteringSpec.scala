@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3 well-separated blobs of 40/20/10 points in 4-d, deterministic
+  private def blobs = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(0f, 0f, 0f, 0f), Array(10f, 10f, 10f, 10f),
+      Array(-10f, 10f, -10f, 10f))
+    val sizes = Seq(40, 20, 10)
+    val rows = for {
+      (c, b) <- centers.zip(sizes).zipWithIndex.map { case ((c, s), b) => ((c, s), b) }
+      i <- 0 until c._2
+    } yield (b * 1000L + i, c._1.map(x => x + rnd.nextFloat() * 0.5f), b)
+    rows.toDF("id", "vec", "blob")
+  }
+
+  test("cluster recovers well-separated blobs (one cluster per blob)") {
+    val out = Clustering.cluster(blobs, "vec", k = 3, seed = 11,
+      trainPointsPerCentroid = 0)
+    // every blob maps to exactly one cluster and vice versa
+    val m = out.groupBy("blob")
+      .agg(countDistinct(col("cluster")).as("nc")).collect()
+    assert(m.forall(_.getLong(1) == 1L))
+    assert(out.select("cluster").distinct().count() === 3L)
+    assert(out.count() === 70L)
+  }
+
+  test("assignment is the argmin over the centroid table (HOF cross-check)") {
+    val model = Clustering.fit(blobs, "vec", k = 3, seed = 11,
+      trainPointsPerCentroid = 0)
+    val out = Clustering.assign(blobs, "vec", model)
+    // independent argmin: explode the centroid table, L2 via zip_with,
+    // min-by distance with ties toward the smaller cluster id
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cid", "cent")
+    val indep = out.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("vec"), col("cent"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("d2"), col("cid"))))
+      .where(col("rk") === 1)
+      .select(col("id"), col("cid"))
+    val diff = out.select(col("id"), col("cluster"))
+      .join(indep, "id")
+      .where(col("cluster") =!= col("cid")).count()
+    assert(diff === 0L)
+  }
+
+  test("balanced quotas: equal shares, remainder to the smallest ids") {
+    val assigned = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 1L), (7L, 1L), (8L, 2L)).toDF("id", "cluster")
+    val q = Clustering.clusterQuotas(assigned, total = 7, mode = "balanced")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(q === Map(0L -> 3L, 1L -> 2L, 2L -> 2L)) // 7 = 2+2+2, +1 to id 0
+  }
+
+  test("proportional quotas: largest-remainder, exact total") {
+    val assigned = Seq.tabulate(10)(i => (i.toLong, 0L)) ++
+      Seq.tabulate(6)(i => (100L + i, 1L)) ++
+      Seq.tabulate(4)(i => (200L + i, 2L))
+    val df = assigned.toDF("id", "cluster")
+    val q = Clustering.clusterQuotas(df, total = 7, mode = "proportional")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // shares: 3.5 / 2.1 / 1.4 -> bases 3/2/1, leftover 1 to the largest
+    // remainder (cluster 0 at .5)
+    assert(q === Map(0L -> 4L, 1L -> 2L, 2L -> 1L))
+    assert(q.values.sum === 7L)
+  }
+
+  test("balancedSample: per-cluster counts equal min(quota, size)") {
+    val out = Clustering.balancedSample(blobs, "id", "vec", k = 3,
+      total = 24, seed = 11, mode = "balanced",
+      trainPointsPerCentroid = 0)
+    val counts = out.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(counts === Seq(8L, 8L, 8L)) // every blob >= 8 members
+    // determinism
+    val again = Clustering.balancedSample(blobs, "id", "vec", k = 3,
+      total = 24, seed = 11, mode = "balanced",
+      trainPointsPerCentroid = 0)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
