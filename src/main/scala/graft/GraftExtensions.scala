@@ -73,7 +73,9 @@ object GraftFunctions {
     ("graft_last_le_idx", IntegerType, "lastLeIdx", 2),
     ("graft_adc_dist", DoubleType, "adcDist", 3),
     ("graft_mean_pool", ArrayType(FloatType, containsNull = false),
-      "meanPool", 5))
+      "meanPool", 5),
+    ("graft_nfc", StringType, "nfcNormalize", 1),
+    ("graft_nfkc", StringType, "nfkcNormalize", 1))
 
   /** The advertised SQL surface, in registration order. Every kernel
     * with stable semantics is here; the only deliberate omission is

@@ -2625,6 +2625,17 @@ object SparkEntry {
     // count of values ≤ the approximate median sits within ±4% of n/2
     // (the sketch's rank-error contract at accuracy 10000 is n/10000;
     // the slack keeps the invariant robust, the audit keeps it honest)
+    // EXACT discrete quantiles via the mergeable value histogram
+    // (pipeline/Sketches): domain-sized state, all-integer rank
+    // arithmetic ceil(q·n/100) — the hash-exact complement of the
+    // rank-invariant-gated approx entry below
+    "stats_exact_quantiles" -> ((s, dir) =>
+      graft.pipeline.Sketches.exactQuantiles(
+        Tables.events(s, dir)
+          .select(floor(col("value") * 100).cast("long").as("cents")),
+        "cents", Seq(1, 5, 25, 50, 75, 95, 99))
+        .orderBy("q_x100")),
+
     "stats_approx_quantiles" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val ap = ev.groupBy("event_type")
@@ -2949,6 +2960,15 @@ object SparkEntry {
       graft.operators.SnapshotDiff.diff(v1, v2, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+
+    // sessionization: each user's event timeline split at >12h
+    // inactivity gaps (gaps-and-islands, one shuffle by user, ties on
+    // event_id), collapsed to per-session summaries
+    "events_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(
+        Tables.events(s, dir).select("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", gapNs = 43200000000000L)
+        .orderBy("user_id", "session")),
 
     // SCD type-2 history: the events change log collapsed to per-user
     // state validity intervals (gaps-and-islands, one shuffle by user)
@@ -3312,6 +3332,26 @@ object SparkEntry {
         .agg(when(count(lit(1)) > 0, 1L).otherwise(0L)
           .as("boiler_nonempty"))
       countDiff.crossJoin(outDiff).crossJoin(nonvac)
+    }),
+
+    // Unicode NFC normalization (codegen kernel vs DuckDB's
+    // nfc_normalize): decomposed combining sequences (e+U+0301,
+    // i+U+0308, A+U+030A) injected on even docs, their precomposed
+    // twins on odd docs — after NFC both suffixes hash identically,
+    // and the md5 gate compares the full normalized text per doc
+    "text_unicode_nfc" -> ((s, dir) => {
+      val decomposed = "cafe\u0301 nai\u0308ve A\u030A"
+      val composed = "caf\u00e9 na\u00efve \u00c5"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), concat(col("text"), lit(" "),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(decomposed))
+            .otherwise(lit(composed))).as("t"))
+        .select(col("doc_id"),
+          md5(graft.pipeline.TextAnalysis.nfc(col("t")).cast("binary"))
+            .as("norm_md5"),
+          length(graft.pipeline.TextAnalysis.nfc(col("t"))).cast("long")
+            .as("n_chars"))
+        .orderBy("doc_id")
     }),
 
     // C4-style rule-based line filtering: >= 3 words, terminal
@@ -4816,6 +4856,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "stats_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |h AS (SELECT v, count(*) AS cnt FROM v GROUP BY v),
+        |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM h),
+        |q AS (SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT)
+        |  AS q_x100)
+        |SELECT q.q_x100, min(c.v) AS value,
+        | (q.q_x100 * n.n_total + 99) // 100 AS rank, n.n_total
+        |FROM q, n, c
+        |WHERE c.cum >= (q.q_x100 * n.n_total + 99) // 100
+        |GROUP BY q.q_x100, n.n_total ORDER BY q_x100""".stripMargin,
+
     "events_moving_sum" ->
       """WITH d AS (SELECT event_type,
         |  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
@@ -5213,6 +5267,22 @@ object SparkEntry {
         | FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey) t
         |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
+        |  event_id FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w > 43200000000000 THEN 1 ELSE 0 END
+        |    AS is_start
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS session FROM m)
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        | min(ts) AS start_ts, max(ts) AS end_ts,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | max(ts) - min(ts) AS duration
+        |FROM s GROUP BY user_id, session
+        |ORDER BY user_id, session""".stripMargin,
+
     "scd2_history" ->
       """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
         |  event_id, event_type FROM events),
@@ -5597,6 +5667,18 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_count_diff,
         | CAST(0 AS BIGINT) AS n_out_diff,
         | CAST(1 AS BIGINT) AS boiler_nonempty""".stripMargin,
+
+    "text_unicode_nfc" ->
+      """WITH d AS (SELECT doc_id, text || ' ' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'cafe' || chr(769) || ' nai' || chr(776) || 've A'
+        |      || chr(778)
+        |    ELSE 'caf' || chr(233) || ' na' || chr(239) || 've '
+        |      || chr(197) END AS t
+        | FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(t)) AS norm_md5,
+        | CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "text_c4_filters" ->
       """WITH d AS (SELECT doc_id, text || ' end of document text.'

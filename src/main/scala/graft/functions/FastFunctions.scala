@@ -57,6 +57,8 @@ object FastFunctions {
     "meanPool" -> Seq(ArrayType(FloatType), IntegerType, IntegerType,
       IntegerType, IntegerType),
     "adcDist" -> Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType),
+    "nfcNormalize" -> Seq(StringType),
+    "nfkcNormalize" -> Seq(StringType),
     "sq8Encode" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       ArrayType(DoubleType)),
     "sq8Decode" -> Seq(BinaryType, ArrayType(DoubleType), ArrayType(DoubleType)),
@@ -275,6 +277,14 @@ object FastFunctions {
     invoke(DoubleType, "sq8Dist", q, code, mins, scales)
 
   /** ADC distance against a flattened D×C table literal. */
+  /** Unicode NFC canonical composition (Kernels.nfcNormalize). */
+  def nfcNormalize(s: Column): Column =
+    invoke(StringType, "nfcNormalize", s)
+
+  /** Unicode NFKC compatibility composition (Kernels.nfkcNormalize). */
+  def nfkcNormalize(s: Column): Column =
+    invoke(StringType, "nfkcNormalize", s)
+
   def adcDist(codes: Column, flatTable: Seq[Double], numCodes: Int): Column =
     invoke(DoubleType, "adcDist", codes, litDoubles(flatTable.toArray),
       lit(numCodes))

@@ -1035,6 +1035,29 @@ object Kernels {
     s
   }
 
+  /** Unicode NFC normalization (canonical composition) — the text-
+    * canonicalization step before hashing/dedup: "café" typed as
+    * e+COMBINING ACUTE and as the precomposed é must hash identically.
+    * The isNormalized fast path makes the overwhelmingly-ASCII case a
+    * scan with zero allocation. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Unicode NFKC normalization (compatibility composition): NFC plus
+    * compatibility folds — ligatures (ﬁ → fi), fullwidth forms (Ａ → A),
+    * superscripts — the fold text pipelines actually want before
+    * tokenization. */
+  def nfkcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC))
+  }
+
   /** ADC distance Σ_d table[d·C + codes[d]] — pure lookups into the
     * flattened D×C distance table (reference/src/db/stored.rs:575-595). */
   def adcDist(codes: ArrayData, flatTable: ArrayData, numCodes: Int): Double = {

@@ -23,6 +23,54 @@ import graft.functions.FastFunctions.litLongs
   */
 object Sketches {
 
+  // ------------------------------------ exact quantiles via value counts
+
+  /** Mergeable value histogram (v, cnt) over `valueCol` — the EXACT
+    * quantile state for bounded-domain columns (lengths, counts, scores
+    * quantized to integers): counts merge additively across batches
+    * (the [[Dedup.lineDocCounts]] incremental-state pattern), so a
+    * 100 TB corpus maintains a domain-sized relation instead of
+    * re-scanning history. The groupBy shuffles the DOMAIN, never the
+    * corpus. */
+  def valueHistogram(df: DataFrame, valueCol: String): DataFrame =
+    df.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Additive merge of two value histograms. */
+  def mergeValueHistograms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("v").agg(sum(col("cnt")).as("cnt"))
+
+  /** Exact discrete quantiles from a value histogram: for each
+    * q ∈ `qsX100` (integer percent, 1..100), the smallest value whose
+    * cumulative count reaches rank ⌈q·n/100⌉ — all-integer rank
+    * arithmetic, so engines agree bit-for-bit. The cumulative window
+    * sorts the DOMAIN (one partition of domain-sized rows — fine for
+    * bounded domains, which is this operator's contract; unbounded
+    * doubles belong in `percentile_approx`). Output:
+    * (q_x100, value, rank, n_total). */
+  def quantilesFromHistogram(hist: DataFrame,
+                             qsX100: Seq[Int]): DataFrame = {
+    require(qsX100.nonEmpty && qsX100.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be integer percents in 1..100: $qsX100")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+    val tot = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    qsX100.map(_.toLong).toDF("q_x100")
+      .crossJoin(tot)
+      .withColumn("rank", expr("(q_x100 * n_total + 99) div 100"))
+      .join(cum, col("cum") >= col("rank"))
+      .groupBy(col("q_x100"), col("rank"), col("n_total"))
+      .agg(min(col("v")).as("value"))
+      .select("q_x100", "value", "rank", "n_total")
+  }
+
+  /** [[valueHistogram]] + [[quantilesFromHistogram]] in one call. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qsX100: Seq[Int]): DataFrame =
+    quantilesFromHistogram(valueHistogram(df, valueCol), qsX100)
+
   /** The finished sketch: depth×width counters, row-major. Estimates
     * run as Columns ([[countMinEstimate]]) so lookup and build share one
     * hash definition (Spark's xxhash64). */

@@ -182,6 +182,21 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Unicode NFC canonical composition — a codegen kernel
+    * ([[graft.functions.Kernels.nfcNormalize]], ASCII fast path): the
+    * step before any hash-keyed dedup/linkage over multilingual text,
+    * where a decomposed "é" (e + U+0301) and the precomposed é must
+    * hash identically. */
+  def nfc(text: Column): Column =
+    graft.functions.FastFunctions.nfcNormalize(text)
+
+  /** Unicode NFKC compatibility composition: [[nfc]] plus compatibility
+    * folds — ligatures (ﬁ → fi), fullwidth forms (Ａ → A) — the fold
+    * tokenizers want. No DuckDB twin exists, so this one is
+    * spec-gated. */
+  def nfkc(text: Column): Column =
+    graft.functions.FastFunctions.nfkcNormalize(text)
+
   /** Repetition quality signal (Gopher-style, Rae et al. 2021 §A1.1):
     * multiplicity of the most-repeated n-token shingle, total shingles,
     * and their floor-percent ratio — documents dominated by one repeated

@@ -95,4 +95,34 @@ class SketchesSpec extends AnyFunSuite {
       "item", k = 6).collect().map(_.getString(0)).sorted.toSeq
     assert(a === b)
   }
+
+  test("exactQuantiles: ranks match a driver-side sort") {
+    val vals = Seq(5L, 1L, 9L, 3L, 3L, 7L, 1L, 8L, 2L, 6L) // n = 10
+    val df = vals.toDF("x")
+    val got = Sketches.exactQuantiles(df, "x", Seq(10, 50, 90, 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sorted = vals.sorted
+    def want(q: Int) = sorted((q * vals.length + 99) / 100 - 1)
+    assert(got === Map(10L -> want(10), 50L -> want(50),
+      90L -> want(90), 100L -> want(100)))
+  }
+
+  test("value histograms merge additively: two batches == one shot") {
+    val all = (1 to 100).map(i => (i % 7).toLong).toDF("x")
+    val a = (1 to 60).map(i => (i % 7).toLong).toDF("x")
+    val b = (61 to 100).map(i => (i % 7).toLong).toDF("x")
+    val merged = Sketches.mergeValueHistograms(
+      Sketches.valueHistogram(a, "x"), Sketches.valueHistogram(b, "x"))
+    val oneShot = Sketches.valueHistogram(all, "x")
+    val diff = merged.withColumnRenamed("cnt", "mc")
+      .join(oneShot, Seq("v"), "full_outer")
+      .where(!(col("mc") <=> col("cnt"))).count()
+    assert(diff === 0L)
+    // and quantiles from the merged state equal the one-shot quantiles
+    val qm = Sketches.quantilesFromHistogram(merged, Seq(25, 50, 75))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qo = Sketches.quantilesFromHistogram(oneShot, Seq(25, 50, 75))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(qm === qo)
+  }
 }
