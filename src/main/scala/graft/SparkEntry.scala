@@ -2636,6 +2636,15 @@ object SparkEntry {
         "cents", Seq(1, 5, 25, 50, 75, 95, 99))
         .orderBy("q_x100")),
 
+    // per-group exact quantiles: same integer rank rule, cumulative
+    // window bounded by each group's value domain
+    "stats_exact_quantiles_by_group" -> ((s, dir) =>
+      graft.pipeline.Sketches.exactQuantilesByGroup(
+        Tables.events(s, dir).select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", Seq(25, 50, 75, 95))
+        .orderBy("event_type", "q_x100")),
+
     "stats_approx_quantiles" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val ap = ev.groupBy("event_type")
@@ -2961,14 +2970,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    // sessionization: each user's event timeline split at >12h
-    // inactivity gaps (gaps-and-islands, one shuffle by user, ties on
-    // event_id), collapsed to per-session summaries
-    "events_sessionize" -> ((s, dir) =>
-      graft.operators.Sessionize.sessions(
-        Tables.events(s, dir).select("user_id", "ts", "event_id"),
-        "user_id", "ts", "event_id", gapNs = 43200000000000L)
-        .orderBy("user_id", "session")),
+    // per-session SUMMARIES (start/end/count/duration) over the
+    // gap-and-island labeling — the exact-ns complement of
+    // events_sessions' session_window stats; 12h gap exercises longer
+    // sessions than the 30-min entries; µs-truncated ts as above
+    "events_session_summary" -> ((s, dir) =>
+      graft.streaming.EventPipeline.sessionized(
+          Tables.events(s, dir).select("user_id", "ts", "event_id")
+            .withColumn("ts", col("ts") - col("ts") % 1000),
+          gapNanos = 43200000000000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          count(lit(1)).as("n_events"))
+        .withColumn("duration", col("end_ts") - col("start_ts"))
+        .orderBy("user_id", "session_seq")),
 
     // SCD type-2 history: the events change log collapsed to per-user
     // state validity intervals (gaps-and-islands, one shuffle by user)
@@ -4856,6 +4871,24 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "stats_exact_quantiles_by_group" ->
+      """WITH v AS (SELECT event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v, count(*) AS cnt
+        | FROM v GROUP BY event_type, v),
+        |c AS (SELECT event_type, v,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS n_total
+        | FROM h),
+        |q AS (SELECT CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS q_x100)
+        |SELECT c.event_type, q.q_x100, min(c.v) AS value,
+        | (q.q_x100 * c.n_total + 99) // 100 AS rank, c.n_total
+        |FROM q, c
+        |WHERE c.cum >= (q.q_x100 * c.n_total + 99) // 100
+        |GROUP BY c.event_type, q.q_x100, c.n_total
+        |ORDER BY event_type, q_x100""".stripMargin,
+
     "stats_exact_quantiles" ->
       """WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v
         |  FROM events),
@@ -5267,21 +5300,22 @@ object SparkEntry {
         | FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey) t
         |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
-    "events_sessionize" ->
+    "events_session_summary" ->
       """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
         |  event_id FROM events),
         |m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-        |    OR ts - lag(ts) OVER w > 43200000000000 THEN 1 ELSE 0 END
+        |    OR ts - lag(ts) OVER w >= 43200000000000 THEN 1 ELSE 0 END
         |    AS is_start
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id
-        |  ORDER BY ts, event_id) AS session FROM m)
-        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |  CURRENT ROW) - 1 AS session_seq FROM m)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         | min(ts) AS start_ts, max(ts) AS end_ts,
         | CAST(count(*) AS BIGINT) AS n_events,
         | max(ts) - min(ts) AS duration
-        |FROM s GROUP BY user_id, session
-        |ORDER BY user_id, session""".stripMargin,
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "scd2_history" ->
       """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,

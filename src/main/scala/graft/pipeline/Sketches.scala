@@ -71,6 +71,34 @@ object Sketches {
                      qsX100: Seq[Int]): DataFrame =
     quantilesFromHistogram(valueHistogram(df, valueCol), qsX100)
 
+  /** Per-GROUP exact discrete quantiles: the same integer rank rule as
+    * [[quantilesFromHistogram]], with the cumulative window partitioned
+    * by group — its sort is bounded by each group's value DOMAIN, never
+    * the corpus, and the (group, v) histogram shuffle is the only wide
+    * exchange. Output: (groupCol, q_x100, value, rank, n_total), one row
+    * per (group, q). */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, qsX100: Seq[Int]): DataFrame = {
+    require(qsX100.nonEmpty && qsX100.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be integer percents in 1..100: $qsX100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    cum.crossJoin(broadcast(qsX100.map(_.toLong).toDF("q_x100")))
+      .withColumn("rank", expr("(q_x100 * n_total + 99) div 100"))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col(groupCol), col("q_x100"), col("rank"), col("n_total"))
+      .agg(min(col("v")).as("value"))
+      .select(groupCol, "q_x100", "value", "rank", "n_total")
+  }
+
   /** The finished sketch: depth×width counters, row-major. Estimates
     * run as Columns ([[countMinEstimate]]) so lookup and build share one
     * hash definition (Spark's xxhash64). */

@@ -125,4 +125,19 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(qm === qo)
   }
+
+  test("exactQuantilesByGroup equals per-group exactQuantiles") {
+    val df = Seq(("a", 1L), ("a", 5L), ("a", 3L), ("a", 9L),
+      ("b", 2L), ("b", 2L), ("b", 8L)).toDF("g", "x")
+    val grouped = Sketches.exactQuantilesByGroup(df, "g", "x", Seq(50, 100))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      val single = Sketches.exactQuantiles(
+          df.where(col("g") === g).select("x"), "x", Seq(50, 100))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(grouped((g, 50L)) === single(50L), g)
+      assert(grouped((g, 100L)) === single(100L), g)
+    }
+  }
 }
