@@ -75,7 +75,8 @@ object GraftFunctions {
     ("graft_mean_pool", ArrayType(FloatType, containsNull = false),
       "meanPool", 5),
     ("graft_nfc", StringType, "nfcNormalize", 1),
-    ("graft_nfkc", StringType, "nfkcNormalize", 1))
+    ("graft_nfkc", StringType, "nfkcNormalize", 1),
+    ("graft_deflate_len", LongType, "deflateLen", 1))
 
   /** The advertised SQL surface, in registration order. Every kernel
     * with stable semantics is here; the only deliberate omission is

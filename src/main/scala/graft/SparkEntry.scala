@@ -626,6 +626,31 @@ object SparkEntry {
         .orderBy("cohort_week", "weeks_since")
     }),
 
+    // join-key skew telemetry (operators/SkewJoin.keyStats): the
+    // all-integer max/mean histogram aggregate that sizes the salt for
+    // the salted rewrite below — AnnJoin.recommendedSalt generalized to
+    // relational keys
+    "rel_skew_plan" -> ((s, dir) =>
+      graft.operators.SkewJoin.keyStats(
+        Tables.lineitem(s, dir), Seq("l_orderkey"))),
+
+    // skew-salted inner join: output must be IDENTICAL to the plain
+    // equi-join (the oracle IS the plain join) — the gate that the
+    // straggler-splitting rewrite preserves semantics exactly
+    "rel_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("orderkey"),
+          salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("l_quantity").cast("long")), lit(0L))
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "rel_semi_join" -> ((s, dir) => {
       val bigOrders = Tables.orders(s, dir).where(col("o_totalprice") > 200000)
       Tables.customer(s, dir)
@@ -3349,6 +3374,27 @@ object SparkEntry {
       countDiff.crossJoin(outDiff).crossJoin(nonvac)
     }),
 
+    // compression-ratio quality signal (deflate kernel): byte counts are
+    // zlib-dependent, so the gate asserts INVARIANTS — every doc's 8×
+    // self-repetition compresses to a strictly lower ratio than the doc
+    // itself, and every ratio stays in (0, 150]
+    "text_compress_ratio" -> ((s, dir) => {
+      import graft.pipeline.TextAnalysis
+      val docs = Tables.documents(s, dir)
+      val base = TextAnalysis.compressionSignals(docs)
+        .select(col("doc_id"), col("ratio_x100").as("r_base"))
+      val rep = TextAnalysis.compressionSignals(
+          docs.select(col("doc_id"), repeat(col("text"), 8).as("text")))
+        .select(col("doc_id"), col("ratio_x100").as("r_rep"))
+      base.join(rep, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("r_rep") < col("r_base"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_rep_better"),
+          coalesce(sum(when(col("r_base") > 0 && col("r_base") <= 150 &&
+            col("r_rep") > 0 && col("r_rep") <= 150, 1L).otherwise(0L)),
+            lit(0L)).as("n_in_bounds"))
+    }),
+
     // Unicode NFC normalization (codegen kernel vs DuckDB's
     // nfc_normalize): decomposed combining sequences (e+U+0301,
     // i+U+0308, A+U+030A) injected on even docs, their precomposed
@@ -3600,6 +3646,24 @@ object SparkEntry {
         | count(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN c USING (user_id) WHERE week >= cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rel_skew_plan" ->
+      """WITH h AS (SELECT l_orderkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_orderkey),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt FROM h)
+        |SELECT n_keys, n_rows, max_cnt,
+        | (max_cnt * n_keys * 100 + n_rows - 1) // n_rows AS skew_x100,
+        | least(64, greatest(1,
+        |   (max_cnt * n_keys + n_rows - 1) // n_rows)) AS salt
+        |FROM a""".stripMargin,
+
+    "rel_salted_join" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "rel_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -5701,6 +5765,13 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_count_diff,
         | CAST(0 AS BIGINT) AS n_out_diff,
         | CAST(1 AS BIGINT) AS boiler_nonempty""".stripMargin,
+
+    // invariant oracle: repetition always compresses strictly better
+    // and every ratio is in bounds, for all 500 docs
+    "text_compress_ratio" ->
+      """SELECT CAST(500 AS BIGINT) AS n_docs,
+        | CAST(500 AS BIGINT) AS n_rep_better,
+        | CAST(500 AS BIGINT) AS n_in_bounds""".stripMargin,
 
     "text_unicode_nfc" ->
       """WITH d AS (SELECT doc_id, text || ' ' ||

@@ -59,6 +59,7 @@ object FastFunctions {
     "adcDist" -> Seq(ArrayType(IntegerType), ArrayType(DoubleType), IntegerType),
     "nfcNormalize" -> Seq(StringType),
     "nfkcNormalize" -> Seq(StringType),
+    "deflateLen" -> Seq(StringType),
     "sq8Encode" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       ArrayType(DoubleType)),
     "sq8Decode" -> Seq(BinaryType, ArrayType(DoubleType), ArrayType(DoubleType)),
@@ -277,6 +278,10 @@ object FastFunctions {
     invoke(DoubleType, "sq8Dist", q, code, mins, scales)
 
   /** ADC distance against a flattened D×C table literal. */
+  /** DEFLATE byte length of a string (Kernels.deflateLen). */
+  def deflateLen(s: Column): Column =
+    invoke(LongType, "deflateLen", s)
+
   /** Unicode NFC canonical composition (Kernels.nfcNormalize). */
   def nfcNormalize(s: Column): Column =
     invoke(StringType, "nfcNormalize", s)

@@ -1035,6 +1035,26 @@ object Kernels {
     s
   }
 
+  /** DEFLATE length of a string's UTF-8 bytes (fixed level 6, raw
+    * deflate) — the compression-ratio quality signal: near-random text
+    * compresses ~1:1, template/repetitive boilerplate far below, so
+    * deflate_len/raw_len separates them with zero linguistics. Output
+    * depends only on (input bytes, zlib), so it is rerun-stable on a
+    * given JVM; cross-engine gates use invariant oracles, not byte
+    * equality. */
+  def deflateLen(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Unicode NFC normalization (canonical composition) — the text-
     * canonicalization step before hashing/dedup: "café" typed as
     * e+COMBINING ACUTE and as the precomposed é must hash identically.

@@ -182,6 +182,24 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Compression-ratio quality signal (the Dolma/RedPajama gzip-ratio
+    * heuristic, one codegen kernel call per row, no shuffle): near-random
+    * prose deflates ~1:1, template/repeated boilerplate far below —
+    * a language-agnostic repetition detector complementing the shingle
+    * kernel in [[repetitionSignals]]. Output: (doc_id, n_bytes,
+    * deflate_bytes, ratio_x100 = ⌊100·deflate/raw⌋). The byte counts are
+    * zlib-dependent, so cross-engine gates assert INVARIANTS (bounds,
+    * planted orderings), not byte equality. */
+  def compressionSignals(docs: DataFrame): DataFrame = {
+    val raw = octet_length(col("text")).cast("long")
+    val dz = graft.functions.FastFunctions.deflateLen(col("text"))
+    docs.select(col("doc_id"),
+      raw.as("n_bytes"),
+      dz.as("deflate_bytes"),
+      when(raw > 0, floor(lit(100) * dz.cast("double") / raw.cast("double"))
+        .cast("long")).otherwise(lit(0L)).as("ratio_x100"))
+  }
+
   /** Unicode NFC canonical composition — a codegen kernel
     * ([[graft.functions.Kernels.nfcNormalize]], ASCII fast path): the
     * step before any hash-keyed dedup/linkage over multilingual text,
