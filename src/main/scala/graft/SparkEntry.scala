@@ -630,6 +630,21 @@ object SparkEntry {
     // all-integer max/mean histogram aggregate that sizes the salt for
     // the salted rewrite below — AnnJoin.recommendedSalt generalized to
     // relational keys
+    // passage->document retrieval (MaxP): passages = embeddings rows,
+    // parent doc = vec_id div 5 (100 docs x 5 passages); each query's
+    // top-20 passage hits collapse to docs by best passage, bounded
+    // top-5 docs per query
+    "search_doc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val hits = graft.query.ExactKnn.batchTopK(emb, "embedding",
+          "vec_id", queries, "qid", "qv", k = 20)
+        .withColumn("doc_id", expr("vec_id div 5"))
+      graft.query.ExactKnn.docTopK(hits, "qid", "doc_id", "sq_dist", k = 5)
+        .orderBy("qid", "doc_rank")
+    }),
+
     "rel_skew_plan" -> ((s, dir) =>
       graft.operators.SkewJoin.keyStats(
         Tables.lineitem(s, dir), Seq("l_orderkey"))),
@@ -3646,6 +3661,25 @@ object SparkEntry {
         | count(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN c USING (user_id) WHERE week >= cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "search_doc_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id <= 4),
+        |d AS (SELECT q.qid AS qid, e.vec_id AS vec_id,
+        |  sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE))
+        |    * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(q.qv[t.i] AS DOUBLE)))
+        |    AS sq
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2),
+        |h AS (SELECT qid, vec_id, sq, row_number() OVER (
+        |  PARTITION BY qid ORDER BY sq, vec_id) AS rnk FROM d),
+        |ds AS (SELECT qid, vec_id // 5 AS doc_id, min(sq) AS doc_dist
+        | FROM h WHERE rnk <= 20 GROUP BY qid, vec_id // 5)
+        |SELECT qid, doc_id, doc_rank FROM (
+        | SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+        |   ORDER BY doc_dist, doc_id) AS BIGINT) AS doc_rank
+        | FROM ds) t
+        |WHERE doc_rank <= 5 ORDER BY qid, doc_rank""".stripMargin,
 
     "rel_skew_plan" ->
       """WITH h AS (SELECT l_orderkey, count(*) AS cnt

@@ -116,6 +116,28 @@ object ExactKnn {
         (-col("hit.dist")).as("ip"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Passage→DOCUMENT retrieval aggregation for multi-vector corpora
+    * (one embedding per passage, ranking wanted per document): each
+    * query's passage hits collapse to their parent document scored by
+    * the BEST (minimum-distance) passage — the MaxP rule (Dai & Callan
+    * 2019, arXiv:1905.09217), the standard passage-to-doc reduction —
+    * then a bounded top-k keeps the best `k` documents per query.
+    * `hits` is any (qidCol, docCol, distCol) relation — typically
+    * [[batchTopK]] output with the passage→doc mapping attached — so
+    * the aggregation is fixed-width rows only: a map-side-combined min
+    * per (query, doc) and the [[TopKAggregator]] bounded heap per
+    * query, never a corpus-wide sort. Ties rank toward the smaller doc
+    * id. Output: (qidCol, docCol, doc_rank). */
+  def docTopK(hits: DataFrame, qidCol: String, docCol: String,
+              distCol: String, k: Int): DataFrame =
+    hits.groupBy(col(qidCol), col(docCol))
+      .agg(min(col(distCol)).as("__doc_dist"))
+      .groupBy(col(qidCol))
+      .agg(TopKAggregator.topK(k)(col("__doc_dist"), col(docCol)).as("hits"))
+      .select(col(qidCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qidCol), col("hit.id").as(docCol),
+        (col("pos") + 1).cast("long").as("doc_rank"))
+
   /** k-NN LABEL PROPAGATION (weak supervision / pseudo-labeling): each
     * query point takes the MAJORITY label of its k nearest labeled
     * points — the classic kNN classifier run as one [[batchTopK]] pass
