@@ -626,6 +626,19 @@ object SparkEntry {
         .orderBy("cohort_week", "weeks_since")
     }),
 
+    // integer-exact PageRank (operators/PageRank.rankInt) over the
+    // supplier->part supply bipartite graph: 3 power-iteration rounds at
+    // damping 0.85 in scale-1e9 fixed point — long sums are associative,
+    // so the distributed aggregation is bit-identical to the chained
+    // per-iteration SQL CTEs
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + lit(100000L)).cast("long").as("dst"))
+      graft.operators.PageRank.rankInt(edges, iters = 3)
+        .orderBy("v")
+    }),
+
     // join-key skew telemetry (operators/SkewJoin.keyStats): the
     // all-integer max/mean histogram aggregate that sizes the salt for
     // the salted rewrite below — AnnJoin.recommendedSalt generalized to
@@ -3661,6 +3674,33 @@ object SparkEntry {
         | count(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN c USING (user_id) WHERE week >= cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(l_partkey + 100000 AS BIGINT) AS dst FROM lineitem),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        | FROM e GROUP BY src),
+        |nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+        |s0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS s FROM nodes),
+        |c1 AS (SELECT e.dst AS v, CAST(sum(s0.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s0 ON s0.v = e.src
+        | GROUP BY e.dst),
+        |s1 AS (SELECT n.v, 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c1 c ON n.v = c.v),
+        |c2 AS (SELECT e.dst AS v, CAST(sum(s1.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s1 ON s1.v = e.src
+        | GROUP BY e.dst),
+        |s2 AS (SELECT n.v, 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c2 c ON n.v = c.v),
+        |c3 AS (SELECT e.dst AS v, CAST(sum(s2.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s2 ON s2.v = e.src
+        | GROUP BY e.dst),
+        |s3 AS (SELECT n.v, 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c3 c ON n.v = c.v)
+        |SELECT v, CAST(s AS BIGINT) AS s FROM s3 ORDER BY v""".stripMargin,
 
     "search_doc_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
