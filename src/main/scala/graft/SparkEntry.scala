@@ -1508,6 +1508,52 @@ object SparkEntry {
         lit(nHits).cast("long").as("n_hits"))
     }),
 
+    // two-level residual quantization (index/Rq): a SECOND code layer
+    // trained on the level-1 reconstruction error refines candidate
+    // rerank WITHOUT stored originals (FAISS IVFPQR shape). Invariants:
+    // k rows; the two-level total reconstruction error is strictly
+    // below level-1's; refined recall >= 30% and >= the plain ADC
+    // top-k's recall on this fixture
+    "ann_rq_rerank" -> ((s, dir) => {
+      import graft.index.Rq
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+        numDivisions2 = 16, numCodes2 = 16, trainPointsPerCentroid = 0)
+      val enc2 = enc2raw.localCheckpoint()
+      val books1 = graft.functions.FastFunctions.litDoubles(
+        model.codebooks.flatten.flatten)
+      val cent = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+      val lvl1 = graft.functions.FastFunctions.pqReconstructF(
+        element_at(cent, col("partition").cast("int") + 1),
+        col("codes"), books1, model.config.numCodes)
+      val errAgg = enc2.join(emb.select(col("vec_id").as("id"),
+          col("embedding")), "id")
+        .select(
+          graft.functions.FastFunctions.squaredL2F(col("embedding"), lvl1)
+            .as("e1"),
+          graft.functions.FastFunctions.squaredL2F(col("embedding"),
+            Rq.reconstruct2(rq)).as("e2"))
+        .agg(sum(col("e1")).as("s1"), sum(col("e2")).as("s2"))
+      val qf = queryVec(s, dir, 0L)
+      val q = qf.map(_.toDouble)
+      val hits = Rq.topKRefined(enc2, rq, q, k = 10, nprobe = 8)
+      val adc = graft.query.AnnQuery.topK(enc2, model, q, k = 10,
+        nprobe = 8)
+      val exact = graft.query.ExactKnn
+        .rankedIds(emb, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id").as("id"))
+      val nRq = hits.join(exact, "id").agg(count(lit(1)).as("n_rq"))
+      val nAdc = adc.join(exact, "id").agg(count(lit(1)).as("n_adc"))
+      val nRows = hits.agg(count(lit(1)).as("n_rows"))
+      nRows.crossJoin(errAgg).crossJoin(nRq).crossJoin(nAdc).select(
+        col("n_rows"),
+        when(col("s2") < col("s1"), 1L).otherwise(0L).as("err_improved"),
+        when(col("n_rq") >= 3, 1L).otherwise(0L).as("recall_ge_30"),
+        when(col("n_rq") >= col("n_adc"), 1L).otherwise(0L)
+          .as("rq_not_worse"))
+    }),
+
     // refine path: ADC nominates k'=4k candidates, exact re-rank over
     // just those rows picks the final k (FAISS IndexRefineFlat pattern).
     // Invariants: k rows; every reported distance EQUALS an independent
@@ -4136,6 +4182,11 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS flattened,
         | CAST(10 AS BIGINT) AS n_hits""".stripMargin,
 
+    "ann_rq_rerank" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(1 AS BIGINT) AS err_improved,
+        | CAST(1 AS BIGINT) AS recall_ge_30,
+        | CAST(1 AS BIGINT) AS rq_not_worse""".stripMargin,
     "ann_rerank" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dist_bad,
         | CAST(1 AS BIGINT) AS recall_ge_50,

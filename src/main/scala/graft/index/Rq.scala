@@ -1,0 +1,113 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.FastFunctions.{litDoubles, pqEncodeF, pqReconstructF,
+  squaredL2F}
+
+/** Two-level residual (refinement) quantization on top of [[IvfPqBuilder]]
+  * — the store-light rerank path. A FAISS `IndexRefineFlat`-style refine
+  * step needs the ORIGINAL vectors (6 TB for 1B×1536 f32); this keeps
+  * only a SECOND code layer (D₂ bytes/vector) trained on the level-1
+  * reconstruction ERROR e = residual − books₁[codes₁], so candidate
+  * rerank happens against centroid + books₁[codes₁] + books₂[codes₂] —
+  * a strictly better reconstruction than level 1 alone at a few bytes
+  * per vector, no originals required (the residual-quantization idea of
+  * Chen et al. 2010; FAISS's `IndexIVFPQR`).
+  *
+  * Same build discipline as every fit here: level-2 codebooks train
+  * driver-local over a capped error sample; the corpus-scaled encode is
+  * ONE projection (error → D₂ kernel codes) with both codebook tables
+  * riding as primitive literals. */
+object Rq {
+
+  /** Level-2 refinement model over a fitted level-1 [[IvfPqModel]]. */
+  final case class RqModel(base: IvfPqModel,
+                           refineBooks: Array[Array[Array[Double]]],
+                           numDivisions2: Int, numCodes2: Int) {
+    def subDim2: Int = base.dim / numDivisions2
+  }
+
+  /** The level-1 reconstruction error column e = residual −
+    * books₁[codes₁] (f32): reconstruct with a ZERO centroid to get the
+    * codebook contribution alone, subtract element-wise. */
+  private def errorCol(model: IvfPqModel) = {
+    val zeroCent = litDoubles(new Array[Double](model.dim))
+    val books1 = litDoubles(model.codebooks.flatten.flatten)
+    zip_with(col("residual"),
+      pqReconstructF(zeroCent, col("codes"), books1, model.config.numCodes),
+      (a, b) => (a - b).cast("float"))
+  }
+
+  /** Train level-2 codebooks on the error of `encoded` (the
+    * (id, partition, residual, codes) relation a level-1 fit returns)
+    * and encode every row: returns the model and `encoded` + `codes2`.
+    * The error sample is driver-capped at numCodes2·cap rows. */
+  def fitRefine(encoded: DataFrame, model: IvfPqModel, numDivisions2: Int,
+                numCodes2: Int, maxIter: Int = 20, tol: Double = 1e-6,
+                seed: Long = 42L,
+                trainPointsPerCentroid: Int = 256): (RqModel, DataFrame) = {
+    require(model.dim % numDivisions2 == 0,
+      s"dim ${model.dim} must divide into $numDivisions2 refine divisions")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m2 = model.dim / numDivisions2
+    val errs = encoded.select(errorCol(model).as("e"))
+    val cap = numCodes2.toLong * trainPointsPerCentroid
+    val nRows = if (trainPointsPerCentroid > 0) errs.count() else 0L
+    val src =
+      if (trainPointsPerCentroid > 0 && cap < nRows)
+        errs.sample(withReplacement = false, cap.toDouble / nRows, seed)
+      else errs
+    val train = src.as[Array[Float]].collect()
+    require(train.length >= numCodes2,
+      s"RQ refine: error sample has ${train.length} vectors < " +
+        s"numCodes2 C2=$numCodes2 — lower C2 or ingest more vectors " +
+        "(k-means needs n >= k)")
+    val books2 = (0 until numDivisions2).map { dI =>
+      val sliceData = train.map(r =>
+        java.util.Arrays.copyOfRange(r, dI * m2, (dI + 1) * m2))
+      LocalKMeans.fit(sliceData, numCodes2, maxIter, tol, seed + dI,
+        init = "random").centroids
+    }.toArray
+    val rq = RqModel(model, books2, numDivisions2, numCodes2)
+    val books2Lit = litDoubles(books2.flatten.flatten)
+    val out = encoded.withColumn("codes2",
+      pqEncodeF(errorCol(model), books2Lit, numDivisions2, numCodes2))
+    (rq, out)
+  }
+
+  /** Two-level reconstruction centroid + books₁[codes₁] + books₂[codes₂]
+    * of a (partition, codes, codes2) row — one projection, both books as
+    * literals. */
+  def reconstruct2(rq: RqModel): org.apache.spark.sql.Column = {
+    val centLit = typedlit(rq.base.partitionCentroids.map(_.toSeq).toSeq)
+    val books1 = litDoubles(rq.base.codebooks.flatten.flatten)
+    val books2 = litDoubles(rq.refineBooks.flatten.flatten)
+    val zeroCent = litDoubles(new Array[Double](rq.base.dim))
+    val lvl1 = pqReconstructF(
+      element_at(centLit, col("partition").cast("int") + 1),
+      col("codes"), books1, rq.base.config.numCodes)
+    val lvl2 = pqReconstructF(zeroCent, col("codes2"), books2, rq.numCodes2)
+    zip_with(lvl1, lvl2, (a, b) => (a + b).cast("float"))
+  }
+
+  /** Refined top-k: level-1 ADC nominates k·kFactor candidates, the
+    * exact distance to the TWO-LEVEL reconstruction re-ranks them — the
+    * [[graft.query.AnnQuery.topKRerank]] shape with reconstructions in
+    * place of originals. Output (id, sq_dist, rank 1..k). */
+  def topKRefined(encoded2: DataFrame, rq: RqModel, q: Array[Double],
+                  k: Int, nprobe: Int, kFactor: Int = 4): DataFrame = {
+    val cand = graft.query.AnnQuery
+      .topK(encoded2, rq.base, q, k * kFactor, nprobe)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val qf = q.map(_.toFloat).toSeq
+    encoded2.where(col("id").isin(cand: _*))
+      .select(col("id"),
+        squaredL2F(reconstruct2(rq),
+          graft.functions.VectorFunctions.vecLit(qf)).as("sq_dist"))
+      .orderBy(col("sq_dist"), col("id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = {
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (math.sin(i * 0.37 + j) * 10 + (i % 4) * 25).toFloat))
+    }.toDF("id", "vec")
+    val (model, encoded) = IvfPqBuilder.fit(vecs, "id", "vec", 16,
+      IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 8,
+        maxIter = 15))
+    (vecs, model, encoded)
+  }
+
+  test("refine strictly reduces total reconstruction error") {
+    val (vecs, model, encoded) = fixture
+    val (rq, enc2) = Rq.fitRefine(encoded, model, numDivisions2 = 4,
+      numCodes2 = 8, trainPointsPerCentroid = 0)
+    val joined = enc2.join(vecs, "id")
+    val books1 = graft.functions.FastFunctions.litDoubles(
+      model.codebooks.flatten.flatten)
+    val cent = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    val lvl1 = graft.functions.FastFunctions.pqReconstructF(
+      element_at(cent, col("partition").cast("int") + 1),
+      col("codes"), books1, model.config.numCodes)
+    val errs = joined.select(
+      graft.functions.FastFunctions.squaredL2F(col("vec"), lvl1).as("e1"),
+      graft.functions.FastFunctions.squaredL2F(col("vec"),
+        Rq.reconstruct2(rq)).as("e2"))
+      .agg(sum(col("e1")).as("s1"), sum(col("e2")).as("s2")).head()
+    assert(errs.getDouble(1) < errs.getDouble(0) * 0.9,
+      s"level-2 total error ${errs.getDouble(1)} should be well below " +
+        s"level-1 ${errs.getDouble(0)}")
+  }
+
+  test("topKRefined returns k rows ranked by refined distance") {
+    val (vecs, model, encoded) = fixture
+    val (rq, enc2) = Rq.fitRefine(encoded, model, numDivisions2 = 4,
+      numCodes2 = 8, trainPointsPerCentroid = 0)
+    val q = vecs.where(col("id") === 0L).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val hits = Rq.topKRefined(enc2.cache(), rq, q, k = 5, nprobe = 4)
+      .collect()
+    assert(hits.length === 5)
+    assert(hits.map(_.getDouble(1)).toSeq ===
+      hits.map(_.getDouble(1)).sorted.toSeq)
+    // the query's own id should surface with a refine step at this scale
+    assert(hits.map(_.getLong(0)).contains(0L))
+  }
+}
