@@ -93,6 +93,65 @@ object Rq {
     zip_with(lvl1, lvl2, (a, b) => (a + b).cast("float"))
   }
 
+  /** Persist the refined store: the level-1 store layout
+    * ([[IvfPqBuilder.save]] — cell-partitioned codes, centroids,
+    * codebooks, SHA-256-sidecar'd manifest) plus a `refine/` subtree:
+    * level-2 codebooks, (id, codes2) pairs, and a refine manifest under
+    * the same read-verify discipline. */
+  def save(rq: RqModel, encoded2: DataFrame, path: String): Unit = {
+    val spark = encoded2.sparkSession
+    import spark.implicits._
+    IvfPqBuilder.save(rq.base, encoded2, path)
+    rq.refineBooks.zipWithIndex.flatMap { case (cb, d) =>
+      cb.zipWithIndex.map { case (cv, c) => (d, c, cv.toSeq) }
+    }.toSeq.toDF("division", "code", "code_vector")
+      .coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/refine/codebooks")
+    encoded2.select("id", "codes2")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/refine/codes2")
+    val manifest = s"""{"num_divisions2":${rq.numDivisions2},""" +
+      s""""num_codes2":${rq.numCodes2}}"""
+    IvfPqBuilder.writeString(spark, s"$path/refine/manifest.json", manifest)
+    IvfPqBuilder.writeString(spark, s"$path/refine/manifest.json.sha256",
+      IvfPqBuilder.sha256Hex(manifest))
+  }
+
+  /** Load a refined store: the level-1 load (manifest re-hash + shape
+    * checks) plus the refine layer, codes2 joined back onto the codes
+    * relation. Returns (model, (id, partition, codes, codes2)). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): (RqModel, DataFrame) = {
+    val (base, codes) = IvfPqBuilder.load(spark, path)
+    val manifest = IvfPqBuilder.readVerifiedManifest(spark, s"$path/refine")
+    val d2 = "\"num_divisions2\":(\\d+)".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toInt).getOrElse(
+        throw new IllegalStateException(s"refine manifest missing d2: $manifest"))
+    val c2 = "\"num_codes2\":(\\d+)".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toInt).getOrElse(
+        throw new IllegalStateException(s"refine manifest missing c2: $manifest"))
+    val m2 = base.dim / d2
+    val books2 = {
+      val rows = spark.read.parquet(s"$path/refine/codebooks")
+        .select("division", "code", "code_vector")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      require(rows.length == d2 * c2,
+        s"refine codebooks shape ${rows.length} != $d2 x $c2")
+      rows.foreach { case (_, _, v) => require(v.length == m2,
+        s"refine code vector length ${v.length} != subdim $m2") }
+      val out = Array.ofDim[Array[Double]](d2, c2)
+      rows.foreach { case (d, c, v) => out(d)(c) = v }
+      out.map(_.toArray)
+    }
+    val rq = RqModel(base, books2, d2, c2)
+    val enc2 = codes.join(
+      spark.read.parquet(s"$path/refine/codes2").select("id", "codes2"),
+      "id")
+    (rq, enc2)
+  }
+
   /** Refined top-k: level-1 ADC nominates k·kFactor candidates, the
     * exact distance to the TWO-LEVEL reconstruction re-ranks them — the
     * [[graft.query.AnnQuery.topKRerank]] shape with reconstructions in

@@ -55,4 +55,23 @@ class RqSpec extends AnyFunSuite {
     // the query's own id should surface with a refine step at this scale
     assert(hits.map(_.getLong(0)).contains(0L))
   }
+
+  test("save/load round-trips the refined store and refined results") {
+    val (vecs, model, encoded) = fixture
+    val (rq, enc2) = Rq.fitRefine(encoded, model, numDivisions2 = 4,
+      numCodes2 = 8, trainPointsPerCentroid = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rq").toString
+    Rq.save(rq, enc2, dir)
+    val (rq2, enc2b) = Rq.load(spark, dir)
+    assert(rq2.numDivisions2 === 4 && rq2.numCodes2 === 8)
+    assert(rq2.refineBooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      rq.refineBooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = vecs.where(col("id") === 3L).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val a = Rq.topKRefined(enc2, rq, q, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Rq.topKRefined(enc2b, rq2, q, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
 }
