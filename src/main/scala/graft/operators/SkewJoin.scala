@@ -22,26 +22,32 @@ object SkewJoin {
   /** One-row key-skew telemetry for a prospective join key, all-integer:
     * (n_keys, n_rows, max_cnt, skew_x100 = ⌈100·max/mean⌉, salt =
     * min(64, max(1, ⌈max/mean⌉))) — mean over PRESENT keys; the same
-    * ceil'd max/mean rule as [[graft.query.AnnJoin.recommendedSalt]],
-    * computed in-plan so the SQL oracle replays identical arithmetic.
-    * One map-side-combined count per key + a metadata-sized aggregate. */
+    * ceil'd max/mean rule as [[graft.query.AnnJoin.recommendedSalt]].
+    * The distributed part is one map-side-combined count per key + a
+    * metadata-sized aggregate; the ceil-div arithmetic runs driver-side
+    * in BigInt over that single row — max_cnt·n_keys would overflow a
+    * Long in-plan once both factors pass ~3e9, which multi-billion-row
+    * relations reach (the same overflow class Profile.compare's
+    * cross-multiply had). */
   def keyStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyStats needs at least one key column")
-    df.groupBy(keyCols.map(col): _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .agg(count(lit(1)).as("n_keys"),
         coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
         coalesce(max(col("cnt")), lit(0L)).as("max_cnt"))
-      // ⌈a/b⌉ = (a + b − 1) div b on positive longs — overflow-safe at
-      // any realistic scale (max_cnt·100 and max_cnt·n_keys ≤ n_rows·100)
-      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
-        when(col("n_rows") > 0,
-          expr("(max_cnt * n_keys * 100 + n_rows - 1) div n_rows"))
-          .otherwise(lit(0L)).as("skew_x100"),
-        when(col("n_rows") > 0,
-          least(lit(64L), greatest(lit(1L),
-            expr("(max_cnt * n_keys + n_rows - 1) div n_rows"))))
-          .otherwise(lit(1L)).as("salt"))
+      .head()
+    val (nKeys, nRows, maxCnt) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    def ceilDiv(a: BigInt, b: Long): Long = ((a + b - 1) / b).toLong
+    val (skew, salt) =
+      if (nRows == 0) (0L, 1L)
+      else (ceilDiv(BigInt(maxCnt) * nKeys * 100, nRows),
+        math.min(64L, math.max(1L, ceilDiv(BigInt(maxCnt) * nKeys, nRows))))
+    Seq((nKeys, nRows, maxCnt, skew, salt))
+      .toDF("n_keys", "n_rows", "max_cnt", "skew_x100", "salt")
   }
 
   /** The [[keyStats]] salt for a relation, collected — the driver-side
@@ -62,6 +68,10 @@ object SkewJoin {
                       keys: Seq[String], salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(keys.nonEmpty, "saltedInnerJoin needs join keys")
+    require(!left.columns.contains("__sj_salt") &&
+      !right.columns.contains("__sj_salt"),
+      "saltedInnerJoin reserves the column name __sj_salt; rename it " +
+        "before joining")
     val l = left.withColumn("__sj_salt",
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     val r = right.withColumn("__sj_salt",
