@@ -161,4 +161,82 @@ class OperatorPropertySpec extends AnyFunSuite {
       Prop(got == want) :| s"got $got want $want"
     })
   }
+
+  test("exactQuantiles equals the sorted-rank reference on arbitrary lists") {
+    val valsGen = Gen.nonEmptyListOf(Gen.choose(-50L, 50L))
+    check(forAll(valsGen) { vals =>
+      val df = vals.toDF("x")
+      val qs = Seq(1, 37, 50, 99, 100)
+      val got = Sketches.exactQuantiles(df, "x", qs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val sorted = vals.sorted
+      qs.forall { q =>
+        val rank = (q.toLong * vals.length + 99) / 100
+        got(q.toLong) == sorted(rank.toInt - 1)
+      }
+    })
+  }
+
+  test("saltedInnerJoin output equals the plain join for arbitrary tables") {
+    val rowsGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 6L)
+      v <- Gen.choose(0, 9)
+    } yield (k, v))
+    check(forAll(rowsGen, rowsGen, Gen.choose(1, 6)) { (l, r, salt) =>
+      val lf = l.toDF("k", "lv")
+      val rf = r.toDF("k", "rv")
+      val got = SkewJoin.saltedInnerJoin(lf, rf, Seq("k"), salt)
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+        .sorted.toSeq
+      val want = lf.join(rf, Seq("k"))
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+        .sorted.toSeq
+      got == want
+    })
+  }
+
+  test("PageRank.rankInt equals a driver fold on arbitrary digraphs") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 7L)
+      b <- Gen.choose(0L, 7L)
+    } yield (a, b))
+    check(forAll(edgeGen, Gen.choose(1, 3)) { (edges0, iters) =>
+      val edges = edges0.distinct
+      val got = PageRank.rankInt(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var s = nodes.map(_ -> 1000000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edges.groupBy(_._2).map { case (v, in) =>
+          v -> in.map { case (u, _) => s(u) / deg(u) }.sum
+        }
+        s = nodes.map { v =>
+          val c = contrib.getOrElse(v, 0L)
+          v -> (150000000L + 85L * (c / 100) + (85L * (c % 100)) / 100)
+        }.toMap
+      }
+      got == s
+    })
+  }
+
+  test("clusterQuotas: proportional sums exactly to total, balanced " +
+      "spread <= 1, both modes sum to total") {
+    val sizesGen = Gen.nonEmptyListOf(Gen.choose(1, 20))
+      .map(_.take(5).zipWithIndex)
+    check(forAll(sizesGen, Gen.choose(0L, 40L)) { (sizes, total) =>
+      val rows = sizes.flatMap { case (n, c) =>
+        (0 until n).map(i => (c.toLong * 1000 + i, c.toLong))
+      }
+      val df = rows.toDF("id", "cluster")
+      val prop = graft.pipeline.Clustering
+        .clusterQuotas(df, total, "proportional")
+        .collect().map(_.getLong(1))
+      val bal = graft.pipeline.Clustering
+        .clusterQuotas(df, total, "balanced")
+        .collect().map(_.getLong(1))
+      prop.sum == total && bal.sum == total &&
+        (bal.max - bal.min) <= 1 && prop.forall(_ >= 0)
+    })
+  }
 }
