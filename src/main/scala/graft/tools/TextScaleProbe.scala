@@ -126,6 +126,29 @@ object TextScaleProbe {
         variants.unionByName(fresh), master, "id", "name", maxDist = 1)
         .count()
     }
+    // round-7 operators at 1M scale
+    timed("exact quantiles over 1M rows (10k-value domain)") {
+      graft.pipeline.Sketches.exactQuantiles(
+        spark.range(n).repartition(64)
+          .select(pmod(hash(col("id")), lit(10000)).cast("long").as("x")),
+        "x", Seq(1, 25, 50, 75, 99)).count()
+    }
+    timed("pagerank 3 iters over 1M edges / 100k nodes") {
+      val edges = spark.range(n).repartition(64)
+        .select(pmod(hash(col("id"), lit(1)), lit(100000)).cast("long")
+          .as("src"),
+          pmod(hash(col("id"), lit(2)), lit(100000)).cast("long").as("dst"))
+      graft.operators.PageRank.rankInt(edges, iters = 3).count()
+    }
+    timed("k-means assign 1M x 64-d vectors into 64 cells") {
+      val vecs = spark.range(n).repartition(64)
+        .select(col("id"),
+          graft.functions.FastFunctions.pseudoRandomVec(col("id"), 64, 7L)
+            .as("vec"))
+      graft.pipeline.Clustering.cluster(vecs, "vec", k = 64, seed = 7)
+        .agg(countDistinct(col("cluster"))).collect()
+      n
+    }
     timed("c4 line filters over 1M lined docs (pure projection)") {
       val lined = spark.range(n).repartition(64)
         .select(col("id").as("doc_id"),
