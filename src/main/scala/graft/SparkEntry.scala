@@ -673,8 +673,12 @@ object SparkEntry {
       graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("orderkey"),
           salt = 8)
         .groupBy("o_orderpriority")
+        // floor() before the long cast: Spark's double->long cast
+        // truncates while DuckDB's rounds, so only the explicit floor
+        // is engine-agnostic (quantities are integral, but the idiom
+        // should not depend on that)
         .agg(count(lit(1)).as("n_rows"),
-          coalesce(sum(col("l_quantity").cast("long")), lit(0L))
+          coalesce(sum(floor(col("l_quantity")).cast("long")), lit(0L))
             .as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
@@ -3781,7 +3785,8 @@ object SparkEntry {
 
     "rel_salted_join" ->
       """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT)
+        |   AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
