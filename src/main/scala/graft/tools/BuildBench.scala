@@ -42,7 +42,7 @@ object BuildBench {
     val tPrep = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val (_, encoded) = IvfPqBuilder.fit(vectors, "id", "vec", dim,
+    val (model, encoded) = IvfPqBuilder.fit(vectors, "id", "vec", dim,
       IvfPqConfig(numPartitions = p, numDivisions = d, numCodes = c,
         maxIter = maxIter), s => println(s"[buildbench]   $s"))
     val n = encoded.count()
@@ -50,6 +50,16 @@ object BuildBench {
     println(f"[buildbench] M=$m dim=$dim P=$p D=$d C=$c maxIter=$maxIter " +
       f"prep=$tPrep%.2f s build=$tBuild%.2f s rows=$n " +
       f"(reference: 906.52 s single-threaded at 100k x 1536)")
+    // SPARK_GRAFT_REFINE=1 also times the Rq second-layer fit+encode
+    // over the fresh build (D2 = D, C2 = C)
+    if (sys.env.get("SPARK_GRAFT_REFINE").contains("1")) {
+      val t2 = System.nanoTime()
+      val (_, enc2) = graft.index.Rq.fitRefine(encoded, model,
+        numDivisions2 = d, numCodes2 = c, maxIter = maxIter)
+      val n2 = enc2.count()
+      println(f"[buildbench] rq refine D2=$d C2=$c " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s rows=$n2")
+    }
     spark.stop()
   }
 }
