@@ -1558,6 +1558,33 @@ object SparkEntry {
           .as("rq_not_worse"))
     }),
 
+    // stored refined index: save/load the two-layer store (level-1
+    // layout + refine/ subtree, SHA-256-verified manifests) and require
+    // the loaded store's refined top-k to MATCH the in-memory one
+    // id-for-id and distance-for-distance — the ann_ivfpq_stored
+    // discipline applied to the newest store family
+    "ann_rq_stored" -> ((s, dir) => {
+      import graft.index.Rq
+      val (model, encoded) = fittedIndex(s, dir)
+      val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+        numDivisions2 = 16, numCodes2 = 16, trainPointsPerCentroid = 0)
+      val enc2 = enc2raw.localCheckpoint()
+      val out = newStoreDir("graft_rq")
+      Rq.save(rq, enc2, out)
+      val (rqL, enc2L) = Rq.load(s, out)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val mem = Rq.topKRefined(enc2, rq, q, k = 10, nprobe = 8)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val st = Rq.topKRefined(enc2L, rqL, q, k = 10, nprobe = 8)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull,
+          1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12,
+          1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+    }),
+
     // refine path: ADC nominates k'=4k candidates, exact re-rank over
     // just those rows picks the final k (FAISS IndexRefineFlat pattern).
     // Invariants: k rows; every reported distance EQUALS an independent
@@ -4186,6 +4213,11 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_total_diff,
         | CAST(1 AS BIGINT) AS flattened,
         | CAST(10 AS BIGINT) AS n_hits""".stripMargin,
+
+    "ann_rq_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
     "ann_rq_rerank" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
