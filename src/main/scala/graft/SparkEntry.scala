@@ -2361,6 +2361,24 @@ object SparkEntry {
           col("n_sample_bad"))
     }),
 
+    // cross-source contamination matrix: distinct shared word-4-gram
+    // fingerprints per source PAIR — the corpus-health diagnostic run
+    // before mixing sources; two injected cross-source phrases (on the
+    // %3 and %5 doc residues) make every cell's arithmetic non-trivial
+    "corpus_overlap_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" shared contamination phrase alpha beta gamma delta " +
+              "epsilon")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" second common boilerplate zeta eta theta iota kappa"))
+            .otherwise(lit(""))).as("text"))
+      graft.pipeline.TrainingData
+        .sourceOverlapMatrix(docs, "source", "text", n = 4)
+        .orderBy("src_a", "src_b")
+    }),
+
     // exact per-group stratified sampling: each source contributes
     // exactly its quota (derived here from the source number) by the
     // per-group md5 race — the row-level materialization of a
@@ -4891,6 +4909,25 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS balanced_spread_ok,
         | CAST(77 AS BIGINT) AS prop_sum,
         | CAST(0 AS BIGINT) AS n_sample_bad""".stripMargin,
+
+    "corpus_overlap_matrix" ->
+      """WITH d AS (SELECT source, doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    ' shared contamination phrase alpha beta gamma delta epsilon'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    ' second common boilerplate zeta eta theta iota kappa'
+        |    ELSE '' END AS text
+        | FROM documents),
+        |tok AS (SELECT source, string_split(text, ' ') AS ts FROM d),
+        |g AS (SELECT DISTINCT source AS src,
+        |  md5(array_to_string(ts[i.i : i.i + 3], ' ')) AS g
+        | FROM tok, generate_series(1, 4096) AS i(i)
+        | WHERE i.i + 3 <= len(ts))
+        |SELECT a.src AS src_a, b.src AS src_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g a JOIN g b ON a.g = b.g AND a.src < b.src
+        |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin,
 
     "sample_stratified" ->
       """WITH q AS (SELECT source,

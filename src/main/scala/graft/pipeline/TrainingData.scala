@@ -358,6 +358,28 @@ object TrainingData {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Cross-source contamination matrix: for every PAIR of sources, the
+    * number of DISTINCT word n-gram fingerprints they share — the
+    * corpus-health diagnostic run before mixing sources (a high overlap
+    * cell means "independent" sources duplicate each other, inflating
+    * effective epochs and leaking across source-weighted splits).
+    * Machinery: the [[decontaminate]] fingerprint relation keyed by
+    * source (distinct fixed-width md5 rows), self-joined on the
+    * fingerprint with src_a < src_b. The join is bucketed by the
+    * fingerprint; each gram contributes at most |sources|²/2 pairs —
+    * source-count-bounded, never corpus². Output:
+    * (src_a, src_b, n_shared), only pairs with overlap. */
+  def sourceOverlapMatrix(df: DataFrame, sourceCol: String,
+                          textCol: String, n: Int): DataFrame = {
+    val g = df.select(col(sourceCol).as("src"),
+        explode(ngramFingerprints(col(textCol), n)).as("g"))
+      .distinct()
+    g.as("a").join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic weighted source mixture: keep a row iff its md5
     * bucket (256 buckets over the row id) falls under its group's
     * threshold — sampling is a pure function of the id, so the mixture
