@@ -169,4 +169,36 @@ object Rq {
       .orderBy(col("sq_dist"), col("id"))
       .limit(k)
   }
+
+  /** Batch refined queries — the [[graft.query.AnnQuery.batchTopKRerank]]
+    * shape against two-level reconstructions instead of stored
+    * originals: one batch ADC pass nominates k·kFactor candidates per
+    * query, the candidate (qid, id) relation and the query vectors
+    * broadcast onto ONE streamed pass over the codes (reconstruction is
+    * a per-row kernel projection, no vector table needed), and a
+    * map-side-combining bounded top-k keeps k per query. Output
+    * (qid, id, sq_dist, rank). */
+  def batchTopKRefined(encoded2: DataFrame, rq: RqModel,
+                       queries: Seq[(Long, Array[Double])], k: Int,
+                       nprobe: Int, kFactor: Int = 4): DataFrame = {
+    val spark = encoded2.sparkSession
+    import spark.implicits._
+    val cand = graft.query.AnnQuery
+      .batchTopK(encoded2, rq.base, queries, k * kFactor, nprobe)
+      .select(col("qid"), col("id"))
+    val qDf = queries.map { case (qid, q) => (qid, q.map(_.toFloat).toSeq) }
+      .toDF("qid", "qvec")
+    encoded2
+      .join(broadcast(cand), "id")
+      .join(broadcast(qDf), "qid")
+      .select(col("qid"), col("id"),
+        squaredL2F(reconstruct2(rq), col("qvec")).as("sq_dist"))
+      .groupBy(col("qid"))
+      .agg(graft.query.TopKAggregator.topK(k)(col("sq_dist"), col("id"))
+        .as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.id").as("id"),
+        col("hit.dist").as("sq_dist"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

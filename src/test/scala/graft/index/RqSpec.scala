@@ -74,4 +74,26 @@ class RqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a === b)
   }
+
+  test("batchTopKRefined equals per-query topKRefined") {
+    val (vecs, model, encoded) = fixture
+    val (rq, enc2raw) = Rq.fitRefine(encoded, model, numDivisions2 = 4,
+      numCodes2 = 8, trainPointsPerCentroid = 0)
+    val enc2 = enc2raw.cache()
+    val queries = Seq(0L, 7L, 42L).map { id =>
+      id -> vecs.where(col("id") === id).head()
+        .getSeq[Float](1).map(_.toDouble).toArray
+    }
+    val batch = Rq.batchTopKRefined(enc2, rq, queries, k = 5, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, q) =>
+      val single = Rq.topKRefined(enc2, rq, q, k = 5, nprobe = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getDouble(1), i + 1L) }
+        .toSeq
+      assert(batch(qid).sortBy(_._4).toSeq === single, s"qid $qid")
+    }
+  }
 }
