@@ -78,7 +78,12 @@ object StreamingLinkage {
   /** The continuous query: every micro-batch of `stream` (idCol, strCol)
     * is linked against the master relations and handed to `sink` as
     * (new_id, master_id, dist) — append semantics, each new record's
-    * links emitted in the trigger that carried it. */
+    * links emitted in the trigger that carried it.
+    *
+    * foreachBatch is AT-LEAST-ONCE under recovery: a failed trigger
+    * replays with the same batchId, so a non-idempotent sink must key
+    * on (batchId, new_id, master_id) — the same contract
+    * [[StreamingIngest]] documents with its per-batch markers. */
   def linkStream(stream: DataFrame, idCol: String, strCol: String,
                  masterGrams: DataFrame, masterGramFreq: DataFrame,
                  masterStrings: DataFrame, maxDist: Int, q: Int,
