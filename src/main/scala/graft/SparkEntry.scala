@@ -3497,6 +3497,17 @@ object SparkEntry {
       countDiff.crossJoin(outDiff).crossJoin(nonvac)
     }),
 
+    // Gopher-style rule-based quality DECISION: four 25-point binary
+    // rules (length band, stopword floor, token-length band, repetition
+    // cap) composed from the individual signals in one projection;
+    // thresholds chosen to split the fixture non-vacuously
+    "text_gopher_rules" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.gopherRules(Tables.documents(s, dir),
+        minTokens = 30, maxTokens = 90, minStopPct = 3,
+        minTokLenX10 = 30, maxTokLenX10 = 100, maxRepPct = 20,
+        cutoff = 75)
+        .orderBy("doc_id")),
+
     // compression-ratio quality signal (deflate kernel): byte counts are
     // zlib-dependent, so the gate asserts INVARIANTS — every doc's 8×
     // self-repetition compresses to a strictly lower ratio than the doc
@@ -5964,6 +5975,42 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_count_diff,
         | CAST(0 AS BIGINT) AS n_out_diff,
         | CAST(1 AS BIGINT) AS boiler_nonempty""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  CAST(length(text) AS BIGINT) AS nc FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4094 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
+        |sh AS (SELECT doc_id, array_to_string(toks[g.i : g.i + 2], ' ')
+        |   AS s
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 2 <= nt),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id, s),
+        |rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS mr,
+        |  CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY doc_id),
+        |q AS (SELECT t.doc_id, nt,
+        |  CAST(floor(100.0 * len(list_filter(toks, x -> x IN
+        |    ('the','a','an','of','to','and','in','is'))) / nt) AS BIGINT)
+        |    AS sp,
+        |  CAST(floor(10.0 * (nc - (nt - 1)) / nt) AS BIGINT) AS tl,
+        |  COALESCE(CASE WHEN rep.ns = 0 THEN 0
+        |    ELSE (rep.mr * 100) // rep.ns END, 0) AS rp
+        | FROM t LEFT JOIN rep USING (doc_id) CROSS JOIN guard
+        | WHERE guard.ok = 1),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN nt >= 30 AND nt <= 90 THEN 1 ELSE 0 END AS r_len,
+        |  CASE WHEN sp >= 3 THEN 1 ELSE 0 END AS r_stop,
+        |  CASE WHEN tl >= 30 AND tl <= 100 THEN 1 ELSE 0 END AS r_tlen,
+        |  CASE WHEN rp <= 20 THEN 1 ELSE 0 END AS r_rep FROM q)
+        |SELECT doc_id, CAST(r_len AS BIGINT) AS r_len,
+        | CAST(r_stop AS BIGINT) AS r_stop,
+        | CAST(r_tlen AS BIGINT) AS r_tlen,
+        | CAST(r_rep AS BIGINT) AS r_rep,
+        | CAST((r_len + r_stop + r_tlen + r_rep) * 25 AS BIGINT) AS score,
+        | CAST(CASE WHEN (r_len + r_stop + r_tlen + r_rep) * 25 >= 75
+        |   THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // invariant oracle: repetition always compresses strictly better
     // and every ratio is in bounds, for all 500 docs

@@ -231,6 +231,39 @@ object TextAnalysis {
       .withColumn("rep_pct", when(col("n_shingles") === 0, lit(0L))
         .otherwise(expr("(max_rep * 100) div n_shingles")))
 
+  /** Gopher-style rule-based quality DECISION (Rae et al. 2021 §A1.1
+    * adapted to this corpus's integer signals): four binary rules —
+    * token count within [minTokens, maxTokens], stopword percentage ≥
+    * minStopPct (the "natural prose has function words" test), mean
+    * token length within [minTokLenX10, maxTokLenX10] tenths, and
+    * shingle repetition ≤ maxRepPct — each worth 25 points; `keep` =
+    * score ≥ cutoff. The composite the individual signal operators
+    * exist to feed: ONE projection (quality exprs + the repetition
+    * kernel per row), no shuffle, integer-only output:
+    * (doc_id, r_len, r_stop, r_tlen, r_rep, score, keep). */
+  def gopherRules(docs: DataFrame, minTokens: Int = 50,
+      maxTokens: Int = 100000, minStopPct: Int = 2,
+      minTokLenX10: Int = 30, maxTokLenX10: Int = 100,
+      maxRepPct: Int = 20, cutoff: Int = 75, n: Int = 3): DataFrame = {
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    withQualitySignals(docs)
+      .withColumn("__gr_p", graft.functions.FastFunctions
+        .shingleRepetition(tokens(col("text")), n))
+      .withColumn("rep_pct", expr(
+        "CASE WHEN (__gr_p & 4294967295) = 0 THEN 0L ELSE " +
+          "(shiftright(__gr_p, 32) * 100) div (__gr_p & 4294967295) END"))
+      .select(col("doc_id"),
+        flag(col("n_tokens") >= minTokens &&
+          col("n_tokens") <= maxTokens).as("r_len"),
+        flag(col("stop_pct") >= minStopPct).as("r_stop"),
+        flag(col("avg_tok_len_x10") >= minTokLenX10 &&
+          col("avg_tok_len_x10") <= maxTokLenX10).as("r_tlen"),
+        flag(col("rep_pct") <= maxRepPct).as("r_rep"))
+      .withColumn("score",
+        (col("r_len") + col("r_stop") + col("r_tlen") + col("r_rep")) * 25)
+      .withColumn("keep", flag(col("score") >= cutoff))
+  }
+
   /** Cross-document novelty signal: how much of a document's n-gram mass
     * is corpus-RARE (document frequency ≤ rareDf). Boilerplate scores
     * near 0 (its n-grams recur everywhere); unique prose scores high; a

@@ -244,4 +244,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(2), r.getString(6))).head
     assert(got === ((1L, "three words suffice here")))
   }
+
+  test("gopherRules: each rule flips independently and keep follows score") {
+    import org.apache.spark.sql.functions.col
+    val good = ("the quick brown fox of the woods is happy to run and " +
+      "jump in a field " + (1 to 30).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (1L, good),                                 // all rules pass
+      (2L, "too short is this"),                  // fails length
+      (3L, ("nostops " * 45).trim),               // no stopwords + repetitive
+      (4L, good + " " + Seq.fill(40)("rep tok").mkString(" ")))
+      // doc 4: 80 alternating tokens make "rep tok rep"-type shingles
+      // dominate (~39/124 > 20%) while stopwords/length still pass
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, minTokens = 20,
+      maxTokens = 200, minStopPct = 3, minTokLenX10 = 20,
+      maxTokLenX10 = 120, maxRepPct = 20, cutoff = 75)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 1L, 100L, 1L)))
+    assert(got(2L)._1 === 0L)                     // length rule fails
+    assert(got(3L)._2 === 0L)                     // stopword rule fails
+    assert(got(3L)._4 === 0L)                     // repetition rule fails
+    assert(got(4L)._4 === 0L)                     // repetition rule fails
+    got.values.foreach { case (a, b, c, d, score, keep) =>
+      assert(score === (a + b + c + d) * 25)
+      assert(keep === (if (score >= 75) 1L else 0L))
+    }
+  }
 }
