@@ -1512,6 +1512,44 @@ object SparkEntry {
         lit(nHits).cast("long").as("n_hits"))
     }),
 
+    // the VECTOR-side end-to-end composite (the pipeline_end_to_end twin
+    // for embeddings): hash-embed raw documents -> PCA to 16 dims (one
+    // moments pass + driver Jacobi + a codegen projection) -> IVF+PQ
+    // build over the reduced vectors -> refined self-query. Invariants:
+    // every reduced vector has exactly k dims; the self-query's exact
+    // rerank puts the query doc at rank 1 (its reduced distance is 0);
+    // recall vs the exact top-10 over reduced vectors >= 30%
+    "pipeline_vector_end_to_end" -> ((s, dir) => {
+      import graft.pipeline.Embeddings
+      val docs = Tables.documents(s, dir)
+      val emb = Embeddings.hashEmbed(docs, dim = 128).localCheckpoint()
+      val pca = Embeddings.pcaFit(emb, "embedding", k = 16)
+      val reduced = Embeddings.pcaProject(emb, "doc_id", "embedding", pca)
+        .select(col("doc_id"), col("proj").cast("array<float>").as("vec"))
+        .localCheckpoint()
+      val (model, encoded) = IvfPqBuilder.fit(reduced, "doc_id", "vec", 16,
+        IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 32,
+          maxIter = 15))
+      val qf = reduced.where(col("doc_id") === 7L).head()
+        .getSeq[Float](1).toArray
+      val q = qf.map(_.toDouble)
+      val hits = AnnQuery.topKRerank(encoded, reduced, "vec", "doc_id",
+        model, q, k = 10, nprobe = 4)
+      val exact = ExactKnn.rankedIds(reduced, "vec", "doc_id", qf, 10)
+        .select(col("doc_id").as("id"))
+      val badLen = reduced
+        .agg(coalesce(sum(when(size(col("vec")) =!= 16, 1L)
+          .otherwise(0L)), lit(0L)).as("n_badlen"))
+      val top1 = hits.orderBy(col("sq_dist"), col("id")).limit(1)
+        .agg(coalesce(sum(when(col("id") === 7L, 1L).otherwise(0L)),
+          lit(0L)).as("top1_self"))
+      val rec = hits.join(exact, "id").agg(count(lit(1)).as("n_hit"))
+      hits.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(badLen).crossJoin(top1).crossJoin(rec)
+        .select(col("n_rows"), col("n_badlen"), col("top1_self"),
+          when(col("n_hit") >= 3, 1L).otherwise(0L).as("recall_ge_30"))
+    }),
+
     // two-level residual quantization (index/Rq): a SECOND code layer
     // trained on the level-1 reconstruction error refines candidate
     // rerank WITHOUT stored originals (FAISS IVFPQR shape). Invariants:
@@ -4242,6 +4280,12 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_total_diff,
         | CAST(1 AS BIGINT) AS flattened,
         | CAST(10 AS BIGINT) AS n_hits""".stripMargin,
+
+    "pipeline_vector_end_to_end" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_badlen,
+        | CAST(1 AS BIGINT) AS top1_self,
+        | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
 
     "ann_rq_stored" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
