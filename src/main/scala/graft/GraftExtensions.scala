@@ -76,7 +76,8 @@ object GraftFunctions {
       "meanPool", 5),
     ("graft_nfc", StringType, "nfcNormalize", 1),
     ("graft_nfkc", StringType, "nfkcNormalize", 1),
-    ("graft_deflate_len", LongType, "deflateLen", 1))
+    ("graft_deflate_len", LongType, "deflateLen", 1),
+    ("graft_strip_accents", StringType, "stripAccents", 1))
 
   /** The advertised SQL surface, in registration order. Every kernel
     * with stable semantics is here; the only deliberate omission is

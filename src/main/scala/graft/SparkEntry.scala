@@ -3567,6 +3567,24 @@ object SparkEntry {
             lit(0L)).as("n_in_bounds"))
     }),
 
+    // accent stripping (codegen NFD+mark-drop kernel vs DuckDB's
+    // strip_accents): the same decomposed/precomposed injections as the
+    // NFC entry must BOTH fold to the bare-ASCII suffix
+    "text_strip_accents" -> ((s, dir) => {
+      val decomposed = "cafe\u0301 nai\u0308ve A\u030A"
+      val composed = "caf\u00e9 na\u00efve \u00c5"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), concat(col("text"), lit(" "),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(decomposed))
+            .otherwise(lit(composed))).as("t"))
+        .select(col("doc_id"),
+          md5(graft.pipeline.TextAnalysis.stripAccents(col("t"))
+            .cast("binary")).as("stripped_md5"),
+          length(graft.pipeline.TextAnalysis.stripAccents(col("t")))
+            .cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode NFC normalization (codegen kernel vs DuckDB's
     // nfc_normalize): decomposed combining sequences (e+U+0301,
     // i+U+0308, A+U+030A) injected on even docs, their precomposed
@@ -6062,6 +6080,18 @@ object SparkEntry {
       """SELECT CAST(500 AS BIGINT) AS n_docs,
         | CAST(500 AS BIGINT) AS n_rep_better,
         | CAST(500 AS BIGINT) AS n_in_bounds""".stripMargin,
+
+    "text_strip_accents" ->
+      """WITH d AS (SELECT doc_id, text || ' ' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'cafe' || chr(769) || ' nai' || chr(776) || 've A'
+        |      || chr(778)
+        |    ELSE 'caf' || chr(233) || ' na' || chr(239) || 've '
+        |      || chr(197) END AS t
+        | FROM documents)
+        |SELECT doc_id, md5(strip_accents(t)) AS stripped_md5,
+        | CAST(length(strip_accents(t)) AS BIGINT) AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "text_unicode_nfc" ->
       """WITH d AS (SELECT doc_id, text || ' ' ||

@@ -60,6 +60,7 @@ object FastFunctions {
     "nfcNormalize" -> Seq(StringType),
     "nfkcNormalize" -> Seq(StringType),
     "deflateLen" -> Seq(StringType),
+    "stripAccents" -> Seq(StringType),
     "sq8Encode" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       ArrayType(DoubleType)),
     "sq8Decode" -> Seq(BinaryType, ArrayType(DoubleType), ArrayType(DoubleType)),
@@ -281,6 +282,10 @@ object FastFunctions {
   /** DEFLATE byte length of a string (Kernels.deflateLen). */
   def deflateLen(s: Column): Column =
     invoke(LongType, "deflateLen", s)
+
+  /** Accent/diacritic stripping (Kernels.stripAccents). */
+  def stripAccents(s: Column): Column =
+    invoke(StringType, "stripAccents", s)
 
   /** Unicode NFC canonical composition (Kernels.nfcNormalize). */
   def nfcNormalize(s: Column): Column =

@@ -1055,6 +1055,43 @@ object Kernels {
     } finally d.end()
   }
 
+  /** Accent/diacritic stripping: NFD-decompose, drop combining marks,
+    * NFC-recompose — "café" → "cafe", the search-normalization fold
+    * (DuckDB's strip_accents, Lucene's ASCIIFoldingFilter for the
+    * combining-mark subset). ASCII fast path shares [[nfcNormalize]]'s
+    * isNormalized discipline: pure-ASCII rows never allocate. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // a string with no combining marks after NFD has none to strip;
+    // cheap pre-test: already-NFD strings with no marks, or pure ASCII
+    val nfd = java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFD)
+    var hasMark = false
+    var i = 0
+    while (i < nfd.length && !hasMark) {
+      val t = Character.getType(nfd.charAt(i))
+      hasMark = t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK
+      i += 1
+    }
+    if (!hasMark) s
+    else {
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var j = 0
+      while (j < nfd.length) {
+        val ch = nfd.charAt(j)
+        val t = Character.getType(ch)
+        if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.append(ch)
+        j += 1
+      }
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        sb.toString, java.text.Normalizer.Form.NFC))
+    }
+  }
+
   /** Unicode NFC normalization (canonical composition) — the text-
     * canonicalization step before hashing/dedup: "café" typed as
     * e+COMBINING ACUTE and as the precomposed é must hash identically.

@@ -215,6 +215,12 @@ object TextAnalysis {
   def nfkc(text: Column): Column =
     graft.functions.FastFunctions.nfkcNormalize(text)
 
+  /** Accent/diacritic stripping ("café" → "cafe"): NFD, drop combining
+    * marks, recompose — the search-normalization fold, one codegen
+    * kernel call per row. */
+  def stripAccents(text: Column): Column =
+    graft.functions.FastFunctions.stripAccents(text)
+
   /** Repetition quality signal (Gopher-style, Rae et al. 2021 §A1.1):
     * multiplicity of the most-repeated n-token shingle, total shingles,
     * and their floor-percent ratio — documents dominated by one repeated

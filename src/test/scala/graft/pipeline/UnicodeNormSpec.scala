@@ -36,4 +36,16 @@ class UnicodeNormSpec extends AnyFunSuite {
     assert(got.getString(0) === "plain ascii")
     assert(got.getString(1) === "plain ascii")
   }
+
+  test("stripAccents folds diacritics from both composed and decomposed " +
+      "forms; ascii untouched") {
+    graft.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_strip_accents('caf\u00e9 na\u00efve \u00c5'), " +
+        "graft_strip_accents('cafe\u0301 nai\u0308ve A\u030a'), " +
+        "graft_strip_accents('plain ascii text')").head()
+    assert(got.getString(0) === "cafe naive A")
+    assert(got.getString(1) === "cafe naive A")
+    assert(got.getString(2) === "plain ascii text")
+  }
 }
