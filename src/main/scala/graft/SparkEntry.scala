@@ -2822,6 +2822,18 @@ object SparkEntry {
         "cents", Seq(1, 5, 25, 50, 75, 95, 99))
         .orderBy("q_x100")),
 
+    // per-source exact heavy hitters (tokens with > n_source/50 = 2%
+    // frequency inside their source): the Misra-Gries two-pass run per
+    // group — bounded candidate state, exact recount, no (group, item)
+    // distinct materialization
+    "stats_heavy_hitters_by_group" -> ((s, dir) =>
+      graft.pipeline.Sketches.heavyHittersByGroup(
+        Tables.documents(s, dir).select(col("source"),
+          explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+            .as("tok")),
+        "source", "tok", k = 50)
+        .orderBy("source", "item")),
+
     // per-group exact quantiles: same integer rank rule, cumulative
     // window bounded by each group's value domain
     "stats_exact_quantiles_by_group" -> ((s, dir) =>
@@ -5206,6 +5218,18 @@ object SparkEntry {
     "stats_approx_quantiles" ->
       """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stats_heavy_hitters_by_group" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok AS item, CAST(count(*) AS BIGINT) AS cnt
+        | FROM t GROUP BY source, tok),
+        |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_group
+        | FROM c GROUP BY source)
+        |SELECT c.source, c.item, c.cnt, n.n_group
+        |FROM c JOIN n USING (source)
+        |WHERE c.cnt * 50 > n.n_group
+        |ORDER BY source, item""".stripMargin,
 
     "stats_exact_quantiles_by_group" ->
       """WITH v AS (SELECT event_type,

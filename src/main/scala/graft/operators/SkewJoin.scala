@@ -55,6 +55,14 @@ object SkewJoin {
   def recommendedSalt(df: DataFrame, keyCols: Seq[String]): Int =
     keyStats(df, keyCols).head().getAs[Long]("salt").toInt
 
+  /** [[saltedInnerJoin]] with the salt derived from the left side's own
+    * key histogram ([[recommendedSalt]]) — the auto mode, one extra
+    * narrow count job, the [[graft.query.AnnJoin]] resolveSalt pattern.
+    * Uniform keys resolve to salt 1, i.e. the plain join. */
+  def saltedInnerJoinAuto(left: DataFrame, right: DataFrame,
+                          keys: Seq[String]): DataFrame =
+    saltedInnerJoin(left, right, keys, recommendedSalt(left, keys))
+
   /** Skew-salted inner equi-join, OUTPUT-IDENTICAL to
     * `left.join(right, keys)`: the (large, skewed) left side gets a
     * deterministic per-row salt in [0, salt) hashed from its whole row

@@ -236,4 +236,27 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > n)
   }
+
+  /** Per-GROUP exact heavy hitters: every (group, item) whose frequency
+    * exceeds n_group/k — [[heavyHitters]]' two-pass run per group. Pass
+    * 1 is ONE map-side-combined Misra-Gries aggregate per group (≤ k
+    * counters of state each — the MG guarantee keeps every
+    * over-threshold item among the candidates); pass 2 joins the
+    * exploded (group, candidate) relation back and recounts exactly.
+    * The full (group, item) distinct relation is never materialized —
+    * at 100 TB with open item domains that is the point. Output:
+    * (groupCol, item, cnt, n_group). */
+  def heavyHittersByGroup(items: DataFrame, groupCol: String,
+                          itemCol: String, k: Int): DataFrame = {
+    val cand = items.groupBy(col(groupCol))
+      .agg(misraGriesCandidates(k)(col(itemCol)).as("cand"),
+        count(lit(1)).as("n_group"))
+      .select(col(groupCol), col("n_group"),
+        explode(col("cand")).as("item"))
+    items.select(col(groupCol), col(itemCol).as("item"))
+      .join(cand, Seq(groupCol, "item"))
+      .groupBy(col(groupCol), col("item"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_group")).as("n_group"))
+      .where(col("cnt") * k > col("n_group"))
+  }
 }

@@ -140,4 +140,18 @@ class SketchesSpec extends AnyFunSuite {
       assert(grouped((g, 100L)) === single(100L), g)
     }
   }
+
+  test("heavyHittersByGroup equals the exact per-group threshold set") {
+    // group g1: 'a' x10 of 20 (50%), 'b' x5 (25%), singles; g2 uniform
+    val items = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++
+      (1 to 5).map(i => s"u$i")).map(("g1", _)) ++
+      (1 to 12).map(i => ("g2", s"v${i % 6}"))
+    val df = items.toDF("g", "item")
+    val got = Sketches.heavyHittersByGroup(df, "g", "item", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // threshold: > n_group/4 -> g1: a (10 > 5), b is NOT (5 = 5 not >);
+    // g2: every value has 2 of 12 (not > 3)
+    assert(got === Set(("g1", "a", 10L, 20L)))
+  }
 }
