@@ -53,4 +53,14 @@ class SkewJoinSpec extends AnyFunSuite {
     val cond = joins.head.condition.map(_.toString).getOrElse("")
     assert(cond.contains("__sj_salt"), cond)
   }
+
+  test("saltedInnerJoinAuto derives the salt and matches the plain join") {
+    val got = SkewJoin.saltedInnerJoinAuto(skewed, dim, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val want = skewed.join(dim, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got === want)
+  }
 }
