@@ -1882,6 +1882,20 @@ object SparkEntry {
         .select("content_hash", "keep_id", "n_docs")
         .orderBy("content_hash")),
 
+    // normalization-aware dedup with the UNICODE-robust key: accents
+    // stripped (composed AND decomposed forms of the same injected
+    // diacritic suffix fold together) before the lowercase/alnum
+    // canonicalization — the multilingual twin of dedup_normalized
+    "dedup_normalized_unicode" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)
+          .withColumn("text", TextAnalysis.normalizedTextUnicode(
+            concat(col("text"),
+              when(pmod(col("doc_id"), lit(2)) === 0,
+                lit(" Cre\u0300me Bru\u0302le\u0301e!"))
+                .otherwise(lit(" Cr\u00e8me Br\u00fbl\u00e9e"))))))
+        .select("content_hash", "keep_id", "n_docs")
+        .orderBy("content_hash")),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), thresholdPct = 85)
         .orderBy("a_id", "b_id")),
@@ -4456,6 +4470,22 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_normalized_unicode" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN ' Cre' || chr(768) || 'me Bru' || chr(770) || 'le'
+        |      || chr(769) || 'e!'
+        |    ELSE ' Cr' || chr(232) || 'me Br' || chr(251) || 'l'
+        |      || chr(233) || 'e' END AS text
+        | FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(strip_accents(text)),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text
+        | FROM d)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_docs
+        |FROM n GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
     "dedup_normalized" ->
       """WITH n AS (SELECT doc_id,

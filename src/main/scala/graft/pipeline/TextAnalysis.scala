@@ -221,6 +221,15 @@ object TextAnalysis {
   def stripAccents(text: Column): Column =
     graft.functions.FastFunctions.stripAccents(text)
 
+  /** Unicode-robust canonical dedup key: accents stripped (which
+    * subsumes NFC for the combining-mark cases — both decompositions of
+    * "café" land on "cafe"), then [[normalizedText]]'s lowercase /
+    * non-alphanumeric / space-run canonicalization. The key under which
+    * "Crème  Brûlée!" and "creme brulee" are exact duplicates — still
+    * one codegen projection per row. */
+  def normalizedTextUnicode(text: Column): Column =
+    normalizedText(stripAccents(text))
+
   /** Repetition quality signal (Gopher-style, Rae et al. 2021 §A1.1):
     * multiplicity of the most-repeated n-token shingle, total shingles,
     * and their floor-percent ratio — documents dominated by one repeated
