@@ -126,16 +126,30 @@ object Clustering {
     quotas.toDF("cluster", "n")
   }
 
+  /** Adapt a fitted IVF coarse model as a cluster model: a stored vector
+    * index's partition centroids double as the corpus topic-clusterer —
+    * one fit serves both retrieval and balancing. */
+  def fromIvf(model: graft.index.IvfPqModel): ClusterModel =
+    ClusterModel(model.partitionCentroids, model.config.numPartitions, 0)
+
   /** Cluster-balanced corpus sample: assign clusters, apportion `total`
     * by `mode`, then take each cluster's quota by the deterministic
     * md5 race ([[TrainingData.stratifiedSample]] with cluster strata).
     * Output: the sampled input rows + their `cluster`. */
   def balancedSample(df: DataFrame, idCol: String, vecCol: String, k: Int,
                      total: Long, seed: Long, mode: String = "balanced",
-                     trainPointsPerCentroid: Int = 256): DataFrame = {
-    val assigned = cluster(df, vecCol, k, seed, trainPointsPerCentroid)
-      .localCheckpoint() // quota sizes + the race read the same assignment
+                     trainPointsPerCentroid: Int = 256): DataFrame =
+    balancedSampleAssigned(
+      cluster(df, vecCol, k, seed, trainPointsPerCentroid)
+        .localCheckpoint(), // quota sizes + the race share the assignment
+      idCol, total, seed, mode)
+
+  /** [[balancedSample]] over a PRECOMPUTED `cluster` assignment — the
+    * reuse path when the assignment already exists (an IVF store's
+    * partitions via [[fromIvf]] + [[assign]], or a persisted one). */
+  def balancedSampleAssigned(assigned: DataFrame, idCol: String,
+                             total: Long, seed: Long,
+                             mode: String = "balanced"): DataFrame =
     TrainingData.stratifiedSample(assigned, "cluster", idCol,
       clusterQuotas(assigned, total, mode), seed)
-  }
 }

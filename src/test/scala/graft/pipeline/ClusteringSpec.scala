@@ -94,4 +94,20 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
       again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("fromIvf reuses a fitted index's partitions as clusters") {
+    val vecs = blobs.select(col("id"), col("vec"))
+    val (ivf, _) = graft.index.IvfPqBuilder.fit(vecs, "id", "vec", 4,
+      graft.index.IvfPqConfig(numPartitions = 3, numDivisions = 2,
+        numCodes = 4, maxIter = 15))
+    val model = Clustering.fromIvf(ivf)
+    val out = Clustering.assign(blobs, "vec", model)
+    // the IVF coarse fit separates the same 3 well-separated blobs
+    val m = out.groupBy("blob")
+      .agg(countDistinct(col("cluster")).as("nc")).collect()
+    assert(m.forall(_.getLong(1) == 1L))
+    val sample = Clustering.balancedSampleAssigned(
+      out.localCheckpoint(), "id", total = 9, seed = 3)
+    assert(sample.count() === 9L)
+  }
 }
