@@ -48,6 +48,17 @@ object PlanAudit {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     graft.query.AnnJoin.knnJoin(emb, "vec_id", "embedding", model,
       k = 3, nprobe = 2).explain("formatted")
+
+    // the skew-salted join likewise must not depend on a broadcast:
+    // with the threshold disabled the plan must show a shuffle join
+    // keyed on (join keys, __sj_salt)
+    println("=== salted join (broadcast disabled): shuffle join on key+salt ===")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, o, Seq("orderkey"), 8)
+      .explain("formatted")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBcast)
 
     spark.stop()
