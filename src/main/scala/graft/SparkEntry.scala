@@ -683,6 +683,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // correlated-scalar-subquery shape, decorrelated the Spark-first
+    // way: per-customer averages via one aggregate + an equi-join, the
+    // order kept when its price beats its OWN customer's mean by >10%
+    // (integer-cents comparison, no float in the predicate)
+    "rel_above_cust_avg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val avgs = o.groupBy("o_custkey")
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("sum_cents"),
+          count(lit(1)).as("n_orders"))
+      o.join(avgs, "o_custkey")
+        // cents > 1.1 * sum/n  <=>  cents * n * 10 > sum * 11
+        .where(col("cents") * col("n_orders") * 10 >
+          col("sum_cents") * 11)
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+        .orderBy("o_orderkey")
+    }),
+
     "rel_semi_join" -> ((s, dir) => {
       val bigOrders = Tables.orders(s, dir).where(col("o_totalprice") > 200000)
       Tables.customer(s, dir)
@@ -1594,6 +1613,33 @@ object SparkEntry {
         when(col("n_rq") >= 3, 1L).otherwise(0L).as("recall_ge_30"),
         when(col("n_rq") >= col("n_adc"), 1L).otherwise(0L)
           .as("rq_not_worse"))
+    }),
+
+    // batch refined queries: one ADC nomination pass + one streamed
+    // codes pass scoring two-level reconstructions must equal the
+    // per-query refined path id-for-id and distance-for-distance
+    "ann_rq_batch" -> ((s, dir) => {
+      import graft.index.Rq
+      val (model, encoded) = fittedIndex(s, dir)
+      val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+        numDivisions2 = 16, numCodes2 = 16, trainPointsPerCentroid = 0)
+      val enc2 = enc2raw.localCheckpoint()
+      val queries = Seq(0L, 3L, 9L).map(id =>
+        id -> queryVec(s, dir, id).map(_.toDouble))
+      val batch = Rq.batchTopKRefined(enc2, rq, queries, k = 10,
+          nprobe = 8)
+        .select(col("qid"), col("id"), col("sq_dist").as("b_dist"))
+      val singles = queries.map { case (qid, q) =>
+        Rq.topKRefined(enc2, rq, q, k = 10, nprobe = 8)
+          .select(lit(qid).as("qid"), col("id"),
+            col("sq_dist").as("s_dist"))
+      }.reduce(_ unionByName _)
+      batch.join(singles, Seq("qid", "id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("b_dist").isNull || col("s_dist").isNull,
+          1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("b_dist") - col("s_dist")) > 1e-12,
+          1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
     }),
 
     // stored refined index: save/load the two-layer store (level-1
@@ -2848,6 +2894,24 @@ object SparkEntry {
         "source", "tok", k = 50)
         .orderBy("source", "item")),
 
+    // inter-event gap quantiles per event type: the per-user lag window
+    // (one exchange) feeding the per-group exact quantile machinery —
+    // "how bursty is each event stream", in exact milliseconds
+    "events_gap_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"),
+          expr("(ts - prev) div 1000000").as("gap_ms"))
+      graft.pipeline.Sketches.exactQuantilesByGroup(gaps, "event_type",
+        "gap_ms", Seq(50, 90, 99))
+        .orderBy("event_type", "q_x100")
+    }),
+
     // per-group exact quantiles: same integer rank rule, cumulative
     // window bounded by each group's value domain
     "stats_exact_quantiles_by_group" -> ((s, dir) =>
@@ -3909,6 +3973,18 @@ object SparkEntry {
         | FROM ds) t
         |WHERE doc_rank <= 5 ORDER BY qid, doc_rank""".stripMargin,
 
+    "rel_above_cust_avg" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |a AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        | FROM o GROUP BY o_custkey)
+        |SELECT o.o_orderkey, o.o_custkey, o.cents
+        |FROM o JOIN a USING (o_custkey)
+        |WHERE o.cents * a.n_orders * 10 > a.sum_cents * 11
+        |ORDER BY o_orderkey""".stripMargin,
+
     "rel_skew_plan" ->
       """WITH h AS (SELECT l_orderkey, count(*) AS cnt
         |  FROM lineitem GROUP BY l_orderkey),
@@ -4330,6 +4406,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_badlen,
         | CAST(1 AS BIGINT) AS top1_self,
         | CAST(1 AS BIGINT) AS recall_ge_30""".stripMargin,
+
+    "ann_rq_batch" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
     "ann_rq_stored" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
@@ -5260,6 +5341,28 @@ object SparkEntry {
         |FROM c JOIN n USING (source)
         |WHERE c.cnt * 50 > n.n_group
         |ORDER BY source, item""".stripMargin,
+
+    "events_gap_quantiles" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
+        |  event_id, event_type FROM events),
+        |g AS (SELECT event_type,
+        |  (ts - lag(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) // 1000000 AS gap_ms
+        | FROM e),
+        |h AS (SELECT event_type, gap_ms AS v, count(*) AS cnt
+        | FROM g WHERE gap_ms IS NOT NULL GROUP BY event_type, gap_ms),
+        |c AS (SELECT event_type, v,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS n_total
+        | FROM h),
+        |q AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_x100)
+        |SELECT c.event_type, q.q_x100, min(c.v) AS value,
+        | (q.q_x100 * c.n_total + 99) // 100 AS rank, c.n_total
+        |FROM q, c
+        |WHERE c.cum >= (q.q_x100 * c.n_total + 99) // 100
+        |GROUP BY c.event_type, q.q_x100, c.n_total
+        |ORDER BY event_type, q_x100""".stripMargin,
 
     "stats_exact_quantiles_by_group" ->
       """WITH v AS (SELECT event_type,
