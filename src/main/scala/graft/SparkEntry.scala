@@ -3625,6 +3625,15 @@ object SparkEntry {
       countDiff.crossJoin(outDiff).crossJoin(nonvac)
     }),
 
+    // vocabulary growth curve (Heaps'-law diagnostic): running distinct
+    // tokens vs running token count in doc order, exactly, via per-token
+    // first-seen + one cumulative sum over per-doc rows — saturation
+    // says new data adds volume, not vocabulary
+    "text_vocab_growth" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.vocabGrowth(
+        Tables.documents(s, dir), "doc_id", every = 50)
+        .orderBy("ord")),
+
     // Gopher-style rule-based quality DECISION: four 25-point binary
     // rules (length band, stopword floor, token-length band, repetition
     // cap) composed from the individual signals in one projection;
@@ -6194,6 +6203,26 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_count_diff,
         | CAST(0 AS BIGINT) AS n_out_diff,
         | CAST(1 AS BIGINT) AS boiler_nonempty""".stripMargin,
+
+    "text_vocab_growth" ->
+      """WITH t AS (SELECT doc_id AS ord,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fn AS (SELECT ord, CAST(count(*) AS BIGINT) AS n_new
+        | FROM (SELECT tok, min(ord) AS ord FROM t GROUP BY tok)
+        | GROUP BY ord),
+        |pd AS (SELECT t.ord, CAST(count(*) AS BIGINT) AS n_toks
+        | FROM t GROUP BY t.ord),
+        |c AS (SELECT pd.ord,
+        |  sum(pd.n_toks) OVER (ORDER BY pd.ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_tokens,
+        |  sum(coalesce(fn.n_new, 0)) OVER (ORDER BY pd.ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_vocab
+        | FROM pd LEFT JOIN fn USING (ord))
+        |SELECT ord, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        | CAST(cum_vocab AS BIGINT) AS cum_vocab
+        |FROM c WHERE ord % 50 = 0 ORDER BY ord""".stripMargin,
 
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,

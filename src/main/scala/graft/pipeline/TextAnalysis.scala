@@ -279,6 +279,42 @@ object TextAnalysis {
       .withColumn("keep", flag(col("score") >= cutoff))
   }
 
+  /** Vocabulary growth curve (the Heaps'-law measurement): cumulative
+    * distinct tokens vs cumulative token count in `orderCol` order,
+    * sampled every `every` documents — the corpus-diversity diagnostic
+    * (a saturating curve means new data adds volume, not vocabulary;
+    * linear growth flags noise/ids leaking into the token stream).
+    *
+    * Exact without any distinct-over-prefix window: a token first seen
+    * in document d contributes to every curve point ≥ d, so per-token
+    * MIN(order) + a per-doc new-token count + ONE cumulative sum over
+    * the doc-count-sized per-doc relation reproduces the running
+    * distinct exactly. The corpus-wide window runs over per-DOC rows
+    * (corpus/|docs| reduction before any single-partition step).
+    * Output: (ord, cum_tokens, cum_vocab) at sampled points. */
+  def vocabGrowth(docs: DataFrame, orderCol: String = "doc_id",
+                  every: Int = 50): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val toks = docs.select(col(orderCol).as("ord"),
+      explode(tokens(col("text"))).as("tok"))
+    val firstSeen = toks.groupBy("tok")
+      .agg(min(col("ord")).as("first_ord"))
+      .groupBy(col("first_ord").as("ord"))
+      .agg(count(lit(1)).as("n_new"))
+    val perDoc = toks.groupBy("ord").agg(count(lit(1)).as("n_toks"))
+      .join(firstSeen, Seq("ord"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    perDoc
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .where(pmod(col("ord"), lit(every.toLong)) === 0)
+      .select("ord", "cum_tokens", "cum_vocab")
+  }
+
   /** Cross-document novelty signal: how much of a document's n-gram mass
     * is corpus-RARE (document frequency ≤ rareDf). Boilerplate scores
     * near 0 (its n-grams recur everywhere); unique prose scores high; a

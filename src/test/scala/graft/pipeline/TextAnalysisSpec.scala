@@ -273,4 +273,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(keep === (if (score >= 75) 1L else 0L))
     }
   }
+
+  test("vocabGrowth: running distinct equals a sequential fold") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (50L, "a b c a"), (100L, "b c d"), (150L, "e"), (200L, "a e f g"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", every = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // sequential reference
+    var seen = Set.empty[String]; var toks = 0L
+    val want = Seq((50L, "a b c a"), (100L, "b c d"), (150L, "e"),
+      (200L, "a e f g")).map { case (d, t) =>
+      val ts = t.split(" ").toSeq
+      toks += ts.size; seen ++= ts
+      (d, toks, seen.size.toLong)
+    }
+    assert(got === want)
+  }
 }
