@@ -3625,6 +3625,28 @@ object SparkEntry {
       countDiff.crossJoin(outDiff).crossJoin(nonvac)
     }),
 
+    // the one-row corpus card: the dataset-datasheet summary a curation
+    // run publishes — sizes, vocabulary, source count, exact-dup rate
+    // in basis points, mean length — all integer-exact
+    "corpus_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      val tokAgg = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_vocab"))
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .crossJoin(tokAgg)
+        .select(col("n_docs"), col("n_sources"), col("n_tokens"),
+          col("n_vocab"),
+          expr("((n_docs - n_distinct_texts) * 10000) div n_docs")
+            .as("dup_rate_bp"),
+          expr("(n_tokens * 100) div n_docs").as("mean_tokens_x100"))
+    }),
+
     // vocabulary growth curve (Heaps'-law diagnostic): running distinct
     // tokens vs running token count in doc order, exactly, via per-token
     // first-seen + one cumulative sum over per-doc rows — saturation
@@ -6203,6 +6225,20 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_count_diff,
         | CAST(0 AS BIGINT) AS n_out_diff,
         | CAST(1 AS BIGINT) AS boiler_nonempty""".stripMargin,
+
+    "corpus_card" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ta AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab FROM t),
+        |da AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        | FROM documents)
+        |SELECT n_docs, n_sources, n_tokens, n_vocab,
+        | ((n_docs - n_distinct_texts) * 10000) // n_docs AS dup_rate_bp,
+        | (n_tokens * 100) // n_docs AS mean_tokens_x100
+        |FROM da, ta""".stripMargin,
 
     "text_vocab_growth" ->
       """WITH t AS (SELECT doc_id AS ord,
