@@ -3065,6 +3065,35 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("n_corrupt")))
     }),
 
+    // CSV ingestion with the same explicit-schema + quarantine
+    // contracts as source_jsonl: one header line dropped per shard, a
+    // planted malformed line lands in the quarantine, the clean-side
+    // checksums match the oracle over the parquet original
+    "source_csv" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.write.mode("overwrite").option("header", "true")
+        .csv(s"$tmp/shards")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/shards/zz_corrupt.csv"),
+        "doc_id,source,n_chars\nnot-a-number,srcX,oops\n")
+      val schema = new StructType()
+        .add("doc_id", LongType).add("source", StringType)
+        .add("n_chars", LongType)
+      val (clean, quarantine) = graft.sources.CsvCorpus.read(
+        s, s"$tmp/shards", schema,
+        header = Some("doc_id,source,n_chars"))
+      clean.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+          coalesce(sum(col("doc_id") * col("n_chars")), lit(0L))
+            .as("sum_id_chars"))
+        .crossJoin(quarantine
+          .agg(count(lit(1)).cast("long").as("n_corrupt")))
+    }),
+
     // ANALYZE-style per-column profile in ONE aggregate pass (nulls,
     // exact distincts, min/max) — the schema-drift companion to the
     // expectations gate. The double-typed `value` column stays out of
@@ -5557,6 +5586,13 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         | (SELECT count(*) FROM s2) AS n_click_after,
         | (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+
+    "source_csv" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_id_chars,
+        | CAST(1 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
 
     "source_jsonl" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
