@@ -2171,6 +2171,17 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualitySignals(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // language mix per source: the langId projection aggregated into
+    // the per-source distribution a multilingual curation run reports
+    "text_lang_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.TextAnalysis.langId(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "pred_lang")
+    }),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -4864,6 +4875,29 @@ object SparkEntry {
     // generated from TextAnalysis.langProfiles so oracle and operator
     // can never drift: score = # profile trigrams contained, argmax with
     // lexicographic (smallest-lang) tie-break — same as the struct-max
+    "text_lang_by_source" -> {
+      val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+      val scoreExprs = langs.map { lang =>
+        val s = TextAnalysis.langProfiles(lang)
+          .map(g => s"CAST(contains(text, '${g.replace("'", "''")}') AS INT)")
+          .mkString(" + ")
+        s"($s) AS s_$lang"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, source, $scoreExprs FROM documents),
+         |u AS (SELECT doc_id, source,
+         |  unnest([${langs.map(l => s"'$l'").mkString(", ")}]) AS lang,
+         |  unnest([${langs.map(l => s"s_$l").mkString(", ")}]) AS score
+         | FROM sc),
+         |p AS (SELECT doc_id, source, lang FROM (
+         | SELECT doc_id, source, lang, row_number() OVER (
+         |   PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM u) t
+         | WHERE rn = 1)
+         |SELECT source, lang AS pred_lang,
+         | CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY source, lang
+         |ORDER BY source, pred_lang""".stripMargin
+    },
+
     "text_langid" -> {
       val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
       val scoreExprs = langs.map { lang =>
