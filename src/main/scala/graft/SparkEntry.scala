@@ -2470,6 +2470,16 @@ object SparkEntry {
           col("n_sample_bad"))
     }),
 
+    // per-source rank normalization: each doc's length score replaced
+    // by its within-source percentile rank in basis points — the
+    // cross-domain score calibration step before global thresholds
+    "sample_rank_normalize" -> ((s, dir) =>
+      graft.pipeline.TrainingData.rankNormalize(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "rank_bp")
+        .orderBy("doc_id")),
+
     // cross-source contamination matrix: distinct shared word-4-gram
     // fingerprints per source PAIR — the corpus-health diagnostic run
     // before mixing sources; two injected cross-source phrases (on the
@@ -5199,6 +5209,16 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS balanced_spread_ok,
         | CAST(77 AS BIGINT) AS prop_sum,
         | CAST(0 AS BIGINT) AS n_sample_bad""".stripMargin,
+
+    "sample_rank_normalize" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n
+        | FROM documents)
+        |SELECT doc_id, source, n_chars,
+        | CASE WHEN n = 1 THEN 5000
+        |   ELSE (10000 * (rk - 1)) // (n - 1) END AS rank_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "corpus_overlap_matrix" ->
       """WITH d AS (SELECT source, doc_id, text ||

@@ -358,6 +358,30 @@ object TrainingData {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-group RANK normalization: each row's score replaced by its
+    * percentile rank within its group, in integer basis points —
+    * rank_bp = ⌊10000·(rank−1)/(n_group−1)⌋ (0 for the group minimum,
+    * 10000 for the maximum, 5000 for a singleton). The cross-source
+    * score calibration step: classifier/heuristic quality scores are
+    * not comparable across domains (a "0.8" from a news model and a
+    * code model mean different things), but their within-source ranks
+    * are — rank-normalize, THEN threshold or mixture-sample globally.
+    * Ties share the minimum rank (SQL `rank()` semantics), so equal
+    * scores get equal normalized values regardless of id — exact and
+    * engine-reproducible. One window per group, sort bounded by the
+    * group. Output: input + rank_bp. */
+  def rankNormalize(df: DataFrame, groupCol: String,
+                    scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn_rank", rank().over(w))
+      .withColumn("__rn_n", count(lit(1)).over(n))
+      .withColumn("rank_bp",
+        when(col("__rn_n") === 1, lit(5000L)).otherwise(
+          expr("(10000 * (__rn_rank - 1)) div (__rn_n - 1)")))
+      .drop("__rn_rank", "__rn_n")
+  }
+
   /** Cross-source contamination matrix: for every PAIR of sources, the
     * number of DISTINCT word n-gram fingerprints they share — the
     * corpus-health diagnostic run before mixing sources (a high overlap

@@ -631,4 +631,16 @@ class TrainingDataSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(t.toSeq === Seq((1L, 4L), (2L, 5L)))
   }
+
+  test("rankNormalize: per-group percentile ranks, ties share the " +
+      "minimum, singletons get 5000") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+      ("b", 5L, 99L)).toDF("src", "id", "score")
+    val got = TrainingData.rankNormalize(df, "src", "score")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // group a (n=4): ranks 1,2,2,4 -> bp 0, 3333, 3333, 10000
+    assert(got === Map(1L -> 0L, 2L -> 3333L, 3L -> 3333L,
+      4L -> 10000L, 5L -> 5000L))
+  }
 }
