@@ -2470,6 +2470,19 @@ object SparkEntry {
           col("n_sample_bad"))
     }),
 
+    // distribution-level expectations: exact-percentile bounds as
+    // publish-gate rules — p99 of value cents under a passing bound and
+    // p50 under a deliberately failing one (0 and 1 violations)
+    "quality_expectations_quantile" -> ((s, dir) => {
+      import graft.operators.Expectations
+      val ev = Tables.events(s, dir)
+        .select(floor(col("value") * 100).cast("long").as("cents"))
+      Expectations.violations(ev, Seq(
+        Expectations.QuantileAtMost("cents", qX100 = 99, bound = 25000L),
+        Expectations.QuantileAtMost("cents", qX100 = 50, bound = 1000L)))
+        .orderBy("rule")
+    }),
+
     // per-source rank normalization: each doc's length score replaced
     // by its within-source percentile rank in basis points — the
     // cross-domain score calibration step before global thresholds
@@ -5209,6 +5222,20 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS balanced_spread_ok,
         | CAST(77 AS BIGINT) AS prop_sum,
         | CAST(0 AS BIGINT) AS n_sample_bad""".stripMargin,
+
+    "quality_expectations_quantile" ->
+      """WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |h AS (SELECT v, count(*) AS cnt FROM v GROUP BY v),
+        |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |q AS (SELECT 'quantile_at_most:cents:p50' AS rule, 50 AS qx,
+        |   1000 AS bound
+        | UNION ALL SELECT 'quantile_at_most:cents:p99', 99, 25000)
+        |SELECT q.rule, CAST(CASE WHEN (SELECT min(c.v) FROM c, n
+        |  WHERE c.cum >= (q.qx * n.n + 99) // 100) > q.bound
+        |  THEN 1 ELSE 0 END AS BIGINT) AS n_violations
+        |FROM q ORDER BY rule""".stripMargin,
 
     "sample_rank_normalize" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

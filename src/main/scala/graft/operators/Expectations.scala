@@ -49,6 +49,20 @@ object Expectations {
     def name = s"accepted:$column"
   }
   /** `column` must exist in `ref(refColumn)` (referential integrity). */
+  /** Distribution-level rule: the exact discrete qX100-th percentile of
+    * a long column (the [[graft.pipeline.Sketches.exactQuantiles]] rank
+    * rule) must be ≤ `bound` — the "p99 latency under X" / "p95 doc
+    * length under Y" gate shape. One domain-sized histogram aggregate
+    * per rule; reports 0 or 1 violations (it is a property of the
+    * distribution, not of rows). Vacuously passes on empty input, like
+    * the row-local rules. */
+  final case class QuantileAtMost(column: String, qX100: Int,
+                                  bound: Long) extends Rule {
+    require(qX100 >= 1 && qX100 <= 100,
+      s"qX100 must be in 1..100, got $qX100")
+    def name = s"quantile_at_most:$column:p$qX100"
+  }
+
   final case class RefersTo(column: String, ref: DataFrame,
                             refColumn: String) extends Rule {
     def name = s"refers_to:$column"
@@ -92,7 +106,14 @@ object Expectations {
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(r.name).as("rule"), col("n_violations"))
     }
-    (scanned ++ keyed ++ referential)
+    val distributional = rules.collect { case r: QuantileAtMost =>
+      graft.pipeline.Sketches
+        .exactQuantiles(df.select(col(r.column)), r.column, Seq(r.qX100))
+        .agg(coalesce(sum(when(col("value") > r.bound, 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+        .select(lit(r.name).as("rule"), col("n_violations"))
+    }
+    (scanned ++ keyed ++ referential ++ distributional)
       .reduce(_ unionByName _)
       .orderBy("rule")
   }

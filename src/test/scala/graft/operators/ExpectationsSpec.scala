@@ -115,4 +115,19 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not_null:name=1"))
     assert(e.getMessage.contains("unique:id=1"))
   }
+
+  test("QuantileAtMost gates on the exact percentile; empty passes") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 100L).toDF("x")
+    val v2 = Expectations.violations(df, Seq(
+      Expectations.QuantileAtMost("x", qX100 = 90, bound = 90L),
+      Expectations.QuantileAtMost("x", qX100 = 99, bound = 10L)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(v2("quantile_at_most:x:p90") === 0L) // 90 <= 90 passes
+    assert(v2("quantile_at_most:x:p99") === 1L) // 99 > 10 fails
+    val empty = Expectations.violations(df.where(col("x") < 0), Seq(
+      Expectations.QuantileAtMost("x", qX100 = 50, bound = 0L)))
+      .collect().map(_.getLong(1)).toSeq
+    assert(empty === Seq(0L))
+  }
 }
