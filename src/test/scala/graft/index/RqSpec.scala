@@ -96,4 +96,28 @@ class RqSpec extends AnyFunSuite {
       assert(batch(qid).sortBy(_._4).toSeq === single, s"qid $qid")
     }
   }
+
+  test("level-1 delete + compact keep the refined store consistent") {
+    val (vecs, model, encoded) = fixture
+    val (rq, enc2) = Rq.fitRefine(encoded, model, numDivisions2 = 4,
+      numCodes2 = 8, trainPointsPerCentroid = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rq_m").toString
+    Rq.save(rq, enc2, dir)
+    import spark.implicits._
+    IvfPqBuilder.deleteFromStore(dir,
+      Seq(3L, 7L, 11L).toDF("id"), "id")
+    IvfPqBuilder.compactStore(spark, dir)
+    val (rq2, enc2b) = Rq.load(spark, dir)
+    // deleted ids are gone from the refined relation too (codes2 joins
+    // onto the tombstone-filtered, compacted codes)
+    val ids = enc2b.select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && !ids.contains(7L) && !ids.contains(11L))
+    assert(ids.size === 397)
+    // surviving rows still answer refined queries deterministically
+    val q = vecs.where(col("id") === 5L).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val hits = Rq.topKRefined(enc2b, rq2, q, k = 5, nprobe = 4).collect()
+    assert(hits.length === 5)
+    assert(!hits.map(_.getLong(0)).toSet.exists(Set(3L, 7L, 11L)))
+  }
 }
