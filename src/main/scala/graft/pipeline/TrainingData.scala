@@ -372,6 +372,11 @@ object TrainingData {
     * group. Output: input + rank_bp. */
   def rankNormalize(df: DataFrame, groupCol: String,
                     scoreCol: String): DataFrame = {
+    val reserved = df.columns
+      .filter(c => c == "rank_bp" || c.startsWith("__rn_"))
+    require(reserved.isEmpty,
+      s"rankNormalize reserves rank_bp and the __rn_ prefix; rename " +
+        s"input column(s) ${reserved.mkString(", ")} first")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
     val n = Window.partitionBy(col(groupCol))
     df.withColumn("__rn_rank", rank().over(w))
