@@ -3710,6 +3710,21 @@ object SparkEntry {
           expr("(n_tokens * 100) div n_docs").as("mean_tokens_x100"))
     }),
 
+    // corpus-wide top-k frequent 3-gram phrases (boilerplate phrase
+    // mining — what feeds removeBoilerplate's minDocs threshold): the
+    // shingle relation counted map-side, bounded top-20 by (count desc,
+    // phrase hash) via TakeOrderedAndProject, never a global sort of
+    // the phrase domain. Phrases ride as md5 fingerprints so ordering
+    // is engine-agnostic
+    "text_ngram_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(explode(graft.pipeline.TrainingData
+          .ngramFingerprints(col("text"), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("g"))
+        .limit(20)
+    }),
+
     // vocabulary growth curve (Heaps'-law diagnostic): running distinct
     // tokens vs running token count in doc order, exactly, via per-token
     // first-seen + one cumulative sum over per-doc rows — saturation
@@ -6356,6 +6371,16 @@ object SparkEntry {
         | ((n_docs - n_distinct_texts) * 10000) // n_docs AS dup_rate_bp,
         | (n_tokens * 100) // n_docs AS mean_tokens_x100
         |FROM da, ta""".stripMargin,
+
+    "text_ngram_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |  md5(array_to_string(ts[i.i : i.i + 2], ' ')) AS g
+        | FROM t, generate_series(1, 4096) AS i(i)
+        | WHERE i.i + 2 <= len(ts))
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY g ORDER BY n_docs DESC, g LIMIT 20""".stripMargin,
 
     "text_vocab_growth" ->
       """WITH t AS (SELECT doc_id AS ord,
