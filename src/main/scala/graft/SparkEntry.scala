@@ -2686,6 +2686,28 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // FIRST-touch attribution: each purchase credits exactly ONE click —
+    // the EARLIEST same-user click inside the preceding hour (ties on
+    // click id) — a bounded per-purchase top-1 over the pair relation
+    "events_attribution_first" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val pairs = graft.streaming.EventPipeline.attributionPairs(clicks,
+        purchases, "click_ts", "purchase_ts", "1 hour")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("purchase_id")
+        .orderBy(col("click_ts"), col("click_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id")
+    }),
+
     // stream-stream attribution join (batch-path correctness like the
     // other streaming entries; EventPipelineSpec runs the same code on
     // two MemoryStreams with watermarks): purchases × same-user clicks
@@ -5447,6 +5469,21 @@ object SparkEntry {
         |SELECT click_id, purchase_id FROM c JOIN p
         | ON pt >= ct + 1 AND pt <= ct + 300000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "events_attribution_first" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ct
+        | FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS pt
+        | FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT purchase_id, click_id, ct FROM c JOIN p
+        |  USING (user_id)
+        | WHERE ct < pt AND ct >= pt - 3600000000)
+        |SELECT purchase_id, click_id FROM (
+        | SELECT purchase_id, click_id, row_number() OVER (
+        |   PARTITION BY purchase_id ORDER BY ct, click_id) AS rn FROM j) t
+        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "events_attribution" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
