@@ -48,7 +48,6 @@ object Expectations {
   final case class Accepted(column: String, values: Seq[String]) extends Rule {
     def name = s"accepted:$column"
   }
-  /** `column` must exist in `ref(refColumn)` (referential integrity). */
   /** Distribution-level rule: the exact discrete qX100-th percentile of
     * a long column (the [[graft.pipeline.Sketches.exactQuantiles]] rank
     * rule) must be ≤ `bound` — the "p99 latency under X" / "p95 doc
@@ -63,6 +62,7 @@ object Expectations {
     def name = s"quantile_at_most:$column:p$qX100"
   }
 
+  /** `column` must exist in `ref(refColumn)` (referential integrity). */
   final case class RefersTo(column: String, ref: DataFrame,
                             refColumn: String) extends Rule {
     def name = s"refers_to:$column"

@@ -872,8 +872,13 @@ object Dedup {
     * / 5 s, same 28.9k verified pairs); at lower thresholds prefixes
     * approach the whole set and the banded-LSH path wins. Both are
     * bucketed generators (prefix-token vs band buckets) — never
-    * all-pairs — and both feed the same exact verification, so the
-    * output is identical either way. */
+    * all-pairs — and both feed the same exact verification, so a pair
+    * either path EMITS is verified identically; but the generators are
+    * not equivalent: the PPJoin prefix path is deterministically
+    * complete, while banded MinHash is probabilistic (capture
+    * 1−(1−t^r)^b < 1), so at t ≥ 80 the prefix path can legitimately
+    * find pairs LSH would miss. Do not gate on bit-identical drop
+    * lists across threshold settings. */
   def dropList(docs: DataFrame, thresholdPct: Int): DataFrame = {
     // connectivity needs rep-level verified pairs + member→rep STAR
     // edges, not the expanded pair relation: a g-doc identical cluster
@@ -1074,13 +1079,16 @@ object Dedup {
   /** The in-pass soundness-floor guard for the edit-distance family:
     * passes the string through unless it is shorter than q·(maxDist+1)
     * chars, in which case the job fails loudly at that row — the same
-    * contract the old pre-flight count enforced, with no extra scan. */
+    * contract the old pre-flight count enforced, with no extra scan.
+    * NULL strings pass through (and produce no grams downstream), the
+    * same way the old pre-flight `length(s) < floor` count never
+    * counted them — a NULL must not fall into the raise_error branch. */
   private[graft] def checkedStr(s: Column, q: Int, maxDist: Int,
                          validate: Boolean): Column = {
     if (!validate) s
     else {
       val floor = q * (maxDist + 1)
-      when(length(s) >= floor, s).otherwise(raise_error(concat(
+      when(s.isNull || length(s) >= floor, s).otherwise(raise_error(concat(
         lit(s"editDistancePairs: string shorter than $floor chars — " +
           s"below the soundness floor for maxDist=$maxDist/q=$q " +
           "(shorten q or route short strings to an exact pass): '"),

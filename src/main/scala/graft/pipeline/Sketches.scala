@@ -31,9 +31,12 @@ object Sketches {
     * (the [[Dedup.lineDocCounts]] incremental-state pattern), so a
     * 100 TB corpus maintains a domain-sized relation instead of
     * re-scanning history. The groupBy shuffles the DOMAIN, never the
-    * corpus. */
+    * corpus. NULLs are excluded: a null bucket would inflate n_total in
+    * the quantile rank rule, and Spark's window sort puts NULLS FIRST
+    * where DuckDB puts them LAST — quantiles are over observed values. */
   def valueHistogram(df: DataFrame, valueCol: String): DataFrame =
-    df.groupBy(col(valueCol).cast("long").as("v"))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Additive merge of two value histograms. */
@@ -58,7 +61,7 @@ object Sketches {
       org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
     val tot = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
     qsX100.map(_.toLong).toDF("q_x100")
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .withColumn("rank", expr("(q_x100 * n_total + 99) div 100"))
       .join(cum, col("cum") >= col("rank"))
       .groupBy(col("q_x100"), col("rank"), col("n_total"))
@@ -83,7 +86,8 @@ object Sketches {
       s"quantiles must be integer percents in 1..100: $qsX100")
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("v"))

@@ -19,11 +19,25 @@ import org.apache.spark.sql.types.StructType
   *
   * A `header`-ful file is handled by dropping lines equal to the
   * expected header string — exact, stateless, and correct per shard
-  * (every shard repeats the header). */
+  * (every shard repeats the header). EDGE: a data row whose raw text
+  * exactly equals the header string is dropped too — unavoidable with
+  * stateless per-shard filtering; if that collision is possible in your
+  * domain, read with `header = None` and drop the header rows by
+  * another key. */
 object CsvCorpus {
 
   /** Read a CSV path against an explicit schema. Returns
-    * (clean rows, quarantine — the raw malformed lines). */
+    * (clean rows, quarantine — the raw malformed lines).
+    *
+    * Two quarantine triggers (spec-pinned): `from_csv` itself flags
+    * token-conversion failures AND token-count-short lines as corrupt
+    * (unlike Spark's file-based csv reader, which null-pads short
+    * lines); and a row where any NON-NULLABLE schema field parsed to
+    * null (e.g. an explicitly empty token — ",gamma" under a required
+    * id — which converts to null without a parse error) is also routed
+    * to quarantine. Declare the fields that must be present as
+    * `nullable = false`; fields left nullable accept absent values by
+    * design. */
   def read(spark: SparkSession, path: String, schema: StructType,
            delimiter: String = ",", header: Option[String] = None)
       : (DataFrame, DataFrame) = {
@@ -34,9 +48,13 @@ object CsvCorpus {
       .select(col("value"), from_csv(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "sep" -> delimiter,
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
-    val clean = parsed.where(col("r._corrupt_record").isNull)
+    val requiredNull = schema.fields.filterNot(_.nullable)
+      .map(f => col(s"r.${f.name}").isNull)
+      .foldLeft(lit(false))(_ || _)
+    val bad = col("r._corrupt_record").isNotNull || requiredNull
+    val clean = parsed.where(!bad)
       .select(schema.fieldNames.toSeq.map(f => col(s"r.$f")): _*)
-    val quarantine = parsed.where(col("r._corrupt_record").isNotNull)
+    val quarantine = parsed.where(bad)
       .select(col("value").as("raw_line"))
     (clean, quarantine)
   }

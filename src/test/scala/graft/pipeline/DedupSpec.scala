@@ -470,6 +470,25 @@ class DedupSpec extends AnyFunSuite {
     assert(messages.contains("soundness floor"))
   }
 
+  test("editDistancePairs: null strings flow through without tripping the guard") {
+    // the in-pass soundness guard must not raise on NULL text (the old
+    // pre-flight count never counted nulls); null rows produce no grams
+    // and so no pairs, and the valid rows still link
+    val df = Seq((1L, "jonathan smithers"), (2L, "jonathon smithers"),
+      (3L, null.asInstanceOf[String])).toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 1L)))
+    val master = Seq((101L, "jonathan smithers"),
+      (102L, null.asInstanceOf[String])).toDF("id", "name")
+    val incoming = Seq((1L, "jonathon smithers"),
+      (2L, null.asInstanceOf[String])).toDF("id", "name")
+    val bi = Dedup.editDistancePairsBipartite(incoming, master,
+        "id", "name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bi === Set((1L, 101L, 1L)))
+  }
+
   test("lshPlan: S-curve over the factorizations, monotone in bands") {
     val rows = Dedup.lshPlan(spark, numHashes = 128, thresholdPct = 85)
       .orderBy("bands")

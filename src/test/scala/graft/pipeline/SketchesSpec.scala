@@ -107,6 +107,22 @@ class SketchesSpec extends AnyFunSuite {
       90L -> want(90), 100L -> want(100)))
   }
 
+  test("quantiles exclude NULLs: values unchanged, n_total counts observed rows") {
+    val vals = Seq(5L, 1L, 9L, 3L, 3L, 7L, 1L, 8L, 2L, 6L)
+    val withNulls = (vals.map(v => Some(v): Option[Long]) ++
+      Seq(None, None, None)).toDF("x")
+    val got = Sketches.exactQuantiles(withNulls, "x", Seq(50, 100))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    val sorted = vals.sorted
+    def want(q: Int) = sorted((q * vals.length + 99) / 100 - 1)
+    assert(got === Map(50L -> (want(50), 10L), 100L -> (want(100), 10L)))
+    val grouped = Sketches.exactQuantilesByGroup(
+      (vals.map(v => ("g", Some(v): Option[Long])) ++ Seq(("g", None)))
+        .toDF("g", "x"), "g", "x", Seq(50))
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(4)))).toMap
+    assert(grouped === Map(50L -> (want(50), 10L)))
+  }
+
   test("value histograms merge additively: two batches == one shot") {
     val all = (1 to 100).map(i => (i % 7).toLong).toDF("x")
     val a = (1 to 60).map(i => (i % 7).toLong).toDF("x")
