@@ -30,32 +30,66 @@ object Bench {
       // scale regression canary (10× the rows through the same
       // assignment/encode passes — a plan that stops scaling linearly
       // shows up here first, not at sf0.1)
-      def buildAt(n: Long): Double = {
+      // returns (total seconds, per-stage JSON) — the stage breakdown
+      // (collect-train-sample / coarse-kmeans / materialize-residuals /
+      // local-residuals / pq-kmeans-all / encode-materialize) localizes
+      // a build regression to its stage instead of leaving a bare total
+      // to re-bisect (the r7 1M 76.5→89.4 s question)
+      def buildAt(n: Long): (Double, String) = {
         val vecs = spark.range(n).repartition(64)
           .select(col("id"), pseudoRandomVec(col("id"), 1536, 42L).as("vec"))
           .cache()
         vecs.count()
+        val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val stageRe = """^(\S+) (\d+(?:\.\d+)?) s$""".r
         val t0 = System.nanoTime()
         val (_, enc) = IvfPqBuilder.fit(vecs, "id", "vec", 1536,
           IvfPqConfig(numPartitions = 100, numDivisions = 12, numCodes = 256,
             maxIter = 20),
           // convergence evidence for the maxIter=20 vs reference ≤100+ε
           // comparison: rounds < maxIter means the tol stop fired
-          s => System.err.println(s"[build-bench n=$n] $s"))
+          s => {
+            System.err.println(s"[build-bench n=$n] $s")
+            s match {
+              case stageRe(name, sec) => stages(name) = sec.toDouble
+              case _ => ()
+            }
+          })
+        val tEnc = System.nanoTime()
         enc.count()
+        stages("encode-materialize") = (System.nanoTime() - tEnc) / 1e9
         val sec = (System.nanoTime() - t0) / 1e9
         vecs.unpersist(true) // drop the build input before what follows
-        sec
+        (sec, stages.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}"))
       }
-      val sec100k = buildAt(100000L)
-      val sec1m = buildAt(1000000L)
+      val (sec100k, stages100k) = buildAt(100000L)
+      val (sec1m, stages1m) = buildAt(1000000L)
       s""","build":{"ivfpq_build_100k_1536":$sec100k,""" +
-        s""""ivfpq_build_1m_1536":$sec1m,"baseline_sec":906.52}"""
+        s""""ivfpq_build_100k_stages":$stages100k,""" +
+        s""""ivfpq_build_1m_1536":$sec1m,""" +
+        s""""ivfpq_build_1m_stages":$stages1m,"baseline_sec":906.52}"""
     } else ""
     // shared fixtures (index fit/save, attribute batches) are pipeline
     // stages, not operators — materialize them outside the timed loop so
     // map ordering doesn't bill them to whichever entry runs first
     SparkEntry.warmFixtures(spark, sfDir)
+    // Measurement hygiene: entries that cache or localCheckpoint leave
+    // executor storage blocks behind until GC + ContextCleaner get to
+    // them, so without a sweep each entry is timed against its
+    // NEIGHBORS' leftover blocks (r7 in-suite medians ran up to 20×
+    // their bench-alone cost). Between timed runs, unpersist every
+    // persistent RDD that is not one of the warmed fixtures (captured
+    // as the baseline id set here), then GC so the ContextCleaner frees
+    // checkpoint and broadcast blocks. The sweep runs OUTSIDE the timed
+    // section; fixtures stay cached across the whole suite.
+    val fixtureRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def sweepLeftovers(): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!fixtureRdds.contains(id)) rdd.unpersist(blocking = true)
+      }
+      System.gc()
+    }
     // median of N runs per entry (default 3): this box has documented
     // 2-3× run-to-run variance under neighbor load, and a single-shot
     // record that lands outside its own typical range is evidence of
@@ -79,6 +113,7 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        sweepLeftovers()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>

@@ -2470,6 +2470,34 @@ object SparkEntry {
           col("n_sample_bad"))
     }),
 
+    // embedding-space drift: cluster-share PSI over a FIXED cell model
+    // between two corpus versions (Drift.embeddingPsi ∘ Clustering
+    // .assign) — the re-training trigger for semantic shift that no
+    // scalar column sees. Invariants: a snapshot against itself is
+    // EXACTLY zero PSI (equal smoothed shares per cell → every floored
+    // contribution is 0, geometry-independent); an injected shift (half
+    // the corpus moved +2.0 in 8 of 64 dims — ~2× the corpus's entire
+    // value range) reads above the 0.25 investigate threshold at any sf
+    // (probed ~1.0 at sf0.01 and sf0.1); totals are corpus counts
+    "embed_drift_psi" -> ((s, dir) => {
+      import graft.pipeline.{Clustering, Drift}
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val model = Clustering.fit(emb, "embedding", k = 8, seed = 42L,
+        trainPointsPerCentroid = 0)
+      val cur = emb.withColumn("embedding",
+        when(col("vec_id") % 2 === 0,
+          transform(col("embedding"),
+            (x, i) => when(i < 8, x + lit(2.0f)).otherwise(x)))
+          .otherwise(col("embedding")))
+      val self = Drift.embeddingPsi(emb, emb, "embedding", model)
+        .select(col("psi_x1e6").as("psi_self"))
+      Drift.embeddingPsi(emb, cur, "embedding", model)
+        .select(col("n_old"), col("n_new"),
+          (col("psi_x1e6") >= 250000L).cast("long").as("shift_is_loud"))
+        .crossJoin(broadcast(self))
+    }),
+
     // distribution-level expectations: exact-percentile bounds as
     // publish-gate rules — p99 of value cents under a passing bound and
     // p50 under a deliberately failing one (0 and 1 violations)
@@ -5259,6 +5287,14 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS balanced_spread_ok,
         | CAST(77 AS BIGINT) AS prop_sum,
         | CAST(0 AS BIGINT) AS n_sample_bad""".stripMargin,
+
+    // both sides are full-corpus counts; self-PSI is identically zero
+    // and the injected 8-dim shift is loud at any sf (see the entry)
+    "embed_drift_psi" ->
+      """SELECT count(*) AS n_old, count(*) AS n_new,
+        | CAST(1 AS BIGINT) AS shift_is_loud,
+        | CAST(0 AS BIGINT) AS psi_self
+        |FROM embeddings""".stripMargin,
 
     "quality_expectations_quantile" ->
       """WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v

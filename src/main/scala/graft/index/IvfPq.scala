@@ -414,7 +414,7 @@ object IvfPqBuilder {
     writeString(spark, s"$path/manifest.json.sha256", sha256Hex(manifest))
   }
 
-  private[index] def writeString(spark: SparkSession, path: String,
+  private[graft] def writeString(spark: SparkSession, path: String,
                           content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -423,7 +423,7 @@ object IvfPqBuilder {
     finally out.close()
   }
 
-  private[index] def sha256Hex(s: String): String =
+  private[graft] def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -433,23 +433,31 @@ object IvfPqBuilder {
     * every store family's load path so the integrity rule cannot
     * drift between them. Pre-sidecar stores still load. */
   private[index] def readVerifiedManifest(spark: SparkSession,
-                                          path: String): String = {
-    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+                                          path: String): String =
+    readVerifiedString(spark, s"$path/manifest.json")
+
+  /** Read a text artifact and, when its `.sha256` sidecar exists, verify
+    * it (re-hash on read — reference io.rs:286-300). The general form of
+    * [[readVerifiedManifest]], shared by every small-JSON sidecar
+    * artifact (index manifests, LSH strategy records). */
+  private[graft] def readVerifiedString(spark: SparkSession,
+                                        filePath: String): String = {
+    val mPath = new org.apache.hadoop.fs.Path(filePath)
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readString(p: org.apache.hadoop.fs.Path): String = {
       val in = fs.open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val manifestStr = readString(mPath)
-    val shaPath = new org.apache.hadoop.fs.Path(s"$path/manifest.json.sha256")
+    val content = readString(mPath)
+    val shaPath = new org.apache.hadoop.fs.Path(filePath + ".sha256")
     if (fs.exists(shaPath)) {
       val expected = readString(shaPath).trim
-      val actual = sha256Hex(manifestStr)
+      val actual = sha256Hex(content)
       require(actual == expected,
-        s"manifest integrity check failed at $path: sha256 $actual != recorded $expected")
+        s"integrity check failed at $filePath: sha256 $actual != recorded $expected")
     }
-    manifestStr
+    content
   }
 
   /** Count of parquet data files under a store subtree (any Hadoop

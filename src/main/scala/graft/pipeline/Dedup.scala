@@ -1,9 +1,21 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.FastFunctions._
+
+/** A corpus-level LSH candidate-strategy decision — the result of the
+  * one-band bucket-histogram probe ([[Dedup.lshStrategyFor]]), carried
+  * with the evidence that produced it. `emitOnce` feeds the
+  * `emitOnce = Some(...)` pin on [[Dedup.minHashLshPairs]]; the probe
+  * stats (`nDocs`, `avgWeightedBucketSize`) make a persisted record
+  * auditable (was this decided on the corpus it is being applied to?).
+  * Parameters the decision depends on (`numHashes`, `bands`, `oph`)
+  * ride along so a mismatched reuse is detectable. */
+final case class LshStrategy(emitOnce: Boolean, numHashes: Int,
+                             bands: Int, oph: Boolean, nDocs: Long,
+                             avgWeightedBucketSize: Double)
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -327,7 +339,18 @@ object Dedup {
     * counts), paid only in auto mode; extreme-scale callers pin the
     * strategy explicitly. */
   private[graft] def lshEmitOnceAuto(sets: DataFrame, numHashes: Int,
-                                     bands: Int, oph: Boolean): Boolean = {
+                                     bands: Int, oph: Boolean): Boolean =
+    lshStrategyOn(sets, numHashes, bands, oph).emitOnce
+
+  /** The one-band histogram probe behind [[lshEmitOnceAuto]], returning
+    * the full decision record instead of just the bit — the REUSABLE
+    * form: at 100 TB, a signature pass per dedup call to re-learn a
+    * corpus-level constant is real money, so compute the decision once
+    * (this method), persist it beside the corpus
+    * ([[saveLshStrategy]] — the IvfPq stats-sidecar pattern), and pin
+    * every later call with `emitOnce = Some(strategy.emitOnce)`. */
+  private[graft] def lshStrategyOn(sets: DataFrame, numHashes: Int,
+                                   bands: Int, oph: Boolean): LshStrategy = {
     val r = math.max(numHashes / bands, 1)
     val agg = sets
       .select(xxhash64(sigCol(col("hset"), r, oph)).as("k"))
@@ -337,7 +360,55 @@ object Dedup {
           .as("ss"))
       .head()
     val n = agg.getLong(0)
-    n > 0 && agg.getDouble(1) / n > 1.0 + 2.0 * bands / 3.0
+    val avg = if (n > 0) agg.getDouble(1) / n else 0.0
+    LshStrategy(
+      emitOnce = n > 0 && avg > 1.0 + 2.0 * bands / 3.0,
+      numHashes = numHashes, bands = bands, oph = oph,
+      nDocs = n, avgWeightedBucketSize = avg)
+  }
+
+  /** Probe `docs` once and return the corpus's LSH candidate-strategy
+    * decision (see [[lshEmitOnceAuto]] for the regime math). One narrow
+    * count job over a single representative band; the result is a
+    * corpus-level CONSTANT — persist it with [[saveLshStrategy]] and
+    * feed `Some(strategy.emitOnce)` to [[minHashLshPairs]] /
+    * [[dropList]]-family calls so no later invocation pays the probe. */
+  def lshStrategyFor(docs: DataFrame, numHashes: Int = 128,
+                     bands: Int = 32, oph: Boolean = true): LshStrategy = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    lshStrategyOn(hashedSets(docs), numHashes, bands, oph)
+  }
+
+  /** Persist an [[LshStrategy]] as a small JSON artifact (+ SHA-256
+    * sidecar, the index-manifest integrity discipline) at `path` — e.g.
+    * `<corpusDir>/_lsh_strategy.json`. Works on any Hadoop filesystem. */
+  def saveLshStrategy(spark: SparkSession, strategy: LshStrategy,
+                      path: String): Unit = {
+    val json =
+      s"""{"emit_once":${strategy.emitOnce},""" +
+        s""""num_hashes":${strategy.numHashes},"bands":${strategy.bands},""" +
+        s""""oph":${strategy.oph},"n_docs":${strategy.nDocs},""" +
+        s""""avg_weighted_bucket_size":${strategy.avgWeightedBucketSize}}"""
+    graft.index.IvfPqBuilder.writeString(spark, path, json)
+    graft.index.IvfPqBuilder.writeString(spark, path + ".sha256",
+      graft.index.IvfPqBuilder.sha256Hex(json))
+  }
+
+  /** Load a persisted [[LshStrategy]] (SHA-256-verified when the sidecar
+    * exists) — the zero-corpus-pass way to reuse a prior probe. */
+  def loadLshStrategy(spark: SparkSession, path: String): LshStrategy = {
+    val s = graft.index.IvfPqBuilder.readVerifiedString(spark, path)
+    def field(name: String): String =
+      (""""""" + name + """"\s*:\s*([^,}]+)""").r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"LshStrategy artifact at $path missing '$name'"))
+        .group(1).trim
+    LshStrategy(
+      emitOnce = field("emit_once").toBoolean,
+      numHashes = field("num_hashes").toInt,
+      bands = field("bands").toInt,
+      oph = field("oph").toBoolean,
+      nDocs = field("n_docs").toLong,
+      avgWeightedBucketSize = field("avg_weighted_bucket_size").toDouble)
   }
 
   /** LSH candidate pairs: one 64-bit band key per band (band index salted

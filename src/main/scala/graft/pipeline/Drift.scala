@@ -35,11 +35,21 @@ object Drift {
     * a nonzero row means mass moved in or out of THAT bucket. Output:
     * (bucket, n_old, n_new, contrib_x1e6; PSI total = Σ contrib). */
   def psiBuckets(old: DataFrame, cur: DataFrame, valueCol: String,
-                 width: Double, numBuckets: Int): DataFrame = {
+                 width: Double, numBuckets: Int): DataFrame =
+    psiFromBucketed(
+      old.select(bucketOf(col(valueCol), width, numBuckets).as("bucket")),
+      cur.select(bucketOf(col(valueCol), width, numBuckets).as("bucket")),
+      numBuckets)
+
+  /** The PSI core over ALREADY-BUCKETED snapshots (a single `bucket`
+    * column, ids in [0, numBuckets)) — shared by the scalar-column form
+    * ([[psiBuckets]]) and the embedding-space form
+    * ([[embeddingPsiBuckets]], cluster id as the bucket). */
+  private def psiFromBucketed(old: DataFrame, cur: DataFrame,
+                              numBuckets: Int): DataFrame = {
     require(numBuckets >= 2, s"need >= 2 buckets, got $numBuckets")
     def counts(df: DataFrame, as: String) =
-      df.select(bucketOf(col(valueCol), width, numBuckets).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(as))
+      df.groupBy("bucket").agg(count(lit(1)).as(as))
     val spark = old.sparkSession
     import spark.implicits._
     val all = (0L until numBuckets.toLong).toDF("bucket")
@@ -65,6 +75,37 @@ object Drift {
   def psi(old: DataFrame, cur: DataFrame, valueCol: String,
           width: Double, numBuckets: Int): DataFrame =
     psiBuckets(old, cur, valueCol, width, numBuckets)
+      .agg(sum(col("contrib_x1e6")).as("psi_x1e6"),
+        sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
+
+  // -------------------------------------------- embedding-space drift
+
+  /** EMBEDDING-space drift between two corpus snapshots: cluster-share
+    * PSI over the cells of a fixed [[Clustering.ClusterModel]] — the
+    * re-training trigger for semantic shift that no scalar column sees
+    * (topic mix moved, vocabulary drifted, a crawl source changed its
+    * content while lengths and quality scores stayed put).
+    *
+    * The model is the FIXED reference frame, fit ONCE on the old
+    * snapshot (or loaded via [[Clustering.fromIvf]] from a production
+    * index) and applied to both sides — refitting per comparison would
+    * conflate drift with fit jitter. Each side costs one distributed
+    * `nearestCentroidL2` projection (no join, no shuffle beyond the
+    * k-row count aggregate), so the comparison is two corpus scans at
+    * any scale. Output: one row per cell, [[psiBuckets]] columns. */
+  def embeddingPsiBuckets(old: DataFrame, cur: DataFrame, vecCol: String,
+                          model: Clustering.ClusterModel): DataFrame =
+    psiFromBucketed(
+      Clustering.assign(old, vecCol, model)
+        .select(col("cluster").as("bucket")),
+      Clustering.assign(cur, vecCol, model)
+        .select(col("cluster").as("bucket")),
+      model.k)
+
+  /** One-row embedding-space PSI summary: (psi_x1e6, n_old, n_new). */
+  def embeddingPsi(old: DataFrame, cur: DataFrame, vecCol: String,
+                   model: Clustering.ClusterModel): DataFrame =
+    embeddingPsiBuckets(old, cur, vecCol, model)
       .agg(sum(col("contrib_x1e6")).as("psi_x1e6"),
         sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
 }

@@ -20,12 +20,20 @@ object EntryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
+      // timed section = the Bench count path, so a probe reading is
+      // comparable to the suite's per-entry record. (The old probe
+      // timed a full collect(), which bills driver-side serialization
+      // of the whole result to the entry — on a ~1M-row result that
+      // read 4× the entry's actual cost and caused the r7
+      // dedup_minhash_lsh "drift".) The head rows are fetched OUTSIDE
+      // the timing via limit(), which never materializes the result.
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val rows = df.collect()
+      val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"entry $name @ $sfDir [$sec%.1f s] n=${rows.length} " +
-        s"head=${rows.take(3).mkString(" | ")}")
+      val head = df.limit(3).collect()
+      println(f"entry $name @ $sfDir [$sec%.1f s] n=$n " +
+        s"head=${head.mkString(" | ")}")
       // SPARK_GRAFT_EXPLAIN=1 prints the executed plan after the run
       // (post-AQE, so what actually executed)
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))

