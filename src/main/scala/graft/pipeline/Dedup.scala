@@ -950,7 +950,12 @@ object Dedup {
     * 1−(1−t^r)^b < 1), so at t ≥ 80 the prefix path can legitimately
     * find pairs LSH would miss. Do not gate on bit-identical drop
     * lists across threshold settings. */
-  def dropList(docs: DataFrame, thresholdPct: Int): DataFrame = {
+  /** @param emitOnce pin for the t < 80 banded path's candidate
+    *        strategy (see [[lshStrategyFor]]) — `None` probes the
+    *        corpus per call; recurring pipelines pass
+    *        `Some(strategy.emitOnce)` from a persisted decision. */
+  def dropList(docs: DataFrame, thresholdPct: Int,
+               emitOnce: Option[Boolean] = None): DataFrame = {
     // connectivity needs rep-level verified pairs + member→rep STAR
     // edges, not the expanded pair relation: a g-doc identical cluster
     // contributes g−1 linear edges here vs g²/2 expanded pairs, and the
@@ -960,7 +965,7 @@ object Dedup {
     val reps = groups.select(col("rep").as("doc_id"), col("hset"), col("sz"))
     val repPairs = (if (thresholdPct >= 80) jaccardPairsOn(reps, thresholdPct)
       else minHashLshPairsOn(reps, thresholdPct,
-        numHashes = 128, bands = 32, salt = 4, oph = true))
+        numHashes = 128, bands = 32, salt = 4, oph = true, emitOnce))
       .select("a_id", "b_id")
     val starEdges = groups.where(size(col("members")) > 1)
       .select(col("rep").as("a_id"), explode(col("members")).as("b_id"))
@@ -1001,8 +1006,12 @@ object Dedup {
     * member) or a smaller surviving new doc (keep = component minimum).
     * Output: (drop_id, keep_id) over new docs only. Ids must be disjoint
     * across sides. */
+  /** @param emitOnce pin for the new×new banded path (the bipartite
+    *        new×corpus join has a fixed strategy) — same reuse contract
+    *        as [[dropList]]. */
   def incrementalDropList(newDocs: DataFrame, corpusDocs: DataFrame,
-                          thresholdPct: Int): DataFrame = {
+                          thresholdPct: Int,
+                          emitOnce: Option[Boolean] = None): DataFrame = {
     // ONE tokenize+hash pass over the new batch: its hashed-set relation
     // is materialized once (localCheckpoint) and threaded through BOTH
     // pair generators — the bipartite new↔corpus band join and the
@@ -1014,7 +1023,7 @@ object Dedup {
       .select("a_id", "b_id")
     val nn = collapsedPairs(newSets,
         minHashLshPairsOn(_, thresholdPct, numHashes = 128, bands = 32,
-          salt = 4, oph = true))
+          salt = 4, oph = true, emitOnce))
       .select("a_id", "b_id")
     val allIds = newDocs.select(col("doc_id"))
       .unionByName(corpusDocs.select(col("doc_id")))

@@ -277,6 +277,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.dropList(clean, 80).count() === 0)
   }
 
+  test("dropList / incrementalDropList: a pinned candidate strategy " +
+      "replays the auto decision's output") {
+    // t = 50 exercises the banded path (the one the pin reaches)
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val auto = setOf(Dedup.dropList(docs, thresholdPct = 50))
+    for (pin <- Seq(true, false))
+      assert(setOf(Dedup.dropList(docs, 50, emitOnce = Some(pin))) === auto,
+        s"pin $pin")
+    val corpus = docs.where($"doc_id" <= 4)
+    val incoming = docs.where($"doc_id" > 4)
+      .select(($"doc_id" + 100).as("doc_id"), $"text")
+    val autoInc = setOf(Dedup.incrementalDropList(incoming, corpus, 50))
+    for (pin <- Seq(true, false))
+      assert(setOf(Dedup.incrementalDropList(incoming, corpus, 50,
+        emitOnce = Some(pin))) === autoInc, s"pin $pin")
+  }
+
   test("hashedSets: sorted distinct hashes, permutation-invariant") {
     val two = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val r = Dedup.hashedSets(two).orderBy("doc_id")
