@@ -46,16 +46,30 @@ object Drift {
     * ([[psiBuckets]]) and the embedding-space form
     * ([[embeddingPsiBuckets]], cluster id as the bucket). */
   private def psiFromBucketed(old: DataFrame, cur: DataFrame,
-                              numBuckets: Int): DataFrame = {
+                              numBuckets: Int): DataFrame =
+    psiFromCellCounts(
+      old.groupBy("bucket").agg(count(lit(1)).as("n")),
+      cur.groupBy("bucket").agg(count(lit(1)).as("n")),
+      numBuckets)
+
+  /** The PSI core over PRE-AGGREGATED bucket histograms — two
+    * (bucket, n) relations, ids in [0, numBuckets). This is the
+    * mergeable-state entry point: bucket counts fold additively across
+    * batches (the [[Sketches.mergeValueHistograms]] pattern), so a
+    * persisted baseline histogram and a streaming-accumulated current
+    * histogram compare without re-scanning either corpus — see
+    * [[graft.streaming.StreamingDrift]]. */
+  def psiFromCellCounts(oldCounts: DataFrame, curCounts: DataFrame,
+                        numBuckets: Int): DataFrame = {
     require(numBuckets >= 2, s"need >= 2 buckets, got $numBuckets")
-    def counts(df: DataFrame, as: String) =
-      df.groupBy("bucket").agg(count(lit(1)).as(as))
-    val spark = old.sparkSession
+    val spark = oldCounts.sparkSession
     import spark.implicits._
     val all = (0L until numBuckets.toLong).toDF("bucket")
     val joined = all
-      .join(counts(old, "n_old"), Seq("bucket"), "left")
-      .join(counts(cur, "n_new"), Seq("bucket"), "left")
+      .join(oldCounts.select(col("bucket"), col("n").as("n_old")),
+        Seq("bucket"), "left")
+      .join(curCounts.select(col("bucket"), col("n").as("n_new")),
+        Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))

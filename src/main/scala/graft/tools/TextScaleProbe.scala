@@ -207,6 +207,21 @@ object TextScaleProbe {
           .otherwise(0L)), lit(0L))).collect()
       n
     }
+    timed("embedding drift PSI: 1M x 64-d vs half-shifted 1M (k=64 cells)") {
+      val vecs = spark.range(n).repartition(64)
+        .select(col("id"),
+          graft.functions.FastFunctions.pseudoRandomVec(col("id"), 64, 11L)
+            .as("vec"))
+      val model = graft.pipeline.Clustering.fit(vecs, "vec", k = 64,
+        seed = 11L)
+      val cur = vecs.select(col("id"),
+        when(col("id") % 2 === 0,
+          transform(col("vec"), (x, i) =>
+            when(i < lit(8), x + lit(2.0f)).otherwise(x)))
+          .otherwise(col("vec")).as("vec"))
+      graft.pipeline.Drift.embeddingPsi(vecs, cur, "vec", model).collect()
+      n
+    }
     timed("c4 line filters over 1M lined docs (pure projection)") {
       val lined = spark.range(n).repartition(64)
         .select(col("id").as("doc_id"),

@@ -435,7 +435,8 @@ class IvfPqSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException] {
         IvfPqBuilder.load(spark, dir)
       }
-      assert(e.getMessage.contains("manifest integrity"))
+      assert(e.getMessage.contains("integrity check failed") &&
+        e.getMessage.contains("manifest.json"))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
