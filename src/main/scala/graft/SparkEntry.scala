@@ -1958,6 +1958,26 @@ object SparkEntry {
       Dedup.simHashDupPairsVerified(Tables.documents(s, dir))
         .orderBy("a_id", "b_id")),
 
+    // the persistable LSH candidate-strategy decision (Dedup
+    // .lshStrategyFor + save/load round-trip through the SHA-256
+    // sidecar), gated on invariants: the probe's n equals the corpus
+    // count (one histogram row per doc), and the loaded record equals
+    // the computed one field for field. The probe is the only corpus
+    // pass; the decision itself is regime-dependent (the sf fixture is
+    // template-dense) and intentionally NOT pinned here — the spec pins
+    // both regimes on synthetic corpora
+    "dedup_lsh_strategy" -> ((s, dir) => {
+      import s.implicits._
+      val strat = Dedup.lshStrategyFor(Tables.documents(s, dir))
+      val path = newStoreDir("graft_lsh_strategy") + "/strategy.json"
+      Dedup.saveLshStrategy(s, strat, path)
+      val loaded = Dedup.loadLshStrategy(s, path)
+      Seq((strat.nDocs, if (loaded == strat) 1L else 0L,
+          if (strat.numHashes == 128 && strat.bands == 32 &&
+            strat.oph) 1L else 0L))
+        .toDF("n_docs", "roundtrip_ok", "params_ok")
+    }),
+
     "dedup_drop_list" -> ((s, dir) =>
       Dedup.dropList(Tables.documents(s, dir), thresholdPct = 90)
         .orderBy("drop_id")),
@@ -4774,6 +4794,10 @@ object SparkEntry {
         |WHERE inter * 100 >= (sa.n + sb.n - inter) * 60
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(90),
+
+    "dedup_lsh_strategy" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS roundtrip_ok,
+        | CAST(1 AS BIGINT) AS params_ok FROM documents""".stripMargin,
 
     "dedup_degree" ->
       s"""WITH pairs AS (${jaccardOracle(90)}),
