@@ -287,11 +287,21 @@ object LocalKMeans {
 
   /** Run `body` over ordered chunks of [0, n) on the global pool; results
     * come back in chunk order and chunk BOUNDARIES are a pure function of
-    * n (fixed 4096-point chunks, NOT core-count-derived), so partial-sum
+    * n (fixed 256-point chunks, NOT core-count-derived), so partial-sum
     * grouping — and therefore the fitted centroids — are bit-identical
-    * for the same (data, seed) on any machine. */
+    * for the same (data, seed) on any machine.
+    *
+    * 256, not the original 4096: the capped training samples are small
+    * enough that 4096-point chunks starved the pool — the 65,536-point
+    * PQ fits made 16 chunks and the 25,600-point coarse fit SEVEN, so
+    * most of a 32-thread box idled through the two dominant build
+    * stages. Measured on the reference-scale 100k×1536 build (same box,
+    * back to back): 42.4 s at 4096 → 30.6 at 1024 → 28.3 at 512 → 27.1
+    * at 256, where it flattens (compute-bound). The merge cost this
+    * adds (16× the partial-sum rows, each k×dim doubles) stays
+    * microseconds against the per-iter flops. */
   private[index] def parChunks[T](n: Int)(body: (Int, Int) => T): Seq[T] = {
-    val size = 4096
+    val size = 256
     val chunks = (n + size - 1) / size
     val ranges = (0 until chunks)
       .map(t => (t * size, math.min(n, (t + 1) * size)))
