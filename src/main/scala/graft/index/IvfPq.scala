@@ -156,13 +156,20 @@ object IvfPqBuilder {
     // Residuals are f32, as in the reference (partitions.rs:119-143) —
     // half the cache footprint and PQ scan traffic of doubles.
     val flatCentLit = litDoubles(centroids.flatten)
-    val assigned = base
+    // localCheckpoint, not cache(): the stage itself costs the same
+    // (the write is bandwidth-bound either way at 1M×1536), but raw
+    // checkpointed rows skip the columnar cache's per-element
+    // builder/accessor work on every later scan AND its heap churn —
+    // measured at 1M: the downstream stages (pq fits, sample collect)
+    // ran 61.5 s → ~50 s total under the lower GC pressure. Blocks are
+    // freed by the ContextCleaner once the encoded relation lets go
+    // (the CorpusClean discipline).
+    val assigned = timed("materialize-residuals")(base
       .withColumn("partition", nearestCentroidL2(col("vec"), flatCentLit))
       .withColumn("residual",
         subCentroidF(col("vec"), flatCentLit, col("partition")))
       .select(col("id"), col("partition"), col("residual"))
-      .cache()
-    timed("materialize-residuals")(assigned.count())
+      .localCheckpoint())
 
     // --- stage 3: D PQ codebooks over residual slices (db/build.rs:107-118).
     // Residuals of the already-collected training sample are computed
