@@ -537,6 +537,7 @@ object Kernels {
   def topCellsL2(v: ArrayData, flatCentroids: ArrayData, nprobe: Int): ArrayData = {
     val dim = v.numElements()
     val p = flatCentroids.numElements() / dim
+    val pd = widenFloats(v, dim) // read/widen each element once, not P×
     val dists = new Array[Double](p)
     var c = 0
     while (c < p) {
@@ -544,7 +545,7 @@ object Kernels {
       var i = 0
       val base = c * dim
       while (i < dim) {
-        val d = v.getFloat(i).toDouble - flatCentroids.getDouble(base + i)
+        val d = pd(i) - flatCentroids.getDouble(base + i)
         s += d * d
         i += 1
       }
@@ -569,16 +570,44 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Per-thread scratch for kernels that scan one row's vector against a
+    * many-row table: the vector is widened to double ONCE instead of per
+    * table row (the argmin over P=100 cells was re-reading and widening
+    * every element 100× through the ArrayData accessor), and the buffer
+    * is reused across rows so the hot path allocates nothing. Safe
+    * because expression evaluation is single-threaded per row and no
+    * kernel using the buffer calls another. */
+  private val dblScratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+
+  private def widenFloats(v: ArrayData, dim: Int): Array[Double] = {
+    var b = dblScratch.get()
+    if (b.length < dim) { b = new Array[Double](dim); dblScratch.set(b) }
+    var i = 0
+    while (i < dim) { b(i) = v.getFloat(i).toDouble; i += 1 }
+    b
+  }
+
   /** Index of the nearest centroid (squared L2) of a float vector against
     * a flattened P×dim f64 centroid table — the full-corpus IVF
     * assignment pass (reference/src/db/build.rs:95-103), evaluated as one
     * codegen call per row with the P×dim table riding along as a plan
-    * literal. Ties break to the lowest cell id. */
+    * literal. Ties break to the lowest cell id.
+    *
+    * Same shape as [[graft.index.LocalKMeans]]'s assignment loop: the
+    * vector widened once into the per-thread scratch, distances in diff
+    * form with 32-element BLOCKED early-abandon (the per-element abandon
+    * check serialized the dependent-add chain; blocking measured ~2× on
+    * the 1M×1536 assignment pass). Identical results — the accumulation
+    * order is unchanged, blocking only moves where a losing candidate
+    * stops. */
   def nearestCentroidL2(v: ArrayData, flatCentroids: ArrayData): Int = {
     val dim = v.numElements()
     require(dim > 0 && flatCentroids.numElements() % dim == 0,
       s"centroid table ${flatCentroids.numElements()} not a multiple of dim $dim")
     val p = flatCentroids.numElements() / dim
+    val pd = widenFloats(v, dim)
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -587,9 +616,12 @@ object Kernels {
       var s = 0.0
       var i = 0
       while (i < dim && s < bestD) {
-        val d = v.getFloat(i).toDouble - flatCentroids.getDouble(base + i)
-        s += d * d
-        i += 1
+        val end = math.min(i + 32, dim)
+        while (i < end) {
+          val d = pd(i) - flatCentroids.getDouble(base + i)
+          s += d * d
+          i += 1
+        }
       }
       if (s < bestD) { bestD = s; best = c }
       c += 1
@@ -654,6 +686,10 @@ object Kernels {
     val m = dim / d
     require(flatCodebooks.numElements() == d * c * m,
       s"codebook size ${flatCodebooks.numElements()} != $d x $c x $m")
+    // residual widened once (each element was re-read C=256 times
+    // through the accessor), blocked early-abandon as in
+    // [[nearestCentroidL2]] — identical codes, same accumulation order
+    val pd = widenFloats(residual, dim)
     val out = new Array[Int](d)
     var di = 0
     while (di < d) {
@@ -666,10 +702,12 @@ object Kernels {
         var s = 0.0
         var i = 0
         while (i < m && s < bestD) {
-          val diff = residual.getFloat(off + i).toDouble -
-            flatCodebooks.getDouble(base + i)
-          s += diff * diff
-          i += 1
+          val end = math.min(i + 32, m)
+          while (i < end) {
+            val diff = pd(off + i) - flatCodebooks.getDouble(base + i)
+            s += diff * diff
+            i += 1
+          }
         }
         if (s < bestD) { bestD = s; bestC = ci }
         ci += 1
@@ -827,6 +865,7 @@ object Kernels {
     require(d > 0 && total % d == 0,
       s"matrix size $total not a multiple of vector dim $d")
     val k = total / d
+    val pd = widenFloats(v, d) // read/widen each element once, not k×
     val out = new Array[Double](k)
     var r = 0
     while (r < k) {
@@ -834,7 +873,7 @@ object Kernels {
       var s = 0.0
       var i = 0
       while (i < d) {
-        s += flatRows.getDouble(base + i) * v.getFloat(i).toDouble
+        s += flatRows.getDouble(base + i) * pd(i)
         i += 1
       }
       out(r) = s
