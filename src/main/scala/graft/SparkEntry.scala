@@ -1485,6 +1485,43 @@ object SparkEntry {
         col("n_dist_far"), col("n_qids"), col("n_low_recall"))
     }),
 
+    // the high-throughput batch path (in-plan ADC tables, shuffled-hash
+    // scan, nothing query-scaled broadcast — AnnQuery.batchTopKAdc):
+    // same invariants as ann_batch_direct, against the driver-planned
+    // batchTopK as the parity reference and the exact top-k for recall
+    "ann_batch_adc" -> ((s, dir) => {
+      val (model, codes) = IvfPqBuilder.load(s, storedIndexPath(s, dir))
+      val emb = Tables.embeddings(s, dir)
+      val qsDf = emb.where(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val adc = AnnQuery
+        .batchTopKAdc(codes, model, qsDf, "qid", "qvec", k = 10, nprobe = 4)
+      val qs = emb.where(col("vec_id") <= 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toSeq
+      val planned = AnnQuery.batchTopK(codes, model, qs, k = 10, nprobe = 4)
+        .select(col("qid"), col("rank"),
+          col("id").as("p_id"), col("sq_dist").as("p_dist"))
+      val exact = ExactKnn
+        .batchTopK(emb, "embedding", "vec_id", qsDf, "qid", "qvec", 10)
+        .select(col("qid"), col("vec_id").as("id"))
+      val par = adc.join(planned, Seq("qid", "rank"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("id").isNull || col("p_id").isNull
+          || col("id") =!= col("p_id"), 1L).otherwise(0L)), lit(0L))
+          .as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("sq_dist") - col("p_dist")) > 1e-6, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_far"))
+      val rec = adc.join(exact, Seq("qid", "id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_rec"))
+        .agg(count(lit(1)).cast("long").as("n_qids"),
+          coalesce(sum(when(col("n_rec") < 3, 1L).otherwise(0L)), lit(0L))
+            .as("n_low_recall"))
+      par.crossJoin(rec).select(col("n_rows"), col("n_id_mismatch"),
+        col("n_dist_far"), col("n_qids"), col("n_low_recall"))
+    }),
+
     // drift REPAIR (the operation the append-drift REBALANCE
     // recommendation points at): skew a store with a broad appended
     // cloud around one vector, then rebalanceStore re-fits the coarse
@@ -4559,6 +4596,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
 
     "ann_batch_direct" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_far, CAST(5 AS BIGINT) AS n_qids,
+        | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,
+
+    "ann_batch_adc" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_far, CAST(5 AS BIGINT) AS n_qids,
         | CAST(0 AS BIGINT) AS n_low_recall""".stripMargin,

@@ -68,6 +68,8 @@ object FastFunctions {
       ArrayType(DoubleType)),
     "pqDistDirect" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       ArrayType(IntegerType), ArrayType(DoubleType)),
+    "adcTableF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
+      IntegerType, ArrayType(DoubleType), IntegerType, IntegerType),
     "pqReconstructF" -> Seq(ArrayType(DoubleType), ArrayType(IntegerType),
       ArrayType(DoubleType), IntegerType))
 
@@ -303,6 +305,14 @@ object FastFunctions {
     * where each (query, probed-cell) row carries its own table. */
   def adcDistCol(codes: Column, flatTable: Column, numCodes: Int): Column =
     invoke(DoubleType, "adcDist", codes, flatTable, lit(numCodes))
+
+  /** In-plan D×C ADC table for one (query, cell) row
+    * (Kernels.adcTableF) — the distributed form of the driver-side
+    * table build. */
+  def adcTableF(q: Column, flatCentroids: Column, cell: Column,
+                flatCodebooks: Column, d: Int, c: Int): Column =
+    invoke(ArrayType(DoubleType, containsNull = false), "adcTableF",
+      q, flatCentroids, cell, flatCodebooks, lit(d), lit(c))
 
   /** Table-free PQ distance ‖(q − centroid) − decode(codes)‖² against a
     * flattened D×C×m codebook column/literal — ANN scoring with no

@@ -1154,6 +1154,50 @@ object Kernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC))
   }
 
+  /** Flattened D×C ADC distance table for one (query, cell) pair —
+    * table[d·C + c] = ‖(q − centroids[cell])[slice d] − codebook[d][c]‖²,
+    * the in-plan form of the driver-side
+    * [[graft.query.AnnQuery.adcTable]] (reference db/stored.rs:549-573,
+    * identical arithmetic: localize in double, diff² sums). Evaluated
+    * once per (query, probed cell) row, it turns the batch scan's
+    * per-code cost from D×m multiply-adds ([[pqDistDirect]]) into D
+    * lookups ([[adcDist]]) while keeping query planning fully
+    * distributed — no driver loop, nothing broadcast per query. */
+  def adcTableF(q: ArrayData, flatCentroids: ArrayData, cell: Int,
+                flatCodebooks: ArrayData, d: Int, c: Int): ArrayData = {
+    val dim = q.numElements()
+    require(d > 0 && dim % d == 0, s"dim $dim not divisible by $d divisions")
+    val m = dim / d
+    require(flatCodebooks.numElements() == d * c * m,
+      s"codebook size ${flatCodebooks.numElements()} != $d x $c x $m")
+    val base = cell * dim
+    require(cell >= 0 && flatCentroids.numElements() >= base + dim,
+      s"cell $cell out of range for table ${flatCentroids.numElements()} / dim $dim")
+    val loc = widenFloats(q, dim)
+    var i = 0
+    while (i < dim) { loc(i) -= flatCentroids.getDouble(base + i); i += 1 }
+    val out = new Array[Double](d * c)
+    var di = 0
+    while (di < d) {
+      val off = di * m
+      var ci = 0
+      while (ci < c) {
+        val cb = (di * c + ci) * m
+        var s = 0.0
+        i = 0
+        while (i < m) {
+          val diff = loc(off + i) - flatCodebooks.getDouble(cb + i)
+          s += diff * diff
+          i += 1
+        }
+        out(di * c + ci) = s
+        ci += 1
+      }
+      di += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC distance Σ_d table[d·C + codes[d]] — pure lookups into the
     * flattened D×C distance table (reference/src/db/stored.rs:575-595). */
   def adcDist(codes: ArrayData, flatTable: ArrayData, numCodes: Int): Double = {

@@ -198,6 +198,34 @@ class IvfPqSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("batchTopKAdc: parity with batchTopK; no broadcast, tables in-plan") {
+    val qids = Seq(0L, 7L, 55L)
+    val queries = qids.map(i => i -> data(i.toInt)._2).toDF("qid", "qvec")
+    val qs = qids.map(i => i -> data(i.toInt)._2.map(_.toDouble).toArray)
+    def collectHits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(3))
+          .map(r => r.getLong(1) -> r.getDouble(2)).toSeq).toMap
+    val adc = AnnQuery.batchTopKAdc(encoded, model, queries,
+      "qid", "qvec", k = 5, nprobe = 2)
+    val got = collectHits(adc)
+    // the high-throughput contract: nothing query-scaled is ever
+    // broadcast — the shuffled-hash join streams the table rows
+    assert(!adc.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    val planned = collectHits(
+      AnnQuery.batchTopK(encoded, model, qs, k = 5, nprobe = 2))
+    qids.foreach { qid =>
+      assert(got(qid).map(_._1) === planned(qid).map(_._1), s"ids, q $qid")
+      got(qid).zip(planned(qid)).foreach { case ((_, d1), (_, d2)) =>
+        assert(math.abs(d1 - d2) <= 1e-9 * math.max(1.0, d2), s"dist, q $qid")
+      }
+    }
+    val pruned = collectHits(AnnQuery.batchTopKAdc(encoded, model, queries,
+      "qid", "qvec", k = 5, nprobe = 2, pruneCells = true))
+    qids.foreach(qid => assert(pruned(qid) === got(qid), s"pruned, q $qid"))
+  }
+
   test("rerank returns exact distances and never loses recall vs raw ADC") {
     val qf = data.head._2
     val q = qf.map(_.toDouble).toArray
