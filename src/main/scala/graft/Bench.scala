@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576") // bounded top-k states are k*16 B; the 128-key default
+                   // silently degrades batch k-NN to sort-based partials
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -36,10 +39,11 @@ object Bench {
       // a build regression to its stage instead of leaving a bare total
       // to re-bisect (the r7 1M 76.5→89.4 s question)
       def buildAt(n: Long): (Double, String) = {
+        // localCheckpoint, not cache(): raw rows scan ~3× faster than the
+        // columnar cache for wide float arrays (BuildBench measurement)
         val vecs = spark.range(n).repartition(64)
           .select(col("id"), pseudoRandomVec(col("id"), 1536, 42L).as("vec"))
-          .cache()
-        vecs.count()
+          .localCheckpoint()
         val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         val stageRe = """^(\S+) (\d+(?:\.\d+)?) s$""".r
         val t0 = System.nanoTime()
@@ -59,7 +63,9 @@ object Bench {
         enc.count()
         stages("encode-materialize") = (System.nanoTime() - tEnc) / 1e9
         val sec = (System.nanoTime() - t0) / 1e9
-        vecs.unpersist(true) // drop the build input before what follows
+        // checkpoint blocks (this input + the fit's residuals) free via
+        // ContextCleaner once unreachable — the suite's per-run
+        // System.gc() sweep collects them before the first entry runs
         (sec, stages.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}"))
       }

@@ -16,6 +16,9 @@ object Verify {
       // graft arithmetic (hash mixing, floor divisions) is wrap-around by
       // design; ANSI overflow errors are not wanted here.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576") // bounded top-k states are k*16 B; the 128-key default
+                   // silently degrades batch k-NN to sort-based partials
       // some testdata generations write events.ts as TIMESTAMP(NANOS),
       // which vanilla Spark rejects; read those as long (ns since epoch).
       // Tables.events normalizes either physical type to ns-longs.

@@ -92,7 +92,23 @@ object TopKAggregator {
     override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
   }
 
-  /** topK(k)(distCol, idCol) → array<struct<dist,id>> ascending, ≤ k rows. */
-  def topK(k: Int)(dist: Column, id: Column): Column =
+  /** topK(k)(distCol, idCol) → array<struct<dist,id>> ascending, ≤ k rows.
+    * Backed by the NATIVE [[BoundedTopK]] aggregate since round 8 — the
+    * udaf Aggregator's per-row encoder (a case class + immutable buffer
+    * per input row) measured 13% of a 50M-row batch-ANN scan's wall
+    * (5.53 → 4.83 s same-box A/B). Same output shape and bit-identical
+    * ordering; [[topKUdaf]] is kept as the differential oracle
+    * (TopKAggregatorSpec). */
+  def topK(k: Int)(dist: Column, id: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(BoundedTopK(k,
+      ColumnShim.expression(dist.cast("double")),
+      ColumnShim.expression(id.cast("long")))
+      .toAggregateExpression())
+  }
+
+  /** The previous udaf-based implementation — retained as the
+    * equivalence oracle for the native aggregate. */
+  private[graft] def topKUdaf(k: Int)(dist: Column, id: Column): Column =
     udaf(new TopK(k), Encoders.product[Cand]).apply(dist, id).getField("items")
 }

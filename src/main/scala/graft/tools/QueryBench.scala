@@ -34,6 +34,11 @@ object QueryBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // the batch top-k groups by query id: thousands of groups per
+      // task, far past ObjectHashAggregate's 128-key sort fallback —
+      // without this the partial aggregate SORTS the scan output
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "48g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

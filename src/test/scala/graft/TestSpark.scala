@@ -10,6 +10,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576") // bounded top-k states are k*16 B; the 128-key default
+                   // silently degrades batch k-NN to sort-based partials
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // saveAsTable targets (BucketedTablesSpec) land in a temp dir,
