@@ -1,11 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.attrs.{AttributesLog, VectorAttributes}
 import graft.index.{IvfPqBuilder, IvfPqConfig, IvfPqModel, OpqBuilder}
-import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, TextAnalysis, Web}
 import graft.query.{AnnQuery, ExactKnn}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -24,6 +24,70 @@ object SparkEntry {
   private def queryVec(s: SparkSession, dir: String, vecId: Long): Array[Float] =
     Tables.embeddings(s, dir).where(col("vec_id") === vecId)
       .select("embedding").head().getSeq[Float](0).toArray
+
+  /** Deterministic messy-URL synthesis for the web_* gates (documents
+    * carries no URL column): every [[graft.pipeline.Web.normalizeUrl]]
+    * rule is exercised by some doc_id residue class — mixed case,
+    * explicit default ports (scheme-consistent by construction),
+    * tracking params in leading and trailing positions, fragments. The
+    * DuckDB oracles replicate this construction verbatim. */
+  private def webMessyUrl: Column = {
+    val d = col("doc_id")
+    val sch = when(d % 2 === 0, lit("https")).otherwise(lit("http"))
+    val sub = when(d % 5 === 0, lit("www.")).when(d % 5 === 2, lit("cdn."))
+      .when(d % 5 === 3, lit("m.")).otherwise(lit(""))
+    val tld = when(d % 4 === 0, lit(".com")).when(d % 4 === 1, lit(".co.uk"))
+      .when(d % 4 === 2, lit(".org")).otherwise(lit(".io"))
+    val port = when(d % 6 === 0, lit(":443")).when(d % 6 === 3, lit(":80"))
+      .otherwise(lit(""))
+    val head = concat(sch, lit("://"), sub, col("source"), tld, port)
+    val headCased = when(d % 7 === 0, upper(head)).otherwise(head)
+    val q = when(d % 3 === 0,
+        concat(lit("?utm_source=feed&id="), d.cast("string")))
+      .when(d % 3 === 1, concat(lit("?id="), d.cast("string"),
+        lit("&utm_campaign=x&fbclid=abc")))
+      .otherwise(lit(""))
+    val frag = when(d % 4 === 0, lit("#section-2")).otherwise(lit(""))
+    concat(headCased, lit("/"), col("lang"), lit("/doc-"),
+      d.cast("string"), q, frag)
+  }
+
+  /** Clean host-only URL synthesis for the per-domain gates: subdomain
+    * by doc residue, TLD by doc residue (so each source spans several
+    * registered domains, including a two-level-suffix one). */
+  private def webSimpleUrl: Column = {
+    val d = col("doc_id")
+    val sub = when(d % 3 === 0, lit("www.")).when(d % 3 === 1, lit("m."))
+      .otherwise(lit(""))
+    val tld = when(d % 4 === 0, lit(".com")).when(d % 4 === 1, lit(".co.uk"))
+      .when(d % 4 === 2, lit(".org")).otherwise(lit(".io"))
+    concat(lit("https://"), sub, col("source"), tld, lit("/doc-"),
+      d.cast("string"))
+  }
+
+  /** Group-stable messy URLs: every triple g = doc_id div 3 canonicalizes
+    * to ONE url key while the raw strings differ per doc (www, case,
+    * default ports, tracking params, fragments) — the url-dedup gate. */
+  private def webGroupUrl: Column = {
+    val d = col("doc_id")
+    val g = floor(d / lit(3)).cast("long")
+    val sch = when(g % 2 === 0, lit("https")).otherwise(lit("http"))
+    val sub = when(d % 3 === 0, lit("www.")).otherwise(lit(""))
+    val tld = when(g % 4 === 0, lit(".com")).when(g % 4 === 1, lit(".co.uk"))
+      .when(g % 4 === 2, lit(".org")).otherwise(lit(".io"))
+    // :443 only at d%6==0 (then g even -> https); :80 only at d%6==3
+    // (then g odd -> http) — ports stay scheme-consistent
+    val port = when(d % 6 === 0, lit(":443")).when(d % 6 === 3, lit(":80"))
+      .otherwise(lit(""))
+    val head = concat(sch, lit("://"), sub, lit("site"),
+      (g % 50).cast("string"), tld, port)
+    val headCased = when(d % 7 === 0, upper(head)).otherwise(head)
+    val q = concat(lit("?v="), (g % 7).cast("string"),
+      when(d % 3 === 0, lit("&utm_source=x"))
+        .when(d % 3 === 2, lit("&fbclid=y")).otherwise(lit("")))
+    val frag = when(d % 4 === 1, lit("#top")).otherwise(lit(""))
+    concat(headCased, lit("/p/"), g.cast("string"), q, frag)
+  }
 
   /** Fit the IVF+PQ index once per sf dir (the build is its own pipeline
     * stage in production; dependent entries measure THEIR operator, not a
@@ -3309,6 +3373,61 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, dir), n = 8)
         .orderBy("doc_id")),
 
+    // winnowed-fingerprint verbatim-overlap pairs (MOSS winnowing,
+    // SIGMOD'03): only the ~2/(w+1) winnowing-selected gram hashes are
+    // exploded and self-joined — the sampled scale path dedup_spans'
+    // every-window relation grows out of — with the guarantee that any
+    // pair sharing an (n+w−1)-token substring yields a candidate; the
+    // output is the VERIFIED, hash-order-independent measure (distinct
+    // shared 8-token windows), so the oracle joins window STRINGS
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowedPairs(Tables.documents(s, dir), n = 4, w = 5)
+        .orderBy("a_id", "b_id")),
+
+    // ------------------------------------------------- web/URL curation
+    // URL canonicalization over synthesized messy URLs (every rule
+    // exercised by a doc_id residue class): normalized form + host +
+    // registered domain per doc — the oracle replicates both the
+    // synthesis and the regex pipeline step for step
+    "web_url_normalize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("url", webMessyUrl)
+      val u = Web.normalizeUrl(col("url"))
+      docs.select(col("doc_id"), u.as("url_norm"), Web.host(u).as("host"),
+          Web.registeredDomain(Web.host(u)).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // per-registered-domain corpus accounting (docs, distinct hosts,
+    // char mass) — subdomains collapse, two-level suffixes (.co.uk)
+    // keep three labels
+    "web_host_stats" -> ((s, dir) =>
+      Web.hostStats(
+          Tables.documents(s, dir).withColumn("url", webSimpleUrl),
+          "url", Seq(sum(col("n_chars")).as("sum_chars")))
+        .orderBy("domain")),
+
+    // domain blocklist as a broadcast anti-join (the blocklist is
+    // domain-sized, never corpus-sized), surviving docs per source
+    "web_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).withColumn("url", webSimpleUrl)
+      val blocked = Seq("src0.io", "src3.com", "src7.co.uk", "src12.org")
+        .toDF("domain")
+      Web.blocklistFilter(docs, "url", blocked)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // URL-level dedup: triples of docs whose raw URLs differ by scheme
+    // case / www / default ports / tracking params / fragments collapse
+    // to one canonical key; keep the minimum doc_id — the oracle
+    // constructs the expected canonical key INDEPENDENTLY, so the gate
+    // proves the whole normalize+key pipeline
+    "web_url_dedup" -> ((s, dir) =>
+      Web.dedupByUrl(
+          Tables.documents(s, dir).withColumn("url", webGroupUrl), "url")
+        .orderBy("keep_id")),
+
     // directed containment (partial-copy) pairs over 3-gram shingle
     // sets at |A∩B| ≥ 0.8·|A| — the asymmetric measure Jaccard dilutes
     // when |B| ≫ |A|; shingles (not bags of tokens) because copied
@@ -5793,6 +5912,117 @@ object SparkEntry {
         |FROM t LEFT JOIN agg a USING (doc_id) CROSS JOIN guard
         |WHERE guard.ok = 1
         |ORDER BY t.doc_id""".stripMargin,
+
+    // same window-STRING construction and 4096-series guard as the
+    // dedup_spans oracle; count(*) over the per-doc DISTINCT window
+    // relation ≡ the Spark side's sorted-distinct L-gram-hash
+    // intersection size (mod 64-bit collisions)
+    "dedup_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4089 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
+        |d AS (SELECT DISTINCT doc_id,
+        |  array_to_string(toks[g.i : g.i + 7], ' ') AS s
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 7 <= nt),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared_windows
+        | FROM d a JOIN d b USING (s) WHERE a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_shared_windows FROM p CROSS JOIN guard
+        |WHERE guard.ok = 1 ORDER BY a_id, b_id""".stripMargin,
+
+    // replicates the messy-URL synthesis, then the normalization regex
+    // pipeline step for step (DuckDB regexp_replace needs the explicit
+    // 'g' flag on the tracking-param rule; every other rule is anchored
+    // single-match)
+    "web_url_normalize" ->
+      """WITH b AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'www.' WHEN doc_id % 5 = 2 THEN 'cdn.'
+        |        WHEN doc_id % 5 = 3 THEN 'm.' ELSE '' END) || source ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.co.uk'
+        |        WHEN doc_id % 4 = 2 THEN '.org' ELSE '.io' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 3 THEN ':80'
+        |        ELSE '' END) AS head,
+        |  '/' || lang || '/doc-' || doc_id ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || doc_id
+        |        WHEN doc_id % 3 = 1 THEN '?id=' || doc_id || '&utm_campaign=x&fbclid=abc'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS tail
+        | FROM documents),
+        |raw AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 7 = 0 THEN upper(head) ELSE head END) || tail AS url
+        | FROM b),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
+        |n2 AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1)) ||
+        |  regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS u FROM n1),
+        |n3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+        |  '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS u FROM n2),
+        |n4 AS (SELECT doc_id, regexp_replace(u,
+        |  '[?&](utm_[a-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g') AS u
+        | FROM n3),
+        |n5 AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_replace(u, '^([^?]*)&', '\1?'), '[?&]+$', ''),
+        |  '^(https?://[^/?#]+)/$', '\1') AS u FROM n4),
+        |h AS (SELECT doc_id, u,
+        |  lower(regexp_extract(u, '^[^:/?#]+://([^/:?#]+)', 1)) AS host FROM n5),
+        |hp AS (SELECT doc_id, u, host, string_split(host, '.') AS pa,
+        |  len(string_split(host, '.')) AS np FROM h)
+        |SELECT doc_id, u AS url_norm, host,
+        | CASE WHEN np >= 3 AND (pa[np-1] || '.' || pa[np]) IN ('co.uk','org.uk',
+        |   'ac.uk','gov.uk','com.au','net.au','org.au','co.jp','or.jp','ne.jp',
+        |   'co.in','co.kr','com.br','com.cn','com.mx','com.tr','com.ar','co.za',
+        |   'com.sg','co.nz')
+        |  THEN pa[np-2] || '.' || pa[np-1] || '.' || pa[np]
+        |  WHEN np >= 2 THEN pa[np-1] || '.' || pa[np]
+        |  ELSE host END AS domain
+        |FROM hp ORDER BY doc_id""".stripMargin,
+
+    // host/domain constructed directly from the synthesis parts (the
+    // suffix rule keeps source.co.uk intact, strips subdomains
+    // otherwise — so domain = source || tld for every class here)
+    "web_host_stats" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'm.'
+        |        ELSE '' END) || source ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.co.uk'
+        |        WHEN doc_id % 4 = 2 THEN '.org' ELSE '.io' END) AS host,
+        |  source ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.co.uk'
+        |        WHEN doc_id % 4 = 2 THEN '.org' ELSE '.io' END) AS domain
+        | FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "web_blocklist" ->
+      """WITH r AS (SELECT source, doc_id, source ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.co.uk'
+        |        WHEN doc_id % 4 = 2 THEN '.org' ELSE '.io' END) AS domain
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM r
+        |WHERE domain NOT IN ('src0.io','src3.com','src7.co.uk','src12.org')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // constructs the EXPECTED canonical key independently of the regex
+    // pipeline — scheme, www, default ports, tracking params, and
+    // fragments must all have been removed for the two sides to agree
+    "web_url_dedup" ->
+      """WITH k AS (SELECT doc_id, doc_id // 3 AS g FROM documents),
+        |r AS (SELECT doc_id,
+        |  'site' || (g % 50) ||
+        |  (CASE WHEN g % 4 = 0 THEN '.com' WHEN g % 4 = 1 THEN '.co.uk'
+        |        WHEN g % 4 = 2 THEN '.org' ELSE '.io' END) ||
+        |  '/p/' || g || '?v=' || (g % 7) AS url_key
+        | FROM k)
+        |SELECT url_key, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS n_dups
+        |FROM r GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "rel_except" ->
       """SELECT DISTINCT user_id FROM events

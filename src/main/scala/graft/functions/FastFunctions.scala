@@ -30,6 +30,8 @@ object FastFunctions {
     "tokenHashesSorted" -> Seq(ArrayType(StringType)),
     "shingleHashesSorted" -> Seq(ArrayType(StringType), IntegerType),
     "shingleHashes" -> Seq(ArrayType(StringType), IntegerType),
+    "winnowedFingerprints" -> Seq(ArrayType(StringType), IntegerType,
+      IntegerType),
     "bitsAboveMean" -> Seq(ArrayType(FloatType)),
     "signBits" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "hammingDist" -> Seq(ArrayType(LongType), ArrayType(LongType)),
@@ -175,6 +177,14 @@ object FastFunctions {
   def shingleHashes(toks: Column, n: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "shingleHashes",
       toks, lit(n))
+
+  /** Winnowed fingerprint set (sorted distinct) of an array<string>
+    * token column — density-2/(w+1) sampled n-gram hashes with the
+    * exact ≥(n+w−1)-token-overlap guarantee (see
+    * Kernels.winnowedFingerprints). */
+  def winnowedFingerprints(toks: Column, n: Int, w: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "winnowedFingerprints",
+      toks, lit(n), lit(w))
 
   /** 64-bit average-hash (aHash) of a ≤64-pixel float image column. */
   def bitsAboveMean(img: Column): Column =

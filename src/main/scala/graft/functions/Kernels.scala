@@ -262,6 +262,72 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(h)
   }
 
+  /** Winnowed fingerprint set of a token array (Schleimer–Wilkerson–
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): positional n-gram hashes as in [[shingleHashes]], then
+    * for every window of `w` consecutive gram positions (truncated at
+    * the left edge) select the position of the minimum hash — ties to
+    * the smallest position — and return the sorted DISTINCT hashes at
+    * the union of selected positions.
+    *
+    * The winnowing guarantee: any two documents sharing a substring of
+    * n+w−1 tokens share at least one full w-window over an identical
+    * hash multiset, whose minimum VALUE both select — so the shared
+    * fingerprint survives regardless of tie positions. Expected density
+    * on random text is 2/(w+1) of gram positions, which is the whole
+    * point at scale: the corpus-sized exploded relation shrinks
+    * (w+1)/2-fold versus emitting every window ([[shingleHashes]]),
+    * while exact ≥(n+w−1)-token overlaps stay candidate-complete.
+    *
+    * One pass per row, no shuffle: the window argmin is maintained
+    * incrementally (rescan only when the incumbent falls out), so the
+    * loop is O(m) amortized, O(m·w) worst case. */
+  def winnowedFingerprints(toks: ArrayData, n: Int, w: Int): ArrayData = {
+    val m = toks.numElements() - n + 1
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val sep = UTF8String.fromString(" ")
+    val empty = UTF8String.EMPTY_UTF8
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val u = toks.getUTF8String(i + j)
+        parts(j) = if (u == null) empty else u
+        j += 1
+      }
+      h(i) = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), 42L)
+      i += 1
+    }
+    val sel = new Array[Boolean](m)
+    var best = 0
+    var p = 0
+    while (p < m) {
+      val lo = if (p - w + 1 > 0) p - w + 1 else 0
+      if (p == 0) best = 0
+      else if (best < lo) {
+        // the incumbent minimum slid out of the window: rescan it
+        best = lo
+        var q = lo + 1
+        while (q <= p) { if (h(q) < h(best)) best = q; q += 1 }
+      } else if (h(p) < h(best)) best = p
+      sel(best) = true
+      p += 1
+    }
+    var k = 0
+    i = 0
+    while (i < m) { if (sel(i)) { h(k) = h(i); k += 1 }; i += 1 }
+    java.util.Arrays.sort(h, 0, k)
+    var d = 0
+    i = 0
+    while (i < k) {
+      if (d == 0 || h(i) != h(d - 1)) { h(d) = h(i); d += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(h, d))
+  }
+
   /** Multiplicity of the most-repeated n-token shingle of a token array,
     * packed with the total shingle count as (max << 32) | total — the
     * Gopher-style repetition quality signal (Rae et al. 2021, §A1.1:

@@ -802,6 +802,63 @@ object Dedup {
         coalesce(col("mst"), lit(0L)).as("max_span_tokens"))
   }
 
+  /** Exact verbatim-overlap pairs by WINNOWED fingerprints (Schleimer–
+    * Wilkerson–Aiken, SIGMOD'03 — the MOSS fingerprinting scheme): each
+    * document contributes only the winnowing-selected ~2/(w+1) fraction
+    * of its n-gram hashes (one kernel call per row, see
+    * [[graft.functions.Kernels.winnowedFingerprints]]), candidates are
+    * the pairs sharing a selected fingerprint, and every candidate is
+    * VERIFIED against the exact overlap measure: the number of distinct
+    * shared (n+w−1)-token windows, computed by a sorted-set merge-scan
+    * over each doc's L-gram hash set.
+    *
+    * The winnowing guarantee makes this candidate-COMPLETE for the
+    * verified measure: any pair sharing an L = n+w−1-token substring
+    * shares a full w-window of identical gram hashes, whose minimum
+    * value both documents select. So the output equals "all pairs
+    * sharing ≥1 exact L-token window" (mod 64-bit hash collisions) —
+    * hash-order-independent, hence SQL-oracle-able — while candidate
+    * generation touches a (w+1)/2-fold smaller relation than emitting
+    * every window ([[duplicateSpans]] does, for its per-doc span
+    * accounting; THIS is the pairwise path you run at corpus scale).
+    *
+    * Scale shape: fingerprinting is per-row (no shuffle); the
+    * fingerprint self-join buckets on the 64-bit fingerprint exactly
+    * like the LSH band join; verification joins each doc's L-gram set
+    * once per surviving candidate side. Ubiquitous fingerprints
+    * (boilerplate) can be capped with `maxDf` — that trades the
+    * completeness guarantee for bounded bucket skew, the same knob the
+    * LSH path exposes; the default keeps the guarantee.
+    *
+    * Output: (a_id, b_id, n_shared_windows > 0), a_id < b_id. */
+  def winnowedPairs(docs: DataFrame, n: Int = 4, w: Int = 5,
+                    maxDf: Option[Int] = None): DataFrame = {
+    val L = n + w - 1
+    val fp = docs.select(col("doc_id"),
+      explode(winnowedFingerprints(split(col("text"), " "), n, w)).as("fp"))
+    val fpKept = maxDf match {
+      case Some(cap) =>
+        val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("fp")
+        fp.join(hot, Seq("fp"), "left_anti")
+      case None => fp
+    }
+    val cand = fpKept.as("a")
+      .join(fpKept.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val lsets =
+      docs.select(col("doc_id"), hashedShingleSet(col("text"), L).as("ls"))
+    cand
+      .join(lsets.select(col("doc_id").as("a_id"), col("ls").as("la")), "a_id")
+      .join(lsets.select(col("doc_id").as("b_id"), col("ls").as("lb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        interSortedSize(col("la"), col("lb")).cast("long")
+          .as("n_shared_windows"))
+      .where(col("n_shared_windows") > 0)
+  }
+
   // -------------------------------------------- clusters and drop lists
 
   /** Connected components of the undirected pair graph by alternating

@@ -96,6 +96,32 @@ object TextScaleProbe {
       graft.pipeline.Dedup.minHashLshPairs(mixed, thresholdPct = 80,
         salt = 1, emitOnce = Some(false)).count()
     }
+    // winnowed fingerprint pairs: every 100th doc copies a 12-token
+    // verbatim passage (positions 10..21) from its predecessor, rest
+    // hash-unique; with n=4, w=5 (L=8 ≤ 12) the winnowing guarantee
+    // forces every planted pair to surface — expect n/100 − 1 pairs
+    timed(s"winnowed pairs over $n docs (~1% planted 12-token overlaps)") {
+      val planted = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast(hash(id - CASE WHEN id % 100 = 0 " +
+            "AND j BETWEEN 10 AND 21 THEN 1 ELSE 0 END, j) as string))))")
+            .as("text"))
+      graft.pipeline.Dedup.winnowedPairs(planted, n = 4, w = 5).count()
+    }
+    // url canonicalization + url-level dedup: pure projection + one
+    // hash aggregate on the key; pairs of ids share one canonical url
+    timed(s"url normalize + url-dedup over $n synthetic urls") {
+      val urls = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat(CASE WHEN id % 2 = 0 THEN 'https' ELSE 'http' END, " +
+            "'://', CASE WHEN id % 3 = 0 THEN 'www.' ELSE '' END, 'host', " +
+            "cast(pmod(hash(id div 2), 100000) as string), '.com/p/', " +
+            "cast(id div 2 as string), " +
+            "CASE WHEN id % 5 = 0 THEN '?utm_source=x' ELSE '' END)")
+            .as("url"))
+      graft.pipeline.Web.dedupByUrl(urls, "url").count()
+    }
     // lined corpus: 10 lines/doc — 2 injected boilerplate lines shared
     // by all docs (a header and a per-residue footer, 20% of the line
     // mass) + 8 hash-unique body lines
