@@ -3384,6 +3384,27 @@ object SparkEntry {
       Dedup.winnowedPairs(Tables.documents(s, dir), n = 4, w = 5)
         .orderBy("a_id", "b_id")),
 
+    // ingest-time winnowing: verbatim-overlap pairs between a NEW batch
+    // (doc_id % 5 = 0, the dedup_incremental split) and the standing
+    // corpus — new×corpus only, the corpus fingerprint relation is a
+    // reusable projection; same verified shared-window measure
+    "dedup_winnow_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.winnowedPairsBipartite(
+          docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 5 =!= 0), n = 4, w = 5)
+        .orderBy("new_id", "corpus_id")
+    }),
+
+    // span REMOVAL on top of dedup_spans' measure (Lee et al. 2022
+    // ExactSubstr semantics, symmetric): every token covered by a
+    // cross-doc duplicated 8-token window is cut from every copy; the
+    // oracle reassembles the surviving tokens from the same window
+    // STRINGS, so the gate proves the cut positions AND the rebuild
+    "dedup_span_remove" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), n = 8)
+        .orderBy("doc_id")),
+
     // ------------------------------------------------- web/URL curation
     // URL canonicalization over synthesized messy URLs (every rule
     // exercised by a doc_id residue class): normalized form + host +
@@ -5932,6 +5953,63 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT a_id, b_id, n_shared_windows FROM p CROSS JOIN guard
         |WHERE guard.ok = 1 ORDER BY a_id, b_id""".stripMargin,
+
+    // the dedup_winnow oracle restricted to new(doc_id%5=0) x corpus —
+    // the winnowing guarantee makes the fingerprint candidate pass
+    // complete for the >=1-shared-L-window measure, so the string-join
+    // relation IS the expected output
+    "dedup_winnow_incr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4089 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
+        |d AS (SELECT DISTINCT doc_id,
+        |  array_to_string(toks[g.i : g.i + 7], ' ') AS s
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 7 <= nt),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared_windows
+        | FROM d a JOIN d b USING (s)
+        | WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        | GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, n_shared_windows FROM p CROSS JOIN guard
+        |WHERE guard.ok = 1 ORDER BY new_id, corpus_id""".stripMargin,
+
+    // same dup-window detection as the dedup_spans oracle, then the
+    // REBUILD: covered = union of [pos, pos+7] over duplicated windows,
+    // surviving tokens re-joined in position order (split/join on a
+    // single space is an identity, so untouched docs compare verbatim);
+    // an all-covered doc rebuilds to the empty string on both sides
+    "dedup_span_remove" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4089 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
+        |w AS (SELECT doc_id, g.i AS pos,
+        |  array_to_string(toks[g.i : g.i + 7], ' ') AS s
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i + 7 <= nt),
+        |dh AS (SELECT s FROM w GROUP BY s HAVING min(doc_id) < max(doc_id)),
+        |dw AS (SELECT w.doc_id, w.pos FROM w JOIN dh USING (s)),
+        |cov AS (SELECT DISTINCT doc_id, pos + g.j AS idx
+        | FROM dw, generate_series(0, 7) AS g(j)),
+        |tok AS (SELECT doc_id, g.i AS idx, toks[g.i] AS tk
+        | FROM t, generate_series(1, 4096) AS g(i) WHERE g.i <= nt),
+        |kept AS (SELECT tok.doc_id,
+        |  string_agg(tk, ' ' ORDER BY tok.idx) AS rebuilt
+        | FROM tok LEFT JOIN cov
+        |   ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+        | WHERE cov.idx IS NULL GROUP BY tok.doc_id),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_removed
+        | FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | CASE WHEN nrem.doc_id IS NULL THEN t.text
+        |      ELSE coalesce(kept.rebuilt, '') END AS clean_text,
+        | coalesce(nrem.n_tokens_removed, 0) AS n_tokens_removed
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        | LEFT JOIN nrem ON t.doc_id = nrem.doc_id
+        | CROSS JOIN guard WHERE guard.ok = 1
+        |ORDER BY t.doc_id""".stripMargin,
 
     // replicates the messy-URL synthesis, then the normalization regex
     // pipeline step for step (DuckDB regexp_replace needs the explicit

@@ -859,6 +859,84 @@ object Dedup {
       .where(col("n_shared_windows") > 0)
   }
 
+  /** Ingest-time variant of [[winnowedPairs]]: verbatim-overlap pairs
+    * between NEW documents and an existing corpus only — new×corpus,
+    * never corpus×corpus, the same incremental contract as
+    * [[minHashLshPairsBipartite]] and the other `*Incremental`
+    * operators. The corpus fingerprint relation is a pure projection of
+    * the corpus (persist it once, reuse every batch); each ingest batch
+    * fingerprints only its own rows. Same guarantee and verified output
+    * measure as the symmetric path. */
+  def winnowedPairsBipartite(newDocs: DataFrame, corpus: DataFrame,
+                             n: Int = 4, w: Int = 5,
+                             maxDf: Option[Int] = None): DataFrame = {
+    val L = n + w - 1
+    def fps(df: DataFrame) = df.select(col("doc_id"),
+      explode(winnowedFingerprints(split(col("text"), " "), n, w)).as("fp"))
+    val fpCorpus = maxDf match {
+      case Some(cap) =>
+        val all = fps(corpus)
+        val hot = all.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("fp")
+        all.join(hot, Seq("fp"), "left_anti")
+      case None => fps(corpus)
+    }
+    val cand = fps(newDocs)
+      .select(col("doc_id").as("new_id"), col("fp"))
+      .join(fpCorpus.select(col("doc_id").as("corpus_id"), col("fp")), "fp")
+      .select("new_id", "corpus_id").distinct()
+    def lsets(df: DataFrame) =
+      df.select(col("doc_id"), hashedShingleSet(col("text"), L).as("ls"))
+    cand
+      .join(lsets(newDocs).select(col("doc_id").as("new_id"),
+        col("ls").as("la")), "new_id")
+      .join(lsets(corpus).select(col("doc_id").as("corpus_id"),
+        col("ls").as("lb")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        interSortedSize(col("la"), col("lb")).cast("long")
+          .as("n_shared_windows"))
+      .where(col("n_shared_windows") > 0)
+  }
+
+  /** Span-level substring REMOVAL — the transform [[duplicateSpans]]
+    * only measures (Lee et al. 2022's ExactSubstr-style dedup, the
+    * n-gram-window formulation): every token covered by a cross-document
+    * duplicated n-token window is cut from every copy, and the document
+    * is reassembled from its surviving tokens. Symmetric removal (all
+    * copies lose the span) — deterministic with no keep-one ordering
+    * choice; compose with [[winnowedPairs]]/keepBest upstream when one
+    * canonical copy should survive.
+    *
+    * Scale shape: candidate generation is the same fixed-width
+    * (h, doc_id, pos) relation as [[duplicateSpans]] (text never
+    * shuffles); the per-doc drop set is doc-length-bounded and joins
+    * back onto intact rows (AQE-broadcastable); the strip itself is one
+    * positional higher-order filter projection. Untouched documents
+    * pass through VERBATIM (no retokenization). */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ")
+    val wins = docs.select(col("doc_id"),
+      posexplode(shingleHashes(toks, n)).as(Seq("pos", "h")))
+    val dupH = wins.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") < col("mx"))
+      .select("h")
+    val covered = wins.join(dupH, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set("idx")).as("drop_idx"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("drop_idx").isNull, col("text"))
+          .otherwise(array_join(filter(toks,
+            (_, i) => not(array_contains(col("drop_idx"), i))), " "))
+          .as("clean_text"),
+        when(col("drop_idx").isNull, lit(0))  // size(NULL) is -1 pre-ANSI
+          .otherwise(size(col("drop_idx"))).cast("long")
+          .as("n_tokens_removed"))
+  }
+
   // -------------------------------------------- clusters and drop lists
 
   /** Connected components of the undirected pair graph by alternating

@@ -334,6 +334,46 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 2L, 2L, 3L), (2L, 2L, 2L, 3L)))
   }
 
+  test("removeDuplicateSpans: every token covered by a cross-doc " +
+      "duplicated window is cut from EVERY copy; clean docs verbatim") {
+    val out = Dedup.removeDuplicateSpans(docs, n = 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // brute force over window STRINGS
+    val wins = corpus.map { case (id, t) =>
+      id -> t.split(" ").sliding(8).zipWithIndex
+        .filter(_._1.length == 8)
+        .map { case (ws, i) => (ws.mkString(" "), i) }.toSeq
+    }.toMap
+    val dup = wins.toSeq
+      .flatMap { case (id, ws) => ws.map { case (s, _) => (s, id) } }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+    val expected = corpus.map { case (id, t) =>
+      val toks = t.split(" ")
+      val cov = wins(id).filter { case (s, _) => dup(s) }
+        .flatMap { case (_, p) => p until (p + 8) }.toSet
+      val kept = toks.zipWithIndex.collect { case (tk, i) if !cov(i) => tk }
+      (id, if (cov.isEmpty) t else kept.mkString(" "), cov.size.toLong)
+    }
+    assert(out === expected)
+    val byId = out.map(r => r._1 -> r).toMap
+    // the exact-dup pair is stripped to nothing on BOTH sides
+    assert(byId(5L) === ((5L, "", 9L)) && byId(6L) === ((6L, "", 9L)))
+    // untouched docs pass through verbatim
+    assert(byId(7L)._2 === corpus.find(_._1 == 7L).get._2)
+    assert(byId(7L)._3 === 0L)
+  }
+
+  test("removeDuplicateSpans: disjoint shared passages cut separately, " +
+      "the unshared middle survives") {
+    val d = Seq(
+      (1L, "s1 s2 s3 gap1 gap2 t1 t2 t3"),
+      (2L, "s1 s2 s3 other words t1 t2 t3")).toDF("doc_id", "text")
+    val rows = Dedup.removeDuplicateSpans(d, n = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      (1L, "gap1 gap2", 6L), (2L, "other words", 6L)))
+  }
+
   /** Brute-force directed containment pairs at |A∩B| >= pct·|A|/100. */
   private def bruteContainment(pct: Int): Set[(Long, Long, Long, Long)] = {
     val sets = corpus.map { case (id, t) => id -> t.split(" ").toSet }

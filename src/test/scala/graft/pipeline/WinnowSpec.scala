@@ -130,6 +130,50 @@ class WinnowSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("winnowedPairsBipartite equals the symmetric relation restricted " +
+      "to cross-split pairs and never emits within-side pairs") {
+    val shared = randTokens(71, L).mkString(" ")
+    val other = randTokens(72, L + 3).mkString(" ")
+    val corpus = Seq(
+      (1L, (randTokens(73, 20) :+ shared).mkString(" ")),   // corpus side
+      (2L, shared + " " + randTokens(74, 15).mkString(" ")), // corpus side
+      (3L, other + " " + randTokens(75, 30).mkString(" ")),  // corpus side
+      (10L, randTokens(76, 12).mkString(" ") + " " + shared), // new side
+      (11L, other),                                           // new side
+      (12L, randTokens(77, 40).mkString(" ")))                // new, clean
+    val docs = corpus.toDF("doc_id", "text")
+    val newDocs = docs.where(col("doc_id") >= 10)
+    val old = docs.where(col("doc_id") < 10)
+    val out = result(Dedup.winnowedPairsBipartite(newDocs, old, n, w))
+    // oracle: symmetric brute-force pairs, keep only new x corpus
+    val oracle = brutePairs(corpus).collect {
+      case (a, b, c) if a < 10 && b >= 10 => (b, a, c)
+      case (a, b, c) if a >= 10 && b < 10 => (a, b, c)
+    }
+    assert(out === oracle)
+    // the planted cross pairs exist; corpus x corpus (1,2) is absent
+    assert(out.exists(p => p._1 == 10L && p._2 == 1L))
+    assert(out.exists(p => p._1 == 10L && p._2 == 2L))
+    assert(out.exists(p => p._1 == 11L && p._2 == 3L))
+    assert(out.forall(p => p._1 >= 10L && p._2 < 10L))
+  }
+
+  test("winnowedPairsBipartite maxDf caps on CORPUS fingerprint df") {
+    val boiler = randTokens(81, L).mkString(" ")
+    val old = (1 to 5).map { i =>
+      (i.toLong, randTokens(82 + i, 25).mkString(" ") + " " + boiler)
+    }.toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, boiler + " " + randTokens(90, 20).mkString(" ")))
+      .toDF("doc_id", "text")
+    val full = result(Dedup.winnowedPairsBipartite(newDocs, old, n, w))
+    assert(full.size === 5)
+    // the boilerplate fingerprint has corpus df 5 > 2 -> all capped away
+    val capped = result(
+      Dedup.winnowedPairsBipartite(newDocs, old, n, w, maxDf = Some(2)))
+    assert(capped === Set.empty[(Long, Long, Long)])
+  }
+
   test("maxDf drops ubiquitous-fingerprint candidates (boilerplate cap)") {
     val boiler = randTokens(51, L).mkString(" ")
     // every doc carries the boilerplate window; no other overlap
