@@ -52,6 +52,37 @@ object SparkEntry {
       d.cast("string"), q, frag)
   }
 
+  /** Deterministic HTML-page synthesis for the web_html gate: wraps each
+    * document's text in a page whose head/script/style/comment/link
+    * structure varies by doc_id residue, so every
+    * [[graft.pipeline.Html]] extraction rule is exercised (entities in
+    * the title, a `<` inside script content, tags inside a comment,
+    * 0/1/2 links). The DuckDB oracle replicates this construction AND
+    * the rule chain verbatim. */
+  private def webHtmlDoc: Column = {
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val scriptPart = when(d % 2 === 0,
+      lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+      .otherwise(lit(""))
+    val stylePart = when(d % 3 === 0,
+      lit("<style>p { margin: 0; }</style>")).otherwise(lit(""))
+    val comment = when(d % 4 === 1,
+      lit("<!-- footer <b>boiler</b> -->")).otherwise(lit(""))
+    val linkPart = when(d % 3 === 0, concat(
+        lit("<a href=\"https://site"), (d % 50).cast("string"),
+        lit(".com/p/"), ds, lit("\">Link A</a> <a href=\"https://ref.org/"),
+        ds, lit("\">B</a>")))
+      .when(d % 3 === 1, concat(lit("<a href=\"/rel/"), ds,
+        lit("\">only</a>")))
+      .otherwise(lit(""))
+    concat(
+      lit("<html><head><title>Doc "), ds, lit(" &amp; source "),
+      col("source"), lit("</title>"), stylePart, lit("</head><body>"),
+      scriptPart, comment, lit("<h1>Doc "), ds, lit("</h1><p>"),
+      col("text"), lit("</p>"), linkPart, lit("</body></html>"))
+  }
+
   /** Clean host-only URL synthesis for the per-domain gates: subdomain
     * by doc residue, TLD by doc residue (so each source spans several
     * registered domains, including a two-level-suffix one). */
@@ -3449,6 +3480,17 @@ object SparkEntry {
           Tables.documents(s, dir).withColumn("url", webGroupUrl), "url")
         .orderBy("keep_id")),
 
+    // HTML → text extraction over synthesized pages (every rule
+    // exercised by a doc_id residue class: head/title with entities,
+    // script content holding a bare '<', style, comments wrapping
+    // tags, 0/1/2 links): title, visible text, outlinks, and the
+    // integer text-density signal — the oracle replicates the page
+    // synthesis AND the whole rule chain step for step
+    "web_html_extract" -> ((s, dir) =>
+      graft.pipeline.Html.extract(
+          Tables.documents(s, dir).withColumn("html", webHtmlDoc), "html")
+        .orderBy("doc_id")),
+
     // directed containment (partial-copy) pairs over 3-gram shingle
     // sets at |A∩B| ≥ 0.8·|A| — the asymmetric measure Jaccard dilutes
     // when |B| ≫ |A|; shingles (not bags of tokens) because copied
@@ -6101,6 +6143,60 @@ object SparkEntry {
         |SELECT url_key, CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_dups
         |FROM r GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // replicates the page synthesis, then the Html rule chain step for
+    // step (comments, script, style, head, tag strip, entity decode
+    // with &amp; LAST, whitespace collapse; DuckDB regexp_replace needs
+    // the explicit 'g' flag on every rule)
+    "web_html_extract" ->
+      """WITH b AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || ' &amp; source ' || source
+        |   || '</title>' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '<style>p { margin: 0; }</style>'
+        |        ELSE '' END) || '</head><body>' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN
+        |    '<script type="text/javascript">var x = 1 < 2;</script>'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 1 THEN '<!-- footer <b>boiler</b> -->'
+        |        ELSE '' END) ||
+        |  '<h1>Doc ' || doc_id || '</h1><p>' || text || '</p>' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN
+        |    '<a href="https://site' || (doc_id % 50) || '.com/p/' || doc_id
+        |     || '">Link A</a> <a href="https://ref.org/' || doc_id || '">B</a>'
+        |        WHEN doc_id % 3 = 1 THEN
+        |    '<a href="/rel/' || doc_id || '">only</a>'
+        |        ELSE '' END) || '</body></html>' AS html
+        | FROM documents),
+        |e1 AS (SELECT doc_id, html,
+        |  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM b),
+        |e2 AS (SELECT doc_id, html, regexp_replace(t,
+        |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM e1),
+        |e3 AS (SELECT doc_id, html, regexp_replace(t,
+        |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM e2),
+        |e4 AS (SELECT doc_id, html, regexp_replace(t,
+        |  '(?is)<head\b[^>]*>.*?</head>', ' ', 'g') AS t FROM e3),
+        |e5 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM e4),
+        |e6 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(
+        |  replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM e5),
+        |e7 AS (SELECT doc_id, html,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM e6),
+        |ti AS (SELECT doc_id, trim(regexp_replace(replace(replace(replace(
+        |  replace(replace(replace(
+        |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |  '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS title
+        | FROM b),
+        |lk AS (SELECT doc_id, regexp_extract_all(html,
+        |  '(?is)<a\b[^>]*href\s*=\s*"([^"]*)"', 1) AS ls FROM b)
+        |SELECT e7.doc_id, ti.title, e7.clean_text,
+        | CAST(coalesce(len(lk.ls), 0) AS BIGINT) AS n_links,
+        | coalesce(array_to_string(lk.ls, ' '), '') AS links,
+        | CAST(floor(1000.0 * len(e7.clean_text) / len(e7.html)) AS BIGINT)
+        |   AS density_milli
+        |FROM e7 JOIN ti USING (doc_id) JOIN lk USING (doc_id)
+        |ORDER BY e7.doc_id""".stripMargin,
 
     "rel_except" ->
       """SELECT DISTINCT user_id FROM events
