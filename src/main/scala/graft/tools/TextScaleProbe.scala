@@ -109,6 +109,38 @@ object TextScaleProbe {
             .as("text"))
       graft.pipeline.Dedup.winnowedPairs(planted, n = 4, w = 5).count()
     }
+    // ingest-time winnowing: 10k new docs, each copying a 12-token
+    // passage from corpus doc id·97 — expect exactly 10k pairs; the
+    // corpus fingerprint relation is the reusable projection
+    timed(s"winnowed bipartite: 10k new vs $n corpus docs") {
+      val corpus = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast(hash(id, j) as string))))").as("text"))
+      val fresh = spark.range(10000)
+        .select((col("id") + lit(n)).as("doc_id"),
+          expr(("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast(hash(" +
+            "CASE WHEN j BETWEEN 10 AND 21 THEN MID ELSE id + 5555555 END, " +
+            "j) as string))))").replace("MID", s"pmod(id * 97, $n)"))
+            .as("text"))
+      graft.pipeline.Dedup.winnowedPairsBipartite(fresh, corpus,
+        n = 4, w = 5).count()
+    }
+    // span removal at corpus scale: same planted 12-token passages
+    // (every 100th doc copies positions 10..21 of its predecessor);
+    // with n=8 every planted doc loses its covered tokens, the other
+    // 99% must pass verbatim — the count is the non-verbatim docs
+    timed(s"span removal over $n docs (n=8, ~1% planted passages)") {
+      val planted = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast(hash(id - CASE WHEN id % 100 = 0 " +
+            "AND j BETWEEN 10 AND 21 THEN 1 ELSE 0 END, j) as string))))")
+            .as("text"))
+      graft.pipeline.Dedup.removeDuplicateSpans(planted, n = 8)
+        .where(col("n_tokens_removed") > 0).count()
+    }
     // url canonicalization + url-level dedup: pure projection + one
     // hash aggregate on the key; pairs of ids share one canonical url
     timed(s"url normalize + url-dedup over $n synthetic urls") {
