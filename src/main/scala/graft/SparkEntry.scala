@@ -3510,6 +3510,19 @@ object SparkEntry {
         "doc_id", "text", Seq("spark", "vector"))
         .orderBy("doc_id")),
 
+    // exact-phrase search via the positional inverted index: every
+    // phrase-term posting votes for the occurrence start it implies
+    // (pos − slot), a start collecting all slots is an occurrence —
+    // one candidate-sized shuffle, text never moves; the index-free
+    // scan twin is spec-pinned equal (TextSearchSpec)
+    "search_phrase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.query.TextSearch.phraseSearch(
+          graft.query.TextSearch.positionalPostings(docs, "doc_id", "text"),
+          "doc_id", Seq("batch", "data"))
+        .orderBy("doc_id")
+    }),
+
     // hybrid retrieval: RRF fusion (SIGIR'09) of the keyword ranking
     // (search_rank's scan path, top-50) and the vector ranking
     // (knn_exact's brute-force cosine-free L2 path, top-50) — integer
@@ -6413,6 +6426,22 @@ object SparkEntry {
         |FROM tf, st
         |WHERE tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // sliding 2-window scan for the phrase 'batch data' — overlapping
+    // occurrences count separately, same guard pattern as the
+    // window-dedup oracles
+    "search_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4095 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
+        |o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        | FROM t, generate_series(1, 4096) AS g(s)
+        | WHERE s + 1 <= nt AND toks[s] = 'batch' AND toks[s + 1] = 'data'
+        | GROUP BY 1)
+        |SELECT doc_id, n_occurrences FROM o CROSS JOIN guard
+        |WHERE guard.ok = 1 ORDER BY doc_id""".stripMargin,
 
     "search_maxsim" ->
       """WITH s AS (SELECT vec_id, g AS pos,

@@ -89,6 +89,58 @@ object TextSearch {
           .cast("long"))
       .select(col("rank"), col(idCol), col("tf_total"))
 
+  /** Positional inverted index: one fixed-width row per token
+    * OCCURRENCE (token, id, pos) — [[postings]] with positions kept, the
+    * relation phrase and proximity queries need. Narrow explode, no
+    * shuffle; at 100 TB it lives bucketed by token like [[postings]]. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+
+  /** Exact-phrase search over a positional posting relation: documents
+    * containing the consecutive token sequence `phrase`, with the exact
+    * occurrence count (overlapping occurrences count separately).
+    *
+    * Positional intersection in ONE pass: postings for the phrase's
+    * terms join a broadcast (tok, slot) relation, every match votes for
+    * the occurrence START it implies (`pos − slot`), and a start that
+    * collects all `m` distinct slots is an occurrence. One shuffle on
+    * (id, start) — candidate-sized (phrase-term postings only), the
+    * corpus text never moves; repeated phrase terms vote for several
+    * starts and stay correct. */
+  def phraseSearch(post: DataFrame, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val slots = post.sparkSession.createDataFrame(
+      phrase.zipWithIndex.map { case (t, i) => (t, i) })
+      .toDF("tok", "slot")
+    post.join(broadcast(slots), "tok")
+      .groupBy(col(idCol), (col("pos") - col("slot")).as("start"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .where(col("n_slots") === phrase.size && col("start") >= 0)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
+  /** Index-free exact-phrase search: counts occurrences with one
+    * codegen'd higher-order filter over each doc's token array — no
+    * shuffle, no index; same output as [[phraseSearch]] over
+    * [[positionalPostings]]. The right plan for one-off queries. */
+  def phraseScan(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = split(col(textCol), " ")
+    val m = phrase.size
+    val cnt = when(size(toks) >= m,
+      size(filter(sequence(lit(0), size(toks) - lit(m)), s =>
+        phrase.zipWithIndex.map { case (t, i) =>
+          element_at(toks, (s + lit(i + 1)).cast("int")) === lit(t)
+        }.reduce(_ && _)))).otherwise(lit(0))
+    docs.select(col(idCol), cnt.cast("long").as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
+
   /** BM25 relevance scores (Robertson & Zaragoza 2009) for the DISJUNCTIVE
     * hit set (any term matches): per term,
     * idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)), with

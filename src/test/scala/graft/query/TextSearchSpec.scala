@@ -93,4 +93,45 @@ class TextSearchSpec extends AnyFunSuite {
     assert(dup === single)
     assert(dup.map(_._1) === Seq(0L, 2L, 3L))
   }
+
+  private val phraseDocs = Seq(
+    (0L, "a b c a b c"),          // "a b c" twice, "b c a" once
+    (1L, "a b x a b"),            // "a b" twice, never "a b c"
+    (2L, "c b a"),                // reversed — no phrase hits
+    (3L, "x x x"),                // "x x" overlapping: starts 0 and 1
+    (4L, "a b c"),                // phrase at the exact doc boundary
+    (5L, "b")).toDF("doc_id", "text") // shorter than any 2-gram
+
+  test("phraseScan: consecutive-token matches only, overlapping " +
+      "occurrences counted, boundary and short docs handled") {
+    def scan(ph: String*) =
+      TextSearch.phraseScan(phraseDocs, "doc_id", "text", ph)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(scan("a", "b", "c") === Seq((0L, 2L), (4L, 1L)))
+    assert(scan("a", "b") === Seq((0L, 2L), (1L, 2L), (4L, 1L)))
+    assert(scan("x", "x") === Seq((3L, 2L)))  // overlapping starts
+    assert(scan("b", "a") === Seq((2L, 1L)))  // order matters
+    assert(scan("b") === Seq((0L, 2L), (1L, 2L), (2L, 1L), (4L, 1L),
+      (5L, 1L)))
+  }
+
+  test("phraseSearch over positionalPostings agrees with phraseScan, " +
+      "including repeated-term phrases") {
+    val post = TextSearch.positionalPostings(phraseDocs, "doc_id", "text")
+    for (ph <- Seq(Seq("a", "b", "c"), Seq("a", "b"), Seq("x", "x"),
+        Seq("b", "a"), Seq("b"), Seq("a", "b", "c", "a"))) {
+      val idx = TextSearch.phraseSearch(post, "doc_id", ph)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      val scn = TextSearch.phraseScan(phraseDocs, "doc_id", "text", ph)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(idx === scn, s"phrase $ph")
+    }
+  }
+
+  test("positionalPostings: one row per occurrence with 0-based pos") {
+    val post = TextSearch.positionalPostings(phraseDocs, "doc_id", "text")
+    assert(post.where($"doc_id" === 0L && $"tok" === "a")
+      .select("pos").as[Int].collect().toSet === Set(0, 3))
+    assert(post.where($"doc_id" === 5L).count() === 1L)
+  }
 }
