@@ -2368,6 +2368,15 @@ object SparkEntry {
       TextAnalysis.bigramLmScores(docs, docs).orderBy("doc_id")
     }),
 
+    // CCNet's decision layer on top of text_lm_fit: per-language
+    // head/middle/tail terciles of the integer LM fit score, rank
+    // order (score desc, doc_id) so bucket boundaries are tie-stable
+    "quality_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.qualityBuckets(docs, docs, "lang", nBuckets = 3)
+        .orderBy("doc_id")
+    }),
+
     // multinomial Naive Bayes language classifier (the fastText-shaped
     // count model): train on even doc_ids labeled by lang, predict the
     // odd ones — integer-arithmetic fit scores so the argmax cannot
@@ -5347,6 +5356,34 @@ object SparkEntry {
         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
         |CROSS JOIN guard WHERE guard.ok = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the text_lm_fit score pipeline + one ntile window per language
+    "quality_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4095 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |bg AS (SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+        | FROM tok, generate_series(1, 4096) AS i(i)
+        | WHERE i.i + 1 <= len(ts)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(ts) AS t FROM tok)),
+        |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  sum((1000000 * (c12 + 1)) // (c1 + v.v)) AS sum_p
+        | FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        | GROUP BY bg.doc_id),
+        |sc AS (SELECT d.doc_id, d.lang,
+        |  CAST(CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
+        |    ELSE pd.sum_p // pd.n_bigrams END AS BIGINT) AS mean_p_x1e6
+        | FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |SELECT doc_id, lang, mean_p_x1e6,
+        | CAST(ntile(3) OVER (PARTITION BY lang
+        |   ORDER BY mean_p_x1e6 DESC, doc_id) AS BIGINT) AS bucket
+        |FROM sc CROSS JOIN guard WHERE guard.ok = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "text_nb_classify" ->
       """WITH tr AS (SELECT lang AS label, string_split(text, ' ') AS ts

@@ -432,6 +432,30 @@ object TextAnalysis {
         .otherwise(expr("sum_p_x1e6 div n_bigrams")))
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    * the step after LM scoring): documents rank per language by the
+    * [[bigramLmScores]] integer fit score against `train` and split
+    * into `nBuckets` equal-frequency buckets — bucket 1 is the head
+    * (best fit), the last bucket the tail. Rank order is
+    * (mean_p_x1e6 DESC, doc_id), fully deterministic, so bucket
+    * boundaries cannot flake on score ties.
+    *
+    * Shape: the scoring passes of [[bigramLmScores]] plus ONE window
+    * per language partition over a three-column relation (id, lang,
+    * score) — the window sorts within languages only, never globally,
+    * and the text column never reaches it. */
+  def qualityBuckets(train: DataFrame, docs: DataFrame,
+                     langCol: String = "lang",
+                     nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScores(train, docs)
+      .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("mean_p_x1e6").desc, col("doc_id"))
+    scored.select(col("doc_id"), col(langCol), col("mean_p_x1e6"),
+      ntile(nBuckets).over(w).cast("long").as("bucket"))
+  }
+
   /** Top-k characteristic keywords per document by smoothed TF-IDF:
     * score = tf · ln((N+1)/(df+1)), ranked (score desc, term asc) with a
     * deterministic dense rank. The corpus statistics are ONE vocabulary-

@@ -292,4 +292,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(got === want)
   }
+
+  test("qualityBuckets: per-language terciles by LM fit, head = best " +
+      "fit, ties break on doc_id, uneven groups front-load") {
+    // lang en: 4 docs — 3 corpus-typical, 1 shuffled junk (worst fit);
+    // lang de: 2 docs (bucket 3 stays empty — ntile(3) over 2 rows)
+    val docs = Seq(
+      (1L, "en", "a b a b a b"), (2L, "en", "a b a b c"),
+      (3L, "en", "b a b a b"), (4L, "en", "q z q z"),
+      (10L, "de", "x y x y"), (11L, "de", "y x q")).toDF(
+      "doc_id", "lang", "text")
+    val r = TextAnalysis.qualityBuckets(docs, docs, "lang", nBuckets = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(3))).toSeq
+    val score = TextAnalysis.bigramLmScores(docs, docs)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    // replicate: rank per lang by (score desc, doc_id), ntile semantics
+    def buckets(ids: Seq[Long], n: Int): Map[Long, Long] = {
+      val ordered = ids.sortBy(id => (-score(id), id))
+      val sz = ordered.size
+      ordered.zipWithIndex.map { case (id, i) =>
+        // SQL ntile: first (sz % n) buckets get ceil(sz/n) rows
+        val big = sz % n; val base = sz / n
+        val b = if (i < big * (base + 1)) i / (base + 1)
+                else big + (i - big * (base + 1)) / base
+        id -> (b + 1).toLong
+      }.toMap
+    }
+    val want = buckets(Seq(1L, 2L, 3L, 4L), 3) ++
+      buckets(Seq(10L, 11L), 3)
+    assert(r === Seq(1L, 2L, 3L, 4L, 10L, 11L)
+      .map(id => (id, if (id < 10) "en" else "de", want(id))))
+    // the shuffled-junk doc lands in the en tail bucket
+    assert(want(4L) === 3L)
+  }
 }
