@@ -3500,6 +3500,20 @@ object SparkEntry {
           Tables.documents(s, dir).withColumn("html", webHtmlDoc), "html")
         .orderBy("doc_id")),
 
+    // host-centrality quality prior: page host → outlink host edges
+    // (relative and self links dropped) from the synthesized pages,
+    // ranked by 3 rounds of the integer PageRank over STRING node keys
+    // — the oracle rebuilds the edge list from the synthesis residues
+    // and chains the same fixed-point CTEs as graph_pagerank
+    "web_link_rank" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir)
+        .withColumn("url", webSimpleUrl).withColumn("html", webHtmlDoc)
+      graft.operators.PageRank
+        .rankKeyed(Web.hostLinkEdges(pages, "url", "html"), iters = 3)
+        .select(col("v").as("host"), col("s"))
+        .orderBy("host")
+    }),
+
     // directed containment (partial-copy) pairs over 3-gram shingle
     // sets at |A∩B| ≥ 0.8·|A| — the asymmetric measure Jaccard dilutes
     // when |B| ≫ |A|; shingles (not bags of tokens) because copied
@@ -6247,6 +6261,44 @@ object SparkEntry {
         |   AS density_milli
         |FROM e7 JOIN ti USING (doc_id) JOIN lk USING (doc_id)
         |ORDER BY e7.doc_id""".stripMargin,
+
+    // edge list straight from the synthesis residues (only d%3=0 pages
+    // carry absolute links, and their subdomain residue is 'www.'),
+    // then the graph_pagerank fixed-point CTE chain on string keys
+    "web_link_rank" ->
+      """WITH p AS (SELECT doc_id, 'www.' || source ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1
+        |   THEN '.co.uk' WHEN doc_id % 4 = 2 THEN '.org' ELSE '.io' END)
+        |   AS src
+        | FROM documents WHERE doc_id % 3 = 0),
+        |e AS (SELECT DISTINCT src, 'site' || (doc_id % 50) || '.com' AS dst
+        |   FROM p
+        | UNION
+        | SELECT DISTINCT src, 'ref.org' AS dst FROM p),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        | FROM e GROUP BY src),
+        |nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+        |s0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS s FROM nodes),
+        |c1 AS (SELECT e.dst AS v, CAST(sum(s0.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s0 ON s0.v = e.src
+        | GROUP BY e.dst),
+        |s1 AS (SELECT n.v, 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c1 c ON n.v = c.v),
+        |c2 AS (SELECT e.dst AS v, CAST(sum(s1.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s1 ON s1.v = e.src
+        | GROUP BY e.dst),
+        |s2 AS (SELECT n.v, 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c2 c ON n.v = c.v),
+        |c3 AS (SELECT e.dst AS v, CAST(sum(s2.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s2 ON s2.v = e.src
+        | GROUP BY e.dst),
+        |s3 AS (SELECT n.v, 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c3 c ON n.v = c.v)
+        |SELECT v AS host, CAST(s AS BIGINT) AS s FROM s3
+        |ORDER BY host""".stripMargin,
 
     "rel_except" ->
       """SELECT DISTINCT user_id FROM events

@@ -39,13 +39,21 @@ object PageRank {
     * ≤ n_nodes·scale, so keep n_nodes·scale below ~9e18 (the default
     * 1e9 scale is safe to ~9e9 nodes). */
   def rankInt(edges: DataFrame, iters: Int, dampX100: Int = 85,
-              scale: Long = 1000000000L): DataFrame = {
+              scale: Long = 1000000000L): DataFrame =
+    rankKeyed(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")), iters, dampX100, scale)
+
+  /** [[rankInt]] over ARBITRARY node keys (hosts, URLs, doc hashes) —
+    * the iteration only ever equality-joins and groups on the key, so
+    * nothing requires integer ids; identical arithmetic, identical
+    * oracle CTE chain. */
+  def rankKeyed(edges: DataFrame, iters: Int, dampX100: Int = 85,
+                scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampX100 >= 0 && dampX100 <= 100,
       s"dampX100 must be in 0..100, got $dampX100")
     require(scale >= 100, s"scale too small: $scale")
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
+    val e = edges.select(col("src"), col("dst"))
       .distinct().localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()

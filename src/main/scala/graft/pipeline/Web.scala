@@ -106,6 +106,23 @@ object Web {
       .drop("__domain")
   }
 
+  /** Host-level link graph from raw pages: one distinct
+    * (src_host, dst_host) edge per host pair where some page on
+    * `src_host` links an absolute URL on `dst_host`. Relative links
+    * (no authority) and self-links are dropped. Composes
+    * [[Html.links]] with [[host]]; feed the result to
+    * [[graft.operators.PageRank.rankKeyed]] for the host-centrality
+    * quality prior crawl curation uses (Common Crawl publishes exactly
+    * this signal). The edge relation is host-cardinality — tiny next
+    * to the corpus — and the only shuffle is its distinct. */
+  def hostLinkEdges(pages: DataFrame, urlCol: String,
+                    htmlCol: String): DataFrame =
+    pages.select(host(col(urlCol)).as("src"),
+        explode(Html.links(col(htmlCol))).as("link"))
+      .select(col("src"), host(col("link")).as("dst"))
+      .where(col("dst") =!= "" && col("dst") =!= col("src"))
+      .distinct()
+
   /** URL-level dedup: one row per [[urlKey]] with the kept (minimum)
     * id and the duplicate count. The first dedup a crawl corpus runs —
     * one hash aggregate on the key, no text is touched or moved. */

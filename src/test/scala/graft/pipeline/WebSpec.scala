@@ -89,4 +89,21 @@ class WebSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       ("ex.com", 3L, 3L, 60L), ("other.org", 1L, 1L, 5L)))
   }
+
+  test("hostLinkEdges: host-level distinct edges, relative and " +
+      "self links dropped, authority lowercased") {
+    val pages = Seq(
+      (1L, "https://a.com/x",
+        """<a href="https://B.com/1">b</a> <a href="/rel/2">r</a>
+          |<a href="https://a.com/self">s</a>
+          |<a href="https://b.com/other">b2</a>""".stripMargin),
+      (2L, "https://a.com/y", "<a href=\"https://b.com/3\">b</a>"),
+      (3L, "https://c.org/z", "no links at all"))
+      .toDF("doc_id", "url", "html")
+    val edges = Web.hostLinkEdges(pages, "url", "html")
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // B.com lowercases into b.com; the two a.com→b.com pages collapse
+    assert(edges === Seq(("a.com", "b.com")))
+  }
 }
