@@ -869,29 +869,52 @@ object Dedup {
     * measure as the symmetric path. */
   def winnowedPairsBipartite(newDocs: DataFrame, corpus: DataFrame,
                              n: Int = 4, w: Int = 5,
-                             maxDf: Option[Int] = None): DataFrame = {
-    val L = n + w - 1
-    def fps(df: DataFrame) = df.select(col("doc_id"),
+                             maxDf: Option[Int] = None): DataFrame =
+    winnowedPairsAgainst(newDocs,
+      winnowedCorpusFingerprints(corpus, n, w, maxDf),
+      winnowedCorpusWindows(corpus, n, w), n, w)
+
+  /** The corpus fingerprint relation (corpus_id, fp) the ingest-time
+    * winnowing joins against, with the `maxDf` boilerplate cap already
+    * applied — a pure projection of the corpus; persist it once and
+    * reuse it every batch ([[winnowedPairsAgainst]],
+    * [[graft.streaming.StreamingWinnow]]). */
+  def winnowedCorpusFingerprints(corpus: DataFrame, n: Int = 4, w: Int = 5,
+                                 maxDf: Option[Int] = None): DataFrame = {
+    val all = corpus.select(col("doc_id").as("corpus_id"),
       explode(winnowedFingerprints(split(col("text"), " "), n, w)).as("fp"))
-    val fpCorpus = maxDf match {
+    maxDf match {
       case Some(cap) =>
-        val all = fps(corpus)
         val hot = all.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("fp")
         all.join(hot, Seq("fp"), "left_anti")
-      case None => fps(corpus)
+      case None => all
     }
-    val cand = fps(newDocs)
-      .select(col("doc_id").as("new_id"), col("fp"))
-      .join(fpCorpus.select(col("doc_id").as("corpus_id"), col("fp")), "fp")
+  }
+
+  /** The corpus verification relation (corpus_id, ls): each doc's
+    * sorted hashed L-window set (L = n + w − 1), the exact-merge side
+    * of the shared-window measure. Persistable like the fingerprints. */
+  def winnowedCorpusWindows(corpus: DataFrame, n: Int = 4,
+                            w: Int = 5): DataFrame =
+    corpus.select(col("doc_id").as("corpus_id"),
+      hashedShingleSet(col("text"), n + w - 1).as("ls"))
+
+  /** One ingest batch against PREPARED corpus relations — the
+    * per-trigger body of [[graft.streaming.StreamingWinnow]], identical
+    * to [[winnowedPairsBipartite]] for that batch's rows. */
+  def winnowedPairsAgainst(newDocs: DataFrame, corpusFps: DataFrame,
+                           corpusWindows: DataFrame,
+                           n: Int = 4, w: Int = 5): DataFrame = {
+    val L = n + w - 1
+    val cand = newDocs.select(col("doc_id").as("new_id"),
+        explode(winnowedFingerprints(split(col("text"), " "), n, w)).as("fp"))
+      .join(corpusFps, "fp")
       .select("new_id", "corpus_id").distinct()
-    def lsets(df: DataFrame) =
-      df.select(col("doc_id"), hashedShingleSet(col("text"), L).as("ls"))
     cand
-      .join(lsets(newDocs).select(col("doc_id").as("new_id"),
-        col("ls").as("la")), "new_id")
-      .join(lsets(corpus).select(col("doc_id").as("corpus_id"),
-        col("ls").as("lb")), "corpus_id")
+      .join(newDocs.select(col("doc_id").as("new_id"),
+        hashedShingleSet(col("text"), L).as("la")), "new_id")
+      .join(corpusWindows.withColumnRenamed("ls", "lb"), "corpus_id")
       .select(col("new_id"), col("corpus_id"),
         interSortedSize(col("la"), col("lb")).cast("long")
           .as("n_shared_windows"))
