@@ -3546,6 +3546,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // NEAR-3 proximity over the same positional index: qualifying
+    // ('batch','data') position pairs within 3 tokens either order —
+    // the two terms' postings join on the doc with a residual distance
+    // predicate, candidate-sized
+    "search_proximity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.query.TextSearch.proximitySearch(
+          graft.query.TextSearch.positionalPostings(docs, "doc_id", "text"),
+          "doc_id", "batch", "data", k = 3)
+        .orderBy("doc_id")
+    }),
+
+    // keyword-in-context snippets for the same phrase: first-occurrence
+    // position + the hit with 2 tokens of context either side, clamped
+    // at doc boundaries — one codegen projection, no shuffle
+    "search_snippets" -> ((s, dir) =>
+      graft.query.TextSearch.phraseSnippets(Tables.documents(s, dir),
+          "doc_id", "text", Seq("batch", "data"), ctx = 2)
+        .orderBy("doc_id")),
+
     // hybrid retrieval: RRF fusion (SIGIR'09) of the keyword ranking
     // (search_rank's scan path, top-50) and the vector ranking
     // (knn_exact's brute-force cosine-free L2 path, top-50) — integer
@@ -6531,6 +6551,44 @@ object SparkEntry {
         | GROUP BY 1)
         |SELECT doc_id, n_occurrences FROM o CROSS JOIN guard
         |WHERE guard.ok = 1 ORDER BY doc_id""".stripMargin,
+
+    // 1-based oracle positions cancel in the |pa − pb| distance
+    "search_proximity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4096 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
+        |pa AS (SELECT doc_id, g.s AS p FROM t, generate_series(1, 4096) g(s)
+        | WHERE g.s <= nt AND toks[g.s] = 'batch'),
+        |pb AS (SELECT doc_id, g.s AS p FROM t, generate_series(1, 4096) g(s)
+        | WHERE g.s <= nt AND toks[g.s] = 'data'),
+        |o AS (SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+        | FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+        |   AND abs(pa.p - pb.p) <= 3
+        | GROUP BY 1)
+        |SELECT doc_id, n_pairs FROM o CROSS JOIN guard
+        |WHERE guard.ok = 1 ORDER BY doc_id""".stripMargin,
+
+    // first_pos is 0-based (min 1-based start − 1); the slice window is
+    // [first_pos−2, first_pos+3] 0-based, clamped at both ends
+    "search_snippets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |guard AS (SELECT CASE WHEN max(nt) > 4095 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM t),
+        |o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(g.s) - 1 AS BIGINT) AS first_pos
+        | FROM t, generate_series(1, 4096) AS g(s)
+        | WHERE g.s + 1 <= nt AND toks[g.s] = 'batch'
+        |   AND toks[g.s + 1] = 'data'
+        | GROUP BY 1)
+        |SELECT o.doc_id, o.n_occurrences, o.first_pos,
+        | array_to_string(t.toks[greatest(o.first_pos - 2, 0) + 1 :
+        |   least(o.first_pos + 4, t.nt)], ' ') AS snippet
+        |FROM o JOIN t USING (doc_id) CROSS JOIN guard
+        |WHERE guard.ok = 1 ORDER BY o.doc_id""".stripMargin,
 
     "search_maxsim" ->
       """WITH s AS (SELECT vec_id, g AS pos,

@@ -141,6 +141,58 @@ object TextSearch {
       .where(col("n_occurrences") > 0)
   }
 
+  /** Proximity (NEAR-k) search over a positional posting relation:
+    * documents where `termA` and `termB` co-occur within `k` tokens
+    * (|posA − posB| ≤ k, either order), with the exact count of
+    * qualifying position pairs. The join touches the two terms'
+    * postings only — candidate-sized, never the corpus — and the
+    * distance predicate rides the join condition so Spark plans it as
+    * a single shuffled join on the id with a residual filter. */
+  def proximitySearch(post: DataFrame, idCol: String, termA: String,
+                      termB: String, k: Int): DataFrame = {
+    require(k >= 1, s"window must be >= 1, got $k")
+    require(termA != termB,
+      "identical terms: use phraseSearch or tf on a single term")
+    val a = post.where(col("tok") === termA)
+      .select(col(idCol), col("pos").as("pa"))
+    val b = post.where(col("tok") === termB)
+      .select(col(idCol), col("pos").as("pb"))
+    a.join(b, Seq(idCol))
+      .where(abs(col("pa") - col("pb")) <= k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
+
+  /** Search-result snippets (keyword-in-context): for each document
+    * matching the exact phrase, the FIRST occurrence's 0-based token
+    * position, the total occurrence count, and the phrase with `ctx`
+    * tokens of context on each side — one codegen projection over the
+    * token array, no shuffle (the display step after [[phraseScan]] /
+    * [[phraseSearch]] picks its hit page). */
+  def phraseSnippets(docs: DataFrame, idCol: String, textCol: String,
+                     phrase: Seq[String], ctx: Int = 3): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val toks = split(col(textCol), " ")
+    val m = phrase.size
+    val starts = when(size(toks) >= m,
+      filter(sequence(lit(0), size(toks) - lit(m)), s =>
+        phrase.zipWithIndex.map { case (t, i) =>
+          element_at(toks, (s + lit(i + 1)).cast("int")) === lit(t)
+        }.reduce(_ && _))).otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol), toks.as("__toks"), starts.as("__starts"))
+      .where(size(col("__starts")) > 0)
+      .select(col(idCol),
+        size(col("__starts")).cast("long").as("n_occurrences"),
+        element_at(col("__starts"), 1).cast("long").as("first_pos"),
+        array_join(slice(col("__toks"),
+          greatest(element_at(col("__starts"), 1) - lit(ctx), lit(0)) + 1,
+          element_at(col("__starts"), 1)
+            - greatest(element_at(col("__starts"), 1) - lit(ctx), lit(0))
+            + lit(m + ctx)), " ").as("snippet"))
+  }
+
   /** BM25 relevance scores (Robertson & Zaragoza 2009) for the DISJUNCTIVE
     * hit set (any term matches): per term,
     * idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)), with

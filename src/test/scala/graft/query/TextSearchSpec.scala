@@ -128,6 +128,43 @@ class TextSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("proximitySearch: NEAR-k over postings, either order, exact " +
+      "pair counts, window boundary inclusive") {
+    val d = Seq(
+      (0L, "a x x b"),       // |0-3| = 3
+      (1L, "b x a"),         // |2-0| = 2, reversed order
+      (2L, "a b a"),         // pairs (0,1) (2,1) -> 2 pairs at k>=1
+      (3L, "a x x x x b"),   // |0-5| = 5 > 3
+      (4L, "a only")).toDF("doc_id", "text")
+    val post = TextSearch.positionalPostings(d, "doc_id", "text")
+    def near(k: Int) = TextSearch.proximitySearch(post, "doc_id",
+        "a", "b", k)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(near(3) === Seq((0L, 1L), (1L, 1L), (2L, 2L)))
+    assert(near(2) === Seq((1L, 1L), (2L, 2L)))
+    assert(near(1) === Seq((2L, 2L)))
+  }
+
+  test("phraseSnippets: first occurrence with context, clamped at both " +
+      "document boundaries") {
+    val d = Seq(
+      (0L, "p q a b r s t a b u"),  // first "a b" at 2, ctx around it
+      (1L, "a b tail1 tail2"),       // phrase at doc start
+      (2L, "h1 h2 h3 a b"),          // phrase at doc end
+      (3L, "no match here")).toDF("doc_id", "text")
+    val r = TextSearch.phraseSnippets(d, "doc_id", "text",
+        Seq("a", "b"), ctx = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(r === Seq(
+      (0L, 2L, 2L, "p q a b r s"),
+      (1L, 1L, 0L, "a b tail1 tail2"),
+      (2L, 1L, 3L, "h2 h3 a b")))
+    val zero = TextSearch.phraseSnippets(d, "doc_id", "text",
+        Seq("a", "b"), ctx = 0)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(zero.map(_._4) === Seq("a b", "a b", "a b"))
+  }
+
   test("positionalPostings: one row per occurrence with 0-based pos") {
     val post = TextSearch.positionalPostings(phraseDocs, "doc_id", "text")
     assert(post.where($"doc_id" === 0L && $"tok" === "a")
