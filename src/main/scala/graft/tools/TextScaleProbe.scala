@@ -141,6 +141,21 @@ object TextScaleProbe {
       graft.pipeline.Dedup.removeDuplicateSpans(planted, n = 8)
         .where(col("n_tokens_removed") > 0).count()
     }
+    // positional-index phrase search: build the (tok, doc, pos)
+    // relation over 50M token occurrences, then answer one phrase
+    // query; every 500th doc carries the planted 2-gram at position 7
+    timed(s"positional phrase search over $n docs (50M postings)") {
+      val planted = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> CASE WHEN id % 500 = 0 AND j = 7 THEN 'needle' " +
+            "WHEN id % 500 = 0 AND j = 8 THEN 'haystack' " +
+            "ELSE concat('w', cast(hash(id, j) as string)) END))")
+            .as("text"))
+      graft.query.TextSearch.phraseSearch(
+        graft.query.TextSearch.positionalPostings(planted, "doc_id", "text"),
+        "doc_id", Seq("needle", "haystack")).count()
+    }
     // url canonicalization + url-level dedup: pure projection + one
     // hash aggregate on the key; pairs of ids share one canonical url
     timed(s"url normalize + url-dedup over $n synthetic urls") {
