@@ -2153,6 +2153,48 @@ object SparkEntry {
         .orderBy("drop_id")
     }),
 
+    // prototype pruning (Sorscher et al. 2022): drop the 25% of each
+    // k-means cell closest to its centroid. Invariants, all in-plan:
+    // per-cluster kept count equals sz − floor(sz·25/100) (exact
+    // integer quota), and the lexicographic (d2, id) cut is clean —
+    // every dropped row sorts strictly below every kept row of its
+    // cluster; the fold-order d2 is bit-deterministic by construction
+    "embed_prototype_prune" -> ((s, dir) => {
+      import graft.pipeline.Clustering
+      val emb = Tables.embeddings(s, dir)
+      val model = Clustering.fit(emb, "embedding", k = 8, seed = 5,
+        trainPointsPerCentroid = 0)
+      val wd = Clustering.assignWithDistance(emb, "embedding", model)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+        .localCheckpoint()
+      val kept = Clustering.prototypePrune(emb, "vec_id", "embedding",
+          model, dropPct = 25)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+      val dropped = wd.join(kept.select("vec_id"), Seq("vec_id"),
+        "left_anti")
+      val byK = kept.groupBy("cluster")
+        .agg(count(lit(1)).as("n_kept"),
+          min(struct(col("d2"), col("vec_id"))).as("lo_kept"))
+      val byD = dropped.groupBy("cluster")
+        .agg(count(lit(1)).as("n_drop"),
+          max(struct(col("d2"), col("vec_id"))).as("hi_drop"))
+      val bySz = wd.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      bySz.join(byK, Seq("cluster"), "left").join(byD, Seq("cluster"), "left")
+        .agg(
+          sum(col("sz")).cast("long").as("n_total"),
+          when(countDistinct(col("cluster")) > 1, 1L).otherwise(0L)
+            .as("multi_cluster"),
+          coalesce(sum(when(coalesce(col("n_kept"), lit(0L))
+              =!= col("sz") - expr("(sz * 25) div 100"), 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("n_quota_viol"),
+          coalesce(sum(when(col("hi_drop").isNotNull
+              && col("lo_kept").isNotNull
+              && !(col("hi_drop") < col("lo_kept")), 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("n_rank_viol"),
+          when(coalesce(sum(col("n_drop")), lit(0L)) > 0, 1L)
+            .otherwise(0L).as("dropped_nonzero"))
+    }),
+
     // per-label embedding centroids (class prototypes) in the
     // integer-exact formulation — see Embeddings.centroidSumsMilli
     "embed_centroids" -> ((s, dir) =>
@@ -5610,6 +5652,13 @@ object SparkEntry {
     // constants (500 vectors covered, in-range clusters, zero argmin
     // mismatches against the independent HOF recompute, exact quota
     // sums, per-cluster sample counts correct)
+    "embed_prototype_prune" ->
+      """SELECT CAST(500 AS BIGINT) AS n_total,
+        | CAST(1 AS BIGINT) AS multi_cluster,
+        | CAST(0 AS BIGINT) AS n_quota_viol,
+        | CAST(0 AS BIGINT) AS n_rank_viol,
+        | CAST(1 AS BIGINT) AS dropped_nonzero""".stripMargin,
+
     "cluster_balanced" ->
       """SELECT CAST(500 AS BIGINT) AS n_assigned,
         | CAST(0 AS BIGINT) AS n_out_of_range,

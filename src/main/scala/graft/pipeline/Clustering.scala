@@ -64,6 +64,52 @@ object Clustering {
     df.withColumn("cluster",
       nearestCentroidL2(col(vecCol), centLit(model)).cast("long"))
 
+  /** [[assign]] plus `d2`, the squared L2 distance to the ASSIGNED
+    * centroid: the k-row centroid table broadcast-joins on the cluster
+    * id and the distance is one sequential higher-order fold per row —
+    * array-order addition, so d2 is bit-deterministic (never a parallel
+    * float reduction). */
+  def assignWithDistance(df: DataFrame, vecCol: String,
+                         model: ClusterModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cluster", "__cent")
+    assign(df, vecCol, model)
+      .join(broadcast(cents), "cluster")
+      .withColumn("d2", aggregate(
+        zip_with(col(vecCol), col("__cent"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .drop("__cent")
+  }
+
+  /** Prototype pruning (Sorscher et al. 2022's "keep the hard
+    * examples"; the density companion of SemDeDup): per cluster, DROP
+    * the `dropPct`% of rows CLOSEST to the centroid — the most
+    * prototypical, least informative mass — and keep the rest. Rank is
+    * (d2 asc, id asc), so ties cannot flake the cut; the per-cluster
+    * drop count is exact-integer floor(size·dropPct/100).
+    *
+    * Shape: [[assignWithDistance]] (no shuffle beyond the k-row
+    * broadcast) + one window per CLUSTER partition over (id, cluster,
+    * d2) — cluster-bounded sorts, the vectors never reach the window.
+    * Output: the kept rows of `df` + (cluster, d2). */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     model: ClusterModel, dropPct: Int): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100,
+      s"dropPct must be in 0..100, got $dropPct")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("d2").asc, col(idCol).asc)
+    assignWithDistance(df, vecCol, model)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .where(col("__rk") > expr(s"(__n * $dropPct) div 100"))
+      .drop("__rk", "__n")
+  }
+
   /** [[fit]] + [[assign]] in one call. */
   def cluster(df: DataFrame, vecCol: String, k: Int, seed: Long,
               trainPointsPerCentroid: Int = 256, maxIter: Int = 25,

@@ -110,4 +110,34 @@ class ClusteringSpec extends AnyFunSuite {
       out.localCheckpoint(), "id", total = 9, seed = 3)
     assert(sample.count() === 9L)
   }
+
+  test("prototypePrune: per-cluster floor quota, the CLOSEST rows " +
+      "drop, brute-force parity, 0/100 pct edges") {
+    val model = Clustering.fit(blobs, "vec", k = 3, seed = 11,
+      trainPointsPerCentroid = 0)
+    val wd = Clustering.assignWithDistance(blobs, "vec", model)
+      .select(col("id"), col("cluster"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force expected kept set at dropPct = 30
+    val want = wd.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.drop(rows.size * 30 / 100).map(_._1).toSeq
+    }.toSet
+    val kept = Clustering.prototypePrune(blobs, "id", "vec", model, 30)
+    assert(kept.select("id").as[Long].collect().toSet === want)
+    // blob sizes 40/20/10 -> drop 12/6/3, keep 28/14/7
+    assert(kept.groupBy("cluster").count().select("count").as[Long]
+      .collect().sorted.toSeq === Seq(7L, 14L, 28L))
+    // edges: 0% keeps everything, 100% drops everything
+    assert(Clustering.prototypePrune(blobs, "id", "vec", model, 0)
+      .count() === 70L)
+    assert(Clustering.prototypePrune(blobs, "id", "vec", model, 100)
+      .count() === 0L)
+    // kept rows carry d2 >= every dropped d2 within the cluster
+    val keptMin = kept.groupBy("cluster").agg(min("d2").as("lo"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dropMax = wd.filterNot(r => want(r._1)).groupBy(_._2)
+      .map { case (c, rs) => c -> rs.map(_._3).max }
+    dropMax.foreach { case (c, hi) => assert(hi <= keptMin(c)) }
+  }
 }
