@@ -3381,6 +3381,39 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("n_corrupt")))
     }),
 
+    // WARC ingestion: render every document as a WARC response record,
+    // write real text shards, re-ingest through the multi-byte-lineSep
+    // splitter, and prove the round trip — record count, zero
+    // type/payload mismatches against the source table (full join, so
+    // missing OR phantom records surface), exact payload mass, empty
+    // quarantine
+    "source_warc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_warc_gate").toString
+      val docs = Tables.documents(s, dir)
+      docs.select(graft.sources.WarcCorpus.render(
+          concat(lit("https://corpus.test/doc-"), col("doc_id")),
+          concat(lit("urn:graft:"), col("doc_id")), col("text"))
+          .as("value"))
+        .write.mode("overwrite").text(s"$tmp/warc")
+      val (recs, quarantine) = graft.sources.WarcCorpus.read(s, s"$tmp/warc")
+      recs
+        .select(regexp_extract(col("target_uri"), "doc-([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("payload"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"), "full")
+        .agg(count(lit(1)).cast("long").as("n_records"),
+          coalesce(sum(when(col("warc_type").isNull
+              || col("warc_type") =!= "response"
+              || col("payload").isNull || col("text").isNull
+              || col("payload") =!= col("text"), 1L).otherwise(0L)),
+            lit(0L)).cast("long").as("n_mismatch"),
+          coalesce(sum(length(col("payload"))), lit(0L)).cast("long")
+            .as("sum_payload_chars"))
+        .crossJoin(quarantine
+          .agg(count(lit(1)).cast("long").as("n_quarantined")))
+    }),
+
     // ANALYZE-style per-column profile in ONE aggregate pass (nulls,
     // exact distincts, min/max) — the schema-drift companion to the
     // expectations gate. The double-typed `value` column stays out of
@@ -3541,6 +3574,39 @@ object SparkEntry {
       graft.pipeline.Html.extract(
           Tables.documents(s, dir).withColumn("html", webHtmlDoc), "html")
         .orderBy("doc_id")),
+
+    // the WHOLE web-curation chain composed end to end: render pages
+    // as WARC shards → re-ingest (multi-byte-lineSep split) → URL-level
+    // dedup on the parsed target URIs (group-stable messy URLs, one
+    // survivor per canonical key) → HTML → text extraction on the KEPT
+    // pages only (the cheap dedup runs before the expensive parse —
+    // the 100 TB ordering) → per-survivor token/link accounting. The
+    // oracle rebuilds every stage from the synthesis residues
+    "pipeline_web_end_to_end" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_web_e2e").toString
+      val docs = Tables.documents(s, dir)
+        .withColumn("url", webGroupUrl).withColumn("html", webHtmlDoc)
+      docs.select(graft.sources.WarcCorpus.render(col("url"),
+          concat(lit("urn:graft:"), col("doc_id")), col("html"))
+          .as("value"))
+        .write.mode("overwrite").text(s"$tmp/warc")
+      val (recs, _) = graft.sources.WarcCorpus.read(s, s"$tmp/warc")
+      val pages = recs.select(
+        regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("payload").as("html"))
+      val kept = Web.dedupByUrl(pages, "url")
+        .select(col("keep_id").as("doc_id"), col("url_key"), col("n_dups"))
+      val ex = graft.pipeline.Html.extract(
+        pages.join(kept.select("doc_id"), Seq("doc_id")), "html")
+      kept.join(ex, Seq("doc_id"))
+        .select(col("doc_id"), col("url_key"), col("n_dups"),
+          size(split(col("clean_text"), " ")).cast("long")
+            .as("n_clean_tokens"),
+          col("n_links"))
+        .orderBy("doc_id")
+    }),
 
     // host-centrality quality prior: page host → outlink host edges
     // (relative and self links dropped) from the synthesized pages,
@@ -6331,6 +6397,63 @@ object SparkEntry {
         |FROM e7 JOIN ti USING (doc_id) JOIN lk USING (doc_id)
         |ORDER BY e7.doc_id""".stripMargin,
 
+    // every stage rebuilt from the residues: canonical keys + group
+    // min-survivors (web_url_dedup's construction), then the
+    // web_html_extract rule chain on the survivors only
+    "pipeline_web_end_to_end" ->
+      """WITH kk AS (SELECT doc_id, doc_id // 3 AS g FROM documents),
+        |r AS (SELECT doc_id,
+        |  'site' || (g % 50) ||
+        |  (CASE WHEN g % 4 = 0 THEN '.com' WHEN g % 4 = 1 THEN '.co.uk'
+        |        WHEN g % 4 = 2 THEN '.org' ELSE '.io' END) ||
+        |  '/p/' || g || '?v=' || (g % 7) AS url_key
+        | FROM kk),
+        |kept AS (SELECT url_key, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups FROM r GROUP BY 1),
+        |b AS (SELECT d.doc_id,
+        |  '<html><head><title>Doc ' || d.doc_id || ' &amp; source ' ||
+        |   d.source || '</title>' ||
+        |  (CASE WHEN d.doc_id % 3 = 0 THEN '<style>p { margin: 0; }</style>'
+        |        ELSE '' END) || '</head><body>' ||
+        |  (CASE WHEN d.doc_id % 2 = 0 THEN
+        |    '<script type="text/javascript">var x = 1 < 2;</script>'
+        |        ELSE '' END) ||
+        |  (CASE WHEN d.doc_id % 4 = 1 THEN '<!-- footer <b>boiler</b> -->'
+        |        ELSE '' END) ||
+        |  '<h1>Doc ' || d.doc_id || '</h1><p>' || d.text || '</p>' ||
+        |  (CASE WHEN d.doc_id % 3 = 0 THEN
+        |    '<a href="https://site' || (d.doc_id % 50) || '.com/p/' ||
+        |     d.doc_id || '">Link A</a> <a href="https://ref.org/' ||
+        |     d.doc_id || '">B</a>'
+        |        WHEN d.doc_id % 3 = 1 THEN
+        |    '<a href="/rel/' || d.doc_id || '">only</a>'
+        |        ELSE '' END) || '</body></html>' AS html
+        | FROM documents d JOIN kept ON d.doc_id = kept.doc_id),
+        |e1 AS (SELECT doc_id, html,
+        |  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM b),
+        |e2 AS (SELECT doc_id, html, regexp_replace(t,
+        |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM e1),
+        |e3 AS (SELECT doc_id, html, regexp_replace(t,
+        |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM e2),
+        |e4 AS (SELECT doc_id, html, regexp_replace(t,
+        |  '(?is)<head\b[^>]*>.*?</head>', ' ', 'g') AS t FROM e3),
+        |e5 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM e4),
+        |e6 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(
+        |  replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM e5),
+        |e7 AS (SELECT doc_id,
+        |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM e6),
+        |lk AS (SELECT doc_id, regexp_extract_all(html,
+        |  '(?is)<a\b[^>]*href\s*=\s*"([^"]*)"', 1) AS ls FROM b)
+        |SELECT kept.doc_id, kept.url_key, kept.n_dups,
+        | CAST(len(string_split(e7.clean_text, ' ')) AS BIGINT)
+        |   AS n_clean_tokens,
+        | CAST(coalesce(len(lk.ls), 0) AS BIGINT) AS n_links
+        |FROM kept JOIN e7 ON kept.doc_id = e7.doc_id
+        | JOIN lk ON kept.doc_id = lk.doc_id
+        |ORDER BY kept.doc_id""".stripMargin,
+
     // edge list straight from the synthesis residues (only d%3=0 pages
     // carry absolute links, and their subdomain residue is 'www.'),
     // then the graph_pagerank fixed-point CTE chain on string keys
@@ -6402,6 +6525,15 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_id_chars,
         | CAST(1 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
+
+    // the WARC round trip inverts the synthesis exactly, so every
+    // aggregate derives from the source table
+    "source_warc" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_records,
+        | CAST(0 AS BIGINT) AS n_mismatch,
+        | CAST(sum(len(text)) AS BIGINT) AS sum_payload_chars,
+        | CAST(0 AS BIGINT) AS n_quarantined
         |FROM documents""".stripMargin,
 
     "source_jsonl" ->
