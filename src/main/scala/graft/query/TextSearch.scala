@@ -105,10 +105,15 @@ object TextSearch {
     * Positional intersection in ONE pass: postings for the phrase's
     * terms join a broadcast (tok, slot) relation, every match votes for
     * the occurrence START it implies (`pos − slot`), and a start that
-    * collects all `m` distinct slots is an occurrence. One shuffle on
-    * (id, start) — candidate-sized (phrase-term postings only), the
-    * corpus text never moves; repeated phrase terms vote for several
-    * starts and stay correct. */
+    * collects all `m` slots is an occurrence. Because `post` carries
+    * one row per OCCURRENCE (unique (id, pos) — the
+    * [[positionalPostings]] contract), slot i can land on a given
+    * (id, start) at most once, so the slot count is a plain `count(*)`
+    * — no distinct-aggregate expansion, exactly two shuffles (the
+    * start votes, then the per-doc count; plan-audited). Both are
+    * candidate-sized (phrase-term postings only), the corpus text
+    * never moves; repeated phrase terms vote for several starts and
+    * stay correct. */
   def phraseSearch(post: DataFrame, idCol: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
@@ -117,7 +122,7 @@ object TextSearch {
       .toDF("tok", "slot")
     post.join(broadcast(slots), "tok")
       .groupBy(col(idCol), (col("pos") - col("slot")).as("start"))
-      .agg(countDistinct(col("slot")).as("n_slots"))
+      .agg(count(lit(1)).as("n_slots"))
       .where(col("n_slots") === phrase.size && col("start") >= 0)
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_occurrences"))

@@ -156,6 +156,27 @@ object TextScaleProbe {
         graft.query.TextSearch.positionalPostings(planted, "doc_id", "text"),
         "doc_id", Seq("needle", "haystack")).count()
     }
+    // html -> text extraction: synthesize 1M full pages (head/title,
+    // script with a bare '<', style, comment, 2 links wrapping the
+    // 50-token body) and run the whole 7-rule strip — pure codegen
+    // projection, the aggregate forces materialization of every field
+    timed(s"html extract over $n synthesized pages") {
+      val pages = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat('<html><head><title>Doc ', id, ' &amp; co</title>'," +
+            "'<style>p { margin: 0; }</style></head><body>'," +
+            "'<script type=\"text/javascript\">var x = 1 < 2;</script>'," +
+            "'<!-- c <b>x</b> --><h1>H ', id, '</h1><p>', " +
+            "concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast(hash(id, j) as string)))), " +
+            "'</p><a href=\"https://site', id % 50, '.com/p/', id, " +
+            "'\">A</a> <a href=\"https://ref.org/', id, '\">B</a>'," +
+            "'</body></html>')").as("html"))
+      graft.pipeline.Html.extract(pages, "html")
+        .agg(sum(length(col("clean_text"))), sum(col("n_links")),
+          sum(col("density_milli"))).collect()
+      n
+    }
     // url canonicalization + url-level dedup: pure projection + one
     // hash aggregate on the key; pairs of ids share one canonical url
     timed(s"url normalize + url-dedup over $n synthetic urls") {

@@ -76,4 +76,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(rows(1).getLong(3) === 0L && rows(1).getString(4) === "")
     assert(rows(1).getLong(5) === 1000L)
   }
+
+  test("plan audit: extract is ONE shuffle-free codegen projection") {
+    // range-derived input: a literal Seq constant-folds into a
+    // LocalTableScan and hides the projection
+    val docs = spark.range(8).select(col("id").as("doc_id"),
+      concat(lit("<p>x "), col("id"), lit("</p>")).as("html"))
+    val plan = Html.extract(docs, "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"want no exchange:\n$plan")
+    // the leading '*(1)' star marks the whole-stage-codegen stage
+    assert(plan.contains("*(1) Project"), s"want codegen projection:\n$plan")
+  }
 }

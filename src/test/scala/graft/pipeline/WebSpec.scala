@@ -105,5 +105,10 @@ class WebSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     // B.com lowercases into b.com; the two a.com→b.com pages collapse
     assert(edges === Seq(("a.com", "b.com")))
+    // plan audit: the only shuffle is the host-level distinct
+    val plan = Web.hostLinkEdges(pages, "url", "html")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"want exactly 1 exchange (the distinct):\n$plan")
   }
 }

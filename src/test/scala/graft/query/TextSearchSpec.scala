@@ -171,4 +171,19 @@ class TextSearchSpec extends AnyFunSuite {
       .select("pos").as[Int].collect().toSet === Set(0, 3))
     assert(post.where($"doc_id" === 5L).count() === 1L)
   }
+
+  test("plan audit: phraseScan is shuffle-free; phraseSearch is a " +
+      "broadcast slot join + exactly two bounded aggregations") {
+    val scanPlan = TextSearch.phraseScan(phraseDocs, "doc_id", "text",
+        Seq("a", "b")).queryExecution.executedPlan.toString
+    assert(!scanPlan.contains("Exchange hashpartitioning"),
+      s"want no shuffle:\n$scanPlan")
+    val post = TextSearch.positionalPostings(phraseDocs, "doc_id", "text")
+    val idxPlan = TextSearch.phraseSearch(post, "doc_id", Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(idxPlan.contains("BroadcastHashJoin"),
+      s"want broadcast slot join:\n$idxPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(idxPlan).size === 2,
+      s"want exactly 2 shuffles (start votes, per-doc count):\n$idxPlan")
+  }
 }
