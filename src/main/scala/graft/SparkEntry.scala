@@ -2323,6 +2323,17 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("meta.byte_len").as("byte_len"))
         .orderBy("media_id")),
 
+    // audio leg of the modality set: silence/energy profile over the
+    // PCM-shaped payload bytes — frame energy Σ(sample−128)², silent
+    // below 33000 (the corpus frame-energy median, so both classes and
+    // real runs occur); the oracle rebuilds frames, flags, the longest
+    // run (gaps-and-islands) and the trim offsets from the same bytes
+    "media_audio_silence" -> ((s, dir) =>
+      Multimodal.silenceStats(
+          Multimodal.fromDocuments(Tables.documents(s, dir)),
+          frameBytes = 16, silentBelow = 33000L)
+        .orderBy("media_id")),
+
     // feature vector exploded to scalar rows for the oracle compare
     "media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.fromDocuments(Tables.documents(s, dir)))
@@ -5280,6 +5291,36 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS kind,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_audio_silence" ->
+      """WITH f AS (SELECT doc_id, CAST((t.i - 1) // 16 AS BIGINT) AS fr,
+        |  sum((ascii(substring(text, t.i, 1)) - 128) *
+        |      (ascii(substring(text, t.i, 1)) - 128)) AS e,
+        |  count(*) AS nb
+        | FROM documents, generate_series(1, 8192) AS t(i)
+        | WHERE t.i <= length(text) GROUP BY 1, 2),
+        |fc AS (SELECT doc_id, fr, e < 33000 AS silent FROM f WHERE nb = 16),
+        |n AS (SELECT d.doc_id,
+        |  CAST(coalesce(count(fc.fr), 0) AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN fc.silent THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_silent
+        | FROM documents d LEFT JOIN fc ON d.doc_id = fc.doc_id GROUP BY 1),
+        |runs AS (SELECT doc_id,
+        |  fr - row_number() OVER (PARTITION BY doc_id ORDER BY fr) AS isl
+        | FROM fc WHERE silent),
+        |lr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS longest
+        | FROM (SELECT doc_id, isl, count(*) AS c FROM runs GROUP BY 1, 2)
+        | GROUP BY 1),
+        |loud AS (SELECT doc_id, min(fr) AS fl, max(fr) AS ll FROM fc
+        | WHERE NOT silent GROUP BY 1)
+        |SELECT n.doc_id AS media_id, n.n_frames, n.n_silent,
+        | coalesce(lr.longest, 0) AS longest_silent_run,
+        | CAST(coalesce(loud.fl, n.n_frames) AS BIGINT) AS lead_silent,
+        | CAST(CASE WHEN loud.ll IS NULL THEN n.n_frames
+        |      ELSE n.n_frames - 1 - loud.ll END AS BIGINT) AS trail_silent
+        |FROM n LEFT JOIN lr ON n.doc_id = lr.doc_id
+        | LEFT JOIN loud ON n.doc_id = loud.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     "media_features" ->
       """WITH b AS (SELECT doc_id, (t.i - 1) % 8 AS j,

@@ -55,6 +55,7 @@ object FastFunctions {
     "rotateF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "byteBucketSums" -> Seq(BinaryType, IntegerType),
     "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
+    "silenceProfile" -> Seq(BinaryType, IntegerType, LongType),
     "stubDecodeGray" -> Seq(BinaryType, IntegerType, IntegerType),
     "meanPool" -> Seq(ArrayType(FloatType), IntegerType, IntegerType,
       IntegerType, IntegerType),
@@ -266,6 +267,13 @@ object FastFunctions {
   def sampledFrameSums(payload: Column, frameBytes: Int, stride: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "sampledFrameSums",
       payload, lit(frameBytes), lit(stride))
+
+  /** Audio-silence profile [n_frames, n_silent, longest_run, lead,
+    * trail] of an 8-bit-PCM-shaped binary column. */
+  def silenceProfile(payload: Column, frameBytes: Int,
+                     silentBelow: Long): Column =
+    invoke(ArrayType(LongType, containsNull = false), "silenceProfile",
+      payload, lit(frameBytes), lit(silentBelow))
 
   /** STUB gray decode of a binary column into w×h floats in [0,1]. */
   def stubDecodeGray(payload: Column, w: Int, h: Int): Column =

@@ -987,6 +987,48 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Audio-silence profile over an 8-bit-PCM-shaped payload (samples
+    * centered at 128): per COMPLETE frame the energy is the sum of
+    * squared deviations; a frame is silent when energy < silentBelow.
+    * One pass, returns [n_frames, n_silent, longest_silent_run,
+    * lead_silent, trail_silent] — the last two are the trim offsets
+    * (frames before the first / after the last non-silent frame;
+    * n_frames for an all-silent clip). */
+  def silenceProfile(payload: Array[Byte], frameBytes: Int,
+                     silentBelow: Long): ArrayData = {
+    val nFrames = payload.length / frameBytes
+    var nSilent = 0L
+    var longest = 0L
+    var run = 0L
+    var firstLoud = -1L
+    var lastLoud = -1L
+    var f = 0
+    while (f < nFrames) {
+      var s = 0L
+      var i = f * frameBytes
+      val end = i + frameBytes
+      while (i < end) {
+        val d = (payload(i) & 0xFF) - 128
+        s += d.toLong * d
+        i += 1
+      }
+      if (s < silentBelow) {
+        nSilent += 1
+        run += 1
+        if (run > longest) longest = run
+      } else {
+        run = 0
+        if (firstLoud < 0) firstLoud = f
+        lastLoud = f
+      }
+      f += 1
+    }
+    val lead = if (firstLoud < 0) nFrames.toLong else firstLoud
+    val trail = if (lastLoud < 0) nFrames.toLong else nFrames - 1 - lastLoud
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(nFrames.toLong, nSilent, longest, lead, trail))
+  }
+
   /** STUB image decode: cycles payload bytes into a w×h float gray image
     * in [0,1]. A real build links an actual codec here (same signature:
     * bytes in, pixel array out); the container has no image libraries, so

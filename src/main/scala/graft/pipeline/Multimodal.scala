@@ -64,6 +64,26 @@ object Multimodal {
       .select(col("media_id"),
         (col("pos") * stride).cast("long").as("frame_no"), col("frame_sum"))
 
+  /** Audio-silence analysis over PCM-shaped payloads (the audio leg of
+    * the modality set — silence trimming and dead-air filtering are the
+    * first curation pass an audio corpus runs): per clip, frame count,
+    * silent-frame count (energy = Σ(sample−128)² below the threshold),
+    * the longest silent run, and the lead/trail trim offsets. ONE
+    * kernel pass per row, no shuffle; swap the 8-bit stub for a real
+    * 16-bit/float PCM reader behind the same column contract. */
+  def silenceStats(media: DataFrame, frameBytes: Int,
+                   silentBelow: Long): DataFrame = {
+    val p = graft.functions.FastFunctions
+      .silenceProfile(col("payload"), frameBytes, silentBelow)
+    media.select(col("media_id"), p.as("__p"))
+      .select(col("media_id"),
+        element_at(col("__p"), 1).as("n_frames"),
+        element_at(col("__p"), 2).as("n_silent"),
+        element_at(col("__p"), 3).as("longest_silent_run"),
+        element_at(col("__p"), 4).as("lead_silent"),
+        element_at(col("__p"), 5).as("trail_silent"))
+  }
+
   /** Keyframe selection over sampled frames: score each frame by its
     * absolute change vs the previous sampled frame (the first frame
     * scores its own sum — a scene always starts there) and keep the

@@ -146,4 +146,48 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h === h2)
   }
+
+  test("silenceStats: brute-force parity on every field; all-silent " +
+      "and all-loud clips hit the trim-offset edges") {
+    val fb = 4
+    val th = 3000L
+    val got = Multimodal.silenceStats(media, fb, th)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, t) <- texts) {
+      val frames = t.getBytes("UTF-8").grouped(fb).filter(_.length == fb)
+        .map(_.map(b => { val d = (b & 0xFF) - 128; d.toLong * d }).sum)
+        .toSeq
+      val silent = frames.map(_ < th)
+      val runs = if (silent.isEmpty) Seq.empty
+        else silent.foldLeft(List.empty[(Boolean, Int)]) {
+          case ((s, c) :: tail, x) if s == x => (s, c + 1) :: tail
+          case (acc, x) => (x, 1) :: acc
+        }
+      val longest = runs.collect { case (true, c) => c.toLong }
+        .foldLeft(0L)(math.max)
+      val loudIdx = silent.zipWithIndex.collect { case (false, i) => i }
+      val lead = if (loudIdx.isEmpty) frames.size.toLong
+        else loudIdx.min.toLong
+      val trail = if (loudIdx.isEmpty) frames.size.toLong
+        else frames.size - 1L - loudIdx.max
+      assert(got(id) === ((frames.size.toLong,
+        silent.count(identity).toLong, longest, lead, trail)), s"doc $id")
+    }
+    // synthetic edges: all-silent (flat 128s) and all-loud payloads
+    import org.apache.spark.sql.functions.{col, lit, unhex, concat_ws}
+    val flat = spark.range(1).select(lit(7L).as("media_id"),
+      unhex(lit("80" * 12)).as("payload"))
+    val f = Multimodal.silenceStats(flat, fb, th).head()
+    assert((f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4),
+      f.getLong(5)) === ((3L, 3L, 3L, 3L, 3L)))
+    val loud = spark.range(1).select(lit(8L).as("media_id"),
+      unhex(lit("00" * 12)).as("payload"))
+    val l = Multimodal.silenceStats(loud, fb, th).head()
+    assert((l.getLong(1), l.getLong(2), l.getLong(3), l.getLong(4),
+      l.getLong(5)) === ((3L, 0L, 0L, 0L, 0L)))
+  }
 }
