@@ -879,6 +879,19 @@ object SparkEntry {
     // cross-join. ts is truncated to µs first so ordering ties and
     // boundary comparisons agree bit-for-bit with the µs oracle engine
     // (the raw column is TIMESTAMP(NANOS); DuckDB reads it at µs).
+    // regular-grid resampling with forward fill: each user's event
+    // stream aligned onto day ticks covering their own span (µs-
+    // truncated ns so both engines see identical times); the oracle
+    // regenerates the grids and fills by correlated latest-at-or-before
+    // lookup with the same (ts, event_id) tie-break
+    "events_resample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts", col("ts") - col("ts") % 1000)
+      graft.operators.Resample.forwardFill(ev, Seq("user_id"), "ts",
+          "event_id", "value", stepUnits = 86400000000000L)
+        .orderBy("user_id", "grid_ts")
+    }),
+
     "events_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("ts", col("ts") - col("ts") % 1000)
@@ -4626,6 +4639,35 @@ object SparkEntry {
     // replicates the union + carry-forward-window formulation of
     // AsofJoin.backward on µs timestamps (DuckDB reads the ns parquet
     // column at µs; the Spark entry truncates to match)
+    // ns times reconstructed as epoch_us·1000; the guard caps the
+    // per-key tick count the generate_series can cover
+    "events_resample" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CAST(epoch_us(ts) AS BIGINT) * 1000 AS tns FROM events),
+        |sp AS (SELECT user_id,
+        |  ((min(tns) + 86399999999999) // 86400000000000)
+        |    * 86400000000000 AS s,
+        |  (max(tns) // 86400000000000) * 86400000000000 AS t
+        | FROM e GROUP BY 1),
+        |guard AS (SELECT CASE WHEN max((t - s) // 86400000000000) > 1000
+        |  THEN CAST(error('span exceeds the 1001-tick oracle cap')
+        |    AS BIGINT) ELSE 1 END AS ok FROM sp WHERE s <= t),
+        |g AS (SELECT user_id, s + 86400000000000 * x.i AS grid_ts
+        | FROM sp, generate_series(0, 1000) AS x(i)
+        | WHERE s <= t AND s + 86400000000000 * x.i <= t),
+        |f AS (SELECT g.user_id, g.grid_ts,
+        |  (SELECT e.value FROM e WHERE e.user_id = g.user_id
+        |    AND e.tns <= g.grid_ts
+        |   ORDER BY e.tns DESC, e.event_id DESC LIMIT 1) AS value,
+        |  (SELECT e.tns FROM e WHERE e.user_id = g.user_id
+        |    AND e.tns <= g.grid_ts
+        |   ORDER BY e.tns DESC, e.event_id DESC LIMIT 1) AS src_ts
+        | FROM g)
+        |SELECT f.user_id, f.grid_ts, f.value,
+        | CAST(f.src_ts AS BIGINT) AS src_ts
+        |FROM f CROSS JOIN guard WHERE guard.ok = 1
+        |ORDER BY user_id, grid_ts""".stripMargin,
+
     "events_asof" ->
       """WITH ev AS (SELECT event_id, user_id,
         |  CAST(epoch_us(ts) AS BIGINT) AS tus, event_type, value
