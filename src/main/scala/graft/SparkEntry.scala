@@ -892,6 +892,17 @@ object SparkEntry {
         .orderBy("user_id", "grid_ts")
     }),
 
+    // linear interpolation at the same day ticks: exact lerp between
+    // the surrounding observations, the expression tree mirrored
+    // verbatim by the oracle so the IEEE doubles hash identically
+    "events_resample_interp" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts", col("ts") - col("ts") % 1000)
+      graft.operators.Resample.interpolate(ev, Seq("user_id"), "ts",
+          "event_id", "value", stepUnits = 86400000000000L)
+        .orderBy("user_id", "grid_ts")
+    }),
+
     "events_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("ts", col("ts") - col("ts") % 1000)
@@ -4665,6 +4676,45 @@ object SparkEntry {
         | FROM g)
         |SELECT f.user_id, f.grid_ts, f.value,
         | CAST(f.src_ts AS BIGINT) AS src_ts
+        |FROM f CROSS JOIN guard WHERE guard.ok = 1
+        |ORDER BY user_id, grid_ts""".stripMargin,
+
+    // prev = latest-at-or-before (ties: largest event_id), next =
+    // earliest-at-or-after (ties: smallest event_id) — the two as-of
+    // contracts; the lerp tree matches the Spark expression exactly
+    "events_resample_interp" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CAST(epoch_us(ts) AS BIGINT) * 1000 AS tns FROM events),
+        |sp AS (SELECT user_id,
+        |  ((min(tns) + 86399999999999) // 86400000000000)
+        |    * 86400000000000 AS s,
+        |  (max(tns) // 86400000000000) * 86400000000000 AS t
+        | FROM e GROUP BY 1),
+        |guard AS (SELECT CASE WHEN max((t - s) // 86400000000000) > 1000
+        |  THEN CAST(error('span exceeds the 1001-tick oracle cap')
+        |    AS BIGINT) ELSE 1 END AS ok FROM sp WHERE s <= t),
+        |g AS (SELECT user_id, s + 86400000000000 * x.i AS grid_ts
+        | FROM sp, generate_series(0, 1000) AS x(i)
+        | WHERE s <= t AND s + 86400000000000 * x.i <= t),
+        |f AS (SELECT g.user_id, g.grid_ts,
+        |  (SELECT e.value FROM e WHERE e.user_id = g.user_id
+        |    AND e.tns <= g.grid_ts
+        |   ORDER BY e.tns DESC, e.event_id DESC LIMIT 1) AS v0,
+        |  (SELECT e.tns FROM e WHERE e.user_id = g.user_id
+        |    AND e.tns <= g.grid_ts
+        |   ORDER BY e.tns DESC, e.event_id DESC LIMIT 1) AS t0,
+        |  (SELECT e.value FROM e WHERE e.user_id = g.user_id
+        |    AND e.tns >= g.grid_ts
+        |   ORDER BY e.tns ASC, e.event_id ASC LIMIT 1) AS v1,
+        |  (SELECT e.tns FROM e WHERE e.user_id = g.user_id
+        |    AND e.tns >= g.grid_ts
+        |   ORDER BY e.tns ASC, e.event_id ASC LIMIT 1) AS t1
+        | FROM g)
+        |SELECT user_id, grid_ts,
+        | CASE WHEN t1 IS NULL OR t1 = t0 THEN v0
+        |  ELSE v0 + (v1 - v0) * (CAST(grid_ts - t0 AS DOUBLE)
+        |    / CAST(t1 - t0 AS DOUBLE)) END AS value,
+        | CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1
         |FROM f CROSS JOIN guard WHERE guard.ok = 1
         |ORDER BY user_id, grid_ts""".stripMargin,
 

@@ -32,6 +32,22 @@ class ResampleSpec extends AnyFunSuite {
       ("c", 10L, 2.0, 10L)))
   }
 
+  test("interpolate: exact lerp between surrounding observations, " +
+      "on-observation ticks take the observed value") {
+    val out = Resample.interpolate(events, Seq("k"), "ts", "seq", "v",
+        stepUnits = 10L)
+      .orderBy("k", "grid_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // a: obs (5,10.0) (25,20.0) (40,30.0)
+    //   t=10: 10 + (20-10)*(5/20) = 12.5 ; t=20: 10 + 10*(15/20) = 17.5
+    //   t=30: 20 + 10*(5/15) ; t=40: on-observation -> 30
+    assert(out === Seq(
+      ("a", 10L, 12.5), ("a", 20L, 17.5),
+      ("a", 30L, 20.0 + 10.0 * (5.0 / 15.0)), ("a", 40L, 30.0),
+      ("c", 10L, 2.0)))
+  }
+
   test("forwardFill: every tick has a value by construction (no " +
       "leading nulls) on random data") {
     val rnd = new scala.util.Random(3)
