@@ -879,6 +879,14 @@ object SparkEntry {
     // cross-join. ts is truncated to µs first so ordering ties and
     // boundary comparisons agree bit-for-bit with the µs oracle engine
     // (the raw column is TIMESTAMP(NANOS); DuckDB reads it at µs).
+    // rolling 7-day distinct actives (the WAU metric): observed days
+    // broadcast onto the per-(day, user) distinct relation via the
+    // band predicate, one exact distinct count per window
+    "events_rolling_active" -> ((s, dir) =>
+      graft.streaming.EventPipeline.rollingActiveUsers(
+          Tables.events(s, dir), "ts", "user_id", windowDays = 7)
+        .orderBy("day")),
+
     // regular-grid resampling with forward fill: each user's event
     // stream aligned onto day ticks covering their own span (µs-
     // truncated ns so both engines see identical times); the oracle
@@ -4650,6 +4658,15 @@ object SparkEntry {
     // replicates the union + carry-forward-window formulation of
     // AsofJoin.backward on µs timestamps (DuckDB reads the ns parquet
     // column at µs; the Spark entry truncates to match)
+    "events_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT
+        |  (CAST(epoch_us(ts) AS BIGINT) * 1000) // 86400000000000 AS d,
+        |  user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM du)
+        |SELECT day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_active
+        |FROM days JOIN du ON du.d BETWEEN day - 6 AND day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // ns times reconstructed as epoch_us·1000; the guard caps the
     // per-key tick count the generate_series can cover
     "events_resample" ->

@@ -91,6 +91,32 @@ object EventPipeline {
     * event-time columns are derived here as `click_time`/`purchase_time`
     * from the given ns-long ts columns. Output: one row per qualifying
     * (purchase, click) pair with both ids and times (µs). */
+  /** Rolling-window distinct actives (the DAU/WAU/MAU family): for
+    * every day with events, the count of distinct `userCol` seen in
+    * the trailing `windowDays`-day window ending that day (inclusive).
+    * Day = epoch-ns div 86400e9.
+    *
+    * Shape: the OBSERVED-days relation (day-cardinality, tiny)
+    * broadcast-joins the per-(day, user) DISTINCT event relation on
+    * the band predicate, then one exact distinct count per window —
+    * the event side is already deduplicated to (day, user) before the
+    * ×window fan-out, so the join input is bounded by actives, not
+    * events. At 100 TB the per-day distinct relation is the thing to
+    * materialize incrementally; this operator consumes it either way. */
+  def rollingActiveUsers(events: DataFrame, tsCol: String, userCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayNs = 86400000000000L
+    val du = events.select(
+        expr(s"$tsCol div ${dayNs}L").as("__day"), col(userCol))
+      .distinct()
+    val days = du.select(col("__day").as("day")).distinct()
+    du.join(broadcast(days),
+        col("__day").between(col("day") - (windowDays - 1), col("day")))
+      .groupBy("day")
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+
   def attributionPairs(clicks: DataFrame, purchases: DataFrame,
                        clickTsCol: String, purchaseTsCol: String,
                        windowDur: String,

@@ -227,4 +227,21 @@ class EventPipelineSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(r === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
+
+  test("rollingActiveUsers: trailing-window distinct counts on observed " +
+      "days only, duplicate events collapse, gaps do not emit") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // day 0: u1,u2; day 1: u1 (twice); day 3: u3
+    val ev = Seq(
+      (0L * day + 5L, 1L), (0L * day + 9L, 2L), (1L * day + 1L, 1L),
+      (1L * day + 2L, 1L), (3L * day + 7L, 3L))
+      .toDF("ts", "user_id")
+    val got = EventPipeline.rollingActiveUsers(ev, "ts", "user_id", 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // day 0: {u1,u2}; day 1: window {0,1} -> {u1,u2}; day 3: window
+    // {1,2,3} -> {u1,u3}; day 2 has no events -> no row
+    assert(got === Seq((0L, 2L), (1L, 2L), (3L, 2L)))
+  }
 }
