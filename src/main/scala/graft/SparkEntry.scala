@@ -3334,6 +3334,31 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // set-intersection sibling of rel_except (Catalyst plans both as
+    // distinct + join)
+    "rel_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click" && col("value") > 200.0)
+        .select("user_id")
+        .intersect(ev.where(col("event_type") === "purchase" &&
+          col("value") > 200.0).select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // explicit GROUPING SETS with grouping_id — the mixed-granularity
+    // aggregate cube/rollup can't express (two 1-dim slices + the
+    // grand total, but NOT the 2-dim cross); l_quantity is
+    // integer-valued so the sums are exact in both engines
+    "rel_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
     // fixed-width value histogram per event type: integer bucket ids
     // (floor((value - lo) / w)), clamped into [0, 19] — exact integer
     // bucketing, no float in any group key
@@ -6649,6 +6674,24 @@ object SparkEntry {
         |SELECT user_id FROM events
         |WHERE event_type = 'purchase' AND value > 200.0
         |ORDER BY user_id""".stripMargin,
+
+    "rel_intersect" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'click' AND value > 200.0
+        |INTERSECT
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 200.0
+        |ORDER BY user_id""".stripMargin,
+
+    // GROUPING() bit order follows the listed columns in both engines
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "stats_histogram" ->
       """SELECT event_type,
