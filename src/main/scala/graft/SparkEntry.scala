@@ -4006,6 +4006,24 @@ object SparkEntry {
         "c_custkey", "c_name", maxDist = 1, q = 3)
         .orderBy("a_id", "b_id")),
 
+    // Jaro–Winkler scoring over an explicit candidate relation (the
+    // linkage SCORER next to the Levenshtein verifier; DuckDB's
+    // jaro_winkler_similarity is the oracle, semantics pinned incl.
+    // the 0.7 boost threshold and integer transposition halving) —
+    // bounded pair set, scores rounded to 4 decimals on both sides
+    "link_jaro_winkler" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_custkey") <= 30)
+      val a = c.select(col("c_custkey").as("a_id"),
+        col("c_name").as("a_name"))
+      val b = c.select(col("c_custkey").as("b_id"),
+        col("c_name").as("b_name"))
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.FastFunctions.jaroWinkler(
+            col("a_name"), col("b_name")), 4).as("jw_r4"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // incremental record linkage: a new batch of names links against
     // the master slice, never master x master — new-side signatures
     // ranked by MASTER gram frequencies probe the persistable master
@@ -7293,6 +7311,14 @@ object SparkEntry {
         | CAST(CASE WHEN e.value < b.lo THEN -1
         |   WHEN e.value > b.hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
         |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "link_jaro_winkler" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        | round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw_r4
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 30 AND b.c_custkey <= 30
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "link_fuzzy_names" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer

@@ -56,6 +56,7 @@ object FastFunctions {
     "byteBucketSums" -> Seq(BinaryType, IntegerType),
     "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
     "silenceProfile" -> Seq(BinaryType, IntegerType, LongType),
+    "jaroWinkler" -> Seq(StringType, StringType),
     "stubDecodeGray" -> Seq(BinaryType, IntegerType, IntegerType),
     "meanPool" -> Seq(ArrayType(FloatType), IntegerType, IntegerType,
       IntegerType, IntegerType),
@@ -267,6 +268,11 @@ object FastFunctions {
   def sampledFrameSums(payload: Column, frameBytes: Int, stride: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "sampledFrameSums",
       payload, lit(frameBytes), lit(stride))
+
+  /** Jaro–Winkler similarity of two string columns (DuckDB-pinned
+    * semantics: 0.7 boost threshold, prefix ≤ 4, empty → 0). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    invoke(DoubleType, "jaroWinkler", a, b)
 
   /** Audio-silence profile [n_frames, n_silent, longest_run, lead,
     * trail] of an 8-bit-PCM-shaped binary column. */

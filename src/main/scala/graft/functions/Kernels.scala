@@ -987,6 +987,60 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Jaro–Winkler similarity (the standard record-linkage name metric;
+    * reference semantics pinned against DuckDB's
+    * `jaro_winkler_similarity`): match window ⌊max/2⌋−1,
+    * transpositions = half the out-of-order matches,
+    * jaro = (m/|a| + m/|b| + (m−t)/m)/3, prefix boost l·0.1·(1−jaro)
+    * with l ≤ 4 applied only when jaro > 0.7 (the boost threshold);
+    * either side empty → 0. O(|a|·|b|) worst case over the match
+    * window — pair it with a candidate generator
+    * ([[graft.pipeline.Dedup]]'s rare-gram signatures), never a raw
+    * cross join, at corpus scale. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - t / 2) / md) / 3.0
+    var l = 0
+    val maxL = math.min(4, math.min(l1, l2))
+    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    if (jaro > 0.7) jaro + l * 0.1 * (1.0 - jaro) else jaro
+  }
+
   /** Audio-silence profile over an 8-bit-PCM-shaped payload (samples
     * centered at 128): per COMPLETE frame the energy is the sum of
     * squared deviations; a frame is silent when energy < silentBelow.

@@ -315,4 +315,26 @@ class KernelsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Kernels.bitsAboveMean(fa((0 until 65).map(_.toFloat): _*)))
   }
+
+  test("jaroWinkler: textbook values, DuckDB-pinned semantics (0.7 " +
+      "boost threshold, integer transposition halving, empty -> 0)") {
+    def jw(a: String, b: String): Double = Kernels.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    // jaro below the 0.7 threshold: NO prefix boost despite l=1
+    assert(math.abs(jw("aXXXXX", "aYYYYY") - 0.4444444444444444) < 1e-12)
+    // above threshold: boost with the 4-char prefix cap
+    assert(math.abs(jw("prefix_same_tail1", "prefix_other")
+      - 0.8336601307189542) < 1e-12)
+    // odd out-of-order count halves by INTEGER division (DuckDB-pinned)
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-12)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("", "abc") === 0.0 && jw("", "") === 0.0)
+    assert(jw("a", "b") === 0.0)
+    // symmetric
+    assert(jw("DIXON", "DICKSONX") === jw("DICKSONX", "DIXON"))
+  }
 }
