@@ -734,6 +734,35 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    // part co-purchase triangle census (operators/Graph.triangles):
+    // parts sharing an order form an edge (per-order fan-out capped at
+    // l_linenumber <= 3 — the standard guard against quadratic blow-up
+    // when projecting a containment relation to co-occurrence); output
+    // is per-node triangle participation + ppm-fixed-point local
+    // clustering coefficient, computed via the degree-ordered
+    // orientation so no hub's neighbor list is ever self-joined whole
+    "graph_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("i").join(li.as("j"), Seq("l_orderkey"))
+        .where(col("i.l_partkey") < col("j.l_partkey"))
+        .select(col("i.l_partkey").as("src"), col("j.l_partkey").as("dst"))
+      graft.operators.Graph.triangles(edges).orderBy("v")
+    }),
+
+    // HITS hubs/authorities (operators/Graph.hits) over the
+    // supplier->part supply graph: 2 mutual-reinforcement rounds,
+    // max-normalized to scale 1e9 each round via an exact
+    // decimal(38,0)-widened multiply-then-floor-divide — bit-identical
+    // to the oracle's chained CTEs
+    "graph_hits" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+      graft.operators.Graph.hits(e, iters = 2)
+        .orderBy("kind", "v")
+    }),
+
     // join-key skew telemetry (operators/SkewJoin.keyStats): the
     // all-integer max/mean histogram aggregate that sizes the salt for
     // the salted rewrite below — AnnJoin.recommendedSalt generalized to
@@ -3050,6 +3079,16 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // ingest-volume spike monitor (streaming/EventPipeline
+    // .dailyAnomalies): per-(type, day) counts against the trailing
+    // 7-day baseline, the |x−μ| > 3σ test cross-multiplied into pure
+    // integer arithmetic ((n·x−S)² > 9·(n·SS−S²)) so the flag decision
+    // is bit-identical across engines
+    "events_anomaly" -> ((s, dir) =>
+      graft.streaming.EventPipeline.dailyAnomalies(
+          Tables.events(s, dir), "ts", "event_type")
+        .orderBy("event_type", "day")),
+
     // pivot: day-of-week × event-type count matrix (explicit value list
     // so the output schema is static — the scale-safe pivot form; a
     // discovery pivot would need an extra distinct pass)
@@ -3447,6 +3486,49 @@ object SparkEntry {
             .as("sum_id_chars"))
         .crossJoin(quarantine
           .agg(count(lit(1)).cast("long").as("n_corrupt")))
+    }),
+
+    // schema evolution (sources/PartitionedTables.readEvolved): an old
+    // shard (doc_id, n_chars) and a new shard that ADDED lang merge
+    // under mergeSchema — the old shard's missing column reads as NULL,
+    // and the per-column presence counts prove exactly which rows
+    // carry it while the value checksums survive the merge
+    "source_schema_evolve" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evolve").toString
+      val docs = Tables.documents(s, dir)
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      graft.sources.PartitionedTables
+        .readEvolved(s, s"$tmp/v1", s"$tmp/v2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("n_chars_present"),
+          count(col("lang")).as("n_lang_present"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // ORC round trip (sources/OrcTables): write documents hive-
+    // partitioned by source as ORC, read back through partition pruning
+    // (3 of 20 directories opened) + stripe-stat pushdown, and prove
+    // the per-source checksums against the parquet original — the
+    // second columnar interchange format beside parquet
+    "source_orc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.OrcTables.writePartitioned(docs, s"$tmp/docs", "source")
+      graft.sources.OrcTables.read(s, s"$tmp/docs")
+        .where(col("source").isin("src1", "src2", "src3"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id") * col("n_chars")).as("sum_id_chars"))
+        .orderBy("source")
     }),
 
     // WARC ingestion: render every document as a WARC response record,
@@ -4601,6 +4683,53 @@ object SparkEntry {
         |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
         | FROM nodes n LEFT JOIN c3 c ON n.v = c.v)
         |SELECT v, CAST(s AS BIGINT) AS s FROM s3 ORDER BY v""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_linenumber <= 3),
+        |und AS (SELECT DISTINCT least(i.l_partkey, j.l_partkey) AS a,
+        |  greatest(i.l_partkey, j.l_partkey) AS b
+        | FROM li i JOIN li j ON i.l_orderkey = j.l_orderkey
+        |  AND i.l_partkey <> j.l_partkey),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        | GROUP BY v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM und e1 JOIN und e2 ON e1.b = e2.a
+        | JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM
+        |  (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY v)
+        |SELECT d.v, d.deg, COALESCE(p.tri, 0) AS tri,
+        | CAST(CASE WHEN d.deg >= 2 THEN
+        |   (2000000 * COALESCE(p.tri, 0)) // (d.deg * (d.deg - 1))
+        |  ELSE 0 END AS BIGINT) AS coef_ppm
+        |FROM deg d LEFT JOIN per p ON d.v = p.v ORDER BY d.v""".stripMargin,
+
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(l_partkey AS BIGINT) AS dst FROM lineitem),
+        |h0 AS (SELECT DISTINCT src AS v,
+        |  CAST(1000000000 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT e.dst AS v, CAST(sum(h0.h) AS BIGINT) AS raw
+        | FROM e JOIN h0 ON h0.v = e.src GROUP BY e.dst),
+        |a1 AS (SELECT v, CAST(CAST(raw AS HUGEINT) * 1000000000
+        |  // (SELECT max(raw) FROM a1r) AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT e.src AS v, CAST(sum(a1.a) AS BIGINT) AS raw
+        | FROM e JOIN a1 ON a1.v = e.dst GROUP BY e.src),
+        |h1 AS (SELECT v, CAST(CAST(raw AS HUGEINT) * 1000000000
+        |  // (SELECT max(raw) FROM h1r) AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT e.dst AS v, CAST(sum(h1.h) AS BIGINT) AS raw
+        | FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst),
+        |a2 AS (SELECT v, CAST(CAST(raw AS HUGEINT) * 1000000000
+        |  // (SELECT max(raw) FROM a2r) AS BIGINT) AS a FROM a2r),
+        |h2r AS (SELECT e.src AS v, CAST(sum(a2.a) AS BIGINT) AS raw
+        | FROM e JOIN a2 ON a2.v = e.dst GROUP BY e.src),
+        |h2 AS (SELECT v, CAST(CAST(raw AS HUGEINT) * 1000000000
+        |  // (SELECT max(raw) FROM h2r) AS BIGINT) AS h FROM h2r)
+        |SELECT v, 'hub' AS kind, h AS score FROM h2
+        |UNION ALL SELECT v, 'auth' AS kind, a AS score FROM a2
+        |ORDER BY kind, v""".stripMargin,
 
     "search_doc_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -6276,6 +6405,25 @@ object SparkEntry {
         |   AS mov3_cnt
         |FROM d ORDER BY event_type, day""".stripMargin,
 
+    "events_anomaly" ->
+      """WITH d AS (SELECT event_type,
+        |  CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS day_cnt
+        | FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, day_cnt,
+        |  CAST(count(*) OVER fr AS BIGINT) AS n_base,
+        |  CAST(COALESCE(sum(day_cnt) OVER fr, 0) AS BIGINT) AS s_base,
+        |  CAST(COALESCE(sum(day_cnt * day_cnt) OVER fr, 0) AS BIGINT)
+        |    AS ss_base
+        | FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, day_cnt, n_base,
+        | CAST(CASE WHEN n_base >= 5 AND
+        |   (n_base * day_cnt - s_base) * (n_base * day_cnt - s_base) >
+        |   9 * (n_base * ss_base - s_base * s_base)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS is_anom
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
     "rel_pivot" ->
       """SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) % 7 AS dow,
         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -6737,6 +6885,27 @@ object SparkEntry {
         | CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_id_chars,
         | CAST(1 AS BIGINT) AS n_corrupt
         |FROM documents""".stripMargin,
+
+    // the evolved-shard merge is reconstructed by CASE on the shard
+    // assignment rule (even docs went to the lang-less v1 shard)
+    "source_schema_evolve" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(n_chars) AS BIGINT) AS n_chars_present,
+        | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_lang_present,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
+        |   AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+
+    // the ORC round trip preserves every value, so the checksums come
+    // straight off the parquet original
+    "source_orc" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_id_chars
+        |FROM documents WHERE source IN ('src1', 'src2', 'src3')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the WARC round trip inverts the synthesis exactly, so every
     // aggregate derives from the source table

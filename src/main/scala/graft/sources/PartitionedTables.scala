@@ -33,6 +33,16 @@ object PartitionedTables {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read shards whose schemas EVOLVED (columns added over the
+    * corpus's lifetime — the normal state of a years-old 100 TB lake):
+    * `mergeSchema` unions the footer schemas, and columns absent from
+    * an older shard read as NULL there. Merging is footer-metadata
+    * work, not data work — but it reads every footer, so prefer a
+    * declared schema (`spark.read.schema(...)`) once the union is
+    * known; this entry point is the discovery path. */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Events partitioned by derived day (ns epoch → day ordinal) — the
     * canonical time-partitioned event layout. */
   def writeEventsByDay(events: DataFrame, path: String): Unit =

@@ -117,6 +117,65 @@ object EventPipeline {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Integer-exact rolling z-score anomaly flags over the per-(type,
+    * day) event-count series — the volume-spike monitor a pipeline
+    * hangs on its ingest (a source that suddenly 10×es its daily rows
+    * is usually a crawler loop or an upstream dup storm, and the
+    * response is to quarantine the day, not ingest it).
+    *
+    * The trailing baseline is the `baseDays` days strictly BEFORE each
+    * day (the day under test never contaminates its own baseline). A
+    * day is anomalous when n ≥ `minBase` and (n·x − S)² > z²·(n·SS −
+    * S²) — the z-score test |x−μ| > z·σ cross-multiplied into pure
+    * integer arithmetic (μ = S/n, σ² = (n·SS − S²)/n²), so the
+    * decision is bit-identical across engines: no float μ/σ to drift
+    * in the last ulp. Overflow bound: day counts must stay below ~3e8
+    * for the squared terms to fit a long at baseDays ≤ 7.
+    *
+    * One groupBy to the per-day series (map-side combined), then
+    * window frames over day order per type — no self-join, no
+    * driver-side state; the windowed relation is #types × #days rows,
+    * metadata-sized even at 100 TB of raw events. */
+  def dailyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+                     baseDays: Int = 7, minBase: Int = 5,
+                     z: Int = 3): DataFrame =
+    anomalyFlags(dailyCounts(events, tsCol, typeCol),
+      baseDays, minBase, z)
+
+  /** Per-(type, day) count relation — the additively-mergeable state
+    * the streaming twin ([[StreamingAnomaly]]) accumulates. */
+  def dailyCounts(events: DataFrame, tsCol: String,
+                  typeCol: String): DataFrame = {
+    val dayNs = 86400000000000L
+    events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsCol div ${dayNs}L").as("day"))
+      .agg(count(lit(1)).as("day_cnt"))
+  }
+
+  /** The flag stage of [[dailyAnomalies]], over an already-aggregated
+    * (event_type, day, day_cnt) relation. */
+  def anomalyFlags(daily: DataFrame, baseDays: Int = 7, minBase: Int = 5,
+                   z: Int = 3): DataFrame = {
+    require(baseDays >= minBase && minBase >= 2,
+      s"need baseDays >= minBase >= 2, got $baseDays/$minBase")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-baseDays, -1)
+    daily
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("s_base", coalesce(sum(col("day_cnt")).over(w), lit(0L)))
+      .withColumn("ss_base",
+        coalesce(sum(col("day_cnt") * col("day_cnt")).over(w), lit(0L)))
+      .withColumn("is_anom",
+        (col("n_base") >= minBase &&
+          (col("n_base") * col("day_cnt") - col("s_base")) *
+            (col("n_base") * col("day_cnt") - col("s_base")) >
+            lit(z.toLong * z) * (col("n_base") * col("ss_base") -
+              col("s_base") * col("s_base"))).cast("int"))
+      .select("event_type", "day", "day_cnt", "n_base", "is_anom")
+  }
+
   def attributionPairs(clicks: DataFrame, purchases: DataFrame,
                        clickTsCol: String, purchaseTsCol: String,
                        windowDur: String,

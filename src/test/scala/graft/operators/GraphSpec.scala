@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("triangles counts a known graph exactly (K4 + pendant)") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus pendant 5–1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("src", "dst")
+    val got = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((4L, 3L, 500000L)))   // 2e6·3/(4·3)
+    assert(got(2L) === ((3L, 3L, 1000000L)))  // 2e6·3/(3·2)
+    assert(got(3L) === ((3L, 3L, 1000000L)))
+    assert(got(4L) === ((3L, 3L, 1000000L)))
+    assert(got(5L) === ((1L, 0L, 0L)))
+  }
+
+  test("triangles collapses duplicates/reversals and self-loops; " +
+    "deterministic under repartition") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 3L)).toDF("src", "dst")
+    val a = Graph.triangles(messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val b = Graph.triangles(messy.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(a === b)
+    // one triangle {1,2,3}, every node deg 2 → coef 2e6·1/(2·1) = 1e6
+    assert(a === Set((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 2L, 1L, 1000000L)))
+  }
+
+  test("a triangle-free bipartite graph yields zero triangles") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("src", "dst")
+    val got = Graph.triangles(edges).collect()
+    assert(got.length === 4)
+    assert(got.forall(_.getLong(2) === 0L))
+  }
+
+  test("hits matches a driver-side integer recompute") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L), (3L, 10L))
+    val scale = 1000000000L
+    // driver recompute with the same max-normalized fixed-point rules
+    var h = e.map(_._1).distinct.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val araw = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map(x => h(x._1)).sum
+      }
+      val amax = araw.values.max
+      a = araw.map { case (v, r) =>
+        v -> (BigInt(r) * scale / amax).toLong
+      }
+      val hraw = e.groupBy(_._1).map { case (v, out) =>
+        v -> out.map(x => a(x._2)).sum
+      }
+      val hmax = hraw.values.max
+      h = hraw.map { case (v, r) =>
+        v -> (BigInt(r) * scale / hmax).toLong
+      }
+    }
+    val got = Graph.hits(e.toDF("src", "dst"), iters = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = h.map { case (v, s) => (v, "hub") -> s } ++
+      a.map { case (v, s) => (v, "auth") -> s }
+    assert(got === want)
+    // 10 is cited by every hub — it must be the top authority at scale
+    assert(got((10L, "auth")) === scale)
+  }
+
+  test("hits is invariant to edge duplication and partitioning") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val dup = (base ++ base).toDF("src", "dst")
+    val x = Graph.hits(dup, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val y = Graph.hits(base.toDF("src", "dst").repartition(5), iters = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(x === y)
+  }
+}

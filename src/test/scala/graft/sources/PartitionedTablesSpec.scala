@@ -79,4 +79,20 @@ class PartitionedTablesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("readEvolved: a shard that added a column merges; the old " +
+      "shard reads NULL there and values survive") {
+    val p = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$p/v1")
+    Seq((3L, 30L, "en"), (4L, 40L, "fr")).toDF("id", "x", "lang")
+      .write.mode("overwrite").parquet(s"$p/v2")
+    val merged = PartitionedTables.readEvolved(spark, s"$p/v1", s"$p/v2")
+    assert(merged.columns.toSet === Set("id", "x", "lang"))
+    val got = merged.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[String]("lang")))).toSet
+    assert(got === Set((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("en")), (4L, 40L, Some("fr"))))
+  }
 }

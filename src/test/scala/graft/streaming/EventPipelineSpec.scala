@@ -244,4 +244,42 @@ class EventPipelineSpec extends AnyFunSuite {
     // {1,2,3} -> {u1,u3}; day 2 has no events -> no row
     assert(got === Seq((0L, 2L), (1L, 2L), (3L, 2L)))
   }
+
+  test("dailyAnomalies: a 10x spike against a stable baseline flags, " +
+      "the warm-up days (thin baseline) and the steady days do not") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // type "a": days 0..9 carry 4 + (day % 3) events, day 10 carries 40
+    val rows = (0 to 9).flatMap { d =>
+      (0 until (4 + d % 3)).map(i => (d * day + i, "a"))
+    } ++ (0 until 40).map(i => (10L * day + i, "a"))
+    val got = EventPipeline.dailyAnomalies(
+        rows.toDF("ts", "event_type"), "ts", "event_type",
+        baseDays = 7, minBase = 5, z = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // warm-up: days 0..4 have fewer than 5 baseline days -> never anomalous
+    assert(got.filter(_._1 <= 4).forall(_._4 === 0))
+    // steady days 5..9 sit inside the 4..6 band -> not anomalous
+    assert(got.filter(x => x._1 >= 5 && x._1 <= 9).forall(_._4 === 0))
+    // day 10: baseline n=7, x=40 far outside 3 sigma -> flagged
+    val d10 = got.find(_._1 === 10L).get
+    assert(d10._2 === 40L && d10._3 === 7L && d10._4 === 1)
+  }
+
+  test("dailyAnomalies: deterministic under repartition and exact " +
+      "integer window sums") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val rows = (0 to 12).flatMap { d =>
+      (0 until (3 + (d * 7) % 5)).map(i => (d * day + i, "t"))
+    }
+    val df = rows.toDF("ts", "event_type")
+    val a = EventPipeline.dailyAnomalies(df, "ts", "event_type")
+      .collect().map(_.toSeq).toSet
+    val b = EventPipeline.dailyAnomalies(df.repartition(9), "ts",
+      "event_type").collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
