@@ -750,6 +750,54 @@ object SparkEntry {
       graft.operators.Graph.triangles(edges).orderBy("v")
     }),
 
+    // personalized PageRank (operators/PageRank.rankPersonalized):
+    // teleport mass restricted to the 10 trusted seed suppliers
+    // (TrustRank shape — rank flows outward from the audited set,
+    // nodes no seed reaches score 0), 2 rounds, same scale-1e9 integer
+    // fixed point as graph_pagerank
+    "graph_pagerank_seeded" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") + lit(100000L)).cast("long").as("dst"))
+      val seeds = li.where(col("l_suppkey") <= 10)
+        .select(col("l_suppkey").cast("long").as("v")).distinct()
+      graft.operators.PageRank.rankPersonalized(edges, seeds, iters = 2)
+        .orderBy("v")
+    }),
+
+    // semi-supervised label propagation (operators/Graph.labelProp):
+    // clamp labels on the first 30 parts, spread them 2 synchronous
+    // rounds over the co-purchase graph by labeled-neighbor majority
+    // with smallest-label tie-break — deterministic, so the oracle
+    // replays the rounds as CTEs
+    "graph_label_prop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("i").join(li.as("j"), Seq("l_orderkey"))
+        .where(col("i.l_partkey") < col("j.l_partkey"))
+        .select(col("i.l_partkey").as("src"), col("j.l_partkey").as("dst"))
+      val seeds = Tables.lineitem(s, dir)
+        .where(col("l_partkey") <= 30)
+        .select(col("l_partkey").as("v")).distinct()
+        .withColumn("lbl", expr("v % 3"))
+      graft.operators.Graph.labelProp(edges, seeds, iters = 2)
+        .orderBy("v")
+    }),
+
+    // bounded k-core peeling (operators/Graph.kcorePeel): 3 rounds of
+    // deleting degree-<18 nodes from the co-purchase graph — the
+    // dense-subgraph residue (425 of 2000 parts at sf0.01), each round
+    // replayed exactly by the oracle's CTE chain
+    "graph_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_linenumber") <= 3)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("i").join(li.as("j"), Seq("l_orderkey"))
+        .where(col("i.l_partkey") < col("j.l_partkey"))
+        .select(col("i.l_partkey").as("src"), col("j.l_partkey").as("dst"))
+      graft.operators.Graph.kcorePeel(edges, k = 18, rounds = 3)
+        .orderBy("v")
+    }),
+
     // HITS hubs/authorities (operators/Graph.hits) over the
     // supplier->part supply graph: 2 mutual-reinforcement rounds,
     // max-normalized to scale 1e9 each round via an exact
@@ -4106,6 +4154,23 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // TRUE Damerau–Levenshtein scoring over the same candidate
+    // relation (Kernels.damerauLevenshtein, Lowrance–Wagner — a
+    // transposition later edits may cross, unlike the restricted/OSA
+    // variant; DuckDB's damerau_levenshtein is the oracle)
+    "link_damerau" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_custkey") <= 30)
+      val a = c.select(col("c_custkey").as("a_id"),
+        col("c_name").as("a_name"))
+      val b = c.select(col("c_custkey").as("b_id"),
+        col("c_name").as("b_name"))
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.FastFunctions.damerauLevenshtein(
+            col("a_name"), col("b_name")).as("dl_dist"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // incremental record linkage: a new batch of names links against
     // the master slice, never master x master — new-side signatures
     // ranked by MASTER gram frequencies probe the persistable master
@@ -4705,6 +4770,87 @@ object SparkEntry {
         |   (2000000 * COALESCE(p.tri, 0)) // (d.deg * (d.deg - 1))
         |  ELSE 0 END AS BIGINT) AS coef_ppm
         |FROM deg d LEFT JOIN per p ON d.v = p.v ORDER BY d.v""".stripMargin,
+
+    "graph_pagerank_seeded" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(l_partkey + 100000 AS BIGINT) AS dst FROM lineitem),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        | FROM e GROUP BY src),
+        |seed AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS v
+        | FROM lineitem WHERE l_suppkey <= 10),
+        |nodes AS (SELECT v, CAST(max(is_seed) AS BIGINT) AS is_seed
+        | FROM (SELECT src AS v, 0 AS is_seed FROM e
+        |  UNION ALL SELECT dst AS v, 0 FROM e
+        |  UNION ALL SELECT v, 1 FROM seed) GROUP BY v),
+        |s0 AS (SELECT v, is_seed * CAST(1000000000 AS BIGINT) AS s
+        | FROM nodes),
+        |c1 AS (SELECT e.dst AS v, CAST(sum(s0.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s0 ON s0.v = e.src
+        | GROUP BY e.dst),
+        |s1 AS (SELECT n.v, n.is_seed * 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c1 c ON n.v = c.v),
+        |c2 AS (SELECT e.dst AS v, CAST(sum(s1.s // deg.d) AS BIGINT) AS c
+        | FROM e JOIN deg USING (src) JOIN s1 ON s1.v = e.src
+        | GROUP BY e.dst),
+        |s2 AS (SELECT n.v, n.is_seed * 150000000 + COALESCE(
+        |  85 * (c.c // 100) + (85 * (c.c % 100)) // 100, 0) AS s
+        | FROM nodes n LEFT JOIN c2 c ON n.v = c.v)
+        |SELECT v, CAST(s AS BIGINT) AS s FROM s2 ORDER BY v""".stripMargin,
+
+    "graph_label_prop" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_linenumber <= 3),
+        |und AS (SELECT DISTINCT least(i.l_partkey, j.l_partkey) AS a,
+        |  greatest(i.l_partkey, j.l_partkey) AS b
+        | FROM li i JOIN li j ON i.l_orderkey = j.l_orderkey
+        |  AND i.l_partkey <> j.l_partkey),
+        |sym AS (SELECT a AS u, b AS w FROM und
+        | UNION ALL SELECT b AS u, a AS w FROM und),
+        |seed AS (SELECT DISTINCT l_partkey AS v,
+        |  CAST(l_partkey % 3 AS BIGINT) AS lbl
+        | FROM lineitem WHERE l_partkey <= 30),
+        |c1 AS (SELECT s.w AS v, l.lbl, count(*) AS cnt
+        | FROM sym s JOIN seed l ON l.v = s.u GROUP BY 1, 2),
+        |p1 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (
+        |  PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rnk FROM c1)
+        | WHERE rnk = 1),
+        |lab1 AS (SELECT v, lbl FROM seed UNION ALL
+        | SELECT v, lbl FROM p1 WHERE v NOT IN (SELECT v FROM seed)),
+        |c2 AS (SELECT s.w AS v, l.lbl, count(*) AS cnt
+        | FROM sym s JOIN lab1 l ON l.v = s.u GROUP BY 1, 2),
+        |p2 AS (SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER (
+        |  PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rnk FROM c2)
+        | WHERE rnk = 1),
+        |lab2 AS (SELECT v, lbl FROM seed UNION ALL
+        | SELECT v, lbl FROM p2 WHERE v NOT IN (SELECT v FROM seed))
+        |SELECT v, lbl FROM lab2 ORDER BY v""".stripMargin,
+
+    "graph_kcore" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_linenumber <= 3),
+        |und AS (SELECT DISTINCT least(i.l_partkey, j.l_partkey) AS a,
+        |  greatest(i.l_partkey, j.l_partkey) AS b
+        | FROM li i JOIN li j ON i.l_orderkey = j.l_orderkey
+        |  AND i.l_partkey <> j.l_partkey),
+        |d0 AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM und
+        |  UNION ALL SELECT b AS v FROM und) GROUP BY v),
+        |k0 AS (SELECT v FROM d0 WHERE deg >= 18),
+        |e1 AS (SELECT a, b FROM und WHERE a IN (SELECT v FROM k0)
+        |  AND b IN (SELECT v FROM k0)),
+        |d1 AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM e1
+        |  UNION ALL SELECT b AS v FROM e1) GROUP BY v),
+        |k1 AS (SELECT v FROM d1 WHERE deg >= 18),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT v FROM k1)
+        |  AND b IN (SELECT v FROM k1)),
+        |d2 AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM e2
+        |  UNION ALL SELECT b AS v FROM e2) GROUP BY v),
+        |k2 AS (SELECT v FROM d2 WHERE deg >= 18),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT v FROM k2)
+        |  AND b IN (SELECT v FROM k2))
+        |SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |FROM (SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3)
+        |GROUP BY v ORDER BY v""".stripMargin,
 
     "graph_hits" ->
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
@@ -7484,6 +7630,15 @@ object SparkEntry {
     "link_jaro_winkler" ->
       """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
         | round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw_r4
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 30 AND b.c_custkey <= 30
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "link_damerau" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        | CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT)
+        |   AS dl_dist
         |FROM customer a JOIN customer b
         |  ON a.c_custkey < b.c_custkey
         |WHERE a.c_custkey <= 30 AND b.c_custkey <= 30

@@ -57,6 +57,7 @@ object FastFunctions {
     "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
     "silenceProfile" -> Seq(BinaryType, IntegerType, LongType),
     "jaroWinkler" -> Seq(StringType, StringType),
+    "damerauLevenshtein" -> Seq(StringType, StringType),
     "stubDecodeGray" -> Seq(BinaryType, IntegerType, IntegerType),
     "meanPool" -> Seq(ArrayType(FloatType), IntegerType, IntegerType,
       IntegerType, IntegerType),
@@ -273,6 +274,12 @@ object FastFunctions {
     * semantics: 0.7 boost threshold, prefix ≤ 4, empty → 0). */
   def jaroWinkler(a: Column, b: Column): Column =
     invoke(DoubleType, "jaroWinkler", a, b)
+
+  /** TRUE Damerau–Levenshtein distance of two string columns
+    * (Lowrance–Wagner, DuckDB-pinned semantics — transpositions that
+    * later edits may cross, so CA→ABC is 2). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    invoke(LongType, "damerauLevenshtein", a, b)
 
   /** Audio-silence profile [n_frames, n_silent, longest_run, lead,
     * trail] of an 8-bit-PCM-shaped binary column. */

@@ -1041,6 +1041,64 @@ object Kernels {
     if (jaro > 0.7) jaro + l * 0.1 * (1.0 - jaro) else jaro
   }
 
+  /** TRUE Damerau–Levenshtein distance (Lowrance–Wagner: adjacent
+    * transposition is a first-class edit that later edits may cross —
+    * unlike the restricted/OSA variant, so CA→ABC is 2, not 3;
+    * reference semantics pinned against DuckDB's
+    * `damerau_levenshtein`). Operates on UTF-16 code units (parity
+    * fixtures are ASCII). O(|a|·|b|) time and space — pair it with a
+    * candidate generator ([[graft.pipeline.Dedup]]'s rare-gram
+    * signatures), never a raw cross join, at corpus scale. */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Long = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val la = s1.length
+    val lb = s2.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val w = lb + 2
+    // matrix rows -1..la, cols -1..lb; cell (i, j) at (i+1)*w + (j+1)
+    val d = new Array[Int]((la + 2) * w)
+    val maxDist = la + lb
+    d(0) = maxDist
+    var i = 0
+    while (i <= la) {
+      d((i + 1) * w) = maxDist
+      d((i + 1) * w + 1) = i
+      i += 1
+    }
+    var j = 0
+    while (j <= lb) {
+      d(j + 1) = maxDist
+      d(w + j + 1) = j
+      j += 1
+    }
+    val last = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = { val v = last.get(s2.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val l = db
+        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 } else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var best = sub
+        if (ins < best) best = ins
+        if (del < best) best = del
+        if (trans < best) best = trans
+        d((i + 1) * w + j + 1) = best
+        j += 1
+      }
+      last.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    d((la + 1) * w + lb + 1).toLong
+  }
+
   /** Audio-silence profile over an 8-bit-PCM-shaped payload (samples
     * centered at 128): per COMPLETE frame the energy is the sum of
     * squared deviations; a frame is silent when energy < silentBelow.

@@ -134,4 +134,71 @@ object Graph {
       .unionByName(
         a.select(col("v"), lit("auth").as("kind"), col("a").as("score")))
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
+    * made deterministic): seed labels are CLAMPED (authoritative —
+    * they never change), and each synchronous round relabels every
+    * non-seed node with the majority label among its currently-labeled
+    * neighbors, ties broken by the SMALLEST label so the result is a
+    * pure function of the graph — the quality/topic-label spreading
+    * step web curation runs over link graphs (label a few thousand
+    * audited hosts, propagate to the crawl).
+    *
+    * Per round: one edge⋈label join + one (v, lbl) count + one
+    * window-rank over the count relation (bounded by labeled-neighbor
+    * pairs, never the corpus) — the same shuffle shape each round, and
+    * the whole chain is reproducible as SQL CTEs for the oracle.
+    * Nodes that never see a labeled neighbor stay unlabeled (absent).
+    *
+    * @param seeds (v, lbl) relation; lbl any orderable type. */
+  def labelProp(edges: DataFrame, seeds: DataFrame,
+                iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val und = undirected(edges).localCheckpoint()
+    val sym = und.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("w")))
+      .localCheckpoint()
+    val seed = seeds.select(col("v"), col("lbl")).localCheckpoint()
+    var labels = seed
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy(col("w").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val picked = counts.withColumn("rnk",
+          row_number().over(Window.partitionBy("v")
+            .orderBy(col("cnt").desc, col("lbl").asc)))
+        .where(col("rnk") === 1).select("v", "lbl")
+      labels = seed.unionByName(
+          picked.join(seed.select(col("v")), Seq("v"), "left_anti"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of deleting
+    * every node whose CURRENT degree is below `k` (with its edges).
+    * Returns the survivors with their residual degree. For `rounds` ≥
+    * the peel depth this is exactly the k-core — the dense-subgraph
+    * signal (spam farms, botnet link rings survive; organic periphery
+    * peels away); with a fixed `rounds` the semantics stay a pure
+    * function of the input, reproducible round by round in SQL.
+    *
+    * Per round: one degree count + one semi-join edge restriction —
+    * edge-relation-sized shuffles, nothing driver-side. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var und = undirected(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).where(col("deg") >= k)
+        .select(col("v")).localCheckpoint()
+      und = und
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint()
+    }
+    degrees(und)
+  }
 }

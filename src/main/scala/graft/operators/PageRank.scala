@@ -43,6 +43,52 @@ object PageRank {
     rankKeyed(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")), iters, dampX100, scale)
 
+  /** Personalized PageRank: identical fixed-point iteration, but the
+    * teleport mass ⌊scale·(100−damp)/100⌋ lands ONLY on the `seeds`
+    * relation's nodes (everyone else's base term is 0), so rank flows
+    * outward from a trusted set — the crawl-frontier / TrustRank-style
+    * scorer (bias centrality toward audited hosts; spam that no seed
+    * reaches scores 0). Seeds also start at `scale`, non-seeds at 0.
+    * Same all-integer arithmetic, same per-iteration CTE oracle shape
+    * with the base term gated by a seed join. */
+  def rankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                       dampX100: Int = 85,
+                       scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampX100 >= 0 && dampX100 <= 100,
+      s"dampX100 must be in 0..100, got $dampX100")
+    require(scale >= 100, s"scale too small: $scale")
+    val e = edges.select(col("src"), col("dst"))
+      .distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val seed = seeds.select(col("v")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .unionByName(seed)
+      .distinct()
+      .join(seed.withColumn("is_seed", lit(1L)), Seq("v"), "left")
+      .select(col("v"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val base = scale * (100 - dampX100) / 100
+    var s = nodes.select(col("v"),
+      (col("is_seed") * scale).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, "src")
+        .join(s.select(col("v").as("src"), col("s")), "src")
+        .select(col("dst").as("v"), expr("s div deg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("contrib"))
+      s = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (col("is_seed") * base + coalesce(
+            expr(s"$dampX100 * (contrib div 100) + " +
+              s"($dampX100 * (contrib % 100)) div 100"),
+            lit(0L))).as("s"))
+        .localCheckpoint()
+    }
+    s
+  }
+
   /** [[rankInt]] over ARBITRARY node keys (hosts, URLs, doc hashes) —
     * the iteration only ever equality-joins and groups on the key, so
     * nothing requires integer ids; identical arithmetic, identical

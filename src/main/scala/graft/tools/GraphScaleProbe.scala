@@ -64,6 +64,14 @@ object GraphScaleProbe {
     timed(s"pagerank 3 iters over $n skewed edges") {
       PageRank.rankKeyed(edges, iters = 3).count()
     }
+    timed(s"label_prop 2 rounds over $n skewed edges (1k seeds)") {
+      val seeds = spark.range(1000)
+        .select(col("id").as("v"), expr("id % 5").as("lbl"))
+      Graph.labelProp(edges, seeds, iters = 2).count()
+    }
+    timed(s"kcore_peel k=8 x3 rounds over $n skewed edges") {
+      Graph.kcorePeel(edges, k = 8, rounds = 3).count()
+    }
     timed("daily_anomalies over 100M synthetic events") {
       val ev = spark.range(100000000L).repartition(64)
         .select((col("id") * 86400000L).as("ts"), // 1M events/day, 100 days

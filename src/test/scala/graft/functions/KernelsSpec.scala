@@ -337,4 +337,22 @@ class KernelsSpec extends AnyFunSuite {
     // symmetric
     assert(jw("DIXON", "DICKSONX") === jw("DICKSONX", "DIXON"))
   }
+
+  test("damerauLevenshtein: TRUE (unrestricted) semantics — edits may " +
+      "cross a transposition, DuckDB-pinned") {
+    def dl(a: String, b: String): Long = Kernels.damerauLevenshtein(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // the OSA/restricted variant gives 3 for CA->ABC; true DL gives 2
+    assert(dl("CA", "ABC") === 2L)
+    assert(dl("abc", "ca") === 2L)
+    assert(dl("ab", "ba") === 1L)
+    assert(dl("kitten", "sitting") === 3L)
+    assert(dl("abc", "abc") === 0L)
+    assert(dl("", "abc") === 3L && dl("abc", "") === 3L && dl("", "") === 0L)
+    // plain substitution/insert/delete degrade to levenshtein
+    assert(dl("flaw", "lawn") === 2L)
+    // symmetric
+    assert(dl("CA", "ABC") === dl("ABC", "CA"))
+  }
 }

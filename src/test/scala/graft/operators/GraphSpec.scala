@@ -77,6 +77,47 @@ class GraphSpec extends AnyFunSuite {
     assert(got((10L, "auth")) === scale)
   }
 
+  test("labelProp: clamped seeds spread by majority with smallest-" +
+      "label tie-break; unreached nodes stay unlabeled") {
+    // path 1–2–3–4–5–6 with seeds 1→0, 6→7; isolated edge 8–9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq((1L, 0L), (6L, 7L)).toDF("v", "lbl")
+    def run(iters: Int) = Graph.labelProp(edges, seeds, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 round: only the seeds' neighbors pick up labels
+    assert(run(1) === Map(1L -> 0L, 6L -> 7L, 2L -> 0L, 5L -> 7L))
+    // 2 rounds: 3 and 4 reached; 8, 9 never (no labeled neighbor)
+    assert(run(2) === Map(1L -> 0L, 6L -> 7L, 2L -> 0L, 5L -> 7L,
+      3L -> 0L, 4L -> 7L))
+    // tie: 0 sees one 0-neighbor and one 7-neighbor → smallest label
+    val tied = Graph.labelProp(
+      (Seq((0L, 1L), (0L, 6L)) ++ Seq((1L, 2L))).toDF("src", "dst"),
+      seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tied(0L) === 0L)
+    // seeds are CLAMPED: 6's label survives any neighborhood majority
+    val swamped = Graph.labelProp(
+      Seq((6L, 1L), (6L, 2L), (6L, 3L)).toDF("src", "dst"),
+      (Seq((1L, 0L), (2L, 0L), (3L, 0L), (6L, 7L))).toDF("v", "lbl"),
+      iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(swamped(6L) === 7L)
+  }
+
+  test("kcorePeel: the triangle survives k=2 peeling, the tail peels " +
+      "round by round") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def run(rounds: Int) = Graph.kcorePeel(edges, k = 2, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops only the leaf 5; 4 keeps its (now single) edge
+    assert(run(1) === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // round 2 drops 4; the triangle is the 2-core and is stable after
+    assert(run(2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run(5) === run(2))
+  }
+
   test("hits is invariant to edge duplication and partitioning") {
     val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
     val dup = (base ++ base).toDF("src", "dst")
