@@ -3995,6 +3995,30 @@ object SparkEntry {
     // PII scrub: e-mail/phone/IPv4 redaction + match counts over text
     // with deterministically injected PII (the corpus itself is clean);
     // pure narrow regex projections (pipeline/Redact.scala)
+    // k-anonymity audit (pipeline/Privacy.kAnonymityGroups): quasi-
+    // identifier group sizes over (nation, segment) — groups below
+    // k=12 are re-identification risks; one domain-sized groupBy, the
+    // structured complement of the free-text PII scrub below
+    "privacy_k_anon" -> ((s, dir) =>
+      graft.pipeline.Privacy.kAnonymityGroups(
+          Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+          k = 12)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // suppression release (Privacy.kAnonymize after a generalization
+    // step): band acctbal to width-2000 dollars (integer-exact
+    // c − pmod(c, w), no double round trip), keep only rows whose
+    // (segment, band) group reaches k=30, checksum the released set
+    "privacy_k_anon_release" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_band", graft.pipeline.Privacy.generalized(
+          floor(col("c_acctbal")).cast("long"), width = 2000))
+      graft.pipeline.Privacy.kAnonymize(
+          c, Seq("c_mktsegment", "bal_band"), k = 30)
+        .agg(count(lit(1)).as("n_released"),
+          sum(col("c_custkey")).as("sum_keys"))
+    }),
+
     "text_pii_redact" -> ((s, dir) => {
       val injected = Tables.documents(s, dir)
         .withColumn("pii_text", concat(
@@ -7430,6 +7454,26 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM (
         | SELECT doc_id, n_chars FROM r ORDER BY race_key, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    "privacy_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(CASE WHEN count(*) >= 12 THEN 1 ELSE 0 END AS INTEGER)
+        |   AS is_k_anon
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "privacy_k_anon_release" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment,
+        |  CAST(floor(c_acctbal) AS BIGINT)
+        |   - ((CAST(floor(c_acctbal) AS BIGINT) % 2000 + 2000) % 2000)
+        |   AS bal_band
+        | FROM customer),
+        |ok AS (SELECT c_mktsegment, bal_band FROM b
+        | GROUP BY 1, 2 HAVING count(*) >= 30)
+        |SELECT CAST(count(*) AS BIGINT) AS n_released,
+        | CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+        |FROM b JOIN ok USING (c_mktsegment, bal_band)""".stripMargin,
 
     "text_pii_redact" ->
       """WITH p AS (SELECT doc_id,

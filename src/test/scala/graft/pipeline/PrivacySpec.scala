@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    // (id, zip, age) — zip 100 is a crowd, zip 200 a pair, zip 300 lone
+    (1L, 100L, 30L), (2L, 100L, 31L), (3L, 100L, 32L), (4L, 100L, 33L),
+    (5L, 200L, 40L), (6L, 200L, 41L),
+    (7L, 300L, 50L))
+    .toDF("id", "zip", "age")
+
+  test("kAnonymityGroups reports sizes and the k verdict") {
+    val got = Privacy.kAnonymityGroups(people, Seq("zip"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((100L, 4L, 1), (200L, 2L, 0), (300L, 1L, 0)))
+  }
+
+  test("kAnonymize suppresses every row of an under-k group and " +
+      "keeps qualifying groups whole") {
+    val kept = Privacy.kAnonymize(people, Seq("zip"), k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L, 3L, 4L))
+    // multi-column quasi: (zip, age) makes every row unique → all out
+    assert(Privacy.kAnonymize(people, Seq("zip", "age"), k = 2)
+      .count() === 0L)
+  }
+
+  test("generalized banding is integer-exact (negatives included) and " +
+      "coarsening strictly grows groups") {
+    val bands = people.select(Privacy.generalized(col("age"), 10L)
+      .as("band")).as[Long].collect().toSeq
+    assert(bands === Seq(30L, 30L, 30L, 30L, 40L, 40L, 50L))
+    assert(Seq(-1L, -2000L, -2001L, 1999L, 2000L).toDF("x")
+      .select(Privacy.generalized(col("x"), 2000L).as("b"))
+      .as[Long].collect().toSeq === Seq(-2000L, -2000L, -4000L, 0L, 2000L))
+    // banding age to width 100 merges all zips' ages → zip stays the
+    // only splitter, so the (zip, band) report equals the zip report
+    val coarse = Privacy.kAnonymityGroups(
+      people.withColumn("band", Privacy.generalized(col("age"), 100L)),
+      Seq("zip", "band"), k = 3)
+      .select("zip", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coarse === Set((100L, 4L), (200L, 2L), (300L, 1L)))
+  }
+}
