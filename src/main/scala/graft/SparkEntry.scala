@@ -4064,6 +4064,22 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // exact two-sample KS drift test (Drift.ksStatistic) on the same
+    // shifted-snapshot fixture as drift_psi, in integer cents — the
+    // ECDF-gap statistic |cumA·n_b − cumB·n_a| that catches shifts
+    // smaller than a PSI bucket; one row, engine-exact
+    "drift_ks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = o.where(expr("o_orderkey % 11 != 0"))
+      val v2 = o.where(expr("o_orderkey % 7 != 0"))
+        .withColumn("cents",
+          when(expr("o_orderkey % 2 = 0"), expr("(cents * 12) div 10"))
+            .otherwise(col("cents")))
+      graft.pipeline.Drift.ksStatistic(v1, v2, "cents")
+    }),
+
     // best-of-cluster dedup: keep the LONGEST member of each near-dup
     // component (not the min id) — what a pipeline wants when
     // duplicates differ in truncation; shares the memoized LSH pair
@@ -7506,6 +7522,32 @@ object SparkEntry {
         |FROM t GROUP BY tok
         |HAVING count(*) * 32 > (SELECT count(*) FROM t)
         |ORDER BY item""".stripMargin,
+
+    "drift_ks" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |a AS (SELECT cents AS x, CAST(count(*) AS BIGINT) AS ca
+        | FROM o WHERE o_orderkey % 11 != 0 GROUP BY cents),
+        |bsrc AS (SELECT CASE WHEN o_orderkey % 2 = 0
+        |   THEN (cents * 12) // 10 ELSE cents END AS x
+        | FROM o WHERE o_orderkey % 7 != 0),
+        |b AS (SELECT x, CAST(count(*) AS BIGINT) AS cb
+        | FROM bsrc GROUP BY x),
+        |m AS (SELECT COALESCE(a.x, b.x) AS x,
+        |  COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        | FROM a FULL JOIN b ON a.x = b.x),
+        |c AS (SELECT x,
+        |  CAST(sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |  CAST(sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        | FROM m),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b FROM m)
+        |SELECT abs(cuma * n_b - cumb * n_a) AS d_num, n_a, n_b,
+        | x AS at_value
+        |FROM c, t ORDER BY d_num DESC, at_value ASC LIMIT 1""".stripMargin,
 
     "drift_psi" ->
       """WITH v1 AS (SELECT o_totalprice FROM orders

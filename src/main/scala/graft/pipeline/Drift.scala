@@ -92,6 +92,49 @@ object Drift {
       .agg(sum(col("contrib_x1e6")).as("psi_x1e6"),
         sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic in integer
+    * cross-multiplied form — the distribution-shape drift test PSI's
+    * fixed buckets can miss (a shift smaller than a bucket width is
+    * invisible to PSI but moves the ECDF gap). Values must be integral
+    * (convert money to cents etc. first); NULLs are excluded.
+    *
+    * Output is ONE row: `d_num` = max over pooled observed values x of
+    * |cumA(x)·n_b − cumB(x)·n_a| (so D = d_num / (n_a·n_b), but the
+    * comparison and any threshold test stay in exact integers),
+    * `n_a`, `n_b`, and `at_value` = the smallest x attaining the max.
+    * Overflow bound: keep n_a·n_b below ~9e18 — beyond that feed
+    * pre-aggregated histograms, the counts relation is the state.
+    *
+    * Scale shape: per-side value histograms (map-side combined,
+    * value-domain-sized), one full-outer merge, one cumulative window
+    * over the DOMAIN-sized relation (same documented single-partition
+    * bound as [[Sketches.quantilesFromHistogram]]), and a bounded
+    * top-1. The corpus is scanned once per side; nothing row-scale
+    * shuffles. */
+  def ksStatistic(a: DataFrame, b: DataFrame,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hist(df: DataFrame, cnt: String) =
+      df.where(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as(cnt))
+    val merged = hist(a, "ca").join(hist(b, "cb"), Seq("x"), "full")
+      .select(col("x"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = merged.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    merged
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
+          .as("d_num"),
+        col("n_a"), col("n_b"), col("x").as("at_value"))
+      .orderBy(col("d_num").desc, col("at_value").asc)
+      .limit(1)
+  }
+
   // -------------------------------------------- embedding-space drift
 
   /** EMBEDDING-space drift between two corpus snapshots: cluster-share

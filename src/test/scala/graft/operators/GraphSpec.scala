@@ -38,6 +38,14 @@ class GraphSpec extends AnyFunSuite {
       (3L, 2L, 1L, 1000000L)))
   }
 
+  test("triangles plan: every join is an equality join — no cartesian " +
+      "product anywhere") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val plan = Graph.triangles(edges).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("a triangle-free bipartite graph yields zero triangles") {
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
       .toDF("src", "dst")

@@ -74,4 +74,39 @@ class DriftSpec extends AnyFunSuite {
     assert(rows(0L) === 1L) // -100 clamped up
     assert(rows(3L) === 1L) // 1e9 clamped down
   }
+
+  test("ksStatistic: identical samples give 0, disjoint give n_a*n_b, " +
+      "and a hand case matches") {
+    import spark.implicits._
+    def longs(xs: Seq[Long]) = xs.toDF("x")
+    def ks(a: Seq[Long], b: Seq[Long]) = {
+      val r = Drift.ksStatistic(longs(a), longs(b), "x").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) === ((0L, 3L, 3L, 1L)))
+    // fully separated: at x=3 all of A (4) and none of B → 4·3
+    assert(ks(Seq(1L, 2L, 2L, 3L), Seq(10L, 11L, 12L)) ===
+      ((12L, 4L, 3L, 3L)))
+    // hand case: A={1,2,2,4}, B={2,3}; pooled x: 1,2,3,4
+    // cumA=1,3,3,4  cumB=0,1,2,2 → |cumA·2 − cumB·4| = 2,2,2,0 → max 2
+    // at the SMALLEST attaining x = 1
+    assert(ks(Seq(1L, 2L, 2L, 4L), Seq(2L, 3L)) === ((2L, 4L, 2L, 1L)))
+    // nulls are excluded
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("x")
+    val r = Drift.ksStatistic(withNull, longs(Seq(1L, 2L)), "x").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 2L, 2L)))
+  }
+
+  test("ksStatistic detects a shift PSI's wide buckets miss") {
+    import spark.implicits._
+    // +1 shift inside one 10-wide bucket: PSI(width 10) sees nothing
+    val a = (0 until 100).map(i => (i % 5).toLong + 2L).toDF("x")
+    val b = (0 until 100).map(i => (i % 5).toLong + 3L).toDF("x")
+    val psi = Drift.psi(a.select($"x".cast("double").as("v")),
+        b.select($"x".cast("double").as("v")), "v", 10.0, 4)
+      .collect()(0).getLong(0)
+    assert(psi === 0L)
+    val d = Drift.ksStatistic(a, b, "x").collect()(0).getLong(0)
+    assert(d === 2000L) // gap of 20 rows × n_b=100 at x=2
+  }
 }
