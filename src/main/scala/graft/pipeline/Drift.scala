@@ -113,12 +113,23 @@ object Drift {
     * shuffles. */
   def ksStatistic(a: DataFrame, b: DataFrame,
                   valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def hist(df: DataFrame, cnt: String) =
+    def hist(df: DataFrame) =
       df.where(col(valueCol).isNotNull)
         .select(col(valueCol).cast("long").as("x"))
-        .groupBy("x").agg(count(lit(1)).as(cnt))
-    val merged = hist(a, "ca").join(hist(b, "cb"), Seq("x"), "full")
+        .groupBy("x").agg(count(lit(1)).as("n"))
+    ksFromHistograms(hist(a), hist(b))
+  }
+
+  /** [[ksStatistic]] over PRE-AGGREGATED (x, n) value histograms —
+    * the mergeable-state entry point (histograms fold additively
+    * across batches and persist beside the corpus, the
+    * [[Sketches.mergeValueHistograms]] pattern), so a stored baseline
+    * compares against a streaming-accumulated current histogram
+    * without re-scanning either corpus. */
+  def ksFromHistograms(aHist: DataFrame, bHist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = aHist.select(col("x"), col("n").as("ca"))
+      .join(bHist.select(col("x"), col("n").as("cb")), Seq("x"), "full")
       .select(col("x"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val w = Window.orderBy("x")

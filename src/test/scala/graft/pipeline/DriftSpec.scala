@@ -109,4 +109,21 @@ class DriftSpec extends AnyFunSuite {
     val d = Drift.ksStatistic(a, b, "x").collect()(0).getLong(0)
     assert(d === 2000L) // gap of 20 rows × n_b=100 at x=2
   }
+
+  test("ksFromHistograms: additively merged batch histograms equal " +
+      "the one-shot statistic") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 2L, 4L, 5L, 5L).toDF("x")
+    val b = Seq(2L, 3L, 5L, 9L).toDF("x")
+    val oneShot = Drift.ksStatistic(a, b, "x").collect()(0).toSeq
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    def hist(xs: Seq[Long]) = xs.toDF("x")
+      .groupBy("x").agg(count(lit(1)).as("n"))
+    // a's histogram arrives as two merged batches
+    val aMerged = hist(Seq(1L, 2L, 5L)).unionByName(hist(Seq(2L, 4L, 5L)))
+      .groupBy("x").agg(sum("n").as("n"))
+    val fromState = Drift.ksFromHistograms(aMerged, hist(Seq(2L, 3L, 5L, 9L)))
+      .collect()(0).toSeq
+    assert(fromState === oneShot)
+  }
 }
