@@ -239,4 +239,40 @@ class OperatorPropertySpec extends AnyFunSuite {
         (bal.max - bal.min) <= 1 && prop.forall(_ >= 0)
     })
   }
+
+  // random small multigraphs (dups/reversals/self-loops included)
+  private val edgeGen: Gen[Seq[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 11L)
+      b <- Gen.choose(0L, 11L)
+    } yield (a, b))
+
+  test("triangles equals a brute-force census on arbitrary graphs") {
+    check(forAll(edgeGen) { es =>
+      val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .filter(e => e._1 != e._2).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val deg = nodes.map(v =>
+        v -> und.count(e => e._1 == v || e._2 == v).toLong).toMap
+      def adj(u: Long, v: Long) =
+        und(( math.min(u, v), math.max(u, v) ))
+      val tri = nodes.map { v =>
+        val others = nodes.filter(_ != v)
+        v -> (for {
+          i <- others.indices; j <- (i + 1) until others.size
+          if adj(v, others(i)) && adj(v, others(j)) &&
+            adj(others(i), others(j))
+        } yield 1).size.toLong
+      }.toMap
+      val want = nodes.map { v =>
+        val d = deg(v)
+        val coef = if (d >= 2) 2000000L * tri(v) / (d * (d - 1)) else 0L
+        (v, d, tri(v), coef)
+      }.toSet
+      val got = Graph.triangles(es.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      und.isEmpty || got == want
+    })
+  }
 }
