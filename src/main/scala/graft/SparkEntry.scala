@@ -4019,6 +4019,20 @@ object SparkEntry {
           sum(col("c_custkey")).as("sum_keys"))
     }),
 
+    // l-diversity audit (Privacy.lDiversityGroups): a k-anonymous
+    // group is still unsafe when it is HOMOGENEOUS in the sensitive
+    // attribute — here the width-2000 account-balance band must take
+    // >= 5 distinct values inside every (nation, segment) group; one
+    // domain-sized groupBy with a distinct aggregate
+    "privacy_l_diversity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_band", graft.pipeline.Privacy.generalized(
+          floor(col("c_acctbal")).cast("long"), width = 2000))
+      graft.pipeline.Privacy.lDiversityGroups(
+          c, Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 5)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     "text_pii_redact" -> ((s, dir) => {
       val injected = Tables.documents(s, dir)
         .withColumn("pii_text", concat(
@@ -4078,6 +4092,22 @@ object SparkEntry {
           when(expr("o_orderkey % 2 = 0"), expr("(cents * 12) div 10"))
             .otherwise(col("cents")))
       graft.pipeline.Drift.ksStatistic(v1, v2, "cents")
+    }),
+
+    // Pearson chi-square homogeneity drift (Drift.chiSquareBuckets) on
+    // the same shifted-snapshot fixture as drift_psi — the nominal-
+    // domain drift test with a null distribution; exact integer inner
+    // difference, one fixed-association double chain, floor ×1e6
+    "drift_chi2" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val v1 = o.where(expr("o_orderkey % 11 != 0"))
+      val v2 = o.where(expr("o_orderkey % 7 != 0"))
+        .withColumn("o_totalprice",
+          when(expr("o_orderkey % 2 = 0"), col("o_totalprice") * lit(1.2))
+            .otherwise(col("o_totalprice")))
+      graft.pipeline.Drift.chiSquareBuckets(v1, v2, "o_totalprice",
+          width = 50000.0, numBuckets = 10)
+        .orderBy("bucket")
     }),
 
     // best-of-cluster dedup: keep the LONGEST member of each near-dup
@@ -7491,6 +7521,20 @@ object SparkEntry {
         | CAST(sum(c_custkey) AS BIGINT) AS sum_keys
         |FROM b JOIN ok USING (c_mktsegment, bal_band)""".stripMargin,
 
+    "privacy_l_diversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal) AS BIGINT)
+        |   - ((CAST(floor(c_acctbal) AS BIGINT) % 2000 + 2000) % 2000)
+        |   AS bal_band
+        | FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
+        | CAST(CASE WHEN count(DISTINCT bal_band) >= 5 THEN 1 ELSE 0 END
+        |   AS INTEGER) AS is_l_diverse
+        |FROM b GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
     "text_pii_redact" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -7548,6 +7592,36 @@ object SparkEntry {
         |SELECT abs(cuma * n_b - cumb * n_a) AS d_num, n_a, n_b,
         | x AS at_value
         |FROM c, t ORDER BY d_num DESC, at_value ASC LIMIT 1""".stripMargin,
+
+    "drift_chi2" ->
+      """WITH v1 AS (SELECT o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 <> 0),
+        |v2 AS (SELECT CASE WHEN o_orderkey % 2 = 0
+        |    THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 7 <> 0),
+        |b AS (SELECT CAST(i AS BIGINT) AS bucket
+        |  FROM generate_series(0, 9) AS g(i)),
+        |c1 AS (SELECT CAST(least(greatest(floor(o_totalprice / 50000.0),
+        |    0.0), 9.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_old FROM v1 GROUP BY 1),
+        |c2 AS (SELECT CAST(least(greatest(floor(o_totalprice / 50000.0),
+        |    0.0), 9.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_new FROM v2 GROUP BY 1),
+        |j AS (SELECT b.bucket,
+        |  CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+        | FROM b LEFT JOIN c1 USING (bucket) LEFT JOIN c2 USING (bucket)),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+        |  CAST(sum(n_new) AS BIGINT) AS t_new FROM j)
+        |SELECT bucket, n_old, n_new,
+        | CASE WHEN n_old + n_new = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(floor(
+        |   CAST(n_old * t_new - n_new * t_old AS DOUBLE)
+        |   * CAST(n_old * t_new - n_new * t_old AS DOUBLE)
+        |   / (CAST(t_old AS DOUBLE) * CAST(t_new AS DOUBLE))
+        |   / CAST(n_old + n_new AS DOUBLE)
+        |   * 1000000.0) AS BIGINT) END AS contrib_x1e6
+        |FROM j, t ORDER BY bucket""".stripMargin,
 
     "drift_psi" ->
       """WITH v1 AS (SELECT o_totalprice FROM orders

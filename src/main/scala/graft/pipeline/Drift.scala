@@ -61,18 +61,7 @@ object Drift {
     * [[graft.streaming.StreamingDrift]]. */
   def psiFromCellCounts(oldCounts: DataFrame, curCounts: DataFrame,
                         numBuckets: Int): DataFrame = {
-    require(numBuckets >= 2, s"need >= 2 buckets, got $numBuckets")
-    val spark = oldCounts.sparkSession
-    import spark.implicits._
-    val all = (0L until numBuckets.toLong).toDF("bucket")
-    val joined = all
-      .join(oldCounts.select(col("bucket"), col("n").as("n_old")),
-        Seq("bucket"), "left")
-      .join(curCounts.select(col("bucket"), col("n").as("n_new")),
-        Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("n_old"), lit(0L)).as("n_old"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val joined = alignedCells(oldCounts, curCounts, numBuckets)
     val totOld = sum(col("n_old")).over()
     val totNew = sum(col("n_new")).over()
     val b = lit(numBuckets.toDouble)
@@ -83,6 +72,25 @@ object Drift {
     joined
       .withColumn("contrib_x1e6",
         floor((pNew - pOld) * log(pNew / pOld) * lit(1e6)).cast("long"))
+  }
+
+  /** Full bucket list outer-joined against both histograms — every
+    * bucket id in [0, numBuckets) present, missing counts as zeros.
+    * Shared by the PSI and chi-square cores. */
+  private def alignedCells(oldCounts: DataFrame, curCounts: DataFrame,
+                           numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2, s"need >= 2 buckets, got $numBuckets")
+    val spark = oldCounts.sparkSession
+    import spark.implicits._
+    val all = (0L until numBuckets.toLong).toDF("bucket")
+    all
+      .join(oldCounts.select(col("bucket"), col("n").as("n_old")),
+        Seq("bucket"), "left")
+      .join(curCounts.select(col("bucket"), col("n").as("n_new")),
+        Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
   }
 
   /** One-row PSI summary: (psi_x1e6, n_old, n_new). */
@@ -145,6 +153,71 @@ object Drift {
       .orderBy(col("d_num").desc, col("at_value").asc)
       .limit(1)
   }
+
+  // ----------------------------------------------- chi-square drift
+
+  /** Pearson chi-square homogeneity test between two bucketed
+    * snapshots — the third leg of the drift toolkit beside PSI
+    * (smoothed, threshold-by-convention) and KS (shape-sensitive,
+    * ordered domains): the classical test with a null distribution
+    * (χ² with `nonzero_cells − 1` dof), and the right one for
+    * NOMINAL buckets (language, source, cluster id) where an ECDF
+    * is meaningless.
+    *
+    * Per-cell contribution in the algebraically reduced two-sample
+    * form (both rows' (O−E)²/E terms folded): with cell counts (a, b)
+    * and totals (n_a, n_b),
+    *
+    *   contrib = (a·n_b − b·n_a)² / (n_a · n_b · (a+b))
+    *
+    * The inner difference is computed in EXACT integer arithmetic
+    * (keep per-cell count × opposite total below ~3e9·3e9 like
+    * [[ksFromHistograms]]; beyond that, pre-scale the histograms),
+    * then the single division chain runs in IEEE doubles with a fixed
+    * association order so both engines produce the identical bit
+    * pattern, floor-scaled ×1e6. Empty cells (a+b = 0) contribute 0.
+    *
+    * Same scale shape as the PSI core: the inputs are bucket
+    * histograms (map-side combined, domain-sized), and those
+    * histograms are ADDITIVELY MERGEABLE state — fold per-batch
+    * counts and compare a stored baseline against a streaming
+    * accumulation without re-scanning either corpus. */
+  def chiSquareFromCellCounts(oldCounts: DataFrame, curCounts: DataFrame,
+                              numBuckets: Int): DataFrame = {
+    val joined = alignedCells(oldCounts, curCounts, numBuckets)
+    val totOld = sum(col("n_old")).over()
+    val totNew = sum(col("n_new")).over()
+    // exact integer inner difference; one fixed-order double chain after
+    val d = (col("n_old") * totNew - col("n_new") * totOld).cast("double")
+    val cell = (col("n_old") + col("n_new")).cast("double")
+    val contrib = floor(
+      d * d / (totOld.cast("double") * totNew.cast("double")) / cell *
+        lit(1e6)).cast("long")
+    joined.withColumn("contrib_x1e6",
+      when(col("n_old") + col("n_new") === 0L, lit(0L)).otherwise(contrib))
+  }
+
+  /** [[chiSquareFromCellCounts]] over raw value columns with the same
+    * fixed-width bucketing as [[psiBuckets]]. */
+  def chiSquareBuckets(old: DataFrame, cur: DataFrame, valueCol: String,
+                       width: Double, numBuckets: Int): DataFrame =
+    chiSquareFromCellCounts(
+      old.select(bucketOf(col(valueCol), width, numBuckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
+      cur.select(bucketOf(col(valueCol), width, numBuckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
+      numBuckets)
+
+  /** One-row chi-square summary: (chi2_x1e6, dof, n_old, n_new) with
+    * dof = nonzero cells − 1 (cells empty on BOTH sides carry no
+    * information and don't count against the null). */
+  def chiSquare(old: DataFrame, cur: DataFrame, valueCol: String,
+                width: Double, numBuckets: Int): DataFrame =
+    chiSquareBuckets(old, cur, valueCol, width, numBuckets)
+      .agg(sum(col("contrib_x1e6")).as("chi2_x1e6"),
+        (sum((col("n_old") + col("n_new") > 0L).cast("long")) - lit(1L))
+          .as("dof"),
+        sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
 
   // -------------------------------------------- embedding-space drift
 

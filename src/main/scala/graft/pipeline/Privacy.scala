@@ -40,6 +40,43 @@ object Privacy {
     df.join(ok, quasiCols, "left_semi")
   }
 
+  /** l-diversity screening (Machanavajjhala et al. 2007): k-anonymity
+    * alone fails when an equivalence class, however large, is
+    * HOMOGENEOUS in the sensitive attribute — every member shares the
+    * same diagnosis/salary band and group size protects nothing. A
+    * group is l-diverse iff it contains at least `l` DISTINCT
+    * well-represented sensitive values.
+    *
+    * Per-group report: quasi columns + `n` (group size) +
+    * `n_sensitive` (distinct sensitive values, NULL counted as absent)
+    * + `is_l_diverse` (1 iff n_sensitive ≥ l). Same scale shape as
+    * [[kAnonymityGroups]] — one map-side-combined groupBy whose
+    * output is domain-sized (the distinct aggregate adds one
+    * partial-dedup pass over (quasi, sensitive), still domain-sized). */
+  def lDiversityGroups(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("is_l_diverse", (col("n_sensitive") >= l).cast("int"))
+  }
+
+  /** The releasable subset under l-diversity: rows whose
+    * quasi-identifier group carries at least `l` distinct sensitive
+    * values. Compose AFTER [[kAnonymize]] (or check both reports) —
+    * the two properties are independent. */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    val ok = lDiversityGroups(df, quasiCols, sensitiveCol, l)
+      .where(col("is_l_diverse") === 1)
+      .select(quasiCols.map(col): _*)
+    df.join(ok, quasiCols, "left_semi")
+  }
+
   /** Generalization step for a numeric quasi-identifier: band values
     * to width-`width` buckets (floor), trading precision for bigger
     * groups — rerun the report on the banded column to measure the

@@ -126,4 +126,41 @@ class DriftSpec extends AnyFunSuite {
       .collect()(0).toSeq
     assert(fromState === oneShot)
   }
+
+  test("chiSquare: zero on identical snapshots, exactly N on complete " +
+      "separation, dof counts only informative cells") {
+    val a = df(Seq.fill(50)(5.0))   // all bucket 0
+    // identical → every cell contributes 0
+    assert(Drift.chiSquareBuckets(a, a, "v", 10.0, 10)
+      .collect().map(_.getLong(3)).forall(_ === 0L))
+    // complete separation of 50 vs 50 → the textbook chi2 = N = 100
+    val b = df(Seq.fill(50)(95.0))
+    val s = Drift.chiSquare(a, b, "v", 10.0, 10).collect()(0)
+    assert(s.getLong(0) === 100L * 1000000L)
+    assert(s.getLong(1) === 1L) // 2 nonzero cells → dof 1
+    assert((s.getLong(2), s.getLong(3)) === ((50L, 50L)))
+    // empty-on-both-sides cells contribute 0 rows of evidence
+    val m = Drift.chiSquareBuckets(a, b, "v", 10.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((1L to 8L).forall(m(_) === 0L))
+    assert(m(0L) === 50L * 1000000L && m(9L) === 50L * 1000000L)
+  }
+
+  test("chiSquareFromCellCounts is the mergeable-state entry point: " +
+      "merged batch histograms equal the one-shot buckets") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val a = df(Seq(5.0, 15.0, 15.0, 25.0))
+    val b = df(Seq(5.0, 5.0, 25.0, 35.0))
+    val oneShot = Drift.chiSquareBuckets(a, b, "v", 10.0, 4)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    def hist(vs: Seq[Double]) = df(vs)
+      .select(Drift.bucketOf($"v", 10.0, 4).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val aMerged = hist(Seq(5.0, 15.0)).unionByName(hist(Seq(15.0, 25.0)))
+      .groupBy("bucket").agg(sum("n").as("n"))
+    val fromState = Drift.chiSquareFromCellCounts(
+        aMerged, hist(Seq(5.0, 5.0, 25.0, 35.0)), 4)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(fromState === oneShot)
+  }
 }

@@ -32,6 +32,36 @@ class PrivacySpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("lDiversityGroups counts distinct sensitive values, not rows") {
+    // zip 100 is 4-strong but HOMOGENEOUS in disease → fails l=2;
+    // zip 200 is only a pair but carries 2 distinct values → passes
+    val df = Seq(
+      (1L, 100L, "flu"), (2L, 100L, "flu"), (3L, 100L, "flu"),
+      (4L, 100L, "flu"),
+      (5L, 200L, "flu"), (6L, 200L, "cold"),
+      (7L, 300L, "zika"))
+      .toDF("id", "zip", "disease")
+    val got = Privacy.lDiversityGroups(df, Seq("zip"), "disease", l = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === Set((100L, 4L, 1L, 0), (200L, 2L, 2L, 1),
+      (300L, 1L, 1L, 0)))
+    val kept = Privacy.lDiversify(df, Seq("zip"), "disease", l = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(5L, 6L))
+    // NULL sensitive values are absent, never a diversity credit
+    val withNull = Seq((1L, 9L, Some("flu")), (2L, 9L, None))
+      .toDF("id", "zip", "disease")
+    val r = Privacy.lDiversityGroups(withNull, Seq("zip"), "disease", 2)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getInt(3)) === ((2L, 1L, 0)))
+    // a sensitive column doubling as a quasi-identifier is a misuse
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityGroups(df, Seq("zip", "disease"), "disease", 2)
+    }
+  }
+
   test("generalized banding is integer-exact (negatives included) and " +
       "coarsening strictly grows groups") {
     val bands = people.select(Privacy.generalized(col("age"), 10L)
