@@ -798,6 +798,17 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    // market-basket co-occurrence projection (Graph.coOccurrence):
+    // parts linked by the number of orders containing both, hub guard
+    // dropping baskets over 8 distinct items (the quadratic-blowup
+    // bound), support floor 2 — the co-engagement edge builder whose
+    // output feeds triangles/labelProp/negative-mining directly
+    "graph_cooccur" -> ((s, dir) =>
+      graft.operators.Graph.coOccurrence(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minCount = 2L, maxBasketSize = 8L)
+        .orderBy("item_a", "item_b")),
+
     // HITS hubs/authorities (operators/Graph.hits) over the
     // supplier->part supply graph: 2 mutual-reinforcement rounds,
     // max-normalized to scale 1e9 each round via an exact
@@ -2502,6 +2513,32 @@ object SparkEntry {
     "text_subwords" -> ((s, dir) =>
       TextAnalysis.subwordStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // literal-blocklist filter pass (TextAnalysis.blocklistHits): the
+    // blocklist is compiled INTO a single codegen projection via the
+    // replace-length identity — zero joins, zero regex; per-doc total
+    // hits + the blocked verdict
+    "text_blocklist" -> ((s, dir) => {
+      val pats = Seq("slow fast", "hash join", "scan")
+      val hits = graft.pipeline.TextAnalysis
+        .blocklistHits(col("text"), pats)
+      Tables.documents(s, dir).select(col("doc_id"),
+        hits.as("n_hits"),
+        (hits > 0L).cast("int").as("blocked"))
+        .orderBy("doc_id")
+    }),
+
+    // Flesch reading-ease readability (TextAnalysis.readability) over
+    // a sentence-injected variant of the corpus ('table' ends a
+    // sentence) — clamped whitespace words / [.!?]+ sentences /
+    // vowel-group syllables, score floor-scaled x1000 with a fixed
+    // double association order; pure regex projection
+    "text_readability" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.readability(
+        Tables.documents(s, dir).withColumn("text",
+          call_function("replace", col("text"), lit("table "),
+            lit("table. "))))
+        .orderBy("doc_id")),
+
     // trainable BPE vocabulary (the REAL subword tokenizer, not the
     // regex proxy): corpus-fit merges table, hash-compared against a
     // DuckDB replica that unrolls the identical merge loop
@@ -2657,6 +2694,26 @@ object SparkEntry {
           coalesce(sum(when((col("est") - col("exact_cnt")) * 2048 >
             col("n_total") * 3, 1L).otherwise(0L)), lit(0L))
             .as("n_over_bound"))
+    }),
+
+    // AMS second-frequency-moment sketch (Sketches.f2SketchState):
+    // 16 ±1 sign-hash running sums over l_partkey (ONE scan, one 1-row
+    // fold — the mergeable streaming alternative to the domain
+    // histogram), each sum's square an unbiased F2 estimate; output
+    // pins every per-sketch sum, the floor-mean estimate and the exact
+    // F2 = Σc² in decimal(20,0)
+    "stats_f2_sketch" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey")
+      val state = graft.pipeline.Sketches
+        .f2SketchState(li, "l_partkey", numSketches = 16)
+        .localCheckpoint()
+      state
+        .crossJoin(broadcast(graft.pipeline.Sketches.f2FromState(state)
+          .select("f2_est")))
+        .crossJoin(broadcast(graft.pipeline.Sketches
+          .f2Exact(li, "l_partkey")
+          .select(col("f2").cast("long").as("f2"))))
+        .orderBy("sketch_id")
     }),
 
     // corpus vocabulary by document frequency, top-100 by (df desc, tok)
@@ -4241,6 +4298,21 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // sorted-neighborhood linkage (Dedup.sortedNeighborPairs): block
+    // on the name's first 6 digits, rank by the name inside each
+    // block, compare only rows within 2 sort positions, verify exact
+    // levenshtein <= 1 — the candidate generator for data that SORTS
+    // near its duplicates (serials, padded codes) where gram rarity
+    // is uninformative; the %3 slice bounds fixture pair density as
+    // in link_fuzzy_names
+    "link_sorted_block" -> ((s, dir) =>
+      graft.pipeline.Dedup.sortedNeighborPairs(
+        Tables.customer(s, dir)
+          .where(pmod(col("c_custkey"), lit(3)) === 0)
+          .withColumn("blk", substring(col("c_name"), 10, 6)),
+        "c_custkey", "c_name", "blk", window = 2, maxDist = 1)
+        .orderBy("a_id", "b_id")),
+
     // incremental record linkage: a new batch of names links against
     // the master slice, never master x master — new-side signatures
     // ranked by MASTER gram frequencies probe the persistable master
@@ -4921,6 +4993,20 @@ object SparkEntry {
         |SELECT v, CAST(count(*) AS BIGINT) AS deg
         |FROM (SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3)
         |GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_cooccur" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey AS item FROM lineitem),
+        |small AS (SELECT basket FROM bi
+        | GROUP BY basket HAVING count(*) <= 8),
+        |kept AS (SELECT bi.basket, bi.item FROM bi
+        | JOIN small USING (basket))
+        |SELECT a.item AS item_a, b.item AS item_b,
+        | CAST(count(*) AS BIGINT) AS n_baskets
+        |FROM kept a JOIN kept b
+        | ON a.basket = b.basket AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "graph_hits" ->
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
@@ -5963,6 +6049,40 @@ object SparkEntry {
         |   AS n_number_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_blocklist" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST((len(text) - len(replace(text, 'slow fast', ''))) / 9
+        |    AS BIGINT)
+        |  + CAST((len(text) - len(replace(text, 'hash join', ''))) / 9
+        |    AS BIGINT)
+        |  + CAST((len(text) - len(replace(text, 'scan', ''))) / 4
+        |    AS BIGINT) AS n_hits
+        | FROM documents)
+        |SELECT doc_id, n_hits,
+        | CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS INTEGER)
+        |   AS blocked
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_readability" ->
+      """WITH p AS (SELECT doc_id,
+        |  replace(text, 'table ', 'table. ') AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  greatest(CAST(len(regexp_split_to_array(trim(t), '\s+'))
+        |    AS BIGINT), 1) AS w,
+        |  greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT),
+        |    1) AS se,
+        |  greatest(CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+        |    AS BIGINT), 1) AS sy
+        | FROM p)
+        |SELECT doc_id, w AS n_words, se AS n_sentences, sy AS n_syllables,
+        | CAST(floor((CAST(206.835 AS DOUBLE)
+        |   - CAST(1.015 AS DOUBLE)
+        |     * (CAST(w AS DOUBLE) / CAST(se AS DOUBLE))
+        |   - CAST(84.6 AS DOUBLE)
+        |     * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)))
+        |  * 1000.0) AS BIGINT) AS flesch_x1000
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_bpe" -> bpeTrainSql,
 
     "text_bpe_encode" -> bpeEncodeSql,
@@ -6131,6 +6251,37 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_under, CAST(0 AS BIGINT) AS n_over_bound
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok
         | FROM documents) t""".stripMargin,
+
+    "stats_f2_sketch" -> {
+      // inline the SAME splitmix-derived polynomial coefficients the
+      // Spark plan compiles in — the oracle replays the sign hash
+      // bit-for-bit from these literals
+      val coefs = (0 until 16).map { j =>
+        val a3 = graft.pipeline.Sketches.amsCoef(j, 3) % 2147483646L + 1
+        s"(${j}, ${graft.pipeline.Sketches.amsCoef(j, 1)}, " +
+          s"${graft.pipeline.Sketches.amsCoef(j, 2)}, ${a3}, " +
+          s"${graft.pipeline.Sketches.amsCoef(j, 0)})"
+      }.mkString(", ")
+      s"""WITH j(sketch_id, a1, a2, a3, b) AS (VALUES $coefs),
+         |sg AS (SELECT sketch_id, t, t2, (t2 * t) % 2147483647 AS t3,
+         |  a1, a2, a3, b
+         | FROM (SELECT sketch_id, t, (t * t) % 2147483647 AS t2,
+         |   a1, a2, a3, b
+         |  FROM (SELECT sketch_id, l_partkey % 2147483647 AS t,
+         |    a1, a2, a3, b FROM lineitem, j))),
+         |st AS (SELECT CAST(sketch_id AS BIGINT) AS sketch_id,
+         |  CAST(sum(1 - 2 * ((((t3 * a3) % 2147483647
+         |   + (t2 * a2) % 2147483647 + (t * a1) % 2147483647 + b)
+         |   % 2147483647) % 2)) AS BIGINT) AS s_sum
+         | FROM sg GROUP BY sketch_id),
+         |est AS (SELECT CAST(sum(s_sum * s_sum) // count(*) AS BIGINT)
+         |   AS f2_est FROM st),
+         |ex AS (SELECT CAST(sum(CAST(c * c AS DECIMAL(20,0)))
+         |   AS BIGINT) AS f2
+         | FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+         |SELECT sketch_id, s_sum, f2_est, f2
+         |FROM st, est, ex ORDER BY sketch_id""".stripMargin
+    },
 
     "text_vocab" ->
       """WITH t AS (SELECT DISTINCT doc_id,
@@ -7812,6 +7963,20 @@ object SparkEntry {
         |FROM c a, c b
         |WHERE a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "link_sorted_block" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name AS s,
+        |  substr(c_name, 10, 6) AS bk
+        | FROM customer WHERE c_custkey % 3 = 0),
+        |r AS (SELECT id, s, bk,
+        |  row_number() OVER (PARTITION BY bk ORDER BY s, id) AS r
+        | FROM base)
+        |SELECT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
+        | CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM r a JOIN r b
+        | ON a.bk = b.bk AND b.r > a.r AND b.r <= a.r + 2
+        |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
 
     "link_fuzzy_incr" ->

@@ -201,4 +201,42 @@ object Graph {
     }
     degrees(und)
   }
+
+  /** Co-occurrence projection of a bipartite (basket, item) relation —
+    * the market-basket / co-engagement graph builder: items are linked
+    * by the number of baskets (orders, sessions, users, documents)
+    * containing BOTH. The output edge list feeds [[triangles]],
+    * [[labelProp]] or a retrieval negative-miner directly.
+    *
+    * Scale guard: a basket of w items emits w·(w−1)/2 pairs, so one
+    * degenerate hub (a crawler session touching everything) makes the
+    * join quadratic. Baskets larger than `maxBasketSize` are DROPPED
+    * ENTIRELY (standard market-basket practice — an item list that
+    * long carries no pairwise signal), which bounds the pair relation
+    * by |baskets|·w²/2 and the join skew by w. The basket-size filter,
+    * the self-join and the pair count all shuffle on basket/item keys
+    * with map-side combine; nothing is driver-side.
+    *
+    * Output: (item_a, item_b, n_baskets) with item_a < item_b and
+    * n_baskets ≥ `minCount`. */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   minCount: Long, maxBasketSize: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val bi = df
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .where(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+    val small = bi.groupBy("basket").agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") <= maxBasketSize)
+      .select("basket")
+    val kept = bi.join(small, Seq("basket"), "left_semi")
+    kept.select(col("basket"), col("item").as("item_a"))
+      .join(kept.select(col("basket"), col("item").as("item_b")),
+        Seq("basket"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minCount)
+  }
 }

@@ -1404,6 +1404,49 @@ object Dedup {
         col("dist").cast("long").as("dist"))
   }
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995) —
+    * the third candidate generator beside positional rare-gram
+    * signatures ([[editDistancePairs]]) and banded MinHash: sort each
+    * block by the string itself and compare only rows within `window`
+    * sort positions. The method of choice when near-duplicates SORT
+    * near each other (serial numbers, timestamps-in-names, padded
+    * codes) — regimes where gram rarity is uninformative because every
+    * gram is common.
+    *
+    * `blockCol` bounds both the sort and the join: ranks are
+    * `row_number` within each block (one shuffle on the block key —
+    * never a global single-partition sort), and candidates join on
+    * block equality plus a rank band of width `window`, so skew is
+    * bounded by block size × window. Unlike the gram signature path
+    * this generator is NOT complete — a true pair sorted more than
+    * `window` apart (typo in the first character) is missed; that
+    * recall/cost trade is the method. Verification is exact
+    * Levenshtein. Output: (a_id, b_id, dist), a_id < b_id, each
+    * unordered pair once. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, strCol: String,
+                          blockCol: String, window: Int,
+                          maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bk").orderBy("s", "id")
+    val ranked = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"),
+        col(blockCol).as("bk"))
+      .where(col("s").isNotNull && col("bk").isNotNull)
+      .withColumn("r", row_number().over(w))
+    ranked.select(col("bk"), col("r"), col("id").as("lo_id"),
+        col("s").as("sa"))
+      .join(ranked.select(col("bk"), col("r").as("rb"),
+        col("id").as("hi_id"), col("s").as("sb")), Seq("bk"))
+      .where(col("rb") > col("r") && col("rb") <= col("r") + window)
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= maxDist)
+      .select(least(col("lo_id"), col("hi_id")).as("a_id"),
+        greatest(col("lo_id"), col("hi_id")).as("b_id"),
+        col("dist").cast("long").as("dist"))
+  }
+
   // --------------------------------------------------- LSH band planning
 
   /** LSH band-plan curve — the knob-picker for [[minHashLshPairs]]'s

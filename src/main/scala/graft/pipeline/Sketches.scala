@@ -169,6 +169,101 @@ object Sketches {
     sketches.agg(round(hll_sketch_estimate(
       hll_union_agg(col("sketch"), false))).cast("long").as("n_distinct"))
 
+  // ---------------------------------------------- second frequency moment
+
+  /** AMS sign hash: parity of a DEGREE-3 polynomial over
+    * GF(2³¹−1) — 4-wise independent, the independence degree the AMS
+    * variance bound (Var ≤ 2F₂²/s) actually requires; an affine hash
+    * is only 2-wise and lets the estimator blow up on small domains.
+    * Every step is mod-reduced before the next multiply so all
+    * intermediates stay in 64 bits for ANY long input, and the whole
+    * chain is plain integer SQL any engine reproduces bit-for-bit.
+    * Per-sketch coefficients come from a splitmix64 stream seeded by
+    * (sketch, slot) — each sketch gets its OWN polynomial. (Deriving
+    * all four coefficients as multiples of one per-sketch factor would
+    * make every sketch a scalar multiple of a single polynomial over
+    * GF(p): identical parities across sketches, a fully correlated
+    * estimator. Caught by the SketchesSpec accuracy bound.) */
+  private val AmsP = 2147483647L // Mersenne prime 2³¹ − 1
+
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Coefficient `k` (0 = constant, 1..3 = degree) of sketch `j`'s
+    * sign polynomial, in [0, P). Public so an oracle replica can
+    * inline the identical literals. */
+  def amsCoef(j: Int, k: Int): Long =
+    java.lang.Math.floorMod(splitmix(j.toLong * 4 + k), AmsP)
+
+  private def amsSign(x: Column, j: Int): Column = {
+    val a1 = amsCoef(j, 1)
+    val a2 = amsCoef(j, 2)
+    val a3 = amsCoef(j, 3) % (AmsP - 1) + 1 // leading coef never 0
+    val b = amsCoef(j, 0)
+    val p = lit(AmsP)
+    val t = pmod(x, p)
+    val t2 = pmod(t * t, p)
+    val t3 = pmod(t2 * t, p)
+    val h = pmod(pmod(t3 * lit(a3), p) + pmod(t2 * lit(a2), p) +
+      pmod(t * lit(a1), p) + lit(b), p)
+    lit(1L) - lit(2L) * pmod(h, lit(2L))
+  }
+
+  /** Exact second frequency moment F₂ = Σ_x c_x² — the skew/self-join-
+    * size statistic (F₂ is exactly the row count of a self-equi-join on
+    * the column, and the numerator of a collision-probability estimate).
+    * One map-side-combined groupBy over the item domain, then a 1-row
+    * fold in decimal(20,0) (F₂ ≤ n², so 64-bit overflows past ~3e9
+    * rows). */
+  def f2Exact(df: DataFrame, itemCol: String): DataFrame =
+    df.where(col(itemCol).isNotNull)
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") * col("c")).cast("decimal(20,0)"))
+        .cast("decimal(20,0)").as("f2"))
+
+  /** AMS linear sketch state (Alon–Matias–Szegedy 1996): for each of
+    * `numSketches` independent ±1 sign hashes, the running sum
+    * Σ_rows sign_j(x). Each sum's SQUARE is an unbiased F₂ estimate.
+    *
+    * This is the mergeable-state entry point: the sums are ADDITIVE
+    * across batches/partitions/days (union the states and re-sum), so
+    * a streaming ingest maintains `numSketches` longs instead of the
+    * item-domain histogram [[f2Exact]] needs. ONE corpus scan, one
+    * 1-row aggregate — no shuffle beyond the s-column fold. Items must
+    * be integral (any long — the hash mod-reduces before multiplying).
+    * Output: (sketch_id, s_sum). */
+  def f2SketchState(df: DataFrame, itemCol: String,
+                    numSketches: Int): DataFrame = {
+    require(numSketches >= 1 && numSketches <= 64,
+      s"numSketches must be in [1, 64], got $numSketches")
+    val x = col(itemCol).cast("long")
+    val sums = (0 until numSketches).map(j =>
+      sum(amsSign(x, j)).as(s"s$j"))
+    df.where(col(itemCol).isNotNull)
+      .agg(sums.head, sums.tail: _*)
+      .select(explode(array((0 until numSketches).map(j =>
+        struct(lit(j.toLong).as("sketch_id"),
+          coalesce(col(s"s$j"), lit(0L)).as("s_sum"))): _*)).as("e"))
+      .select(col("e.sketch_id"), col("e.s_sum"))
+  }
+
+  /** Additive merge of two AMS states (same numSketches contract). */
+  def mergeF2States(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("sketch_id")
+      .agg(sum(col("s_sum")).as("s_sum"))
+
+  /** F₂ estimate from a finished state: mean of the per-sketch squares
+    * (all-integer: floor division by the sketch count). One row:
+    * (f2_est, n_sketches). Relative std-error ≈ √(2/numSketches). */
+  def f2FromState(state: DataFrame): DataFrame =
+    state.agg(
+      expr("CAST(sum(s_sum * s_sum) div count(*) AS BIGINT)").as("f2_est"),
+      count(lit(1)).as("n_sketches"))
+
   // ------------------------------------------------------- heavy hitters
 
   /** Misra-Gries buffer: ≤ k−1 (item, lower-bound count) summaries. */

@@ -116,6 +116,60 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
         .cast("long").as("n_number_runs"))
 
+  /** Occurrences of a literal phrase in `text` via the replace-length
+    * identity (len(t) − len(replace(t, p, ''))) / len(p) — exact,
+    * engine-portable, and a pure codegen projection (no regex engine,
+    * no UDF). Case-sensitive; counts overlapping occurrences as the
+    * left-to-right replace does (i.e. non-overlapping). */
+  def phraseCount(text: Column, phrase: String): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    ((length(text) -
+      length(call_function("replace", text, lit(phrase), lit("")))) /
+      lit(phrase.length)).cast("long")
+  }
+
+  /** Total hits across a literal blocklist — the safety/compliance
+    * filter pass (banned phrases, trademarked strings, known spam
+    * templates). The blocklist is compiled INTO the projection (one
+    * column expression per phrase, folded), so the scan stays
+    * whole-stage-codegen with zero joins at any corpus size; for
+    * blocklists beyond a few hundred entries switch to the token-join
+    * path ([[graft.query.TextSearch]] postings). */
+  def blocklistHits(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "need at least one blocklist pattern")
+    patterns.map(p => phraseCount(text, p)).reduce(_ + _)
+  }
+
+  /** Flesch reading-ease over whitespace words, [.!?]+ sentence ends
+    * and [aeiouy]+ vowel-group syllables (the standard heuristic when
+    * no dictionary is licensed) — the READABILITY quality signal next
+    * to the structural ones in [[qualitySignals]]. All three counts
+    * are clamped to ≥ 1 so the score is total; the score itself is
+    * floor-scaled ×1000 with a fixed double association order, so any
+    * engine reproduces it bit-for-bit. Pure regex projection — no
+    * shuffle. Output: doc_id + (n_words, n_sentences, n_syllables,
+    * flesch_x1000); 206.835 − 1.015·(w/s) − 84.6·(syl/w), higher =
+    * easier. */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = greatest(
+      when(length(trim(t)) === 0, lit(0))
+        .otherwise(size(split(trim(t), "\\s+"))).cast("long"), lit(1L))
+    val sents = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val sylls = greatest(
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+        .cast("long"), lit(1L))
+    docs.select(col("doc_id"),
+      words.as("n_words"), sents.as("n_sentences"),
+      sylls.as("n_syllables"),
+      floor((lit(206.835) -
+        lit(1.015) * (words.cast("double") / sents.cast("double")) -
+        lit(84.6) * (sylls.cast("double") / words.cast("double"))) *
+        lit(1000.0)).cast("long").as("flesch_x1000"))
+  }
+
   /** Content fingerprint: 128-bit MD5 of the text (hex) plus a 64-bit
     * decimal prefix — the exact-dedup key. Identical in Spark and any SQL
     * engine, unlike engine-specific hash functions. A Karp–Rabin rolling

@@ -136,4 +136,25 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(x === y)
   }
+  test("coOccurrence counts shared baskets, dedups multiplicity, and " +
+      "drops hub baskets whole") {
+    // baskets: 1 {a,b,c}, 2 {a,b}, 3 {a,b} (with a duplicated row),
+    // 9 is a 4-item hub dropped by maxBasketSize = 3
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "b"),
+      (9L, "a"), (9L, "b"), (9L, "x"), (9L, "y"))
+      .toDF("basket", "item")
+    val got = Graph.coOccurrence(df, "basket", "item",
+        minCount = 1L, maxBasketSize = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)))
+    // support floor prunes the singletons
+    val floored = Graph.coOccurrence(df, "basket", "item", 2L, 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(floored === Set(("a", "b", 3L)))
+  }
 }

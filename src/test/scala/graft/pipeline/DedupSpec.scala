@@ -709,4 +709,28 @@ class DedupSpec extends AnyFunSuite {
       10L -> ((10L, 1L)), 11L -> ((10L, 0L)),
       20L -> ((20L, 1L)), 21L -> ((21L, 1L))))
   }
+  test("sortedNeighborPairs pairs only within the rank window inside a " +
+      "block and verifies exact distance") {
+    import org.apache.spark.sql.functions.{col, lit, substring}
+    // block A sorted: a01 a02 a03 a99; window 1 → (a01,a02), (a02,a03)
+    // adjacent; a99 adjacent to a03 but distance 2 fails maxDist 1;
+    // block B's b01 never pairs across the block boundary with a01
+    val df = Seq(
+      (1L, "a01"), (2L, "a02"), (3L, "a03"), (4L, "a99"), (5L, "b01"))
+      .toDF("id", "s")
+      .withColumn("bk", substring(col("s"), 1, 1))
+    val got = Dedup.sortedNeighborPairs(df, "id", "s", "bk",
+        window = 1, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1L, 2L, 1L), (2L, 3L, 1L)))
+    // window 2 also reaches (a01,a03); a99 stays out (dist 2)
+    val wide = Dedup.sortedNeighborPairs(df, "id", "s", "bk", 2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // raising maxDist admits the far neighbor
+    val loose = Dedup.sortedNeighborPairs(df, "id", "s", "bk", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (2L, 3L), (3L, 4L)))
+  }
 }

@@ -170,4 +170,40 @@ class SketchesSpec extends AnyFunSuite {
     // g2: every value has 2 of 12 (not > 3)
     assert(got === Set(("g1", "a", 10L, 20L)))
   }
+  test("f2Exact sums squared counts; AMS state is additive and exact " +
+      "on a single-item corpus") {
+    import org.apache.spark.sql.functions.col
+    // counts {1: 2, 2: 1} -> F2 = 4 + 1 = 5
+    val df = Seq(1L, 1L, 2L).toDF("x")
+    assert(Sketches.f2Exact(df, "x").collect()(0)
+      .getDecimal(0).longValueExact() === 5L)
+    // one distinct item: every sketch sum is ±n, so every square is n²
+    // and the estimate is EXACTLY F2
+    val mono = Seq.fill(7)(42L).toDF("x")
+    val st = Sketches.f2SketchState(mono, "x", numSketches = 8)
+    assert(st.collect().map(r => math.abs(r.getLong(1))).forall(_ === 7L))
+    val est = Sketches.f2FromState(st).collect()(0)
+    assert((est.getLong(0), est.getLong(1)) === ((49L, 8L)))
+    // additivity: states of two halves merge to the whole's state
+    val xs = (1L to 40L).map(i => i % 7)
+    val whole = Sketches.f2SketchState(xs.toDF("x"), "x", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = Sketches.mergeF2States(
+        Sketches.f2SketchState(xs.take(17).toDF("x"), "x", 16),
+        Sketches.f2SketchState(xs.drop(17).toDF("x"), "x", 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === whole)
+    // estimator sanity: within 3x of exact on a mixed corpus
+    val exact = Sketches.f2Exact(xs.toDF("x"), "x").collect()(0)
+      .getDecimal(0).longValueExact()
+    val e = Sketches.f2FromState(Sketches.f2SketchState(xs.toDF("x"), "x", 16))
+      .collect()(0).getLong(0)
+    assert(e >= exact / 3 && e <= exact * 3)
+    // nulls are excluded, empty input folds to zero sums
+    val withNull = Seq(Some(1L), None, Some(1L)).toDF("x")
+    assert(Sketches.f2SketchState(withNull, "x", 4)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.abs(col("s_sum"))))
+      .collect()(0).getLong(0) === 8L)
+  }
 }

@@ -326,4 +326,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the shuffled-junk doc lands in the en tail bucket
     assert(want(4L) === 3L)
   }
+  test("phraseCount / blocklistHits count literal occurrences exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "hash join beats hash join here"),
+      (2L, "full scan then scan and scan"),
+      (3L, "nothing to see")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.phraseCount(col("text"), "hash join").as("hj"),
+        TextAnalysis.blocklistHits(col("text"),
+          Seq("hash join", "scan")).as("hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1L, 2L, 2L), (2L, 0L, 3L), (3L, 0L, 0L)))
+  }
+
+  test("readability pins the Flesch fixed-point on a known sentence " +
+      "and clamps the degenerate cases") {
+    val df = Seq(
+      (1L, "the cat sat. the dog ran!"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 6 words, 2 sentences, 6 vowel groups:
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19 → 119190
+    assert(got(1L) === ((6L, 2L, 6L, 119190L)))
+    // empty text clamps every count to 1: 206.835 − 1.015 − 84.6
+    assert(got(2L) === ((1L, 1L, 1L, 121220L)))
+  }
 }
