@@ -3593,6 +3593,36 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("n_corrupt")))
     }),
 
+    // fixed-width ingestion (sources/FixedWidthCorpus): render the
+    // documents metadata as 28-char records, add a truncated line and
+    // a right-length line with letters in the numeric id field, read
+    // back through the substring/trim layout — clean checksums match
+    // the parquet original, both planted offenders land in quarantine
+    "source_fixed_width" -> ((s, dir) => {
+      import graft.sources.FixedWidthCorpus
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fw").toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val layout = Seq(
+        FixedWidthCorpus.Field("doc_id", 1, 10, numeric = true),
+        FixedWidthCorpus.Field("source", 11, 8, numeric = false),
+        FixedWidthCorpus.Field("n_chars", 19, 10, numeric = true))
+      FixedWidthCorpus.render(docs, layout)
+        .write.mode("overwrite").text(s"$tmp/shards")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/shards/zz_corrupt.txt"),
+        "too short\n00000000xxsrcX    0000000042\n")
+      val (clean, quarantine) = FixedWidthCorpus.read(
+        s, s"$tmp/shards", layout)
+      clean.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+          coalesce(sum(col("doc_id") * col("n_chars")), lit(0L))
+            .as("sum_id_chars"))
+        .crossJoin(quarantine
+          .agg(count(lit(1)).cast("long").as("n_corrupt")))
+    }),
+
     // schema evolution (sources/PartitionedTables.readEvolved): an old
     // shard (doc_id, n_chars) and a new shard that ADDED lang merge
     // under mergeSchema — the old shard's missing column reads as NULL,
@@ -7251,6 +7281,13 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_id_chars,
         | CAST(1 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
+
+    "source_fixed_width" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_id_chars,
+        | CAST(2 AS BIGINT) AS n_corrupt
         |FROM documents""".stripMargin,
 
     // the evolved-shard merge is reconstructed by CASE on the shard
