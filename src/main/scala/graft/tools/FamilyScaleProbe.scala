@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+import graft.pipeline.{Dedup, Drift, Sketches}
+import graft.sources.FixedWidthCorpus
+
+/** Scale canary for the round-8 session-5 additions: sorted-
+  * neighborhood linkage, basket co-occurrence, the chi-square/KS
+  * drift pair over histogram state, the AMS F2 sketch, and fixed-
+  * width parsing — all over deterministic in-plan synthetics.
+  * Recorded in BENCH_NOTES.md; rerun ad hoc, not part of the
+  * per-round bench.
+  *
+  * Usage: runMain graft.tools.FamilyScaleProbe [n=1000000] [filter]
+  */
+object FamilyScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val filter = if (args.length > 1)
+      args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Long): Unit =
+      if (filter.isEmpty || filter.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+      }
+
+    timed(s"sorted-neighborhood linkage over $n serials") {
+      // zero-padded serials of 3·id: within a 10k-serial block,
+      // consecutive rows differ in the low digits — every id pair
+      // (i, i+1) whose serials are 1 substitution apart is a planted
+      // neighbor at window 1
+      val serials = spark.range(n).repartition(64)
+        .select(col("id"),
+          lpad((col("id") * 3).cast("string"), 12, "0").as("s"))
+        .withColumn("bk", substring(col("s"), 1, 8))
+        .localCheckpoint()
+      Dedup.sortedNeighborPairs(serials, "id", "s", "bk",
+        window = 2, maxDist = 1).count()
+    }
+
+    timed(s"co-occurrence projection over $n basket items") {
+      // n/5 baskets × 5 slots; items hash-skewed over n/50 ids with a
+      // quadratic hub profile — the shape the maxBasketSize guard and
+      // the pair groupBy must survive
+      val items = math.max(n / 50, 100L)
+      val bi = spark.range(n).repartition(64)
+        .select((col("id") / 5).cast("long").as("basket"),
+          expr(s"cast(pow((hash(id, 7) & 2147483647) / 2147483648.0, 2)" +
+            s" * $items as long)").as("item"))
+        .localCheckpoint()
+      Graph.coOccurrence(bi, "basket", "item",
+        minCount = 2L, maxBasketSize = 8L).count()
+    }
+
+    timed(s"chi-square + KS drift over two ${n}-row snapshots") {
+      val a = spark.range(n)
+        .select(pmod(hash(col("id"), lit(1)), lit(1000L)).as("v"))
+      val b = spark.range(n)
+        .select((pmod(hash(col("id"), lit(2)), lit(1000L)) +
+          when(col("id") % 5 === 0, 30L).otherwise(0L)).as("v"))
+      val chi = Drift.chiSquareBuckets(a, b, "v", width = 10.0,
+        numBuckets = 100)
+      val ks = Drift.ksStatistic(a, b, "v")
+      val c = chi.agg(sum("contrib_x1e6")).collect()(0).getLong(0)
+      val d = ks.collect()(0).getLong(0)
+      println(s"  chi2_x1e6 = $c, ks d_num = $d")
+      2L
+    }
+
+    timed(s"AMS F2 sketch (16 polys) + exact F2 over $n rows") {
+      val items = math.max(n / 50, 100L)
+      val xs = spark.range(n).repartition(64)
+        .select(expr(s"cast(pow((hash(id, 9) & 2147483647) / " +
+          s"2147483648.0, 2) * $items as long)").as("x"))
+        .localCheckpoint()
+      val est = Sketches.f2FromState(
+        Sketches.f2SketchState(xs, "x", 16)).collect()(0).getLong(0)
+      val exact = Sketches.f2Exact(xs, "x").collect()(0)
+        .getDecimal(0).longValueExact()
+      println(f"  est = $est, exact = $exact, " +
+        f"ratio = ${est.toDouble / exact}%.3f")
+      1L
+    }
+
+    timed(s"fixed-width render + parse round trip over $n records") {
+      val layout = Seq(
+        FixedWidthCorpus.Field("id", 1, 12, numeric = true),
+        FixedWidthCorpus.Field("tag", 13, 8, numeric = false),
+        FixedWidthCorpus.Field("qty", 21, 6, numeric = true))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("fw_probe").toString
+      val df = spark.range(n).repartition(64).select(col("id"),
+        concat(lit("t"), pmod(col("id"), lit(97L))).as("tag"),
+        pmod(col("id") * 31, lit(100000L)).as("qty"))
+      FixedWidthCorpus.render(df, layout).write
+        .mode("overwrite").text(s"$tmp/d")
+      val (clean, q) = FixedWidthCorpus.read(spark, s"$tmp/d", layout)
+      val sums = clean.agg(sum("qty"), count(lit(1))).collect()(0)
+      println(s"  sum_qty = ${sums.getLong(0)}, quarantined = ${q.count()}")
+      sums.getLong(1)
+    }
+
+    spark.stop()
+  }
+}
