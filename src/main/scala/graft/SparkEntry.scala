@@ -4106,6 +4106,20 @@ object SparkEntry {
           sum(col("c_custkey")).as("sum_keys"))
     }),
 
+    // t-closeness audit (Privacy.tClosenessGroups): exact integer
+    // cross-multiplied EMD between each nation's balance-band
+    // distribution and the global one — the leak l-diversity misses
+    // (all bands present but one dominating); t = 0.035 splits the 25
+    // nations into close/far at sf0.01
+    "privacy_t_closeness" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal_band", graft.pipeline.Privacy.generalized(
+          floor(col("c_acctbal")).cast("long"), width = 2000))
+      graft.pipeline.Privacy.tClosenessGroups(
+          c, Seq("c_nationkey"), "bal_band", tX1e6 = 35000L)
+        .orderBy("c_nationkey")
+    }),
+
     // l-diversity audit (Privacy.lDiversityGroups): a k-anonymous
     // group is still unsafe when it is HOMOGENEOUS in the sensitive
     // attribute — here the width-2000 account-balance band must take
@@ -7708,6 +7722,37 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_released,
         | CAST(sum(c_custkey) AS BIGINT) AS sum_keys
         |FROM b JOIN ok USING (c_mktsegment, bal_band)""".stripMargin,
+
+    "privacy_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey AS q,
+        |  CAST(floor(c_acctbal) AS BIGINT)
+        |   - ((CAST(floor(c_acctbal) AS BIGINT) % 2000 + 2000) % 2000)
+        |   AS v
+        | FROM customer),
+        |gl AS (SELECT v, count(*) AS a FROM b GROUP BY v),
+        |g2 AS (SELECT v, a,
+        |  sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cuma,
+        |  sum(a) OVER () AS n_total, count(*) OVER () AS m FROM gl),
+        |grp AS (SELECT q, count(*) AS n FROM b GROUP BY q),
+        |cnts AS (SELECT q, v, count(*) AS g FROM b GROUP BY q, v),
+        |grid AS (SELECT grp.q, grp.n, g2.v, g2.cuma, g2.n_total, g2.m,
+        |  coalesce(cnts.g, 0) AS g
+        | FROM grp CROSS JOIN g2
+        | LEFT JOIN cnts ON cnts.q = grp.q AND cnts.v = g2.v),
+        |c AS (SELECT q, n, n_total, m, v, cuma,
+        |  sum(g) OVER (PARTITION BY q ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS cumg
+        | FROM grid),
+        |e AS (SELECT q, n, n_total, m,
+        |  CAST(sum(abs(cumg * n_total - cuma * n)) AS BIGINT) AS emd_num
+        | FROM c GROUP BY q, n, n_total, m)
+        |SELECT q AS c_nationkey, CAST(n AS BIGINT) AS n,
+        | CAST(m AS BIGINT) AS n_values, emd_num,
+        | CAST(CASE WHEN m <= 1 THEN 1
+        |  WHEN emd_num * 1000000 <= 35000 * n * n_total * (m - 1)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS is_t_close
+        |FROM e ORDER BY c_nationkey""".stripMargin,
 
     "privacy_l_diversity" ->
       """WITH b AS (SELECT c_nationkey, c_mktsegment,

@@ -77,6 +77,74 @@ object Privacy {
     df.join(ok, quasiCols, "left_semi")
   }
 
+  /** t-closeness screening (Li, Li & Venkatasubramanian 2007) — the
+    * third rung of the ladder: an l-diverse group still leaks when its
+    * sensitive DISTRIBUTION differs sharply from the table's (all l
+    * values present, but 95% of the group in the top salary band). A
+    * group is t-close iff the earth-mover's distance between its
+    * sensitive distribution and the global one is ≤ t.
+    *
+    * For an ORDERED sensitive attribute with unit adjacent ground
+    * distance, EMD = (1/(m−1))·Σ_i |cum_p(i) − cum_q(i)| over the m
+    * globally observed values — computed here in EXACT integer
+    * cross-multiplied form (the [[Drift.ksFromHistograms]] pattern):
+    *
+    *   emd_num = Σ_i |cumG_i·N − cumA_i·n_g|
+    *   EMD     = emd_num / (n_g · N · (m−1))
+    *
+    * and the verdict `is_t_close` = [emd_num·10⁶ ≤ t_x1e6·n_g·N·(m−1)]
+    * stays all-integer. Overflow bound: keep n_g·N·(m−1)·10⁶ below
+    * ~9e18 (beyond that, pre-band the sensitive domain — which a
+    * t-closeness release does anyway).
+    *
+    * Scale shape: one groupBy over (quasi, value) and one over value
+    * (both domain-sized, map-side combined), a groups×values grid join
+    * (metadata-sized), and per-group cumulative windows partitioned by
+    * the quasi key; the global cumulative window runs on the
+    * DOMAIN-sized value list (same documented single-partition bound
+    * as [[Sketches.quantilesFromHistogram]]). NULL sensitive values
+    * are excluded on both sides.
+    *
+    * Output: quasi cols + n (group size) + n_values (m) + emd_num +
+    * is_t_close. */
+  def tClosenessGroups(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, tX1e6: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(tX1e6 >= 0, s"t_x1e6 must be >= 0, got $tX1e6")
+    import org.apache.spark.sql.expressions.Window
+    val qs = quasiCols.map(col)
+    val base = df.where(col(sensitiveCol).isNotNull)
+      .select(qs :+ col(sensitiveCol).cast("long").as("v"): _*)
+    // global ordered histogram with cumulative counts (domain-sized)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val glob = base.groupBy("v").agg(count(lit(1)).as("a"))
+      .withColumn("cuma", sum(col("a")).over(wAll))
+      .withColumn("n_total", sum(col("a")).over())
+      .withColumn("m", count(lit(1)).over())
+    // groups × global values grid, group counts filled with zeros
+    val groups = base.groupBy(qs: _*).agg(count(lit(1)).as("n"))
+    val cnts = base.groupBy(qs :+ col("v"): _*)
+      .agg(count(lit(1)).as("g"))
+    val wGrp = Window.partitionBy(quasiCols.map(col): _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups.crossJoin(glob)
+      .join(cnts, quasiCols :+ "v", "left")
+      .withColumn("g", coalesce(col("g"), lit(0L)))
+      .withColumn("cumg", sum(col("g")).over(wGrp))
+      .groupBy(qs :+ col("n") :+ col("n_total") :+ col("m"): _*)
+      .agg(sum(abs(col("cumg") * col("n_total") -
+        col("cuma") * col("n"))).as("emd_num"))
+      .select(qs ++ Seq(col("n"), col("m").as("n_values"),
+        col("emd_num"),
+        when(col("m") <= 1, lit(1)).otherwise(
+          (col("emd_num") * lit(1000000L) <=
+            lit(tX1e6) * col("n") * col("n_total") * (col("m") - 1))
+            .cast("int")).as("is_t_close")): _*)
+  }
+
   /** Generalization step for a numeric quasi-identifier: band values
     * to width-`width` buckets (floor), trading precision for bigger
     * groups — rerun the report on the banded column to measure the

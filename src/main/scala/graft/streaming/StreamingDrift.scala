@@ -66,4 +66,13 @@ object StreamingDrift {
     psiVsBaseline(baseline, accumulated, model)
       .agg(sum(col("contrib_x1e6")).as("psi_x1e6"),
         sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
+
+  /** Per-cell chi-square of the SAME accumulated state against the
+    * baseline ([[Drift.chiSquareFromCellCounts]]) — the nominal-domain
+    * test with a null distribution rides the identical mergeable
+    * histogram, so a monitor maintains ONE state and reads PSI and
+    * chi-square from it after any trigger. */
+  def chiSquareVsBaseline(baseline: DataFrame, accumulated: DataFrame,
+                          model: Clustering.ClusterModel): DataFrame =
+    Drift.chiSquareFromCellCounts(baseline, accumulated, model.k)
 }

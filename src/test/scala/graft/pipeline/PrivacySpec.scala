@@ -62,6 +62,35 @@ class PrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("tClosenessGroups computes the exact cross-multiplied EMD and " +
+      "the threshold verdict") {
+    // global bands [0,0,0,0,1,2,2]: N=7, m=3
+    // zip1 [0,0,0,2]: cums |3·7−4·4|=5, |3·7−5·4|=1, |4·7−7·4|=0 → 6
+    //   EMD = 6/(4·7·2) ≈ 0.107
+    // zip2 [0,1,2]:   cums |1·7−4·3|=5, |2·7−5·3|=1, |3·7−7·3|=0 → 6
+    //   EMD = 6/(3·7·2) ≈ 0.143
+    val df = Seq(
+      (1L, 10L, 0L), (2L, 10L, 0L), (3L, 10L, 0L), (4L, 10L, 2L),
+      (5L, 20L, 0L), (6L, 20L, 1L), (7L, 20L, 2L))
+      .toDF("id", "zip", "band")
+    val got = Privacy.tClosenessGroups(df, Seq("zip"), "band",
+        tX1e6 = 120000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got === Set((10L, 4L, 3L, 6L, 1), (20L, 3L, 3L, 6L, 0)))
+    // a group mirroring the global distribution exactly has EMD 0 and
+    // passes even t = 0
+    val mirror = Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 2L, 0L),
+      (4L, 2L, 1L)).toDF("id", "zip", "band")
+    assert(Privacy.tClosenessGroups(mirror, Seq("zip"), "band", 0L)
+      .collect().map(r => (r.getLong(3), r.getInt(4))).toSet ===
+      Set((0L, 1)))
+    // single sensitive value globally (m = 1): vacuously close
+    val mono = Seq((1L, 1L, 5L), (2L, 2L, 5L)).toDF("id", "zip", "band")
+    assert(Privacy.tClosenessGroups(mono, Seq("zip"), "band", 0L)
+      .collect().map(_.getInt(4)).toSeq === Seq(1, 1))
+  }
+
   test("generalized banding is integer-exact (negatives included) and " +
       "coarsening strictly grows groups") {
     val bands = people.select(Privacy.generalized(col("age"), 10L)

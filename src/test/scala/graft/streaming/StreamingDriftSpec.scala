@@ -62,6 +62,17 @@ class StreamingDriftSpec extends AnyFunSuite {
       val s = StreamingDrift.psiSummary(baseHist, state.get, model)
         .collect()(0)
       assert(s.getLong(0) === fromState.values.map(_._3).sum)
+      // chi-square rides the SAME accumulated state: parity with the
+      // one-shot batch computation over everything seen so far
+      val chiState = StreamingDrift
+        .chiSquareVsBaseline(baseHist, state.get, model)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      val chiBatch = Drift.chiSquareFromCellCounts(baseHist,
+          StreamingDrift.cellCounts(
+            seen.toSeq.map(Tuple1(_)).toDF("emb"), "emb", model),
+          model.k)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(chiState === chiBatch)
     }
     try {
       // trigger 1: balanced batch — mild drift only from count scale
