@@ -809,6 +809,16 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minCount = 2L, maxBasketSize = 8L)
         .orderBy("item_a", "item_b")),
 
+    // pairwise association rules (Graph.associationRules): both
+    // directed rules per surviving pair with all-integer floor-scaled
+    // confidence and lift over the hub-guarded basket population —
+    // the "customers who bought X also bought Y" scorer
+    "graph_assoc_rules" -> ((s, dir) =>
+      graft.operators.Graph.associationRules(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minCount = 3L, maxBasketSize = 8L)
+        .orderBy("antecedent", "consequent")),
+
     // HITS hubs/authorities (operators/Graph.hits) over the
     // supplier->part supply graph: 2 mutual-reinforcement rounds,
     // max-normalized to scale 1e9 each round via an exact
@@ -2716,6 +2726,25 @@ object SparkEntry {
         .orderBy("sketch_id")
     }),
 
+    // exact Pearson correlation components (Profile.corrExact):
+    // integer moment sums + decimal(38,0) cross products (bit-exact on
+    // any partitioning), r² as one fixed-association double chain —
+    // quantity vs price-in-hundreds over lineitem; components cast to
+    // BIGINT at the gate (they fit at this sf; the operator keeps
+    // decimals for the 100 TB bound)
+    "stats_corr_exact" -> ((s, dir) =>
+      graft.operators.Profile.corrExact(
+        Tables.lineitem(s, dir)
+          .withColumn("qty", col("l_quantity").cast("long"))
+          .withColumn("price_h",
+            floor(col("l_extendedprice") / 100).cast("long")),
+        "qty", "price_h")
+        .select(col("n"), col("sx"), col("sy"),
+          col("cov_num").cast("long").as("cov_num"),
+          col("varx_num").cast("long").as("varx_num"),
+          col("vary_num").cast("long").as("vary_num"),
+          col("r2_x1e6"))),
+
     // corpus vocabulary by document frequency, top-100 by (df desc, tok)
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.topVocabulary(Tables.documents(s, dir), k = 100, minDf = 2)
@@ -4254,6 +4283,16 @@ object SparkEntry {
         .transitionCounts(Tables.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // discovered top-25 length-3 user journeys (EventPipeline
+    // .pathCounts): two leads on one (ts, event_id)-ordered user
+    // window, a <=|types|^3 groupBy and a bounded deterministic top-k
+    // — the funnel you discover instead of declare
+    "events_paths" -> ((s, dir) =>
+      graft.streaming.EventPipeline.pathCounts(Tables.events(s, dir),
+          k = 25)
+        .orderBy(col("cnt").desc, col("step1"), col("step2"),
+          col("step3"))),
+
     // per-doc characteristic keywords: smoothed TF-IDF top-3 with a
     // deterministic (score desc, term) rank; corpus stats are one
     // vocabulary-sized aggregate broadcast back (TextAnalysis)
@@ -5051,6 +5090,35 @@ object SparkEntry {
         | ON a.basket = b.basket AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "graph_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey AS item FROM lineitem),
+        |small AS (SELECT basket FROM bi
+        | GROUP BY basket HAVING count(*) <= 8),
+        |kept AS (SELECT bi.basket, bi.item FROM bi
+        | JOIN small USING (basket)),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_ab
+        | FROM kept a JOIN kept b
+        |  ON a.basket = b.basket AND a.item < b.item
+        | GROUP BY 1, 2 HAVING count(*) >= 3),
+        |supp AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        | FROM kept GROUP BY item),
+        |tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_total
+        | FROM kept),
+        |dir2 AS (SELECT item_a AS antecedent, item_b AS consequent, n_ab
+        |  FROM pairs
+        | UNION ALL SELECT item_b, item_a, n_ab FROM pairs)
+        |SELECT antecedent, consequent, n_ab,
+        | sa.n_item AS n_ant, sc.n_item AS n_cons,
+        | CAST((n_ab * 1000000) // sa.n_item AS BIGINT) AS conf_x1e6,
+        | CAST((n_ab * n_total * 1000000) // (sa.n_item * sc.n_item)
+        |   AS BIGINT) AS lift_x1e6
+        |FROM dir2
+        |JOIN supp sa ON sa.item = dir2.antecedent
+        |JOIN supp sc ON sc.item = dir2.consequent, tot
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     "graph_hits" ->
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
@@ -6326,6 +6394,32 @@ object SparkEntry {
          |SELECT sketch_id, s_sum, f2_est, f2
          |FROM st, est, ex ORDER BY sketch_id""".stripMargin
     },
+
+    "stats_corr_exact" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+        | FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+        |  CAST(sum(y * y) AS DECIMAL(38,0)) AS syy FROM b),
+        |c AS (SELECT n, sx, sy,
+        |  CAST(n * sxy - CAST(sx AS DECIMAL(38,0))
+        |    * CAST(sy AS DECIMAL(38,0)) AS BIGINT) AS cov_num,
+        |  CAST(n * sxx - CAST(sx AS DECIMAL(38,0))
+        |    * CAST(sx AS DECIMAL(38,0)) AS BIGINT) AS varx_num,
+        |  CAST(n * syy - CAST(sy AS DECIMAL(38,0))
+        |    * CAST(sy AS DECIMAL(38,0)) AS BIGINT) AS vary_num
+        | FROM a)
+        |SELECT n, sx, sy, cov_num, varx_num, vary_num,
+        | CASE WHEN varx_num = 0 OR vary_num = 0
+        |  THEN CAST(NULL AS BIGINT)
+        |  ELSE CAST(floor(CAST(cov_num AS DOUBLE)
+        |    * CAST(cov_num AS DOUBLE)
+        |    / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) END AS r2_x1e6
+        |FROM c""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT DISTINCT doc_id,
@@ -7937,6 +8031,20 @@ object SparkEntry {
         |      ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
+        |  event_id, event_type FROM events),
+        |p AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS step2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS step3
+        | FROM e)
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, step1, step2, step3 LIMIT 25""".stripMargin,
 
     "events_transitions" ->
       """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,

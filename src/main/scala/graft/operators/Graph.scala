@@ -222,6 +222,13 @@ object Graph {
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    minCount: Long, maxBasketSize: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val kept = keptItems(df, basketCol, itemCol, maxBasketSize)
+    pairCounts(kept, minCount)
+  }
+
+  /** Distinct (basket, item) rows of baskets within the hub guard. */
+  private def keptItems(df: DataFrame, basketCol: String,
+                        itemCol: String, maxBasketSize: Long): DataFrame = {
     require(maxBasketSize >= 2,
       s"maxBasketSize must be >= 2, got $maxBasketSize")
     val bi = df
@@ -231,12 +238,57 @@ object Graph {
     val small = bi.groupBy("basket").agg(count(lit(1)).as("bsize"))
       .where(col("bsize") <= maxBasketSize)
       .select("basket")
-    val kept = bi.join(small, Seq("basket"), "left_semi")
+    bi.join(small, Seq("basket"), "left_semi")
+  }
+
+  private def pairCounts(kept: DataFrame, minCount: Long): DataFrame =
     kept.select(col("basket"), col("item").as("item_a"))
       .join(kept.select(col("basket"), col("item").as("item_b")),
         Seq("basket"))
       .where(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
       .where(col("n_baskets") >= minCount)
+
+  /** Single-item association rules over the co-occurrence relation
+    * (Agrawal & Srikant 1994 reduced to the pairwise case): for every
+    * surviving pair, BOTH directed rules antecedent ⇒ consequent with
+    *
+    *   confidence = n_ab / n_ant        (floor ×10⁶)
+    *   lift       = n_ab·N / (n_ant·n_cons)  (floor ×10⁶)
+    *
+    * — all-integer floor division, engine-exact. Supports and N count
+    * the baskets SURVIVING the hub guard, so the scores and the pair
+    * counts describe the same population. Overflow bound: n_ab·N·10⁶
+    * must stay below 2⁶³ (N ≤ ~3e9 baskets with thousand-strong
+    * pairs; beyond that, mine per-partition and merge).
+    *
+    * Output: (antecedent, consequent, n_ab, n_ant, n_cons, conf_x1e6,
+    * lift_x1e6); lift > 1e6 means the pair co-occurs more than
+    * independence predicts. Scale shape: [[coOccurrence]]'s bounded
+    * joins plus one item-domain support aggregate and a 1-row basket
+    * count broadcast. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minCount: Long, maxBasketSize: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val kept = keptItems(df, basketCol, itemCol, maxBasketSize)
+      .localCheckpoint()
+    val pairs = pairCounts(kept, minCount)
+    val supp = kept.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val total = kept.select(countDistinct(col("basket")).as("n_total"))
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_baskets").as("n_ab"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_baskets").as("n_ab")))
+    directed
+      .join(supp.select(col("item").as("antecedent"),
+        col("n_item").as("n_ant")), Seq("antecedent"))
+      .join(supp.select(col("item").as("consequent"),
+        col("n_item").as("n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ant"), col("n_cons"),
+        expr("n_ab * 1000000L div n_ant").as("conf_x1e6"),
+        expr("n_ab * n_total * 1000000L div (n_ant * n_cons)")
+          .as("lift_x1e6"))
   }
 }

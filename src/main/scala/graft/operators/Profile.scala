@@ -98,4 +98,52 @@ object Profile {
           col("n_rows_a").cast("decimal(20,0)"), 1L).otherwise(0L)
           .as("null_frac_changed"))
   }
+
+  /** Exact Pearson correlation COMPONENTS between two integral
+    * columns — the profiling statistic `corr()` computes in floats
+    * (order-dependent, engine-flaky) expressed instead as exact
+    * integer moment sums:
+    *
+    *   cov_num  = n·Σxy − Σx·Σy
+    *   varx_num = n·Σx² − (Σx)²,  vary_num = n·Σy² − (Σy)²
+    *   r² = cov_num² / (varx_num · vary_num)
+    *
+    * The sums fold in 64-bit and the cross-products in decimal(38,0)
+    * (sum order is irrelevant for integers, so the result is
+    * bit-identical on any partitioning/engine); only the final r²
+    * ratio drops to one fixed-association double chain, floor-scaled
+    * ×1e6, NULL when either variance is zero. Convert money to
+    * cents/bands first — the integral contract is what buys the
+    * exactness. One map-side-combined aggregate; one row out. */
+  def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val d = "decimal(38,0)"
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("x")), lit(0L)).as("sx"),
+      coalesce(sum(col("y")), lit(0L)).as("sy"),
+      coalesce(sum((col("x") * col("y")).cast(d)), lit(0L).cast(d))
+        .as("sxy"),
+      coalesce(sum((col("x") * col("x")).cast(d)), lit(0L).cast(d))
+        .as("sxx"),
+      coalesce(sum((col("y") * col("y")).cast(d)), lit(0L).cast(d))
+        .as("syy"))
+    val cov = (col("n") * col("sxy") -
+      col("sx").cast(d) * col("sy").cast(d)).cast(d)
+    val varx = (col("n") * col("sxx") -
+      col("sx").cast(d) * col("sx").cast(d)).cast(d)
+    val vary = (col("n") * col("syy") -
+      col("sy").cast(d) * col("sy").cast(d)).cast(d)
+    agg.select(col("n"), col("sx"), col("sy"),
+        cov.as("cov_num"), varx.as("varx_num"), vary.as("vary_num"))
+      .withColumn("r2_x1e6",
+        when(col("varx_num") === 0 || col("vary_num") === 0,
+          lit(null).cast("long"))
+          .otherwise(floor(
+            col("cov_num").cast("double") * col("cov_num").cast("double")
+              / (col("varx_num").cast("double") *
+                col("vary_num").cast("double")) * lit(1e6)).cast("long")))
+  }
 }

@@ -243,6 +243,33 @@ object EventPipeline {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Top-k length-3 user journeys: the most common (step1 → step2 →
+    * step3) event sequences across users — the path-analysis report
+    * beside [[transitionCounts]]'s first-order matrix (a funnel you
+    * DISCOVER instead of declare). Consecutive means adjacent in the
+    * user's (ts, event_id)-ordered stream; the tie-break makes the
+    * windows and therefore the counts engine-exact.
+    *
+    * Scale shape: one user-partitioned window (two leads ride one
+    * sort), a map-side-combined groupBy over the ≤|types|³ path
+    * domain, and a bounded TakeOrdered top-k — nothing row-scale
+    * shuffles, nothing driver-side. The (cnt desc, steps asc) order is
+    * total, so the cut is deterministic. */
+  def pathCounts(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   final case class StepEvent(user_id: Long, ts: Long, event_id: Long,
                              event_type: String)
   final case class Step(user_id: Long, from_type: String, to_type: String,

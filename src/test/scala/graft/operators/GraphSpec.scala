@@ -157,4 +157,29 @@ class GraphSpec extends AnyFunSuite {
       .toSet
     assert(floored === Set(("a", "b", 3L)))
   }
+  test("associationRules scores both directions with exact integer " +
+      "confidence and lift over the hub-guarded population") {
+    // 4 kept baskets: {a,b} ×3, {a} ×1 → n_a=4, n_b=3, n_ab=3, N=4
+    // a⇒b: conf 3/4 = 750000, lift 3·4/(4·3) = 1 → 1000000
+    // b⇒a: conf 3/3 = 1000000, lift 1000000
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a"),
+      (9L, "a"), (9L, "b"), (9L, "x")) // hub basket dropped at max 2
+      .toDF("basket", "item")
+    val got = Graph.associationRules(df, "basket", "item",
+        minCount = 2L, maxBasketSize = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === Set(
+      ("a", "b", 3L, 4L, 3L, 750000L, 1000000L),
+      ("b", "a", 3L, 3L, 4L, 1000000L, 1000000L)))
+    // positive association: pair always together in a sparser world
+    // baskets {a,b}, {a,b}, {c}, {d} → lift a⇒b = 2·4/(2·2) = 2
+    val pos = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "c"), (4L, "d")).toDF("basket", "item")
+    val lift = Graph.associationRules(pos, "basket", "item", 2L, 3L)
+      .collect().map(_.getLong(6)).toSet
+    assert(lift === Set(2000000L))
+  }
 }

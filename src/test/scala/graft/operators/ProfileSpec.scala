@@ -71,4 +71,29 @@ class ProfileSpec extends AnyFunSuite {
     assert(same.forall(r => r.getString(1) === "kept" &&
       r.getLong(8) === 0L && r.getLong(9) === 0L && r.getLong(10) === 0L))
   }
+  test("corrExact: hand-checked components, perfect correlation hits " +
+      "exactly 1e6, zero variance yields NULL r2") {
+    import org.apache.spark.sql.functions.col
+    // (1,2),(2,4),(3,6): y = 2x → r² = 1 exactly
+    val perfect = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val p = Profile.corrExact(perfect, "x", "y").collect()(0)
+    assert(p.getLong(0) === 3L)
+    assert(p.getDecimal(3).longValueExact() === 2L *
+      p.getDecimal(4).longValueExact()) // cov = 2·varx for y = 2x
+    assert(p.getLong(6) === 1000000L)
+    // hand case (1,1),(2,3),(3,2): n=3 sx=6 sy=6 sxy=13 sxx=14 syy=14
+    // cov=3·13−36=3, varx=vary=3·14−36=6 → r² = 9/36 = 0.25
+    val hand = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val h = Profile.corrExact(hand, "x", "y").collect()(0)
+    assert((h.getDecimal(3).longValueExact(),
+      h.getDecimal(4).longValueExact(),
+      h.getDecimal(5).longValueExact()) === ((3L, 6L, 6L)))
+    assert(h.getLong(6) === 250000L)
+    // constant y → vary = 0 → r² NULL; NULL rows excluded from n
+    val const = Seq((Some(1L), Some(5L)), (Some(2L), Some(5L)),
+      (None, Some(9L))).toDF("x", "y")
+    val c = Profile.corrExact(const, "x", "y").collect()(0)
+    assert(c.getLong(0) === 2L)
+    assert(c.isNullAt(6))
+  }
 }

@@ -282,4 +282,24 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+  test("pathCounts discovers length-3 journeys with the deterministic " +
+      "(ts, event_id) order and top-k cut") {
+    import org.apache.spark.sql.functions.col
+    // user 1: a b c d → paths abc, bcd; user 2: a b c → abc;
+    // user 3 has only 2 events → no path. Tie at ts=30 broken by id.
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 30L, 4L, "d"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      (3L, 10L, 8L, "x"), (3L, 20L, 9L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventPipeline.pathCounts(ev, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+    // k cuts at the (cnt desc, steps asc) boundary deterministically
+    assert(EventPipeline.pathCounts(ev, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq ===
+      Seq(("a", 2L)))
+  }
 }
