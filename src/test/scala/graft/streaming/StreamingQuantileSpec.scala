@@ -53,4 +53,40 @@ class StreamingQuantileSpec extends AnyFunSuite {
       assertParity()
     } finally q.stop()
   }
+  test("foreachBatch-merged AMS F2 states reproduce the batch sketch " +
+      "after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var state: Option[DataFrame] = None
+    val q = stream.toDF().toDF("x")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val st = Sketches.f2SketchState(batch, "x", numSketches = 8)
+        state.synchronized {
+          state = Some(state.fold(st)(s =>
+            Sketches.mergeF2States(s, st)).localCheckpoint())
+        }
+        ()
+      }
+      .start()
+    def assertParity(): Unit = {
+      val fromState = Sketches.f2FromState(state.get)
+        .collect()(0).getLong(0)
+      val batch = Sketches.f2FromState(
+          Sketches.f2SketchState(seen.toSeq.toDF("x"), "x", 8))
+        .collect()(0).getLong(0)
+      assert(fromState === batch)
+    }
+    try {
+      val first = Seq(5L, 1L, 9L, 9L, 3L)
+      stream.addData(first: _*); seen ++= first
+      q.processAllAvailable()
+      assertParity()
+      val second = Seq(2L, 9L, 9L, 1L)
+      stream.addData(second: _*); seen ++= second
+      q.processAllAvailable()
+      assertParity()
+    } finally q.stop()
+  }
 }
