@@ -96,6 +96,46 @@ object FamilyScaleProbe {
       1L
     }
 
+    timed(s"k-anonymity + t-closeness over $n rows") {
+      // 100×50 quasi grid, 10-value sensitive domain — domain-sized
+      // aggregates and a 50k-row grid however large n grows
+      val df = spark.range(n).repartition(64).select(
+        pmod(hash(col("id"), lit(3)), lit(100L)).as("region"),
+        pmod(hash(col("id"), lit(4)), lit(50L)).as("band"),
+        pmod(hash(col("id"), lit(5)), lit(10L)).as("sal"))
+        .localCheckpoint()
+      val kBad = graft.pipeline.Privacy
+        .kAnonymityGroups(df, Seq("region", "band"), k = n / 10000)
+        .where(col("is_k_anon") === 0).count()
+      val tFar = graft.pipeline.Privacy
+        .tClosenessGroups(df, Seq("region", "band"), "sal",
+          tX1e6 = 20000L)
+        .where(col("is_t_close") === 0).count()
+      println(s"  under-k groups = $kBad, far groups = $tFar")
+      kBad + tFar
+    }
+
+    timed(s"discovered length-3 paths over $n events") {
+      val users = math.max(n / 100, 10L)
+      val ev = spark.range(n).repartition(64).select(
+        pmod(col("id"), lit(users)).as("user_id"),
+        col("id").as("ts"), col("id").as("event_id"),
+        concat(lit("t"), pmod(hash(col("id"), lit(11)), lit(8L)))
+          .as("event_type"))
+      graft.streaming.EventPipeline.pathCounts(ev, k = 25).count()
+    }
+
+    timed(s"association rules over $n basket items") {
+      val items = math.max(n / 50, 100L)
+      val bi = spark.range(n).repartition(64)
+        .select((col("id") / 5).cast("long").as("basket"),
+          expr(s"cast(pow((hash(id, 7) & 2147483647) / 2147483648.0, 2)" +
+            s" * $items as long)").as("item"))
+        .localCheckpoint()
+      Graph.associationRules(bi, "basket", "item",
+        minCount = 2L, maxBasketSize = 8L).count()
+    }
+
     timed(s"fixed-width render + parse round trip over $n records") {
       val layout = Seq(
         FixedWidthCorpus.Field("id", 1, 12, numeric = true),
