@@ -2486,6 +2486,16 @@ object SparkEntry {
         frameBytes = 16, stride = 4, k = 3)
         .orderBy("media_id", "rank")),
 
+    // shot segmentation (Multimodal.shotSummary): frames partition
+    // into contiguous shots at frame-sum jumps > 150 (gaps-and-islands
+    // on the sampled-frame signal) — per media the frame count, shot
+    // count and longest shot; the video-curation structural pass
+    "media_shots" -> ((s, dir) =>
+      Multimodal.shotSummary(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        frameBytes = 16, stride = 4, minJump = 150L)
+        .orderBy("media_id")),
+
     // matryoshka truncation curve (Kusupati et al. 2022): exact top-10
     // recall of prefix-sliced embeddings (d = 8/16/32/64) vs the
     // full-dim ranking — the operating curve for serving at a cheap
@@ -6039,6 +6049,35 @@ object SparkEntry {
         |   CAST(frame_no * 16 + i.i AS INT), 1))) AS BIGINT) AS frame_sum
         |FROM fr, generate_series(1, 16) AS i(i)
         |GROUP BY doc_id, frame_no ORDER BY media_id, frame_no""".stripMargin,
+
+    "media_shots" ->
+      """WITH fr AS (SELECT doc_id, text, t.f AS frame_no
+        | FROM documents, generate_series(0, 511) AS t(f)
+        | WHERE t.f <= CAST(length(text) AS BIGINT) // 16 - 1
+        |   AND t.f % 4 = 0),
+        |fs AS (SELECT doc_id AS media_id, CAST(frame_no AS BIGINT)
+        |   AS frame_no,
+        | CAST(sum(ascii(substring(text,
+        |   CAST(frame_no * 16 + i.i AS INT), 1))) AS BIGINT) AS frame_sum
+        | FROM fr, generate_series(1, 16) AS i(i)
+        | GROUP BY doc_id, frame_no),
+        |sc AS (SELECT media_id, frame_no, frame_sum,
+        |  lag(frame_sum) OVER (PARTITION BY media_id ORDER BY frame_no)
+        |    AS prev FROM fs),
+        |b AS (SELECT media_id, frame_no,
+        |  CASE WHEN prev IS NULL THEN 0
+        |   WHEN abs(frame_sum - prev) > 150 THEN 1 ELSE 0 END AS boundary
+        | FROM sc),
+        |sh AS (SELECT media_id, frame_no,
+        |  sum(boundary) OVER (PARTITION BY media_id ORDER BY frame_no
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_no
+        | FROM b),
+        |per AS (SELECT media_id, shot_no, count(*) AS len
+        | FROM sh GROUP BY media_id, shot_no)
+        |SELECT media_id, CAST(sum(len) AS BIGINT) AS n_frames,
+        | CAST(count(*) AS BIGINT) AS n_shots,
+        | CAST(max(len) AS BIGINT) AS longest_shot
+        |FROM per GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "media_keyframes" ->
       """WITH fr AS (SELECT doc_id, text, t.f AS frame_no

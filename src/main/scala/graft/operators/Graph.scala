@@ -249,6 +249,17 @@ object Graph {
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
       .where(col("n_baskets") >= minCount)
 
+  /** Additive merge of two [[coOccurrence]] outputs — baskets arrive
+    * WHOLE (an order, a session), so a daily ingest mines only its new
+    * baskets and folds the pair counts into the persisted relation;
+    * re-apply the support floor after merging (a pair can cross
+    * `minCount` only when counts combine). */
+  def mergeCoOccurrence(a: DataFrame, b: DataFrame,
+                        minCount: Long): DataFrame =
+    a.unionByName(b).groupBy("item_a", "item_b")
+      .agg(sum(col("n_baskets")).as("n_baskets"))
+      .where(col("n_baskets") >= minCount)
+
   /** Single-item association rules over the co-occurrence relation
     * (Agrawal & Srikant 1994 reduced to the pairwise case): for every
     * surviving pair, BOTH directed rules antecedent ⇒ consequent with

@@ -105,6 +105,44 @@ object Multimodal {
       .select("media_id", "frame_no", "score", "rank")
   }
 
+  /** Shot SEGMENTATION over sampled frames — [[keyFrames]] finds the
+    * top-k change points, this assigns every frame to a contiguous
+    * shot: a boundary falls wherever the frame-sum jump vs the
+    * previous sampled frame exceeds `minJump` (the first frame opens
+    * shot 0), and shot ids are the running boundary count — the
+    * gaps-and-islands idiom on the cheap frame-sum signal, the first
+    * structural pass a video curation pipeline runs (trim credits,
+    * sample per shot, drop single-shot slideshows). Windows bounded by
+    * one media's frames; all-integer. Output: sampled-frame rows +
+    * (boundary, shot_no). */
+  def shotSegments(media: DataFrame, frameBytes: Int, stride: Int,
+                   minJump: Long): DataFrame = {
+    require(minJump >= 1, s"minJump must be >= 1, got $minJump")
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("media_id").orderBy("frame_no")
+    val cum = Window.partitionBy("media_id").orderBy("frame_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampledFrames(media, frameBytes, stride)
+      .withColumn("prev", lag(col("frame_sum"), 1).over(byTime))
+      .withColumn("boundary",
+        when(col("prev").isNull, lit(0L))
+          .otherwise((abs(col("frame_sum") - col("prev")) > minJump)
+            .cast("long")))
+      .withColumn("shot_no", sum(col("boundary")).over(cum))
+      .drop("prev")
+  }
+
+  /** Per-media shot report from [[shotSegments]]:
+    * (media_id, n_frames, n_shots, longest_shot). */
+  def shotSummary(media: DataFrame, frameBytes: Int, stride: Int,
+                  minJump: Long): DataFrame =
+    shotSegments(media, frameBytes, stride, minJump)
+      .groupBy("media_id", "shot_no").agg(count(lit(1)).as("len"))
+      .groupBy("media_id").agg(
+        sum(col("len")).as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("len")).as("longest_shot"))
+
   /** 64-bit perceptual hash (aHash) per media row: STUB decode to w×h
     * gray, mean-pool to 8×8, bit i = pixel i above the thumbnail mean —
     * one codegen'd projection, no shuffle. Near-duplicate media then

@@ -182,4 +182,24 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.getLong(6)).toSet
     assert(lift === Set(2000000L))
   }
+  test("mergeCoOccurrence folds per-batch pair counts additively and " +
+      "re-applies the support floor") {
+    val day1 = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("basket", "item")
+    val day2 = Seq((3L, "a"), (3L, "b"), (4L, "b"), (4L, "c"))
+      .toDF("basket", "item")
+    def mine(df: org.apache.spark.sql.DataFrame) =
+      Graph.coOccurrence(df, "basket", "item", 1L, 8L)
+    val merged = Graph.mergeCoOccurrence(mine(day1), mine(day2),
+        minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // (a,b) crosses the floor only when the days combine; (b,c) stays 1
+    assert(merged === Set(("a", "b", 3L)))
+    val whole = Graph.coOccurrence(day1.unionByName(day2),
+        "basket", "item", 2L, 8L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(merged === whole)
+  }
 }

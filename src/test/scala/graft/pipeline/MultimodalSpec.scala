@@ -190,4 +190,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert((l.getLong(1), l.getLong(2), l.getLong(3), l.getLong(4),
       l.getLong(5)) === ((3L, 0L, 0L, 0L, 0L)))
   }
+  test("shotSegments assigns contiguous shots at frame-sum jumps and " +
+      "shotSummary reports the islands") {
+    import org.apache.spark.sql.functions.col
+    // one media, 16-byte frames, stride 1: payload crafted so frame
+    // sums are [flat, flat, JUMP, flat] → 2 shots of lengths 2 and 2
+    val flat = Array.fill(16)('a'.toByte)
+    val loud = Array.fill(16)('z'.toByte) // jump = 16·25 = 400 > 150
+    val payload = flat ++ flat ++ loud ++ loud
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val segs = Multimodal.shotSegments(media, frameBytes = 16,
+        stride = 1, minJump = 150L)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(segs.map(_._2) === Seq(0L, 0L, 1L, 1L))
+    val sum = Multimodal.shotSummary(media, 16, 1, 150L).collect()(0)
+    assert((sum.getLong(1), sum.getLong(2), sum.getLong(3)) ===
+      ((4L, 2L, 2L)))
+    // a jump below the threshold does not split
+    val one = Multimodal.shotSummary(
+      Seq((2L, flat ++ flat ++ flat)).toDF("media_id", "payload"),
+      16, 1, 150L).collect()(0)
+    assert((one.getLong(2), one.getLong(3)) === ((1L, 3L)))
+  }
 }
