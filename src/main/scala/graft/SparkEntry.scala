@@ -2496,6 +2496,19 @@ object SparkEntry {
         frameBytes = 16, stride = 4, minJump = 150L)
         .orderBy("media_id")),
 
+    // pad-free batch assembly (Multimodal.lengthBatches): media bucket
+    // into 100-byte length bands, deterministic 16-item batches cut
+    // inside each band (last batch partial) — per-batch occupancy
+    // proves the assignment is a pure function of (byte_len, media_id)
+    "media_batch_buckets" -> ((s, dir) =>
+      Multimodal.lengthBatches(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        bandWidth = 100L, batchSize = 16)
+        .groupBy("band", "batch_no")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("media_id")).as("sum_ids"))
+        .orderBy("band", "batch_no")),
+
     // matryoshka truncation curve (Kusupati et al. 2022): exact top-10
     // recall of prefix-sliced embeddings (d = 8/16/32/64) vs the
     // full-dim ranking — the operating curve for serving at a cheap
@@ -3763,6 +3776,23 @@ object SparkEntry {
         Accepted("event_type", Seq("view", "click", "purchase", "signup")),
         RefersTo("user_id",
           Tables.customer(s, dir).select("c_custkey"), "c_custkey")))
+    }),
+
+    // order-level expectations (Expectations.NonDecreasing): event
+    // time must not run backwards along the event-id sequence per user
+    // — planted 24h regressions on event_id % 1000 = 7 are counted as
+    // adjacent inversions; the random `value` column gives a loud
+    // natural-inversion control on the same one-pass-per-rule window
+    "quality_expectations_monotone" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val ev = Tables.events(s, dir)
+        .withColumn("ts",
+          when(pmod(col("event_id"), lit(1000L)) === 7L,
+            col("ts") - lit(86400L * 1000000000L))
+            .otherwise(col("ts")))
+      violations(ev, Seq(
+        NonDecreasing("ts", "event_id", Seq("user_id")),
+        NonDecreasing("value", "event_id", Seq("user_id"))))
     }),
 
     "corpus_profile" -> ((s, dir) => {
@@ -6079,6 +6109,21 @@ object SparkEntry {
         | CAST(max(len) AS BIGINT) AS longest_shot
         |FROM per GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    "media_batch_buckets" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |  CAST(length(text) AS BIGINT)
+        |   - (CAST(length(text) AS BIGINT) % 100) AS band
+        | FROM documents),
+        |r AS (SELECT media_id, band,
+        |  (row_number() OVER (PARTITION BY band ORDER BY media_id) - 1)
+        |    // 16 AS batch_no
+        | FROM b)
+        |SELECT band, CAST(batch_no AS BIGINT) AS batch_no,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(media_id) AS BIGINT) AS sum_ids
+        |FROM r GROUP BY band, batch_no
+        |ORDER BY band, batch_no""".stripMargin,
+
     "media_keyframes" ->
       """WITH fr AS (SELECT doc_id, text, t.f AS frame_no
         | FROM documents, generate_series(0, 511) AS t(f)
@@ -7526,6 +7571,26 @@ object SparkEntry {
         | SELECT 'unique:user_id,event_type',
         |  count(*) - (SELECT count(*) FROM
         |    (SELECT DISTINCT user_id, event_type FROM events)) FROM events
+        |) ORDER BY rule""".stripMargin,
+
+    "quality_expectations_monotone" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CASE WHEN event_id % 1000 = 7
+        |   THEN CAST(epoch_ns(ts) AS BIGINT) - 86400000000000
+        |   ELSE CAST(epoch_ns(ts) AS BIGINT) END AS ts
+        | FROM events),
+        |t AS (SELECT CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |    ORDER BY event_id, ts) > ts THEN 1 ELSE 0 END AS viol
+        | FROM e),
+        |v AS (SELECT CASE WHEN lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY event_id, value) > value THEN 1 ELSE 0 END AS viol
+        | FROM e)
+        |SELECT rule, CAST(n AS BIGINT) AS n_violations FROM (
+        | SELECT 'non_decreasing:ts:by:event_id' AS rule,
+        |  coalesce(sum(viol), 0) AS n FROM t
+        | UNION ALL
+        | SELECT 'non_decreasing:value:by:event_id',
+        |  coalesce(sum(viol), 0) FROM v
         |) ORDER BY rule""".stripMargin,
 
     "corpus_profile" ->

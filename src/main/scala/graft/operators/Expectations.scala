@@ -62,6 +62,21 @@ object Expectations {
     def name = s"quantile_at_most:$column:p$qX100"
   }
 
+  /** Order-level rule: `column` must be non-decreasing along
+    * `orderCol` within each `keyCols` group — the watermark/sequence
+    * sanity gate (event time never runs backwards per user, balances
+    * never regress per account snapshot). A violation is an ADJACENT
+    * INVERSION: prev value > value in the (orderCol, column)-ordered
+    * group walk; ties in `orderCol` are never violations (equal-order
+    * rows may arrive in any order, so the walk sorts them by value).
+    * NULL values never violate (nullability is [[NotNull]]'s job).
+    * One bounded window pass per rule (partitioned by the key — keep
+    * `keyCols` non-empty at scale; empty keys mean one global sort). */
+  final case class NonDecreasing(column: String, orderCol: String,
+                                 keyCols: Seq[String]) extends Rule {
+    def name = s"non_decreasing:$column:by:$orderCol"
+  }
+
   /** `column` must exist in `ref(refColumn)` (referential integrity). */
   final case class RefersTo(column: String, ref: DataFrame,
                             refColumn: String) extends Rule {
@@ -106,6 +121,17 @@ object Expectations {
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(r.name).as("rule"), col("n_violations"))
     }
+    val ordered = rules.collect { case r: NonDecreasing =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(r.keyCols.map(col): _*)
+        .orderBy(col(r.orderCol), col("__v"))
+      df.select((r.keyCols.map(col) :+ col(r.orderCol)) :+
+          col(r.column).as("__v"): _*)
+        .withColumn("__prev", lag(col("__v"), 1).over(w))
+        .agg(coalesce(sum(when(col("__prev") > col("__v"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+        .select(lit(r.name).as("rule"), col("n_violations"))
+    }
     val distributional = rules.collect { case r: QuantileAtMost =>
       graft.pipeline.Sketches
         .exactQuantiles(df.select(col(r.column)), r.column, Seq(r.qX100))
@@ -113,7 +139,7 @@ object Expectations {
           .otherwise(0L)), lit(0L)).as("n_violations"))
         .select(lit(r.name).as("rule"), col("n_violations"))
     }
-    (scanned ++ keyed ++ referential ++ distributional)
+    (scanned ++ keyed ++ referential ++ ordered ++ distributional)
       .reduce(_ unionByName _)
       .orderBy("rule")
   }

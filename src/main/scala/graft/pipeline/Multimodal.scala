@@ -143,6 +143,29 @@ object Multimodal {
         count(lit(1)).as("n_shots"),
         max(col("len")).as("longest_shot"))
 
+  /** Length-bucketed batch assembly — the pad-free batching trick: a
+    * training batch mixing a 100-byte clip with a 10 KB one pads
+    * everything to the longest member, so group media into
+    * `bandWidth`-wide byte-length bands first and cut deterministic
+    * `batchSize`-item batches inside each band (the last batch per
+    * band runs partial). Assignment is a pure function of
+    * (byte_len, media_id): one band-keyed row_number window, no
+    * driver state, rerun-stable. Output: (media_id, band, batch_no). */
+  def lengthBatches(media: DataFrame, bandWidth: Long,
+                    batchSize: Int): DataFrame = {
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band").orderBy("media_id")
+    media.select(col("media_id"),
+        (col("meta.byte_len") -
+          pmod(col("meta.byte_len"), lit(bandWidth))).as("band"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_no",
+        expr(s"(__rn - 1) div $batchSize").cast("long"))
+      .drop("__rn")
+  }
+
   /** 64-bit perceptual hash (aHash) per media row: STUB decode to w×h
     * gray, mean-pool to 8×8, bit i = pixel i above the thumbnail mean —
     * one codegen'd projection, no shuffle. Near-duplicate media then

@@ -130,4 +130,24 @@ class ExpectationsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq
     assert(empty === Seq(0L))
   }
+  test("NonDecreasing counts adjacent inversions per key, never ties " +
+      "or NULLs") {
+    import graft.operators.Expectations._
+    // key 1: 5, 3(↓), 4, 4 → one inversion at order 2
+    // key 2: ties in orderCol (10, 10) walk by value → no inversion
+    // key 3: NULL value never violates
+    val df = Seq(
+      (1L, 1L, Some(5L)), (1L, 2L, Some(3L)), (1L, 3L, Some(4L)),
+      (1L, 4L, Some(4L)),
+      (2L, 10L, Some(9L)), (2L, 10L, Some(1L)),
+      (3L, 1L, Some(7L)), (3L, 2L, None))
+      .toDF("k", "o", "v")
+    val got = violations(df, Seq(NonDecreasing("v", "o", Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("non_decreasing:v:by:o", 1L)))
+    // fully sorted data passes
+    val ok = Seq((1L, 1L, 1L), (1L, 2L, 2L)).toDF("k", "o", "v")
+    assert(violations(ok, Seq(NonDecreasing("v", "o", Seq("k"))))
+      .collect()(0).getLong(1) === 0L)
+  }
 }

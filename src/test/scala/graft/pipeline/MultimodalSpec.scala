@@ -212,4 +212,21 @@ class MultimodalSpec extends AnyFunSuite {
       16, 1, 150L).collect()(0)
     assert((one.getLong(2), one.getLong(3)) === ((1L, 3L)))
   }
+  test("lengthBatches bands by byte length and cuts deterministic " +
+      "batches inside each band") {
+    import org.apache.spark.sql.functions.col
+    // lengths 5,7 land in band 0; 105,101,108 in band 100; batch 2
+    def media(id: Long, len: Int) = (id, Array.fill(len)('x'.toByte))
+    val m = Seq(media(1, 5), media(2, 7), media(3, 105), media(4, 101),
+      media(5, 108)).toDF("media_id", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.length(col("payload"))
+          .cast("long").as("byte_len")))
+    val got = Multimodal.lengthBatches(m, bandWidth = 100L, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, 0L), (2L, 0L, 0L),
+      (3L, 100L, 0L), (4L, 100L, 0L), (5L, 100L, 1L)))
+  }
 }
