@@ -3645,6 +3645,42 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("n_corrupt")))
     }),
 
+    // binary-blob ingestion (sources/MediaFiles over the built-in
+    // binaryFile source): one file per asset written as <doc_id>.bin,
+    // a .tmp sidecar excluded by the pushed-down glob, a bad-name .bin
+    // and an oversized .bin quarantined with reasons — payload
+    // checksums prove the round trip against the parquet original
+    "source_binary_files" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_blobs").toString
+      val it = Tables.documents(s, dir).select("doc_id", "text")
+        .toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/${r.getLong(0)}.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/manifest.tmp"), "junk")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/not-an-id.bin"), "junk")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/999999999.bin"),
+        Array.fill(3000000)('x'.toByte))
+      val (clean, quarantine) = graft.sources.MediaFiles.read(
+        s, tmp, glob = "*.bin", maxBytes = 2000000L)
+      clean
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(col("byte_len")).as("sum_bytes"),
+          sum(col("media_id") * length(col("payload")).cast("long"))
+            .as("sum_id_bytes"))
+        .crossJoin(broadcast(quarantine
+          .agg(count(lit(1)).cast("long").as("n_quarantined"),
+            coalesce(sum(when(col("reason") === "oversized", 1L)
+              .otherwise(0L)), lit(0L)).as("n_oversized"))))
+    }),
+
     // fixed-width ingestion (sources/FixedWidthCorpus): render the
     // documents metadata as 28-char records, add a truncated line and
     // a right-length line with letters in the numeric id field, read
@@ -7473,6 +7509,14 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_id_chars,
         | CAST(1 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
+
+    "source_binary_files" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
+        | CAST(sum(doc_id * length(text)) AS BIGINT) AS sum_id_bytes,
+        | CAST(2 AS BIGINT) AS n_quarantined,
+        | CAST(1 AS BIGINT) AS n_oversized
         |FROM documents""".stripMargin,
 
     "source_fixed_width" ->
