@@ -202,4 +202,18 @@ class GraphSpec extends AnyFunSuite {
       .toSet
     assert(merged === whole)
   }
+  test("coOccurrence and associationRules plan audit: basket-keyed " +
+      "joins, no cartesian product") {
+    val df = (1L to 60L).map(i => (i / 3, s"i${i % 7}"))
+      .toDF("basket", "item")
+    val p1 = Graph.coOccurrence(df, "basket", "item", 1L, 8L)
+      .queryExecution.executedPlan.toString
+    val p2 = Graph.associationRules(df, "basket", "item", 1L, 8L)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"))
+    // the 1-row basket total rides a broadcast nested loop by design
+    // (scalar crossJoin idiom); the pair/support joins must not
+    assert(!p2.contains("CartesianProduct"))
+  }
 }

@@ -275,4 +275,62 @@ class OperatorPropertySpec extends AnyFunSuite {
       und.isEmpty || got == want
     })
   }
+  test("sortedNeighborPairs with a window spanning the block equals " +
+      "brute-force pairs on arbitrary short strings") {
+    // with ONE block and window >= n-1 the rank band covers every
+    // pair, so the generator is complete and must equal brute force
+    val genStrs = Gen.listOfN(8,
+      Gen.listOfN(4, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check(forAll(genStrs) { strs =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("id", "s")
+        .withColumn("bk", org.apache.spark.sql.functions.lit("one"))
+      val got = graft.pipeline.Dedup
+        .sortedNeighborPairs(df, "id", "s", "bk",
+          window = rows.size, maxDist = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (a, i) <- rows.zipWithIndex
+        (b, j) <- rows.zipWithIndex if i < j
+        if lev(a._2, b._2) <= 1
+      } yield (math.min(a._1, b._1), math.max(a._1, b._1))).toSet
+      got == want
+    })
+  }
+
+  test("chiSquare contributions equal a driver recompute on arbitrary " +
+      "bucketed snapshots") {
+    import graft.pipeline.Drift
+    val genCounts = Gen.listOfN(6, Gen.choose(0L, 40L))
+    check(forAll(genCounts, genCounts) { (as, bs) =>
+      // vacuously true when a side is empty (the operator requires
+      // non-empty snapshots; its totals would be 0)
+      (as.sum == 0 || bs.sum == 0) || {
+        val a = as.zipWithIndex.flatMap { case (c, i) =>
+          Seq.fill(c.toInt)(i.toDouble * 10 + 5) }
+        val b = bs.zipWithIndex.flatMap { case (c, i) =>
+          Seq.fill(c.toInt)(i.toDouble * 10 + 5) }
+        val got = Drift.chiSquareBuckets(a.map(Tuple1(_)).toDF("v"),
+            b.map(Tuple1(_)).toDF("v"), "v", 10.0, 6)
+          .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+        val na = as.sum.toDouble; val nb = bs.sum.toDouble
+        val want = (0 until 6).map { i =>
+          val d = (as(i) * bs.sum - bs(i) * as.sum).toDouble
+          val cell = (as(i) + bs(i)).toDouble
+          i.toLong -> (if (cell == 0) 0L
+            else math.floor(d * d / (na * nb) / cell * 1e6).toLong)
+        }.toMap
+        got == want
+      }
+    })
+  }
 }

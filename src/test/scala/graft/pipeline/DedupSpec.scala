@@ -733,4 +733,15 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(loose === Set((1L, 2L), (2L, 3L), (3L, 4L)))
   }
+  test("sortedNeighborPairs plan audit: block-keyed sort, never a " +
+      "single-partition global window") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val df = (1L to 50L).map(i => (i, f"s$i%04d")).toDF("id", "s")
+      .withColumn("bk", substring(col("s"), 1, 3))
+    val plan = Dedup.sortedNeighborPairs(df, "id", "s", "bk", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global exchange in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
