@@ -3118,6 +3118,20 @@ object SparkEntry {
         "doc_id", Seq("spark", "vector"))
         .orderBy("doc_id")),
 
+    // typo-tolerant search (TextSearch.fuzzySearch): query terms
+    // expand to every vocabulary token within Levenshtein 1 (length-
+    // band prefiltered, vocabulary-sized scan), then one posting
+    // semi-join scores docs by original-term coverage; top-50 under a
+    // total (coverage, tf, id) order
+    "search_fuzzy" -> ((s, dir) => {
+      val post = graft.query.TextSearch.postings(
+        Tables.documents(s, dir), "doc_id", "text").localCheckpoint()
+      graft.query.TextSearch.fuzzySearch(post,
+          post.select("tok").distinct(), "doc_id",
+          Seq("tabl", "filtr"), maxDist = 1)
+        .limit(50)
+    }),
+
     // benchmark decontamination: train docs (id % 23 ≠ 0) sharing any
     // word 3-gram with the benchmark subset (id % 23 = 0); n_hits =
     // distinct shared 3-grams per contaminated doc
@@ -6861,6 +6875,27 @@ object SparkEntry {
         |   AS BIGINT) AS rank,
         | doc_id, tf_total
         |FROM h ORDER BY tf_total DESC, doc_id LIMIT 20""".stripMargin,
+
+    "search_fuzzy" ->
+      """WITH post AS (SELECT tok, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents) GROUP BY tok, doc_id),
+        |vocab AS (SELECT DISTINCT tok FROM post),
+        |q(q) AS (VALUES ('tabl'), ('filtr')),
+        |e AS (SELECT tok, q FROM vocab, q
+        | WHERE abs(length(tok) - length(q)) <= 1
+        |  AND levenshtein(tok, q) <= 1),
+        |m AS (SELECT p.doc_id, p.tok, p.tf, e.q
+        | FROM post p JOIN e USING (tok)),
+        |nq AS (SELECT doc_id,
+        |  CAST(count(DISTINCT q) AS BIGINT) AS n_query_terms
+        | FROM m GROUP BY doc_id),
+        |tf AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total FROM
+        |  (SELECT DISTINCT doc_id, tok, tf FROM m) GROUP BY doc_id)
+        |SELECT nq.doc_id, n_query_terms, tf_total
+        |FROM nq JOIN tf USING (doc_id)
+        |ORDER BY n_query_terms DESC, tf_total DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
 
     "search_conj" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -59,6 +59,44 @@ object TextSearch {
       .select(col(idCol), col("tf_total"))
   }
 
+  /** FUZZY search: expand each query term to every vocabulary token
+    * within Levenshtein `maxDist` (typo tolerance — "serach" still
+    * finds "search"), then score docs by how many ORIGINAL query terms
+    * they match through any expansion, tf summed as the tiebreak.
+    *
+    * Scale shape: the expansion scans the VOCABULARY relation (token,
+    * df), never the corpus — a length-band prefilter (\|len(v)−len(q)\|
+    * ≤ maxDist) cuts the Levenshtein work before it runs, and the
+    * query side is a handful of literal rows, so the "cross" join is a
+    * broadcast of almost nothing against a vocabulary-sized scan. The
+    * expanded term set then drives ONE posting-relation semi-join —
+    * posting-sized shuffle, identical to exact search. Returns
+    * (doc, n_query_terms matched, tf_total) sorted best-first. */
+  def fuzzySearch(post: DataFrame, vocab: DataFrame, idCol: String,
+                  terms: Seq[String], maxDist: Int): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "empty term list")
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val spark = post.sparkSession
+    import spark.implicits._
+    val q = ts.toDF("q")
+    val expanded = vocab.select(col("tok"))
+      .crossJoin(broadcast(q))
+      .where(abs(length(col("tok")) - length(col("q"))) <= maxDist &&
+        levenshtein(col("tok"), col("q")) <= maxDist)
+    val matches = post.join(expanded, Seq("tok"))
+    // a token within range of TWO query terms counts once toward tf
+    // (distinct (doc, tok)) but credits both terms' coverage
+    val nq = matches.groupBy(col(idCol))
+      .agg(countDistinct(col("q")).as("n_query_terms"))
+    val tf = matches.select(col(idCol), col("tok"), col("tf")).distinct()
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("tf_total"))
+    nq.join(tf, idCol)
+      .orderBy(col("n_query_terms").desc, col("tf_total").desc,
+        col(idCol).asc)
+  }
+
   /** Index-free conjunctive search: per-term tf via a codegen'd
     * array-filter over the tokens — one narrow projection, no shuffle,
     * no index. Same output as [[searchPostings]] over [[postings]]. */

@@ -186,4 +186,26 @@ class TextSearchSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(idxPlan).size === 2,
       s"want exactly 2 shuffles (start votes, per-doc count):\n$idxPlan")
   }
+  test("fuzzySearch expands typos across the vocabulary and scores " +
+      "original-term coverage with deduped tf") {
+    val docs = Seq(
+      (1L, "the table holds a table"),   // table ×2
+      (2L, "filter the table"),          // both terms via expansion
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val post = TextSearch.postings(docs, "doc_id", "text")
+    val vocab = post.select("tok").distinct()
+    val got = TextSearch.fuzzySearch(post, vocab, "doc_id",
+        Seq("tabl", "filtr"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // doc 2 covers both query terms; doc 1 one term but tf 2
+    assert(got === Seq((2L, 2L, 2L), (1L, 1L, 2L)))
+    // a token within range of TWO query terms credits both but its
+    // tf counts once: query ("tablf", "tablg") both expand to "table"
+    val dbl = TextSearch.fuzzySearch(post, vocab, "doc_id",
+        Seq("tablf", "tablg"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(dbl === Seq((1L, 2L, 2L), (2L, 2L, 1L)))
+  }
 }
