@@ -3132,6 +3132,41 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // MMR diversity rerank (query/Mmr): three queries' top-8 tf
+    // candidates, pairwise similarity = shared distinct tokens
+    // (all-integer), greedy λ=0.7 walk picks 5 per query inside
+    // bounded flatMapGroups state — the oracle unrolls the same five
+    // rounds as CTEs with correlated max-over-selected penalties
+    "search_mmr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val post = graft.query.TextSearch.postings(
+        Tables.documents(s, dir), "doc_id", "text").localCheckpoint()
+      val termDf = Seq(("table", 0L), ("filter", 1L), ("spark", 2L))
+        .toDF("tok", "qid")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("rel").desc, col("cid").asc)
+      val cands = post.join(broadcast(termDf), "tok")
+        .select(col("qid"), col("doc_id").as("cid"),
+          col("tf").cast("long").as("rel"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 8).drop("rn")
+        .localCheckpoint()
+      val candToks = post.select(col("doc_id"), col("tok"))
+        .join(cands.select(col("qid"), col("cid").as("doc_id")),
+          Seq("doc_id"))
+        .select("qid", "doc_id", "tok").distinct()
+      val sims = candToks.as("x").join(candToks.as("y"),
+          col("x.qid") === col("y.qid") &&
+            col("x.tok") === col("y.tok") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.qid").as("qid"), col("x.doc_id").as("a"),
+          col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("sim"))
+      graft.query.Mmr.rerank(cands, sims, k = 5, lambdaX1e6 = 700000L)
+        .orderBy("qid", "rank")
+    }),
+
     // benchmark decontamination: train docs (id % 23 ≠ 0) sharing any
     // word 3-gram with the benchmark subset (id % 23 = 0); n_hits =
     // distinct shared 3-grams per contaminated doc
@@ -6875,6 +6910,82 @@ object SparkEntry {
         |   AS BIGINT) AS rank,
         | doc_id, tf_total
         |FROM h ORDER BY tf_total DESC, doc_id LIMIT 20""".stripMargin,
+
+    "search_mmr" ->
+      """WITH post AS (SELECT tok, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents) GROUP BY tok, doc_id),
+        |q(tok, qid) AS (VALUES ('table', 0), ('filter', 1),
+        |  ('spark', 2)),
+        |c0 AS (SELECT qid, doc_id AS cid, CAST(tf AS BIGINT) AS rel,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY tf DESC, doc_id ASC) AS rn
+        | FROM post JOIN q USING (tok)),
+        |c AS (SELECT CAST(qid AS BIGINT) AS qid, cid, rel
+        | FROM c0 WHERE rn <= 8),
+        |ct AS (SELECT DISTINCT c.qid, c.cid AS doc_id, p.tok
+        | FROM c JOIN post p ON p.doc_id = c.cid),
+        |sims AS (SELECT x.qid, x.doc_id AS a, y.doc_id AS b,
+        |  CAST(count(*) AS BIGINT) AS sim
+        | FROM ct x JOIN ct y ON x.qid = y.qid AND x.tok = y.tok
+        |  AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2, 3),
+        |s2 AS (SELECT qid, a, b, sim FROM sims
+        | UNION ALL SELECT qid, b, a, sim FROM sims),
+        |r1 AS (SELECT qid, cid, 700000 * rel AS score,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY 700000 * rel DESC, cid ASC) AS rn FROM c),
+        |p1 AS (SELECT qid, cid, score FROM r1 WHERE rn = 1),
+        |sel1 AS (SELECT qid, cid FROM p1),
+        |r2 AS (SELECT qid, cid, score, row_number() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+        | FROM (SELECT c.qid, c.cid, 700000 * c.rel
+        |   - 300000 * coalesce((SELECT max(s.sim) FROM s2 s, sel1 t
+        |     WHERE s.qid = c.qid AND s.a = c.cid AND t.qid = c.qid
+        |      AND t.cid = s.b), 0) AS score
+        |  FROM c WHERE NOT EXISTS (SELECT 1 FROM sel1 t
+        |   WHERE t.qid = c.qid AND t.cid = c.cid))),
+        |p2 AS (SELECT qid, cid, score FROM r2 WHERE rn = 1),
+        |sel2 AS (SELECT qid, cid FROM p1 UNION ALL
+        |  SELECT qid, cid FROM p2),
+        |r3 AS (SELECT qid, cid, score, row_number() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+        | FROM (SELECT c.qid, c.cid, 700000 * c.rel
+        |   - 300000 * coalesce((SELECT max(s.sim) FROM s2 s, sel2 t
+        |     WHERE s.qid = c.qid AND s.a = c.cid AND t.qid = c.qid
+        |      AND t.cid = s.b), 0) AS score
+        |  FROM c WHERE NOT EXISTS (SELECT 1 FROM sel2 t
+        |   WHERE t.qid = c.qid AND t.cid = c.cid))),
+        |p3 AS (SELECT qid, cid, score FROM r3 WHERE rn = 1),
+        |sel3 AS (SELECT qid, cid FROM sel2 UNION ALL
+        |  SELECT qid, cid FROM p3),
+        |r4 AS (SELECT qid, cid, score, row_number() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+        | FROM (SELECT c.qid, c.cid, 700000 * c.rel
+        |   - 300000 * coalesce((SELECT max(s.sim) FROM s2 s, sel3 t
+        |     WHERE s.qid = c.qid AND s.a = c.cid AND t.qid = c.qid
+        |      AND t.cid = s.b), 0) AS score
+        |  FROM c WHERE NOT EXISTS (SELECT 1 FROM sel3 t
+        |   WHERE t.qid = c.qid AND t.cid = c.cid))),
+        |p4 AS (SELECT qid, cid, score FROM r4 WHERE rn = 1),
+        |sel4 AS (SELECT qid, cid FROM sel3 UNION ALL
+        |  SELECT qid, cid FROM p4),
+        |r5 AS (SELECT qid, cid, score, row_number() OVER (
+        |   PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+        | FROM (SELECT c.qid, c.cid, 700000 * c.rel
+        |   - 300000 * coalesce((SELECT max(s.sim) FROM s2 s, sel4 t
+        |     WHERE s.qid = c.qid AND s.a = c.cid AND t.qid = c.qid
+        |      AND t.cid = s.b), 0) AS score
+        |  FROM c WHERE NOT EXISTS (SELECT 1 FROM sel4 t
+        |   WHERE t.qid = c.qid AND t.cid = c.cid))),
+        |p5 AS (SELECT qid, cid, score FROM r5 WHERE rn = 1)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, score FROM (
+        | SELECT qid, 1 AS rank, cid, score FROM p1
+        | UNION ALL SELECT qid, 2, cid, score FROM p2
+        | UNION ALL SELECT qid, 3, cid, score FROM p3
+        | UNION ALL SELECT qid, 4, cid, score FROM p4
+        | UNION ALL SELECT qid, 5, cid, score FROM p5)
+        |ORDER BY qid, rank""".stripMargin,
 
     "search_fuzzy" ->
       """WITH post AS (SELECT tok, doc_id, count(*) AS tf FROM
