@@ -333,4 +333,38 @@ class OperatorPropertySpec extends AnyFunSuite {
       }
     })
   }
+  test("associationRules confidence and lift equal a driver recompute " +
+      "on arbitrary basket tables") {
+    import graft.operators.Graph
+    val genBi = Gen.listOfN(30, for {
+      b <- Gen.choose(0L, 7L); i <- Gen.oneOf("a", "b", "c", "d")
+    } yield (b, i))
+    check(forAll(genBi) { bi =>
+      val df = bi.toDF("basket", "item")
+      val got = Graph.associationRules(df, "basket", "item",
+          minCount = 1L, maxBasketSize = 3L)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6)))).toMap
+      // driver reference over the same hub-guarded population
+      val distinctBi = bi.distinct
+      val sizes = distinctBi.groupBy(_._1).map { case (k, v) =>
+        k -> v.size }
+      val kept = distinctBi.filter(t => sizes(t._1) <= 3)
+      val n = kept.map(_._1).distinct.size.toLong
+      val supp = kept.groupBy(_._2).map { case (k, v) =>
+        k -> v.size.toLong }
+      val pairs = kept.groupBy(_._1).values.flatMap { items =>
+        val is = items.map(_._2).sorted
+        for (x <- is; y <- is if x < y) yield (x, y)
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val want = pairs.flatMap { case ((x, y), nab) =>
+        Seq((x, y, nab, supp(x), supp(y)), (y, x, nab, supp(y), supp(x)))
+      }.map { case (ant, cons, nab, na, nc) =>
+        (ant, cons) -> ((nab, na, nc, nab * 1000000L / na,
+          nab * n * 1000000L / (na * nc)))
+      }.toMap
+      got == want
+    })
+  }
 }
