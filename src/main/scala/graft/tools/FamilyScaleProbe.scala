@@ -136,6 +136,36 @@ object FamilyScaleProbe {
         minCount = 2L, maxBasketSize = 8L).count()
     }
 
+    timed(s"shot segmentation over $n media clips") {
+      // ~256-byte payloads whose bytes derive from (id, position)
+      // hashes — every clip gets a few genuine frame-sum jumps
+      val media = spark.range(n).repartition(64)
+        .select(col("id").as("media_id"),
+          expr("cast(concat_ws('', transform(sequence(1, 16), " +
+            "i -> repeat(char(97 + pmod(hash(id, i), 20)), 16))) " +
+            "as binary)").as("payload"))
+        .localCheckpoint()
+      graft.pipeline.Multimodal.shotSummary(media, frameBytes = 16,
+          stride = 1, minJump = 100L)
+        .agg(sum(col("n_shots"))).collect()(0).getLong(0)
+    }
+
+    timed(s"fuzzy search over $n synthetic docs") {
+      // 20-token docs over a 50k-word vocabulary; queries carry
+      // deletion typos so the expansion has real work to do
+      val docs = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(1, 20), " +
+            "i -> concat('w', pmod(hash(id, i), 50000))))").as("text"))
+        .localCheckpoint()
+      val post = graft.query.TextSearch
+        .postings(docs, "doc_id", "text").localCheckpoint()
+      graft.query.TextSearch.fuzzySearch(post,
+          post.select("tok").distinct(), "doc_id",
+          Seq("w1234", "w777"), maxDist = 1)
+        .limit(50).count()
+    }
+
     timed(s"fixed-width render + parse round trip over $n records") {
       val layout = Seq(
         FixedWidthCorpus.Field("id", 1, 12, numeric = true),
