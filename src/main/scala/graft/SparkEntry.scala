@@ -4506,6 +4506,25 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // golden-record survivorship (Dedup.goldenRecords): synthetic
+    // 3-customer entity clusters collapse to one row with PER-FIELD
+    // latest-non-null-wins (a newer record missing a field must not
+    // erase the older value) — planted nulls on %5/%7 keys; one
+    // entity-keyed exchange, per-field in-partition sorts
+    "link_golden_record" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        expr("c_custkey div 3").as("entity"),
+        col("c_custkey").as("rec_ts"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit(null))
+          .otherwise(floor(col("c_acctbal")).cast("long")).as("bal"),
+        when(pmod(col("c_custkey"), lit(7)) === 0,
+          lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment"))
+      graft.pipeline.Dedup.goldenRecords(c, "entity",
+          Seq("rec_ts"), Seq("bal", "segment"))
+        .orderBy("entity")
+    }),
+
     // sorted-neighborhood linkage (Dedup.sortedNeighborPairs): block
     // on the name's first 6 digits, rank by the name inside each
     // block, compare only rows within 2 sort positions, verify exact
@@ -8448,6 +8467,25 @@ object SparkEntry {
         |WHERE a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "link_golden_record" ->
+      """WITH b AS (SELECT c_custkey // 3 AS entity,
+        |  c_custkey AS rec_ts,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |   ELSE CAST(floor(c_acctbal) AS BIGINT) END AS bal,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |   ELSE c_mktsegment END AS segment
+        | FROM customer),
+        |f1 AS (SELECT entity, bal FROM (SELECT entity, bal,
+        |  row_number() OVER (PARTITION BY entity
+        |   ORDER BY (bal IS NULL) ASC, rec_ts DESC) AS rn FROM b)
+        | WHERE rn = 1),
+        |f2 AS (SELECT entity, segment FROM (SELECT entity, segment,
+        |  row_number() OVER (PARTITION BY entity
+        |   ORDER BY (segment IS NULL) ASC, rec_ts DESC) AS rn FROM b)
+        | WHERE rn = 1)
+        |SELECT f1.entity, bal, segment
+        |FROM f1 JOIN f2 USING (entity) ORDER BY entity""".stripMargin,
 
     "link_sorted_block" ->
       """WITH base AS (SELECT c_custkey AS id, c_name AS s,

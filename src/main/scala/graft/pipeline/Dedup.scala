@@ -1447,6 +1447,39 @@ object Dedup {
         col("dist").cast("long").as("dist"))
   }
 
+  /** Golden-record survivorship — the step AFTER linkage + connected
+    * components in an entity-resolution pipeline: collapse each entity
+    * cluster to ONE row by picking, PER FIELD, the value from the most
+    * recent row that actually has it (latest-non-null-wins — a newer
+    * record with a missing phone must not erase the older phone).
+    *
+    * Deterministic: recency is the caller's `orderCols` tuple
+    * (timestamp, then a unique id as the tiebreak) descending, nulls
+    * sort last via the leading is-null key, and every engine replays
+    * the same row_number rule. One exchange on the entity key; one
+    * in-partition sort per field (same partitioning, no extra
+    * shuffle); clusters of any size stream through the window —
+    * nothing is collected.
+    *
+    * Output: one row per entity — entityCol + each field's surviving
+    * value (NULL only when the whole cluster lacks it). */
+  def goldenRecords(df: DataFrame, entityCol: String,
+                    orderCols: Seq[String],
+                    fields: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one recency column")
+    require(fields.nonEmpty, "need at least one field to survive")
+    import org.apache.spark.sql.expressions.Window
+    val recency = orderCols.map(c => col(c).desc)
+    fields.map { f =>
+      val w = Window.partitionBy(entityCol)
+        .orderBy(col(f).isNull.asc +: recency: _*)
+      df.select((col(entityCol) +: orderCols.map(col)) :+ col(f): _*)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col(entityCol), col(f))
+    }.reduce(_.join(_, Seq(entityCol)))
+  }
+
   // --------------------------------------------------- LSH band planning
 
   /** LSH band-plan curve — the knob-picker for [[minHashLshPairs]]'s

@@ -744,4 +744,28 @@ class DedupSpec extends AnyFunSuite {
       s"global exchange in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+  test("goldenRecords survives the latest NON-NULL value per field " +
+      "and never lets a newer null erase an older value") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // entity 1: ts 3 is newest but has no phone → phone from ts 2;
+      // name from ts 3
+      (1L, 1L, Some("ann"), Some("111")),
+      (1L, 2L, Some("anne"), Some("222")),
+      (1L, 3L, Some("anna"), None),
+      // entity 2: phone null everywhere → stays null
+      (2L, 1L, Some("bob"), None),
+      (2L, 2L, None, None))
+      .toDF("entity", "ts", "name", "phone")
+    val got = Dedup.goldenRecords(rows, "entity", Seq("ts"),
+        Seq("name", "phone"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set((1L, "anna", "222"), (2L, "bob", null)))
+    // recency tiebreak: equal ts falls to the next order column
+    val tied = Seq((9L, 5L, 1L, Some("x")), (9L, 5L, 2L, Some("y")))
+      .toDF("entity", "ts", "seq", "v")
+    assert(Dedup.goldenRecords(tied, "entity", Seq("ts", "seq"),
+        Seq("v")).collect()(0).getString(1) === "y")
+  }
 }
