@@ -4408,6 +4408,23 @@ object SparkEntry {
         .transitionCounts(Tables.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // CUSUM sustained-shift detection (EventPipeline.cusumShifts):
+    // the recurrence S_t = max(0, S_{t-1} + x - drift) unrolled to two
+    // cumulative windows (cumsum minus its 0-floored cummin) over the
+    // mergeable daily-count state; a planted +40/day click surge from
+    // day 19740 trips the threshold within days while the z-test
+    // fixture stays quiet
+    "events_cusum" -> ((s, dir) => {
+      val daily = graft.streaming.EventPipeline
+        .dailyCounts(Tables.events(s, dir), "ts", "event_type")
+        .withColumn("day_cnt",
+          when(col("event_type") === "click" && col("day") >= 19740L,
+            col("day_cnt") + 40L).otherwise(col("day_cnt")))
+      graft.streaming.EventPipeline
+        .cusumShifts(daily, drift = 70L, threshold = 100L)
+        .orderBy("event_type", "day")
+    }),
+
     // discovered top-25 length-3 user journeys (EventPipeline
     // .pathCounts): two leads on one (ts, event_id)-ordered user
     // window, a <=|types|^3 groupBy and a bounded deterministic top-k
@@ -8344,6 +8361,29 @@ object SparkEntry {
         |      ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "events_cusum" ->
+      """WITH d0 AS (SELECT event_type,
+        |  CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS day_cnt
+        | FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day,
+        |  CASE WHEN event_type = 'click' AND day >= 19740
+        |   THEN day_cnt + 40 ELSE day_cnt END AS day_cnt FROM d0),
+        |c AS (SELECT event_type, day, day_cnt,
+        |  CAST(sum(day_cnt - 70) OVER (PARTITION BY event_type
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS BIGINT) AS cc
+        | FROM d),
+        |s AS (SELECT event_type, day, day_cnt,
+        |  cc - least(CAST(min(cc) OVER (PARTITION BY event_type
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS BIGINT), 0) AS cusum
+        | FROM c)
+        |SELECT event_type, day, day_cnt, CAST(cusum AS BIGINT) AS cusum,
+        | CAST(CASE WHEN cusum > 100 THEN 1 ELSE 0 END AS INTEGER)
+        |   AS is_shift
+        |FROM s ORDER BY event_type, day""".stripMargin,
 
     "events_paths" ->
       """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,

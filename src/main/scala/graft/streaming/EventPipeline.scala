@@ -142,6 +142,36 @@ object EventPipeline {
     anomalyFlags(dailyCounts(events, tsCol, typeCol),
       baseDays, minBase, z)
 
+  /** CUSUM change-point detection over the per-(type, day) counts —
+    * the SUSTAINED-shift complement to [[anomalyFlags]]'s single-day
+    * z-score (a 15% volume drift that never spikes trips CUSUM, never
+    * the z-test). The textbook recurrence
+    * S_t = max(0, S_{t−1} + x_t − drift) unrolls to
+    *
+    *   S_t = C_t − min(0, cummin(C_t)),  C_t = cumsum(x − drift)
+    *
+    * (the 0 in the min is the virtual C₀ — the reset floor)
+    *
+    * — two cumulative windows, NO sequential loop, so the "stateful"
+    * statistic runs as one windowed pass over the domain-sized daily
+    * relation (which is itself additively-mergeable streaming state).
+    * All-integer: pass `drift` and `threshold` on the count scale.
+    * Output: daily rows + cusum and an is_shift flag (cusum >
+    * threshold). */
+  def cusumShifts(daily: DataFrame, drift: Long,
+                  threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__c", sum(col("day_cnt") - lit(drift)).over(w))
+      .withColumn("cusum",
+        col("__c") - least(min(col("__c")).over(w), lit(0L)))
+      .withColumn("is_shift", (col("cusum") > threshold).cast("int"))
+      .drop("__c")
+  }
+
   /** Per-(type, day) count relation — the additively-mergeable state
     * the streaming twin ([[StreamingAnomaly]]) accumulates. */
   def dailyCounts(events: DataFrame, tsCol: String,

@@ -302,4 +302,30 @@ class EventPipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(3))).toSeq ===
       Seq(("a", 2L)))
   }
+  test("cusumShifts equals the textbook max(0, S+x-drift) recurrence " +
+      "and flags the sustained shift a z-test misses") {
+    import org.apache.spark.sql.functions.col
+    // counts: 5 quiet days at ~drift, then a +3/day shift
+    val counts = Seq(10L, 9L, 11L, 10L, 10L, 13L, 13L, 13L, 13L)
+    val daily = counts.zipWithIndex
+      .map { case (c, d) => ("a", d.toLong, c) }
+      .toDF("event_type", "day", "day_cnt")
+    val got = EventPipeline.cusumShifts(daily, drift = 10L,
+        threshold = 8L)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(4))).toSeq
+    // driver recurrence
+    var s = 0L
+    val want = counts.map { x =>
+      s = math.max(0L, s + x - 10L)
+      (x, s, if (s > 8L) 1 else 0)
+    }
+    assert(got === want)
+    // the virtual C0 floor: an all-above-drift series accumulates
+    // from zero, not from its own first increment
+    val hot = Seq((("b"), 0L, 15L), (("b"), 1L, 15L))
+      .toDF("event_type", "day", "day_cnt")
+    assert(EventPipeline.cusumShifts(hot, 10L, 1L).orderBy("day")
+      .collect().map(_.getLong(3)).toSeq === Seq(5L, 10L))
+  }
 }
