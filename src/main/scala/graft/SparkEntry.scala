@@ -3235,6 +3235,25 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // linear-time-decay MULTI-touch attribution (EventPipeline
+    // .attributionLinearDecay): the hour's clicks split each
+    // purchase's credit by integer weight windowNs − gap, shares
+    // floor-scaled ppm — engine-exact beside the last/first-touch
+    // single-touch reports
+    "events_attribution_decay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      graft.streaming.EventPipeline.attributionLinearDecay(
+          clicks, purchases, "click_ts", "purchase_ts",
+          windowNs = 3600000000000L)
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // outer join with null-side aggregation: every customer with the
     // count and rounded sum of their 400k+ orders, zero/null for
     // customers with none — the left-outer + group shape
@@ -8361,6 +8380,26 @@ object SparkEntry {
         |      ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "events_attribution_decay" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(epoch_ns(ts) AS BIGINT) AS ts FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        | FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |  ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT purchase_id, click_id,
+        |  3600000000000 - (purchase_ts - click_ts) AS weight_ns
+        | FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_ts < p.purchase_ts
+        |  AND c.click_ts >= p.purchase_ts - 3600000000000),
+        |t AS (SELECT purchase_id, click_id, weight_ns,
+        |  CAST(sum(weight_ns) OVER (PARTITION BY purchase_id)
+        |    AS BIGINT) AS tot FROM j)
+        |SELECT purchase_id, click_id,
+        | CAST(weight_ns AS BIGINT) AS weight_ns,
+        | CAST((weight_ns * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM t ORDER BY purchase_id, click_id""".stripMargin,
 
     "events_cusum" ->
       """WITH d0 AS (SELECT event_type,

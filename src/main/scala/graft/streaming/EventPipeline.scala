@@ -226,6 +226,39 @@ object EventPipeline {
       .drop(c("user_id"))
   }
 
+  /** Linear-time-decay MULTI-touch attribution — beside the
+    * single-touch reports (last touch, first touch): every click in
+    * the window before a same-user purchase earns weight
+    * `windowNs − gap` (a click seconds before the purchase weighs in
+    * near the full window; one at the window's edge weighs ~0) and
+    * the purchase's credit splits proportionally,
+    * share_ppm = ⌊weight·10⁶ / Σweights⌋ — all-integer, so shares are
+    * engine-exact (they sum to ≤ 10⁶ per purchase; the ≤ is floor
+    * residue). Expects the (purchase_id, user_id, ts) / (click_id,
+    * user_id, ts) shapes of [[attributionPairs]]'s callers, ns-long
+    * timestamps. One user-keyed join + one purchase-keyed window. */
+  def attributionLinearDecay(clicks: DataFrame, purchases: DataFrame,
+                             clickTsCol: String, purchaseTsCol: String,
+                             windowNs: Long): DataFrame = {
+    require(windowNs >= 1, s"windowNs must be >= 1, got $windowNs")
+    import org.apache.spark.sql.expressions.Window
+    val joined = purchases.join(clicks,
+        purchases("user_id") === clicks("user_id") &&
+          clicks(clickTsCol) < purchases(purchaseTsCol) &&
+          clicks(clickTsCol) >=
+            purchases(purchaseTsCol) - lit(windowNs))
+      .drop(clicks("user_id"))
+      .withColumn("weight_ns",
+        lit(windowNs) - (col(purchaseTsCol) - col(clickTsCol)))
+    val w = Window.partitionBy("purchase_id")
+    joined
+      .withColumn("__tot", sum(col("weight_ns")).over(w))
+      .withColumn("share_ppm",
+        expr("weight_ns * 1000000L div __tot"))
+      .select(col("purchase_id"), col("click_id"), col("weight_ns"),
+        col("share_ppm"))
+  }
+
   /** JSON props extraction — the schema-on-read path for the free-form
     * `props` column; pure projection, streams and batches identically. */
   def extractProps(events: DataFrame): DataFrame =

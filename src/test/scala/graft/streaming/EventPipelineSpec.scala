@@ -328,4 +328,22 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(EventPipeline.cusumShifts(hot, 10L, 1L).orderBy("day")
       .collect().map(_.getLong(3)).toSeq === Seq(5L, 10L))
   }
+  test("attributionLinearDecay splits credit by windowNs - gap with " +
+      "floor-ppm shares") {
+    import org.apache.spark.sql.functions.col
+    val clicks = Seq((1L, 5L, 900L), (2L, 5L, 700L), (3L, 5L, 100L),
+      (4L, 6L, 950L))
+      .toDF("click_id", "user_id", "click_ts")
+    val purchases = Seq((10L, 5L, 1000L), (11L, 6L, 1000L))
+      .toDF("purchase_id", "user_id", "purchase_ts")
+    // window 500: user-5 clicks at gaps 100, 300 weigh 400, 200
+    // (the gap-900 click is outside); shares 666666 / 333333 ppm
+    val got = EventPipeline.attributionLinearDecay(clicks, purchases,
+        "click_ts", "purchase_ts", windowNs = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (10L, 1L, 400L, 666666L), (10L, 2L, 200L, 333333L),
+      (11L, 4L, 450L, 1000000L)))
+  }
 }
