@@ -4279,6 +4279,26 @@ object SparkEntry {
           sum(col("c_custkey")).as("sum_keys"))
     }),
 
+    // per-group weighted sampling (TrainingData.weightedSamplePerGroup)
+    // — 10 length-weighted winners per source via the same
+    // exponential-race key as sample_weighted, bounded by a
+    // group-partitioned row_number instead of a global top-k
+    "sample_weighted_by_group" -> ((s, dir) =>
+      graft.pipeline.TrainingData.weightedSamplePerGroup(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", kPerGroup = 10)
+        .orderBy("source", "doc_id")),
+
+    // salted pseudonymization (Privacy.pseudonym): consistent opaque
+    // 64-bit tokens (joins on released data still work; the mapping
+    // needs the salt to replay) — one codegen projection, md5 parity
+    // with the oracle
+    "privacy_pseudonymize" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"),
+        graft.pipeline.Privacy.pseudonym(col("c_custkey"), "salt7")
+          .as("token"))
+        .orderBy("c_custkey")),
+
     // t-closeness audit (Privacy.tClosenessGroups): exact integer
     // cross-multiplied EMD between each nation's balance-band
     // distribution and the global one — the leak l-diversity misses
@@ -8165,6 +8185,24 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_released,
         | CAST(sum(c_custkey) AS BIGINT) AS sum_keys
         |FROM b JOIN ok USING (c_mktsegment, bal_band)""".stripMargin,
+
+    "sample_weighted_by_group" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  -ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+        |      1, 6))::BIGINT + 1.0) / 16777216.0)
+        |    / CAST(n_chars AS DOUBLE) AS race_key
+        | FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY race_key, doc_id) AS rn FROM r)
+        |SELECT doc_id, source, n_chars FROM k WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "privacy_pseudonymize" ->
+      """SELECT c_custkey,
+        | substr(md5('salt7:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+        |   AS token
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "privacy_t_closeness" ->
       """WITH b AS (SELECT c_nationkey AS q,

@@ -145,6 +145,24 @@ object Privacy {
             .cast("int")).as("is_t_close")): _*)
   }
 
+  /** Salted pseudonymization: a CONSISTENT opaque token per value —
+    * the same id maps to the same token across tables and batches (so
+    * joins still work on the released data), but without the secret
+    * salt the mapping cannot be replayed from the public id space.
+    * Token = first 16 hex chars of md5(salt ‖ ':' ‖ value) — 64 bits,
+    * birthday-safe to ~billions of distinct values; pure codegen
+    * projection, engine-exact. (Not a formal HMAC — fine for
+    * fixed-format identifiers, which is this function's contract;
+    * secrets with attacker-chosen suffixes need a real MAC.) NULL
+    * stays NULL. */
+  def pseudonym(value: Column, salt: String): Column = {
+    require(salt.nonEmpty, "salt must be non-empty")
+    when(value.isNull, lit(null).cast("string"))
+      .otherwise(substring(
+        md5(concat(lit(s"$salt:"), value.cast("string")).cast("binary")),
+        1, 16))
+  }
+
   /** Generalization step for a numeric quasi-identifier: band values
     * to width-`width` buckets (floor), trading precision for bigger
     * groups — rerun the report on the banded column to measure the

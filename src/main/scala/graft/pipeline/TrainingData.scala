@@ -180,6 +180,34 @@ object TrainingData {
       .drop("race_key")
   }
 
+  /** Per-GROUP [[weightedSample]]: k weighted winners inside every
+    * group (per-source biased subsampling — "10 best-weighted docs
+    * per crawl" — in one pass). Same exponential-race key, same
+    * strictly-positive-weight contract, but the bounded top-k runs as
+    * a group-partitioned row_number window instead of a global
+    * TakeOrdered — one exchange on the group key, any number of
+    * groups in parallel, no driver merge. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+                             idCol: String, weightCol: String,
+                             kPerGroup: Int,
+                             seed: String = "ws"): DataFrame = {
+    require(kPerGroup > 0, s"kPerGroup must be positive, got $kPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary")),
+      1, 6), 16, 10).cast("double") + lit(1.0)) / lit(16777216.0)
+    val w = col(weightCol).cast("double")
+    val checkedW = when(w > 0.0, w).otherwise(raise_error(concat(
+      lit(s"weightedSamplePerGroup requires $weightCol > 0; got "),
+      w.cast("string"), lit(" at "), col(idCol).cast("string"))))
+    val win = Window.partitionBy(groupCol)
+      .orderBy(col("race_key"), col(idCol))
+    df.withColumn("race_key", -log(u) / checkedW)
+      .withColumn("__rn", row_number().over(win))
+      .where(col("__rn") <= kPerGroup)
+      .drop("race_key", "__rn")
+  }
+
   /** Temperature-balanced source mixture at τ = 2 (α = ½): keep a
     * deterministic per-source fraction so the KEPT corpus's source mass
     * is ∝ √n_s — the standard "temperature sampling" that up-weights

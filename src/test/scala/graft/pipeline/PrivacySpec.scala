@@ -108,4 +108,17 @@ class PrivacySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(coarse === Set((100L, 4L), (200L, 2L), (300L, 1L)))
   }
+  test("pseudonym is consistent, salt-dependent, and NULL-preserving") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some(7L), Some(7L), Some(8L), None).toDF("id")
+    val toks = df.select(Privacy.pseudonym(col("id"), "s1").as("t"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(toks(0) === toks(1))            // consistent
+    assert(toks(0) !== toks(2))            // distinct ids differ
+    assert(toks(3).isEmpty)                // NULL stays NULL
+    assert(toks(0).get.length === 16)
+    val other = df.select(Privacy.pseudonym(col("id"), "s2").as("t"))
+      .collect()(0).getString(0)
+    assert(other !== toks(0).get)          // salt changes the mapping
+  }
 }

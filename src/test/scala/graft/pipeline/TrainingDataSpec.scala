@@ -643,4 +643,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 3333L, 3L -> 3333L,
       4L -> 10000L, 5L -> 5000L))
   }
+  test("weightedSamplePerGroup draws k winners inside every group " +
+      "with the global race-key semantics") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else "b", i * 10)).toDF("id", "g", "w")
+    val got = TrainingData.weightedSamplePerGroup(df, "g", "id", "w",
+      kPerGroup = 3)
+    assert(got.groupBy("g").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 3L), ("b", 3L)))
+    // the per-group winners are exactly the global sample's order
+    // restricted to each group (same key, same tiebreak)
+    val global = TrainingData.weightedSample(df, "id", "w", k = 40)
+      .collect().map(_.getLong(0)).toSeq // ordered by race key
+    val wantA = global.filter(_ <= 20L).take(3).toSet
+    assert(got.where(col("g") === "a").collect()
+      .map(_.getLong(0)).toSet === wantA)
+    // zero weight still fails loudly
+    intercept[Exception] {
+      TrainingData.weightedSamplePerGroup(
+        Seq((1L, "a", 0L)).toDF("id", "g", "w"), "g", "id", "w", 1)
+        .collect()
+    }
+  }
 }
