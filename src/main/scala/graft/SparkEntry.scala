@@ -2768,6 +2768,37 @@ object SparkEntry {
           col("vary_num").cast("long").as("vary_num"),
           col("r2_x1e6"))),
 
+    // exact join-size prediction from mergeable key histograms
+    // (Sketches.joinSizeFromHistograms): |A join B| = sum c_A(k)*c_B(k)
+    // over persisted stats — the planner primitive; the gate proves
+    // prediction == the actually-executed join's count
+    "stats_join_size" -> ((s, dir) => {
+      val pred = graft.pipeline.Sketches.joinSizeFromHistograms(
+          graft.pipeline.Sketches.valueHistogram(
+            Tables.lineitem(s, dir), "l_orderkey"),
+          graft.pipeline.Sketches.valueHistogram(
+            Tables.orders(s, dir), "o_orderkey"))
+        .select(col("join_rows").cast("long").as("join_rows"),
+          col("n_keys_joint"))
+      val actual = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      pred.crossJoin(broadcast(actual))
+    }),
+
+    // 2-D Pareto frontier (operators/Skyline.frontier2D): the parts no
+    // other part beats on BOTH size and price — per-x max + one
+    // domain-sized running max + an equality join back; the
+    // multi-objective pick a single-score top-k can't express
+    "rel_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.frontier2D(
+        Tables.load(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"),
+          floor(col("p_retailprice") * 100).cast("long").as("cents")),
+        "p_size", "cents")
+        .orderBy("p_partkey")),
+
     // corpus vocabulary by document frequency, top-100 by (df desc, tok)
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.topVocabulary(Tables.documents(s, dir), k = 100, minDf = 2)
@@ -6607,6 +6638,33 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_under, CAST(0 AS BIGINT) AS n_over_bound
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok
         | FROM documents) t""".stripMargin,
+
+    "stats_join_size" ->
+      """WITH ha AS (SELECT l_orderkey AS v,
+        |  CAST(count(*) AS BIGINT) AS ca FROM lineitem GROUP BY 1),
+        |hb AS (SELECT o_orderkey AS v,
+        |  CAST(count(*) AS BIGINT) AS cb FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+        |   AS join_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys_joint
+        | FROM ha JOIN hb USING (v)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT join_rows, n_keys_joint, actual_rows FROM p, a""".stripMargin,
+
+    "rel_skyline" ->
+      """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        | FROM part),
+        |px AS (SELECT p_size, max(cents) AS ymax FROM b GROUP BY p_size),
+        |st AS (SELECT p_size, ymax,
+        |  max(ymax) OVER (ORDER BY p_size DESC ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND 1 PRECEDING) AS best FROM px),
+        |fx AS (SELECT p_size, ymax FROM st
+        | WHERE best IS NULL OR ymax > best)
+        |SELECT b.p_size, p_partkey, cents
+        |FROM b JOIN fx ON b.p_size = fx.p_size AND b.cents = fx.ymax
+        |ORDER BY p_partkey""".stripMargin,
 
     "stats_f2_sketch" -> {
       // inline the SAME splitmix-derived polynomial coefficients the

@@ -169,6 +169,26 @@ object Sketches {
     sketches.agg(round(hll_sketch_estimate(
       hll_union_agg(col("sketch"), false))).cast("long").as("n_distinct"))
 
+  /** EXACT equi-join output size from two key histograms:
+    * |A ⋈ B| = Σ_k c_A(k)·c_B(k) — the cardinality a planner wants
+    * BEFORE committing to a join strategy (and the cross-table
+    * sibling of F₂ = self-join size). Histograms are the same
+    * additively-mergeable (v, cnt) state as [[valueHistogram]], so the
+    * prediction costs one key-domain join over persisted stats — the
+    * corpora are never rescanned, and a daily ingest just folds its
+    * batch counts in. Output one row: (join_rows decimal(20,0),
+    * n_keys_joint). Skew diagnosis: run [[heavyHitters]] on the same
+    * histograms when the predicted size explodes. */
+  def joinSizeFromHistograms(aHist: DataFrame,
+                             bHist: DataFrame): DataFrame =
+    aHist.select(col("v"), col("cnt").as("ca"))
+      .join(bHist.select(col("v"), col("cnt").as("cb")), Seq("v"))
+      .agg(
+        coalesce(sum((col("ca") * col("cb")).cast("decimal(20,0)")),
+          lit(0L).cast("decimal(20,0)")).cast("decimal(20,0)")
+          .as("join_rows"),
+        count(lit(1)).as("n_keys_joint"))
+
   // ---------------------------------------------- second frequency moment
 
   /** AMS sign hash: parity of a DEGREE-3 polynomial over

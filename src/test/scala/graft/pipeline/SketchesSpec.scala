@@ -206,4 +206,29 @@ class SketchesSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.abs(col("s_sum"))))
       .collect()(0).getLong(0) === 8L)
   }
+  test("joinSizeFromHistograms predicts the exact equi-join size and " +
+      "merged batch histograms predict identically") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("k")
+    val b = Seq(1L, 3L, 3L, 9L).toDF("k")
+    val pred = Sketches.joinSizeFromHistograms(
+        Sketches.valueHistogram(a, "k"), Sketches.valueHistogram(b, "k"))
+      .collect()(0)
+    // 1: 2·1 + 3: 3·2 = 8 rows over 2 joint keys
+    assert(pred.getDecimal(0).longValueExact() === 8L)
+    assert(pred.getLong(1) === 2L)
+    assert(a.join(b, "k").count() === 8L)
+    // state mergeability: a's histogram from two folded batches
+    val merged = Sketches.mergeValueHistograms(
+      Sketches.valueHistogram(Seq(1L, 2L, 3L).toDF("k"), "k"),
+      Sketches.valueHistogram(Seq(1L, 3L, 3L).toDF("k"), "k"))
+    assert(Sketches.joinSizeFromHistograms(merged,
+        Sketches.valueHistogram(b, "k"))
+      .collect()(0).getDecimal(0).longValueExact() === 8L)
+    // disjoint keys → zero
+    assert(Sketches.joinSizeFromHistograms(
+        Sketches.valueHistogram(Seq(7L).toDF("k"), "k"),
+        Sketches.valueHistogram(Seq(8L).toDF("k"), "k"))
+      .collect()(0).getDecimal(0).longValueExact() === 0L)
+  }
 }
