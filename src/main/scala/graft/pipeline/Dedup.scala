@@ -1309,8 +1309,8 @@ object Dedup {
       .join(base.select(col("id").as("a_id"), col("s").as("sa")), "a_id")
       .join(base.select(col("id").as("b_id"), col("s").as("sb")), "b_id")
       .where(abs(length(col("sa")) - length(col("sb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .where(col("dist") >= 0) // threshold form: -1 = early-exited
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 
@@ -1398,8 +1398,8 @@ object Dedup {
       .join(masterBase.select(col("id").as("master_id"),
         col("s").as("sb")), "master_id")
       .where(abs(length(col("sa")) - length(col("sb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .where(col("dist") >= 0) // threshold form: -1 = early-exited
       .select(col("new_id"), col("master_id"),
         col("dist").cast("long").as("dist"))
   }
@@ -1440,8 +1440,8 @@ object Dedup {
       .join(ranked.select(col("bk"), col("r").as("rb"),
         col("id").as("hi_id"), col("s").as("sb")), Seq("bk"))
       .where(col("rb") > col("r") && col("rb") <= col("r") + window)
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .where(col("dist") >= 0) // threshold form: -1 = early-exited
       .select(least(col("lo_id"), col("hi_id")).as("a_id"),
         greatest(col("lo_id"), col("hi_id")).as("b_id"),
         col("dist").cast("long").as("dist"))

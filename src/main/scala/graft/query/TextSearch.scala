@@ -83,7 +83,7 @@ object TextSearch {
     val expanded = vocab.select(col("tok"))
       .crossJoin(broadcast(q))
       .where(abs(length(col("tok")) - length(col("q"))) <= maxDist &&
-        levenshtein(col("tok"), col("q")) <= maxDist)
+        levenshtein(col("tok"), col("q"), maxDist) >= 0)
     val matches = post.join(expanded, Seq("tok"))
     // a token within range of TWO query terms counts once toward tf
     // (distinct (doc, tok)) but credits both terms' coverage
