@@ -2787,6 +2787,16 @@ object SparkEntry {
       pred.crossJoin(broadcast(actual))
     }),
 
+    // discrete mutual information (Profile.mutualInfoCells): per-cell
+    // (c_xy/N)·ln(c_xy·N/(c_x·c_y)) ×1e6 floor over the
+    // returnflag × linestatus joint domain — the general-dependence
+    // statistic beside the linear r²; joint counts + window marginals,
+    // one corpus scan
+    "stats_mutual_info" -> ((s, dir) =>
+      graft.operators.Profile.mutualInfoCells(
+        Tables.lineitem(s, dir), "l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // 2-D Pareto frontier (operators/Skyline.frontier2D): the parts no
     // other part beats on BOTH size and price — per-x max + one
     // domain-sized running max + an equality join back; the
@@ -6651,6 +6661,23 @@ object SparkEntry {
         |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         |SELECT join_rows, n_keys_joint, actual_rows FROM p, a""".stripMargin,
+
+    "stats_mutual_info" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_xy
+        | FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, l_linestatus, n_xy,
+        |  CAST(sum(n_xy) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |    AS nx,
+        |  CAST(sum(n_xy) OVER (PARTITION BY l_linestatus) AS BIGINT)
+        |    AS ny,
+        |  CAST(sum(n_xy) OVER () AS BIGINT) AS n FROM c)
+        |SELECT l_returnflag, l_linestatus, n_xy,
+        | CAST(floor(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)
+        |   * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+        |     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |   * 1000000.0) AS BIGINT) AS contrib_x1e6
+        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "rel_skyline" ->
       """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,

@@ -115,6 +115,37 @@ object Profile {
     * ×1e6, NULL when either variance is zero. Convert money to
     * cents/bands first — the integral contract is what buys the
     * exactness. One map-side-combined aggregate; one row out. */
+  /** Mutual information between two DISCRETE columns — the
+    * general-dependence complement to [[corrExact]]'s linear Pearson
+    * (MI sees the U-shaped and categorical relationships r² scores as
+    * 0). Per-cell contribution (c_xy/N)·ln(c_xy·N/(c_x·c_y)),
+    * floor-scaled ×1e6 with the PSI discipline: counts exact integers,
+    * ONE fixed-association double chain per cell, so engines agree
+    * bit-for-bit. MI = Σ contribs ≥ 0 up to per-cell floor residue;
+    * 0 ⇔ independent.
+    *
+    * Shape: one map-side-combined groupBy over the JOINT domain, then
+    * marginals and N as window sums over that domain-sized cell
+    * relation — the corpus is scanned once; nothing row-scale
+    * shuffles. NULLs excluded on both sides. Output: (x, y, n_xy,
+    * contrib_x1e6) one row per observed cell. */
+  def mutualInfoCells(df: DataFrame, xCol: String,
+                      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = sum(col("n_xy")).over(Window.partitionBy(xCol))
+    val ny = sum(col("n_xy")).over(Window.partitionBy(yCol))
+    val n = sum(col("n_xy")).over()
+    cells.withColumn("contrib_x1e6",
+      floor(col("n_xy").cast("double") / n.cast("double") *
+        log(col("n_xy").cast("double") * n.cast("double") /
+          (nx.cast("double") * ny.cast("double"))) *
+        lit(1e6)).cast("long"))
+  }
+
   def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)

@@ -96,4 +96,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(c.getLong(0) === 2L)
     assert(c.isNullAt(6))
   }
+  test("mutualInfoCells: zero on independence, ln(2)-scaled on a " +
+      "deterministic copy, NULLs excluded") {
+    import org.apache.spark.sql.functions.col
+    // perfectly independent 2x2 (every cell = 25 of 100): MI = 0
+    val indep = (0 until 100).map(i => (i % 2, (i / 2) % 2))
+      .toDF("x", "y")
+    assert(Profile.mutualInfoCells(indep, "x", "y")
+      .collect().map(_.getLong(3)).forall(_ === 0L))
+    // y = x on a fair binary column: MI = ln 2 → 693147 per the two
+    // diagonal cells summing (each cell contributes ln(2)/2)
+    val copy = (0 until 100).map(i => (i % 2, i % 2)).toDF("x", "y")
+    val cs = Profile.mutualInfoCells(copy, "x", "y")
+      .collect().map(_.getLong(3)).toSeq
+    assert(cs.sum === 693146L || cs.sum === 693147L) // floor residue
+    // NULL rows drop out entirely
+    val withNull = Seq((Some(1), Some(1)), (None, Some(1)))
+      .toDF("x", "y")
+    val r = Profile.mutualInfoCells(withNull, "x", "y").collect()
+    assert(r.length === 1 && r(0).getLong(2) === 1L)
+  }
 }
