@@ -3173,6 +3173,18 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // prefix search (TextSearch.prefixSearch): 'fil' expands over the
+    // vocabulary (a range scan on a sorted vocab; the corpus never
+    // sees the predicate) then one posting semi-join — the
+    // autocomplete shape; top-50 under a total order
+    "search_prefix" -> ((s, dir) => {
+      val post = graft.query.TextSearch.postings(
+        Tables.documents(s, dir), "doc_id", "text").localCheckpoint()
+      graft.query.TextSearch.prefixSearch(post,
+          post.select("tok").distinct(), "doc_id", "fil")
+        .limit(50)
+    }),
+
     // MMR diversity rerank (query/Mmr): three queries' top-8 tf
     // candidates, pairwise similarity = shared distinct tokens
     // (all-integer), greedy λ=0.7 walk picks 5 per query inside
@@ -7070,6 +7082,17 @@ object SparkEntry {
         |   AS BIGINT) AS rank,
         | doc_id, tf_total
         |FROM h ORDER BY tf_total DESC, doc_id LIMIT 20""".stripMargin,
+
+    "search_prefix" ->
+      """WITH post AS (SELECT tok, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents) GROUP BY tok, doc_id),
+        |e AS (SELECT DISTINCT tok FROM post WHERE tok LIKE 'fil%')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(tf) AS BIGINT) AS tf_total
+        |FROM post JOIN e USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY tf_total DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     "search_mmr" ->
       """WITH post AS (SELECT tok, doc_id, count(*) AS tf FROM

@@ -97,6 +97,25 @@ object TextSearch {
         col(idCol).asc)
   }
 
+  /** PREFIX search (the autocomplete / wildcard-suffix shape):
+    * expand `prefix` to every vocabulary token starting with it, then
+    * one posting semi-join — same expansion discipline as
+    * [[fuzzySearch]] (the prefix test scans the VOCABULARY relation,
+    * never the corpus; with the vocab stored sorted the startswith
+    * predicate is a range scan). Returns (doc, n_tokens matched,
+    * tf_total) best-first. */
+  def prefixSearch(post: DataFrame, vocab: DataFrame, idCol: String,
+                   prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix")
+    val expanded = vocab.select(col("tok"))
+      .where(col("tok").startsWith(prefix))
+    post.join(expanded, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf")).cast("long").as("tf_total"))
+      .orderBy(col("tf_total").desc, col(idCol).asc)
+  }
+
   /** Index-free conjunctive search: per-term tf via a codegen'd
     * array-filter over the tokens — one narrow projection, no shuffle,
     * no index. Same output as [[searchPostings]] over [[postings]]. */

@@ -166,6 +166,21 @@ object FamilyScaleProbe {
         .limit(50).count()
     }
 
+    timed(s"golden-record survivorship over $n cluster rows") {
+      // n/4 entities × 4 records, two fields with hash-planted nulls
+      val df = spark.range(n).repartition(64).select(
+        (col("id") / 4).cast("long").as("entity"),
+        col("id").as("rec_ts"),
+        when(pmod(hash(col("id"), lit(1)), lit(3)) === 0, lit(null))
+          .otherwise(pmod(col("id"), lit(1000L))).as("f1"),
+        when(pmod(hash(col("id"), lit(2)), lit(3)) === 0, lit(null))
+          .otherwise(concat(lit("v"), pmod(col("id"), lit(97L))))
+          .as("f2"))
+        .localCheckpoint()
+      graft.pipeline.Dedup.goldenRecords(df, "entity",
+        Seq("rec_ts"), Seq("f1", "f2")).count()
+    }
+
     timed(s"fixed-width render + parse round trip over $n records") {
       val layout = Seq(
         FixedWidthCorpus.Field("id", 1, 12, numeric = true),

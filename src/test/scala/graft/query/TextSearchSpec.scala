@@ -208,4 +208,16 @@ class TextSearchSpec extends AnyFunSuite {
       .toSeq
     assert(dbl === Seq((1L, 2L, 2L), (2L, 2L, 1L)))
   }
+  test("prefixSearch expands over the vocabulary and scores by tf") {
+    val docs = Seq(
+      (1L, "filter filters filtering scan"),
+      (2L, "filter table"),
+      (3L, "nothing")).toDF("doc_id", "text")
+    val post = TextSearch.postings(docs, "doc_id", "text")
+    val got = TextSearch.prefixSearch(post,
+        post.select("tok").distinct(), "doc_id", "fil")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
 }
