@@ -8538,7 +8538,7 @@ object SparkEntry {
         |  3600000000000 - (purchase_ts - click_ts) AS weight_ns
         | FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_ts < p.purchase_ts
-        |  AND c.click_ts >= p.purchase_ts - 3600000000000),
+        |  AND c.click_ts > p.purchase_ts - 3600000000000),
         |t AS (SELECT purchase_id, click_id, weight_ns,
         |  CAST(sum(weight_ns) OVER (PARTITION BY purchase_id)
         |    AS BIGINT) AS tot FROM j)

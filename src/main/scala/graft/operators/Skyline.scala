@@ -23,7 +23,10 @@ object Skyline {
 
   def frontier2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    // a row missing either dimension can neither dominate nor be
+    // ranked — drop it rather than let NULL comparisons decide
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = base.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
     // best y among STRICTLY greater x — a row survives only above it
     // (equality loses: the bigger-x point with the same y dominates)
     val w = Window.orderBy(col(xCol).desc)
@@ -32,7 +35,7 @@ object Skyline {
       .withColumn("__best", max(col("__ymax")).over(w))
       .where(col("__best").isNull || col("__ymax") > col("__best"))
       .select(col(xCol), col("__ymax"))
-    df.join(front, Seq(xCol))
+    base.join(front, Seq(xCol))
       .where(col(yCol) === col("__ymax"))
       .drop("__ymax")
   }

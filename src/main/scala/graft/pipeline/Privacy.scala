@@ -113,6 +113,12 @@ object Privacy {
     require(!quasiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
     require(tX1e6 >= 0, s"t_x1e6 must be >= 0, got $tX1e6")
+    val reserved = Seq("v", "a", "g", "n", "m", "cuma", "cumg",
+      "n_total", "n_values", "emd_num", "is_t_close")
+    val clash = quasiCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"quasi columns ${clash.mkString(", ")} collide with " +
+        s"tClosenessGroups' internal/output names (${reserved.mkString(", ")}) — rename them first")
     import org.apache.spark.sql.expressions.Window
     val qs = quasiCols.map(col)
     val base = df.where(col(sensitiveCol).isNotNull)

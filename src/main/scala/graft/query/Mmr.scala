@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * shuffle is the query-keyed group-by. */
 object Mmr {
 
-  /** @param cands (qid, cid, rel) — bounded candidate set per query
+  /** @param cands (qid, cid, rel) — bounded candidate set per query;
+    *              candidate ids must be UNIQUE within a query (a
+    *              retrieval top-N is; duplicate cids would silently
+    *              keep one relevance value)
     * @param sims  (qid, a, b, sim) — pairwise similarities among a
     *              query's candidates (either orientation; missing
     *              pairs count as 0)

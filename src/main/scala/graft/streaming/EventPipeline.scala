@@ -242,10 +242,13 @@ object EventPipeline {
                              windowNs: Long): DataFrame = {
     require(windowNs >= 1, s"windowNs must be >= 1, got $windowNs")
     import org.apache.spark.sql.expressions.Window
+    // the window edge is EXCLUSIVE (gap < windowNs strictly): an edge
+    // click would weigh exactly 0, and a purchase whose only clicks
+    // sit on the edge would divide by a zero weight total
     val joined = purchases.join(clicks,
         purchases("user_id") === clicks("user_id") &&
           clicks(clickTsCol) < purchases(purchaseTsCol) &&
-          clicks(clickTsCol) >=
+          clicks(clickTsCol) >
             purchases(purchaseTsCol) - lit(windowNs))
       .drop(clicks("user_id"))
       .withColumn("weight_ns",

@@ -345,5 +345,11 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(got === Set(
       (10L, 1L, 400L, 666666L), (10L, 2L, 200L, 333333L),
       (11L, 4L, 450L, 1000000L)))
+    // a click exactly on the window edge would weigh 0 — excluded
+    val edge = EventPipeline.attributionLinearDecay(
+      Seq((9L, 7L, 500L)).toDF("click_id", "user_id", "click_ts"),
+      Seq((20L, 7L, 1000L)).toDF("purchase_id", "user_id", "purchase_ts"),
+      "click_ts", "purchase_ts", windowNs = 500L)
+    assert(edge.count() === 0L)
   }
 }
