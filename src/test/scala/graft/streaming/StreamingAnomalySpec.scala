@@ -40,6 +40,18 @@ class StreamingAnomalySpec extends AnyFunSuite {
       val batch = rows(EventPipeline.dailyAnomalies(
         seen.toSeq.toDF("ts", "event_type"), "ts", "event_type"))
       assert(fromState === batch)
+      // CUSUM rides the SAME accumulated day-count state
+      val cusumState = EventPipeline
+        .cusumShifts(state.get, drift = 5L, threshold = 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        .toSet
+      val cusumBatch = EventPipeline.cusumShifts(
+          EventPipeline.dailyCounts(
+            seen.toSeq.toDF("ts", "event_type"), "ts", "event_type"),
+          drift = 5L, threshold = 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        .toSet
+      assert(cusumState === cusumBatch)
     }
     try {
       // trigger 1: steady days 0..7, 5 events each — and note day 7
