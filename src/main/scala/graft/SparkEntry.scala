@@ -4500,6 +4500,15 @@ object SparkEntry {
         .transitionCounts(Tables.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // within-session funnel (EventPipeline.sessionFunnel): signup →
+    // click → purchase completed inside ONE 30-minute-gap session,
+    // stages chained by strictly-later first-completion times — the
+    // visit-scoped variant of events_funnel's lifetime conversion
+    "events_funnel_session" -> ((s, dir) =>
+      graft.streaming.EventPipeline.sessionFunnel(
+        Tables.events(s, dir), gapNanos = 1800000000000L,
+        steps = Seq("signup", "click", "purchase"))),
+
     // CUSUM sustained-shift detection (EventPipeline.cusumShifts):
     // the recurrence S_t = max(0, S_{t-1} + x - drift) unrolled to two
     // cumulative windows (cumsum minus its 0-floored cummin) over the
@@ -8546,6 +8555,32 @@ object SparkEntry {
         | CAST(weight_ns AS BIGINT) AS weight_ns,
         | CAST((weight_ns * 1000000) // tot AS BIGINT) AS share_ppm
         |FROM t ORDER BY purchase_id, click_id""".stripMargin,
+
+    "events_funnel_session" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(epoch_ns(ts) AS BIGINT) AS ts FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= 1800000000000 THEN 1 ELSE 0 END
+        |   AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |   AS sseq FROM m),
+        |s1 AS (SELECT user_id, sseq, min(ts) AS t FROM s
+        | WHERE event_type = 'signup' GROUP BY 1, 2),
+        |s2 AS (SELECT s.user_id, s.sseq, min(s.ts) AS t FROM s
+        | JOIN s1 ON s.user_id = s1.user_id AND s.sseq = s1.sseq
+        | WHERE s.event_type = 'click' AND s.ts > s1.t GROUP BY 1, 2),
+        |s3 AS (SELECT s.user_id, s.sseq, min(s.ts) AS t FROM s
+        | JOIN s2 ON s.user_id = s2.user_id AND s.sseq = s2.sseq
+        | WHERE s.event_type = 'purchase' AND s.ts > s2.t GROUP BY 1, 2)
+        |SELECT CAST(stage AS INTEGER) AS stage, step,
+        | CAST(n AS BIGINT) AS n_sessions FROM (
+        | SELECT 1 AS stage, 'signup' AS step, count(*) AS n FROM s1
+        | UNION ALL SELECT 2, 'click', count(*) FROM s2
+        | UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
 
     "events_cusum" ->
       """WITH d0 AS (SELECT event_type,

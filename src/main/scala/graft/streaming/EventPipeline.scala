@@ -292,6 +292,46 @@ object EventPipeline {
       .drop("__prev", "__brk")
   }
 
+  /** WITHIN-SESSION funnel: how many sessions reach each ordered step
+    * — the global funnel counts a signup on Monday converted by a
+    * purchase next month; product analytics usually wants the steps
+    * completed inside ONE visit. Sessions come from [[sessionized]]
+    * (gap rule), then each stage keeps the (user, session) pairs whose
+    * step event occurs STRICTLY AFTER the previous stage's first
+    * completion time, earliest occurrence winning.
+    *
+    * Shape: one sessionization window + per-stage (min-aggregate ⋈
+    * previous stage) on the (user, session) key — every join is
+    * key-local, each stage's relation only shrinks, nothing is
+    * driver-side. Output: (stage, step, n_sessions), stage 1..k. */
+  def sessionFunnel(events: DataFrame, gapNanos: Long,
+                    steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 funnel steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must differ")
+    val keys = Seq("user_id", "session_seq")
+    val sess = sessionized(events, gapNanos)
+      .select(col("user_id"), col("session_seq"), col("event_type"),
+        col("ts"))
+      .localCheckpoint()
+    var reached = sess.where(col("event_type") === steps.head)
+      .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t"))
+    val out = scala.collection.mutable.ArrayBuffer(
+      reached.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(1).as("stage"), lit(steps.head).as("step"),
+          col("n_sessions")))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      reached = sess.where(col("event_type") === st)
+        .join(reached.select(keys.map(col) :+ col("t").as("__pt"): _*),
+          keys)
+        .where(col("ts") > col("__pt"))
+        .groupBy(keys.map(col): _*).agg(min(col("ts")).as("t"))
+      out += reached.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(i + 2).as("stage"), lit(st).as("step"),
+          col("n_sessions"))
+    }
+    out.reduce(_ unionByName _).orderBy("stage")
+  }
+
   /** Behavioral transition matrix: counts of (previous event type →
     * event type) steps within each user's (ts, event_id)-ordered
     * timeline — the first-order Markov summary behind funnel discovery

@@ -352,4 +352,25 @@ class EventPipelineSpec extends AnyFunSuite {
       "click_ts", "purchase_ts", windowNs = 500L)
     assert(edge.count() === 0L)
   }
+  test("sessionFunnel counts only steps completed inside one session " +
+      "in strict order") {
+    import org.apache.spark.sql.functions.col
+    // user 1 session A: a(0) b(10) c(20) → full funnel;
+    // user 1 session B (gap 1000): a(2000) c(2010) → stalls at a
+    //   (no b; its c cannot skip the b stage);
+    // user 2: b before a in the same session → stalls at a;
+    // user 3: a then b in the NEXT session → b never counts
+    val ev = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 20L, "c"),
+      (4L, 1L, 2000L, "a"), (5L, 1L, 2010L, "c"),
+      (6L, 2L, 0L, "b"), (7L, 2L, 5L, "a"),
+      (8L, 3L, 0L, "a"), (9L, 3L, 2000L, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventPipeline.sessionFunnel(ev, gapNanos = 1000L,
+        steps = Seq("a", "b", "c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    // stage 1: sessions with an a = 1A, 1B, 2, 3(first) = 4
+    assert(got === Seq((1, "a", 4L), (2, "b", 1L), (3, "c", 1L)))
+  }
 }
