@@ -4500,6 +4500,25 @@ object SparkEntry {
         .transitionCounts(Tables.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // corpus version diff (SnapshotDiff.diffRows over content
+    // fingerprints + a per-source rollup): which sources churned
+    // between two corpus versions and HOW — adds (%11 slice enters),
+    // deletes (%7 slice leaves), updates (%5 texts rewritten) — the
+    // release report a recurring crawl publishes next to drift_psi
+    "corpus_version_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def fp(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      val v1 = fp(docs.where(expr("doc_id % 11 != 0")))
+      val v2 = fp(docs.where(expr("doc_id % 7 != 0"))
+        .withColumn("text",
+          when(expr("doc_id % 5 = 0"), concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))
+      graft.operators.SnapshotDiff.diff(v1, v2, Seq("doc_id", "source"))
+        .groupBy("source", "change").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "change")
+    }),
+
     // within-session funnel (EventPipeline.sessionFunnel): signup →
     // click → purchase completed inside ONE 30-minute-gap session,
     // stages chained by strictly-later first-completion times — the
@@ -8555,6 +8574,24 @@ object SparkEntry {
         | CAST(weight_ns AS BIGINT) AS weight_ns,
         | CAST((weight_ns * 1000000) // tot AS BIGINT) AS share_ppm
         |FROM t ORDER BY purchase_id, click_id""".stripMargin,
+
+    "corpus_version_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |v2 AS (SELECT doc_id, source,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |   ELSE text END) AS fp
+        | FROM documents WHERE doc_id % 7 <> 0),
+        |d AS (SELECT coalesce(v2.source, v1.source) AS source,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'insert'
+        |   WHEN v2.doc_id IS NULL THEN 'delete'
+        |   WHEN v1.fp <> v2.fp THEN 'update'
+        |   ELSE NULL END AS change
+        | FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        |  AND v1.source = v2.source)
+        |SELECT source, change, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d WHERE change IS NOT NULL
+        |GROUP BY source, change ORDER BY source, change""".stripMargin,
 
     "events_funnel_session" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
