@@ -2543,6 +2543,19 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // script-mix detection (TextAnalysis.scriptSignals): Unicode
+    // script-class counts + fixed-precedence dominant verdict over a
+    // fixture with Greek/Cyrillic passages injected on %13/%17 keys —
+    // the routing signal BEFORE any per-script language model
+    "text_scripts" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.scriptSignals(
+        Tables.documents(s, dir).withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            repeat(lit(" αβγδε εζηθι κλμνξ"), 40)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            repeat(lit(" пример текста"), 80)).otherwise(lit("")))))
+        .orderBy("doc_id")),
+
     "text_subwords" -> ((s, dir) =>
       TextAnalysis.subwordStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -6477,6 +6490,32 @@ object SparkEntry {
          |   ORDER BY score DESC, lang) AS rn FROM u) t
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+
+    "text_scripts" ->
+      """WITH p AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 13 = 0
+        |      THEN repeat(' αβγδε εζηθι κλμνξ', 40) ELSE '' END
+        |  || CASE WHEN doc_id % 17 = 0
+        |      THEN repeat(' пример текста', 80) ELSE '' END AS t
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g'))
+        |    AS BIGINT) AS n_latin,
+        |  CAST(length(regexp_replace(t, '[^\p{Greek}]', '', 'g'))
+        |    AS BIGINT) AS n_greek,
+        |  CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g'))
+        |    AS BIGINT) AS n_cyrillic,
+        |  CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g'))
+        |    AS BIGINT) AS n_han
+        | FROM p)
+        |SELECT doc_id, n_latin, n_greek, n_cyrillic, n_han,
+        | CASE WHEN n_latin >= n_greek AND n_latin >= n_cyrillic
+        |    AND n_latin >= n_han AND n_latin > 0 THEN 'latin'
+        |  WHEN n_greek >= n_cyrillic AND n_greek >= n_han
+        |    AND n_greek > 0 THEN 'greek'
+        |  WHEN n_cyrillic >= n_han AND n_cyrillic > 0 THEN 'cyrillic'
+        |  WHEN n_han > 0 THEN 'han' ELSE 'none' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_subwords" ->
       """SELECT doc_id,

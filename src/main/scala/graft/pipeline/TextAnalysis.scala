@@ -170,6 +170,35 @@ object TextAnalysis {
         lit(1000.0)).cast("long").as("flesch_x1000"))
   }
 
+  /** Script-mix detection — the multilingual curation signal the
+    * n-gram [[langId]] can't give: that model separates languages
+    * WITHIN a script family; a Cyrillic or CJK document defeats it
+    * outright, while Unicode script classes identify the writing
+    * system in one regex projection. Counts per major script + a
+    * fixed-precedence dominant verdict (ties break latin → greek →
+    * cyrillic → han; all-zero → none). Pure codegen regex projection,
+    * no shuffle. Route by `dominant` first, then run the per-script
+    * language model. */
+  def scriptSignals(docs: DataFrame,
+                    textCol: String = "text"): DataFrame = {
+    def cnt(cls: String): Column =
+      length(regexp_replace(col(textCol), s"[^\\p{Is$cls}]", ""))
+        .cast("long")
+    val latin = cnt("Latin")
+    val greek = cnt("Greek")
+    val cyr = cnt("Cyrillic")
+    val han = cnt("Han")
+    docs.select(col("doc_id"),
+      latin.as("n_latin"), greek.as("n_greek"),
+      cyr.as("n_cyrillic"), han.as("n_han"),
+      when(latin >= greek && latin >= cyr && latin >= han && latin > 0,
+        "latin")
+        .when(greek >= cyr && greek >= han && greek > 0, "greek")
+        .when(cyr >= han && cyr > 0, "cyrillic")
+        .when(han > 0, "han")
+        .otherwise("none").as("dominant"))
+  }
+
   /** Content fingerprint: 128-bit MD5 of the text (hex) plus a 64-bit
     * decimal prefix — the exact-dedup key. Identical in Spark and any SQL
     * engine, unlike engine-specific hash functions. A Karp–Rabin rolling

@@ -355,4 +355,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     // empty text clamps every count to 1: 206.835 − 1.015 − 84.6
     assert(got(2L) === ((1L, 1L, 1L, 121220L)))
   }
+  test("scriptSignals counts per Unicode script and routes by the " +
+      "fixed-precedence dominant verdict") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "καλημέρα κόσμε"),
+      (3L, "привет мир"),
+      (4L, "你好世界"),
+      (5L, "ab και мир"),    // latin 2, greek 3, cyrillic 3 → ties to
+                             // greek after latin loses (2 < 3)
+      (6L, "123 !!!"))       // no letters at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptSignals(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) === ((10L, 0L, 0L, 0L, "latin")))
+    assert(got(2L) === ((0L, 13L, 0L, 0L, "greek")))
+    assert(got(3L) === ((0L, 0L, 9L, 0L, "cyrillic")))
+    assert(got(4L) === ((0L, 0L, 0L, 4L, "han")))
+    assert(got(5L) === ((2L, 3L, 3L, 0L, "greek"))) // precedence tie
+    assert(got(6L) === ((0L, 0L, 0L, 0L, "none")))
+  }
 }
