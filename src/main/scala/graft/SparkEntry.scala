@@ -2622,6 +2622,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the scale path of quality_ccnet_buckets: per-language histogram
+    // boundaries (no per-language ntile sort — the head language of a
+    // crawl IS the corpus); tie classes stay whole at boundaries
+    "quality_ccnet_buckets_approx" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.qualityBucketsApprox(docs, docs, "lang", nBuckets = 3)
+        .orderBy("doc_id")
+    }),
+
     // multinomial Naive Bayes language classifier (the fastText-shaped
     // count model): train on even doc_ids labeled by lang, predict the
     // odd ones — integer-arithmetic fit scores so the argmax cannot
@@ -4738,6 +4747,18 @@ object SparkEntry {
         .select("doc_id", "n_chars", "bucket")
         .orderBy("doc_id")),
 
+    // the 100 TB-shaped twin of sample_curriculum: bucket boundaries
+    // from an integer score histogram (mergeable agg + domain-sized
+    // cumulative window + broadcast boundary array) instead of a
+    // global ntile sort; same md5 keep rule — the oracle replays the
+    // identical integer boundary arithmetic (k·cum >= i·n)
+    "sample_curriculum_approx" -> ((s, dir) =>
+      graft.pipeline.TrainingData.curriculumSampleApprox(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "doc_id", bucketWeights = Seq(32, 64, 128, 255))
+        .select("doc_id", "n_chars", "bucket")
+        .orderBy("doc_id")),
+
     // whole-document next-fit bin packing (TrainingData.binPack): each
     // doc lands WHOLE in a <= 512-token bin, docs in id order per
     // shard — the no-truncation counterpart of pack_sequences; the
@@ -6658,6 +6679,46 @@ object SparkEntry {
         |SELECT doc_id, lang, mean_p_x1e6,
         | CAST(ntile(3) OVER (PARTITION BY lang
         |   ORDER BY mean_p_x1e6 DESC, doc_id) AS BIGINT) AS bucket
+        |FROM sc CROSS JOIN guard WHERE guard.ok = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // same scoring chain as quality_ccnet_buckets, then per-language
+    // integer histogram boundaries (descending rank: b_i = max score
+    // whose descending cumulative count reaches i*n_lang/3) instead
+    // of ntile; bucket = 1 + #(boundaries strictly above the score)
+    "quality_ccnet_buckets_approx" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4095 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |bg AS (SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+        | FROM tok, generate_series(1, 4096) AS i(i)
+        | WHERE i.i + 1 <= len(ts)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(ts) AS t FROM tok)),
+        |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  sum((1000000 * (c12 + 1)) // (c1 + v.v)) AS sum_p
+        | FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        | GROUP BY bg.doc_id),
+        |sc AS (SELECT d.doc_id, d.lang,
+        |  CAST(CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0
+        |    ELSE pd.sum_p // pd.n_bigrams END AS BIGINT) AS mean_p_x1e6
+        | FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |hist AS (SELECT lang, mean_p_x1e6 AS s, count(*) AS c
+        |  FROM sc GROUP BY 1, 2),
+        |cum AS (SELECT lang, s,
+        |  sum(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cc,
+        |  sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+        |bounds AS (SELECT lang, i.i AS i, max(s) AS b FROM cum
+        |  CROSS JOIN generate_series(1, 2) AS i(i)
+        |  WHERE cc * 3 >= i.i * n GROUP BY 1, 2)
+        |SELECT sc.doc_id, sc.lang, sc.mean_p_x1e6,
+        | CAST(1 + (SELECT count(*) FROM bounds
+        |   WHERE bounds.lang = sc.lang AND sc.mean_p_x1e6 < bounds.b)
+        |   AS BIGINT) AS bucket
         |FROM sc CROSS JOIN guard WHERE guard.ok = 1
         |ORDER BY doc_id""".stripMargin,
 
@@ -8939,6 +9000,28 @@ object SparkEntry {
         |    AS bucket
         | FROM documents)
         |SELECT doc_id, n_chars, bucket FROM t
+        |WHERE substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE bucket WHEN 1 THEN '20' WHEN 2 THEN '40'
+        |    WHEN 3 THEN '80' ELSE 'ff' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // integer histogram boundaries: b_i = min score whose cumulative
+    // count reaches i*n/4 (exact integer cross-multiply), bucket =
+    // 1 + #(boundaries strictly below the score)
+    "sample_curriculum_approx" ->
+      """WITH hist AS (SELECT n_chars AS s, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cc,
+        |  sum(c) OVER () AS n FROM hist),
+        |bounds AS (SELECT i.i AS i, min(s) AS b FROM cum
+        |  CROSS JOIN generate_series(1, 3) AS i(i)
+        |  WHERE cc * 4 >= i.i * n GROUP BY 1),
+        |t AS (SELECT doc_id, n_chars,
+        |  1 + (SELECT count(*) FROM bounds WHERE b < d.n_chars)
+        |    AS bucket
+        | FROM documents d)
+        |SELECT doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket
+        |FROM t
         |WHERE substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 2) <
         |  CASE bucket WHEN 1 THEN '20' WHEN 2 THEN '40'
         |    WHEN 3 THEN '80' ELSE 'ff' END

@@ -526,7 +526,10 @@ object TextAnalysis {
     * Shape: the scoring passes of [[bigramLmScores]] plus ONE window
     * per language partition over a three-column relation (id, lang,
     * score) — the window sorts within languages only, never globally,
-    * and the text column never reaches it. */
+    * and the text column never reaches it. CAUTION: at corpus scale
+    * the HEAD language's partition is itself corpus-sized (a web crawl
+    * is mostly English), so this exact path is a single-task sort of
+    * billions of rows there — use [[qualityBucketsApprox]] at scale. */
   def qualityBuckets(train: DataFrame, docs: DataFrame,
                      langCol: String = "lang",
                      nBuckets: Int = 3): DataFrame = {
@@ -537,6 +540,29 @@ object TextAnalysis {
       .orderBy(col("mean_p_x1e6").desc, col("doc_id"))
     scored.select(col("doc_id"), col(langCol), col("mean_p_x1e6"),
       ntile(nBuckets).over(w).cast("long").as("bucket"))
+  }
+
+  /** The 100 TB path of [[qualityBuckets]]: the same per-language
+    * CCNet terciles, but bucket boundaries come from
+    * [[TrainingData.equalFreqBucket]]'s per-language integer score
+    * histogram (mergeable aggregate + domain-sized cumulative window +
+    * broadcast boundary arrays) instead of a per-language `ntile` —
+    * so the head language never becomes a single-task corpus sort.
+    * The LM score is already integer fixed-point (×1e6, ≤1e6 distinct
+    * values), which bounds the histogram by construction. Divergence
+    * vs the exact path is boundary-frontier only: a score-tie class
+    * straddling a tercile boundary stays whole here (descending rank:
+    * bucket 1 = best fit), and ntile's remainder rows may sit one
+    * bucket over. */
+  def qualityBucketsApprox(train: DataFrame, docs: DataFrame,
+                           langCol: String = "lang",
+                           nBuckets: Int = 3): DataFrame = {
+    val scored = bigramLmScores(train, docs)
+      .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+      .select(col("doc_id"), col(langCol), col("mean_p_x1e6"))
+    TrainingData.equalFreqBucket(scored, "mean_p_x1e6", Seq(langCol),
+        nBuckets, descending = true)
+      .select(col("doc_id"), col(langCol), col("mean_p_x1e6"), col("bucket"))
   }
 
   /** Top-k characteristic keywords per document by smoothed TF-IDF:

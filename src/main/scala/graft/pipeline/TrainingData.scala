@@ -465,11 +465,13 @@ object TrainingData {
     * and keep w/256 of bucket i by the [[mixtureSample]] md5 idiom —
     * "sample more of the high-quality tail, keep a thin slice of the
     * rest", the quality-curriculum primitive over any score (bigram-LM
-    * fit, NB posterior, quality signals). The ntile window is the one
-    * global sort; at 100 TB swap the exact ntile for approx-quantile
-    * BOUNDARIES broadcast as a literal (same md5 keep rule, frontier
-    * rows may land one bucket over — the documented trade). Selection
-    * stays a pure function of (id, bucket): rerun/repartition-stable.
+    * fit, NB posterior, quality signals). The ntile window is ONE
+    * GLOBAL SORT — every row through one task — so this exact path is
+    * for sub-corpus inputs only; at scale use
+    * [[curriculumSampleApprox]], the same contract over histogram
+    * boundaries (frontier rows may land one bucket over — the
+    * documented trade). Selection stays a pure function of
+    * (id, bucket): rerun/repartition-stable.
     * Output: input rows + (bucket) for the survivors. */
   def curriculumSample(df: DataFrame, scoreCol: String, idCol: String,
                        bucketWeights: Seq[Int]): DataFrame = {
@@ -487,6 +489,86 @@ object TrainingData {
     df.withColumn("bucket",
         ntile(bucketWeights.length).over(w).cast("long"))
       .where(b < thresh)
+  }
+
+  /** Equal-frequency bucket assignment WITHOUT a corpus-row sort — the
+    * 100 TB-shaped twin of an `ntile` window. Shape: ONE mergeable
+    * aggregate builds an integer histogram over the DISTINCT score
+    * values (per group when `groupCols` is non-empty), a cumulative
+    * window runs over that histogram — domain-sized, never row-sized;
+    * integer fixed-point scores bound it by construction — and the
+    * k−1 boundary scores (min/max score whose cumulative count reaches
+    * i·n/k, in exact integer arithmetic `k·cum ≥ i·n`) are broadcast
+    * back as a per-group array. Bucket = 1 + #(boundaries strictly
+    * inside the score), so every row of a score-tie class lands in the
+    * SAME bucket — the one documented divergence from `ntile`, which
+    * splits boundary ties by id: populations are equal only up to the
+    * straddling tie class (plus ntile's remainder placement). No value
+    * ever reaches the driver; everything is plan-side and
+    * engine-portable (the DuckDB oracle replays the identical integer
+    * histogram). Callers with unbounded-domain scores coarsen the
+    * score column upstream (e.g. `score div g`) to bound the
+    * histogram. `descending=true` ranks high scores into bucket 1. */
+  private[pipeline] def equalFreqBucket(df: DataFrame, scoreCol: String,
+      groupCols: Seq[String], k: Int, descending: Boolean): DataFrame = {
+    require(k >= 1, s"equalFreqBucket: need k >= 1, got $k")
+    val grp = groupCols.map(col)
+    val hist = df
+      .groupBy((grp :+ col(scoreCol).cast("long").as("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val ord = if (descending) col("__s").desc else col("__s").asc
+    val wCum = (if (groupCols.isEmpty) Window.orderBy(ord)
+                else Window.partitionBy(grp: _*).orderBy(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = if (groupCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(grp: _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+    val bounds = cum
+      .withColumn("__i", explode(array((1 until k).map(lit(_)): _*)))
+      .where(col("__cum") * k >= col("__i") * col("__n"))
+      .groupBy((grp :+ col("__i")): _*)
+      .agg((if (descending) max(col("__s")) else min(col("__s"))).as("__b"))
+    val bArr =
+      if (groupCols.isEmpty) bounds.groupBy().agg(collect_list(col("__b")).as("__bs"))
+      else bounds.groupBy(grp: _*).agg(collect_list(col("__b")).as("__bs"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bArr))
+      else df.join(broadcast(bArr), groupCols)
+    val cmp = if (descending) "<" else ">"
+    joined
+      .withColumn("bucket", expr(
+        s"1 + aggregate(__bs, 0, (a, x) -> " +
+        s"a + if(cast(`$scoreCol` as bigint) $cmp x, 1, 0))").cast("long"))
+      .drop("__bs")
+  }
+
+  /** The 100 TB path of [[curriculumSample]]: identical md5 keep rule
+    * and bucket-weight contract, but buckets come from
+    * [[equalFreqBucket]]'s histogram boundaries instead of a global
+    * `ntile` sort — no corpus-sized single-task window anywhere in the
+    * plan. Divergence vs the exact path is confined to boundary
+    * FRONTIER rows: a score-tie class straddling a boundary stays
+    * whole here (ntile splits it by id), and ntile's remainder rows
+    * (n mod k, one per early bucket) may sit one bucket over. Both
+    * paths select by the same pure function of (id, bucket), so any
+    * row bucketed identically is kept identically. */
+  def curriculumSampleApprox(df: DataFrame, scoreCol: String, idCol: String,
+                             bucketWeights: Seq[Int]): DataFrame = {
+    require(bucketWeights.nonEmpty &&
+      bucketWeights.forall(w => w >= 0 && w <= 255),
+      "bucket weights are w/256 with w in 0..255, lowest-score bucket first")
+    def hex(w: Int): String = f"$w%02x"
+    val bucketed = equalFreqBucket(df, scoreCol, Seq.empty,
+      bucketWeights.length, descending = false)
+    val b = substring(
+      md5(concat(lit("cur:"), col(idCol).cast("string")).cast("binary")), 1, 2)
+    val thresh = bucketWeights.zipWithIndex.foldLeft(lit("00")) {
+      case (acc, (wt, i)) =>
+        when(col("bucket") === (i + 1), lit(hex(wt))).otherwise(acc)
+    }
+    bucketed.where(b < thresh)
   }
 
   /** DUPLICATION-AWARE downsampling — the consumer
