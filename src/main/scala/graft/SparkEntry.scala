@@ -267,6 +267,7 @@ object SparkEntry {
   private val sq8Dir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val rebalDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val rebalOutDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val rebalPartDir = scala.collection.concurrent.TrieMap.empty[String, String]
   // (path, pre-compact live hits, codes files before, after)
   private val compactMemo = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[(Long, Double)], Long, Long)]
@@ -1790,6 +1791,71 @@ object SparkEntry {
       s.range(1).select(
         lit(nNew - nOldLive).cast("long").as("n_total_diff"),
         when(lit(after < before), 1L).otherwise(0L).as("flattened"),
+        lit(nHits).cast("long").as("n_hits"))
+    }),
+
+    // CELL-TARGETED drift repair (the nightly-maintenance twin of
+    // ann_rebalance): skew a store the same way, then
+    // rebalanceStorePartial re-fits ONLY the hot+donor cells in place.
+    // Invariants: every live row survives with the same id multiset,
+    // cell imbalance strictly drops, every untouched cell's files are
+    // content-identical (SHA-256 over bytes), and the repaired store
+    // still answers k rows.
+    "ann_rebalance_partial" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, _) = fittedIndex(s, dir)
+      val src = rebalPartDir.getOrElseUpdate(dir, newStoreDir("graft_rebal_part"))
+      IvfPqBuilder.save(model,
+        IvfPqBuilder.encode(model, emb, "vec_id", "embedding"), src)
+      val base = queryVec(s, dir, 0L)
+      val nClones = emb.count() / 2
+      val clones = s.range(nClones).select(
+        (col("id") + 10000000L).as("vec_id"),
+        transform(zip_with(typedlit(base.toSeq),
+            graft.functions.FastFunctions.pseudoRandomVec(col("id"),
+              base.length, 2024L),
+            (a, b) => a + b * abs(a) * lit(0.5)),
+          x => x.cast("float")).as("embedding"))
+      IvfPqBuilder.appendToStore(model, clones, "vec_id", "embedding", src)
+      def imbalance(): Double = {
+        val counts = IvfPqBuilder.cellHistogram(s, src)
+          .collect().map(_.getLong(1))
+        counts.max / (counts.sum.toDouble / model.config.numPartitions)
+      }
+      def codesHashes(): Map[String, String] = {
+        val root = new org.apache.hadoop.fs.Path(s"$src/codes")
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(root, true)
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val in = fs.open(f)
+          val bytes = try in.readAllBytes() finally in.close()
+          b += f.toString -> java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bytes).map("%02x".format(_)).mkString
+        }
+        b.result()
+      }
+      val before = imbalance()
+      val hashesBefore = codesHashes()
+      val liveBefore = IvfPqBuilder.load(s, src)._2.count()
+      val (_, refreshed) = IvfPqBuilder.rebalanceStorePartial(s, src)
+      val hashesAfter = codesHashes()
+      val touched = refreshed.map(c => s"/partition=$c/").toSet
+      val untouchedOk = refreshed.nonEmpty && hashesBefore.forall {
+        case (f, h) => touched.exists(f.contains) ||
+          hashesAfter.get(f).contains(h)
+      }
+      val (mNew, codesNew) = IvfPqBuilder.load(s, src)
+      val nNew = codesNew.count()
+      val after = imbalance()
+      val nHits = AnnQuery.topK(codesNew, mNew, base.map(_.toDouble),
+        k = 10, nprobe = 4).count()
+      s.range(1).select(
+        lit(nNew - liveBefore).cast("long").as("n_total_diff"),
+        when(lit(refreshed.nonEmpty && after < before), 1L)
+          .otherwise(0L).as("flattened"),
+        when(lit(untouchedOk), 1L).otherwise(0L).as("untouched_ok"),
         lit(nHits).cast("long").as("n_hits"))
     }),
 
@@ -4388,6 +4454,19 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // bucketed-EMD t-closeness (Privacy.tClosenessBuckets): the
+    // scale-safe numeric variant — the RAW account balance folds into
+    // width-1000 buckets inside the operator, so the groups×categories
+    // grid is bounded by the bucket count, never the distinct values;
+    // same exact-integer cross-multiplied EMD as privacy_t_closeness
+    "privacy_t_closeness_bucketed" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal", floor(col("c_acctbal")).cast("long"))
+      graft.pipeline.Privacy.tClosenessBuckets(
+          c, Seq("c_nationkey"), "bal", tX1e6 = 35000L, bucketWidth = 1000L)
+        .orderBy("c_nationkey")
+    }),
+
     // l-diversity audit (Privacy.lDiversityGroups): a k-anonymous
     // group is still unsafe when it is HOMOGENEOUS in the sensitive
     // attribute — here the width-2000 account-balance band must take
@@ -5987,6 +6066,12 @@ object SparkEntry {
     "ann_rebalance" ->
       """SELECT CAST(0 AS BIGINT) AS n_total_diff,
         | CAST(1 AS BIGINT) AS flattened,
+        | CAST(10 AS BIGINT) AS n_hits""".stripMargin,
+
+    "ann_rebalance_partial" ->
+      """SELECT CAST(0 AS BIGINT) AS n_total_diff,
+        | CAST(1 AS BIGINT) AS flattened,
+        | CAST(1 AS BIGINT) AS untouched_ok,
         | CAST(10 AS BIGINT) AS n_hits""".stripMargin,
 
     "pipeline_vector_end_to_end" ->
@@ -8444,6 +8529,39 @@ object SparkEntry {
       """WITH b AS (SELECT c_nationkey AS q,
         |  CAST(floor(c_acctbal) AS BIGINT)
         |   - ((CAST(floor(c_acctbal) AS BIGINT) % 2000 + 2000) % 2000)
+        |   AS v
+        | FROM customer),
+        |gl AS (SELECT v, count(*) AS a FROM b GROUP BY v),
+        |g2 AS (SELECT v, a,
+        |  sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cuma,
+        |  sum(a) OVER () AS n_total, count(*) OVER () AS m FROM gl),
+        |grp AS (SELECT q, count(*) AS n FROM b GROUP BY q),
+        |cnts AS (SELECT q, v, count(*) AS g FROM b GROUP BY q, v),
+        |grid AS (SELECT grp.q, grp.n, g2.v, g2.cuma, g2.n_total, g2.m,
+        |  coalesce(cnts.g, 0) AS g
+        | FROM grp CROSS JOIN g2
+        | LEFT JOIN cnts ON cnts.q = grp.q AND cnts.v = g2.v),
+        |c AS (SELECT q, n, n_total, m, v, cuma,
+        |  sum(g) OVER (PARTITION BY q ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS cumg
+        | FROM grid),
+        |e AS (SELECT q, n, n_total, m,
+        |  CAST(sum(abs(cumg * n_total - cuma * n)) AS BIGINT) AS emd_num
+        | FROM c GROUP BY q, n, n_total, m)
+        |SELECT q AS c_nationkey, CAST(n AS BIGINT) AS n,
+        | CAST(m AS BIGINT) AS n_values, emd_num,
+        | CAST(CASE WHEN m <= 1 THEN 1
+        |  WHEN emd_num * 1000000 <= 35000 * n * n_total * (m - 1)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS is_t_close
+        |FROM e ORDER BY c_nationkey""".stripMargin,
+
+    // identical EMD chain to privacy_t_closeness, with v pre-folded
+    // into width-1000 buckets by the same floor-mod rule
+    "privacy_t_closeness_bucketed" ->
+      """WITH b AS (SELECT c_nationkey AS q,
+        |  CAST(floor(c_acctbal) AS BIGINT)
+        |   - ((CAST(floor(c_acctbal) AS BIGINT) % 1000 + 1000) % 1000)
         |   AS v
         | FROM customer),
         |gl AS (SELECT v, count(*) AS a FROM b GROUP BY v),

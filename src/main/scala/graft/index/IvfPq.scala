@@ -629,6 +629,167 @@ object IvfPqBuilder {
     newModel
   }
 
+  /** CELL-TARGETED partial rebalance — the nightly-maintenance twin of
+    * [[rebalanceStore]]: where the blue/green path re-fits and rewrites
+    * the WHOLE store, this repairs drift confined to a few cells by
+    * touching only those cells' files, in place. At 100 TB that is the
+    * difference between re-encoding everything and a job bounded by the
+    * drifted region.
+    *
+    * Mechanics: cells whose live count exceeds `factorX100`/100 × the
+    * mean are HOT (exact integer compare `cnt·100·P > factor·n`); an
+    * equal number of the EMPTIEST cells join them as capacity donors.
+    * The hot∪donor ("refresh") region's vectors are reconstructed
+    * ([[graft.functions.Kernels.pqReconstructF]]) through a
+    * partition-pruned scan, a local k-means over a capped sample
+    * (the [[IvfPqConfig.trainPointsPerCentroid]] discipline) re-fits
+    * exactly |refresh| centroids, and the region's vectors are
+    * reassigned AMONG THE REFRESHED CENTROIDS ONLY and re-encoded
+    * against the unchanged PQ codebooks. Confining reassignment to the
+    * refreshed centroids is what keeps every untouched cell's files
+    * byte-identical — no row can migrate into a cold cell — and it is
+    * sound because cell membership affects only which probes see a
+    * vector, not its distance math; the refreshed centroids cover the
+    * drifted region by construction.
+    *
+    * Writes (all under the same maintenance lock as [[compactStore]]):
+    * a dynamic-partition-overwrite of exactly the refresh cell
+    * directories, deletion of refresh dirs left with zero rows, then
+    * the centroids table and a rebuilt stats sidecar. The artifact
+    * writes are not mutually atomic; a crash mid-sequence is repaired
+    * by re-running the operation or falling back to the blue/green
+    * [[rebalanceStore]]. The manifest (P, D, C, dim) never changes.
+    *
+    * Returns the refreshed model and the refreshed cell ids (empty ⇒
+    * the store was already balanced and nothing was written). */
+  def rebalanceStorePartial(spark: SparkSession, path: String,
+                            factorX100: Long = 200L,
+                            log: String => Unit = _ => ()): (IvfPqModel, Seq[Int]) = {
+    import spark.implicits._
+    require(factorX100 > 100L,
+      s"imbalance factor must exceed 1.0 (100), got $factorX100")
+    val (model, live) = load(spark, path)
+    val p = model.config.numPartitions
+    val countMap = live.groupBy("partition").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val histo = Array.tabulate(p)(i => countMap.getOrElse(i, 0L))
+    val n = histo.sum
+    val hot = (0 until p).filter(i => histo(i) * 100L * p > factorX100 * n)
+    if (hot.isEmpty || n == 0L) {
+      log("rebalance-partial: no cell above threshold; store untouched")
+      return (model, Seq.empty)
+    }
+    // donor count sized by the region's MASS, not the hot-cell count:
+    // after the re-split each refresh cell carries ~regionMass/k rows,
+    // so k must be at least regionMass/(factor×mean) for the result to
+    // clear the threshold — ×2 headroom for k-means imperfection and
+    // the (small) mass the donors themselves contribute
+    val hotMass = hot.map(histo).sum
+    val neededK = ((2L * hotMass * 100L * p + factorX100 * n - 1L) /
+      (factorX100 * n)).toInt
+    val donors = (0 until p).filterNot(hot.contains)
+      .sortBy(i => (histo(i), i))
+      .take(math.max(hot.size, neededK - hot.size))
+    val refresh = (hot ++ donors).sorted
+    log(s"rebalance-partial: hot cells ${hot.mkString(",")} " +
+      s"(max ${hot.map(histo).max} vs mean ${n / p}), donors " +
+      s"${donors.mkString(",")} — re-encoding ${refresh.map(histo).sum} " +
+      s"of $n rows")
+
+    // reconstruct ONLY the refresh region (partition-pruned scan);
+    // checkpointed because it feeds both the train sample and the
+    // reassignment pass
+    val centLit = typedlit(model.partitionCentroids.map(_.toSeq).toSeq)
+    val cbLit = litDoubles(model.codebooks.flatten.flatten)
+    val recon = live
+      .where(col("partition").isin(refresh.map(Integer.valueOf): _*))
+      .select(col("id"),
+        graft.functions.FastFunctions.pqReconstructF(
+          element_at(centLit, col("partition").cast("int") + 1),
+          col("codes"), cbLit, model.config.numCodes).as("vec"))
+      .localCheckpoint()
+
+    // capped local k-means over the region: k = |refresh| new centroids
+    val k = refresh.size
+    val nRegion = refresh.map(histo).sum
+    val cap = model.config.trainPointsPerCentroid.toLong * k
+    val trainVecs = (if (model.config.trainPointsPerCentroid > 0 && cap < nRegion)
+        recon.sample(withReplacement = false,
+          cap.toDouble / nRegion, model.config.seed)
+      else recon)
+      .select("vec").as[Array[Float]].collect()
+    require(trainVecs.length >= k,
+      s"rebalance-partial: region sample has ${trainVecs.length} vectors " +
+        s"< $k refresh cells — k-means needs n >= k")
+    val regionFit = LocalKMeans.fit(trainVecs, k, model.config.maxIter,
+      model.config.tol, model.config.seed, init = "kmeans++")
+    val newCents = model.partitionCentroids.map(_.clone())
+    refresh.zipWithIndex.foreach { case (cell, j) =>
+      newCents(cell) = regionFit.centroids(j)
+    }
+    val newModel = model.copy(partitionCentroids = newCents)
+
+    // reassign among the refreshed centroids only, then re-encode the
+    // residuals against the UNCHANGED codebooks — one narrow projection
+    val refreshArr = refresh.toArray
+    val flatSub = litDoubles(refreshArr.flatMap(newCents(_)))
+    val mapLit = typedlit(refreshArr.toSeq)
+    // untouched cells' sidecar rows survive verbatim (the sidecar
+    // tracks codes-table totals, tombstoned rows included, so live
+    // counts would desync it); captured before any write
+    val sideMap = cellHistogram(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val reEnc = encodeResiduals(newModel, recon
+        .withColumn("__li", nearestCentroidL2(col("vec"), flatSub))
+        .withColumn("partition",
+          element_at(mapLit, col("__li").cast("int") + 1))
+        .withColumn("residual",
+          graft.functions.FastFunctions.subCentroidF(
+            col("vec"), flatSub, col("__li")))
+        .select(col("id"), col("partition"), col("residual")))
+      .select("id", "partition", "codes")
+      .localCheckpoint()
+    val newCellCounts = reEnc.groupBy("partition")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // install: overwrite exactly the refresh dirs that received rows…
+    val prevMode = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode").orNull
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try reEnc.write.mode(SaveMode.Overwrite)
+      .partitionBy("partition").parquet(s"$path/codes")
+    finally
+      if (prevMode == null)
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      else spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // …and drop refresh dirs whose rows all moved elsewhere (a stale
+    // dir would resurrect pre-rebalance encodings of migrated ids)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refresh.filterNot(newCellCounts.contains).foreach { cell =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/codes/partition=$cell"), true)
+    }
+
+    // refreshed centroids + a stats sidecar rebuilt from exact counts
+    // (untouched cells keep their live counts, refresh cells get the
+    // recomputed ones) — no rescan of the codes table
+    newCents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("partition", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    val statRows = (0 until p).map { i =>
+      if (refresh.contains(i)) i -> newCellCounts.getOrElse(i, 0L)
+      else i -> sideMap.getOrElse(i, 0L)
+    }.filter(_._2 > 0L)
+    statRows.toDF("partition", "cnt")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    log(s"rebalance-partial: rewrote ${refresh.size} of $p cell dirs " +
+      s"in place; centroids + stats refreshed")
+    (newModel, refresh)
+  }
+
   /** Minimal flat-JSON int-field extractor (manifest only; avoids deps). */
   private def ujsonLite(s: String): Map[String, Int] =
     """"(\w+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)

@@ -103,37 +103,99 @@ object Privacy {
     * the quasi key; the global cumulative window runs on the
     * DOMAIN-sized value list (same documented single-partition bound
     * as [[Sketches.quantilesFromHistogram]]). NULL sensitive values
-    * are excluded on both sides.
+    * are excluded on both sides. This contract fits CATEGORICAL
+    * sensitive attributes; for high-cardinality numeric columns use
+    * [[tClosenessBuckets]], which bounds the grid by a bucket width.
     *
     * Output: quasi cols + n (group size) + n_values (m) + emd_num +
     * is_t_close. */
   def tClosenessGroups(df: DataFrame, quasiCols: Seq[String],
                        sensitiveCol: String, tX1e6: Long): DataFrame = {
+    tClosenessGuards(quasiCols, sensitiveCol, tX1e6)
+    val qs = quasiCols.map(col)
+    val base = df.where(col(sensitiveCol).isNotNull)
+      .select(qs :+ col(sensitiveCol).cast("long").as("v"): _*)
+    tClosenessFromCells(
+      base.groupBy(qs :+ col("v"): _*).agg(count(lit(1)).as("cnt")),
+      quasiCols, tX1e6)
+  }
+
+  /** BUCKETED t-closeness for NUMERIC sensitive columns — the
+    * scale-safe variant when the sensitive domain is high-cardinality
+    * (raw salaries, balances, ages in days): [[tClosenessGroups]]
+    * grids groups × every DISTINCT value, correct for categorical
+    * domains but corpus-shaped when the domain is effectively
+    * continuous. Here the sensitive value folds into fixed-width
+    * buckets first ([[generalized]]'s floor-mod rule, engine-exact for
+    * negatives), and the SAME exact-integer EMD runs over bucket
+    * categories — the grid is groups × (domain span / width), bounded
+    * by the caller's width choice, and the ground distance becomes one
+    * bucket step, the standard histogram-EMD trade. Equivalent by
+    * construction to running [[tClosenessGroups]] on a pre-bucketed
+    * column (spec-pinned). */
+  def tClosenessBuckets(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, tX1e6: Long,
+                        bucketWidth: Long): DataFrame = {
+    tClosenessGuards(quasiCols, sensitiveCol, tX1e6)
+    require(bucketWidth >= 1, s"bucket width must be >= 1, got $bucketWidth")
+    val qs = quasiCols.map(col)
+    val base = df.where(col(sensitiveCol).isNotNull)
+      .select(qs :+ generalized(col(sensitiveCol).cast("long"),
+        bucketWidth).as("v"): _*)
+    tClosenessFromCells(
+      base.groupBy(qs :+ col("v"): _*).agg(count(lit(1)).as("cnt")),
+      quasiCols, tX1e6)
+  }
+
+  /** t-closeness from MERGEABLE per-cell counts — the state form
+    * shared with [[Drift.ksFromHistograms]]: `cells` is
+    * (quasi…, v, cnt), additive under union (shards/days merge by
+    * summing counts per (quasi, v) — done here defensively), so the
+    * audit composes with incremental pipelines that maintain cell
+    * histograms instead of rescanning rows. [[tClosenessGroups]] and
+    * [[tClosenessBuckets]] both delegate to this core. */
+  def tClosenessFromCellCounts(cells: DataFrame, quasiCols: Seq[String],
+                               sensitiveCol: String,
+                               tX1e6: Long): DataFrame = {
+    tClosenessGuards(quasiCols, sensitiveCol, tX1e6)
+    val qs = quasiCols.map(col)
+    tClosenessFromCells(
+      cells.where(col(sensitiveCol).isNotNull)
+        .select(qs ++ Seq(col(sensitiveCol).cast("long").as("v"),
+          col("cnt").cast("long").as("cnt")): _*)
+        .groupBy(qs :+ col("v"): _*).agg(sum(col("cnt")).as("cnt")),
+      quasiCols, tX1e6)
+  }
+
+  private def tClosenessGuards(quasiCols: Seq[String],
+                               sensitiveCol: String, tX1e6: Long): Unit = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")
     require(!quasiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
     require(tX1e6 >= 0, s"t_x1e6 must be >= 0, got $tX1e6")
-    val reserved = Seq("v", "a", "g", "n", "m", "cuma", "cumg",
+    val reserved = Seq("v", "a", "g", "n", "m", "cnt", "cuma", "cumg",
       "n_total", "n_values", "emd_num", "is_t_close")
     val clash = quasiCols.filter(reserved.contains)
     require(clash.isEmpty,
       s"quasi columns ${clash.mkString(", ")} collide with " +
-        s"tClosenessGroups' internal/output names (${reserved.mkString(", ")}) — rename them first")
+        s"t-closeness internal/output names (${reserved.mkString(", ")}) — rename them first")
+  }
+
+  /** Shared exact-integer EMD core over (quasi…, v, cnt) cells. */
+  private def tClosenessFromCells(cells: DataFrame, quasiCols: Seq[String],
+                                  tX1e6: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qs = quasiCols.map(col)
-    val base = df.where(col(sensitiveCol).isNotNull)
-      .select(qs :+ col(sensitiveCol).cast("long").as("v"): _*)
     // global ordered histogram with cumulative counts (domain-sized)
     val wAll = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val glob = base.groupBy("v").agg(count(lit(1)).as("a"))
+    val glob = cells.groupBy("v").agg(sum(col("cnt")).as("a"))
       .withColumn("cuma", sum(col("a")).over(wAll))
       .withColumn("n_total", sum(col("a")).over())
       .withColumn("m", count(lit(1)).over())
     // groups × global values grid, group counts filled with zeros
-    val groups = base.groupBy(qs: _*).agg(count(lit(1)).as("n"))
-    val cnts = base.groupBy(qs :+ col("v"): _*)
-      .agg(count(lit(1)).as("g"))
+    val groups = cells.groupBy(qs: _*).agg(sum(col("cnt")).as("n"))
+    val cnts = cells.select(qs ++ Seq(col("v"), col("cnt").as("g")): _*)
     val wGrp = Window.partitionBy(quasiCols.map(col): _*).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     groups.crossJoin(glob)

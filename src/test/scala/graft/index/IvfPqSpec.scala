@@ -547,6 +547,101 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceStorePartial: hot cells split in place, cold files byte-identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rebal_part").toString
+    def fileHashes(): Map[String, String] = {
+      val root = new java.io.File(s"$dir/codes")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getPath -> IvfPqBuilder.sha256Hex(new String(
+          java.util.Base64.getEncoder.encode(bytes),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }.toMap
+    }
+    try {
+      val (m8, enc8) = IvfPqBuilder.fit(df, "id", "vec", dim,
+        IvfPqConfig(numPartitions = 8, numDivisions = 4, numCodes = 16,
+          maxIter = 20))
+      IvfPqBuilder.save(m8, enc8, dir)
+      val hot = data.head._2
+      val rnd = new scala.util.Random(5)
+      val batch = Seq.tabulate(400)(i => ((20000 + i).toLong,
+        hot.map(v => v + rnd.nextGaussian().toFloat * 1f)))
+        .toDF("id", "vec")
+      IvfPqBuilder.appendToStore(m8, batch, "id", "vec", dir)
+      def imbalance(): Double = {
+        val counts = IvfPqBuilder.cellHistogram(spark, dir)
+          .collect().map(_.getLong(1))
+        counts.max / (counts.sum.toDouble / 8)
+      }
+      val before = imbalance()
+      assert(before > 2.0, s"fixture not drifted enough: $before")
+      val hashesBefore = fileHashes()
+      val idsBefore = IvfPqBuilder.load(spark, dir)._2
+        .select("id").as[Long].collect().sorted.toSeq
+      val log = scala.collection.mutable.ArrayBuffer.empty[String]
+      val (m2, refreshed) =
+        IvfPqBuilder.rebalanceStorePartial(spark, dir, 200L, log.append(_))
+      assert(refreshed.nonEmpty, "drifted store produced no hot cells")
+      assert(log.exists(_.contains("rebalance-partial")))
+      // cold cells' files byte-identical; every changed/removed file
+      // sits under a refreshed cell directory
+      val touched = refreshed.map(c => s"partition=$c" +
+        java.io.File.separator).toSet
+      val hashesAfter = fileHashes()
+      hashesBefore.foreach { case (f, h) =>
+        if (!touched.exists(f.contains))
+          assert(hashesAfter.get(f).contains(h), s"untouched file $f changed")
+      }
+      hashesAfter.keys.filterNot(hashesBefore.contains).foreach { f =>
+        assert(touched.exists(f.contains) || f.endsWith("_SUCCESS"),
+          s"new file $f outside every refreshed cell")
+      }
+      // rows preserved exactly (same id multiset)
+      val idsAfter = IvfPqBuilder.load(spark, dir)._2
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(idsAfter === idsBefore)
+      // imbalance strictly reduced; refreshed centroids differ, cold
+      // centroids bit-identical
+      assert(imbalance() < before, s"imbalance not reduced: $before")
+      (0 until 8).foreach { c =>
+        if (refreshed.contains(c))
+          assert(!m2.partitionCentroids(c).sameElements(m8.partitionCentroids(c)))
+        else
+          assert(m2.partitionCentroids(c) === m8.partitionCentroids(c))
+      }
+      // the reloaded store agrees with the returned model and answers
+      val (mL, codesL) = IvfPqBuilder.load(spark, dir)
+      (0 until 8).foreach { c =>
+        assert(mL.partitionCentroids(c) === m2.partitionCentroids(c)) }
+      val hits = AnnQuery.topK(codesL, mL, hot.map(_.toDouble).toArray, 10, 3)
+        .collect().map(_.getLong(0))
+      assert(hits.length === 10)
+      assert(hits.count(h => h >= 20000L || h < 50L) >= 8,
+        s"hot-region query lost its neighborhood: ${hits.toSeq}")
+      // the maintenance loop converges: repeated passes reach a store
+      // with no cell above threshold within a few rounds, and the
+      // fixpoint pass is a no-op that writes nothing
+      var rounds = 0
+      while (rounds < 5 &&
+          IvfPqBuilder.rebalanceStorePartial(spark, dir, 200L)._2.nonEmpty)
+        rounds += 1
+      assert(rounds < 5, "partial rebalance did not converge in 5 rounds")
+      val hashes2 = fileHashes()
+      val (_, refreshed2) = IvfPqBuilder.rebalanceStorePartial(spark, dir, 200L)
+      assert(refreshed2.isEmpty, s"balanced store still flagged $refreshed2")
+      assert(fileHashes() === hashes2, "no-op pass modified the store")
+      assert(IvfPqBuilder.load(spark, dir)._2
+        .select("id").as[Long].collect().sorted.toSeq === idsBefore)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("reconcileStats: detects a desynced sidecar and re-backfills it") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_recon").toString

@@ -91,6 +91,40 @@ class PrivacySpec extends AnyFunSuite {
       .collect().map(_.getInt(4)).toSeq === Seq(1, 1))
   }
 
+  test("tClosenessBuckets == tClosenessGroups over a pre-bucketed column; " +
+      "cell-count form merges shards exactly") {
+    // high-cardinality numeric sensitive values, incl. negatives
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map(i =>
+      (i, (i % 4) * 10L, rnd.nextInt(20001) - 10000L))
+    val df = rows.toDF("id", "zip", "salary")
+    val w = 1000L
+    val viaBuckets = Privacy.tClosenessBuckets(df, Seq("zip"), "salary",
+      tX1e6 = 100000L, bucketWidth = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    val viaPre = Privacy.tClosenessGroups(
+      df.withColumn("salary_b", Privacy.generalized(col("salary"), w)),
+      Seq("zip"), "salary_b", tX1e6 = 100000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(viaBuckets === viaPre)
+    // the grid is bounded by the bucket count, not the distinct values
+    assert(viaBuckets.forall(_._3 <= 21L))
+    // mergeable state: per-shard cell histograms summed == whole-table
+    val cellsA = df.where(col("id") % 2 === 0)
+      .select(col("zip"), Privacy.generalized(col("salary"), w).as("vb"))
+      .groupBy("zip", "vb").agg(count(lit(1)).as("cnt"))
+    val cellsB = df.where(col("id") % 2 === 1)
+      .select(col("zip"), Privacy.generalized(col("salary"), w).as("vb"))
+      .groupBy("zip", "vb").agg(count(lit(1)).as("cnt"))
+    val merged = Privacy.tClosenessFromCellCounts(
+      cellsA.unionByName(cellsB), Seq("zip"), "vb", tX1e6 = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(merged === viaBuckets)
+  }
+
   test("generalized banding is integer-exact (negatives included) and " +
       "coarsening strictly grows groups") {
     val bands = people.select(Privacy.generalized(col("age"), 10L)
