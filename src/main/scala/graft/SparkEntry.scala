@@ -980,10 +980,13 @@ object SparkEntry {
     // (the raw column is TIMESTAMP(NANOS); DuckDB reads it at µs).
     // rolling 7-day distinct actives (the WAU metric): observed days
     // broadcast onto the per-(day, user) distinct relation via the
-    // band predicate, one exact distinct count per window
+    // band predicate, one exact distinct count per window; ts truncated
+    // to µs like every other events gate so day bucketing is
+    // bit-identical to the µs oracle engine
     "events_rolling_active" -> ((s, dir) =>
       graft.streaming.EventPipeline.rollingActiveUsers(
-          Tables.events(s, dir), "ts", "user_id", windowDays = 7)
+          Tables.events(s, dir).withColumn("ts", col("ts") - col("ts") % 1000),
+          "ts", "user_id", windowDays = 7)
         .orderBy("day")),
 
     // regular-grid resampling with forward fill: each user's event
@@ -2897,6 +2900,20 @@ object SparkEntry {
         "p_size", "cents")
         .orderBy("p_partkey")),
 
+    // 3-D Pareto frontier (Skyline.frontierND): grid-partitioned
+    // dominance pruning (per-dim histogram buckets, metadata-sized
+    // cell pruning) then the exact check only inside interacting cell
+    // pairs; the oracle is brute-force NOT EXISTS dominance
+    "rel_skyline_3d" -> ((s, dir) =>
+      graft.operators.Skyline.frontierND(
+        Tables.load(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"),
+          floor(col("p_retailprice") * 100).cast("long").as("cents"),
+          length(col("p_name")).cast("long").as("name_len")),
+        Seq("p_size", "cents", "name_len"))
+        .select("p_partkey", "p_size", "cents", "name_len")
+        .orderBy("p_partkey")),
+
     // corpus vocabulary by document frequency, top-100 by (df desc, tok)
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.topVocabulary(Tables.documents(s, dir), k = 100, minDf = 2)
@@ -3258,6 +3275,20 @@ object SparkEntry {
       graft.query.TextSearch.fuzzySearch(post,
           post.select("tok").distinct(), "doc_id",
           Seq("tabl", "filtr"), maxDist = 1)
+        .limit(50)
+    }),
+
+    // transposition-tolerant fuzzy search: the same vocab expansion
+    // under Damerau-Levenshtein — the planted typos "tabel"/"fitler"
+    // are adjacent transpositions of real vocab tokens (plain
+    // levenshtein scores them 2, outside maxDist=1; DL charges 1),
+    // so this gate finds documents the plain metric provably cannot
+    "search_fuzzy_dl" -> ((s, dir) => {
+      val post = graft.query.TextSearch.postings(
+        Tables.documents(s, dir), "doc_id", "text").localCheckpoint()
+      graft.query.TextSearch.fuzzySearch(post,
+          post.select("tok").distinct(), "doc_id",
+          Seq("tabel", "fitler"), maxDist = 1, metric = "damerau")
         .limit(50)
     }),
 
@@ -6904,6 +6935,19 @@ object SparkEntry {
         |   * 1000000.0) AS BIGINT) AS contrib_x1e6
         |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "rel_skyline_3d" ->
+      """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        | FROM part)
+        |SELECT p_partkey, p_size, cents, name_len FROM b q
+        |WHERE NOT EXISTS (SELECT 1 FROM b p
+        | WHERE p.p_size >= q.p_size AND p.cents >= q.cents
+        |  AND p.name_len >= q.name_len
+        |  AND (p.p_size > q.p_size OR p.cents > q.cents
+        |   OR p.name_len > q.name_len))
+        |ORDER BY p_partkey""".stripMargin,
+
     "rel_skyline" ->
       """WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
         |  CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
@@ -7401,6 +7445,35 @@ object SparkEntry {
         |  (SELECT DISTINCT doc_id, tok, tf FROM m) GROUP BY doc_id)
         |SELECT nq.doc_id, n_query_terms, tf_total
         |FROM nq JOIN tf USING (doc_id)
+        |ORDER BY n_query_terms DESC, tf_total DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
+
+    // DuckDB's damerau_levenshtein is the TRUE (unrestricted) DL, the
+    // same contract as the Spark kernel (link_damerau pins parity);
+    // a planted guard row proves the expansion is non-vacuous
+    "search_fuzzy_dl" ->
+      """WITH post AS (SELECT tok, doc_id, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents) GROUP BY tok, doc_id),
+        |vocab AS (SELECT DISTINCT tok FROM post),
+        |guard AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM vocab
+        |   WHERE damerau_levenshtein(tok, 'tabel') <= 1) THEN 1
+        |  ELSE CAST(error('no vocab token within DL 1 of tabel') AS
+        |   INTEGER) END AS ok),
+        |q(q) AS (VALUES ('tabel'), ('fitler')),
+        |e AS (SELECT tok, q FROM vocab, q
+        | WHERE abs(length(tok) - length(q)) <= 1
+        |  AND damerau_levenshtein(tok, q) <= 1),
+        |m AS (SELECT p.doc_id, p.tok, p.tf, e.q
+        | FROM post p JOIN e USING (tok)),
+        |nq AS (SELECT doc_id,
+        |  CAST(count(DISTINCT q) AS BIGINT) AS n_query_terms
+        | FROM m GROUP BY doc_id),
+        |tf AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total FROM
+        |  (SELECT DISTINCT doc_id, tok, tf FROM m) GROUP BY doc_id)
+        |SELECT nq.doc_id, n_query_terms, tf_total
+        |FROM nq JOIN tf USING (doc_id) CROSS JOIN guard
+        |WHERE guard.ok = 1
         |ORDER BY n_query_terms DESC, tf_total DESC, doc_id ASC
         |LIMIT 50""".stripMargin,
 

@@ -99,22 +99,6 @@ object Profile {
           .as("null_frac_changed"))
   }
 
-  /** Exact Pearson correlation COMPONENTS between two integral
-    * columns — the profiling statistic `corr()` computes in floats
-    * (order-dependent, engine-flaky) expressed instead as exact
-    * integer moment sums:
-    *
-    *   cov_num  = n·Σxy − Σx·Σy
-    *   varx_num = n·Σx² − (Σx)²,  vary_num = n·Σy² − (Σy)²
-    *   r² = cov_num² / (varx_num · vary_num)
-    *
-    * The sums fold in 64-bit and the cross-products in decimal(38,0)
-    * (sum order is irrelevant for integers, so the result is
-    * bit-identical on any partitioning/engine); only the final r²
-    * ratio drops to one fixed-association double chain, floor-scaled
-    * ×1e6, NULL when either variance is zero. Convert money to
-    * cents/bands first — the integral contract is what buys the
-    * exactness. One map-side-combined aggregate; one row out. */
   /** Mutual information between two DISCRETE columns — the
     * general-dependence complement to [[corrExact]]'s linear Pearson
     * (MI sees the U-shaped and categorical relationships r² scores as
@@ -146,6 +130,22 @@ object Profile {
         lit(1e6)).cast("long"))
   }
 
+  /** Exact Pearson correlation COMPONENTS between two integral
+    * columns — the profiling statistic `corr()` computes in floats
+    * (order-dependent, engine-flaky) expressed instead as exact
+    * integer moment sums:
+    *
+    *   cov_num  = n·Σxy − Σx·Σy
+    *   varx_num = n·Σx² − (Σx)²,  vary_num = n·Σy² − (Σy)²
+    *   r² = cov_num² / (varx_num · vary_num)
+    *
+    * The sums fold in 64-bit and the cross-products in decimal(38,0)
+    * (sum order is irrelevant for integers, so the result is
+    * bit-identical on any partitioning/engine); only the final r²
+    * ratio drops to one fixed-association double chain, floor-scaled
+    * ×1e6, NULL when either variance is zero. Convert money to
+    * cents/bands first — the integral contract is what buys the
+    * exactness. One map-side-combined aggregate; one row out. */
   def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)

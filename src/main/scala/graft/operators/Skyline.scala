@@ -39,4 +39,79 @@ object Skyline {
       .where(col(yCol) === col("__ymax"))
       .drop("__ymax")
   }
+
+  /** d-DIMENSIONAL Pareto frontier — the general form [[frontier2D]]'s
+    * running-max trick cannot express past two dimensions. Dominance:
+    * p dominates q iff p ≥ q on EVERY listed column with at least one
+    * strict; all columns maximize (negate to minimize); rows with any
+    * NULL dimension are dropped; exact duplicates across all
+    * dimensions dominate neither and all survive.
+    *
+    * Shape (grid-partitioned dominance pruning, the BNL→grid
+    * refinement of Börzsönyi et al. 2001 for a cluster): each
+    * dimension is cut into ≤`gridBuckets` equal-frequency cells by
+    * [[graft.pipeline.TrainingData.equalFreqBucket]]'s histogram
+    * boundaries (mergeable aggregate + domain-sized window — no
+    * corpus sort), giving every row an integer grid coordinate. The
+    * non-empty cell list is metadata-sized (≤ gridBuckets^d, and
+    * ≤ the row count): a cell is PRUNED when some other non-empty
+    * cell's open lower corner dominates its closed upper corner
+    * (∀i aᵢ−1 ≥ bᵢ — every point there beats every point here
+    * strictly on all dims), which discards the dominated bulk without
+    * a single row comparison. The exact check then runs only inside
+    * cell PAIRS that can still interact (∀i aᵢ ≥ bᵢ, self-pairs
+    * included): candidates join through the broadcast pair relation
+    * and dominated rows anti-join out. Worst case (fully
+    * anti-correlated data, skyline ≈ corpus) degrades to the
+    * quadratic check every exact skyline has — the grid bounds the
+    * damage to interacting cell pairs. */
+  def frontierND(df: DataFrame, dimCols: Seq[String],
+                 gridBuckets: Int = 16): DataFrame = {
+    require(dimCols.size >= 2, "skyline needs at least two dimensions")
+    require(dimCols.distinct.size == dimCols.size,
+      s"duplicate dimension in ${dimCols.mkString(", ")}")
+    require(gridBuckets >= 2, s"gridBuckets must be >= 2, got $gridBuckets")
+    require(math.pow(gridBuckets.toDouble, dimCols.size.toDouble) <= 16384.0,
+      s"grid too fine: $gridBuckets^${dimCols.size} cells exceed the " +
+        "16384-cell driver bound — lower gridBuckets for high dimension " +
+        "counts (the pruning loop is quadratic in non-empty cells)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gCols = dimCols.indices.map(i => s"__g$i")
+    val base0 = df.where(dimCols.map(col(_).isNotNull).reduce(_ && _))
+    val gridded = dimCols.zipWithIndex.foldLeft(base0) {
+      case (acc, (d, i)) =>
+        graft.pipeline.TrainingData
+          .equalFreqBucket(acc, d, Seq.empty, gridBuckets,
+            descending = false)
+          .withColumnRenamed("bucket", s"__g$i")
+    }.localCheckpoint()
+    val cells = gridded.groupBy(gCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => gCols.indices.map(i => r.getLong(i)).toVector)
+    // driver-side cell pruning + interacting-pair derivation —
+    // both loops are over the non-empty cell list, never rows
+    val kept = cells.filterNot(b => cells.exists(a =>
+      a.indices.forall(i => a(i) - 1 >= b(i))))
+    val pairs = (for {
+      a <- kept; b <- kept
+      if a.indices.forall(i => a(i) >= b(i))
+    } yield (a.mkString(","), b.mkString(","))).toSeq
+      .toDF("__ca", "__cb")
+    val cellKey = concat_ws(",", gCols.map(col): _*)
+    val keptDf = gridded
+      .withColumn("__cell", cellKey)
+      .where(col("__cell").isin(kept.map(_.mkString(",")): _*))
+    val left = keptDf.select(
+      (dimCols.map(d => col(d).as(s"__a_$d")) :+ col("__cell").as("__ca")): _*)
+    val dominated = keptDf
+      .join(broadcast(pairs), col("__cell") === col("__cb"))
+      .join(left, Seq("__ca"))
+    val geAll = dimCols.map(d => col(s"__a_$d") >= col(d)).reduce(_ && _)
+    val gtAny = dimCols.map(d => col(s"__a_$d") > col(d)).reduce(_ || _)
+    val dominatedKeys = dominated.where(geAll && gtAny)
+      .select(gCols.map(col) ++ dimCols.map(col): _*).distinct()
+    keptDf.join(dominatedKeys, (gCols ++ dimCols).toSeq, "left_anti")
+      .drop((gCols :+ "__cell"): _*)
+  }
 }

@@ -278,10 +278,16 @@ object Sketches {
 
   /** F₂ estimate from a finished state: mean of the per-sketch squares
     * (all-integer: floor division by the sketch count). One row:
-    * (f2_est, n_sketches). Relative std-error ≈ √(2/numSketches). */
+    * (f2_est, n_sketches). Relative std-error ≈ √(2/numSketches).
+    * Each square widens to decimal(20,0) before summing — |s_sum| can
+    * reach the row count, so the 64-bit square wraps past ~3e9 rows
+    * (the same bound [[f2Exact]] widens for); the final estimate still
+    * lands in a BIGINT because the mean of squares is ≤ the true F₂
+    * magnitude the exact path already promises fits. */
   def f2FromState(state: DataFrame): DataFrame =
     state.agg(
-      expr("CAST(sum(s_sum * s_sum) div count(*) AS BIGINT)").as("f2_est"),
+      expr("CAST(sum(CAST(s_sum AS DECIMAL(20,0)) * s_sum) " +
+        "div count(*) AS BIGINT)").as("f2_est"),
       count(lit(1)).as("n_sketches"))
 
   // ------------------------------------------------------- heavy hitters

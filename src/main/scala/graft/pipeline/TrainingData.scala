@@ -509,7 +509,7 @@ object TrainingData {
     * histogram). Callers with unbounded-domain scores coarsen the
     * score column upstream (e.g. `score div g`) to bound the
     * histogram. `descending=true` ranks high scores into bucket 1. */
-  private[pipeline] def equalFreqBucket(df: DataFrame, scoreCol: String,
+  private[graft] def equalFreqBucket(df: DataFrame, scoreCol: String,
       groupCols: Seq[String], k: Int, descending: Boolean): DataFrame = {
     require(k >= 1, s"equalFreqBucket: need k >= 1, got $k")
     val grp = groupCols.map(col)

@@ -71,19 +71,37 @@ object TextSearch {
     * broadcast of almost nothing against a vocabulary-sized scan. The
     * expanded term set then drives ONE posting-relation semi-join —
     * posting-sized shuffle, identical to exact search. Returns
-    * (doc, n_query_terms matched, tf_total) sorted best-first. */
+    * (doc, n_query_terms matched, tf_total) sorted best-first.
+    *
+    * `metric` picks the edit distance: "levenshtein" (default; the
+    * early-exit 3-arg built-in) or "damerau"
+    * ([[graft.functions.FastFunctions.damerauLevenshtein]]) — under
+    * plain Levenshtein a TRANSPOSITION typo ("tabel" for "table")
+    * costs 2 and escapes a maxDist=1 expansion; Damerau-Levenshtein
+    * charges it 1, the classic typo-tolerance win. The length-band
+    * prefilter is valid for both (a transposition never changes
+    * length). */
   def fuzzySearch(post: DataFrame, vocab: DataFrame, idCol: String,
-                  terms: Seq[String], maxDist: Int): DataFrame = {
+                  terms: Seq[String], maxDist: Int,
+                  metric: String = "levenshtein"): DataFrame = {
     val ts = terms.distinct
     require(ts.nonEmpty, "empty term list")
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val spark = post.sparkSession
     import spark.implicits._
     val q = ts.toDF("q")
+    val withinDist = metric match {
+      case "levenshtein" => levenshtein(col("tok"), col("q"), maxDist) >= 0
+      case "damerau" =>
+        graft.functions.FastFunctions
+          .damerauLevenshtein(col("tok"), col("q")) <= maxDist
+      case other => throw new IllegalArgumentException(
+        s"fuzzySearch metric must be levenshtein or damerau, got $other")
+    }
     val expanded = vocab.select(col("tok"))
       .crossJoin(broadcast(q))
       .where(abs(length(col("tok")) - length(col("q"))) <= maxDist &&
-        levenshtein(col("tok"), col("q"), maxDist) >= 0)
+        withinDist)
     val matches = post.join(expanded, Seq("tok"))
     // a token within range of TWO query terms counts once toward tf
     // (distinct (doc, tok)) but credits both terms' coverage
