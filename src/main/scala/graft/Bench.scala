@@ -136,8 +136,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // stage breakdown for the suite's heaviest composite (the build
+    // "stages" pattern): one instrumented pass OUTSIDE the timed suite,
+    // so a pipeline_end_to_end regression localizes to its stage
+    val pipelineField =
+      if (only.forall(_.contains("pipeline_end_to_end"))) {
+        sweepLeftovers()
+        val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val stageRe = """^(\S+) (\d+(?:\.\d+)?) s$""".r
+        val t0 = System.nanoTime()
+        val df = SparkEntry.pipelineEndToEnd(spark, sfDir, {
+          case stageRe(name, sec) => stages(name) = sec.toDouble
+          case _ => ()
+        })
+        val tR = System.nanoTime()
+        df.count()
+        stages("invariant-report") = (System.nanoTime() - tR) / 1e9
+        stages("total") = (System.nanoTime() - t0) / 1e9
+        s""","pipeline_stages":""" + stages
+          .map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      } else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$buildField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$buildField$pipelineField}"""
     println(line)
     // sbt prefixes stdout with [info], which breaks line-oriented JSON
     // scraping — also persist to a file the driver can read directly.

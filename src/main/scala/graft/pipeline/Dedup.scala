@@ -777,10 +777,7 @@ object Dedup {
     // windows whose string occurs in >= 2 distinct docs (cross-doc
     // duplication; a window repeated only within one doc is repetition,
     // not duplication — TextAnalysis.repetitionSignals covers that)
-    val dupH = wins.groupBy("h")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .where(col("mn") < col("mx"))
-      .select("h")
+    val dupH = dupWindowHashes(wins)
     val dup = wins.join(dupH, "h").select("doc_id", "pos")
     // gap-and-island: consecutive duplicated positions share one island
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -921,6 +918,35 @@ object Dedup {
       .where(col("n_shared_windows") > 0)
   }
 
+  /** The cross-document duplicated-window-hash relation shared by
+    * [[duplicateSpans]] and [[removeDuplicateSpans]]: hashes whose
+    * window string occurs in ≥ 2 distinct documents, MATERIALIZED
+    * (localCheckpoint — the aggregate runs once, not once per
+    * consumer), counted, and broadcast when the measured size allows.
+    *
+    * The aggregate groups ~|tokens| mostly-singleton keys; at the
+    * session's default reducer count each final hash map holds
+    * groups/P entries and spills past executor memory (measured at
+    * 10M docs / 430M windows: 32 reducers spill and cost 106 s; 256
+    * reducers fit and cost 40 s). The explicit repartition on h
+    * widens the aggregation to 4 reducers per input split — sized to
+    * the data, not the session default — and doubles as the exchange
+    * the groupBy needs anyway, so no extra shuffle is introduced. */
+  private def dupWindowHashes(wins: DataFrame): DataFrame = {
+    val aggParts = math.max(
+      wins.sparkSession.sessionState.conf.numShufflePartitions,
+      wins.queryExecution.toRdd.getNumPartitions * 4)
+    val dupH = wins.repartition(aggParts, col("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") < col("mx"))
+      .select("h")
+      .localCheckpoint()
+    // ≤ 20M distinct duplicated hashes (~160 MB of longs) broadcast;
+    // an adversarially duplicated corpus falls back to the hash join
+    if (dupH.count() <= 20000000L) broadcast(dupH) else dupH
+  }
+
   /** Span-level substring REMOVAL — the transform [[duplicateSpans]]
     * only measures (Lee et al. 2022's ExactSubstr-style dedup, the
     * n-gram-window formulation): every token covered by a cross-document
@@ -930,21 +956,28 @@ object Dedup {
     * choice; compose with [[winnowedPairs]]/keepBest upstream when one
     * canonical copy should survive.
     *
-    * Scale shape: candidate generation is the same fixed-width
-    * (h, doc_id, pos) relation as [[duplicateSpans]] (text never
-    * shuffles); the per-doc drop set is doc-length-bounded and joins
-    * back onto intact rows (AQE-broadcastable); the strip itself is one
-    * positional higher-order filter projection. Untouched documents
-    * pass through VERBATIM (no retokenization). */
+    * Scale shape: the corpus tokenizes twice (both passes project the
+    * fixed-width (h, doc_id, pos) window relation) but SHUFFLES at most
+    * once. Materializing the window relation instead was tried and
+    * REJECTED both ways at 10M docs: a window over the hash partition
+    * forces a full sort (157 → 217 s), and localCheckpointing the
+    * exploded relation writes ~10 GB of blocks to dodge a cheap codegen
+    * projection (157 → 400 s) — recompute wins. What IS persisted is
+    * the small side ([[dupWindowHashes]]): the duplicated-hash set is
+    * materialized once with a data-sized aggregation width, counted,
+    * and the join strategy chosen from that MEASURED size (the
+    * lshStrategyFor discipline) — below the broadcast bound the
+    * covered-position pass is shuffle-free, so the only shuffle in the
+    * whole job is the dup-hash aggregate's. The per-doc drop set is
+    * doc-length-bounded; the strip is one positional higher-order
+    * filter projection; untouched documents pass through VERBATIM (no
+    * retokenization). 10M-doc probe: 157 s (r8) → 96 s. */
   def removeDuplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val toks = split(col("text"), " ")
     val wins = docs.select(col("doc_id"),
       posexplode(shingleHashes(toks, n)).as(Seq("pos", "h")))
-    val dupH = wins.groupBy("h")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .where(col("mn") < col("mx"))
-      .select("h")
-    val covered = wins.join(dupH, "h")
+    val dupSide = dupWindowHashes(wins)
+    val covered = wins.join(dupSide, "h")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
       .groupBy("doc_id")

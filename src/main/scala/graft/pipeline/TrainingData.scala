@@ -376,9 +376,12 @@ object TrainingData {
     * text. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    val bg = bench
+    // explicit hint: the docstring's no-train-side-shuffle promise must
+    // not depend on Catalyst's size estimate for a derived aggregate
+    // (it has none and would plan a shuffle join)
+    val bg = broadcast(bench
       .select(explode(ngramFingerprints(col(textCol), n)).as("g"))
-      .distinct()
+      .distinct())
     train
       .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
       .join(bg, "g")

@@ -30,15 +30,22 @@ object TextScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // token j of doc i = "w" + ((i·31 + j·7919) mod 50000): ~50k-term
-    // vocabulary with per-doc drift, fully codegen, rerun-stable
-    val docs = spark.range(n).repartition(64)
-      .select(col("id").as("doc_id"),
-        expr("concat_ws(' ', transform(sequence(0, 49), " +
-          "j -> concat('w', cast((id * 31 + j * 7919) % 50000 as string))))")
-          .as("text"),
-        expr("concat('s', cast(id % 5 as string))").as("source"))
-      .cache()
-    docs.count()
+    // vocabulary with per-doc drift, fully codegen, rerun-stable.
+    // LAZY: probes that synthesize their own corpus (span removal,
+    // winnowing) must not pay for — or lose execution memory to — a
+    // multi-GB cached relation they never read (measured: the resident
+    // cache alone pushed the 10M span-removal probe 93 → 150 s)
+    lazy val docs = {
+      val d = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 49), " +
+            "j -> concat('w', cast((id * 31 + j * 7919) % 50000 as string))))")
+            .as("text"),
+          expr("concat('s', cast(id % 5 as string))").as("source"))
+        .cache()
+      d.count()
+      d
+    }
 
     def timed(name: String)(f: => Long): Unit =
       if (filter.isEmpty || filter.exists(name.contains)) {
