@@ -1408,6 +1408,37 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // driver-local warm serving path (query/LocalServe): the pinned-cell
+    // in-process query loop that closes the reference's one remaining
+    // win — warm single-query latency (1.48 ms vs the ~100 ms Spark job
+    // floor; ServeProbe measures 1.0 ms p50 at the reference's own
+    // 100k×1536 K=10 nprobe=5 shape). The invariant is EXACT parity:
+    // same ids, same partitions, BIT-IDENTICAL sq_dist, same
+    // (sq_dist, id) order as AnnQuery.topK on the same saved store,
+    // over three queries × (k=10, nprobe=4)
+    "ann_local_serve" -> ((s, dir) => {
+      val path = storedIndexPath(s, dir)
+      val (model, codes) = IvfPqBuilder.load(s, path)
+      val serve = graft.query.LocalServe.fromStore(s, path)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val local = serve.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(local, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
     // OPQ index (beyond-reference codec family): product quantization
     // behind a LEARNED orthonormal rotation of the residuals (Ge et al.,
     // CVPR 2013 — trained by alternating warm-started codebook fits with
@@ -6020,6 +6051,11 @@ object SparkEntry {
 
     "ann_ivfpq_stored" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_local_serve" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 

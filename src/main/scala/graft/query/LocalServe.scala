@@ -1,0 +1,178 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.{IvfPqBuilder, IvfPqModel}
+
+/** Driver-local WARM-PATH serving over loaded IVF+PQ cells — the one
+  * axis where the reference's in-process query loop beats a cluster:
+  * a warm single query answers in ~1.5 ms in-memory
+  * (reference/src/db/stored.rs:513-532) while any Spark job pays a
+  * ~100 ms scheduling floor regardless of data size. This class closes
+  * that gap WITHOUT touching cluster semantics: the model artifacts
+  * (centroids + codebooks) are driver-resident by design already, and a
+  * serving box additionally pins the code arrays of the cells it
+  * serves. Everything here reuses the cluster path's arithmetic —
+  * [[AnnQuery.selectPartitions]] for cell choice, [[AnnQuery.adcTable]]
+  * for table build, and an ADC fold in the same index order as
+  * [[graft.functions.Kernels.adcDist]] — so results are IDENTICAL to
+  * [[AnnQuery.topK]] on the same store (asserted by the
+  * `ann_local_serve` gate and LocalServeSpec).
+  *
+  * Scale contract (loud): [[LocalServe.fromStore]] collect()s the code
+  * rows of the requested cells to the driver — ~(4·D + 8) bytes per
+  * vector (e.g. 56 MB per 1M vectors at D = 12). That is the SERVING
+  * TIER's residency budget, the same deliberate driver-residency class
+  * as k-means training samples: a box serves the cells it holds, a
+  * fleet shards cells across boxes, and the batch/cluster paths
+  * ([[AnnQuery.batchTopK]] and friends) remain the throughput surface.
+  * This path exists for LATENCY, not throughput.
+  */
+final class LocalServe private (
+    val model: IvfPqModel,
+    cellIds: Map[Int, Array[Long]],
+    cellCodes: Map[Int, Array[Int]]) {
+
+  /** Cells resident on this server. */
+  def cells: Seq[Int] = cellIds.keys.toSeq.sorted
+
+  /** Total resident vectors. */
+  def size: Long = cellIds.valuesIterator.map(_.length.toLong).sum
+
+  /** Warm top-k: (id, partition, sq_dist) ascending by (sq_dist, id) —
+    * the exact ordering contract of [[AnnQuery.topK]]'s
+    * `orderBy(sq_dist, id).limit(k)`. Probed cells not resident on this
+    * server throw (a sharded fleet routes by cell; silently skipping
+    * cells would silently change results). */
+  def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = AnnQuery.selectPartitions(model, q, nprobe)
+    val missing = probes.map(_._1).filterNot(cellIds.contains)
+    require(missing.isEmpty,
+      s"probed cells not resident on this server: ${missing.mkString(",")}" +
+        s" (resident: ${cells.mkString(",")})")
+    val d = model.config.numDivisions
+    val numCodes = model.config.numCodes
+    // ADC tables in parallel across (cell, division) — the table build
+    // is ~P_nprobe·D·C·subdim flops and dominates warm latency (3.0 ms
+    // sequential vs ~0.15 ms for everything else at the reference's
+    // 100k×1536 shape); each (d, c) entry's arithmetic is UNCHANGED
+    // from AnnQuery.adcTable, so sq_dist stays bit-identical to the
+    // cluster path. Futures over the shared global pool: ~60 tasks of
+    // ~65k flops each, far above dispatch cost.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val m = model.subDim
+    val flats: Array[Array[Double]] = {
+      val futs = probes.map { case (_, localized) =>
+        val flat = new Array[Double](d * numCodes)
+        Future.sequence((0 until d).map { div =>
+          Future {
+            val cbs = model.codebooks(div)
+            var c = 0
+            while (c < numCodes) {
+              val cb = cbs(c)
+              var i = 0; var s = 0.0
+              while (i < m) { // same fold as AnnQuery.adcTable
+                val diff = localized(div * m + i) - cb(i)
+                s += diff * diff
+                i += 1
+              }
+              flat(div * numCodes + c) = s
+              c += 1
+            }
+          }
+        }).map(_ => flat)
+      }
+      Await.result(Future.sequence(futs.toSeq), Duration.Inf).toArray
+    }
+    // bounded top-k over all probed cells: a size-k max-heap on
+    // (sq_dist desc, id desc) so the worst survivor is evicted first
+    val heap = new java.util.PriorityQueue[(Long, Int, Double)](
+      math.max(k, 1),
+      (a: (Long, Int, Double), b: (Long, Int, Double)) => {
+        val c = java.lang.Double.compare(b._3, a._3)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    probes.zipWithIndex.foreach { case ((cell, _), pi) =>
+      val flat = flats(pi)
+      val ids = cellIds(cell)
+      val codes = cellCodes(cell)
+      var r = 0
+      while (r < ids.length) {
+        val base = r * d
+        var i = 0
+        var s = 0.0
+        while (i < d) { // identical fold order to Kernels.adcDist
+          s += flat(i * numCodes + codes(base + i))
+          i += 1
+        }
+        if (heap.size < k) heap.add((ids(r), cell, s))
+        else {
+          val worst = heap.peek()
+          if (s < worst._3 || (s == worst._3 && ids(r) < worst._1)) {
+            heap.poll(); heap.add((ids(r), cell, s))
+          }
+        }
+        r += 1
+      }
+    }
+    val out = new Array[(Long, Int, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+    out
+  }
+}
+
+object LocalServe {
+
+  /** Load a saved store's model and pin the requested cells' code
+    * arrays driver-side (all cells when `cells` is empty — tests and
+    * single-box serving). Integrity discipline is [[IvfPqBuilder.load]]'s
+    * (manifest + SHA-256); the cell read is the same pruned
+    * `partition IN` scan the cluster query path plans, so only the
+    * served cells' files are touched. */
+  def fromStore(spark: SparkSession, path: String,
+                cells: Seq[Int] = Seq.empty): LocalServe = {
+    val (model, codes) = IvfPqBuilder.load(spark, path)
+    val pruned =
+      if (cells.isEmpty) codes
+      else codes.where(col("partition").isin(cells: _*))
+    fromCodes(model, pruned)
+  }
+
+  /** Pin an already-loaded (id, partition, codes) relation. The
+    * collect() is the serving-tier residency contract documented on the
+    * class — callers prune to the cells this box serves FIRST. */
+  def fromCodes(model: IvfPqModel,
+                codes: org.apache.spark.sql.DataFrame): LocalServe = {
+    val d = model.config.numDivisions
+    val rows = codes.select(col("partition").cast("int"),
+        col("id").cast("long"), col("codes"))
+      .collect()
+    val byCell = rows.groupBy(_.getInt(0))
+    val ids = byCell.map { case (cell, rs) =>
+      // deterministic intra-cell order (scan order is not)
+      val sorted = rs.sortBy(_.getLong(1))
+      cell -> sorted.map(_.getLong(1))
+    }
+    val packed = byCell.map { case (cell, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val flat = new Array[Int](sorted.length * d)
+      var r = 0
+      while (r < sorted.length) {
+        val cs = sorted(r).getSeq[Int](2)
+        require(cs.length == d,
+          s"codes row has ${cs.length} divisions, model has $d")
+        var i = 0
+        while (i < d) { flat(r * d + i) = cs(i); i += 1 }
+        r += 1
+      }
+      cell -> flat
+    }
+    new LocalServe(model, ids, packed)
+  }
+}

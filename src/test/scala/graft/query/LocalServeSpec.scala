@@ -1,0 +1,79 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.{IvfPqBuilder, IvfPqConfig}
+
+/** Driver-local serving parity: LocalServe.query must return EXACTLY
+  * what AnnQuery.topK returns on the same store — same ids, same
+  * partitions, bit-identical sq_dist, same (sq_dist, id) ordering —
+  * across queries, k, and nprobe. */
+class LocalServeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val config =
+    IvfPqConfig(numPartitions = 4, numDivisions = 4, numCodes = 16,
+      maxIter = 20)
+
+  private lazy val data: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val blobs = Seq.tabulate(4)(_ => Array.fill(dim)(rnd.nextDouble() * 20 - 10))
+    for {
+      (blob, b) <- blobs.zipWithIndex
+      seed <- 0 until 10
+      seedVec = blob.map(v => v + rnd.nextGaussian() * 0.8)
+      clone <- 0 until 5
+    } yield (((b * 10 + seed) * 5 + clone).toLong,
+      seedVec.map(v => (v + rnd.nextGaussian() * 0.02).toFloat).toSeq)
+  }
+
+  private lazy val df = data.toDF("id", "vec")
+  private lazy val (model, encoded) =
+    IvfPqBuilder.fit(df, "id", "vec", dim, config)
+  private lazy val storeDir = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
+    IvfPqBuilder.save(model, encoded, dir)
+    dir
+  }
+
+  test("parity with AnnQuery.topK across queries, k, nprobe") {
+    val (loaded, codes) = IvfPqBuilder.load(spark, storeDir)
+    val serve = LocalServe.fromStore(spark, storeDir)
+    assert(serve.size === data.length)
+    for {
+      qid <- Seq(0L, 57L, 123L, 199L)
+      (k, nprobe) <- Seq((5, 1), (10, 2), (7, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      val cluster = AnnQuery.topK(codes, loaded, q, k, nprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val local = serve.query(q, k, nprobe)
+      assert(local.toSeq === cluster.toSeq,
+        s"mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+  }
+
+  test("cell-subset residency: resident probes serve, missing cells throw") {
+    val serve2 = LocalServe.fromStore(spark, storeDir, cells = Seq(0, 1))
+    assert(serve2.cells === Seq(0, 1))
+    // a full-probe query must refuse rather than silently drop cells
+    val q = data.head._2.map(_.toDouble).toArray
+    val ex = intercept[IllegalArgumentException] {
+      serve2.query(q, k = 5, nprobe = config.numPartitions)
+    }
+    assert(ex.getMessage.contains("not resident"))
+  }
+
+  test("k larger than resident rows returns everything, ordered") {
+    val serve = LocalServe.fromStore(spark, storeDir)
+    val q = data.head._2.map(_.toDouble).toArray
+    val all = serve.query(q, k = data.length + 50,
+      nprobe = config.numPartitions)
+    assert(all.length === data.length)
+    assert(all.toSeq === all.sortBy(t => (t._3, t._1)).toSeq)
+  }
+}
