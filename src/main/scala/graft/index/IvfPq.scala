@@ -753,16 +753,13 @@ object IvfPqBuilder {
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    // install: overwrite exactly the refresh dirs that received rows…
-    val prevMode = spark.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode").orNull
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try reEnc.write.mode(SaveMode.Overwrite)
+    // install: overwrite exactly the refresh dirs that received rows —
+    // the overwrite mode rides as a WRITER option, never a session-conf
+    // mutation (a temporarily-dynamic session conf would silently change
+    // every concurrent Overwrite+partitionBy write in the session)
+    reEnc.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("partition").parquet(s"$path/codes")
-    finally
-      if (prevMode == null)
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      else spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     // …and drop refresh dirs whose rows all moved elsewhere (a stale
     // dir would resurrect pre-rebalance encodings of migrated ids)
     val fs = new org.apache.hadoop.fs.Path(path)
