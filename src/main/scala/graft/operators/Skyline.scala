@@ -78,7 +78,8 @@ object Skyline {
     val spark = df.sparkSession
     import spark.implicits._
     val gCols = dimCols.indices.map(i => s"__g$i")
-    val base0 = df.where(dimCols.map(col(_).isNotNull).reduce(_ && _))
+    val base0 = localPrune(
+      df.where(dimCols.map(col(_).isNotNull).reduce(_ && _)), dimCols)
     val gridded = dimCols.zipWithIndex.foldLeft(base0) {
       case (acc, (d, i)) =>
         graft.pipeline.TrainingData
@@ -113,5 +114,65 @@ object Skyline {
       .select(gCols.map(col) ++ dimCols.map(col): _*).distinct()
     keptDf.join(dominatedKeys, (gCols ++ dimCols).toSeq, "left_anti")
       .drop((gCols :+ "__cell"): _*)
+  }
+
+  /** Conservative per-partition pre-filter (the MR-BNL local-skyline
+    * pass): inside each physical partition a bounded candidate window
+    * drops rows some window row beats STRICTLY ON EVERY dimension.
+    * Strict-all is deliberately stronger than dominance — through the
+    * monotone double cast, strict-all in double implies strict-all in
+    * the source type, so no true skyline row is ever dropped (ge-all
+    * rounding ambiguity never decides anything); rows arriving after
+    * the window fills pass through unfiltered (memory stays bounded,
+    * exactness lives in the grid phase). This is what makes the grid
+    * phase's pairwise check affordable on bulk data: 10M uniform 3-D
+    * rows reduce to ~10³ candidates here, where the raw interacting-
+    * cell join would compare ~10¹¹ pairs. Genuine per-partition
+    * imperative logic — the same documented mapPartitions seam as
+    * next-fit bin packing. */
+  private[operators] def localPrune(df: DataFrame, dimCols: Seq[String],
+                                    window: Int = 1024): DataFrame = {
+    val withDims = df.withColumn("__dims",
+      array(dimCols.map(c => col(c).cast("double")): _*))
+    val schema = withDims.schema
+    val dIdx = schema.fieldIndex("__dims")
+    val nd = dimCols.size
+    val pruned = withDims.mapPartitions { it =>
+      val winDims = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      val winRows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def strictAll(a: Array[Double], b: Array[Double]): Boolean = {
+        var i = 0
+        while (i < nd) { if (!(a(i) > b(i))) return false; i += 1 }
+        true
+      }
+      // overflow rows stream straight through (memory stays bounded at
+      // `window` buffered rows); the window itself flushes after the
+      // input drains — Iterator.++'s by-name right side sees the final
+      // window state
+      it.flatMap { r =>
+        val dims = r.getSeq[Double](dIdx).toArray
+        var dead = false
+        var i = 0
+        while (i < winDims.length && !dead) {
+          if (strictAll(winDims(i), dims)) dead = true
+          i += 1
+        }
+        if (dead) None
+        else {
+          // evict window entries the new row strictly beats
+          var j = winDims.length - 1
+          while (j >= 0) {
+            if (strictAll(dims, winDims(j))) {
+              winDims.remove(j); winRows.remove(j)
+            }
+            j -= 1
+          }
+          if (winDims.length < window) {
+            winDims += dims; winRows += r; None
+          } else Some(r)
+        }
+      } ++ winRows.iterator
+    }(org.apache.spark.sql.Encoders.row(schema))
+    pruned.drop("__dims")
   }
 }

@@ -95,4 +95,30 @@ class SkylineSpec extends AnyFunSuite {
       Skyline.frontierND(dup, Seq("x", "y", "z"), gridBuckets = 64)
     }
   }
+
+  test("localPrune never drops a true skyline row, even past the window cap") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 3000L).map(i =>
+      (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        rnd.nextInt(40).toLong))
+    def dom(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && a._4 >= b._4 &&
+        (a._2 > b._2 || a._3 > b._3 || a._4 > b._4)
+    val want = rows.filter(b => !rows.exists(a => dom(a, b)))
+      .map(_._1).toSet
+    // window = 2 forces the overflow (stream-through) path constantly;
+    // the pre-filter must stay conservative: its OUTPUT superset still
+    // contains every true skyline row, and schema/columns round-trip
+    val pruned = Skyline.localPrune(
+      rows.toDF("id", "x", "y", "z").repartition(4), Seq("x", "y", "z"),
+      window = 2)
+    assert(pruned.columns.toSeq === Seq("id", "x", "y", "z"))
+    val kept = pruned.select("id").as[Long].collect().toSet
+    assert(want.subsetOf(kept), s"dropped skyline rows: ${want -- kept}")
+    // and the full operator on the same fixture is exact
+    val got = Skyline.frontierND(rows.toDF("id", "x", "y", "z"),
+        Seq("x", "y", "z"))
+      .select("id").as[Long].collect().toSet
+    assert(got === want)
+  }
 }
