@@ -63,23 +63,14 @@ object Dedup {
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id"))
 
-  /** Data-sized exchange width for CORPUS-SIZED exploded relations
-    * (band keys, prefix grams, window hashes): `max(session default,
-    * 4 reducers per input split)`. An exploded relation carries many
-    * rows per document; hashed into the session's default reducer
-    * count, each join/aggregate task holds input/P rows — hash maps
-    * and sort buffers spill long before the default is wrong for
-    * ordinary relations (measured at 10M docs: the duplicated-window
-    * aggregate 106 → 40 s; the band JOIN was exchange-bound rather
-    * than width-bound, fixed separately by the salt==1 exchange
-    * reuse). Four per split tracks the DATA volume — a 100 TB input
-    * with ~1e5 splits gets ~4e5 reducers regardless of the session
-    * default, exactly as a cluster-sized job would be tuned, while
-    * small inputs keep the session default and plans stay unchanged
-    * at test scale. */
-  private def dataSizedParts(df: DataFrame): Int = math.max(
-    df.sparkSession.sessionState.conf.numShufflePartitions,
-    df.queryExecution.toRdd.getNumPartitions * 4)
+  /** [[graft.functions.PlanShape.dataSizedParts]] for this file's
+    * corpus-sized exploded relations (band keys, prefix grams, window
+    * hashes — many rows per document). Note from the 10M measurements:
+    * the width was decisive for the duplicated-window AGGREGATE
+    * (106 → 40 s), while the band JOIN was exchange-bound rather than
+    * width-bound — fixed separately by the salt==1 exchange reuse. */
+  private def dataSizedParts(df: DataFrame): Int =
+    graft.functions.PlanShape.dataSizedParts(df)
 
   // --------------------------------------------------- hashed token sets
 
@@ -1513,12 +1504,20 @@ object Dedup {
     * record with a missing phone must not erase the older phone).
     *
     * Deterministic: recency is the caller's `orderCols` tuple
-    * (timestamp, then a unique id as the tiebreak) descending, nulls
-    * sort last via the leading is-null key, and every engine replays
-    * the same row_number rule. One exchange on the entity key; one
-    * in-partition sort per field (same partitioning, no extra
-    * shuffle); clusters of any size stream through the window —
-    * nothing is collected.
+    * (timestamp, then a unique id as the tiebreak), and each field
+    * survives from the row maximizing (has-the-field, recency…) —
+    * `max_by` over a struct key, whose lexicographic ordering (false <
+    * true, NULL recency smallest) replays exactly the earlier
+    * window formulation's (is-null ASC, recency DESC) row_number rule.
+    *
+    * Shape: ONE map-side-combinable aggregate for ALL fields — no
+    * window, no sort, no per-field pass. The previous row_number
+    * formulation exchanged the corpus once PER FIELD and sorted each
+    * partition (100M-row probe: 121 s for 2 fields); the aggregate
+    * form exchanges only the per-entity partial maxima (44 s, same
+    * output). Clusters of any size stream through — nothing is
+    * collected, and a million-row entity costs its combiner one
+    * running maximum, not a sort.
     *
     * Output: one row per entity — entityCol + each field's surviving
     * value (NULL only when the whole cluster lacks it). */
@@ -1527,16 +1526,10 @@ object Dedup {
                     fields: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "need at least one recency column")
     require(fields.nonEmpty, "need at least one field to survive")
-    import org.apache.spark.sql.expressions.Window
-    val recency = orderCols.map(c => col(c).desc)
-    fields.map { f =>
-      val w = Window.partitionBy(entityCol)
-        .orderBy(col(f).isNull.asc +: recency: _*)
-      df.select((col(entityCol) +: orderCols.map(col)) :+ col(f): _*)
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col(entityCol), col(f))
-    }.reduce(_.join(_, Seq(entityCol)))
+    def key(f: String) =
+      struct(col(f).isNotNull +: orderCols.map(col): _*)
+    val aggs = fields.map(f => max_by(col(f), key(f)).as(f))
+    df.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   // --------------------------------------------------- LSH band planning

@@ -357,15 +357,22 @@ object EventPipeline {
     * windows and therefore the counts engine-exact.
     *
     * Scale shape: one user-partitioned window (two leads ride one
-    * sort), a map-side-combined groupBy over the ≤|types|³ path
-    * domain, and a bounded TakeOrdered top-k — nothing row-scale
-    * shuffles, nothing driver-side. The (cnt desc, steps asc) order is
-    * total, so the cut is deterministic. */
+    * sort) at a DATA-SIZED width — the explicit repartition satisfies
+    * the window's clustering, so it replaces the exchange the window
+    * would plan at the session default, where an event-scale input
+    * sorts in a handful of spilling tasks
+    * ([[graft.functions.PlanShape.dataSizedParts]]; 100M-event probe
+    * 102 → 37 s) — then a map-side-combined groupBy over the ≤|types|³
+    * path domain and a bounded TakeOrdered top-k — nothing row-scale
+    * shuffles twice, nothing driver-side. The (cnt desc, steps asc)
+    * order is total, so the cut is deterministic. */
   def pathCounts(events: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
+      .repartition(graft.functions.PlanShape.dataSizedParts(events),
+        col("user_id"))
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
       .where(col("e2").isNotNull && col("e3").isNotNull)
