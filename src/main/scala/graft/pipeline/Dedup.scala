@@ -605,25 +605,33 @@ object Dedup {
         bandKeys(sigCol(col("hset"), numHashes, oph), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
-    val exploded = (if (emitOnce) exploded0 else exploded0.drop("bands"))
-      // spread each doc's band rows across the cluster ON THE JOIN KEYS:
-      // the broadcast-join case inherits this parallelism (never a
-      // single-split source layout), and the shuffle-join case reuses the
-      // exchange — (k, b) is a prefix of the equi-keys (k, b, salt), so
-      // no second shuffle of the exploded relation. Width is data-sized
-      // ([[dataSizedParts]]): the band relation is |docs|·bands rows
-      .repartition(dataSizedParts(sets), col("k"), col("b"))
-    // salt == 1 is a REAL special case, not just a degenerate one: with
-    // no salt column the two join inputs are the identical subplan, so
-    // the self-join reuses ONE exchange of the band relation instead of
-    // materializing it twice (10M-doc probe: 187 → 84 s for the
-    // fixed-width path, same candidates)
+    val exploded = if (emitOnce) exploded0 else exploded0.drop("bands")
+    // The ONE exchange discipline, measured three ways at 10M docs
+    // (fixed-width path, same candidates from each): the explicit
+    // repartition must land on EXACTLY the join's equi-keys at a
+    // data-sized width ([[dataSizedParts]]). On the full keys the join
+    // plans no further exchange (54 s); leaving the exchange to the
+    // join puts it at the session default, whose few wide sort tasks
+    // spill (125 s); and repartitioning on a PREFIX of the keys — the
+    // previous (k, b) while joining on (k, b, salt) — is the worst of
+    // both: EnsureRequirements re-exchanges both sides at the default
+    // width anyway, four corpus-sized exchanges in one join (134 s,
+    // and 404 s when the salted re-exchange also carries the
+    // salt-replicated left side). Hence: salt == 1 joins on (k, b)
+    // with NO salt column, salt > 1 derives the salt columns BELOW the
+    // exchange so the repartition can include them.
+    val w = dataSizedParts(sets)
     val (left, right) =
-      if (salt == 1) (exploded, exploded)
-      else (exploded.withColumn("salt",
-              explode(typedlit((0 until salt).map(_.toLong)))),
-            exploded.withColumn("salt",
-              pmod(xxhash64(col("doc_id")), lit(salt))))
+      if (salt == 1)
+        (exploded.repartition(w, col("k"), col("b")),
+         exploded.repartition(w, col("k"), col("b")))
+      else
+        (exploded.withColumn("salt",
+            explode(typedlit((0 until salt).map(_.toLong))))
+          .repartition(w, col("k"), col("b"), col("salt")),
+         exploded.withColumn("salt",
+            pmod(xxhash64(col("doc_id")), lit(salt)))
+          .repartition(w, col("k"), col("b"), col("salt")))
     // conjunct order matters: the cheap inequality/size predicates run
     // first, the firstEqualIdx scan last — it only ever sees pairs that
     // survived everything else
@@ -680,15 +688,20 @@ object Dedup {
       ls: DataFrame, rs: DataFrame, thresholdPct: Int, numHashes: Int,
       bands: Int, salt: Int, oph: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // same ONE-exchange discipline as [[lshBandCandidates]]: the salt
+    // column derives BELOW the exchange so the explicit repartition
+    // lands on exactly the join's equi-keys (a prefix-only partitioning
+    // would be re-exchanged by EnsureRequirements at the session width)
     def keyed(sets: DataFrame): DataFrame = sets
       .withColumn("bands", bandKeys(sigCol(col("hset"), numHashes, oph), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
-      .repartition(dataSizedParts(sets), col("k"), col("b"))
     val left = keyed(ls).withColumn("salt",
-      explode(typedlit((0 until salt).map(_.toLong))))
+        explode(typedlit((0 until salt).map(_.toLong))))
+      .repartition(dataSizedParts(ls), col("k"), col("b"), col("salt"))
     val right = keyed(rs).withColumn("salt",
-      pmod(xxhash64(col("doc_id")), lit(salt)))
+        pmod(xxhash64(col("doc_id")), lit(salt)))
+      .repartition(dataSizedParts(rs), col("k"), col("b"), col("salt"))
     val cand = left.as("x").join(right.as("y"),
         col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
         col("x.salt") === col("y.salt") &&
