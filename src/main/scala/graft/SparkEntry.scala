@@ -3047,6 +3047,16 @@ object SparkEntry {
       TextAnalysis.topVocabulary(Tables.documents(s, dir), k = 100, minDf = 2)
         .orderBy("rank")),
 
+    // corpus n-gram diversity per source: total/distinct/repeated
+    // 4-gram mass + the exact Simpson collision-pair count — the
+    // corpus-level memorization-risk statistic (text_repetition is
+    // per-document). All integers; md5 gram fingerprints replayed
+    // verbatim by the oracle
+    "text_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, dir),
+          "source", "text", n = 4)
+        .orderBy("source")),
+
     // end-to-end corpus cleaning: quality filter → exact dedup →
     // near-dup drop list, each stage over the previous stage's
     // survivors; output = every dropped doc with its (unique) reason
@@ -7082,6 +7092,25 @@ object SparkEntry {
         |   AS rank,
         | tok, df
         |FROM v ORDER BY df DESC, tok LIMIT 100""".stripMargin,
+
+    "text_ngram_diversity" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4093 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |gr AS (SELECT source,
+        |  md5(array_to_string(ts[g.i : g.i + 3], ' ')) AS g
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE g.i + 3 <= len(ts)),
+        |cnt AS (SELECT source, g, count(*) AS c FROM gr GROUP BY 1, 2)
+        |SELECT source,
+        | CAST(sum(c) AS BIGINT) AS n_grams,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | CAST(sum(c) - count(*) AS BIGINT) AS n_repeats,
+        | CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS collision_pairs
+        |FROM cnt CROSS JOIN guard WHERE guard.ok = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // replicates CorpusClean.dropDecisions stage by stage: quality
     // thresholds (same integer arithmetic as text_quality), exact dedup

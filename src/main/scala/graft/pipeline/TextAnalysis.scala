@@ -577,6 +577,47 @@ object TextAnalysis {
     *
     * Equal (tf, df) pairs produce bit-identical scores in any IEEE
     * engine, so ties and their term-order resolution are portable. */
+  /** Corpus n-gram DIVERSITY report per group (source, language, …):
+    * how much of a corpus is repeated n-gram mass — the
+    * memorization-risk / template-detection statistic a training-data
+    * pipeline reads before mixing a source in (self-repetition at the
+    * corpus level, where [[repetitionSignals]] is per-document).
+    *
+    * Output per group, all exact integers: `n_grams` (total n-token
+    * windows), `n_distinct`, `n_repeats` (= n_grams − n_distinct, the
+    * repeated mass), `collision_pairs` (Σ c·(c−1)/2 over gram
+    * frequencies — the unnormalized Simpson collision count: the
+    * number of window PAIRS that are verbatim equal; exact because
+    * c·(c−1) is always even). Fingerprints are md5 of the joined gram
+    * (the [[TrainingData.ngramFingerprints]] engine-parity discipline),
+    * NOT per-doc-deduplicated — diversity counts occurrences.
+    *
+    * Scale shape: one data-sized exchange on the (group, gram) key
+    * feeding both aggregate levels
+    * ([[graft.functions.PlanShape.dataSizedParts]]); frequencies widen
+    * to decimal(20,0) before the collision product (c² overflows a
+    * long past ~3e9 occurrences of one gram). */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(col(textCol), " ")
+    val m = size(toks) - lit(n - 1)
+    val grams = docs.select(col(groupCol).as("grp"),
+        explode(when(m >= 1, transform(sequence(lit(1), m),
+            i => md5(array_join(slice(toks, i, lit(n)), " "))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val counts = grams
+      .repartition(graft.functions.PlanShape.dataSizedParts(grams),
+        col("grp"), col("g"))
+      .groupBy("grp", "g").agg(count(lit(1)).as("c"))
+    counts.groupBy(col("grp").as(groupCol)).agg(
+      sum(col("c")).cast("long").as("n_grams"),
+      count(lit(1)).as("n_distinct"),
+      (sum(col("c")) - count(lit(1))).cast("long").as("n_repeats"),
+      (sum(col("c").cast("decimal(20,0)") * (col("c") - 1))
+        / 2).cast("long").as("collision_pairs"))
+  }
+
   def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs

@@ -376,4 +376,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) === ((2L, 3L, 3L, 0L, "greek"))) // precedence tie
     assert(got(6L) === ((0L, 0L, 0L, 0L, "none")))
   }
+
+  test("ngramDiversity: totals, distincts and collision pairs equal " +
+      "brute force; short docs contribute nothing") {
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),       // grams: abcd, bcde
+      (2L, "s1", "a b c d"),         // gram:  abcd  (collides with doc 1)
+      (3L, "s1", "a b c d e"),       // abcd, bcde (collide with both)
+      (4L, "s1", "x y"),             // < n tokens: nothing
+      (5L, "s2", "a b c d"),         // s2 is independent of s1
+      (6L, "s2", "p q r s p q r s")) // pqrs, qrsp, rspq, spqr, pqrs
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ngramDiversity(docs, "source", "text", n = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s1 gram multiset: abcd x3, bcde x2 -> total 5, distinct 2,
+    // repeats 3, pairs C(3,2)+C(2,2) = 3 + 1 = 4
+    assert(got("s1") === ((5L, 2L, 3L, 4L)))
+    // s2: abcd x1 + pqrs x2, qrsp, rspq, spqr -> total 6, distinct 5,
+    // repeats 1, pairs C(2,2) = 1
+    assert(got("s2") === ((6L, 5L, 1L, 1L)))
+    // brute-force cross-check on a pseudo-random fixture
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 200L).map { i =>
+      (i, "g" + (i % 3),
+        Seq.fill(3 + rnd.nextInt(8))("w" + rnd.nextInt(6)).mkString(" "))
+    }
+    val want = rows.groupBy(_._2).map { case (g, rs) =>
+      val grams = rs.flatMap(_._3.split(" ").sliding(4)
+        .filter(_.length == 4).map(_.mkString(" ")).toSeq)
+      val byGram = grams.groupBy(identity).map(_._2.size.toLong)
+      g -> ((grams.size.toLong, byGram.size.toLong,
+        grams.size.toLong - byGram.size,
+        byGram.map(c => c * (c - 1) / 2).sum))
+    }
+    val got2 = TextAnalysis
+      .ngramDiversity(rows.toDF("doc_id", "source", "text"), "source",
+        "text", n = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got2 === want)
+  }
 }
