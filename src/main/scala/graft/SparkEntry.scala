@@ -4343,6 +4343,17 @@ object SparkEntry {
           Tables.documents(s, dir).withColumn("html", webHtmlDoc), "html")
         .orderBy("doc_id")),
 
+    // anchor-text aggregation per target host over the synthesized
+    // pages: every doc_id%3==0 page links "Link A" -> site{d%50}.com
+    // and "B" -> ref.org, %3==1 pages carry only a RELATIVE href
+    // (hostless — must drop); the oracle rebuilds the expectation from
+    // the synthesis residues
+    "web_anchor_text" -> ((s, dir) =>
+      Web.anchorTexts(
+          Tables.documents(s, dir).withColumn("url", webSimpleUrl)
+            .withColumn("html", webHtmlDoc), "url", "html")
+        .orderBy("dst", "anchor")),
+
     // the WHOLE web-curation chain composed end to end: render pages
     // as WARC shards → re-ingest (multi-byte-lineSep split) → URL-level
     // dedup on the parsed target URIs (group-stable messy URLs, one
@@ -8011,6 +8022,24 @@ object SparkEntry {
     // step (comments, script, style, head, tag strip, entity decode
     // with &amp; LAST, whitespace collapse; DuckDB regexp_replace needs
     // the explicit 'g' flag on every rule)
+    "web_anchor_text" ->
+      """WITH src AS (SELECT doc_id,
+        | 'www.' || source ||
+        | (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |   WHEN 2 THEN '.org' ELSE '.io' END) AS src_host
+        | FROM documents WHERE doc_id % 3 = 0),
+        |a AS (
+        | SELECT src_host,
+        |  'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS dst,
+        |  'Link A' AS anchor
+        | FROM src
+        | UNION ALL
+        | SELECT src_host, 'ref.org' AS dst, 'B' AS anchor FROM src)
+        |SELECT dst, anchor,
+        | CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts,
+        | CAST(count(*) AS BIGINT) AS n_links
+        |FROM a GROUP BY dst, anchor ORDER BY dst, anchor""".stripMargin,
+
     "web_html_extract" ->
       """WITH b AS (SELECT doc_id,
         |  '<html><head><title>Doc ' || doc_id || ' &amp; source ' || source

@@ -72,6 +72,23 @@ object Html {
     regexp_extract_all(h,
       lit("(?is)<a\\b[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
 
+  /** (href, anchor text) pairs of double-quoted `<a>` tags in document
+    * order — anchor text is what the LINKING page calls the target,
+    * the classic external relevance/quality signal web corpora
+    * aggregate per target ([[Web.anchorTexts]]). Both component
+    * arrays come from the SAME pattern (groups 1 and 2), so they zip
+    * positionally; the text leg strips nested tags, decodes entities,
+    * and collapses whitespace. Java∩RE2 regex (the [[graft.pipeline
+    * .Redact]] discipline) so an engine oracle can replay it. */
+  def anchors(h: Column): Column = {
+    val pat = "(?is)<a\\b[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val texts = transform(regexp_extract_all(h, lit(pat), lit(2)),
+      t => trim(collapseWs(decodeEntities(
+        regexp_replace(t, "<[^>]*>", " ")))))
+    arrays_zip(regexp_extract_all(h, lit(pat), lit(1)).as("href"),
+      texts.as("text"))
+  }
+
   /** Text-density signal in exact integer per-mille: ⌊1000·|text|/|html|⌋
     * (0 for empty html). Boilerplate-heavy pages score low — the
     * cheap pre-filter crawl pipelines apply before any text scoring. */

@@ -123,6 +123,27 @@ object Web {
       .where(col("dst") =!= "" && col("dst") =!= col("src"))
       .distinct()
 
+  /** Anchor-text aggregation per TARGET host — what the rest of the
+    * web calls each destination ([[Html.anchors]] extracts the pairs):
+    * `n_hosts` distinct linking hosts and `n_links` total anchors per
+    * (dst, anchor). The external relevance/quality signal crawl
+    * pipelines join onto a page's own text (a target described by many
+    * INDEPENDENT hosts with the same words is what the anchor-text
+    * retrieval literature exploits). Self-links, hostless (relative)
+    * hrefs, and empty anchor texts drop. One exchange on the (dst,
+    * anchor) key; the distinct-host count rides the same aggregate. */
+  def anchorTexts(pages: DataFrame, urlCol: String,
+                  htmlCol: String): DataFrame =
+    pages.select(host(col(urlCol)).as("src"),
+        explode(Html.anchors(col(htmlCol))).as("a"))
+      .select(col("src"), host(col("a.href")).as("dst"),
+        col("a.text").as("anchor"))
+      .where(col("dst") =!= "" && col("dst") =!= col("src") &&
+        col("anchor") =!= "")
+      .groupBy("dst", "anchor")
+      .agg(countDistinct(col("src")).as("n_hosts"),
+        count(lit(1)).as("n_links"))
+
   /** URL-level dedup: one row per [[urlKey]] with the kept (minimum)
     * id and the duplicate count. The first dedup a crawl corpus runs —
     * one hash aggregate on the key, no text is touched or moved. */

@@ -57,6 +57,37 @@ class HtmlSpec extends AnyFunSuite {
     assert(links("<p>none</p>") === Seq.empty)
   }
 
+  test("anchors: (href, text) pairs zip positionally; nested tags and " +
+      "entities cleaned from the text leg") {
+    val h = """<a href="u1">Plain</a>
+      |<A CLASS="c" HREF="u2"><b>Bold</b> &amp; nested</A>
+      |<a name="no-href">skipped</a>
+      |<a href="u3"></a>""".stripMargin
+    val got = Seq(h).toDF("h").select(Html.anchors(col("h")).as("a"))
+      .selectExpr("inline(a)").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("u1", "Plain"), ("u2", "Bold & nested"),
+      ("u3", "")))
+  }
+
+  test("anchorTexts: per-target aggregation drops relative hrefs, " +
+      "self-links and empty anchors; distinct hosts counted") {
+    val pages = Seq(
+      ("https://a.com/1",
+        """<a href="https://t.com/x">buy now</a>
+          |<a href="/rel/1">rel</a>
+          |<a href="https://a.com/self">self</a>""".stripMargin),
+      ("https://b.com/2", """<a href="https://t.com/y">buy now</a>"""),
+      ("https://a.com/3",
+        """<a href="https://t.com/z">buy now</a>
+          |<a href="https://t.com/w"></a>""".stripMargin))
+      .toDF("url", "html")
+    val got = Web.anchorTexts(pages, "url", "html").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("t.com", "buy now", 2L, 3L)))
+  }
+
   test("extract: one-projection relation with density signal") {
     val docs = Seq(
       (1L, "<html><head><title>T1</title></head><body><p>ab cd</p>" +
