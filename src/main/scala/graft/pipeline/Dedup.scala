@@ -866,12 +866,17 @@ object Dedup {
     val L = n + w - 1
     val fp = docs.select(col("doc_id"),
       explode(winnowedFingerprints(split(col("text"), " "), n, w)).as("fp"))
+    // the fingerprint relation exchanges ONCE, on exactly the self-
+    // join's equi-key at a data-sized width (the r9 exchange
+    // discipline); the optional hot-cap aggregate and both join sides
+    // are served by the same partitioning
+    val fp1 = fp.repartition(dataSizedParts(fp), col("fp"))
     val fpKept = maxDf match {
       case Some(cap) =>
-        val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        val hot = fp1.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("fp")
-        fp.join(hot, Seq("fp"), "left_anti")
-      case None => fp
+        fp1.join(hot, Seq("fp"), "left_anti")
+      case None => fp1
     }
     val cand = fpKept.as("a")
       .join(fpKept.as("b"), col("a.fp") === col("b.fp") &&
