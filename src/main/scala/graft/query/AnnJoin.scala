@@ -99,11 +99,12 @@ object AnnJoin {
     // parallelism (no single-split source layout), and the shuffle-join
     // case reuses the exchange outright — repartitioning on anything else
     // would be a full extra shuffle the join immediately redoes
+    val w = graft.functions.PlanShape.dataSizedParts(e)
     val right = e.withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
-      .repartition(col("cell"), col("salt"))
+      .repartition(w, col("cell"), col("salt"))
     val left = e.withColumn("salt",
       explode(typedlit((0 until s).map(_.toLong))))
-      .repartition(col("cell"), col("salt"))
+      .repartition(w, col("cell"), col("salt"))
     left.as("x").join(right.as("y"),
         col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
         col("x.id") < col("y.id") &&
@@ -145,7 +146,8 @@ object AnnJoin {
       .withColumn("salt", explode(typedlit((0 until s).map(_.toLong))))
     val right = keyed(corpusEmb)
       .withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
-      .repartition(col("cell"), col("salt"))
+      .repartition(graft.functions.PlanShape.dataSizedParts(corpusEmb),
+        col("cell"), col("salt"))
     left.as("x").join(right.as("y"),
         col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
         // sides are documented disjoint, but guard so an overlapping
@@ -193,12 +195,13 @@ object AnnJoin {
       .select(col("id"), col("v"), col("cells"),
         explode(col("cells")).as("cell"))
     val s = resolveSalt(salt, e, model.config.numPartitions)
+    val wk = graft.functions.PlanShape.dataSizedParts(e)
     val queries = e
       .withColumn("salt", explode(typedlit((0 until s).map(_.toLong))))
-      .repartition(col("cell"), col("salt"))
+      .repartition(wk, col("cell"), col("salt"))
     val cands = e
       .withColumn("salt", pmod(xxhash64(col("id")), lit(s)))
-      .repartition(col("cell"), col("salt"))
+      .repartition(wk, col("cell"), col("salt"))
     // emit-once: the pair is scored only where the QUERY's probe list
     // first intersects the candidate's — unique per ordered pair
     val pairs = queries.as("x").join(cands.as("y"),
