@@ -1,6 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Plan-shaping helpers shared by the pipeline operators. */
 object PlanShape {
@@ -16,8 +19,41 @@ object PlanShape {
     * tracks the DATA volume — a 100 TB input with ~1e5 splits gets
     * ~4e5 reducers regardless of the session default, exactly as a
     * cluster-sized job would be tuned, while small inputs keep the
-    * session default and plans stay unchanged at test scale. */
-  def dataSizedParts(df: DataFrame): Int = math.max(
-    df.sparkSession.sessionState.conf.numShufflePartitions,
-    df.queryExecution.toRdd.getNumPartitions * 4)
+    * session default and plans stay unchanged at test scale.
+    *
+    * The split count comes from the LOGICAL plan's leaves, not from the
+    * planned output partitioning: file relations contribute
+    * ⌈bytes / maxPartitionBytes⌉ (what the scan would split into), and
+    * materialized RDD scans (localCheckpoint outputs) contribute their
+    * actual block count. That keeps the width tracking INPUT volume
+    * even when `df` is a derived relation whose final partitioning is
+    * already the session shuffle default (a post-aggregate or
+    * post-checkpoint plan), and it never forces physical planning.
+    * Known caveat: a localCheckpoint taken at session-default width
+    * reports that width here — callers data-size the exchange BEFORE
+    * checkpointing corpus-sized relations. Unrecognized leaves (cached
+    * relations, v2 sources) fall back to the planned RDD width. */
+  def dataSizedParts(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.conf
+    val splitBytes = math.max(1L, conf.filesMaxPartitionBytes)
+    var splits = 0L
+    var unknown = false
+    df.queryExecution.optimizedPlan.collectLeaves().foreach {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          splits += math.max(1L,
+            (fs.location.sizeInBytes + splitBytes - 1) / splitBytes)
+        case _ => unknown = true
+      }
+      case rdd: LogicalRDD => splits += math.max(1, rdd.rdd.getNumPartitions)
+      case _: LocalRelation => splits += 1
+      case _ => unknown = true
+    }
+    val inputSplits =
+      if (unknown || splits == 0L)
+        df.queryExecution.toRdd.getNumPartitions.toLong
+      else splits
+    math.max(conf.numShufflePartitions,
+      math.min(inputSplits * 4, Int.MaxValue.toLong).toInt)
+  }
 }

@@ -674,7 +674,12 @@ object IvfPqBuilder {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val histo = Array.tabulate(p)(i => countMap.getOrElse(i, 0L))
     val n = histo.sum
-    val hot = (0 until p).filter(i => histo(i) * 100L * p > factorX100 * n)
+    // threshold and sizing arithmetic in BigInt: cnt·100·P and
+    // 2·hotMass·100·P overflow a Long at plausible scale (1e12 rows ×
+    // 1e5 cells × 100 > 2⁶³), and a silent wrap would mis-flag hot
+    // cells or produce a negative donor count
+    val hot = (0 until p).filter(i =>
+      BigInt(histo(i)) * 100 * p > BigInt(factorX100) * n)
     if (hot.isEmpty || n == 0L) {
       log("rebalance-partial: no cell above threshold; store untouched")
       return (model, Seq.empty)
@@ -685,8 +690,8 @@ object IvfPqBuilder {
     // clear the threshold — ×2 headroom for k-means imperfection and
     // the (small) mass the donors themselves contribute
     val hotMass = hot.map(histo).sum
-    val neededK = ((2L * hotMass * 100L * p + factorX100 * n - 1L) /
-      (factorX100 * n)).toInt
+    val neededK = ((BigInt(2) * hotMass * 100 * p + BigInt(factorX100) * n - 1) /
+      (BigInt(factorX100) * n)).toInt
     val donors = (0 until p).filterNot(hot.contains)
       .sortBy(i => (histo(i), i))
       .take(math.max(hot.size, neededK - hot.size))

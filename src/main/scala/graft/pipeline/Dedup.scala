@@ -696,12 +696,17 @@ object Dedup {
       .withColumn("bands", bandKeys(sigCol(col("hset"), numHashes, oph), bands))
       .select(col("doc_id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("b", "k")))
+    // ONE shared width for both sides: independent widths would make the
+    // two HashPartitionings incompatible and EnsureRequirements would
+    // re-exchange a side at join time — exactly the extra corpus-sized
+    // shuffle this repartition pair exists to eliminate
+    val w = math.max(dataSizedParts(ls), dataSizedParts(rs))
     val left = keyed(ls).withColumn("salt",
         explode(typedlit((0 until salt).map(_.toLong))))
-      .repartition(dataSizedParts(ls), col("k"), col("b"), col("salt"))
+      .repartition(w, col("k"), col("b"), col("salt"))
     val right = keyed(rs).withColumn("salt",
         pmod(xxhash64(col("doc_id")), lit(salt)))
-      .repartition(dataSizedParts(rs), col("k"), col("b"), col("salt"))
+      .repartition(w, col("k"), col("b"), col("salt"))
     val cand = left.as("x").join(right.as("y"),
         col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
         col("x.salt") === col("y.salt") &&

@@ -368,20 +368,26 @@ object TrainingData {
     *
     * Scale shape: the benchmark side collapses to a DISTINCT fingerprint
     * set (benchmark-sized — eval suites are tiny next to a 100 TB
-    * corpus, so Spark broadcasts it and the train side never shuffles
-    * its n-grams); the train side is one narrow explode of per-doc
-    * distinct fingerprints, a candidate-sized semi-join, and a doc-keyed
-    * count. If the benchmark ever outgrows broadcast, the same plan
-    * shuffle-joins on the fingerprint — still fixed-width rows, never
-    * text. */
+    * corpus), MATERIALIZED once (localCheckpoint), COUNTED, and
+    * broadcast only when the measured size allows (the
+    * [[graft.pipeline.Dedup]] dupWindowHashes discipline) — below the
+    * bound the train side never shuffles its n-grams; an eval corpus
+    * that outgrows broadcast falls back to the fingerprint shuffle join
+    * instead of failing the BroadcastExchange (8 GB / 512M-row hard
+    * limits, driver OOM). Either way the train side is one narrow
+    * explode of per-doc distinct fingerprints, a candidate-sized join,
+    * and a doc-keyed count — fixed-width rows, never text. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    // explicit hint: the docstring's no-train-side-shuffle promise must
-    // not depend on Catalyst's size estimate for a derived aggregate
-    // (it has none and would plan a shuffle join)
-    val bg = broadcast(bench
+    val grams = bench
       .select(explode(ngramFingerprints(col(textCol), n)).as("g"))
-      .distinct())
+      .distinct()
+      .localCheckpoint()
+    // ≤ 10M distinct md5-string fingerprints (~1 GB as a broadcast hash
+    // map) ride the explicit hint — Catalyst has no size estimate for a
+    // derived aggregate and would otherwise plan the shuffle join even
+    // for a tiny benchmark; above the bound the shuffle join is correct
+    val bg = if (grams.count() <= 10000000L) broadcast(grams) else grams
     train
       .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
       .join(bg, "g")
@@ -519,12 +525,26 @@ object TrainingData {
     * straddling tie class (plus ntile's remainder placement). No value
     * ever reaches the driver; everything is plan-side and
     * engine-portable (the DuckDB oracle replays the identical integer
-    * histogram). Callers with unbounded-domain scores coarsen the
-    * score column upstream (e.g. `score div g`) to bound the
-    * histogram. `descending=true` ranks high scores into bucket 1. */
+    * histogram).
+    *
+    * CARDINALITY CONTRACT (loud): the unpartitioned cumulative window
+    * is bounded by the DISTINCT cast-long score values per group — the
+    * whole point of this twin is that the window runs over a
+    * domain-sized histogram, never the corpus. A raw high-cardinality
+    * score (nanosecond timestamps, unique hashes) would silently
+    * rebuild the corpus-sized single-task window this function exists
+    * to kill, so the plan itself asserts ≤ `maxDistinct` histogram rows
+    * per group (`assert_true`, fails the job with a pointer here).
+    * Callers with unbounded-domain scores coarsen the score column
+    * upstream (e.g. `score div g` — [[curriculumSampleApprox]]'s
+    * `quantize` knob). `descending=true` ranks high scores into
+    * bucket 1. k == 1 short-circuits to a constant bucket (there are
+    * no boundaries; the join path would otherwise drop every row). */
   private[graft] def equalFreqBucket(df: DataFrame, scoreCol: String,
-      groupCols: Seq[String], k: Int, descending: Boolean): DataFrame = {
+      groupCols: Seq[String], k: Int, descending: Boolean,
+      maxDistinct: Long = 4L << 20): DataFrame = {
     require(k >= 1, s"equalFreqBucket: need k >= 1, got $k")
+    if (k == 1) return df.withColumn("bucket", lit(1L))
     val grp = groupCols.map(col)
     val hist = df
       .groupBy((grp :+ col(scoreCol).cast("long").as("__s")): _*)
@@ -538,6 +558,15 @@ object TrainingData {
     val cum = hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wTot))
+      // the loud cardinality contract: rides the wTot window already
+      // being computed, so the guard costs nothing extra; assert_true
+      // raises in any ANSI mode (window functions can't sit in WHERE,
+      // hence the intermediate column)
+      .withColumn("__nd", count(lit(1)).over(wTot))
+      .where(assert_true(col("__nd") <= maxDistinct,
+        lit(s"equalFreqBucket: more than $maxDistinct distinct score " +
+          s"values in one group — quantize the score upstream " +
+          s"(score div g) before histogram bucketing")).isNull)
     val bounds = cum
       .withColumn("__i", explode(array((1 until k).map(lit(_)): _*)))
       .where(col("__cum") * k >= col("__i") * col("__n"))
@@ -566,15 +595,41 @@ object TrainingData {
     * whole here (ntile splits it by id), and ntile's remainder rows
     * (n mod k, one per early bucket) may sit one bucket over. Both
     * paths select by the same pure function of (id, bucket), so any
-    * row bucketed identically is kept identically. */
+    * row bucketed identically is kept identically.
+    *
+    * CARDINALITY CONTRACT (inherited from [[equalFreqBucket]], loud):
+    * the histogram window is bounded by the DISTINCT cast-long score
+    * values — fine for fixed-point quality scores (×1e6 LM scores have
+    * ≤ 1e6 values), WRONG for raw high-cardinality scores (nanosecond
+    * timestamps, unique hashes), which would rebuild the corpus-sized
+    * single-task window this path exists to kill. Such callers pass
+    * `quantize` > 1: scores are floor-divided by it BEFORE the
+    * histogram (the `generalized` coarsening rule — order-preserving,
+    * so buckets stay equal-frequency up to the tie classes `quantize`
+    * introduces). Left at 1, a score exceeding the histogram bound
+    * fails loudly in-plan rather than degrading. */
   def curriculumSampleApprox(df: DataFrame, scoreCol: String, idCol: String,
-                             bucketWeights: Seq[Int]): DataFrame = {
+                             bucketWeights: Seq[Int],
+                             quantize: Long = 1L): DataFrame = {
     require(bucketWeights.nonEmpty &&
       bucketWeights.forall(w => w >= 0 && w <= 255),
       "bucket weights are w/256 with w in 0..255, lowest-score bucket first")
+    require(quantize >= 1L, s"quantize must be >= 1, got $quantize")
     def hex(w: Int): String = f"$w%02x"
-    val bucketed = equalFreqBucket(df, scoreCol, Seq.empty,
+    val reserved = df.columns.filter(_ == "__q")
+    require(reserved.isEmpty || quantize == 1L,
+      "curriculumSampleApprox reserves __q when quantize > 1; rename it")
+    // exact integer FLOOR division (pmod is non-negative, so the
+    // subtraction makes the numerator divisible): engine-portable,
+    // no double round-trip for 64-bit scores
+    val (scored, effScore) =
+      if (quantize == 1L) (df, scoreCol)
+      else (df.withColumn("__q", expr(
+        s"(cast(`$scoreCol` as bigint) - pmod(cast(`$scoreCol` as bigint), " +
+          s"${quantize}L)) div ${quantize}L")), "__q")
+    val bucketed = equalFreqBucket(scored, effScore, Seq.empty,
       bucketWeights.length, descending = false)
+      .drop("__q")
     val b = substring(
       md5(concat(lit("cur:"), col(idCol).cast("string")).cast("binary")), 1, 2)
     val thresh = bucketWeights.zipWithIndex.foldLeft(lit("00")) {

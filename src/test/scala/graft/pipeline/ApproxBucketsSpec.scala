@@ -145,6 +145,59 @@ class ApproxBucketsSpec extends AnyFunSuite {
     }
   }
 
+  test("k == 1 short-circuits to a constant bucket (grouped and global)") {
+    val df = (0L until 40L).map(i => (i, i * 13, "g" + (i % 3)))
+      .toDF("doc_id", "score", "grp")
+    val global = TrainingData
+      .equalFreqBucket(df, "score", Seq.empty, 1, descending = false)
+      .select("bucket").as[Long].collect()
+    assert(global.length === 40 && global.forall(_ == 1L))
+    val grouped = TrainingData
+      .equalFreqBucket(df, "score", Seq("grp"), 1, descending = true)
+      .select("bucket").as[Long].collect()
+    assert(grouped.length === 40 && grouped.forall(_ == 1L))
+  }
+
+  test("cardinality contract is loud: past maxDistinct the job fails") {
+    val df = (0L until 300L).map(i => (i, 1000000L + i)).toDF("doc_id", "score")
+    val e = intercept[Exception] {
+      TrainingData.equalFreqBucket(df, "score", Seq.empty, K,
+        descending = false, maxDistinct = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("quantize the score")),
+      s"expected the loud cardinality message, got: ${e.getMessage}")
+  }
+
+  test("curriculumSampleApprox quantize pre-buckets high-cardinality scores") {
+    // 5000 distinct raw scores; quantize=1 would trip a 1000-row guard,
+    // quantize=8 floor-divides them to 625 histogram rows first
+    val rows = (0L until 5000L).map(i => (i, 7919L * i % 1000000007L))
+    val df = rows.toDF("doc_id", "score")
+    val weights = Seq(16, 64, 192, 255)
+    val out = TrainingData
+      .curriculumSampleApprox(df, "score", "doc_id", weights, quantize = 1600000L)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    // reference: the same md5 keep rule over equalFreqBucket of the
+    // explicitly floor-divided score
+    val pre = df.withColumn("qs",
+      expr("(cast(score as bigint) - pmod(cast(score as bigint), 1600000)) div 1600000"))
+    val refBuckets = TrainingData
+      .equalFreqBucket(pre, "qs", Seq.empty, weights.length, descending = false)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    def hex(w: Int) = f"$w%02x"
+    val expected = rows.flatMap { case (id, _) =>
+      val b = refBuckets(id)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cur:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      if (md < hex(weights(b.toInt - 1))) Some(id -> b) else None
+    }.toMap
+    assert(out === expected)
+    assert(out.nonEmpty && out.size < rows.size)
+  }
+
   test("qualityBucketsApprox: per-language frontier contract vs exact") {
     val langs = Seq("en", "de", "fr")
     val docs = (0L until 240L).map { i =>
