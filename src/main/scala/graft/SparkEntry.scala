@@ -1439,6 +1439,36 @@ object SparkEntry {
         coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // OPQ warm serving (LocalServe.fromOpqStore): the driver-local warm
+    // path extended to the rotated codec family — the ONLY difference
+    // from ann_local_serve's loop is the driver-side rotation of the
+    // nprobe localized query vectors, the exact step OpqBuilder.topK
+    // performs, so the invariant stays EXACT parity: same ids, same
+    // partitions, BIT-IDENTICAL sq_dist, same order as the cluster OPQ
+    // query on the same saved store, over three queries
+    "ann_opq_local_serve" -> ((s, dir) => {
+      val path = storedOpqPath(s, dir)
+      val (model, codes) = OpqBuilder.load(s, path)
+      val serve = graft.query.LocalServe.fromOpqStore(s, path)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = OpqBuilder.topK(codes, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val local = serve.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(local, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
     // OPQ index (beyond-reference codec family): product quantization
     // behind a LEARNED orthonormal rotation of the residuals (Ge et al.,
     // CVPR 2013 — trained by alternating warm-started codebook fits with
@@ -2661,6 +2691,33 @@ object SparkEntry {
           frameBytes = 16, silentBelow = 33000L)
         .orderBy("media_id")),
 
+    // REAL WAV decode end-to-end: per doc, a deterministic u8 sample
+    // stream (frames f with f%4<2 are exactly 128 = silence; loud
+    // frames are a step-11 byte progression whose 16-sample energy is
+    // provably >= ~40000) is wrapped in a HAND-ROLLED RIFF/WAVE
+    // container, decoded back through javax.sound.sampled behind the
+    // batched seam (Multimodal.wavDecodePcmU8), and profiled by the
+    // unchanged silenceStats; the oracle computes frames/runs/trim
+    // from the SAME sample formula, never seeing the container — any
+    // header, sample, or ordering corruption in encode or decode
+    // flips a row
+    "media_audio_wav" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val wavs = ids.map { id =>
+        val n = 128 + (id % 8).toInt * 16
+        val samples = Array.tabulate(n) { i =>
+          if ((i / 16) % 4 < 2) 128.toByte
+          else ((id * 37 + i.toLong * 11) % 256).toByte
+        }
+        Multimodal.MediaRow(id, Multimodal.wavBytesU8(samples, 8000))
+      }
+      val pcm = Multimodal.decodeAudioBatched(wavs)()
+      Multimodal.silenceStats(Multimodal.pcmMedia(pcm.toDF, 16),
+          frameBytes = 16, silentBelow = 20000L)
+        .orderBy("media_id")
+    }),
+
     // feature vector exploded to scalar rows for the oracle compare
     "media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.fromDocuments(Tables.documents(s, dir)))
@@ -3056,6 +3113,50 @@ object SparkEntry {
       TextAnalysis.ngramDiversity(Tables.documents(s, dir),
           "source", "text", n = 4)
         .orderBy("source")),
+
+    // incremental diversity state: per-(group, gram) counts over
+    // DOC-DISJOINT batches merge additively (the lineDocCounts
+    // persistable-state shape) — gated: merged two-batch state ==
+    // one-shot state count for count, the report from the merged state
+    // == the one-shot report row for row, and the merge is NON-vacuous
+    // (some gram occurs in both batches, so addition actually happened
+    // — constructed like dedup_lines_incr's shared boilerplate: a tail
+    // appended to every doc guarantees cross-batch grams per source,
+    // since the corpus's natural 4-grams turn out batch-unique; the
+    // split is doc_id%40<20 BECAUSE source = src{doc_id%20}, so any
+    // split on a divisor of 20 would put each whole source in one
+    // batch and make the merge vacuous)
+    "text_ngram_diversity_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" shared tail alpha beta gamma delta"))
+          .as("text"))
+      val a = docs.where(pmod(col("doc_id"), lit(40)) < 20)
+      val b = docs.where(pmod(col("doc_id"), lit(40)) >= 20)
+      val sa = TextAnalysis.ngramDiversityState(a, "source", "text", 4)
+      val sb = TextAnalysis.ngramDiversityState(b, "source", "text", 4)
+      val merged = TextAnalysis.mergeNgramCounts(sa, sb)
+      val oneState = TextAnalysis
+        .ngramDiversityState(docs, "source", "text", 4)
+        .withColumnRenamed("c", "c2")
+      val stateDiff = merged.join(oneState, Seq("grp", "g"), "full_outer")
+        .agg(coalesce(sum(when(col("c") <=> col("c2"), 0L).otherwise(1L)),
+          lit(0L)).as("n_state_diff"))
+      val rep = TextAnalysis.ngramDiversityFromState(merged, "source")
+      val oneRep = TextAnalysis.ngramDiversity(docs, "source", "text", 4)
+        .select(col("source"), col("n_grams").as("g2"),
+          col("n_distinct").as("d2"), col("n_repeats").as("r2"),
+          col("collision_pairs").as("p2"))
+      val repDiff = rep.join(oneRep, Seq("source"), "full_outer")
+        .agg(coalesce(sum(when(col("n_grams") <=> col("g2") &&
+          col("n_distinct") <=> col("d2") && col("n_repeats") <=> col("r2") &&
+          col("collision_pairs") <=> col("p2"), 0L).otherwise(1L)), lit(0L))
+          .as("n_report_diff"))
+      val nonvac = sa.select("grp", "g").join(sb.select("grp", "g"),
+          Seq("grp", "g"))
+        .agg(when(count(lit(1)) > 0, 1L).otherwise(0L)
+          .as("merge_nonvacuous"))
+      stateDiff.crossJoin(repDiff).crossJoin(nonvac)
+    }),
 
     // end-to-end corpus cleaning: quality filter → exact dedup →
     // near-dup drop list, each stage over the previous stage's
@@ -4353,6 +4454,38 @@ object SparkEntry {
           Tables.documents(s, dir).withColumn("url", webSimpleUrl)
             .withColumn("html", webHtmlDoc), "url", "html")
         .orderBy("dst", "anchor")),
+
+    // incremental anchor-text state: (dst, anchor, src)-keyed link
+    // counts over PAGE-DISJOINT batches merge additively while the
+    // DISTINCT-host count stays exact (the src key is what makes the
+    // rollup mergeable) — gated: report from the merged state == the
+    // one-shot report row for row, and the split is NON-vacuous in the
+    // interesting way: some (dst, anchor, src) triple links from BOTH
+    // batches (doc_id%8<4 puts doc_id≡0 and ≡4 (mod 8) pages — same
+    // src-host tld class — on opposite sides), so a naive per-(dst,
+    // anchor) host-count merge would have double-counted
+    "web_anchor_text_incr" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir).withColumn("url", webSimpleUrl)
+        .withColumn("html", webHtmlDoc)
+      val pa = pages.where(pmod(col("doc_id"), lit(8)) < 4)
+      val pb = pages.where(pmod(col("doc_id"), lit(8)) >= 4)
+      val sa = Web.anchorTextState(pa, "url", "html")
+      val sb = Web.anchorTextState(pb, "url", "html")
+      val merged = Web.mergeAnchorState(sa, sb)
+      val rep = Web.anchorTextsFromState(merged)
+      val one = Web.anchorTexts(pages, "url", "html")
+        .select(col("dst"), col("anchor"), col("n_hosts").as("h2"),
+          col("n_links").as("l2"))
+      val repDiff = rep.join(one, Seq("dst", "anchor"), "full_outer")
+        .agg(coalesce(sum(when(col("n_hosts") <=> col("h2") &&
+          col("n_links") <=> col("l2"), 0L).otherwise(1L)), lit(0L))
+          .as("n_report_diff"))
+      val nonvac = sa.select("dst", "anchor", "src")
+        .join(sb.select("dst", "anchor", "src"), Seq("dst", "anchor", "src"))
+        .agg(when(count(lit(1)) > 0, 1L).otherwise(0L)
+          .as("merge_nonvacuous"))
+      repDiff.crossJoin(nonvac)
+    }),
 
     // the WHOLE web-curation chain composed end to end: render pages
     // as WARC shards → re-ingest (multi-byte-lineSep split) → URL-level
@@ -6093,6 +6226,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
+    "ann_opq_local_serve" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
     "ann_opq_rerank" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_dist_bad,
         | CAST(1 AS BIGINT) AS recall_ge_50,
@@ -6521,6 +6659,41 @@ object SparkEntry {
         |      ELSE n.n_frames - 1 - loud.ll END AS BIGINT) AS trail_silent
         |FROM n LEFT JOIN lr ON n.doc_id = lr.doc_id
         | LEFT JOIN loud ON n.doc_id = loud.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // replays the per-doc SAMPLE FORMULA (never the WAV container):
+    // frame energies from the synthesized u8 values, then the same
+    // gaps-and-islands runs/trim shape as media_audio_silence
+    "media_audio_wav" ->
+      """WITH d AS (SELECT doc_id, 128 + (doc_id % 8) * 16 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, t.i AS i,
+        |  CASE WHEN ((t.i // 16) % 4) < 2 THEN 128
+        |       ELSE (doc_id * 37 + t.i * 11) % 256 END AS v
+        | FROM d, generate_series(0, 239) AS t(i) WHERE t.i < n),
+        |f AS (SELECT doc_id, i // 16 AS fr,
+        |  sum((v - 128) * (v - 128)) AS e
+        | FROM s GROUP BY 1, 2),
+        |fc AS (SELECT doc_id, fr, e < 20000 AS silent FROM f),
+        |n2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent
+        | FROM fc GROUP BY 1),
+        |runs AS (SELECT doc_id,
+        |  fr - row_number() OVER (PARTITION BY doc_id ORDER BY fr) AS isl
+        | FROM fc WHERE silent),
+        |lr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS longest
+        | FROM (SELECT doc_id, isl, count(*) AS c FROM runs GROUP BY 1, 2)
+        | GROUP BY 1),
+        |loud AS (SELECT doc_id, min(fr) AS fl, max(fr) AS ll FROM fc
+        | WHERE NOT silent GROUP BY 1)
+        |SELECT n2.doc_id AS media_id, n2.n_frames, n2.n_silent,
+        | coalesce(lr.longest, 0) AS longest_silent_run,
+        | CAST(coalesce(loud.fl, n2.n_frames) AS BIGINT) AS lead_silent,
+        | CAST(CASE WHEN loud.ll IS NULL THEN n2.n_frames
+        |      ELSE n2.n_frames - 1 - loud.ll END AS BIGINT) AS trail_silent
+        |FROM n2 LEFT JOIN lr ON n2.doc_id = lr.doc_id
+        | LEFT JOIN loud ON n2.doc_id = loud.doc_id
         |ORDER BY media_id""".stripMargin,
 
     "media_features" ->
@@ -7122,6 +7295,11 @@ object SparkEntry {
         | CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS collision_pairs
         |FROM cnt CROSS JOIN guard WHERE guard.ok = 1
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_ngram_diversity_incr" ->
+      """SELECT CAST(0 AS BIGINT) AS n_state_diff,
+        | CAST(0 AS BIGINT) AS n_report_diff,
+        | CAST(1 AS BIGINT) AS merge_nonvacuous""".stripMargin,
 
     // replicates CorpusClean.dropDecisions stage by stage: quality
     // thresholds (same integer arithmetic as text_quality), exact dedup
@@ -8039,6 +8217,10 @@ object SparkEntry {
         | CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts,
         | CAST(count(*) AS BIGINT) AS n_links
         |FROM a GROUP BY dst, anchor ORDER BY dst, anchor""".stripMargin,
+
+    "web_anchor_text_incr" ->
+      """SELECT CAST(0 AS BIGINT) AS n_report_diff,
+        | CAST(1 AS BIGINT) AS merge_nonvacuous""".stripMargin,
 
     "web_html_extract" ->
       """WITH b AS (SELECT doc_id,

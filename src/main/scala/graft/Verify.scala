@@ -2,8 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The battery is SHARDED by entry-name family (the prefix before the
+  * first '_': ann, dedup, text, events, rel, …) so it scales past the
+  * single-run threshold: shards run SEQUENTIALLY by default (one JVM,
+  * unchanged battery and output layout), and
+  * `SPARK_GRAFT_VERIFY_SHARD=ann,text` runs any subset independently —
+  * each shard's dump + its filtered oracle_sql.json is a complete,
+  * checkable unit, so N driver invocations over disjoint shard sets
+  * reproduce the full battery. Per-shard wall times print at the end
+  * (and land in BENCH_NOTES each round) so the next split point is
+  * always measured, not guessed. */
 object Verify {
+  /** Family = entry-name prefix before the first '_'. */
+  def shardOf(name: String): String = name.takeWhile(_ != '_')
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -40,13 +54,35 @@ object Verify {
         s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: " +
           unknown.toSeq.sorted.mkString(", "))
     }
-    def selected(name: String) = only.forall(_.contains(name))
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // SPARK_GRAFT_VERIFY_SHARD=ann,text restricts to whole families —
+    // same loud-typo contract, composable with VERIFY_ONLY (intersection)
+    val shards = sys.env.get("SPARK_GRAFT_VERIFY_SHARD")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val allShards = SparkEntry.queries.keySet.map(shardOf)
+    shards.foreach { names =>
+      val unknown = names -- allShards
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_SHARD names not among entry families " +
+          s"(${allShards.toSeq.sorted.mkString(",")}): " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    def selected(name: String) =
+      only.forall(_.contains(name)) && shards.forall(_.contains(shardOf(name)))
+    val byShard = SparkEntry.queries.filter(kv => selected(kv._1))
+      .toSeq.sortBy(_._1).groupBy(kv => shardOf(kv._1))
+    val shardTimes = byShard.toSeq.sortBy(_._1).map { case (shard, entries) =>
+      val t0 = System.nanoTime()
+      entries.foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[verify] shard $shard: ${entries.size} entries in $secs%.1f s")
+      (shard, entries.size, secs)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -63,6 +99,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable shard timings beside the dump (diagnostics only;
+    // the driver's checker ignores unknown files)
+    val timesJson = shardTimes
+      .map { case (s2, n, t) => s"${q(s2)}: {\"entries\": $n, \"secs\": " +
+        f"$t%.2f}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/shard_times.json"), timesJson)
     spark.stop()
   }
 }

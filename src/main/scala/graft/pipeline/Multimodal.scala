@@ -13,12 +13,14 @@ import graft.functions.FastFunctions._
   * Media schema: (media_id long, kind string, payload binary,
   * meta struct<byte_len long, width int, height int, frame_bytes int>).
   *
-  * The decode step is a clearly-marked STUB (this container has no
-  * image/audio codecs): [[graft.functions.Kernels.stubDecodeGray]] fakes
-  * pixels deterministically from payload bytes. Everything around the
-  * stub — the binary schema, the codegen'd per-row kernels, the batched
-  * mapPartitions shape a heavyweight JNI decoder would need — is real
-  * and tested; a production build swaps one function.
+  * Decoding: REAL JDK-only codecs exist for both modalities —
+  * [[imageIoDecode]] (javax.imageio: PNG/JPEG/BMP/GIF → gray pixels)
+  * and [[wavDecodePcmU8]] (javax.sound.sampled: WAV/PCM → u8 mono
+  * samples) — each behind the batched per-partition seam a heavyweight
+  * JNI codec would need ([[decodeBatched]] / [[decodeAudioBatched]]).
+  * The deterministic stub ([[graft.functions.Kernels.stubDecodeGray]])
+  * remains the decoder for the synthetic oracle corpus, whose payloads
+  * are not container bytes; a production build swaps one function.
   *
   * Scale notes: every operator here is a narrow projection (no shuffle at
   * any scale); feature extraction emits fixed-width vectors, so the
@@ -266,4 +268,118 @@ object Multimodal {
       bitsAboveMean(meanPool(col("pixels"), w, h, w / 8, h / 8))
         .as("ahash"))
   }
+
+  // ------------------------------------------------------------- audio
+
+  /** REAL WAV/PCM decode (JDK-only, `javax.sound.sampled` — the audio
+    * twin of [[imageIoDecode]]): parses the RIFF/WAVE container, then
+    * converts any linear-PCM payload — 8/16-bit, signed/unsigned,
+    * either endianness, any channel count (channels average to mono in
+    * integer arithmetic) — to the 8-bit-unsigned mono byte stream
+    * [[silenceStats]] and [[lengthBatches]] consume (sample 128 =
+    * silence). Fails loudly on anything undecodable or non-PCM: a
+    * silent fallback would turn a corrupt shard into garbage silence
+    * profiles downstream. */
+  def wavDecodePcmU8(payload: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"payload is not a decodable audio container: ${e.getMessage}", e)
+      }
+    val fmt = in.getFormat
+    val enc = fmt.getEncoding
+    val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+    require(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+      s"unsupported audio encoding $enc — linear PCM only")
+    val bits = fmt.getSampleSizeInBits
+    require(bits == 8 || bits == 16,
+      s"unsupported PCM sample width $bits — 8 or 16 bits only")
+    val ch = fmt.getChannels
+    require(ch >= 1, s"bad channel count $ch")
+    val frameSize = fmt.getFrameSize
+    require(frameSize == ch * (bits / 8),
+      s"frame size $frameSize disagrees with $ch ch x $bits bit")
+    val bytes = in.readAllBytes()
+    require(bytes.length % frameSize == 0,
+      s"truncated PCM data: ${bytes.length} bytes, frame size $frameSize")
+    val n = bytes.length / frameSize
+    val big = fmt.isBigEndian
+    val out = new Array[Byte](n)
+    var f = 0
+    while (f < n) {
+      var acc = 0
+      var c = 0
+      while (c < ch) {
+        val off = f * frameSize + c * (bits / 8)
+        val u8 =
+          if (bits == 8) {
+            if (signed) (bytes(off) + 128) & 0xFF else bytes(off) & 0xFF
+          } else {
+            val b0 = bytes(off) & 0xFF
+            val b1 = bytes(off + 1) & 0xFF
+            val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+            val centered = if (signed) (raw << 16) >> 16 else raw - 32768
+            ((centered >> 8) + 128) & 0xFF
+          }
+        acc += u8
+        c += 1
+      }
+      out(f) = (acc / ch).toByte // integer mixdown — deterministic
+      f += 1
+    }
+    out
+  }
+
+  /** Canonical 44-byte-header RIFF/WAVE PCM container around raw
+    * 8-bit-unsigned mono samples — hand-rolled (independent of
+    * `javax.sound`'s writer, so the decode gate round-trips through a
+    * header the decoder did not produce). Also the shard writer a
+    * pipeline exporting audio snippets would use. */
+  def wavBytesU8(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    require(sampleRate >= 1, s"bad sample rate $sampleRate")
+    val n = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)             // audio format: linear PCM
+      .putShort(1.toShort)             // channels: mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)              // byte rate = rate·block align
+      .putShort(1.toShort)             // block align: 1 byte/frame
+      .putShort(8.toShort)             // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(samples)
+    out.array()
+  }
+
+  /** The batched per-partition decode seam for audio — the
+    * [[decodeBatched]] shape with a bytes→bytes contract (a container
+    * payload in, the PCM-u8 sample stream out). One decoder context per
+    * partition; the default decoder is the REAL [[wavDecodePcmU8]]. */
+  def decodeAudioBatched(media: Dataset[MediaRow])(
+      decode: Array[Byte] => Array[Byte] = wavDecodePcmU8)
+      : Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would go here (codec contexts, etc.)
+      rows.map(r => MediaRow(r.media_id, decode(r.payload)))
+    }
+  }
+
+  /** Re-wrap decoded PCM rows (from [[decodeAudioBatched]]) in the media
+    * schema so [[silenceStats]] / [[lengthBatches]] compose UNCHANGED —
+    * byte_len is the decoded sample count, width/height are not a
+    * property of audio. */
+  def pcmMedia(decoded: DataFrame, frameBytes: Int): DataFrame =
+    decoded.select(col("media_id"), lit("audio").as("kind"), col("payload"),
+      struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(frameBytes).as("frame_bytes")).as("meta"))
 }

@@ -565,18 +565,6 @@ object TextAnalysis {
       .select(col("doc_id"), col(langCol), col("mean_p_x1e6"), col("bucket"))
   }
 
-  /** Top-k characteristic keywords per document by smoothed TF-IDF:
-    * score = tf · ln((N+1)/(df+1)), ranked (score desc, term asc) with a
-    * deterministic dense rank. The corpus statistics are ONE vocabulary-
-    * sized aggregate (df per term) plus a 1-row count, both broadcast
-    * back onto the per-doc term counts; the rank window partitions by
-    * doc_id, so its sort is bounded by a document's distinct-term count,
-    * never the corpus. Output: (doc_id, rank 1..k, term, score_r4) —
-    * the score rounded to 4 decimals for engine-portable display (the
-    * ORDER uses the unrounded double).
-    *
-    * Equal (tf, df) pairs produce bit-identical scores in any IEEE
-    * engine, so ties and their term-order resolution are portable. */
   /** Corpus n-gram DIVERSITY report per group (source, language, …):
     * how much of a corpus is repeated n-gram mass — the
     * memorization-risk / template-detection statistic a training-data
@@ -598,7 +586,21 @@ object TextAnalysis {
     * to decimal(20,0) before the collision product (c² overflows a
     * long past ~3e9 occurrences of one gram). */
   def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
-                     n: Int): DataFrame = {
+                     n: Int): DataFrame =
+    ngramDiversityFromState(
+      ngramDiversityState(docs, groupCol, textCol, n), groupCol)
+
+  /** The mergeable STATE behind [[ngramDiversity]]: per-(group, gram)
+    * occurrence counts `(grp, g, c)`. Counts over DOC-DISJOINT batches
+    * are ADDITIVE (each document contributes its windows once, in
+    * exactly one batch), so a daily-ingest pipeline keeps this relation
+    * as a persisted table and folds each arriving batch in via
+    * [[mergeNgramCounts]] — no corpus rescan, the same
+    * persistable-state shape as [[graft.pipeline.Dedup.lineDocCounts]].
+    * One data-sized exchange on the (grp, g) key
+    * ([[graft.functions.PlanShape.dataSizedParts]]). */
+  def ngramDiversityState(docs: DataFrame, groupCol: String,
+                          textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val toks = split(col(textCol), " ")
     val m = size(toks) - lit(n - 1)
@@ -606,18 +608,43 @@ object TextAnalysis {
         explode(when(m >= 1, transform(sequence(lit(1), m),
             i => md5(array_join(slice(toks, i, lit(n)), " "))))
           .otherwise(array().cast("array<string>"))).as("g"))
-    val counts = grams
+    grams
       .repartition(graft.functions.PlanShape.dataSizedParts(grams),
         col("grp"), col("g"))
       .groupBy("grp", "g").agg(count(lit(1)).as("c"))
-    counts.groupBy(col("grp").as(groupCol)).agg(
+  }
+
+  /** Merge two [[ngramDiversityState]] relations built over
+    * DOC-DISJOINT batches (a document in both would double-count its
+    * windows): one map-side-combined sum per (grp, g) — gram-vocabulary
+    * sized, never corpus-sized. */
+  def mergeNgramCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("grp", "g").agg(sum(col("c")).as("c"))
+
+  /** The [[ngramDiversity]] report from a (merged) state relation —
+    * gated `text_ngram_diversity_incr`: merged-state report ≡ one-shot
+    * report row for row. */
+  def ngramDiversityFromState(state: DataFrame,
+                              groupCol: String): DataFrame =
+    state.groupBy(col("grp").as(groupCol)).agg(
       sum(col("c")).cast("long").as("n_grams"),
       count(lit(1)).as("n_distinct"),
       (sum(col("c")) - count(lit(1))).cast("long").as("n_repeats"),
       (sum(col("c").cast("decimal(20,0)") * (col("c") - 1))
         / 2).cast("long").as("collision_pairs"))
-  }
 
+  /** Top-k characteristic keywords per document by smoothed TF-IDF:
+    * score = tf · ln((N+1)/(df+1)), ranked (score desc, term asc) with a
+    * deterministic dense rank. The corpus statistics are ONE vocabulary-
+    * sized aggregate (df per term) plus a 1-row count, both broadcast
+    * back onto the per-doc term counts; the rank window partitions by
+    * doc_id, so its sort is bounded by a document's distinct-term count,
+    * never the corpus. Output: (doc_id, rank 1..k, term, score_r4) —
+    * the score rounded to 4 decimals for engine-portable display (the
+    * ORDER uses the unrounded double).
+    *
+    * Equal (tf, df) pairs produce bit-identical scores in any IEEE
+    * engine, so ties and their term-order resolution are portable. */
   def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs

@@ -134,15 +134,41 @@ object Web {
     * anchor) key; the distinct-host count rides the same aggregate. */
   def anchorTexts(pages: DataFrame, urlCol: String,
                   htmlCol: String): DataFrame =
+    anchorTextsFromState(anchorTextState(pages, urlCol, htmlCol))
+
+  /** The mergeable STATE behind [[anchorTexts]]: per-(dst, anchor,
+    * src-host) link counts. `n_hosts` is a DISTINCT count, so the state
+    * must keep the src key — per-(dst, anchor) rollups from two batches
+    * could not be merged without double-counting a host linking in
+    * both. Counts over PAGE-DISJOINT batches are additive (each page's
+    * anchors parse once, in exactly one batch): a crawl-ingest pipeline
+    * persists this relation and folds each batch in via
+    * [[mergeAnchorState]] — no corpus re-parse, the
+    * [[graft.pipeline.Dedup.lineDocCounts]] state shape. */
+  def anchorTextState(pages: DataFrame, urlCol: String,
+                      htmlCol: String): DataFrame =
     pages.select(host(col(urlCol)).as("src"),
         explode(Html.anchors(col(htmlCol))).as("a"))
       .select(col("src"), host(col("a.href")).as("dst"),
         col("a.text").as("anchor"))
       .where(col("dst") =!= "" && col("dst") =!= col("src") &&
         col("anchor") =!= "")
-      .groupBy("dst", "anchor")
-      .agg(countDistinct(col("src")).as("n_hosts"),
-        count(lit(1)).as("n_links"))
+      .groupBy("dst", "anchor", "src")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Merge two [[anchorTextState]] relations built over PAGE-DISJOINT
+    * batches: one map-side-combined sum per (dst, anchor, src). */
+  def mergeAnchorState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("dst", "anchor", "src")
+      .agg(sum(col("n_links")).as("n_links"))
+
+  /** The [[anchorTexts]] report from a (merged) state relation: src
+    * rows are unique per (dst, anchor) by construction, so the distinct
+    * host count is a plain row count — gated `web_anchor_text_incr`:
+    * merged-state report ≡ one-shot report row for row. */
+  def anchorTextsFromState(state: DataFrame): DataFrame =
+    state.groupBy("dst", "anchor")
+      .agg(count(lit(1)).as("n_hosts"), sum(col("n_links")).as("n_links"))
 
   /** URL-level dedup: one row per [[urlKey]] with the kept (minimum)
     * id and the duplicate count. The first dedup a crawl corpus runs —

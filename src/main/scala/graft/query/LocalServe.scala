@@ -32,7 +32,8 @@ import graft.index.{IvfPqBuilder, IvfPqModel}
 final class LocalServe private (
     val model: IvfPqModel,
     cellIds: Map[Int, Array[Long]],
-    cellCodes: Map[Int, Array[Int]]) {
+    cellCodes: Map[Int, Array[Int]],
+    rotation: Option[Array[Array[Double]]]) {
 
   /** Cells resident on this server. */
   def cells: Seq[Int] = cellIds.keys.toSeq.sorted
@@ -44,11 +45,23 @@ final class LocalServe private (
     * the exact ordering contract of [[AnnQuery.topK]]'s
     * `orderBy(sq_dist, id).limit(k)`. Probed cells not resident on this
     * server throw (a sharded fleet routes by cell; silently skipping
-    * cells would silently change results). */
+    * cells would silently change results). For an OPQ store
+    * ([[LocalServe.fromOpqStore]]) the learned rotation is applied to
+    * the nprobe LOCALIZED query vectors right here — exact doubles,
+    * the identical driver-side step [[graft.index.OpqBuilder.topK]]
+    * performs — so everything downstream (tables, fold order, heap) is
+    * byte-for-byte the plain path and results stay bit-identical to
+    * the cluster OPQ query. */
   def query(q: Array[Double], k: Int, nprobe: Int)
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val probes = AnnQuery.selectPartitions(model, q, nprobe)
+    val selected = AnnQuery.selectPartitions(model, q, nprobe)
+    val probes = rotation match {
+      case Some(r) => selected.map { case (p, localized) =>
+        (p, graft.index.OpqBuilder.rotateVec(r, localized))
+      }
+      case None => selected
+    }
     val missing = probes.map(_._1).filterNot(cellIds.contains)
     require(missing.isEmpty,
       s"probed cells not resident on this server: ${missing.mkString(",")}" +
@@ -144,11 +157,31 @@ object LocalServe {
     fromCodes(model, pruned)
   }
 
+  /** OPQ twin of [[fromStore]]: loads an [[graft.index.OpqBuilder]]
+    * store (rotation validated orthonormal by the shared load path) and
+    * pins the requested cells. The serving loop differs from the plain
+    * one by exactly one driver-side step — the rotation of the nprobe
+    * localized query vectors — matching the cluster OPQ query's
+    * geometry bit for bit (gated by `ann_opq_local_serve`). */
+  def fromOpqStore(spark: SparkSession, path: String,
+                   cells: Seq[Int] = Seq.empty): LocalServe = {
+    val (model, codes) = graft.index.OpqBuilder.load(spark, path)
+    val pruned =
+      if (cells.isEmpty) codes
+      else codes.where(col("partition").isin(cells: _*))
+    fromCodesWith(model.ivf, pruned, Some(model.rotation))
+  }
+
   /** Pin an already-loaded (id, partition, codes) relation. The
     * collect() is the serving-tier residency contract documented on the
     * class — callers prune to the cells this box serves FIRST. */
   def fromCodes(model: IvfPqModel,
-                codes: org.apache.spark.sql.DataFrame): LocalServe = {
+                codes: org.apache.spark.sql.DataFrame): LocalServe =
+    fromCodesWith(model, codes, None)
+
+  private def fromCodesWith(model: IvfPqModel,
+      codes: org.apache.spark.sql.DataFrame,
+      rotation: Option[Array[Array[Double]]]): LocalServe = {
     val d = model.config.numDivisions
     val rows = codes.select(col("partition").cast("int"),
         col("id").cast("long"), col("codes"))
@@ -173,6 +206,6 @@ object LocalServe {
       }
       cell -> flat
     }
-    new LocalServe(model, ids, packed)
+    new LocalServe(model, ids, packed, rotation)
   }
 }

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skyline
+import graft.pipeline.{TextAnalysis, Web}
+
+/** Scale canary for the round-9 newcomers the verdict asked to probe
+  * (ngramDiversity's gram explosion, anchorTexts' anchor regex,
+  * frontierND at 4-D) plus the round-10 mergeable-state twins — all
+  * over deterministic in-plan synthetics. Recorded in BENCH_NOTES.md;
+  * rerun ad hoc, not part of the per-round bench.
+  *
+  * Usage: runMain graft.tools.Round10ScaleProbe [n=10000000] [filter]
+  */
+object Round10ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val filter = if (args.length > 1)
+      args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Long): Unit =
+      if (filter.isEmpty || filter.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+      }
+
+    // 16-token docs over a 50k-word vocabulary, 20 sources: ~13 windows
+    // per doc → 13n gram rows through the (grp, g) exchange; enough
+    // vocabulary that most grams are singletons (the worst case for the
+    // count aggregate), enough reuse that repeats exist
+    def docs = spark.range(n).repartition(64)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+        concat_ws(" ", (0 until 16).map(k =>
+          concat(lit("w"), pmod(hash(col("id"), lit(k)), lit(50000)))): _*)
+          .as("text"))
+
+    timed(s"ngramDiversity (4-grams) over $n docs") {
+      TextAnalysis.ngramDiversity(docs, "source", "text", 4).count()
+    }
+
+    timed(s"ngramDiversity incremental merge, two $n/2-doc batches") {
+      val a = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      TextAnalysis.ngramDiversityFromState(
+        TextAnalysis.mergeNgramCounts(
+          TextAnalysis.ngramDiversityState(a, "source", "text", 4),
+          TextAnalysis.ngramDiversityState(b, "source", "text", 4)),
+        "source").count()
+    }
+
+    // 2 anchors per page (one dst-diverse, one shared), the regex parse
+    // over the html column is the cost under probe; 100k src hosts
+    def pages = spark.range(n).repartition(64)
+      .select(col("id").as("doc_id"),
+        concat(lit("http://h"), pmod(col("id"), lit(100000)), lit(".com/p/"),
+          col("id")).as("url"),
+        concat(lit("<html><body><a href=\"http://site"),
+          pmod(hash(col("id")), lit(200000)),
+          lit(".com/x\">Link A</a> filler text <a href=\"http://ref"),
+          pmod(col("id"), lit(500)),
+          lit(".org/\">B</a></body></html>")).as("html"))
+
+    timed(s"anchorTexts (regex parse + state aggregate) over $n pages") {
+      Web.anchorTexts(pages, "url", "html").count()
+    }
+
+    timed(s"anchorTexts incremental merge, two $n/2-page batches") {
+      val a = pages.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b = pages.where(pmod(col("doc_id"), lit(2)) === 1)
+      Web.anchorTextsFromState(
+        Web.mergeAnchorState(
+          Web.anchorTextState(a, "url", "html"),
+          Web.anchorTextState(b, "url", "html"))).count()
+    }
+
+    timed(s"4-D skyline over $n rows") {
+      val pts = spark.range(n).repartition(64)
+        .select(col("id"),
+          pmod(hash(col("id"), lit(1)), lit(100000)).cast("long").as("x"),
+          pmod(hash(col("id"), lit(2)), lit(100000)).cast("long").as("y"),
+          pmod(hash(col("id"), lit(3)), lit(100000)).cast("long").as("z"),
+          pmod(hash(col("id"), lit(4)), lit(100000)).cast("long").as("u"))
+      Skyline.frontierND(pts, Seq("x", "y", "z", "u")).count()
+    }
+
+    spark.stop()
+  }
+}

@@ -212,6 +212,81 @@ class MultimodalSpec extends AnyFunSuite {
       16, 1, 150L).collect()(0)
     assert((one.getLong(2), one.getLong(3)) === ((1L, 3L)))
   }
+  test("wavBytesU8 -> wavDecodePcmU8 round-trips u8 mono samples " +
+      "bit-exactly through a real RIFF container") {
+    val rnd = new scala.util.Random(42)
+    val samples = Array.fill(513)(rnd.nextInt(256).toByte)
+    val decoded = Multimodal.wavDecodePcmU8(
+      Multimodal.wavBytesU8(samples, 8000))
+    assert(decoded.toSeq === samples.toSeq)
+    // and the hand-rolled container is a container javax.sound accepts
+    // at a different rate too
+    assert(Multimodal.wavDecodePcmU8(
+      Multimodal.wavBytesU8(samples, 44100)).toSeq === samples.toSeq)
+  }
+  test("wavDecodePcmU8 converts 16-bit signed stereo (JDK-written WAV) " +
+      "to the u8 mono contract") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit little-endian signed stereo, 6 frames with known samples
+    val left = Array[Short](0, 1000, -1000, 32767, -32768, 256)
+    val right = Array[Short](0, -1000, 3000, 32767, -32768, -256)
+    val pcm = new Array[Byte](left.length * 4)
+    for (i <- left.indices) {
+      val l = left(i); val r = right(i)
+      pcm(i * 4) = (l & 0xFF).toByte
+      pcm(i * 4 + 1) = ((l >> 8) & 0xFF).toByte
+      pcm(i * 4 + 2) = (r & 0xFF).toByte
+      pcm(i * 4 + 3) = ((r >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        left.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.wavDecodePcmU8(bos.toByteArray)
+    val expected = left.indices.map { i =>
+      val lu = (left(i) >> 8) + 128
+      val ru = (right(i) >> 8) + 128
+      ((lu + ru) / 2).toByte
+    }
+    assert(got.toSeq === expected)
+  }
+  test("wavDecodePcmU8 fails loudly on undecodable payloads") {
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.wavDecodePcmU8("this is not audio".getBytes("UTF-8"))
+    }
+    assert(ex.getMessage.contains("not a decodable audio container"))
+  }
+  test("real-WAV end-to-end: decodeAudioBatched + pcmMedia compose into " +
+      "silenceStats and lengthBatches unchanged") {
+    // 3 clips: silent-lead (2 silent frames, 2 loud), all-silent,
+    // loud-silent-loud; frames of 8 samples, silence = flat 128
+    def frames(fs: Seq[Boolean]): Array[Byte] = fs.flatMap { loud =>
+      if (loud) Array.tabulate(8)(i => (i * 30).toByte)
+      else Array.fill(8)(128.toByte)
+    }.toArray
+    val clips = Seq(
+      (1L, Seq(false, false, true, true)),
+      (2L, Seq(false, false, false)),
+      (3L, Seq(true, false, true)))
+    val wavs = clips.map { case (id, fs) =>
+      Multimodal.MediaRow(id, Multimodal.wavBytesU8(frames(fs), 8000))
+    }.toDS()
+    val pcm = Multimodal.decodeAudioBatched(wavs)()
+    val media = Multimodal.pcmMedia(pcm.toDF, frameBytes = 8)
+    val got = Multimodal.silenceStats(media, frameBytes = 8,
+        silentBelow = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) === ((4L, 2L, 2L, 2L, 0L)))
+    assert(got(2L) === ((3L, 3L, 3L, 3L, 3L)))
+    assert(got(3L) === ((3L, 1L, 1L, 0L, 0L)))
+    val batches = Multimodal.lengthBatches(media, bandWidth = 16L,
+        batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batches === Set((1L, 32L, 0L), (2L, 16L, 0L), (3L, 16L, 0L)))
+  }
   test("lengthBatches bands by byte length and cuts deterministic " +
       "batches inside each band") {
     import org.apache.spark.sql.functions.col

@@ -68,6 +68,29 @@ class LocalServeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not resident"))
   }
 
+  test("OPQ parity: fromOpqStore matches OpqBuilder.topK bit-exactly") {
+    import graft.index.OpqBuilder
+    val (opqModel, opqEncoded) =
+      OpqBuilder.fit(df, "id", "vec", dim, config, opqIters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("opq_serve").toString
+    OpqBuilder.save(opqModel, opqEncoded, dir)
+    val (loaded, codes) = OpqBuilder.load(spark, dir)
+    val serve = LocalServe.fromOpqStore(spark, dir)
+    assert(serve.size === data.length)
+    for {
+      qid <- Seq(0L, 57L, 123L, 199L)
+      (k, nprobe) <- Seq((5, 1), (10, 2), (7, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      val cluster = OpqBuilder.topK(codes, loaded, q, k, nprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val local = serve.query(q, k, nprobe)
+      assert(local.toSeq === cluster.toSeq,
+        s"OPQ mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+  }
+
   test("k larger than resident rows returns everything, ordered") {
     val serve = LocalServe.fromStore(spark, storeDir)
     val q = data.head._2.map(_.toDouble).toArray
