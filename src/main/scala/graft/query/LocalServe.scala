@@ -55,13 +55,7 @@ final class LocalServe private (
   def query(q: Array[Double], k: Int, nprobe: Int)
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val selected = AnnQuery.selectPartitions(model, q, nprobe)
-    val probes = rotation match {
-      case Some(r) => selected.map { case (p, localized) =>
-        (p, graft.index.OpqBuilder.rotateVec(r, localized))
-      }
-      case None => selected
-    }
+    val probes = AnnQuery.selectPartitions(model, q, nprobe)
     val missing = probes.map(_._1).filterNot(cellIds.contains)
     require(missing.isEmpty,
       s"probed cells not resident on this server: ${missing.mkString(",")}" +
@@ -74,13 +68,16 @@ final class LocalServe private (
     // 100k×1536 shape); each (d, c) entry's arithmetic is UNCHANGED
     // from AnnQuery.adcTable, so sq_dist stays bit-identical to the
     // cluster path. Futures over the shared global pool: ~60 tasks of
-    // ~65k flops each, far above dispatch cost.
+    // ~65k flops each, far above dispatch cost. An OPQ rotation (d²
+    // flops per probe — ~2.4M at 1536, the same order as one table)
+    // rides INSIDE each probe's future chain, so it parallelizes
+    // across probes instead of serializing in front of them.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val m = model.subDim
     val flats: Array[Array[Double]] = {
-      val futs = probes.map { case (_, localized) =>
+      def tables(localized: Array[Double]): Future[Array[Double]] = {
         val flat = new Array[Double](d * numCodes)
         Future.sequence((0 until d).map { div =>
           Future {
@@ -99,6 +96,36 @@ final class LocalServe private (
             }
           }
         }).map(_ => flat)
+      }
+      val futs = probes.map { case (_, localized0) =>
+        rotation match {
+          // rotation chained in front of the probe's own fan-out, and
+          // ROW-CHUNKED across futures: each out(r) is an independent
+          // row fold (identical arithmetic to OpqBuilder.rotateVec, so
+          // bit-parity with the cluster path holds), and a 1536-dim
+          // rotation is ~2.4M flops — serial per probe it would double
+          // warm latency, chunked it costs one future round. The plain
+          // path submits its division futures immediately, unchanged.
+          case Some(r) =>
+            val dimLen = r.length
+            val rotated = new Array[Double](dimLen)
+            val block = 128
+            Future.sequence((0 until dimLen by block).map { s0 =>
+              Future {
+                var rr = s0
+                val e = math.min(s0 + block, dimLen)
+                while (rr < e) {
+                  val row = r(rr)
+                  var s = 0.0
+                  var t = 0
+                  while (t < dimLen) { s += row(t) * localized0(t); t += 1 }
+                  rotated(rr) = s
+                  rr += 1
+                }
+              }
+            }).flatMap(_ => tables(rotated))
+          case None => tables(localized0)
+        }
       }
       Await.result(Future.sequence(futs.toSeq), Duration.Inf).toArray
     }
@@ -178,6 +205,12 @@ object LocalServe {
   def fromCodes(model: IvfPqModel,
                 codes: org.apache.spark.sql.DataFrame): LocalServe =
     fromCodesWith(model, codes, None)
+
+  /** OPQ twin of [[fromCodes]] — pin an already-loaded OPQ-encoded
+    * (id, partition, codes) relation with the model's rotation. */
+  def fromCodesOpq(model: graft.index.OpqModel,
+                   codes: org.apache.spark.sql.DataFrame): LocalServe =
+    fromCodesWith(model.ivf, codes, Some(model.rotation))
 
   private def fromCodesWith(model: IvfPqModel,
       codes: org.apache.spark.sql.DataFrame,

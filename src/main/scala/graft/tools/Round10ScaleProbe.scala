@@ -87,6 +87,8 @@ object Round10ScaleProbe {
           Web.anchorTextState(b, "url", "html"))).count()
     }
 
+    // gridBuckets = 8 keeps 8^4 = 4096 cells under the 16384 driver
+    // bound (the default 16 only fits up to 3 dimensions)
     timed(s"4-D skyline over $n rows") {
       val pts = spark.range(n).repartition(64)
         .select(col("id"),
@@ -94,7 +96,8 @@ object Round10ScaleProbe {
           pmod(hash(col("id"), lit(2)), lit(100000)).cast("long").as("y"),
           pmod(hash(col("id"), lit(3)), lit(100000)).cast("long").as("z"),
           pmod(hash(col("id"), lit(4)), lit(100000)).cast("long").as("u"))
-      Skyline.frontierND(pts, Seq("x", "y", "z", "u")).count()
+      Skyline.frontierND(pts, Seq("x", "y", "z", "u"), gridBuckets = 8)
+        .count()
     }
 
     spark.stop()

@@ -88,6 +88,62 @@ object ServeProbe {
     println(f"[serveprobe] same query as a Spark job: " +
       f"${(System.nanoTime() - t2) / 1e6}%.1f ms (the scheduling floor " +
       f"LocalServe exists to dodge)")
+
+    // OPQ warm-latency leg: the rotation's d² flops per probe are the
+    // only delta vs the plain path, so a SEEDED random orthonormal R
+    // over the SAME pinned codes measures the serving cost exactly —
+    // no OPQ training (bit-parity with the trained path is gated by
+    // ann_opq_local_serve; this probe is about latency, and a
+    // driver-local 1536-dim OPQ fit is not a serving-time cost)
+    val rot = randomOrthonormal(dim, 1234567L)
+    val opqModel = graft.index.OpqModel(model, rot, Array.empty)
+    val opqServe = LocalServe.fromCodesOpq(opqModel, encoded)
+    var w2 = 0
+    while (w2 < 100) { opqServe.query(queryVec(w2.toLong), k, nprobe); w2 += 1 }
+    val lat2 = new Array[Double](nq)
+    var j = 0
+    var sink2 = 0L
+    while (j < nq) {
+      val q = queryVec(1000L + j)
+      val s = System.nanoTime()
+      val hits = opqServe.query(q, k, nprobe)
+      lat2(j) = (System.nanoTime() - s) / 1e6
+      sink2 += hits.head._1
+      j += 1
+    }
+    java.util.Arrays.sort(lat2)
+    def pct2(q: Double) = lat2(math.min(nq - 1, (q * nq).toInt))
+    println(f"[serveprobe] warm OPQ local query (K=$k nprobe=$nprobe, $nq " +
+      f"queries): p50=${pct2(0.50)}%.3f ms p90=${pct2(0.90)}%.3f ms " +
+      f"p99=${pct2(0.99)}%.3f ms mean=${lat2.sum / nq}%.3f ms " +
+      f"(rotation rides the probe futures; sink=$sink2)")
     spark.stop()
+  }
+
+  /** Seeded random orthonormal matrix via modified Gram-Schmidt. */
+  private def randomOrthonormal(d: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val m = Array.fill(d, d)(rnd.nextGaussian())
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < i) {
+        var dp = 0.0
+        var t = 0
+        while (t < d) { dp += m(i)(t) * m(j)(t); t += 1 }
+        t = 0
+        while (t < d) { m(i)(t) -= dp * m(j)(t); t += 1 }
+        j += 1
+      }
+      var nrm = 0.0
+      var t = 0
+      while (t < d) { nrm += m(i)(t) * m(i)(t); t += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 1e-9, "degenerate random row")
+      t = 0
+      while (t < d) { m(i)(t) /= nrm; t += 1 }
+      i += 1
+    }
+    m
   }
 }
