@@ -356,6 +356,28 @@ object SparkEntry {
       out
     })
 
+  /** WAV round-trip fixture shared by the audio gates: per doc, a
+    * deterministic u8 sample stream (frames f with f%4<2 are exactly
+    * 128 = silence; loud frames are a step-11 byte progression whose
+    * 16-sample energy is provably ≥ ~40000) wrapped in a HAND-ROLLED
+    * RIFF/WAVE container and decoded back through javax.sound.sampled
+    * behind the batched seam — so every consuming gate re-proves the
+    * encode+decode path against an oracle that only ever sees the
+    * sample FORMULA. */
+  private def wavRoundTripMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val wavs = ids.map { id =>
+      val n = 128 + (id % 8).toInt * 16
+      val samples = Array.tabulate(n) { i =>
+        if ((i / 16) % 4 < 2) 128.toByte
+        else ((id * 37 + i.toLong * 11) % 256).toByte
+      }
+      Multimodal.MediaRow(id, Multimodal.wavBytesU8(samples, 8000))
+    }
+    Multimodal.pcmMedia(Multimodal.decodeAudioBatched(wavs)().toDF, 16)
+  }
+
   /** Materialize the shared fixtures (fitted index, stored index +
     * attribute batches) outside any per-query timing — the build is its
     * own pipeline stage in production, benchmarked separately (Bench
@@ -2701,22 +2723,20 @@ object SparkEntry {
     // from the SAME sample formula, never seeing the container — any
     // header, sample, or ordering corruption in encode or decode
     // flips a row
-    "media_audio_wav" -> ((s, dir) => {
-      import s.implicits._
-      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      val wavs = ids.map { id =>
-        val n = 128 + (id % 8).toInt * 16
-        val samples = Array.tabulate(n) { i =>
-          if ((i / 16) % 4 < 2) 128.toByte
-          else ((id * 37 + i.toLong * 11) % 256).toByte
-        }
-        Multimodal.MediaRow(id, Multimodal.wavBytesU8(samples, 8000))
-      }
-      val pcm = Multimodal.decodeAudioBatched(wavs)()
-      Multimodal.silenceStats(Multimodal.pcmMedia(pcm.toDF, 16),
+    "media_audio_wav" -> ((s, dir) =>
+      Multimodal.silenceStats(wavRoundTripMedia(s, dir),
           frameBytes = 16, silentBelow = 20000L)
-        .orderBy("media_id")
-    }),
+        .orderBy("media_id")),
+
+    // per-segment audio descriptors (energy envelope + strict zero
+    // crossings) over the SAME WAV-round-tripped corpus — the feature
+    // pass after silence trimming, one audioSegmentStats kernel pass;
+    // the oracle recomputes both stats per quarter-clip segment from
+    // the sample formula (lead() pairs, in-segment only, flat-128
+    // never crosses)
+    "media_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(wavRoundTripMedia(s, dir), nSegments = 4)
+        .orderBy("media_id", "seg")),
 
     // feature vector exploded to scalar rows for the oracle compare
     "media_features" -> ((s, dir) =>
@@ -6695,6 +6715,28 @@ object SparkEntry {
         |FROM n2 LEFT JOIN lr ON n2.doc_id = lr.doc_id
         | LEFT JOIN loud ON n2.doc_id = loud.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // same sample formula; quarter-clip segments (n = 128 + 16k is
+    // always divisible by 4, so no remainder tail); crossings pair
+    // (i, i+1) in-segment via lead(), strict centered product < 0
+    "media_audio_features" ->
+      """WITH d AS (SELECT doc_id, 128 + (doc_id % 8) * 16 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n // 4 AS sl, t.i AS i,
+        |  (CASE WHEN ((t.i // 16) % 4) < 2 THEN 128
+        |        ELSE (doc_id * 37 + t.i * 11) % 256 END) - 128 AS c
+        | FROM d, generate_series(0, 239) AS t(i) WHERE t.i < n),
+        |w AS (SELECT doc_id, sl, i, c,
+        |  lead(c) OVER (PARTITION BY doc_id ORDER BY i) AS nc
+        | FROM s),
+        |g AS (SELECT doc_id, i // sl AS seg, c,
+        |  CASE WHEN (i + 1) % sl != 0 AND nc IS NOT NULL AND c * nc < 0
+        |       THEN 1 ELSE 0 END AS crs
+        | FROM w WHERE i // sl < 4)
+        |SELECT doc_id AS media_id, CAST(seg AS BIGINT) AS seg,
+        | CAST(sum(c * c) AS BIGINT) AS energy,
+        | CAST(sum(crs) AS BIGINT) AS crossings
+        |FROM g GROUP BY 1, 2 ORDER BY media_id, seg""".stripMargin,
 
     "media_features" ->
       """WITH b AS (SELECT doc_id, (t.i - 1) % 8 AS j,

@@ -55,6 +55,7 @@ object FastFunctions {
     "rotateF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "byteBucketSums" -> Seq(BinaryType, IntegerType),
     "sampledFrameSums" -> Seq(BinaryType, IntegerType, IntegerType),
+    "audioSegmentStats" -> Seq(BinaryType, IntegerType),
     "silenceProfile" -> Seq(BinaryType, IntegerType, LongType),
     "jaroWinkler" -> Seq(StringType, StringType),
     "damerauLevenshtein" -> Seq(StringType, StringType),
@@ -269,6 +270,12 @@ object FastFunctions {
   def sampledFrameSums(payload: Column, frameBytes: Int, stride: Int): Column =
     invoke(ArrayType(LongType, containsNull = false), "sampledFrameSums",
       payload, lit(frameBytes), lit(stride))
+
+  /** Per-segment [energy, zero-crossings] pairs of an 8-bit-PCM-shaped
+    * binary column, flattened as [e0, c0, e1, c1, …]. */
+  def audioSegmentStats(payload: Column, nSegments: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "audioSegmentStats",
+      payload, lit(nSegments))
 
   /** Jaro–Winkler similarity of two string columns (DuckDB-pinned
     * semantics: 0.7 boost threshold, prefix ≤ 4, empty → 0). */

@@ -964,6 +964,42 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Per-segment audio stats over an 8-bit-unsigned-PCM payload split
+    * into `nSegments` equal ⌊n/nSegments⌋-sample segments (the
+    * remainder tail is ignored, like incomplete frames elsewhere):
+    * out[2s] = segment energy Σ(v−128)², out[2s+1] = strict zero
+    * crossings (consecutive in-segment samples whose centered product
+    * is negative — a flat 128 never crosses). The two classic cheap
+    * audio descriptors (energy envelope + ZCR, the noisiness proxy);
+    * one pass, integer-only, oracle-comparable. */
+  def audioSegmentStats(payload: Array[Byte], nSegments: Int): ArrayData = {
+    val out = new Array[Long](2 * nSegments)
+    val segLen = payload.length / nSegments
+    if (segLen > 0) {
+      var s = 0
+      while (s < nSegments) {
+        var e = 0L
+        var cr = 0L
+        var i = s * segLen
+        val end = i + segLen
+        var prev = 0
+        var first = true
+        while (i < end) {
+          val c = (payload(i) & 0xFF) - 128
+          e += c.toLong * c
+          if (!first && prev * c < 0) cr += 1
+          prev = c
+          first = false
+          i += 1
+        }
+        out(2 * s) = e
+        out(2 * s + 1) = cr
+        s += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Per-frame byte sums for every stride-th complete frame of a payload
     * laid out as consecutive frameBytes-sized frames — the frame-sampling
     * primitive for video-shaped binaries. */

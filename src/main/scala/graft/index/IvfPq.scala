@@ -641,11 +641,16 @@ object IvfPqBuilder {
     * equal number of the EMPTIEST cells join them as capacity donors.
     * The hot∪donor ("refresh") region's vectors are reconstructed
     * ([[graft.functions.Kernels.pqReconstructF]]) through a
-    * partition-pruned scan, a local k-means over a capped sample
-    * (the [[IvfPqConfig.trainPointsPerCentroid]] discipline) re-fits
-    * exactly |refresh| centroids, and the region's vectors are
-    * reassigned AMONG THE REFRESHED CENTROIDS ONLY and re-encoded
-    * against the unchanged PQ codebooks. Confining reassignment to the
+    * partition-pruned scan, a local BISECTING k-means
+    * ([[LocalKMeans.fitBisecting]] — heaviest-cluster-first splits, the
+    * mass guarantee a flat fit lacks on blob-dominated regions) over a
+    * capped id-hash sample (the
+    * [[IvfPqConfig.trainPointsPerCentroid]] discipline; membership and
+    * order are pure functions of the ids, so the operator is immune to
+    * file/partition-layout variation) re-fits exactly |refresh|
+    * centroids, and the region's vectors are reassigned AMONG THE
+    * REFRESHED CENTROIDS ONLY and re-encoded against the unchanged PQ
+    * codebooks. Confining reassignment to the
     * refreshed centroids is what keeps every untouched cell's files
     * byte-identical — no row can migrate into a cold cell — and it is
     * sound because cell membership affects only which probes see a
@@ -714,20 +719,36 @@ object IvfPqBuilder {
           col("codes"), cbLit, model.config.numCodes).as("vec"))
       .localCheckpoint()
 
-    // capped local k-means over the region: k = |refresh| new centroids
+    // capped local k-means over the region: k = |refresh| new centroids.
+    // Sample membership is a PURE FUNCTION OF THE ID (hash-bucket
+    // filter) and the collected rows are sorted by id — `df.sample`
+    // seeds its RNG per partition and `collect` returns scan-split
+    // order, so both vary with file/partition layout, which made the
+    // re-fit (and therefore the convergence trajectory of repeated
+    // maintenance passes) depend on how the store happened to be split.
+    // A maintenance operator must be a pure function of store CONTENTS.
     val k = refresh.size
     val nRegion = refresh.map(histo).sum
     val cap = model.config.trainPointsPerCentroid.toLong * k
-    val trainVecs = (if (model.config.trainPointsPerCentroid > 0 && cap < nRegion)
-        recon.sample(withReplacement = false,
-          cap.toDouble / nRegion, model.config.seed)
-      else recon)
+    val trainVecs = (if (model.config.trainPointsPerCentroid > 0 && cap < nRegion) {
+        val fracX1e6 = math.max(1L, math.min(1000000L,
+          (BigInt(cap) * 1000000 / nRegion).toLong))
+        recon.where(pmod(xxhash64(col("id")), lit(1000000L)) < fracX1e6)
+      } else recon)
+      .orderBy("id")
       .select("vec").as[Array[Float]].collect()
     require(trainVecs.length >= k,
       s"rebalance-partial: region sample has ${trainVecs.length} vectors " +
         s"< $k refresh cells — k-means needs n >= k")
-    val regionFit = LocalKMeans.fit(trainVecs, k, model.config.maxIter,
-      model.config.tol, model.config.seed, init = "kmeans++")
+    // BISECTING k-means, not a flat k-fit: the refresh region is by
+    // construction dominated by one overweight blob, exactly the shape
+    // where a flat fit can stably leave the blob under a single center
+    // (no mass guarantee ⇒ repeated maintenance passes may never
+    // converge); heaviest-first bisection divides the hot mass at every
+    // split, so each pass provably shrinks the max cell toward
+    // regionMass/k (see LocalKMeans.fitBisecting)
+    val regionFit = LocalKMeans.fitBisecting(trainVecs, k,
+      model.config.maxIter, model.config.tol, model.config.seed)
     val newCents = model.partitionCentroids.map(_.clone())
     refresh.zipWithIndex.foreach { case (cell, j) =>
       newCents(cell) = regionFit.centroids(j)

@@ -57,6 +57,87 @@ object LocalKMeans {
     lloyd(data, centroids, maxIter, tol)
   }
 
+  /** BISECTING k-means (Steinbach, Karypis, Kumar 2000 — the variant
+    * MLlib ships as BisectingKMeans): start with one cluster holding
+    * everything and repeatedly 2-means-split the cluster with the MOST
+    * POINTS until k clusters exist. Used by the partial-rebalance
+    * maintenance path, where the property that matters is a MASS
+    * guarantee plain k-means does not give: a single k-means over a
+    * region dominated by one tight blob can stably park one center on
+    * the blob and the rest on scattered outliers (D²-seeding favors
+    * outliers, and Lloyd never splits a tight cluster covered by one
+    * center), leaving the hot cell hot forever. Splitting the heaviest
+    * cluster with 2 centers INSIDE it divides its mass every step, so
+    * max cell mass shrinks geometrically toward regionMass/k.
+    *
+    * A cluster whose points are all identical cannot split; when every
+    * remaining cluster is degenerate the result pads by REPEATING
+    * centroids — reassignment tie-breaks to the lower index, so padded
+    * duplicates simply receive no rows (callers that must handle empty
+    * cells already do). Deterministic for fixed (data order, seed). */
+  def fitBisecting(data: Array[Array[Float]], k: Int, maxIter: Int,
+                   tol: Double, seed: Long): KmResult = {
+    require(data.nonEmpty, "k-means needs at least one training point")
+    require(k > 0, s"k must be positive, got $k")
+    require(k <= data.length,
+      s"bisecting k-means has fewer training points than clusters: " +
+        s"n=${data.length} < k=$k")
+    if (k == data.length) return KmResult(data.map(_.map(_.toDouble)), 0)
+    // clusters as index arrays into data (order-stable)
+    var clusters = List(data.indices.toArray)
+    var iters = 0
+    var splits = 0
+    var degenerate = false
+    while (clusters.size < k && !degenerate) {
+      val (heaviest, rest) = {
+        val h = clusters.maxBy(_.length)
+        (h, clusters.filterNot(_ eq h))
+      }
+      // all-identical points cannot split into two nonempty halves
+      val sub = heaviest.map(data)
+      if (sub.forall(_.sameElements(sub(0)))) degenerate = true
+      else {
+        val fit2 = fit(sub, 2, maxIter, tol, seed + splits)
+        iters += fit2.iters
+        val (a, b) = heaviest.partition { idx =>
+          val v = data(idx)
+          var dA = 0.0; var dB = 0.0
+          var t = 0
+          while (t < v.length) {
+            val da = v(t) - fit2.centroids(0)(t)
+            val db = v(t) - fit2.centroids(1)(t)
+            dA += da * da; dB += db * db
+            t += 1
+          }
+          dA <= dB
+        }
+        if (a.isEmpty || b.isEmpty) degenerate = true
+        else {
+          clusters = a :: b :: rest
+          splits += 1
+        }
+      }
+    }
+    // centroid = mean of each cluster; pad degenerate shortfalls by
+    // repetition (duplicates get no rows at reassignment)
+    val dim = data(0).length
+    val means = clusters.map { idxs =>
+      val m = new Array[Double](dim)
+      idxs.foreach { i =>
+        val v = data(i)
+        var t = 0
+        while (t < dim) { m(t) += v(t); t += 1 }
+      }
+      var t = 0
+      while (t < dim) { m(t) /= idxs.length; t += 1 }
+      m
+    }.toArray
+    val out =
+      if (means.length >= k) means.take(k)
+      else Array.tabulate(k)(i => means(i % means.length).clone())
+    KmResult(out, iters)
+  }
+
   /** Lloyd rounds from EXPLICIT initial centroids — the warm-start entry
     * point (OPQ's alternating minimization refits the same codebooks
     * every rotation update; re-seeding from scratch would both waste the

@@ -372,6 +372,27 @@ object Multimodal {
     }
   }
 
+  /** Per-segment audio descriptors over PCM-u8 payloads — the cheap
+    * feature pass an audio curation pipeline runs after silence
+    * trimming: the clip splits into `nSegments` equal segments and each
+    * reports its ENERGY (Σ(sample−128)², the envelope) and strict ZERO
+    * CROSSINGS (the classic noisiness/pitch proxy; a flat 128 never
+    * crosses). ONE kernel pass per row
+    * ([[graft.functions.Kernels.audioSegmentStats]]), no shuffle; all
+    * integers, so the result is oracle-comparable. Output:
+    * (media_id, seg, energy, crossings), one row per segment. */
+  def audioFeatures(media: DataFrame, nSegments: Int): DataFrame = {
+    require(nSegments >= 1, s"nSegments must be >= 1, got $nSegments")
+    media.select(col("media_id"),
+        graft.functions.FastFunctions
+          .audioSegmentStats(col("payload"), nSegments).as("__st"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), lit(nSegments - 1))).as("__s"), col("__st"))
+      .select(col("media_id"), col("__s").cast("long").as("seg"),
+        element_at(col("__st"), col("__s") * 2 + 1).as("energy"),
+        element_at(col("__st"), col("__s") * 2 + 2).as("crossings"))
+  }
+
   /** Re-wrap decoded PCM rows (from [[decodeAudioBatched]]) in the media
     * schema so [[silenceStats]] / [[lengthBatches]] compose UNCHANGED —
     * byte_len is the decoded sample count, width/height are not a

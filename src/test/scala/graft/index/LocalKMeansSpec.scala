@@ -84,4 +84,47 @@ class LocalKMeansSpec extends AnyFunSuite {
       seed = 5L, init = "random")
     assert(r.centroids.length === 8)
   }
+
+  test("fitBisecting divides a dominant tight blob's mass (the guarantee " +
+      "a flat fit lacks) and is deterministic") {
+    // one tight 400-point blob + 3 far 20-point blobs — the partial-
+    // rebalance shape; flat k-means can park one center on the big blob
+    val rnd = new scala.util.Random(3)
+    val big = Array.fill(400)(Array.tabulate(8)(d =>
+      (50f + rnd.nextGaussian().toFloat)))
+    val small = (1 to 3).flatMap(b => Array.fill(20)(Array.tabulate(8)(d =>
+      (-40f * b + rnd.nextGaussian().toFloat)))).toArray
+    val data = big ++ small
+    val r = LocalKMeans.fitBisecting(data, k = 4, maxIter = 20,
+      tol = 1e-6, seed = 11L)
+    assert(r.centroids.length === 4)
+    // assign every point to its nearest centroid; no cell may hold more
+    // than ~60% of the blob — the big blob must have been SPLIT
+    val counts = new Array[Int](4)
+    data.foreach { v =>
+      var best = 0; var bd = Double.MaxValue
+      for (c <- 0 until 4) {
+        var s = 0.0
+        for (t <- v.indices) {
+          val d = v(t) - r.centroids(c)(t); s += d * d
+        }
+        if (s < bd) { bd = s; best = c }
+      }
+      counts(best) += 1
+    }
+    assert(counts.max <= 260,
+      s"dominant blob not split: cell sizes ${counts.toSeq}")
+    assert(counts.forall(_ > 0))
+    val r2 = LocalKMeans.fitBisecting(data, k = 4, maxIter = 20,
+      tol = 1e-6, seed = 11L)
+    assert(r.centroids.map(_.toSeq).toSeq === r2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("fitBisecting pads degenerate all-identical data by repetition") {
+    val data = Array.fill(6)(Array.fill(4)(1.5f))
+    val r = LocalKMeans.fitBisecting(data, k = 3, maxIter = 5,
+      tol = 1e-9, seed = 1L)
+    assert(r.centroids.length === 3)
+    assert(r.centroids.forall(_.toSeq === Seq(1.5, 1.5, 1.5, 1.5)))
+  }
 }

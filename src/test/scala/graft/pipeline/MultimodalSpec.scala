@@ -287,6 +287,38 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batches === Set((1L, 32L, 0L), (2L, 16L, 0L), (3L, 16L, 0L)))
   }
+  test("audioFeatures: per-segment energy and strict zero crossings " +
+      "match a brute-force recompute; flat 128 never crosses") {
+    val rnd = new scala.util.Random(7)
+    val clips = (1L to 6L).map { id =>
+      val n = 40 + rnd.nextInt(40)
+      id -> Array.fill(n)(rnd.nextInt(256).toByte)
+    }
+    val media = clips.toDF("media_id", "payload")
+    val got = Multimodal.audioFeatures(media, nSegments = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    for ((id, p) <- clips) {
+      val sl = p.length / 3
+      for (seg <- 0 until 3) {
+        val cs = p.slice(seg * sl, (seg + 1) * sl)
+          .map(b => (b & 0xFF) - 128)
+        val energy = cs.map(c => c.toLong * c).sum
+        val crossings = cs.sliding(2).count {
+          case Array(a, b) => a * b < 0
+          case _ => false
+        }.toLong
+        assert(got((id, seg.toLong)) === ((energy, crossings)),
+          s"clip $id seg $seg")
+      }
+    }
+    // a flat-128 clip: zero energy, zero crossings in every segment
+    val flat = Seq((9L, Array.fill(30)(128.toByte))).toDF("media_id", "payload")
+    Multimodal.audioFeatures(flat, 3).collect().foreach { r =>
+      assert((r.getLong(2), r.getLong(3)) === ((0L, 0L)))
+    }
+  }
   test("lengthBatches bands by byte length and cuts deterministic " +
       "batches inside each band") {
     import org.apache.spark.sql.functions.col
