@@ -3178,6 +3178,44 @@ object SparkEntry {
       stateDiff.crossJoin(repDiff).crossJoin(nonvac)
     }),
 
+    // SKETCH diversity state (constant bytes per group — the form that
+    // persists when even the exact (group, gram) counts outgrow a
+    // table): per source an exact additive window count + a
+    // DataSketches HLL of the gram fingerprints. Gated in-job against
+    // the exact report: totals equal exactly, and BOTH the merged-state
+    // and the one-shot estimates stay within 5% of the exact distinct
+    // count (deterministic for fixed data; the union is accuracy-
+    // lossless but not register-identical — mode transitions differ —
+    // so estimate equality is not the right claim)
+    "text_ngram_diversity_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.where(pmod(col("doc_id"), lit(40)) < 20)
+      val b = docs.where(pmod(col("doc_id"), lit(40)) >= 20)
+      val merged = TextAnalysis.mergeDiversitySketches(
+        TextAnalysis.ngramDiversitySketchState(a, "source", "text", 4),
+        TextAnalysis.ngramDiversitySketchState(b, "source", "text", 4))
+      val rep = TextAnalysis.ngramDiversityFromSketch(merged, "source")
+      val oneShot = TextAnalysis.ngramDiversityFromSketch(
+        TextAnalysis.ngramDiversitySketchState(docs, "source", "text", 4),
+        "source")
+        .select(col("source"), col("n_grams").as("g1"),
+          col("n_distinct_est").as("d1"))
+      val exact = TextAnalysis.ngramDiversity(docs, "source", "text", 4)
+        .select(col("source"), col("n_grams").as("ge"),
+          col("n_distinct").as("de"))
+      rep.join(oneShot, Seq("source")).join(exact, Seq("source"))
+        .agg(count(lit(1)).cast("long").as("n_sources"),
+          coalesce(sum(when(col("n_grams") === col("ge") &&
+            col("n_grams") === col("g1"), 0L).otherwise(1L)), lit(0L))
+            .as("n_total_diff"),
+          coalesce(sum(when(abs(col("d1") - col("de")) * 20
+            <= col("de"), 0L).otherwise(1L)), lit(0L))
+            .as("n_oneshot_out_of_bound"),
+          coalesce(sum(when(abs(col("n_distinct_est") - col("de")) * 20
+            <= col("de"), 0L).otherwise(1L)), lit(0L))
+            .as("n_merged_out_of_bound"))
+    }),
+
     // end-to-end corpus cleaning: quality filter → exact dedup →
     // near-dup drop list, each stage over the previous stage's
     // survivors; output = every dropped doc with its (unique) reason
@@ -7342,6 +7380,12 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_state_diff,
         | CAST(0 AS BIGINT) AS n_report_diff,
         | CAST(1 AS BIGINT) AS merge_nonvacuous""".stripMargin,
+
+    "text_ngram_diversity_sketch" ->
+      """SELECT CAST(20 AS BIGINT) AS n_sources,
+        | CAST(0 AS BIGINT) AS n_total_diff,
+        | CAST(0 AS BIGINT) AS n_oneshot_out_of_bound,
+        | CAST(0 AS BIGINT) AS n_merged_out_of_bound""".stripMargin,
 
     // replicates CorpusClean.dropDecisions stage by stage: quality
     // thresholds (same integer arithmetic as text_quality), exact dedup

@@ -601,17 +601,26 @@ object TextAnalysis {
     * ([[graft.functions.PlanShape.dataSizedParts]]). */
   def ngramDiversityState(docs: DataFrame, groupCol: String,
                           textCol: String, n: Int): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val toks = split(col(textCol), " ")
-    val m = size(toks) - lit(n - 1)
-    val grams = docs.select(col(groupCol).as("grp"),
-        explode(when(m >= 1, transform(sequence(lit(1), m),
-            i => md5(array_join(slice(toks, i, lit(n)), " "))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+    val grams = gramRelation(docs, groupCol, textCol, n)
     grams
       .repartition(graft.functions.PlanShape.dataSizedParts(grams),
         col("grp"), col("g"))
       .groupBy("grp", "g").agg(count(lit(1)).as("c"))
+  }
+
+  /** One (grp, g) row per n-token window — the shared explode behind
+    * the exact and sketch diversity states (md5 fingerprints, the
+    * [[TrainingData.ngramFingerprints]] engine-parity discipline, NOT
+    * per-doc-deduplicated: diversity counts occurrences). */
+  private def gramRelation(docs: DataFrame, groupCol: String,
+                           textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(col(textCol), " ")
+    val m = size(toks) - lit(n - 1)
+    docs.select(col(groupCol).as("grp"),
+      explode(when(m >= 1, transform(sequence(lit(1), m),
+          i => md5(array_join(slice(toks, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))).as("g"))
   }
 
   /** Merge two [[ngramDiversityState]] relations built over
@@ -620,6 +629,43 @@ object TextAnalysis {
     * sized, never corpus-sized. */
   def mergeNgramCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("grp", "g").agg(sum(col("c")).as("c"))
+
+  /** The SKETCH form of the diversity state for corpora where even the
+    * exact (group, gram) count relation is too large to persist: per
+    * group, the exact (additive) total window count plus a DataSketches
+    * HLL of the gram fingerprints — CONSTANT bytes per group (~4 KB at
+    * lgK=12, ~1.6% rsd; small groups stay in the sketch's exact sparse
+    * mode). Mergeable exactly like [[graft.pipeline.Sketches]]' daily
+    * sketches: counts add, sketches union. (The union is lossless in
+    * ACCURACY but not register-identical to a one-shot sketch — the
+    * DataSketches union gadget promotes through HLL_8 and mode
+    * transitions differ, so merged and one-shot ESTIMATES can differ
+    * sub-percent; the gate bounds both against the exact count.)
+    * `n_repeats` estimates as n_grams − estimate;
+    * `collision_pairs` needs the exact state ([[ngramDiversityState]]).
+    * Output: (grp, n_grams, sketch). */
+  def ngramDiversitySketchState(docs: DataFrame, groupCol: String,
+      textCol: String, n: Int, lgK: Int = 12): DataFrame =
+    gramRelation(docs, groupCol, textCol, n)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_grams"),
+        hll_sketch_agg(col("g"), lit(lgK)).as("sketch"))
+
+  /** Merge two [[ngramDiversitySketchState]] relations over
+    * DOC-DISJOINT batches: counts add, sketches union. */
+  def mergeDiversitySketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("grp")
+      .agg(sum(col("n_grams")).as("n_grams"),
+        hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  /** The diversity report from (merged) sketch state:
+    * (groupCol, n_grams, n_distinct_est, n_repeats_est). */
+  def ngramDiversityFromSketch(state: DataFrame,
+                               groupCol: String): DataFrame =
+    state.select(col("grp").as(groupCol), col("n_grams"),
+        round(hll_sketch_estimate(col("sketch"))).cast("long")
+          .as("n_distinct_est"))
+      .withColumn("n_repeats_est", col("n_grams") - col("n_distinct_est"))
 
   /** The [[ngramDiversity]] report from a (merged) state relation —
     * gated `text_ngram_diversity_incr`: merged-state report ≡ one-shot

@@ -52,6 +52,12 @@ object Round10ScaleProbe {
       TextAnalysis.ngramDiversity(docs, "source", "text", 4).count()
     }
 
+    timed(s"ngramDiversity SKETCH state (HLL, constant bytes/group) over $n docs") {
+      TextAnalysis.ngramDiversityFromSketch(
+        TextAnalysis.ngramDiversitySketchState(docs, "source", "text", 4),
+        "source").count()
+    }
+
     timed(s"ngramDiversity incremental merge, two $n/2-doc batches") {
       val a = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val b = docs.where(pmod(col("doc_id"), lit(2)) === 1)
