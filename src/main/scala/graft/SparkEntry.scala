@@ -4716,6 +4716,33 @@ object SparkEntry {
       inv.crossJoin(missed).crossJoin(extra)
     }),
 
+    // the dHash sibling of media_phash_near: gradient bits (pixel vs
+    // right neighbor over the 9×8 thumbnail) through the SAME banded
+    // Hamming machinery, audited against brute force both directions;
+    // exact-payload duplicates guarantee has_pairs = 1
+    "media_dhash_near" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+      val sigs = Multimodal.dHash64(media)
+      val banded = Dedup.hammingNearPairs(sigs, "media_id", "dhash", 3)
+      val brute = sigs.as("x").join(sigs.as("y"),
+          col("x.media_id") < col("y.media_id") &&
+          bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))) <= 3)
+        .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
+      val missed = brute.join(banded.select("a_id", "b_id"),
+          Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_missed"))
+      val extra = banded.select("a_id", "b_id").join(brute,
+          Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_extra"))
+      val inv = banded.agg(
+        coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_hamming_viol"),
+        coalesce(sum(when(col("a_id") >= col("b_id"), 1L).otherwise(0L)),
+          lit(0L)).as("n_order_viol"),
+        when(count(lit(1)) > 0, 1L).otherwise(0L).as("has_pairs"))
+      inv.crossJoin(missed).crossJoin(extra)
+    }),
+
     // ------------------------------------------ round-6 pipeline additions
 
     // CDC snapshot diff: two deterministic variants of orders (drops,
@@ -8863,6 +8890,13 @@ object SparkEntry {
     // all-invariants-hold row; has_pairs = 1 because the corpus contains
     // exact duplicates (equal payload ⇒ Hamming 0)
     "media_phash_near" ->
+      """SELECT CAST(0 AS BIGINT) AS n_hamming_viol,
+        | CAST(0 AS BIGINT) AS n_order_viol,
+        | CAST(1 AS BIGINT) AS has_pairs,
+        | CAST(0 AS BIGINT) AS n_missed,
+        | CAST(0 AS BIGINT) AS n_extra""".stripMargin,
+
+    "media_dhash_near" ->
       """SELECT CAST(0 AS BIGINT) AS n_hamming_viol,
         | CAST(0 AS BIGINT) AS n_order_viol,
         | CAST(1 AS BIGINT) AS has_pairs,

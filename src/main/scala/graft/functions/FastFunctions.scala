@@ -33,6 +33,7 @@ object FastFunctions {
     "winnowedFingerprints" -> Seq(ArrayType(StringType), IntegerType,
       IntegerType),
     "bitsAboveMean" -> Seq(ArrayType(FloatType)),
+    "gradientBits" -> Seq(ArrayType(FloatType), IntegerType, IntegerType),
     "signBits" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "hammingDist" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "shingleRepetition" -> Seq(ArrayType(StringType), IntegerType),
@@ -193,6 +194,10 @@ object FastFunctions {
   /** 64-bit average-hash (aHash) of a ≤64-pixel float image column. */
   def bitsAboveMean(img: Column): Column =
     invoke(LongType, "bitsAboveMean", img)
+
+  /** dHash gradient bits of a row-major w×h float image column. */
+  def gradientBits(img: Column, w: Int, h: Int): Column =
+    invoke(LongType, "gradientBits", img, lit(w), lit(h))
 
   /** (max shingle multiplicity << 32) | total shingles of a token-array
     * column — the repetition quality signal, one kernel call per row. */

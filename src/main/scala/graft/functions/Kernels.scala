@@ -1253,6 +1253,33 @@ object Kernels {
     bits
   }
 
+  /** dHash bit extraction: over a row-major w×h image with
+    * (w−1)·h ≤ 64, bit r·(w−1)+c is set iff pixel (r, c) is STRICTLY
+    * brighter than its right neighbor (r, c+1) — the difference-hash
+    * gradient signature (classic dHash uses 9×8 → 64 bits). Compares
+    * ADJACENT pixels, so it keys on local structure where
+    * [[bitsAboveMean]] keys on the global mean — the two hashes fail
+    * differently, which is why perceptual pipelines run both. Constant
+    * images map to 0, same caveat as aHash. */
+  def gradientBits(img: ArrayData, w: Int, h: Int): Long = {
+    require(w >= 2 && h >= 1 && (w - 1) * h <= 64,
+      s"dHash needs (w-1)*h in 1..64, got ${w}x$h")
+    require(img.numElements() == w * h,
+      s"image has ${img.numElements()} pixels, expected ${w * h}")
+    var bits = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w - 1) {
+        if (img.getFloat(r * w + c) > img.getFloat(r * w + c + 1))
+          bits |= (1L << (r * (w - 1) + c))
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   /** Sign binarization of a float vector against per-dimension
     * thresholds, packed little-endian into ⌈n/64⌉ 64-bit words: word j
     * bit i is set iff v[64j+i] > thr[64j+i]. The 1-bit-per-dimension

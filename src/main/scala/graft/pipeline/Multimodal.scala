@@ -183,6 +183,30 @@ object Multimodal {
         .as("ahash"))
   }
 
+  /** 64-bit DIFFERENCE hash (dHash) per media row: STUB decode to
+    * 18×16 gray, mean-pool to 9×8, bit = pixel strictly brighter than
+    * its RIGHT NEIGHBOR — the gradient sibling of [[aHash64]]: aHash
+    * keys on the global mean, dHash on local structure, so the two fail
+    * differently and perceptual near-dup pipelines run both signatures
+    * through the same [[graft.pipeline.Dedup.hammingNearPairs]]
+    * machinery. One codegen'd projection, no shuffle. */
+  def dHash64(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      gradientBits(
+        meanPool(stubDecodeGray(col("payload"), 18, 16), 18, 16, 2, 2),
+        9, 8).as("dhash"))
+
+  /** dHash over ALREADY-DECODED pixels (from [[decodeBatched]] with any
+    * decoder, e.g. [[imageIoDecode]]): mean-pool w×h to 9×8, then the
+    * same gradient bits — real-codec media joins the identical Hamming
+    * near-dup machinery. Requires 9 | w and 8 | h. */
+  def dHash64FromPixels(decoded: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w % 9 == 0 && h % 8 == 0, s"dHash pools ${w}x$h to 9x8")
+    decoded.select(col("media_id"),
+      gradientBits(meanPool(col("pixels"), w, h, w / 9, h / 8), 9, 8)
+        .as("dhash"))
+  }
+
   /** STUB decode + resize as one codegen'd projection: payload →
     * w×h gray pixels → mean-pooled (w/fw)×(h/fh) thumbnail. */
   def decodeAndPool(media: DataFrame, w: Int, h: Int,

@@ -287,6 +287,43 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batches === Set((1L, 32L, 0L), (2L, 16L, 0L), (3L, 16L, 0L)))
   }
+  test("dHash64: gradient bits match a brute-force recompute; equal " +
+      "payloads collide; global brightness shift is invariant") {
+    import org.apache.spark.sql.functions.col
+    val got = Multimodal.dHash64(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, t) <- texts.take(20)) {
+      val bytes = t.getBytes("UTF-8")
+      // stub decode to 18x16 then 2x2 mean-pool to 9x8 (same chain)
+      val px = Array.tabulate(16, 18)((y, x) =>
+        if (bytes.isEmpty) 0f
+        else (bytes((y * 18 + x) % bytes.length) & 0xFF) / 255.0f)
+      // double-accumulate then one float cast, the meanPool fold order
+      val thumb = Array.tabulate(8, 9)((y, x) =>
+        ((px(2 * y)(2 * x).toDouble + px(2 * y)(2 * x + 1) +
+          px(2 * y + 1)(2 * x) + px(2 * y + 1)(2 * x + 1)) / 4.0).toFloat)
+      var want = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (thumb(r)(c) > thumb(r)(c + 1)) want |= (1L << (r * 8 + c))
+      assert(got(id) === want, s"doc $id")
+    }
+    // identical payloads collide (Hamming 0)
+    val dup = Seq((1L, "same bytes here"), (2L, "same bytes here"))
+      .toDF("doc_id", "text")
+    val dupMedia = Multimodal.fromDocuments(dup)
+    val hs = Multimodal.dHash64(dupMedia).collect().map(_.getLong(1))
+    assert(hs(0) === hs(1))
+    // a global +10 brightness shift (no byte wraps) preserves every
+    // local gradient, so the dHash is INVARIANT — the structural claim
+    val base = Array.tabulate(64)(i => (40 + i * 3).toByte)
+    val shifted = base.map(b => (b + 10).toByte)
+    val pair = Seq((1L, base), (2L, shifted)).toDF("media_id", "payload")
+    val ph = Multimodal.dHash64(pair).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) === ph(2L))
+  }
   test("audioFeatures: per-segment energy and strict zero crossings " +
       "match a brute-force recompute; flat 128 never crosses") {
     val rnd = new scala.util.Random(7)
