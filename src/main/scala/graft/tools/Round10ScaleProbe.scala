@@ -93,6 +93,29 @@ object Round10ScaleProbe {
           Web.anchorTextState(b, "url", "html"))).count()
     }
 
+    // real WAV decode throughput through the batched seam: 1M
+    // synthesized 2048-sample containers (~2 GB of WAV bytes) →
+    // javax.sound parse → u8 PCM → silence profile, one pass
+    if (filter.isEmpty || filter.exists("wav decode".contains)) {
+      import spark.implicits._
+      import graft.pipeline.Multimodal
+      val nClips = math.min(n, 1000000L)
+      val t0 = System.nanoTime()
+      val wavs = spark.range(nClips).repartition(64)
+        .select(col("id")).as[Long]
+        .map { id =>
+          val samples = Array.tabulate(2048)(i =>
+            ((id * 37 + i.toLong * 11) % 256).toByte)
+          Multimodal.MediaRow(id, Multimodal.wavBytesU8(samples, 8000))
+        }
+      val media = Multimodal.pcmMedia(
+        Multimodal.decodeAudioBatched(wavs)().toDF, 16)
+      val rows = Multimodal.silenceStats(media, 16, 20000L).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"WAV encode+decode+profile, $nClips%d x 2048-sample clips: " +
+        f"$secs%.1f s ($rows rows, ${nClips / secs / 1000}%.0f kclips/s)")
+    }
+
     // gridBuckets = 8 keeps 8^4 = 4096 cells under the 16384 driver
     // bound (the default 16 only fits up to 3 dimensions)
     timed(s"4-D skyline over $n rows") {

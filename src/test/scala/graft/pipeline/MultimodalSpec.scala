@@ -251,6 +251,26 @@ class MultimodalSpec extends AnyFunSuite {
       ((lu + ru) / 2).toByte
     }
     assert(got.toSeq === expected)
+    // the contention-free RIFF fast path and the javax.sound fallback
+    // must agree byte for byte on the same JDK-written container
+    assert(Multimodal.riffPcmU8(bos.toByteArray).toSeq ===
+      Multimodal.javaxSoundPcmU8(bos.toByteArray).toSeq)
+    // a non-RIFF container (AIFF: big-endian signed 16) exercises the
+    // javax.sound fallback end-to-end through the public entry point
+    val pcmBE = new Array[Byte](left.length * 4)
+    for (i <- left.indices) {
+      val l = left(i); val r = right(i)
+      pcmBE(i * 4) = ((l >> 8) & 0xFF).toByte
+      pcmBE(i * 4 + 1) = (l & 0xFF).toByte
+      pcmBE(i * 4 + 2) = ((r >> 8) & 0xFF).toByte
+      pcmBE(i * 4 + 3) = (r & 0xFF).toByte
+    }
+    val aos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcmBE),
+        new AudioFormat(8000f, 16, 2, true, true), left.length.toLong),
+      AudioFileFormat.Type.AIFF, aos)
+    assert(Multimodal.wavDecodePcmU8(aos.toByteArray).toSeq === expected)
   }
   test("wavDecodePcmU8 fails loudly on undecodable payloads") {
     val ex = intercept[IllegalArgumentException] {
