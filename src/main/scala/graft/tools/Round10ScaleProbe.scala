@@ -147,6 +147,13 @@ object Round10ScaleProbe {
       println(f"PNG decode x$nImgs%d on the pool: $secs%.1f s " +
         f"($rows rows, ${nImgs / secs / 1000}%.0f kimg/s = " +
         f"${1e6 / (nImgs / secs)}%.0f us/image effective)")
+      val t3 = System.nanoTime()
+      val rows2 = Multimodal.imageIoDecodeBatched(
+        spark.range(nImgs).repartition(64).select(col("id")).as[Long]
+          .map(id => Multimodal.MediaRow(id, png)), 16, 8).count()
+      val secs2 = (System.nanoTime() - t3) / 1e9
+      println(f"PNG decode x$nImgs%d reader-reuse: $secs2%.1f s " +
+        f"($rows2 rows, ${nImgs / secs2 / 1000}%.0f kimg/s)")
     }
 
     // gridBuckets = 8 keeps 8^4 = 4096 cells under the 16384 driver

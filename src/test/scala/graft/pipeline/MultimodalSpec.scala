@@ -117,6 +117,13 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("decodable") ||
       Option(ex.getCause).exists(_.getMessage.contains("decodable")))
+    // the per-partition reader-reuse path decodes BYTE-IDENTICALLY to
+    // the one-shot registry-probe path on the same payloads
+    val viaReuse = Multimodal.imageIoDecodeBatched(ds, 16, 8)
+      .collect().map(r => r.media_id -> r.pixels.toSeq).toMap
+    val viaOneShot = decoded
+      .collect().map(r => r.media_id -> r.pixels.toSeq).toMap
+    assert(viaReuse === viaOneShot)
   }
 
   test("keyFrames: change-scored top-k, first frame scores its own sum") {
