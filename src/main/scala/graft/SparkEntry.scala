@@ -1491,6 +1491,38 @@ object SparkEntry {
         coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // SQ8 warm serving (LocalServeSq8): the warm path over the
+    // scalar-quantized codec — per-row distances replay the sq8Dist
+    // fold exactly, so the invariant stays EXACT parity with the
+    // cluster IvfSq8.topK (ids, partitions, BIT-IDENTICAL sq_dist,
+    // same order) over three queries; completes warm serving across
+    // the stored codec family (PQ / OPQ / SQ8)
+    "ann_sq8_local_serve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded0) = graft.index.IvfSq8
+        .fit(emb, "vec_id", "embedding", 64, numPartitions = 8)
+      val encoded = encoded0.localCheckpoint()
+      val serve = graft.query.LocalServeSq8.fromCodes(model, encoded)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = graft.index.IvfSq8
+          .topK(encoded, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val local = serve.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(local, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
     // OPQ index (beyond-reference codec family): product quantization
     // behind a LEARNED orthonormal rotation of the residuals (Ge et al.,
     // CVPR 2013 — trained by alternating warm-started codebook fits with
@@ -6312,6 +6344,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
     "ann_opq_local_serve" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_sq8_local_serve" ->
       """SELECT CAST(30 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,

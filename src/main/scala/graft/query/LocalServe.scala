@@ -167,6 +167,131 @@ final class LocalServe private (
   }
 }
 
+/** Driver-local warm serving over IVF+SQ8 cells — the scalar-quantized
+  * sibling of [[LocalServe]], completing the warm path across the
+  * stored codec family (PQ / OPQ / SQ8). Same residency contract
+  * (dim bytes per vector here), same bounded-heap result assembly; the
+  * per-row distance replays [[graft.functions.Kernels.sq8Dist]]'s fold
+  * EXACTLY, so results are bit-identical to [[graft.index.IvfSq8.topK]]
+  * (gated by `ann_sq8_local_serve`). Distances are computed into a
+  * per-cell array by row-chunked futures (each element independent —
+  * deterministic) and the heap pass runs single-threaded in row order,
+  * preserving the (sq_dist, id) tie contract. */
+final class LocalServeSq8 private (
+    val model: graft.index.IvfSq8Model,
+    cellIds: Map[Int, Array[Long]],
+    cellCodes: Map[Int, Array[Byte]]) {
+
+  /** Cells resident on this server. */
+  def cells: Seq[Int] = cellIds.keys.toSeq.sorted
+
+  /** Total resident vectors. */
+  def size: Long = cellIds.valuesIterator.map(_.length.toLong).sum
+
+  /** Warm top-k: (id, partition, sq_dist) ascending by (sq_dist, id). */
+  def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
+    val missing = probes.map(_._1).filterNot(cellIds.contains)
+    require(missing.isEmpty,
+      s"probed cells not resident on this server: ${missing.mkString(",")}" +
+        s" (resident: ${cells.mkString(",")})")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dim = model.dim
+    val mins = model.codec.mins
+    val scales = model.codec.scales
+    val dists: Array[Array[Double]] = {
+      val futs = probes.map { case (cell, localized) =>
+        val codes = cellCodes(cell)
+        val n = cellIds(cell).length
+        val out = new Array[Double](n)
+        val block = math.max(1, n / 32)
+        Future.sequence((0 until n by block).map { s0 =>
+          Future {
+            var r = s0
+            val e = math.min(s0 + block, n)
+            while (r < e) {
+              val base = r * dim
+              var s = 0.0
+              var i = 0
+              while (i < dim) { // identical fold to Kernels.sq8Dist
+                val d = localized(i) -
+                  (mins(i) + (codes(base + i) & 0xFF) * scales(i))
+                s += d * d
+                i += 1
+              }
+              out(r) = s
+              r += 1
+            }
+          }
+        }).map(_ => out)
+      }
+      Await.result(Future.sequence(futs.toSeq), Duration.Inf).toArray
+    }
+    val heap = new java.util.PriorityQueue[(Long, Int, Double)](
+      math.max(k, 1),
+      (a: (Long, Int, Double), b: (Long, Int, Double)) => {
+        val c = java.lang.Double.compare(b._3, a._3)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    probes.zipWithIndex.foreach { case ((cell, _), pi) =>
+      val ids = cellIds(cell)
+      val ds = dists(pi)
+      var r = 0
+      while (r < ids.length) {
+        val s = ds(r)
+        if (heap.size < k) heap.add((ids(r), cell, s))
+        else {
+          val worst = heap.peek()
+          if (s < worst._3 || (s == worst._3 && ids(r) < worst._1)) {
+            heap.poll(); heap.add((ids(r), cell, s))
+          }
+        }
+        r += 1
+      }
+    }
+    val out = new Array[(Long, Int, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+    out
+  }
+}
+
+object LocalServeSq8 {
+
+  /** Pin an IVF+SQ8 encoded (id, partition, sq8) relation — callers
+    * prune to the cells this box serves FIRST (the [[LocalServe]]
+    * residency contract; SQ8 pins dim bytes per vector). */
+  def fromCodes(model: graft.index.IvfSq8Model,
+                encoded: org.apache.spark.sql.DataFrame): LocalServeSq8 = {
+    val dim = model.dim
+    val rows = encoded.select(col("partition").cast("int"),
+        col("id").cast("long"), col("sq8"))
+      .collect()
+    val byCell = rows.groupBy(_.getInt(0))
+    val ids = byCell.map { case (cell, rs) =>
+      cell -> rs.sortBy(_.getLong(1)).map(_.getLong(1))
+    }
+    val packed = byCell.map { case (cell, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val flat = new Array[Byte](sorted.length * dim)
+      var r = 0
+      while (r < sorted.length) {
+        val cs = sorted(r).getAs[Array[Byte]](2)
+        require(cs.length == dim,
+          s"sq8 row has ${cs.length} bytes, model dim is $dim")
+        System.arraycopy(cs, 0, flat, r * dim, dim)
+        r += 1
+      }
+      cell -> flat
+    }
+    new LocalServeSq8(model, ids, packed)
+  }
+}
+
 object LocalServe {
 
   /** Load a saved store's model and pin the requested cells' code

@@ -91,6 +91,34 @@ class LocalServeSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 parity: LocalServeSq8 matches IvfSq8.topK bit-exactly") {
+    import graft.index.IvfSq8
+    val (sqModel, sqEncoded0) =
+      IvfSq8.fit(df, "id", "vec", dim, numPartitions = 4)
+    val sqEncoded = sqEncoded0.localCheckpoint()
+    val serve = LocalServeSq8.fromCodes(sqModel, sqEncoded)
+    assert(serve.size === data.length)
+    for {
+      qid <- Seq(0L, 57L, 123L, 199L)
+      (k, nprobe) <- Seq((5, 1), (10, 2), (7, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      val cluster = IvfSq8.topK(sqEncoded, sqModel, q, k, nprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val local = serve.query(q, k, nprobe)
+      assert(local.toSeq === cluster.toSeq,
+        s"SQ8 mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    // missing-cell refusal, same contract as the PQ server
+    val sub = LocalServeSq8.fromCodes(sqModel,
+      sqEncoded.where(org.apache.spark.sql.functions.col("partition") === 0))
+    val ex = intercept[IllegalArgumentException] {
+      sub.query(data.head._2.map(_.toDouble).toArray, 5, 4)
+    }
+    assert(ex.getMessage.contains("not resident"))
+  }
+
   test("k larger than resident rows returns everything, ordered") {
     val serve = LocalServe.fromStore(spark, storeDir)
     val q = data.head._2.map(_.toDouble).toArray
