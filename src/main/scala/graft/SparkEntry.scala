@@ -1491,6 +1491,38 @@ object SparkEntry {
         coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // RQ warm serving (LocalServeRq): the two-level refined codec's
+    // warm path — level-1 LocalServe nominates k·kFactor candidates,
+    // the driver re-scores each against the two-level reconstruction
+    // replaying the cluster float-cast chain exactly, so the invariant
+    // stays EXACT parity with Rq.topKRefined (ids + BIT-IDENTICAL
+    // sq_dist, same order) over three queries
+    "ann_rq_local_serve" -> ((s, dir) => {
+      import graft.index.Rq
+      val (model, encoded) = fittedIndex(s, dir)
+      val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+        numDivisions2 = 16, numCodes2 = 16, trainPointsPerCentroid = 0)
+      val enc2 = enc2raw.localCheckpoint()
+      val serve = graft.query.LocalServeRq.fromCodes(rq, enc2)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = Rq.topKRefined(enc2, rq, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val local = serve.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(local, (-1L, -1.0), (-2L, -2.0)).map {
+          case ((cid, cd), (lid, ld)) =>
+            (if (cid == lid) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
     // SQ8 warm serving (LocalServeSq8): the warm path over the
     // scalar-quantized codec — per-row distances replay the sq8Dist
     // fold exactly, so the invariant stays EXACT parity with the
@@ -6349,6 +6381,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
     "ann_sq8_local_serve" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_rq_local_serve" ->
       """SELECT CAST(30 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,

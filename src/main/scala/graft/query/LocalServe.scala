@@ -29,7 +29,7 @@ import graft.index.{IvfPqBuilder, IvfPqModel}
   * ([[AnnQuery.batchTopK]] and friends) remain the throughput surface.
   * This path exists for LATENCY, not throughput.
   */
-final class LocalServe private (
+final class LocalServe private[query] (
     val model: IvfPqModel,
     cellIds: Map[Int, Array[Long]],
     cellCodes: Map[Int, Array[Int]],
@@ -164,6 +164,112 @@ final class LocalServe private (
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
     out
+  }
+}
+
+/** Driver-local warm serving over a two-level RESIDUAL-QUANTIZED store
+  * ([[graft.index.Rq]]) — completes the warm path across all four
+  * stored codec families (PQ / OPQ / SQ8 / RQ). Nomination reuses the
+  * level-1 [[LocalServe]] ADC loop verbatim (k·kFactor candidates),
+  * then each candidate re-scores against its TWO-LEVEL reconstruction
+  * driver-side, replaying the cluster path's float-cast chain exactly
+  * (pqReconstructF's per-element `(centroid + book).toFloat`, the
+  * zip_with float add, sqL2f's double fold) so results are
+  * bit-identical to [[graft.index.Rq.topKRefined]] (gated by
+  * `ann_rq_local_serve`). Residency: level-1 codes + D₂ refine codes
+  * per pinned vector. */
+final class LocalServeRq private (
+    val model: graft.index.Rq.RqModel,
+    lvl1: LocalServe,
+    cellIds: Map[Int, Array[Long]],
+    codes1: Map[Int, Array[Int]],
+    codes2: Map[Int, Array[Int]]) {
+
+  /** Cells resident on this server. */
+  def cells: Seq[Int] = cellIds.keys.toSeq.sorted
+
+  /** Total resident vectors. */
+  def size: Long = cellIds.valuesIterator.map(_.length.toLong).sum
+
+  /** Warm refined top-k: (id, sq_dist) ascending by (sq_dist, id) —
+    * the exact contract of [[graft.index.Rq.topKRefined]]. */
+  def query(q: Array[Double], k: Int, nprobe: Int,
+            kFactor: Int = 4): Array[(Long, Double)] = {
+    require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
+    val cands = lvl1.query(q, k * kFactor, nprobe)
+    val dim = model.base.dim
+    val d1 = model.base.config.numDivisions
+    val m1 = dim / d1
+    val c1 = model.base.config.numCodes
+    val d2 = model.numDivisions2
+    val m2 = dim / d2
+    val c2 = model.numCodes2
+    val books1 = model.base.codebooks
+    val books2 = model.refineBooks
+    val cents = model.base.partitionCentroids
+    val qf = q.map(_.toFloat)
+    // per-cell row index of each candidate (ids are sorted per cell)
+    val scored = cands.map { case (id, cell, _) =>
+      val ids = cellIds(cell)
+      val r = java.util.Arrays.binarySearch(ids, id)
+      require(r >= 0, s"candidate $id missing from its cell $cell")
+      val k1 = codes1(cell)
+      val k2 = codes2(cell)
+      val cent = cents(cell)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        // identical float-cast chain to pqReconstructF + the
+        // reconstruct2 zip_with float add
+        val lvl1f = (cent(i) +
+          books1(i / m1)(k1(r * d1 + i / m1))(i % m1)).toFloat
+        val lvl2f = (0.0 +
+          books2(i / m2)(k2(r * d2 + i / m2))(i % m2)).toFloat
+        val rec = lvl1f + lvl2f
+        val d = rec.toDouble - qf(i).toDouble // sqL2f's fold
+        s += d * d
+        i += 1
+      }
+      (id, s)
+    }
+    scored.sortBy(t => (t._2, t._1)).take(k)
+  }
+}
+
+object LocalServeRq {
+
+  /** Pin a refined (id, partition, codes, codes2) relation (what
+    * [[graft.index.Rq.fitRefine]]/load return) — callers prune to this
+    * box's cells FIRST, the shared residency contract. */
+  def fromCodes(model: graft.index.Rq.RqModel,
+                encoded2: org.apache.spark.sql.DataFrame): LocalServeRq = {
+    val d1 = model.base.config.numDivisions
+    val d2 = model.numDivisions2
+    val rows = encoded2.select(col("partition").cast("int"),
+        col("id").cast("long"), col("codes"), col("codes2"))
+      .collect()
+    val byCell = rows.groupBy(_.getInt(0))
+    val ids = byCell.map { case (cell, rs) =>
+      cell -> rs.sortBy(_.getLong(1)).map(_.getLong(1))
+    }
+    def pack(fieldIdx: Int, d: Int) = byCell.map { case (cell, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val flat = new Array[Int](sorted.length * d)
+      var r = 0
+      while (r < sorted.length) {
+        val cs = sorted(r).getSeq[Int](fieldIdx)
+        require(cs.length == d,
+          s"codes row has ${cs.length} divisions, expected $d")
+        var i = 0
+        while (i < d) { flat(r * d + i) = cs(i); i += 1 }
+        r += 1
+      }
+      cell -> flat
+    }
+    val k1 = pack(2, d1)
+    val k2 = pack(3, d2)
+    val lvl1 = new LocalServe(model.base, ids, k1, None)
+    new LocalServeRq(model, lvl1, ids, k1, k2)
   }
 }
 

@@ -119,6 +119,27 @@ class LocalServeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not resident"))
   }
 
+  test("RQ parity: LocalServeRq matches Rq.topKRefined bit-exactly") {
+    import graft.index.Rq
+    val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+      numDivisions2 = 8, numCodes2 = 8, trainPointsPerCentroid = 0)
+    val enc2 = enc2raw.localCheckpoint()
+    val serve = LocalServeRq.fromCodes(rq, enc2)
+    assert(serve.size === data.length)
+    for {
+      qid <- Seq(0L, 57L, 123L, 199L)
+      (k, nprobe) <- Seq((5, 1), (10, 2), (7, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      val cluster = Rq.topKRefined(enc2, rq, q, k, nprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val local = serve.query(q, k, nprobe)
+      assert(local.toSeq === cluster.toSeq,
+        s"RQ mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+  }
+
   test("k larger than resident rows returns everything, ordered") {
     val serve = LocalServe.fromStore(spark, storeDir)
     val q = data.head._2.map(_.toDouble).toArray
