@@ -117,6 +117,39 @@ object ServeProbe {
       f"queries): p50=${pct2(0.50)}%.3f ms p90=${pct2(0.90)}%.3f ms " +
       f"p99=${pct2(0.99)}%.3f ms mean=${lat2.sum / nq}%.3f ms " +
       f"(rotation rides the probe futures; sink=$sink2)")
+
+    // SQ8 leg: full-precision scan of the probed cells' byte codes —
+    // dim flops/row instead of D table lookups, the latency/accuracy
+    // trade the scalar codec makes
+    def measure(name: String, f: Array[Double] => Long): Unit = {
+      var w3 = 0
+      while (w3 < 100) { f(queryVec(w3.toLong)); w3 += 1 }
+      val lat3 = new Array[Double](nq)
+      var i3 = 0
+      var sink3 = 0L
+      while (i3 < nq) {
+        val q = queryVec(1000L + i3)
+        val s = System.nanoTime()
+        sink3 += f(q)
+        lat3(i3) = (System.nanoTime() - s) / 1e6
+        i3 += 1
+      }
+      java.util.Arrays.sort(lat3)
+      def p(qq: Double) = lat3(math.min(nq - 1, (qq * nq).toInt))
+      println(f"[serveprobe] warm $name local query (K=$k nprobe=$nprobe, " +
+        f"$nq queries): p50=${p(0.50)}%.3f ms p90=${p(0.90)}%.3f ms " +
+        f"p99=${p(0.99)}%.3f ms mean=${lat3.sum / nq}%.3f ms (sink=$sink3)")
+    }
+    val (sqModel, sqEnc) = graft.index.IvfSq8.fit(vectors, "id", "vec",
+      dim, numPartitions = p)
+    val sqServe = graft.query.LocalServeSq8
+      .fromCodes(sqModel, sqEnc.localCheckpoint())
+    measure("SQ8", q => sqServe.query(q, k, nprobe).head._1)
+    val (rq, enc2) = graft.index.Rq.fitRefine(encoded, model,
+      numDivisions2 = d, numCodes2 = c)
+    val rqServe = graft.query.LocalServeRq
+      .fromCodes(rq, enc2.localCheckpoint())
+    measure("RQ", q => rqServe.query(q, k, nprobe).head._1)
     spark.stop()
   }
 
