@@ -3712,6 +3712,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // span-level decontamination REPORT: benchmark-covered token
+    // positions merged into maximal contiguous spans (gaps-and-islands)
+    // — WHERE the leak sits, not just that it does; the oracle rebuilds
+    // windows, matches, covered positions and islands from the same
+    // md5 keys
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.TrainingData.decontaminateSpans(
+        docs.where(col("doc_id") % 23 =!= 0),
+        docs.where(col("doc_id") % 23 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // span-level decontamination REMOVAL: covered tokens cut, document
+    // reassembled from survivors (untouched docs verbatim) — the oracle
+    // strips with an anti-join over the same covered set and re-joins
+    // tokens position-ordered
+    "decontaminate_remove" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.TrainingData.removeContaminatedSpans(
+        docs.where(col("doc_id") % 23 =!= 0),
+        docs.where(col("doc_id") % 23 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // bucketed interval join (no equi-key): every click paired with ALL
     // purchases of the next five minutes — equi-join on derived time
     // buckets, never a cross join (see RangeJoin scaladoc). µs domain on
@@ -7962,6 +7989,69 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits FROM tg JOIN be USING (g)
         |CROSS JOIN guard WHERE guard.ok = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // covered = every token index under a bench-matching window
+    // (0-based like Spark's posexplode); islands merge them to spans
+    "decontaminate_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4094 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |be AS (SELECT DISTINCT md5(array_to_string(ts[g.i : g.i + 2], ' '))
+        |   AS g
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 = 0 AND g.i + 2 <= len(ts)),
+        |hit AS (SELECT doc_id, g.i AS wpos
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 <> 0 AND g.i + 2 <= len(ts)
+        |   AND md5(array_to_string(ts[g.i : g.i + 2], ' ')) IN
+        |     (SELECT g FROM be)),
+        |cov AS (SELECT DISTINCT doc_id, hit.wpos + o.k - 1 AS idx0
+        | FROM hit, generate_series(0, 2) AS o(k)),
+        |isl AS (SELECT doc_id, idx0,
+        |  idx0 - row_number() OVER (PARTITION BY doc_id ORDER BY idx0)
+        |    AS grp
+        | FROM cov)
+        |SELECT doc_id, CAST(min(idx0) AS BIGINT) AS span_start,
+        | CAST(max(idx0) AS BIGINT) AS span_end,
+        | CAST(count(*) AS BIGINT) AS span_tokens
+        |FROM isl CROSS JOIN guard WHERE guard.ok = 1
+        |GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "decontaminate_remove" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4094 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |be AS (SELECT DISTINCT md5(array_to_string(ts[g.i : g.i + 2], ' '))
+        |   AS g
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 = 0 AND g.i + 2 <= len(ts)),
+        |hit AS (SELECT doc_id, g.i AS wpos
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 <> 0 AND g.i + 2 <= len(ts)
+        |   AND md5(array_to_string(ts[g.i : g.i + 2], ' ')) IN
+        |     (SELECT g FROM be)),
+        |cov AS (SELECT DISTINCT doc_id, hit.wpos + o.k AS p
+        | FROM hit, generate_series(0, 2) AS o(k)),
+        |tp AS (SELECT doc_id, g.i AS p, ts[g.i] AS tk
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 <> 0 AND g.i <= len(ts)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tk FROM tp
+        | LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+        | WHERE cov.p IS NULL),
+        |nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_removed
+        | FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce((SELECT string_agg(kept.tk, ' ' ORDER BY kept.p)
+        |   FROM kept WHERE kept.doc_id = d.doc_id), '') AS clean_text,
+        | coalesce(nrem.n_tokens_removed, 0) AS n_tokens_removed
+        |FROM documents d CROSS JOIN guard
+        |LEFT JOIN nrem ON nrem.doc_id = d.doc_id
+        |WHERE guard.ok = 1 AND d.doc_id % 23 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "events_range_join" ->
       """WITH c AS (SELECT event_id AS click_id,

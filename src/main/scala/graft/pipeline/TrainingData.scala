@@ -378,21 +378,103 @@ object TrainingData {
     * explode of per-doc distinct fingerprints, a candidate-sized join,
     * and a doc-keyed count — fixed-width rows, never text. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
+                    textCol: String, n: Int): DataFrame =
+    train
+      .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
+      .join(benchGramSet(bench, textCol, n), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** The benchmark's DISTINCT window-fingerprint set, MATERIALIZED once
+    * and broadcast only when the measured size allows (≤ 10M md5-string
+    * rows ≈ 1 GB as a broadcast hash map — Catalyst has no size
+    * estimate for a derived aggregate and would otherwise plan the
+    * shuffle join even for a tiny benchmark; above the bound the
+    * shuffle join is correct). Shared by the three decontamination
+    * operators. */
+  private def benchGramSet(bench: DataFrame, textCol: String,
+                           n: Int): DataFrame = {
     val grams = bench
       .select(explode(ngramFingerprints(col(textCol), n)).as("g"))
       .distinct()
       .localCheckpoint()
-    // ≤ 10M distinct md5-string fingerprints (~1 GB as a broadcast hash
-    // map) ride the explicit hint — Catalyst has no size estimate for a
-    // derived aggregate and would otherwise plan the shuffle join even
-    // for a tiny benchmark; above the bound the shuffle join is correct
-    val bg = if (grams.count() <= 10000000L) broadcast(grams) else grams
-    train
-      .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
-      .join(bg, "g")
+    if (grams.count() <= 10000000L) broadcast(grams) else grams
+  }
+
+  /** Per-window fingerprints WITH positions — (idCol, pos, g) where
+    * `pos` is the 0-based index of the window's first token. The
+    * positional sibling of [[ngramFingerprints]] (same md5 keys, NOT
+    * deduplicated — spans need every occurrence). */
+  private def windowFingerprints(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val m = size(toks) - lit(n - 1)
+    df.select(col(idCol),
+      posexplode(when(m >= 1, transform(sequence(lit(1), m),
+          i => md5(array_join(slice(toks, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+  }
+
+  /** Span-level decontamination REPORT — WHERE the benchmark text sits
+    * inside each training document, not just that it does
+    * ([[decontaminate]] flags whole documents): every token covered by
+    * a benchmark-matching n-token window, merged into maximal
+    * contiguous spans (gaps-and-islands). The eval-before-release audit
+    * artifact: reviewers read spans, not boolean flags. Output one row
+    * per span: (idCol, span_start, span_end, span_tokens) — 0-based
+    * inclusive token indexes.
+    *
+    * Scale shape: the benchmark side is the shared measured-broadcast
+    * gram set; the train side is one narrow positional explode and a
+    * candidate-sized join — only MATCHED windows explode into covered
+    * positions, and the island window is bounded by one document's
+    * coverage, never the corpus. */
+  def decontaminateSpans(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val covered = windowFingerprints(train, idCol, textCol, n)
+      .join(benchGramSet(bench, textCol, n), "g")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+    covered
+      .withColumn("__isl", col("idx") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("idx")).cast("long").as("span_start"),
+        max(col("idx")).cast("long").as("span_end"),
+        count(lit(1)).as("span_tokens"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
+
+  /** Span-level decontamination REMOVAL — cut every benchmark-covered
+    * token and reassemble the document from the survivors (the
+    * [[graft.pipeline.Dedup.removeDuplicateSpans]] strip idiom pointed
+    * at an external benchmark instead of the corpus itself): what a
+    * pipeline DOES about contamination when dropping whole documents
+    * wastes too much clean text. Untouched documents pass through
+    * VERBATIM (no retokenization); fully-covered documents keep an
+    * empty clean_text — dropping them is the caller's decision. Output:
+    * (idCol, clean_text, n_tokens_removed) for EVERY training row. */
+  def removeContaminatedSpans(train: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val dropIdx = windowFingerprints(train, idCol, textCol, n)
+      .join(benchGramSet(bench, textCol, n), "g")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(sort_array(collect_set(col("idx"))).as("__drop"))
+    train.join(dropIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__drop").isNull, col(textCol))
+          .otherwise(array_join(filter(toks,
+            (_, i) => not(array_contains(col("__drop"), i))), " "))
+          .as("clean_text"),
+        when(col("__drop").isNull, lit(0)) // size(NULL) is -1 pre-ANSI
+          .otherwise(size(col("__drop"))).cast("long")
+          .as("n_tokens_removed"))
   }
 
   /** Per-group RANK normalization: each row's score replaced by its
