@@ -3216,6 +3216,10 @@ object SparkEntry {
           .as("text"))
       val a = docs.where(pmod(col("doc_id"), lit(40)) < 20)
       val b = docs.where(pmod(col("doc_id"), lit(40)) >= 20)
+      // states are recomputed per consumer ON PURPOSE: checkpointing
+      // sa/sb/merged was tried and REJECTED (4.2 → 5.8 s at sf0.1 —
+      // three materialization barriers cost more than re-running the
+      // cheap gram explodes; the r9 span-removal lesson again)
       val sa = TextAnalysis.ngramDiversityState(a, "source", "text", 4)
       val sb = TextAnalysis.ngramDiversityState(b, "source", "text", 4)
       val merged = TextAnalysis.mergeNgramCounts(sa, sb)
