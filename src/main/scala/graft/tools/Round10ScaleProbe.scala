@@ -158,6 +158,47 @@ object Round10ScaleProbe {
 
     // gridBuckets = 8 keeps 8^4 = 4096 cells under the 16384 driver
     // bound (the default 16 only fits up to 3 dimensions)
+    // span-level decontamination at corpus scale: a 20k-doc benchmark
+    // against n training docs; planted contamination — every 97th train
+    // doc embeds a benchmark doc's exact token run, so matches exist
+    // and only matched windows explode into positions
+    if (filter.isEmpty || filter.exists("decontaminate".contains)) {
+      import graft.pipeline.TrainingData
+      val bench = spark.range(20000).repartition(8)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(k =>
+            concat(lit("b"), pmod(hash(col("id"), lit(k + 100)), lit(30000)))): _*)
+            .as("text"))
+      val train = spark.range(n).repartition(64)
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(97)) === 0,
+            concat(
+              concat_ws(" ", (0 until 6).map(k =>
+                concat(lit("w"), pmod(hash(col("id"), lit(k)), lit(50000)))): _*),
+              lit(" "),
+              concat_ws(" ", (0 until 12).map(k =>
+                concat(lit("b"), pmod(hash(pmod(col("id"), lit(20000)),
+                  lit(k + 100)), lit(30000)))): _*)))
+          .otherwise(
+            concat_ws(" ", (0 until 18).map(k =>
+              concat(lit("w"), pmod(hash(col("id"), lit(k)), lit(50000)))): _*))
+          .as("text"))
+      timed(s"decontaminateSpans, $n train docs vs 20k-doc benchmark") {
+        TrainingData.decontaminateSpans(train, bench, "doc_id", "text", 8)
+          .count()
+      }
+      timed(s"removeContaminatedSpans, $n train docs") {
+        // a bare count() lets Catalyst ELIMINATE the left join (the
+        // aggregated right side has distinct keys and no referenced
+        // columns) and skip all the work — force the strip itself
+        TrainingData.removeContaminatedSpans(train, bench, "doc_id",
+            "text", 8)
+          .agg(sum(col("n_tokens_removed")).cast("long"),
+            sum(length(col("clean_text"))))
+          .collect()(0).getLong(0)
+      }
+    }
+
     timed(s"4-D skyline over $n rows") {
       val pts = spark.range(n).repartition(64)
         .select(col("id"),
