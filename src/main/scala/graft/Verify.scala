@@ -10,8 +10,10 @@ import java.nio.file.{Files, Paths}
   * unchanged battery and output layout), and
   * `SPARK_GRAFT_VERIFY_SHARD=ann,text` runs any subset independently —
   * each shard's dump + its filtered oracle_sql.json is a complete,
-  * checkable unit, so N driver invocations over disjoint shard sets
-  * reproduce the full battery. Per-shard wall times print at the end
+  * checkable unit. N invocations over disjoint shard sets reproduce the
+  * full battery ONLY with one outDir per invocation (a shared outDir
+  * would overwrite oracle_sql.json with the last shard's entries) —
+  * run the checker per shard dir. Per-shard wall times print at the end
   * (and land in BENCH_NOTES each round) so the next split point is
   * always measured, not guessed. */
 object Verify {
@@ -101,9 +103,11 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // machine-readable shard timings beside the dump (diagnostics only;
     // the driver's checker ignores unknown files)
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a
+    // comma-decimal default locale would emit malformed JSON
     val timesJson = shardTimes
       .map { case (s2, n, t) => s"${q(s2)}: {\"entries\": $n, \"secs\": " +
-        f"$t%.2f}" }
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(t)) + "}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/shard_times.json"), timesJson)
     spark.stop()

@@ -83,22 +83,28 @@ object LocalKMeans {
       s"bisecting k-means has fewer training points than clusters: " +
         s"n=${data.length} < k=$k")
     if (k == data.length) return KmResult(data.map(_.map(_.toDouble)), 0)
-    // clusters as index arrays into data (order-stable)
-    var clusters = List(data.indices.toArray)
+    // clusters as index arrays into data (order-stable); a cluster that
+    // cannot split (all-identical points, or a 2-means that empties one
+    // side) FREEZES and splitting continues with the next heaviest
+    // ACTIVE cluster — only when every remaining cluster is frozen does
+    // the fit fall short of k and pad
+    var active = List(data.indices.toArray)
+    var frozen = List.empty[Array[Int]]
     var iters = 0
     var splits = 0
-    var degenerate = false
-    while (clusters.size < k && !degenerate) {
+    while (active.nonEmpty && active.size + frozen.size < k) {
       val (heaviest, rest) = {
-        val h = clusters.maxBy(_.length)
-        (h, clusters.filterNot(_ eq h))
+        val h = active.maxBy(_.length)
+        (h, active.filterNot(_ eq h))
       }
-      // all-identical points cannot split into two nonempty halves
       val sub = heaviest.map(data)
-      if (sub.forall(_.sameElements(sub(0)))) degenerate = true
-      else {
+      if (sub.forall(_.sameElements(sub(0)))) {
+        frozen ::= heaviest
+        active = rest
+      } else {
         val fit2 = fit(sub, 2, maxIter, tol, seed + splits)
         iters += fit2.iters
+        splits += 1
         val (a, b) = heaviest.partition { idx =>
           val v = data(idx)
           var dA = 0.0; var dB = 0.0
@@ -111,13 +117,15 @@ object LocalKMeans {
           }
           dA <= dB
         }
-        if (a.isEmpty || b.isEmpty) degenerate = true
-        else {
-          clusters = a :: b :: rest
-          splits += 1
+        if (a.isEmpty || b.isEmpty) {
+          frozen ::= heaviest
+          active = rest
+        } else {
+          active = a :: b :: rest
         }
       }
     }
+    val clusters = active ++ frozen
     // centroid = mean of each cluster; pad degenerate shortfalls by
     // repetition (duplicates get no rows at reassignment)
     val dim = data(0).length

@@ -709,9 +709,11 @@ object TrainingData {
       else (df.withColumn("__q", expr(
         s"(cast(`$scoreCol` as bigint) - pmod(cast(`$scoreCol` as bigint), " +
           s"${quantize}L)) div ${quantize}L")), "__q")
-    val bucketed = equalFreqBucket(scored, effScore, Seq.empty,
+    // drop __q only when THIS function added it — at quantize == 1 a
+    // caller's own __q column (permitted by the require above) survives
+    val bucketed0 = equalFreqBucket(scored, effScore, Seq.empty,
       bucketWeights.length, descending = false)
-      .drop("__q")
+    val bucketed = if (quantize == 1L) bucketed0 else bucketed0.drop("__q")
     val b = substring(
       md5(concat(lit("cur:"), col(idCol).cast("string")).cast("binary")), 1, 2)
     val thresh = bucketWeights.zipWithIndex.foldLeft(lit("00")) {

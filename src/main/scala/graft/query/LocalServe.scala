@@ -248,12 +248,12 @@ object LocalServeRq {
     val rows = encoded2.select(col("partition").cast("int"),
         col("id").cast("long"), col("codes"), col("codes2"))
       .collect()
-    val byCell = rows.groupBy(_.getInt(0))
-    val ids = byCell.map { case (cell, rs) =>
-      cell -> rs.sortBy(_.getLong(1)).map(_.getLong(1))
+    // one sort per cell; ids and both code layers derive from it
+    val byCell = rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+      cell -> rs.sortBy(_.getLong(1))
     }
-    def pack(fieldIdx: Int, d: Int) = byCell.map { case (cell, rs) =>
-      val sorted = rs.sortBy(_.getLong(1))
+    val ids = byCell.map { case (cell, rs) => cell -> rs.map(_.getLong(1)) }
+    def pack(fieldIdx: Int, d: Int) = byCell.map { case (cell, sorted) =>
       val flat = new Array[Int](sorted.length * d)
       var r = 0
       while (r < sorted.length) {

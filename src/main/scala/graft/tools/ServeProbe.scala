@@ -89,38 +89,7 @@ object ServeProbe {
       f"${(System.nanoTime() - t2) / 1e6}%.1f ms (the scheduling floor " +
       f"LocalServe exists to dodge)")
 
-    // OPQ warm-latency leg: the rotation's d² flops per probe are the
-    // only delta vs the plain path, so a SEEDED random orthonormal R
-    // over the SAME pinned codes measures the serving cost exactly —
-    // no OPQ training (bit-parity with the trained path is gated by
-    // ann_opq_local_serve; this probe is about latency, and a
-    // driver-local 1536-dim OPQ fit is not a serving-time cost)
-    val rot = randomOrthonormal(dim, 1234567L)
-    val opqModel = graft.index.OpqModel(model, rot, Array.empty)
-    val opqServe = LocalServe.fromCodesOpq(opqModel, encoded)
-    var w2 = 0
-    while (w2 < 100) { opqServe.query(queryVec(w2.toLong), k, nprobe); w2 += 1 }
-    val lat2 = new Array[Double](nq)
-    var j = 0
-    var sink2 = 0L
-    while (j < nq) {
-      val q = queryVec(1000L + j)
-      val s = System.nanoTime()
-      val hits = opqServe.query(q, k, nprobe)
-      lat2(j) = (System.nanoTime() - s) / 1e6
-      sink2 += hits.head._1
-      j += 1
-    }
-    java.util.Arrays.sort(lat2)
-    def pct2(q: Double) = lat2(math.min(nq - 1, (q * nq).toInt))
-    println(f"[serveprobe] warm OPQ local query (K=$k nprobe=$nprobe, $nq " +
-      f"queries): p50=${pct2(0.50)}%.3f ms p90=${pct2(0.90)}%.3f ms " +
-      f"p99=${pct2(0.99)}%.3f ms mean=${lat2.sum / nq}%.3f ms " +
-      f"(rotation rides the probe futures; sink=$sink2)")
-
-    // SQ8 leg: full-precision scan of the probed cells' byte codes —
-    // dim flops/row instead of D table lookups, the latency/accuracy
-    // trade the scalar codec makes
+    // shared warm-latency harness for the non-plain codec legs
     def measure(name: String, f: Array[Double] => Long): Unit = {
       var w3 = 0
       while (w3 < 100) { f(queryVec(w3.toLong)); w3 += 1 }
@@ -140,6 +109,20 @@ object ServeProbe {
         f"$nq queries): p50=${p(0.50)}%.3f ms p90=${p(0.90)}%.3f ms " +
         f"p99=${p(0.99)}%.3f ms mean=${lat3.sum / nq}%.3f ms (sink=$sink3)")
     }
+    // OPQ leg: the rotation's d² flops per probe are the only delta vs
+    // the plain path, so a SEEDED random orthonormal R over the SAME
+    // pinned codes measures the serving cost exactly — no OPQ training
+    // (bit-parity with the trained path is gated by ann_opq_local_serve;
+    // this probe is about latency, and a driver-local 1536-dim OPQ fit
+    // is not a serving-time cost). Rotation rides the probe futures.
+    val rot = randomOrthonormal(dim, 1234567L)
+    val opqServe = LocalServe.fromCodesOpq(
+      graft.index.OpqModel(model, rot, Array.empty), encoded)
+    measure("OPQ", q => opqServe.query(q, k, nprobe).head._1)
+
+    // SQ8 leg: full-precision scan of the probed cells' byte codes —
+    // dim flops/row instead of D table lookups, the latency/accuracy
+    // trade the scalar codec makes
     val (sqModel, sqEnc) = graft.index.IvfSq8.fit(vectors, "id", "vec",
       dim, numPartitions = p)
     val sqServe = graft.query.LocalServeSq8

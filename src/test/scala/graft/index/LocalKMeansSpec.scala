@@ -120,6 +120,22 @@ class LocalKMeansSpec extends AnyFunSuite {
     assert(r.centroids.map(_.toSeq).toSeq === r2.centroids.map(_.toSeq).toSeq)
   }
 
+  test("fitBisecting freezes an unsplittable heaviest cluster and keeps " +
+      "splitting the rest") {
+    // 100 IDENTICAL points (heaviest, cannot split) + two far distinct
+    // groups — the fit must still separate B and C after freezing A
+    val a = Array.fill(100)(Array.fill(4)(0f))
+    val b = Array.fill(10)(Array.tabulate(4)(d => 50f + d))
+    val c = Array.fill(10)(Array.tabulate(4)(d => -50f - d))
+    val r = LocalKMeans.fitBisecting(a ++ b ++ c, k = 3, maxIter = 10,
+      tol = 1e-9, seed = 2L)
+    assert(r.centroids.length === 3)
+    val cents = r.centroids.map(_.toSeq).toSet
+    assert(cents.contains(Seq(0.0, 0.0, 0.0, 0.0)), "A's centroid missing")
+    assert(cents.exists(_.head > 40), "B never got its own centroid")
+    assert(cents.exists(_.head < -40), "C never got its own centroid")
+  }
+
   test("fitBisecting pads degenerate all-identical data by repetition") {
     val data = Array.fill(6)(Array.fill(4)(1.5f))
     val r = LocalKMeans.fitBisecting(data, k = 3, maxIter = 5,
