@@ -4640,6 +4640,40 @@ object SparkEntry {
       repDiff.crossJoin(nonvac)
     }),
 
+    // SKETCH anchor state ((dst, anchor)-sized regardless of host
+    // fan-in — the src key the exact state carries becomes constant
+    // HLL bytes): gated in-job against the exact report — link totals
+    // equal exactly, the distinct-host ESTIMATES (one-shot AND the
+    // two-batch union) stay within 5% of exact, deterministic
+    "web_anchor_text_sketch" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir).withColumn("url", webSimpleUrl)
+        .withColumn("html", webHtmlDoc)
+      val pa = pages.where(pmod(col("doc_id"), lit(8)) < 4)
+      val pb = pages.where(pmod(col("doc_id"), lit(8)) >= 4)
+      val merged = Web.mergeAnchorSketches(
+        Web.anchorTextSketchState(pa, "url", "html"),
+        Web.anchorTextSketchState(pb, "url", "html"))
+      val rep = Web.anchorTextsFromSketch(merged)
+        .select(col("dst"), col("anchor"), col("n_hosts_est").as("hm"),
+          col("n_links").as("lm"))
+      val oneShot = Web.anchorTextsFromSketch(
+        Web.anchorTextSketchState(pages, "url", "html"))
+        .select(col("dst"), col("anchor"), col("n_hosts_est").as("h1"),
+          col("n_links").as("l1"))
+      val exact = Web.anchorTexts(pages, "url", "html")
+        .select(col("dst"), col("anchor"), col("n_hosts").as("he"),
+          col("n_links").as("le"))
+      rep.join(oneShot, Seq("dst", "anchor")).join(exact, Seq("dst", "anchor"))
+        .agg(when(count(lit(1)) > 0, 1L).otherwise(0L).as("has_pairs"),
+          coalesce(sum(when(col("lm") === col("le") &&
+            col("l1") === col("le"), 0L).otherwise(1L)), lit(0L))
+            .as("n_total_diff"),
+          coalesce(sum(when(abs(col("h1") - col("he")) * 20 <= col("he"),
+            0L).otherwise(1L)), lit(0L)).as("n_oneshot_out_of_bound"),
+          coalesce(sum(when(abs(col("hm") - col("he")) * 20 <= col("he"),
+            0L).otherwise(1L)), lit(0L)).as("n_merged_out_of_bound"))
+    }),
+
     // the WHOLE web-curation chain composed end to end: render pages
     // as WARC shards → re-ingest (multi-byte-lineSep split) → URL-level
     // dedup on the parsed target URIs (group-stable messy URLs, one
@@ -8502,6 +8536,12 @@ object SparkEntry {
     "web_anchor_text_incr" ->
       """SELECT CAST(0 AS BIGINT) AS n_report_diff,
         | CAST(1 AS BIGINT) AS merge_nonvacuous""".stripMargin,
+
+    "web_anchor_text_sketch" ->
+      """SELECT CAST(1 AS BIGINT) AS has_pairs,
+        | CAST(0 AS BIGINT) AS n_total_diff,
+        | CAST(0 AS BIGINT) AS n_oneshot_out_of_bound,
+        | CAST(0 AS BIGINT) AS n_merged_out_of_bound""".stripMargin,
 
     "web_html_extract" ->
       """WITH b AS (SELECT doc_id,

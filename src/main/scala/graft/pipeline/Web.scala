@@ -170,6 +170,41 @@ object Web {
     state.groupBy("dst", "anchor")
       .agg(count(lit(1)).as("n_hosts"), sum(col("n_links")).as("n_links"))
 
+  /** The SKETCH form of the anchor state for crawls where even the
+    * (dst, anchor, src) relation outgrows a table: per (dst, anchor),
+    * the exact additive link count plus a DataSketches HLL of the
+    * linking hosts — (dst, anchor)-sized regardless of host fan-in,
+    * the src key the exact state must carry replaced by constant
+    * sketch bytes. Mergeable like the diversity sketch: counts add,
+    * sketches union (accuracy-lossless, not register-identical — the
+    * gate bounds estimates against exact, never equates). */
+  def anchorTextSketchState(pages: DataFrame, urlCol: String,
+                            htmlCol: String, lgK: Int = 12): DataFrame =
+    pages.select(host(col(urlCol)).as("src"),
+        explode(Html.anchors(col(htmlCol))).as("a"))
+      .select(col("src"), host(col("a.href")).as("dst"),
+        col("a.text").as("anchor"))
+      .where(col("dst") =!= "" && col("dst") =!= col("src") &&
+        col("anchor") =!= "")
+      .groupBy("dst", "anchor")
+      .agg(count(lit(1)).as("n_links"),
+        hll_sketch_agg(col("src"), lit(lgK)).as("host_sketch"))
+
+  /** Merge two [[anchorTextSketchState]] relations over PAGE-DISJOINT
+    * batches: counts add, host sketches union. */
+  def mergeAnchorSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("dst", "anchor")
+      .agg(sum(col("n_links")).as("n_links"),
+        hll_union_agg(col("host_sketch"), lit(false)).as("host_sketch"))
+
+  /** The anchor-text report from (merged) sketch state:
+    * (dst, anchor, n_hosts_est, n_links). */
+  def anchorTextsFromSketch(state: DataFrame): DataFrame =
+    state.select(col("dst"), col("anchor"),
+      round(hll_sketch_estimate(col("host_sketch"))).cast("long")
+        .as("n_hosts_est"),
+      col("n_links"))
+
   /** URL-level dedup: one row per [[urlKey]] with the kept (minimum)
     * id and the duplicate count. The first dedup a crawl corpus runs —
     * one hash aggregate on the key, no text is touched or moved. */
