@@ -2638,6 +2638,47 @@ object SparkEntry {
             .otherwise(0L).as("dropped_nonzero"))
     }),
 
+    // the 100 TB twin of embed_prototype_prune: the per-cluster drop
+    // threshold from a quantized-d2 histogram, only the boundary bucket
+    // resolved by the exact (d2, id) rank. Gate: the twin's kept set is
+    // EXACTLY the window form's (anti-joins both ways empty) at BOTH a
+    // fine and a deliberately coarse quantization (coarse pushes more
+    // rows through the boundary-bucket resolution path)
+    "embed_prototype_prune_hist" -> ((s, dir) => {
+      import graft.pipeline.Clustering
+      val emb = Tables.embeddings(s, dir)
+      val model = Clustering.fit(emb, "embedding", k = 8, seed = 5,
+        trainPointsPerCentroid = 0)
+      val exact = Clustering.prototypePrune(emb, "vec_id", "embedding",
+        model, dropPct = 25).select("vec_id").localCheckpoint()
+      def diffs(scale: Double) = {
+        val twin = Clustering.prototypePruneHist(emb, "vec_id", "embedding",
+          model, dropPct = 25, quantScale = scale).select("vec_id")
+        exact.join(twin, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("only_exact"))
+          .crossJoin(twin.join(exact, Seq("vec_id"), "left_anti")
+            .agg(count(lit(1)).cast("long").as("only_twin")))
+          .crossJoin(twin.agg(count(lit(1)).cast("long").as("n_twin")))
+      }
+      val fine = diffs(1e4)
+      val coarse = diffs(2.0)
+      emb.agg(count(lit(1)).cast("long").as("n_total"))
+        .crossJoin(exact.agg(count(lit(1)).cast("long").as("n_exact")))
+        .crossJoin(fine.select(col("only_exact").as("fine_only_exact"),
+          col("only_twin").as("fine_only_twin"),
+          col("n_twin").as("fine_n")))
+        .crossJoin(coarse.select(col("only_exact").as("coarse_only_exact"),
+          col("only_twin").as("coarse_only_twin"),
+          col("n_twin").as("coarse_n")))
+        .select(col("n_total"), col("fine_only_exact"),
+          col("fine_only_twin"),
+          when(col("fine_n") === col("n_exact"), 1L).otherwise(0L)
+            .as("fine_count_match"),
+          col("coarse_only_exact"), col("coarse_only_twin"),
+          when(col("coarse_n") === col("n_exact"), 1L).otherwise(0L)
+            .as("coarse_count_match"))
+    }),
+
     // per-label embedding centroids (class prototypes) in the
     // integer-exact formulation — see Embeddings.centroidSumsMilli
     "embed_centroids" -> ((s, dir) =>
@@ -3464,6 +3505,17 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars", "rank_bp")
         .orderBy("doc_id")),
 
+    // the 100 TB twin of sample_rank_normalize: the rank comes from a
+    // per-(source, score) histogram (cum − cnt + 1 IS SQL rank()'s
+    // min-tie), the cumulative window runs over distinct scores only —
+    // exactly equal output, no corpus-sized group sort anywhere
+    "sample_rank_normalize_hist" -> ((s, dir) =>
+      graft.pipeline.TrainingData.rankNormalizeHist(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "rank_bp")
+        .orderBy("doc_id")),
+
     // cross-source contamination matrix: distinct shared word-4-gram
     // fingerprints per source PAIR — the corpus-health diagnostic run
     // before mixing sources; two injected cross-source phrases (on the
@@ -3492,6 +3544,19 @@ object SparkEntry {
         .withColumn("n", expr("cast(substring(source, 4) as int) % 7 + 3"))
       graft.pipeline.TrainingData
         .stratifiedSample(docs, "source", "doc_id", quotas, seed = 9)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    }),
+
+    // the 100 TB twin of sample_stratified: the same per-group md5 race
+    // as a bounded top-k aggregate at k = max quota, quota applied to
+    // winner ranks — no group ever sorts in one task; quotas broadcast
+    "sample_stratified_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quotas = docs.select("source").distinct()
+        .withColumn("n", expr("cast(substring(source, 4) as int) % 7 + 3"))
+      graft.pipeline.TrainingData
+        .stratifiedSampleTopK(docs, "source", "doc_id", quotas, seed = 9)
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     }),
@@ -3580,6 +3645,18 @@ object SparkEntry {
     "sample_per_source" -> ((s, dir) =>
       graft.pipeline.TrainingData
         .perGroupCap(Tables.documents(s, dir), "source", "doc_id", cap = 150)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // the 100 TB twin of sample_per_source: the same md5-order cut as a
+    // bounded top-k AGGREGATE (shuffle ≤ cap·|sources| rows, no
+    // giant-group window sort) + an id semi-join back; race keys are
+    // the 52-bit md5 prefix, ties by id (the documented divergence —
+    // prefix collisions are ~n²/2⁵³ per group)
+    "sample_per_source_topk" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .perGroupCapTopK(Tables.documents(s, dir), "source", "doc_id",
+          cap = 150)
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
@@ -4957,6 +5034,16 @@ object SparkEntry {
         "source", "doc_id", "n_chars", kPerGroup = 10)
         .orderBy("source", "doc_id")),
 
+    // the 100 TB twin of sample_weighted_by_group: the identical
+    // exponential-race doubles through the bounded top-k aggregate
+    // (ties toward the smaller id = the window's ORDER BY race, id) —
+    // bit-identical winners, no giant-group window
+    "sample_weighted_by_group_topk" -> ((s, dir) =>
+      graft.pipeline.TrainingData.weightedSamplePerGroupTopK(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", kPerGroup = 10)
+        .orderBy("source", "doc_id")),
+
     // salted pseudonymization (Privacy.pseudonym): consistent opaque
     // 64-bit tokens (joins on released data still work; the mapping
     // needs the salt to replay) — one codegen projection, md5 parity
@@ -5212,6 +5299,16 @@ object SparkEntry {
         .select("event_id", "event_type", "is_outlier")
         .orderBy("event_id")),
 
+    // the 100 TB twin of outlier_mad: both medians from (group, value)
+    // histograms — domain-sized cumulative windows, identical flags
+    // (the id tie-break can never change a median VALUE)
+    "outlier_mad_hist" -> ((s, dir) =>
+      graft.pipeline.Outliers.madOutliersHist(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", k = 3.0)
+        .select("event_id", "event_type", "is_outlier")
+        .orderBy("event_id")),
+
     // per-group winsorization at exact [p05, p95] rank statistics:
     // every event keeps its identity, value clamped into its type's
     // bounds, clip side flagged (pipeline/Outliers.scala)
@@ -5219,6 +5316,16 @@ object SparkEntry {
       graft.pipeline.Outliers.winsorize(
         Tables.events(s, dir).select("event_id", "event_type", "value"),
         "event_type", "value", "event_id")
+        .select("event_id", "event_type", "value", "clipped")
+        .orderBy("event_id")),
+
+    // the 100 TB twin of outlier_winsorize: [p05, p95] bounds from the
+    // (group, value) histogram — the value at rank r is the smallest
+    // value whose cumulative count reaches r, identical clamps
+    "outlier_winsorize_hist" -> ((s, dir) =>
+      graft.pipeline.Outliers.winsorizeHist(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value")
         .select("event_id", "event_type", "value", "clipped")
         .orderBy("event_id")),
 
@@ -7674,6 +7781,19 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_rank_viol,
         | CAST(1 AS BIGINT) AS dropped_nonzero""".stripMargin,
 
+    // invariant oracle: the histogram twin's kept set is EXACTLY the
+    // window form's at both quantizations (anti-joins empty, counts
+    // equal); n_total recomputed from the table
+    "embed_prototype_prune_hist" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(0 AS BIGINT) AS fine_only_exact,
+        | CAST(0 AS BIGINT) AS fine_only_twin,
+        | CAST(1 AS BIGINT) AS fine_count_match,
+        | CAST(0 AS BIGINT) AS coarse_only_exact,
+        | CAST(0 AS BIGINT) AS coarse_only_twin,
+        | CAST(1 AS BIGINT) AS coarse_count_match
+        |FROM embeddings""".stripMargin,
+
     "cluster_balanced" ->
       """SELECT CAST(500 AS BIGINT) AS n_assigned,
         | CAST(0 AS BIGINT) AS n_out_of_range,
@@ -7716,6 +7836,17 @@ object SparkEntry {
         |   ELSE (10000 * (rk - 1)) // (n - 1) END AS rank_bp
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // the histogram twin is exactly equal to rank() — same oracle
+    "sample_rank_normalize_hist" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n
+        | FROM documents)
+        |SELECT doc_id, source, n_chars,
+        | CASE WHEN n = 1 THEN 5000
+        |   ELSE (10000 * (rk - 1)) // (n - 1) END AS rank_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "corpus_overlap_matrix" ->
       """WITH d AS (SELECT source, doc_id, text ||
         |  CASE WHEN doc_id % 3 = 0 THEN
@@ -7743,6 +7874,19 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY d.source
         |    ORDER BY md5('ss:9:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
         |    AS rn, q.n
+        | FROM documents d JOIN q USING (source))
+        |SELECT source, doc_id FROM r WHERE rn <= n
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // the twin's contract: the same race keyed on the 52-bit md5 prefix
+    "sample_stratified_topk" ->
+      """WITH q AS (SELECT source,
+        |  CAST(substr(source, 4) AS INTEGER) % 7 + 3 AS n
+        | FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (SELECT d.source, d.doc_id,
+        |  row_number() OVER (PARTITION BY d.source
+        |    ORDER BY substr(md5('ss:9:' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 13), d.doc_id) AS rn, q.n
         | FROM documents d JOIN q USING (source))
         |SELECT source, doc_id FROM r WHERE rn <= n
         |ORDER BY source, doc_id""".stripMargin,
@@ -7811,6 +7955,16 @@ object SparkEntry {
       """SELECT doc_id, source FROM (
         | SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        | FROM documents) t
+        |WHERE rnk <= 150 ORDER BY doc_id""".stripMargin,
+
+    // the twin's own contract: rank on the 52-bit md5 prefix (13 hex
+    // chars order identically as string and number), ties by id
+    "sample_per_source_topk" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+        |   AS rnk
         | FROM documents) t
         |WHERE rnk <= 150 ORDER BY doc_id""".stripMargin,
 
@@ -9214,6 +9368,20 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM k WHERE rn <= 10
         |ORDER BY source, doc_id""".stripMargin,
 
+    // the twin is bit-identical to the window form (the race key is a
+    // double either way; aggregator ties break by id like the window)
+    "sample_weighted_by_group_topk" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  -ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+        |      1, 6))::BIGINT + 1.0) / 16777216.0)
+        |    / CAST(n_chars AS DOUBLE) AS race_key
+        | FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY race_key, doc_id) AS rn FROM r)
+        |SELECT doc_id, source, n_chars FROM k WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
     "privacy_pseudonymize" ->
       """SELECT c_custkey,
         | substr(md5('salt7:' || CAST(c_custkey AS VARCHAR)), 1, 16)
@@ -9635,7 +9803,49 @@ object SparkEntry {
         |   AS is_outlier
         |FROM d JOIN mad USING (event_type) ORDER BY event_id""".stripMargin,
 
+    // the histogram twin reproduces the exact lower medians — same
+    // oracle as outlier_mad
+    "outlier_mad_hist" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r1 AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        | FROM r1 GROUP BY event_type),
+        |d AS (SELECT e.event_id, e.event_type, e.value,
+        |  abs(e.value - med.med) AS dev FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev, event_id) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+        | FROM r2 GROUP BY event_type)
+        |SELECT d.event_id, d.event_type,
+        | CAST(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_outlier
+        |FROM d JOIN mad USING (event_type) ORDER BY event_id""".stripMargin,
+
     "outlier_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |b AS (SELECT event_type,
+        |  max(CASE WHEN rn = (n * 1 + 19) // 20 THEN value END) AS lo,
+        |  max(CASE WHEN rn = (n * 19 + 19) // 20 THEN value END) AS hi
+        | FROM r GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        | least(greatest(e.value, b.lo), b.hi) AS value,
+        | CAST(CASE WHEN e.value < b.lo THEN -1
+        |   WHEN e.value > b.hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
+        |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+    // the histogram twin reproduces the exact rank bounds — same oracle
+    "outlier_winsorize_hist" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |r AS (SELECT *,
         |  CAST(row_number() OVER (PARTITION BY event_type

@@ -93,8 +93,11 @@ object Clustering {
     *
     * Shape: [[assignWithDistance]] (no shuffle beyond the k-row
     * broadcast) + one window per CLUSTER partition over (id, cluster,
-    * d2) — cluster-bounded sorts, the vectors never reach the window.
-    * Output: the kept rows of `df` + (cluster, d2). */
+    * d2) — the vectors never reach the window, but each CLUSTER sorts
+    * in one task: fine when k is large, a giant-group plan when a few
+    * topic cells cover the corpus — use [[prototypePruneHist]] at scale
+    * (identical kept set). Output: the kept rows of `df` +
+    * (cluster, d2). */
   def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
                      model: ClusterModel, dropPct: Int): DataFrame = {
     require(dropPct >= 0 && dropPct <= 100,
@@ -108,6 +111,76 @@ object Clustering {
         count(lit(1)).over(Window.partitionBy("cluster")))
       .where(col("__rk") > expr(s"(__n * $dropPct) div 100"))
       .drop("__rk", "__n")
+  }
+
+  /** The 100 TB twin of [[prototypePrune]]: IDENTICAL kept set, no
+    * cluster-partitioned window over the corpus. The exact form sends
+    * every row of a cluster to one task's sort — fine when k is large,
+    * a giant-group plan when k is small (a handful of topic cells over
+    * a 100 TB corpus). Here the per-cluster drop threshold comes from a
+    * QUANTIZED-d2 histogram (bucket = ⌊d2·quantScale⌋; quantization is
+    * order-preserving, and equal d2 always means equal bucket, so
+    * bucket boundaries never split a d2 tie class): a domain-sized
+    * cumulative window finds the BOUNDARY bucket where the cumulative
+    * count first reaches the cluster's exact integer drop quota, rows
+    * in buckets below it are dropped outright, rows above are kept
+    * outright, and only the boundary bucket's rows — bounded by one
+    * bucket's population, never the cluster — are resolved exactly by
+    * the same (d2 asc, id asc) rank as the exact form. The result is
+    * therefore EXACTLY [[prototypePrune]]'s kept set at any
+    * `quantScale`; the scale only trades histogram width against
+    * boundary-bucket size (a degenerate all-equal-d2 cluster puts its
+    * whole population in the boundary bucket — the documented worst
+    * case, where the exact rank is unavoidable).
+    *
+    * CARDINALITY CONTRACT (loud): ≤ `maxDistinct` histogram buckets per
+    * cluster, asserted in-plan. Output: the kept rows of `df` +
+    * (cluster, d2), exactly [[prototypePrune]]. */
+  def prototypePruneHist(df: DataFrame, idCol: String, vecCol: String,
+                         model: ClusterModel, dropPct: Int,
+                         quantScale: Double = 1e4,
+                         maxDistinct: Long = 4L << 20): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100,
+      s"dropPct must be in 0..100, got $dropPct")
+    require(quantScale > 0, s"quantScale must be positive, got $quantScale")
+    import org.apache.spark.sql.expressions.Window
+    val ad = assignWithDistance(df, vecCol, model)
+      .withColumn("__b", floor(col("d2") * lit(quantScale)).cast("long"))
+    val hist = ad.groupBy(col("cluster"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy("cluster").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("cluster")
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .withColumn("__nd", count(lit(1)).over(wTot))
+      .where(assert_true(col("__nd") <= maxDistinct,
+        lit(s"prototypePruneHist: more than $maxDistinct distinct d2 " +
+          s"buckets in one cluster — lower quantScale")).isNull)
+      .withColumn("__drop", expr(s"(__n * $dropPct) div 100"))
+    // the boundary bucket: the first whose cumulative count reaches the
+    // drop quota (min over (__b, …) structs — __b is unique per cluster
+    // in the histogram, so the struct min IS the min-bucket row)
+    val bound = cum.where(col("__cum") >= col("__drop"))
+      .groupBy(col("cluster"))
+      .agg(min(struct(col("__b"), (col("__cum") - col("__c")).as("__cb"),
+        col("__drop"))).as("__bi"))
+      .select(col("cluster"), col("__bi.__b").as("__bb"),
+        col("__bi.__cb").as("__cb"), col("__bi.__drop").as("__dc"))
+    val j = ad.join(broadcast(bound), Seq("cluster"))
+    val above = j.where(col("__b") > col("__bb"))
+    // exact resolution INSIDE the boundary bucket only: local rank over
+    // (d2, id) + the buckets-below offset reproduces the exact form's
+    // cluster-wide rank for precisely the rows whose fate the histogram
+    // cannot decide
+    val wLoc = Window.partitionBy("cluster").orderBy(col("d2"), col(idCol))
+    val keptAtBound = j.where(col("__b") === col("__bb"))
+      .withColumn("__lr", row_number().over(wLoc))
+      .where(col("__lr") > col("__dc") - col("__cb"))
+      .drop("__lr")
+    above.unionByName(keptAtBound)
+      .drop("__b", "__bb", "__cb", "__dc")
   }
 
   /** [[fit]] + [[assign]] in one call. */

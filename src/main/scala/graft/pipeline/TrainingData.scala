@@ -127,9 +127,11 @@ object TrainingData {
   /** At most `cap` rows per group, chosen by deterministic pseudo-random
     * order (md5 of the id) — per-domain/per-source balancing ("keep ≤N
     * docs per domain"). One shuffle on the group key; the per-group sort
-    * is bounded by the group size. Groups far larger than a partition
-    * should pre-thin with [[hashSplit]]-style bucket filters first —
-    * documented trade-off, same as any per-group top-k. */
+    * is bounded by the group size — WHICH IS THE CORPUS FRACTION of the
+    * group: with a low-cardinality group key (a ~20-value source
+    * column) each group lands in ONE task's sort. Use
+    * [[perGroupCapTopK]] at scale (bounded top-k aggregate, identical
+    * contract); this window form is the readable small-group reference. */
   def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
                   cap: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
@@ -137,6 +139,47 @@ object TrainingData {
     df.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= cap)
       .drop("rnk")
+  }
+
+  /** The md5 race key as an exact double: the first 13 hex chars of
+    * md5(prefix || id) parsed as a 52-bit integer (exactly representable
+    * in a double). Fixed-length lowercase hex orders identically as a
+    * string and as a number, so ranking by this value reproduces the
+    * full-md5 string order except when two ids in one group collide in
+    * their first 52 bits (~n²/2⁵³ per group — the documented divergence
+    * contract of the bounded-top-k sampler twins; a collision is broken
+    * by id instead of by the 14th hex char). */
+  private def racePrefix52(prefix: String, idCol: String): Column =
+    conv(substring(md5(concat(lit(prefix), col(idCol).cast("string"))
+      .cast("binary")), 1, 13), 16, 10).cast("double")
+
+  /** The 100 TB twin of [[perGroupCap]]: identical md5-order contract,
+    * but the per-group cut runs as a map-side-combinable BOUNDED TOP-K
+    * aggregate ([[graft.query.TopKAggregator]] via
+    * [[graft.operators.GroupedTopK]]'s machinery) instead of a
+    * group-partitioned `row_number` window — each task keeps at most
+    * `cap` candidates per group, so the shuffle carries ≤ cap·|groups|
+    * fixed-width (key, id) rows no matter how large a group is; the
+    * window form sends EVERY row of a group to one task's sort, which
+    * at 100 TB puts a whole source in one task. Winners then semi-join
+    * back to the corpus on the row id (id-bucketed, no giant group
+    * anywhere).
+    *
+    * Divergence contract vs [[perGroupCap]]: the race key is the md5
+    * prefix truncated to 52 bits ([[racePrefix52]]) — two ids whose md5
+    * agree in the first 13 hex chars tie here (broken by id) where the
+    * exact form consults the 14th char: ~n²/2⁵³ odds per group.
+    * `idCol` must be integral (the aggregator carries 64-bit ids). */
+  def perGroupCapTopK(df: DataFrame, groupCol: String, idCol: String,
+                      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val winners = df
+      .groupBy(col(groupCol))
+      .agg(graft.query.TopKAggregator.topK(cap)(
+        racePrefix52("", idCol), col(idCol)).as("__hits"))
+      .select(explode(col("__hits").getField("id")).as("__win_id"))
+    df.join(winners, col(idCol).cast("long") === col("__win_id"),
+      "left_semi")
   }
 
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
@@ -186,7 +229,9 @@ object TrainingData {
     * strictly-positive-weight contract, but the bounded top-k runs as
     * a group-partitioned row_number window instead of a global
     * TakeOrdered — one exchange on the group key, any number of
-    * groups in parallel, no driver merge. */
+    * groups in parallel, no driver merge. Each GROUP still sorts in one
+    * task, so with a low-cardinality group key use
+    * [[weightedSamplePerGroupTopK]] at scale (bit-identical winners). */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String,
                              idCol: String, weightCol: String,
                              kPerGroup: Int,
@@ -206,6 +251,39 @@ object TrainingData {
       .withColumn("__rn", row_number().over(win))
       .where(col("__rn") <= kPerGroup)
       .drop("race_key", "__rn")
+  }
+
+  /** The 100 TB twin of [[weightedSamplePerGroup]]: the identical
+    * exponential-race key (same md5-derived uniform, same
+    * strictly-positive-weight `raise_error` contract, bit-for-bit the
+    * same doubles), but the per-group cut is the bounded top-k
+    * aggregate instead of a group-partitioned `row_number` window —
+    * each task keeps ≤ `kPerGroup` candidates per group, the shuffle
+    * carries ≤ k·|groups| fixed-width rows, and no task ever sorts a
+    * whole group. The aggregator breaks race-key ties toward the
+    * smaller id, exactly the window's `ORDER BY race_key, id` — so the
+    * winners are BIT-IDENTICAL to [[weightedSamplePerGroup]] (the race
+    * key is already a double; nothing is truncated). `idCol` must be
+    * integral (the aggregator carries 64-bit ids). */
+  def weightedSamplePerGroupTopK(df: DataFrame, groupCol: String,
+                                 idCol: String, weightCol: String,
+                                 kPerGroup: Int,
+                                 seed: String = "ws"): DataFrame = {
+    require(kPerGroup > 0, s"kPerGroup must be positive, got $kPerGroup")
+    val u = (conv(substring(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary")),
+      1, 6), 16, 10).cast("double") + lit(1.0)) / lit(16777216.0)
+    val w = col(weightCol).cast("double")
+    val checkedW = when(w > 0.0, w).otherwise(raise_error(concat(
+      lit(s"weightedSamplePerGroupTopK requires $weightCol > 0; got "),
+      w.cast("string"), lit(" at "), col(idCol).cast("string"))))
+    val winners = df
+      .groupBy(col(groupCol))
+      .agg(graft.query.TopKAggregator.topK(kPerGroup)(
+        -log(u) / checkedW, col(idCol)).as("__hits"))
+      .select(explode(col("__hits").getField("id")).as("__win_id"))
+    df.join(winners, col(idCol).cast("long") === col("__win_id"),
+      "left_semi")
   }
 
   /** Temperature-balanced source mixture at τ = 2 (α = ½): keep a
@@ -487,8 +565,10 @@ object TrainingData {
     * are — rank-normalize, THEN threshold or mixture-sample globally.
     * Ties share the minimum rank (SQL `rank()` semantics), so equal
     * scores get equal normalized values regardless of id — exact and
-    * engine-reproducible. One window per group, sort bounded by the
-    * group. Output: input + rank_bp. */
+    * engine-reproducible. One window per group — each group's FULL
+    * corpus slice sorts in one task; use [[rankNormalizeHist]] at scale
+    * (exactly equal output from a domain-sized histogram).
+    * Output: input + rank_bp. */
   def rankNormalize(df: DataFrame, groupCol: String,
                     scoreCol: String): DataFrame = {
     val reserved = df.columns
@@ -504,6 +584,54 @@ object TrainingData {
         when(col("__rn_n") === 1, lit(5000L)).otherwise(
           expr("(10000 * (__rn_rank - 1)) div (__rn_n - 1)")))
       .drop("__rn_rank", "__rn_n")
+  }
+
+  /** The 100 TB twin of [[rankNormalize]]: IDENTICAL output (same
+    * `rank()` min-tie semantics, same basis-point arithmetic), but the
+    * rank comes from a per-(group, score) HISTOGRAM instead of a
+    * group-partitioned window over the corpus — a score class's rank is
+    * its cumulative count minus its own count plus one, which IS SQL
+    * `rank()` (every tie shares the minimum rank), so the two paths are
+    * exactly equal whenever the cardinality contract holds; there is no
+    * frontier divergence to document. The cumulative window runs over
+    * the DISTINCT score values per group (domain-sized, never the
+    * corpus — the [[equalFreqBucket]] shape), and the scores rejoin the
+    * corpus through a (group, score)-keyed join (null-safe, so null
+    * scores rank like the window's nulls-first) that AQE broadcasts
+    * when the histogram is small.
+    *
+    * CARDINALITY CONTRACT (loud, inherited from [[equalFreqBucket]]):
+    * ≤ `maxDistinct` distinct score values per group, asserted in-plan —
+    * raw high-cardinality scores (nanosecond timestamps) would rebuild
+    * the giant-group window this twin exists to kill; quantize upstream
+    * (`score div g`) first. */
+  def rankNormalizeHist(df: DataFrame, groupCol: String, scoreCol: String,
+                        maxDistinct: Long = 4L << 20): DataFrame = {
+    val reserved = df.columns
+      .filter(c => c == "rank_bp" || c.startsWith("__rn_"))
+    require(reserved.isEmpty,
+      s"rankNormalizeHist reserves rank_bp and the __rn_ prefix; rename " +
+        s"input column(s) ${reserved.mkString(", ")} first")
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__rn_c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    val ranks = hist
+      .withColumn("__rn_cum", sum(col("__rn_c")).over(wCum))
+      .withColumn("__rn_n", sum(col("__rn_c")).over(wTot))
+      .withColumn("__rn_nd", count(lit(1)).over(wTot))
+      .where(assert_true(col("__rn_nd") <= maxDistinct,
+        lit(s"rankNormalizeHist: more than $maxDistinct distinct score " +
+          s"values in one group — quantize the score upstream " +
+          s"(score div g) before histogram ranking")).isNull)
+      .select(col(groupCol).as("__rn_g"), col(scoreCol).as("__rn_s"),
+        when(col("__rn_n") === 1, lit(5000L)).otherwise(
+          expr("(10000 * (__rn_cum - __rn_c)) div (__rn_n - 1)"))
+          .as("rank_bp"))
+    df.join(ranks,
+        col(groupCol) <=> col("__rn_g") && col(scoreCol) <=> col("__rn_s"))
+      .drop("__rn_g", "__rn_s")
   }
 
   /** Cross-source contamination matrix: for every PAIR of sources, the
@@ -771,9 +899,11 @@ object TrainingData {
     * [[mixtureBudget]]-style plan (quotas in, exactly-that-many rows
     * out, per group). `quotas` is (groupCol, n) — metadata-sized. Same
     * determinism contract as [[exactSample]] (pure function of (seed,
-    * id); ties on id); the rank window partitions by group, so its sort
-    * is bounded by the group's rows, never the corpus, and the quota
-    * join broadcasts the metadata-sized table. */
+    * id); ties on id); the rank window partitions by group — bounded by
+    * the group's rows, which for a low-cardinality stratum key is a
+    * whole corpus fraction in one task's sort: use
+    * [[stratifiedSampleTopK]] at scale. The quota join broadcasts the
+    * metadata-sized table. */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
                        quotas: DataFrame, seed: Long): DataFrame = {
     val rk = md5(concat(lit(s"ss:$seed:"), col(idCol).cast("string"))
@@ -784,6 +914,46 @@ object TrainingData {
       .withColumn("__ss_rn", row_number().over(w))
       .where(col("__ss_rn") <= col("n"))
       .drop("__ss_rk", "__ss_rn", "n")
+  }
+
+  /** The 100 TB twin of [[stratifiedSample]]: identical per-group md5
+    * race and quota contract, but the per-group cut is the bounded
+    * top-k aggregate (k = the LARGEST quota, uniform across groups —
+    * the aggregator's k is plan-time) with the per-group quota applied
+    * to the winners' ranks afterwards, so each task keeps ≤ kMax
+    * candidates per group and the shuffle carries ≤ kMax·|groups|
+    * fixed-width rows — no group ever sorts in one task. The quota
+    * table is metadata-sized by contract ([[mixtureBudget]] precedent),
+    * so collecting max(n) on the driver and broadcasting the quotas is
+    * free; rows whose group has no quota are pre-filtered (the exact
+    * form's inner join), so un-quota'd groups never reach the
+    * aggregate.
+    *
+    * Divergence contract vs [[stratifiedSample]]: the race key is the
+    * 52-bit md5 prefix ([[racePrefix52]]) — ties within the first 13
+    * hex chars break by id (~n²/2⁵³ per group). `idCol` must be
+    * integral. */
+  def stratifiedSampleTopK(df: DataFrame, groupCol: String, idCol: String,
+                           quotas: DataFrame, seed: Long): DataFrame = {
+    val q = quotas.select(col(groupCol), col("n").cast("int").as("n"))
+      .localCheckpoint()
+    val kMaxRow = q.agg(max(col("n"))).head()
+    if (kMaxRow.isNullAt(0) || kMaxRow.getInt(0) <= 0)
+      return df.where(lit(false))
+    val kMax = kMaxRow.getInt(0)
+    val pre = df.join(broadcast(q.select(col(groupCol))), Seq(groupCol),
+      "left_semi")
+    val winners = pre
+      .groupBy(col(groupCol))
+      .agg(graft.query.TopKAggregator.topK(kMax)(
+        racePrefix52(s"ss:$seed:", idCol), col(idCol)).as("__hits"))
+      .select(col(groupCol),
+        posexplode(col("__hits").getField("id")).as(Seq("__pos", "__win_id")))
+      .join(broadcast(q), Seq(groupCol))
+      .where(col("__pos") < col("n"))
+      .select(col("__win_id"))
+    df.join(winners, col(idCol).cast("long") === col("__win_id"),
+      "left_semi")
   }
 
   /** Repeat-factor materialization — the UPSAMPLING half of a
