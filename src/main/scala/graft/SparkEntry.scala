@@ -378,6 +378,39 @@ object SparkEntry {
     Multimodal.pcmMedia(Multimodal.decodeAudioBatched(wavs)().toDF, 16)
   }
 
+  /** Per-doc synthesized ANIMATED GIF, round-tripped through real
+    * container bytes: frame 0 fills the 16×16 canvas with one
+    * achromatic value, later frames paint formula-positioned solid
+    * sub-rectangles (doNotDispose), the whole sequence is encoded by
+    * [[Multimodal.gifBytes]] (ImageIO GIF writer, explicit palette +
+    * offsets) and decoded back by [[Multimodal.gifFrameMedia]]'s
+    * composition. The oracle replays the COMPOSITION FORMULA (last
+    * covering rect wins per pixel) and never sees the container — any
+    * palette, offset, frame-order, or composition bug flips a row. */
+  private def gifRoundTripMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val gifs = ids.map { id =>
+      val nf = (2 + id % 3).toInt
+      val frames = (0 until nf).map { f =>
+        if (f == 0) {
+          val v = ((id * 29) % 256).toByte
+          Multimodal.GifFrame(Array.fill(256)(v), 16, 16, 0, 0,
+            "doNotDispose")
+        } else {
+          val fw = 4 + (f % 4)
+          val fh = 4 + ((id + f) % 4).toInt
+          val v = ((id * 37 + f * 61) % 256).toByte
+          Multimodal.GifFrame(Array.fill(fw * fh)(v), fw, fh,
+            ((id + 3 * f) % 8).toInt, ((id * 5 + f) % 8).toInt,
+            "doNotDispose")
+        }
+      }
+      Multimodal.MediaRow(id, Multimodal.gifBytes(frames))
+    }
+    Multimodal.gifFrameMedia(gifs)
+  }
+
   /** Materialize the shared fixtures (fitted index, stored index +
     * attribute batches) outside any per-query timing — the build is its
     * own pipeline stage in production, benchmarked separately (Bench
@@ -1459,6 +1492,77 @@ object SparkEntry {
         count(lit(1)).cast("long").as("n_rows"),
         coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
         coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // FILTERED warm serving (LocalServe.queryFiltered): the attribute
+    // predicate runs over pinned per-cell attrs and everything else is
+    // byte-for-byte the plain warm loop, so ids/partitions/distances
+    // must be BIT-IDENTICAL to the pre-filtered cluster composition
+    // (AnnQuery.topK over the label-narrowed codes — the ann_filtered
+    // shape) over three queries
+    "ann_filtered_local_serve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val withLabel = encoded
+        .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+      val serve = graft.query.LocalServe.fromCodesWithAttrs(model,
+        withLabel, "label")
+      val filtered = withLabel.where(col("label") === 3)
+        .select("id", "partition", "codes")
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(filtered, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val local = serve.queryFiltered(q, k = 10, nprobe = 4)(_ == 3L)
+        cluster.zipAll(local, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // Hamming warm serving (LocalServeHamming): signatures pin at
+    // ~1/32 the float residency; the scan replays pack + popcount(xor)
+    // + the (hamming, id) heap rule, so both the raw top-k and the
+    // nominate+exact-rerank composition must be BIT-IDENTICAL to
+    // BinaryQuant.rankedIds / rankedIdsRerank over three queries
+    "knn_hamming_local_serve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = graft.index.BinaryQuant.fitThresholds(emb, "embedding")
+      val serve = graft.query.LocalServeHamming.fromVectors(
+        emb, "embedding", "vec_id", dim = 64, thresholds = thr,
+        pinFloats = true)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid)
+        val cluster = graft.index.BinaryQuant.rankedIds(
+            emb, "embedding", "vec_id", q, 10, thr)
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val local = serve.query(q, 10)
+        val clusterRr = graft.index.BinaryQuant.rankedIdsRerank(
+            emb, "embedding", "vec_id", q, 10, kFactor = 4,
+            thresholds = thr)
+          .collect().map(_.getLong(1))
+        val localRr = serve.queryRerank(q, 10, kFactor = 4).map(_._1)
+        cluster.zipAll(local, (-1L, -1L), (-2L, -2L)).map {
+          case ((ci, ch), (li, lh)) =>
+            (if (ci == li && ch == lh) 0L else 1L, 0L)
+        } ++
+        clusterRr.zipAll(localRr, -1L, -2L).map {
+          case (a, b) => (0L, if (a == b) 0L else 1L)
+        }
+      }
+      import s.implicits._
+      checks.toDF("ham_mm", "rr_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("ham_mm")), lit(0L)).as("n_ham_mismatch"),
+        coalesce(sum(col("rr_mm")), lit(0L)).as("n_rerank_mismatch"))
     }),
 
     // OPQ warm serving (LocalServe.fromOpqStore): the driver-local warm
@@ -2863,6 +2967,18 @@ object SparkEntry {
       Multimodal.keyFrames(
         Multimodal.fromDocuments(Tables.documents(s, dir)),
         frameBytes = 16, stride = 4, k = 3)
+        .orderBy("media_id", "rank")),
+
+    // REAL animated-GIF decode end-to-end: per doc, a multi-frame GIF
+    // (full-canvas base + formula-positioned solid sub-rects) is
+    // encoded through the JDK GIF writer, decoded back with per-frame
+    // disposal/offset COMPOSITION (Multimodal.gifFrameMedia), and the
+    // composed frames' luma bytes feed the unchanged keyFrames
+    // machinery; the oracle replays the composition formula per pixel
+    // (last covering rect <= f wins) and never sees the container
+    "media_gif_frames" -> ((s, dir) =>
+      Multimodal.keyFrames(gifRoundTripMedia(s, dir),
+          frameBytes = 256, stride = 1, k = 2)
         .orderBy("media_id", "rank")),
 
     // shot segmentation (Multimodal.shotSummary): frames partition
@@ -5511,6 +5627,40 @@ object SparkEntry {
     // All invariants sf-independent (literal-row oracle).
     "pipeline_end_to_end" -> ((s, dir) => pipelineEndToEnd(s, dir)),
 
+    // END-TO-END STREAMING ingest (StreamingPipeline): quality → exact
+    // dedup (persisted hash state) → decontaminate (static gram state)
+    // → leak-safe split (static full-closure rep map) driven as four
+    // ascending-id micro-batches through the foreachBatch body; the
+    // gate row-compares the ACCUMULATED output — the oracle replays the
+    // whole chain in SQL (quality signals, min-id keeper, 8-gram hit
+    // set against the %97 bench slice, recursive pair closure, md5
+    // split buckets) and never sees the batching. Full-closure reps
+    // (not ready-induced) are the documented streaming contract: a
+    // growing induced subgraph could merge components and change an
+    // emitted doc's split; the full closure is conservative and static.
+    "pipeline_stream_end_to_end" -> ((s, dir) => {
+      import graft.streaming.StreamingPipeline
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val grams = StreamingPipeline.benchGramState(bench, "text", 8)
+        .localCheckpoint()
+      val reps = StreamingPipeline
+        .repState(lshPairs90(s, dir).select("a_id", "b_id"))
+        .localCheckpoint()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = maxId / 4 + 1
+      var state = StreamingPipeline.emptyHashState(s)
+      val outs = (0L until 4L).map { i =>
+        val batch = docs.where(col("doc_id") >= i * cut &&
+          col("doc_id") < (i + 1) * cut)
+        val (out, ns) = StreamingPipeline.processBatch(batch, state,
+          grams, reps)
+        state = ns.localCheckpoint()
+        out.localCheckpoint()
+      }
+      outs.reduce(_ unionByName _).orderBy("doc_id")
+    }),
+
     // incremental boilerplate state: line-doc counts over DOC-DISJOINT
     // batches merge additively (the persistable-state ingest shape, as
     // with the LSH band relation) — gated: merged two-batch counts ==
@@ -6534,6 +6684,20 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
+    // 3 queries x k=10, filtered warm path bit-identical to the
+    // pre-filtered cluster ADC query
+    "ann_filtered_local_serve" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    // 3 queries x (10 raw + 10 reranked), Hamming warm path
+    // bit-identical to BinaryQuant's cluster scans
+    "knn_hamming_local_serve" ->
+      """SELECT CAST(60 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_ham_mismatch,
+        | CAST(0 AS BIGINT) AS n_rerank_mismatch""".stripMargin,
+
     "ann_opq" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_outside_probed,
@@ -7026,6 +7190,45 @@ object SparkEntry {
         |FROM n2 LEFT JOIN lr ON n2.doc_id = lr.doc_id
         | LEFT JOIN loud ON n2.doc_id = loud.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // replays the GIF synthesis + composition formula: per (doc, pixel,
+    // target frame) the LAST covering rect <= f supplies the value
+    // (arg_max over covering frames — frame 0 covers everything, so no
+    // pixel is ever bare), frame sums feed the keyFrames window rule
+    "media_gif_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+        |fr AS (SELECT doc_id, f.f AS f,
+        |  CASE WHEN f.f = 0 THEN 0 ELSE (doc_id + 3*f.f) % 8 END AS lft,
+        |  CASE WHEN f.f = 0 THEN 0 ELSE (doc_id*5 + f.f) % 8 END AS top,
+        |  CASE WHEN f.f = 0 THEN 16 ELSE 4 + (f.f % 4) END AS fw,
+        |  CASE WHEN f.f = 0 THEN 16 ELSE 4 + ((doc_id + f.f) % 4) END
+        |    AS fh,
+        |  CASE WHEN f.f = 0 THEN (doc_id*29) % 256
+        |       ELSE (doc_id*37 + f.f*61) % 256 END AS v
+        | FROM d, generate_series(0, 4) AS f(f) WHERE f.f < nf),
+        |cov AS (SELECT fr.doc_id, x.x AS x, y.y AS y, fr.f, fr.v
+        | FROM fr, generate_series(0, 15) AS x(x),
+        |  generate_series(0, 15) AS y(y)
+        | WHERE x.x >= fr.lft AND x.x < fr.lft + fr.fw
+        |   AND y.y >= fr.top AND y.y < fr.top + fr.fh),
+        |val AS (SELECT t.doc_id, t.f AS tf, c.x, c.y,
+        |  arg_max(c.v, c.f) AS v
+        | FROM fr t JOIN cov c ON c.doc_id = t.doc_id AND c.f <= t.f
+        | GROUP BY t.doc_id, t.f, c.x, c.y),
+        |sums AS (SELECT doc_id, tf AS frame_no,
+        |  CAST(sum(v) AS BIGINT) AS fsum
+        | FROM val GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, frame_no,
+        |  abs(fsum - coalesce(lag(fsum) OVER (PARTITION BY doc_id
+        |    ORDER BY frame_no), 0)) AS score
+        | FROM sums),
+        |r AS (SELECT doc_id AS media_id, frame_no, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, frame_no) AS BIGINT) AS rank
+        | FROM sc)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        | CAST(score AS BIGINT) AS score, rank
+        |FROM r WHERE rank <= 2 ORDER BY media_id, rank""".stripMargin,
 
     // same sample formula; quarter-clip segments (n = 128 + 16k is
     // always divisible by 4, so no remainder tail); crossings pair
@@ -10075,6 +10278,50 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
         |   - 1 AS BIGINT) AS dense_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays the whole streamed chain batching-free: quality signals,
+    // global min-id keeper, the 8-gram hit set vs the %97 bench slice,
+    // the recursive full pair closure, the md5 split buckets
+    "pipeline_stream_end_to_end" ->
+      s"""WITH q AS (SELECT doc_id, text FROM documents
+         | WHERE len(string_split(text, ' ')) >= 20
+         |  AND floor(100.0 * len(list_filter(string_split(text, ' '),
+         |    t -> t IN ('the','a','an','of','to','and','in','is')))
+         |    / len(string_split(text, ' '))) <= 60),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |fresh AS (SELECT q.doc_id, q.text FROM q JOIN k USING (doc_id)),
+         |bt AS (SELECT string_split(text, ' ') AS ts FROM documents
+         | WHERE doc_id % 97 = 0),
+         |bg AS (SELECT DISTINCT
+         |  md5(array_to_string(ts[i.i : i.i + 7], ' ')) AS g
+         | FROM bt, generate_series(1, 4096) AS i(i)
+         | WHERE i.i + 7 <= len(ts)),
+         |dts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM fresh),
+         |dg AS (SELECT DISTINCT doc_id,
+         |  md5(array_to_string(ts[i.i : i.i + 7], ' ')) AS g
+         | FROM dts, generate_series(1, 4096) AS i(i)
+         | WHERE i.i + 7 <= len(ts)),
+         |contam AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+         |ready AS (SELECT doc_id FROM fresh
+         | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |pairs AS (${jaccardOracle(90)}),
+         |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+         | UNION ALL SELECT b_id, a_id FROM pairs),
+         |ids AS (SELECT DISTINCT s AS id FROM ed),
+         |r AS (
+         |  WITH RECURSIVE reach(id, root) AS (
+         |    SELECT id, id FROM ids
+         |    UNION
+         |    SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+         |  SELECT id, min(root) AS comp FROM reach GROUP BY id)
+         |SELECT ready.doc_id, coalesce(r.comp, ready.doc_id) AS rep,
+         | CASE WHEN substr(md5(CAST(coalesce(r.comp, ready.doc_id)
+         |     AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |  WHEN substr(md5(CAST(coalesce(r.comp, ready.doc_id)
+         |     AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM ready LEFT JOIN r ON r.id = ready.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_end_to_end" ->
       """SELECT CAST(1 AS BIGINT) AS monotone_ok,

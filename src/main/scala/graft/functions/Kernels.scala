@@ -971,8 +971,15 @@ object Kernels {
     * crossings (consecutive in-segment samples whose centered product
     * is negative — a flat 128 never crosses). The two classic cheap
     * audio descriptors (energy envelope + ZCR, the noisiness proxy);
-    * one pass, integer-only, oracle-comparable. */
+    * one pass, integer-only, oracle-comparable. A payload shorter than
+    * `nSegments` samples has NO complete segment — every descriptor
+    * would be a silent all-zero lie, so it fails loudly instead (the
+    * decode-path philosophy: degenerate media is a caller error, not a
+    * zero profile). */
   def audioSegmentStats(payload: Array[Byte], nSegments: Int): ArrayData = {
+    require(payload.length >= nSegments,
+      s"audioSegmentStats: payload of ${payload.length} samples cannot " +
+        s"fill $nSegments segments — filter degenerate clips upstream")
     val out = new Array[Long](2 * nSegments)
     val segLen = payload.length / nSegments
     if (segLen > 0) {

@@ -1025,12 +1025,26 @@ object Dedup {
     docs.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("drop_idx").isNull, col("text"))
-          .otherwise(array_join(filter(toks,
-            (_, i) => not(array_contains(col("drop_idx"), i))), " "))
+          .otherwise(stripTokenIndexes(toks, col("drop_idx")))
           .as("clean_text"),
         when(col("drop_idx").isNull, lit(0))  // size(NULL) is -1 pre-ANSI
           .otherwise(size(col("drop_idx"))).cast("long")
           .as("n_tokens_removed"))
+  }
+
+  /** Reassemble a token array with the SORTED distinct 0-based indexes
+    * `dropIdx` removed, in O(tokens + drops) work per doc: the kept
+    * tokens are exactly the GAPS between consecutive dropped indexes
+    * (head and tail included), each cut as one `slice` — the previous
+    * per-token `array_contains` membership filter was
+    * O(tokens × drops), quadratic for a heavily-covered long document.
+    * Output order and content are identical to the filter form. */
+  private[pipeline] def stripTokenIndexes(toks: Column,
+                                          dropIdx: Column): Column = {
+    val lo = concat(array(lit(-1)), dropIdx)
+    val hi = concat(dropIdx, array(size(toks)))
+    array_join(flatten(zip_with(lo, hi,
+      (a, b) => slice(toks, a + lit(2), b - a - lit(1)))), " ")
   }
 
   // -------------------------------------------- clusters and drop lists

@@ -431,6 +431,26 @@ object Multimodal {
         audioFmt = u16(off + 8)
         ch = u16(off + 10)
         bits = u16(off + 22)
+        if (audioFmt == 0xFFFE) {
+          // WAVE_FORMAT_EXTENSIBLE: common for multi-channel/24-bit-
+          // capable encoders even when the payload is plain linear PCM.
+          // Accept exactly the KSDATAFORMAT_SUBTYPE_PCM case (the
+          // subformat GUID 00000001-0000-0010-8000-00aa00389b71 at
+          // fmt+24, little-endian fields) and treat it as format 1;
+          // anything else still fails loudly below.
+          require(sz >= 40,
+            s"extensible fmt chunk too short for a subformat GUID: $sz")
+          val pcmGuid = Array[Int](0x01, 0x00, 0x00, 0x00, 0x00, 0x00,
+            0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+          val g = off + 32 // fmt data + 24: 16 base + cbSize(2) + valid(2) + mask(4)
+          var i = 0
+          var isPcm = true
+          while (i < 16 && isPcm) {
+            if ((p(g + i) & 0xFF) != pcmGuid(i)) isPcm = false
+            i += 1
+          }
+          if (isPcm) audioFmt = 1
+        }
         haveFmt = true
       } else if (isData) {
         dataOff = off + 8
@@ -510,9 +530,14 @@ object Multimodal {
   def wavBytesU8(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
     require(sampleRate >= 1, s"bad sample rate $sampleRate")
     val n = samples.length
-    val out = java.nio.ByteBuffer.allocate(44 + n)
+    // RIFF chunks are word-aligned: an odd-length data chunk carries one
+    // zero pad byte, EXCLUDED from the data chunk's own size field but
+    // INCLUDED in the enclosing RIFF size (the container walk rule
+    // riffPcmU8 applies on read)
+    val pad = n & 1
+    val out = java.nio.ByteBuffer.allocate(44 + n + pad)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n + pad)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1.toShort)             // audio format: linear PCM
@@ -523,7 +548,252 @@ object Multimodal {
       .putShort(8.toShort)             // bits per sample
       .put("data".getBytes("US-ASCII")).putInt(n)
       .put(samples)
+    if (pad == 1) out.put(0.toByte)
     out.array()
+  }
+
+  /** One frame of an animated GIF for [[gifBytes]]: `pixels` are
+    * row-major 8-bit GRAY values over a w×h sub-rectangle placed at
+    * (left, top) on the logical canvas; `disposal` is the GIF89a
+    * graphic-control disposal method applied AFTER this frame shows
+    * ("none" | "doNotDispose" | "restoreToBackgroundColor" |
+    * "restoreToPrevious"). */
+  final case class GifFrame(pixels: Array[Byte], w: Int, h: Int,
+                            left: Int, top: Int,
+                            disposal: String = "doNotDispose")
+
+  /** A decoded animated GIF: the logical canvas size and one COMPOSED
+    * frame per image — each is what a viewer shows at that step, as
+    * row-major integer-luma bytes ((299r + 587g + 114b + 500)/1000 —
+    * hand-rolled integer arithmetic, so achromatic palettes round-trip
+    * EXACTLY and no Java color-management transform touches the
+    * values; an uncovered/transparent canvas pixel reads 0). */
+  final case class GifDecoded(w: Int, h: Int, frames: Array[Array[Byte]])
+
+  /** Hand-assembled ANIMATED GIF writer fixture — the [[wavBytesU8]]
+    * counterpart for the video leg: wraps gray frame rectangles in a
+    * real GIF89a container via the JDK's ImageIO GIF writer, with
+    * explicit per-frame offsets and disposal methods in the image
+    * metadata, so [[gifDecodeFrames]] round-trips through container
+    * bytes this decoder did not produce. Frames use an EXPLICIT
+    * 256-entry achromatic IndexColorModel (palette entry v = (v,v,v)),
+    * so sample values survive encode→palette→decode bit-exactly (a
+    * TYPE_BYTE_GRAY source would route through Java's gray↔sRGB color
+    * management and shift midtones). The first frame should cover the
+    * canvas (the logical screen is derived from it), and every frame
+    * rect must lie inside it. */
+  def gifBytes(frames: Seq[GifFrame]): Array[Byte] = {
+    import java.awt.image.{BufferedImage, DataBufferByte, IndexColorModel}
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    require(frames.nonEmpty, "gifBytes: need at least one frame")
+    frames.foreach { f =>
+      require(f.pixels.length == f.w * f.h,
+        s"gifBytes: frame pixel count ${f.pixels.length} != ${f.w}x${f.h}")
+    }
+    val cmap = Array.tabulate(256)(v => (0xFF << 24) | (v << 16) | (v << 8) | v)
+    val icm = new IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val it = ImageIO.getImageWritersByFormatName("gif")
+    require(it.hasNext, "no ImageIO GIF writer in this JDK")
+    val writer = it.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val img = new BufferedImage(f.w, f.h,
+          BufferedImage.TYPE_BYTE_INDEXED, icm)
+        System.arraycopy(f.pixels, 0,
+          img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData,
+          0, f.pixels.length)
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def child(name: String): IIOMetadataNode = {
+          var n = root.getFirstChild
+          while (n != null && n.getNodeName != name) n = n.getNextSibling
+          if (n != null) n.asInstanceOf[IIOMetadataNode]
+          else {
+            val c = new IIOMetadataNode(name)
+            root.appendChild(c)
+            c
+          }
+        }
+        val gce = child("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", f.disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        val desc = child("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", f.left.toString)
+        desc.setAttribute("imageTopPosition", f.top.toString)
+        desc.setAttribute("imageWidth", f.w.toString)
+        desc.setAttribute("imageHeight", f.h.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL animated-GIF multi-frame decode with per-frame
+    * disposal/offset COMPOSITION (GIF89a): each image is drawn at its
+    * descriptor offset onto the persistent logical canvas, the
+    * composed canvas is emitted as that frame's luma bytes, and the
+    * frame's disposal method is then applied (doNotDispose keeps the
+    * canvas, restoreToBackgroundColor clears the frame's rect,
+    * restoreToPrevious rewinds the canvas to before the frame drew) —
+    * what a viewer shows per step, which is what shot/keyframe
+    * analysis must see (the raw sub-rectangles alone would score
+    * every offset frame as a full scene change). JDK-only
+    * (`javax.imageio`'s GIF reader + image metadata); fails loudly on
+    * non-GIF payloads or undecodable streams — the decode-path
+    * philosophy. The logical canvas size is read from the GIF header
+    * itself (bytes 6..9, little-endian — the logical screen
+    * descriptor), never guessed from frame extents.
+    *
+    * The per-call registry lookup mirrors [[imageIoDecode]]; batch
+    * callers reuse one reader per task through [[gifFrameMedia]]. */
+  def gifDecodeFrames(payload: Array[Byte]): GifDecoded = {
+    require(payload.length >= 13 && payload(0) == 'G' &&
+      payload(1) == 'I' && payload(2) == 'F',
+      "payload is not a GIF container")
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(it.hasNext, "no ImageIO GIF reader in this JDK")
+    val reader = it.next()
+    try gifDecodeWith(reader, payload)
+    finally reader.dispose()
+  }
+
+  /** Core of [[gifDecodeFrames]] against a caller-owned reader (the
+    * per-partition reuse seam). */
+  private def gifDecodeWith(reader: javax.imageio.ImageReader,
+                            p: Array[Byte]): GifDecoded = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val w = (p(6) & 0xFF) | ((p(7) & 0xFF) << 8)
+    val h = (p(8) & 0xFF) | ((p(9) & 0xFF) << 8)
+    require(w > 0 && h > 0, s"degenerate GIF logical screen ${w}x$h")
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(p))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "GIF stream holds no images")
+      val canvas = new Array[Int](w * h) // ARGB, 0 = transparent
+      val frames = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        val img = reader.read(i)
+        val root = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[IIOMetadataNode]
+        var node = root.getFirstChild
+        var left = 0
+        var top = 0
+        var disposal = "none"
+        while (node != null) {
+          node.getNodeName match {
+            case "ImageDescriptor" =>
+              val e = node.asInstanceOf[IIOMetadataNode]
+              left = e.getAttribute("imageLeftPosition").toInt
+              top = e.getAttribute("imageTopPosition").toInt
+            case "GraphicControlExtension" =>
+              val e = node.asInstanceOf[IIOMetadataNode]
+              val d = e.getAttribute("disposalMethod")
+              if (d != null && d.nonEmpty) disposal = d
+            case _ =>
+          }
+          node = node.getNextSibling
+        }
+        val fw = img.getWidth
+        val fh = img.getHeight
+        require(left + fw <= w && top + fh <= h,
+          s"GIF frame $i rect ${fw}x$fh@($left,$top) overflows the " +
+            s"${w}x$h logical screen")
+        val snapshot =
+          if (disposal == "restoreToPrevious") canvas.clone() else null
+        // draw: transparent source pixels leave the canvas untouched
+        var y = 0
+        while (y < fh) {
+          var x = 0
+          while (x < fw) {
+            val argb = img.getRGB(x, y)
+            if ((argb >>> 24) != 0) canvas((top + y) * w + (left + x)) = argb
+            x += 1
+          }
+          y += 1
+        }
+        // composed frame -> integer luma (exact for achromatic colors)
+        val luma = new Array[Byte](w * h)
+        var j = 0
+        while (j < canvas.length) {
+          val c = canvas(j)
+          if ((c >>> 24) != 0)
+            luma(j) = ((299 * ((c >> 16) & 0xFF) + 587 * ((c >> 8) & 0xFF) +
+              114 * (c & 0xFF) + 500) / 1000).toByte
+          j += 1
+        }
+        frames(i) = luma
+        disposal match {
+          case "restoreToBackgroundColor" =>
+            var yy = 0
+            while (yy < fh) {
+              java.util.Arrays.fill(canvas, (top + yy) * w + left,
+                (top + yy) * w + left + fw, 0)
+              yy += 1
+            }
+          case "restoreToPrevious" =>
+            System.arraycopy(snapshot, 0, canvas, 0, canvas.length)
+          case _ =>
+        }
+        i += 1
+      }
+      GifDecoded(w, h, frames)
+    } finally iis.close()
+  }
+
+  /** Batched GIF decode feeding the existing frame-sum machinery: one
+    * GIF reader per task (the [[imageIoDecodeBatched]] reuse
+    * discipline — the registry scan happens once per partition, not
+    * per payload), each media row becomes
+    * (media_id, n_frames, w, h, payload) where `payload` is the
+    * composed frames' luma bytes CONCATENATED — exactly the
+    * frames-laid-out-consecutively contract [[sampledFrames]] /
+    * [[keyFrames]] / [[shotSegments]] consume with
+    * frameBytes = w·h and stride = 1, so the whole video analysis
+    * family runs unchanged on real decoded GIF content. */
+  def gifFrameMedia(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(it.hasNext, "no ImageIO GIF reader in this JDK")
+      val reader = it.next()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      rows.map { r =>
+        require(r.payload.length >= 13 && r.payload(0) == 'G' &&
+          r.payload(1) == 'I' && r.payload(2) == 'F',
+          s"media ${r.media_id}: payload is not a GIF container")
+        val d = gifDecodeWith(reader, r.payload)
+        val out = new Array[Byte](d.frames.length * d.w * d.h)
+        var i = 0
+        while (i < d.frames.length) {
+          System.arraycopy(d.frames(i), 0, out, i * d.w * d.h, d.w * d.h)
+          i += 1
+        }
+        (r.media_id, d.frames.length.toLong, d.w, d.h, out)
+      }
+    }.toDF("media_id", "n_frames", "w", "h", "payload")
   }
 
   /** The batched per-partition decode seam for audio — the

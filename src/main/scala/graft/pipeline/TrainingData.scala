@@ -547,8 +547,9 @@ object TrainingData {
     train.join(dropIdx, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__drop").isNull, col(textCol))
-          .otherwise(array_join(filter(toks,
-            (_, i) => not(array_contains(col("__drop"), i))), " "))
+          // linear gap-slice strip (O(tokens + drops) per doc) — the
+          // per-token array_contains filter was O(tokens × drops)
+          .otherwise(Dedup.stripTokenIndexes(toks, col("__drop")))
           .as("clean_text"),
         when(col("__drop").isNull, lit(0)) // size(NULL) is -1 pre-ANSI
           .otherwise(size(col("__drop"))).cast("long")

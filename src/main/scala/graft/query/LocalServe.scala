@@ -33,13 +33,31 @@ final class LocalServe private[query] (
     val model: IvfPqModel,
     cellIds: Map[Int, Array[Long]],
     cellCodes: Map[Int, Array[Int]],
-    rotation: Option[Array[Array[Double]]]) {
+    rotation: Option[Array[Array[Double]]],
+    cellAttrs: Map[Int, Array[Long]] = Map.empty) {
 
   /** Cells resident on this server. */
   def cells: Seq[Int] = cellIds.keys.toSeq.sorted
 
   /** Total resident vectors. */
   def size: Long = cellIds.valuesIterator.map(_.length.toLong).sum
+
+  /** FILTERED warm top-k — the warm twin of the pre-filtered cluster
+    * composition (`ann_filtered`: the attribute join narrows the coded
+    * relation BEFORE the ADC top-k): rows whose pinned attribute fails
+    * `pred` never enter the heap, everything else — tables, fold
+    * order, tie rule — is byte-for-byte [[query]], so results are
+    * bit-identical to `AnnQuery.topK` over the equivalently-filtered
+    * codes. Requires attributes pinned at load
+    * ([[LocalServe.fromCodesWithAttrs]]); the predicate runs
+    * driver-side per candidate row (one long test — noise next to the
+    * D-term ADC fold). */
+  def queryFiltered(q: Array[Double], k: Int, nprobe: Int)
+                   (pred: Long => Boolean): Array[(Long, Int, Double)] = {
+    require(cellAttrs.nonEmpty,
+      "queryFiltered needs attributes pinned — load via fromCodesWithAttrs")
+    queryImpl(q, k, nprobe, pred)
+  }
 
   /** Warm top-k: (id, partition, sq_dist) ascending by (sq_dist, id) —
     * the exact ordering contract of [[AnnQuery.topK]]'s
@@ -53,6 +71,11 @@ final class LocalServe private[query] (
     * byte-for-byte the plain path and results stay bit-identical to
     * the cluster OPQ query. */
   def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] =
+    queryImpl(q, k, nprobe, null)
+
+  private def queryImpl(q: Array[Double], k: Int, nprobe: Int,
+                        pred: Long => Boolean)
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val probes = AnnQuery.selectPartitions(model, q, nprobe)
@@ -141,20 +164,23 @@ final class LocalServe private[query] (
       val flat = flats(pi)
       val ids = cellIds(cell)
       val codes = cellCodes(cell)
+      val attrs = if (pred == null) null else cellAttrs(cell)
       var r = 0
       while (r < ids.length) {
-        val base = r * d
-        var i = 0
-        var s = 0.0
-        while (i < d) { // identical fold order to Kernels.adcDist
-          s += flat(i * numCodes + codes(base + i))
-          i += 1
-        }
-        if (heap.size < k) heap.add((ids(r), cell, s))
-        else {
-          val worst = heap.peek()
-          if (s < worst._3 || (s == worst._3 && ids(r) < worst._1)) {
-            heap.poll(); heap.add((ids(r), cell, s))
+        if (pred == null || pred(attrs(r))) {
+          val base = r * d
+          var i = 0
+          var s = 0.0
+          while (i < d) { // identical fold order to Kernels.adcDist
+            s += flat(i * numCodes + codes(base + i))
+            i += 1
+          }
+          if (heap.size < k) heap.add((ids(r), cell, s))
+          else {
+            val worst = heap.peek()
+            if (s < worst._3 || (s == worst._3 && ids(r) < worst._1)) {
+              heap.poll(); heap.add((ids(r), cell, s))
+            }
           }
         }
         r += 1
@@ -443,6 +469,41 @@ object LocalServe {
                    codes: org.apache.spark.sql.DataFrame): LocalServe =
     fromCodesWith(model.ivf, codes, Some(model.rotation))
 
+  /** [[fromCodes]] plus ONE pinned long attribute per vector (the
+    * filtered-serving residency: 8 extra bytes/vector) — enables
+    * [[LocalServe.queryFiltered]]. `codes` must carry `attrCol`
+    * alongside (id, partition, codes); the usual producer is the
+    * cluster path's own attribute join (the `ann_filtered` narrowing),
+    * collected for exactly the cells this box serves. */
+  def fromCodesWithAttrs(model: IvfPqModel,
+                         codes: org.apache.spark.sql.DataFrame,
+                         attrCol: String): LocalServe = {
+    val d = model.config.numDivisions
+    val rows = codes.select(col("partition").cast("int"),
+        col("id").cast("long"), col("codes"),
+        col(attrCol).cast("long"))
+      .collect()
+    val byCell = rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+      cell -> rs.sortBy(_.getLong(1))
+    }
+    val ids = byCell.map { case (cell, rs) => cell -> rs.map(_.getLong(1)) }
+    val packed = byCell.map { case (cell, sorted) =>
+      val flat = new Array[Int](sorted.length * d)
+      var r = 0
+      while (r < sorted.length) {
+        val cs = sorted(r).getSeq[Int](2)
+        require(cs.length == d,
+          s"codes row has ${cs.length} divisions, model has $d")
+        var i = 0
+        while (i < d) { flat(r * d + i) = cs(i); i += 1 }
+        r += 1
+      }
+      cell -> flat
+    }
+    val attrs = byCell.map { case (cell, rs) => cell -> rs.map(_.getLong(3)) }
+    new LocalServe(model, ids, packed, None, attrs)
+  }
+
   private def fromCodesWith(model: IvfPqModel,
       codes: org.apache.spark.sql.DataFrame,
       rotation: Option[Array[Array[Double]]]): LocalServe = {
@@ -471,5 +532,138 @@ object LocalServe {
       cell -> flat
     }
     new LocalServe(model, ids, packed, rotation)
+  }
+}
+
+/** Driver-local warm serving over BINARY-QUANTIZED signatures — the
+  * cheapest residency of the whole serving matrix: ⌈dim/64⌉ 8-byte
+  * words + an 8-byte id per vector (32× smaller than the f32 vectors,
+  * ~24 MB per 1M vectors at dim ≤ 64), so one box warm-serves a corpus
+  * slice that would not fit as floats. The scan replays
+  * [[graft.index.BinaryQuant]]'s arithmetic exactly — the query packs
+  * through `BinaryQuant.pack` (the spec'd driver twin of the
+  * `signBits` kernel), distances are `popcount(xor)` per word in the
+  * same word order as `Kernels.hammingDist`, and the bounded heap
+  * applies the cluster path's (hamming, id) tie rule — so results are
+  * bit-identical to `BinaryQuant.rankedIds` (gated by
+  * `knn_hamming_local_serve`).
+  *
+  * Rerank: a box that ALSO pins the float vectors (4·dim bytes/vector —
+  * optional, the [[LocalServeHamming.fromVectors]] `pinFloats` knob)
+  * re-scores the Hamming nominees by exact L2 in `Kernels.sqL2f`'s
+  * fold, matching `BinaryQuant.rankedIdsRerank`'s candidates-then-exact
+  * composition bit for bit. */
+final class LocalServeHamming private (
+    thresholds: Array[Double],
+    ids: Array[Long],
+    sigs: Array[Long],
+    wordsPerVec: Int,
+    floats: Array[Float], // null unless pinned for rerank
+    dim: Int) {
+
+  /** Total resident vectors. */
+  def size: Long = ids.length.toLong
+
+  /** Warm Hamming top-k: (id, hamming) ascending by (hamming, id) —
+    * the exact ordering of `BinaryQuant.topK`'s
+    * `orderBy(hamming, id).limit(k)`. */
+  def query(q: Array[Float], k: Int): Array[(Long, Long)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(q.length == dim, s"query dim ${q.length}, corpus dim $dim")
+    val qs = graft.index.BinaryQuant.pack(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(q), thresholds)
+    val heap = new java.util.PriorityQueue[(Long, Long)](
+      math.max(k, 1),
+      (a: (Long, Long), b: (Long, Long)) => {
+        val c = java.lang.Long.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    var r = 0
+    while (r < ids.length) {
+      val base = r * wordsPerVec
+      var w = 0
+      var h = 0L
+      while (w < wordsPerVec) { // same word fold as Kernels.hammingDist
+        h += java.lang.Long.bitCount(sigs(base + w) ^ qs(w))
+        w += 1
+      }
+      if (heap.size < k) heap.add((ids(r), h))
+      else {
+        val worst = heap.peek()
+        if (h < worst._2 || (h == worst._2 && ids(r) < worst._1)) {
+          heap.poll(); heap.add((ids(r), h))
+        }
+      }
+      r += 1
+    }
+    val out = new Array[(Long, Long)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+    out
+  }
+
+  /** Hamming-nominate + exact L2 re-rank — the warm twin of
+    * `BinaryQuant.rankedIdsRerank`: top k·kFactor signatures nominate,
+    * the pinned float rows re-score in `Kernels.sqL2f`'s exact fold
+    * (float→double per element, sequential), output ascending by
+    * (sq_dist, id). Requires floats pinned at load. */
+  def queryRerank(q: Array[Float], k: Int,
+                  kFactor: Int = 4): Array[(Long, Double)] = {
+    require(kFactor >= 1, s"kFactor must be >= 1, got $kFactor")
+    require(floats != null,
+      "queryRerank needs pinned float vectors — load with pinFloats = true")
+    val cands = query(q, k * kFactor)
+    val scored = cands.map { case (id, _) =>
+      val r = java.util.Arrays.binarySearch(ids, id)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { // Kernels.sqL2f's fold
+        val d = floats(r * dim + i).toDouble - q(i).toDouble
+        s += d * d
+        i += 1
+      }
+      (id, s)
+    }
+    scored.sortBy(t => (t._2, t._1)).take(k)
+  }
+}
+
+object LocalServeHamming {
+
+  /** Pin a vector relation's signatures (and optionally the float
+    * vectors, for [[LocalServeHamming.queryRerank]]) driver-side.
+    * `thresholds` null means sign bits, matching `BinaryQuant`'s
+    * convention; rows sort by id so the layout is deterministic. The
+    * collect() is the serving-tier residency contract — callers prune
+    * to the slice this box serves FIRST. */
+  def fromVectors(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                  idCol: String, dim: Int,
+                  thresholds: Array[Double] = null,
+                  pinFloats: Boolean = false): LocalServeHamming = {
+    val thr = if (thresholds != null) thresholds else new Array[Double](dim)
+    require(thr.length == dim,
+      s"thresholds have ${thr.length} dims, expected $dim")
+    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .sortBy(_.getLong(0))
+    val w = (dim + 63) >>> 6
+    val ids = new Array[Long](rows.length)
+    val sigs = new Array[Long](rows.length * w)
+    val floats = if (pinFloats) new Array[Float](rows.length * dim) else null
+    var r = 0
+    while (r < rows.length) {
+      ids(r) = rows(r).getLong(0)
+      val v = rows(r).getSeq[Float](1)
+      require(v.length == dim,
+        s"vector ${ids(r)} has ${v.length} dims, expected $dim")
+      val packed = graft.index.BinaryQuant.pack(v, thr)
+      System.arraycopy(packed, 0, sigs, r * w, w)
+      if (pinFloats) {
+        var i = 0
+        while (i < dim) { floats(r * dim + i) = v(i); i += 1 }
+      }
+      r += 1
+    }
+    new LocalServeHamming(thr, ids, sigs, w, floats, dim)
   }
 }

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** END-TO-END streaming ingest: the batch curation chain — quality
+  * filter → exact dedup → benchmark decontamination → leak-safe split
+  * (`SparkEntry.pipelineEndToEnd`'s stages) — composed as ONE
+  * foreachBatch body over persisted states, so a corpus ingested in
+  * micro-batches accumulates exactly the one-shot result. Each stage's
+  * incremental form and its equivalence contract:
+  *
+  *  - QUALITY: per-document pure (a codegen projection) — trivially
+  *    identical per trigger.
+  *  - EXACT DEDUP: a persisted (content_hash, keep_id) state; a batch
+  *    keeps the min-id doc of each unseen hash (first-seen-wins).
+  *    Equal to the batch keeper (global min id per hash) whenever
+  *    batches arrive in ascending id ranges — the shuffle-shard replay
+  *    order a real ingest uses; out-of-order ingest degrades to
+  *    first-seen-wins, the standard streaming contract (a batch keeper
+  *    would have to RETRACT an emitted doc, which append-mode ingest
+  *    cannot).
+  *  - DECONTAMINATION: the benchmark gram set is a static state
+  *    ([[benchGramState]], built once from the eval corpus); membership
+  *    per doc is pure given the state.
+  *  - LEAK-SAFE SPLIT: reps come from the FULL near-dup closure over
+  *    the pair relation ([[repState]], static) rather than the
+  *    ready-docs-induced subgraph the one-shot
+  *    `TrainingData.groupAwareSplit` composition restricts to — the
+  *    induced subgraph GROWS as docs arrive, which could merge
+  *    components and change an already-emitted doc's split. The full
+  *    closure is the conservative leak boundary (docs connected through
+  *    even a dropped doc share a split — never leaks, may over-group)
+  *    and is a pure function of the static pair relation, so emitted
+  *    splits never change. [[oneShot]] is the batch twin under the SAME
+  *    contract; the `pipeline_stream_end_to_end` gate and
+  *    StreamingPipelineSpec assert accumulated ≡ oneShot.
+  *
+  * Scale shape per trigger: quality/decontaminate/split are narrow
+  * projections plus joins against broadcast-size or hash-bucketed
+  * states; the dedup state join is hash-keyed (batch-sized deltas
+  * against a corpus-sized persisted relation — the persistable-state
+  * ingest shape shared with StreamingDedup's band state). Nothing ever
+  * windows or sorts the accumulated corpus.
+  */
+object StreamingPipeline {
+
+  /** The benchmark's distinct 8-gram-style fingerprint state — built
+    * once from the eval corpus and persisted; the decontamination stage
+    * of every trigger joins against it. */
+  def benchGramState(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench.select(explode(
+        graft.pipeline.TrainingData.ngramFingerprints(col(textCol), n))
+      .as("g")).distinct()
+
+  /** The static rep map: min-reachable-id components over the FULL
+    * near-dup pair relation — (doc_id, rep), endpoints only (docs in no
+    * pair follow their own id via the left join in [[processBatch]]). */
+  def repState(pairs: DataFrame): DataFrame = {
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    graft.pipeline.Dedup.connectedComponents(ids, pairs)
+      .select(col("doc_id"), col("comp").as("rep"))
+  }
+
+  /** An empty dedup state with the right schema. */
+  def emptyHashState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("content_hash", "keep_id")
+  }
+
+  /** One trigger: batch (doc_id, text) in, (survivors, new dedup state)
+    * out. Survivors carry (doc_id, rep, split); the caller persists the
+    * returned state for the next trigger (localCheckpoint in tests,
+    * a parquet upsert in production). */
+  def processBatch(batch: DataFrame, seenHashes: DataFrame,
+                   benchGrams: DataFrame, reps: DataFrame,
+                   n: Int = 8, minTokens: Long = 20, maxStopPct: Long = 60,
+                   trainHi: String = "cc", valHi: String = "e6")
+      : (DataFrame, DataFrame) = {
+    val q = graft.pipeline.TextAnalysis.qualitySignals(batch)
+      .where(col("n_tokens") >= minTokens && col("stop_pct") <= maxStopPct)
+      .select("doc_id")
+    val qdocs = batch.join(q, Seq("doc_id"))
+    val hashed = qdocs.withColumn("__h", md5(col("text")))
+    // in-batch keeper (min id per hash), then drop hashes already seen
+    val keepers = hashed.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(seenHashes.select(col("content_hash").as("__h")),
+        Seq("__h"), "left_anti")
+    val fresh = hashed.join(keepers.select("doc_id"), Seq("doc_id"))
+    val newState = seenHashes.unionByName(keepers.select(
+      col("__h").as("content_hash"), col("doc_id").as("keep_id")))
+    val hits = fresh.select(col("doc_id"), explode(
+        graft.pipeline.TrainingData.ngramFingerprints(col("text"), n))
+        .as("g"))
+      .join(benchGrams, "g")
+      .select("doc_id").distinct()
+    val ready = fresh.join(hits, Seq("doc_id"), "left_anti")
+    val b = substring(md5(col("rep").cast("string").cast("binary")), 1, 2)
+    val out = ready
+      .join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+      .withColumn("split",
+        when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
+      .select(col("doc_id"), col("rep"), col("split"))
+    (out, newState)
+  }
+
+  /** The one-shot batch twin under the SAME contract (global min-id
+    * keeper, full-closure reps): what the accumulated stream output
+    * must equal when batches arrive in ascending id ranges. */
+  def oneShot(docs: DataFrame, bench: DataFrame, pairs: DataFrame,
+              n: Int = 8, minTokens: Long = 20, maxStopPct: Long = 60,
+              trainHi: String = "cc", valHi: String = "e6"): DataFrame = {
+    val (out, _) = processBatch(docs,
+      emptyHashState(docs.sparkSession),
+      benchGramState(bench, "text", n), repState(pairs),
+      n, minTokens, maxStopPct, trainHi, valHi)
+    out
+  }
+}

@@ -96,7 +96,7 @@ object Round10ScaleProbe {
     // real WAV decode throughput through the batched seam: 1M
     // synthesized 2048-sample containers (~2 GB of WAV bytes) →
     // javax.sound parse → u8 PCM → silence profile, one pass
-    if (filter.isEmpty || filter.exists("wav decode".contains)) {
+    if (filter.isEmpty || filter.exists(f => "WAV encode+decode+profile wav decode throughput".contains(f))) {
       import spark.implicits._
       import graft.pipeline.Multimodal
       val nClips = math.min(n, 1000000L)
@@ -120,7 +120,7 @@ object Round10ScaleProbe {
     // probe exposed JDK provider-registry contention; check imageio):
     // one 64x64 PNG synthesized driver-side, decoded 200k times across
     // the pool vs 2k times single-thread
-    if (filter.isEmpty || filter.exists("png decode".contains)) {
+    if (filter.isEmpty || filter.exists(f => "PNG decode+aHash png decode throughput".contains(f))) {
       import spark.implicits._
       import graft.pipeline.Multimodal
       val img = new java.awt.image.BufferedImage(64, 64,
@@ -162,7 +162,7 @@ object Round10ScaleProbe {
     // against n training docs; planted contamination — every 97th train
     // doc embeds a benchmark doc's exact token run, so matches exist
     // and only matched windows explode into positions
-    if (filter.isEmpty || filter.exists("decontaminate".contains)) {
+    if (filter.isEmpty || filter.exists(f => "decontaminateSpans removeContaminatedSpans span decontamination".contains(f))) {
       import graft.pipeline.TrainingData
       val bench = spark.range(20000).repartition(8)
         .select(col("id").as("doc_id"),

@@ -148,4 +148,65 @@ class LocalServeSpec extends AnyFunSuite {
     assert(all.length === data.length)
     assert(all.toSeq === all.sortBy(t => (t._3, t._1)).toSeq)
   }
+
+  test("filtered warm parity: queryFiltered == AnnQuery.topK over the " +
+      "pre-filtered codes, bit-exact; unpinned attrs refuse") {
+    import org.apache.spark.sql.functions._
+    val (loaded, codes) = IvfPqBuilder.load(spark, storeDir)
+    // attribute = id % 3, pinned alongside the codes
+    val withAttr = codes.withColumn("tag", pmod(col("id"), lit(3)))
+    val serve = LocalServe.fromCodesWithAttrs(loaded, withAttr, "tag")
+    val filtered = withAttr.where(col("tag") === 1)
+      .select("id", "partition", "codes")
+    for {
+      qid <- Seq(0L, 57L, 123L)
+      (k, nprobe) <- Seq((5, 2), (10, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      val cluster = AnnQuery.topK(filtered, loaded, q, k, nprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val local = serve.queryFiltered(q, k, nprobe)(_ == 1L)
+      assert(local.toSeq === cluster.toSeq,
+        s"filtered mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    // a serve box without pinned attrs must refuse the filtered path
+    val plain = LocalServe.fromStore(spark, storeDir)
+    val ex = intercept[IllegalArgumentException] {
+      plain.queryFiltered(data.head._2.map(_.toDouble).toArray, 5, 2)(_ => true)
+    }
+    assert(ex.getMessage.contains("fromCodesWithAttrs"))
+  }
+
+  test("Hamming warm parity: query == BinaryQuant.rankedIds and " +
+      "queryRerank == rankedIdsRerank, bit-exact; floats-unpinned refuses") {
+    import graft.index.BinaryQuant
+    val thr = BinaryQuant.fitThresholds(df, "vec")
+    val serve = LocalServeHamming.fromVectors(df, "vec", "id", dim,
+      thresholds = thr, pinFloats = true)
+    assert(serve.size === data.length)
+    for (qid <- Seq(0L, 57L, 123L); k <- Seq(5, 12)) {
+      val q = data.find(_._1 == qid).get._2.toArray
+      val cluster = BinaryQuant.rankedIds(df, "vec", "id", q.toSeq, k, thr)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(serve.query(q, k).toSeq === cluster.toSeq,
+        s"hamming mismatch at qid=$qid k=$k")
+      val clusterRr = BinaryQuant
+        .rankedIdsRerank(df, "vec", "id", q.toSeq, k, kFactor = 3,
+          thresholds = thr)
+        .collect().map(_.getLong(1))
+      assert(serve.queryRerank(q, k, kFactor = 3).map(_._1).toSeq ===
+        clusterRr.toSeq, s"rerank mismatch at qid=$qid k=$k")
+    }
+    // sign-bit default (null thresholds) also matches
+    val signServe = LocalServeHamming.fromVectors(df, "vec", "id", dim)
+    val q0 = data.head._2.toArray
+    val signCluster = BinaryQuant.rankedIds(df, "vec", "id", q0.toSeq, 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(signServe.query(q0, 8).toSeq === signCluster.toSeq)
+    val ex = intercept[IllegalArgumentException] {
+      signServe.queryRerank(q0, 5)
+    }
+    assert(ex.getMessage.contains("pinFloats"))
+  }
 }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end streaming ingest parity: the composed foreachBatch chain
+  * (quality → exact dedup vs persisted hashes → decontaminate vs the
+  * static gram state → leak-safe split vs the static rep map) must
+  * accumulate EXACTLY the one-shot batch result when batches arrive in
+  * ascending id ranges, trigger by trigger. */
+class StreamingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a corpus exercising every stage:
+  //  - 1/2: near-dups of each other (a pair -> shared rep/split)
+  //  - 3: exact dup of 1 (same text) -> dropped by dedup
+  //  - 4: too short -> dropped by quality
+  //  - 5: contains the benchmark 8-gram -> dropped by decontamination
+  //  - 6: clean singleton
+  //  - 7 (LATER batch): exact dup of 6 -> dropped against the STATE
+  private val long = (w: String) =>
+    (1 to 25).map(i => s"$w$i").mkString(" ")
+  private val benchText =
+    "secret eval question one two three four five six seven eight nine"
+  private val rows = Seq(
+    (1L, long("alpha")),
+    (2L, long("alpha") + " tail"),
+    (3L, long("alpha")),
+    (4L, "too short"),
+    (5L, long("clean") + " " + benchText),
+    (6L, long("zulu")),
+    (7L, long("zulu")))
+  private lazy val docs = rows.toDF("doc_id", "text")
+  private lazy val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+  private lazy val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+
+  test("accumulated stream output == oneShot; triggers emit disjoint " +
+      "increments; state catches cross-batch dups") {
+    val grams = StreamingPipeline.benchGramState(bench, "text", 8)
+      .localCheckpoint()
+    val reps = StreamingPipeline.repState(pairs).localCheckpoint()
+    val expected = StreamingPipeline.oneShot(docs, bench, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    var state = StreamingPipeline.emptyHashState(spark)
+    var acc = List.empty[Array[(Long, Long, String)]]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (out, newState) =
+          StreamingPipeline.processBatch(batch, state, grams, reps)
+        state = newState.localCheckpoint()
+        acc = acc :+ out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        ()
+      }
+      .start()
+    try {
+      // ascending id ranges — the keeper-parity contract
+      input.addData(rows.filter(_._1 <= 3L))
+      query.processAllAvailable()
+      input.addData(rows.filter(r => r._1 > 3L && r._1 <= 6L))
+      query.processAllAvailable()
+      input.addData(rows.filter(_._1 > 6L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(acc.length === 3)
+    // per-trigger increments are disjoint and correct
+    val t1 = acc(0).map(_._1).toSet
+    val t2 = acc(1).map(_._1).toSet
+    val t3 = acc(2).map(_._1).toSet
+    assert(t1 === Set(1L, 2L)) // 3 deduped in-batch, 4/5/6 not arrived
+    assert(t2 === Set(6L))     // 4 quality-dropped, 5 contaminated
+    assert(t3 === Set.empty)   // 7 is an exact dup of 6 — caught by STATE
+    assert((t1 ++ t2 ++ t3).size === acc.flatten.length)
+    // accumulated == one-shot, including reps and splits
+    assert(acc.flatten.toSet === expected)
+    // the near-dup pair shares its rep (and therefore its split)
+    val byId = acc.flatten.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === byId(2L)._2)
+    assert(byId(1L)._3 === byId(2L)._3)
+    // singleton rep defaults to its own id
+    assert(byId(6L)._2 === 6L)
+  }
+
+  test("oneShot equals the stream under a DIFFERENT ascending batching " +
+      "(batch-boundary independence)") {
+    val grams = StreamingPipeline.benchGramState(bench, "text", 8)
+      .localCheckpoint()
+    val reps = StreamingPipeline.repState(pairs).localCheckpoint()
+    val expected = StreamingPipeline.oneShot(docs, bench, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    var state = StreamingPipeline.emptyHashState(spark)
+    val out = Seq(Seq(1L), Seq(2L, 3L, 4L, 5L), Seq(6L, 7L)).flatMap { b =>
+      val batch = rows.filter(r => b.contains(r._1)).toDF("doc_id", "text")
+      val (o, ns) = StreamingPipeline.processBatch(batch, state, grams, reps)
+      state = ns.localCheckpoint()
+      o.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    assert(out.toSet === expected)
+  }
+}
