@@ -2693,6 +2693,26 @@ object SparkEntry {
     // what makes the kept set pairwise-clean). Exact pairs here (the
     // oracle-matched baseline); AnnJoin.cosineSelfJoin feeds the same
     // decision layer at corpus scale
+    // FULL SemDeDup (arXiv:2303.09540): within-cell near-dup components
+    // keep the member FARTHEST from the cell centroid (integer-exact
+    // n²·d² argmax — see Dedup.semDeDup), ties to the smaller id. The
+    // label column stands in for the paper's k-means cell at gate scale
+    // (deterministic for the oracle); production cells come from
+    // Clustering.assign and AnnJoin.cosineSelfJoin feeds the pairs
+    "embed_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val pairs = Dedup.embeddingNearDupPairs(emb, thresholdMilli = 400)
+        .join(lab.select(col("vec_id").as("a_id"), col("label").as("__la")),
+          "a_id")
+        .join(lab.select(col("vec_id").as("b_id"), col("label").as("__lb")),
+          "b_id")
+        .where(col("__la") === col("__lb"))
+        .select("a_id", "b_id")
+      Dedup.semDeDup(emb, "vec_id", "embedding", "label", pairs)
+        .orderBy("doc_id")
+    }),
+
     "embed_drop_list" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Dedup.embeddingDropList(emb.select(col("vec_id").as("doc_id")),
@@ -5744,6 +5764,15 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", every = 50)
         .orderBy("ord")),
 
+    // the 100 TB twin: the cumulative window runs over BUCKET sums
+    // (curve-sized — one row per report point) instead of one row per
+    // document; exactly equal to text_vocab_growth on the dense
+    // doc_id domain (the documented contract)
+    "text_vocab_growth_bucketed" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.vocabGrowthBucketed(
+        Tables.documents(s, dir), "doc_id", every = 50)
+        .orderBy("ord")),
+
     // Gopher-style rule-based quality DECISION: four 25-point binary
     // rules (length band, stopword floor, token-length band, repetition
     // cap) composed from the individual signals in one projection;
@@ -7097,6 +7126,48 @@ object SparkEntry {
         |SELECT a_id, b_id FROM p
         |WHERE dp / (sqrt(na) * sqrt(nb)) * 1000 >= 400
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // same pair predicate as embed_neardup scoped to equal labels,
+    // same recursive-CTE closure, then the SemDeDup keep rule: max
+    // integer-exact farness (HUGEINT Σ(n·xm − S)²) per component,
+    // ties to the smaller id
+    "embed_semdedup" ->
+      """WITH p0 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS dp,
+        |  sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
+        |  sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS nb
+        | FROM embeddings a JOIN embeddings b
+        |   ON a.vec_id < b.vec_id AND a.label = b.label,
+        |  generate_series(1, 64) AS t(i)
+        | GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM p0
+        | WHERE dp / (sqrt(na) * sqrt(nb)) * 1000 >= 400),
+        |ed AS (SELECT a_id AS s, b_id AS d FROM pairs
+        | UNION ALL SELECT b_id, a_id FROM pairs),
+        |r AS (
+        | WITH RECURSIVE reach(id, root) AS (
+        |   SELECT vec_id, vec_id FROM embeddings
+        |   UNION
+        |   SELECT ed.d, reach.root FROM reach JOIN ed ON ed.s = reach.id)
+        | SELECT id, min(root) AS comp FROM reach GROUP BY id),
+        |xm AS (SELECT vec_id AS id, label, t.i AS pos,
+        |  CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+        |    AS xm
+        | FROM embeddings, generate_series(1, 64) AS t(i)),
+        |sums AS (SELECT label, pos, sum(xm) AS s, count(*) AS n
+        | FROM xm GROUP BY 1, 2),
+        |sc AS (SELECT xm.id,
+        |  sum(CAST(sums.n * xm.xm - sums.s AS HUGEINT)
+        |    * CAST(sums.n * xm.xm - sums.s AS HUGEINT)) AS far
+        | FROM xm JOIN sums ON xm.label = sums.label AND xm.pos = sums.pos
+        | GROUP BY 1),
+        |k AS (SELECT r.id, r.comp, sc.far,
+        |  row_number() OVER (PARTITION BY r.comp
+        |    ORDER BY sc.far DESC, r.id) AS rn
+        | FROM r JOIN sc ON sc.id = r.id)
+        |SELECT id AS doc_id, comp,
+        | CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // same pair predicate as embed_neardup, closed into components by
     // the same recursive-CTE shape as dedup_drop_list
@@ -10380,6 +10451,30 @@ object SparkEntry {
         |SELECT ord, CAST(cum_tokens AS BIGINT) AS cum_tokens,
         | CAST(cum_vocab AS BIGINT) AS cum_vocab
         |FROM c WHERE ord % 50 = 0 ORDER BY ord""".stripMargin,
+
+    "text_vocab_growth_bucketed" ->
+      """WITH t AS (SELECT doc_id AS ord,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |nb AS (SELECT (ford + 49) // 50 AS b,
+        |  CAST(count(*) AS BIGINT) AS n_new
+        | FROM (SELECT tok, min(ord) AS ford FROM t GROUP BY tok)
+        | GROUP BY 1),
+        |tb AS (SELECT (ord + 49) // 50 AS b,
+        |  CAST(count(*) AS BIGINT) AS n_toks
+        | FROM t GROUP BY 1),
+        |c AS (SELECT tb.b,
+        |  sum(tb.n_toks) OVER (ORDER BY tb.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_tokens,
+        |  sum(coalesce(nb.n_new, 0)) OVER (ORDER BY tb.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_vocab
+        | FROM tb LEFT JOIN nb USING (b)),
+        |mx AS (SELECT max(doc_id) AS m FROM documents)
+        |SELECT CAST(b * 50 AS BIGINT) AS ord,
+        | CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        | CAST(cum_vocab AS BIGINT) AS cum_vocab
+        |FROM c, mx WHERE b * 50 <= m ORDER BY ord""".stripMargin,
 
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,

@@ -1339,6 +1339,50 @@ object Dedup {
       .where(col("doc_id") =!= col("comp"))
       .select(col("doc_id").as("drop_id"), col("comp").as("keep_id"))
 
+  /** FULL SemDeDup keep policy (Abbas et al. 2023, arXiv:2303.09540
+    * §3): within each semantic cell, every near-dup component keeps the
+    * member FARTHEST from the cell centroid — the paper's
+    * low-similarity-to-centroid rule (the most atypical copy carries
+    * the most marginal information; [[embeddingDropList]]'s min-id rule
+    * is the policy-free variant) — ties toward the smaller id.
+    *
+    * The farness score is INTEGER-EXACT and engine-portable: with
+    * xm = ⌊1000·x⌋ per coordinate (the
+    * [[graft.pipeline.Embeddings.centroidSumsMilli]] quantization) and
+    * (n, S_i) the cell's member count and coordinate sums, a member
+    * scores Σ_i (n·xm_i − S_i)² — n² times its squared L2 distance to
+    * the quantized cell MEAN, computed in decimal(38,0) (n ≤ 1e12
+    * members and |xm| ≤ 2e3 keep the sum under 1e33), so the same
+    * member wins in any engine: no float argmax, no rotation-order
+    * drift.
+    *
+    * Scale shape: one posexplode projection + a (cell, pos)-keyed
+    * aggregate (cell-count × dim rows — metadata-sized) joined back
+    * narrow; the only window is [[keepBest]]'s, bounded by the
+    * component, never the corpus. `pairs` must already be scoped to
+    * equal-`groupCol` (the paper's within-cluster scoping — it is what
+    * bounds the quadratic), so components never span cells; cells come
+    * from k-means ([[graft.pipeline.Clustering.assign]]) in production
+    * and any deterministic cell key in oracles. Output:
+    * (doc_id, comp, keep ∈ {0,1}) — exactly one keep per component,
+    * singletons keep themselves. */
+  def semDeDup(embeddings: DataFrame, idCol: String, vecCol: String,
+               groupCol: String, pairs: DataFrame): DataFrame = {
+    val xm = embeddings.select(col(idCol).as("doc_id"),
+        col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xm", floor(col("x").cast("double") * 1000).cast("long"))
+    val sums = xm.groupBy(col("__g"), col("pos"))
+      .agg(sum(col("xm")).as("s"), count(lit(1)).as("n"))
+    val scored = xm.join(sums, Seq("__g", "pos"))
+      .withColumn("d",
+        (col("n") * col("xm") - col("s")).cast("decimal(38,0)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("d") * col("d")).as("far_score"))
+    keepBest(scored, "far_score", pairs)
+      .select(col("doc_id"), col("comp"), col("keep"))
+  }
+
   // --------------------------------------------- fuzzy string matching
 
   /** Record-linkage fuzzy self-join: every pair of SHORT strings within

@@ -398,6 +398,52 @@ object TextAnalysis {
       .select("ord", "cum_tokens", "cum_vocab")
   }
 
+  /** The 100 TB twin of [[vocabGrowth]]: the unpartitioned cumulative
+    * window runs over BUCKET sums — ⌈(ord + 1)/every⌉ buckets, i.e. the
+    * CURVE's own row count (one per report point) instead of one row
+    * per document — so the single-task window is output-sized no matter
+    * the corpus (the round-10 verdict's vocabGrowth note). Bucket k > 0
+    * holds ords (k−1)·every+1 … k·every and bucket 0 holds ord 0, so
+    * the cumulative through bucket k is exactly the exact form's
+    * cumulative through ord k·every; with a DENSE 0-based order column
+    * (the [[TrainingData.denseIds]] output — the documented contract)
+    * every report point exists and the two forms are EXACTLY equal.
+    * Sparse order domains diverge by design: the exact form reports
+    * only multiples of `every` that exist as ords, this twin reports
+    * every bucket boundary up to the max ord. */
+  def vocabGrowthBucketed(docs: DataFrame, orderCol: String = "doc_id",
+                          every: Int = 50): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      ((c + lit(every.toLong) - 1) / lit(every.toLong)).cast("long")
+    val toks = docs.select(col(orderCol).as("ord"),
+      explode(tokens(col("text"))).as("tok"))
+    val newPerBucket = toks.groupBy("tok")
+      .agg(min(col("ord")).as("first_ord"))
+      .groupBy(bucket(col("first_ord")).as("b"))
+      .agg(count(lit(1)).as("n_new"))
+    val toksPerBucket = toks.groupBy(bucket(col("ord")).as("b"))
+      .agg(count(lit(1)).as("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    // a trailing PARTIAL bucket (max ord not a multiple of `every`)
+    // would otherwise report a boundary ord beyond the data — drop it,
+    // exactly the exact form's "no doc at that ord" behavior
+    val maxOrd = docs.agg(max(col(orderCol)).cast("long").as("__mx"))
+    toksPerBucket
+      .join(newPerBucket, Seq("b"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .select((col("b") * every).as("ord"), col("cum_tokens"),
+        col("cum_vocab"))
+      .crossJoin(broadcast(maxOrd))
+      .where(col("ord") <= col("__mx"))
+      .drop("__mx")
+  }
+
   /** Cross-document novelty signal: how much of a document's n-gram mass
     * is corpus-RARE (document frequency ≤ rareDf). Boilerplate scores
     * near 0 (its n-grams recur everywhere); unique prose scores high; a

@@ -214,6 +214,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L)))
   }
 
+  test("semDeDup: component keeps the member farthest from its cell " +
+      "centroid, ties to the smaller id; singletons keep themselves") {
+    // cell 0: docs 1, 2, 3 — 1 and 2 nearly parallel (a near-dup pair),
+    // 3 off-axis (no pair). Centroid pulls toward the 1/2 direction, so
+    // within component {1, 2} doc 2 (the longer vector, farther from the
+    // mean) must win over doc 1; min-id policy would keep 1.
+    // cell 1: docs 10, 11 parallel (a pair); 12 off-axis (no pair) —
+    // the CELL centroid includes 12 (the paper's cluster centroid, not
+    // a component centroid: a 2-member component against its own mean
+    // would always tie), pulling the mean low so the longer vector 11
+    // is farther and wins.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f, 0f), 0),
+      (2L, Seq(2.0f, 0.02f, 0f), 0),
+      (3L, Seq(0.2f, 1.0f, 0f), 0),
+      (10L, Seq(0f, 0f, 1.0f), 1),
+      (11L, Seq(0f, 0f, 3.0f), 1),
+      (12L, Seq(0.1f, 0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val lab = emb.select($"vec_id", $"label")
+    val pr = Dedup.embeddingNearDupPairs(emb, thresholdMilli = 990)
+      .join(lab.select($"vec_id".as("a_id"), $"label".as("la")), "a_id")
+      .join(lab.select($"vec_id".as("b_id"), $"label".as("lb")), "b_id")
+      .where($"la" === $"lb").select("a_id", "b_id")
+    val got = Dedup.semDeDup(emb, "vec_id", "embedding", "label", pr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // components: {1,2} (comp 1), {3} alone, {10,11} (comp 10), {12}
+    assert(got === Set(
+      (1L, 1L, 0L), (2L, 1L, 1L),   // farthest-from-centroid wins
+      (3L, 3L, 1L),                 // singleton keeps itself
+      (10L, 10L, 0L), (11L, 10L, 1L),
+      (12L, 12L, 1L)))
+    // sanity: the exact integer farness prefers 2 over 1 in cell 0
+    // (sequential replica of Σ(n·xm − S)²; note 0.02f → ⌊19.999…⌋ = 19
+    // milli — the float-to-double widening the quantization contract
+    // makes deterministic)
+    val cell0 = Seq(
+      Array(1000L, 0L, 0L), Array(2000L, 19L, 0L), Array(200L, 1000L, 0L))
+    val s = Array(0, 1, 2).map(i => cell0.map(_(i)).sum)
+    def far(v: Array[Long]) =
+      (0 to 2).map(i => BigInt(3L * v(i) - s(i)).pow(2)).sum
+    assert(far(cell0(1)) > far(cell0(0)))
+  }
+
   test("jaccardPairsShingled: order-sensitive where token jaccard is not") {
     val reordered = Seq(
       (1L, "a b c d e f"),

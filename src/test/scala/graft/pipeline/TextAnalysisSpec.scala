@@ -293,6 +293,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("vocabGrowthBucketed: exactly equals vocabGrowth on a dense " +
+      "order domain, including a trailing partial bucket") {
+    // dense 0..10, every=3 — report points 0, 3, 6, 9; ord 10 lands in
+    // a partial bucket whose boundary (12) exceeds the data and must
+    // NOT be reported
+    val docs = (0L to 10L).map(i =>
+      (i, s"w${i % 4} w${(i * 7) % 9} w${(i * 3) % 5}"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(TextAnalysis.vocabGrowth(docs, "doc_id", every = 3))
+    val twin = rows(
+      TextAnalysis.vocabGrowthBucketed(docs, "doc_id", every = 3))
+    assert(exact.map(_._1) === Seq(0L, 3L, 6L, 9L))
+    assert(twin === exact)
+  }
+
   test("qualityBuckets: per-language terciles by LM fit, head = best " +
       "fit, ties break on doc_id, uneven groups front-load") {
     // lang en: 4 docs — 3 corpus-typical, 1 shuffled junk (worst fit);
