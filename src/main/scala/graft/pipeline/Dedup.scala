@@ -1356,9 +1356,13 @@ object Dedup {
     * member wins in any engine: no float argmax, no rotation-order
     * drift.
     *
-    * Scale shape: one posexplode projection + a (cell, pos)-keyed
-    * aggregate (cell-count × dim rows — metadata-sized) joined back
-    * narrow; the only window is [[keepBest]]'s, bounded by the
+    * Scale shape: the (n, S) statistics are a (cell, pos)-keyed
+    * aggregate — corpus × dim rows INTO it but map-side combined, only
+    * cell-count × dim (metadata-sized) out — pivoted to one
+    * sum-vector array per cell and BROADCAST back, so the per-member
+    * score is a single narrow zip_with/aggregate projection: the
+    * corpus itself is never exploded through a shuffle and never
+    * re-keyed. The only window is [[keepBest]]'s, bounded by the
     * component, never the corpus. `pairs` must already be scoped to
     * equal-`groupCol` (the paper's within-cluster scoping — it is what
     * bounds the quadratic), so components never span cells; cells come
@@ -1368,17 +1372,25 @@ object Dedup {
     * singletons keep themselves. */
   def semDeDup(embeddings: DataFrame, idCol: String, vecCol: String,
                groupCol: String, pairs: DataFrame): DataFrame = {
-    val xm = embeddings.select(col(idCol).as("doc_id"),
-        col(groupCol).as("__g"),
+    val milli = (x: Column) => floor(x.cast("double") * 1000).cast("long")
+    val cellS = embeddings.select(col(groupCol).as("__g"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .withColumn("xm", floor(col("x").cast("double") * 1000).cast("long"))
-    val sums = xm.groupBy(col("__g"), col("pos"))
-      .agg(sum(col("xm")).as("s"), count(lit(1)).as("n"))
-    val scored = xm.join(sums, Seq("__g", "pos"))
-      .withColumn("d",
-        (col("n") * col("xm") - col("s")).cast("decimal(38,0)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("d") * col("d")).as("far_score"))
+      .groupBy(col("__g"), col("pos"))
+      .agg(sum(milli(col("x"))).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("__g"))
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("sv"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val scored = embeddings.select(col(idCol).as("doc_id"),
+        col(groupCol).as("__g"), col(vecCol).as("__v"))
+      .join(broadcast(cellS), Seq("__g"))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("__v"), col("sv"),
+            (x, s) => col("n") * milli(x) - s),
+          dec(lit(0)),
+          (acc, d) => acc + dec(d) * dec(d)).as("far_score"))
     keepBest(scored, "far_score", pairs)
       .select(col("doc_id"), col("comp"), col("keep"))
   }
