@@ -1022,7 +1022,17 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set("idx")).as("drop_idx"))
-    docs.join(covered, Seq("doc_id"), "left")
+    // covered is a derived aggregate (no size estimate) — unaided
+    // Catalyst sort-merges, sorting the corpus-sized text relation
+    // (the removeContaminatedSpans 100M-probe wall). Same discipline
+    // as there: measured broadcast of the duplicated-fraction side
+    // below the benchGramSet bound, shuffle-hash (no corpus sort)
+    // above it.
+    val side = {
+      val m = covered.localCheckpoint()
+      if (m.count() <= 10000000L) broadcast(m) else m.hint("shuffle_hash")
+    }
+    docs.join(side, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("drop_idx").isNull, col("text"))
           .otherwise(stripTokenIndexes(toks, col("drop_idx")))

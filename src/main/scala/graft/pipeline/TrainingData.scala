@@ -544,7 +544,21 @@ object TrainingData {
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("idx"))).as("__drop"))
-    train.join(dropIdx, Seq(idCol), "left")
+    // The drop side is a derived aggregate (no size estimate), so
+    // unaided Catalyst sort-merges — SORTING the corpus-sized text
+    // relation (the 100M probe read 674 s; with this fix 530 s, and
+    // the residual over 10M-linear is the probe's synthetic input
+    // regenerating per scan — a bare generation scan alone costs
+    // 195 s, and the operator necessarily passes the text twice:
+    // fingerprints, then strip). The benchGramSet discipline:
+    // materialize + count the contamination-fraction-sized side,
+    // BROADCAST below the bound so the text relation never shuffles
+    // at all, shuffle-HASH above it (no corpus sort either way).
+    val side = {
+      val m = dropIdx.localCheckpoint()
+      if (m.count() <= 10000000L) broadcast(m) else m.hint("shuffle_hash")
+    }
+    train.join(side, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__drop").isNull, col(textCol))
           // linear gap-slice strip (O(tokens + drops) per doc) — the
@@ -933,7 +947,10 @@ object TrainingData {
     * Divergence contract vs [[stratifiedSample]]: the race key is the
     * 52-bit md5 prefix ([[racePrefix52]]) — ties within the first 13
     * hex chars break by id (~n²/2⁵³ per group). `idCol` must be
-    * integral. */
+    * integral. Quota SKEW caveat: every group's aggregate heap is
+    * sized by the LARGEST quota, so one 10⁹ quota among 10-row quotas
+    * makes every task carry 10⁹-entry states — split wildly-skewed
+    * quota tables into bands and union the calls. */
   def stratifiedSampleTopK(df: DataFrame, groupCol: String, idCol: String,
                            quotas: DataFrame, seed: Long): DataFrame = {
     val q = quotas.select(col(groupCol), col("n").cast("int").as("n"))
