@@ -124,6 +124,26 @@ object Round11ScaleProbe {
       }
     }
 
+    // semDeDup decision layer at 10M members over FOUR giant cells:
+    // planted pairs (each id in the lower half pairs with id + n/2 —
+    // same cell by construction), 16-dim vectors; probes the farness
+    // scoring (broadcast cell sums + zip_with fold), the component
+    // closure, and the component-bounded keepBest window
+    if (filter.isEmpty || filter.exists(f => "semDeDup".contains(f))) {
+      import graft.functions.FastFunctions.pseudoRandomVec
+      val half = n / 2
+      val emb = spark.range(n).repartition(64)
+        .select(col("id"),
+          pmod(col("id"), lit(4)).as("cell"),
+          pseudoRandomVec(pmod(col("id"), lit(half)), 16, 7L).as("vec"))
+      val prs = spark.range(half).repartition(64)
+        .select(col("id").as("a_id"), (col("id") + half).as("b_id"))
+      timed(s"semDeDup, $n members / 4 cells, ${half} planted pairs") {
+        graft.pipeline.Dedup.semDeDup(emb, "id", "vec", "cell", prs)
+          .agg(sum(col("keep"))).collect()(0).getLong(0)
+      }
+    }
+
     // vocabGrowth: the round-10 verdict flagged the exact form's
     // unpartitioned cumulative window (doc-count-sized: one task sorts
     // a row per document); the bucketed twin's window is CURVE-sized

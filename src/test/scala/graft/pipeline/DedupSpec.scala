@@ -789,6 +789,17 @@ class DedupSpec extends AnyFunSuite {
       s"global exchange in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+  test("removeDuplicateSpans plan audit: the corpus text relation is " +
+      "never sort-merge-joined against the drop-index aggregate") {
+    val df = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "a b c d e f g h i j" else s"u$i v$i w$i x$i y$i z$i q$i r$i"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.removeDuplicateSpans(df, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sorting join in:\n$plan")
+  }
+
   test("goldenRecords survives the latest NON-NULL value per field " +
       "and never lets a newer null erase an older value") {
     import org.apache.spark.sql.functions.col

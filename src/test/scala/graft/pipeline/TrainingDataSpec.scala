@@ -220,6 +220,19 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r === Seq(0, 1, 2))
   }
 
+  test("removeContaminatedSpans plan audit: the corpus text relation " +
+      "is never sort-merge-joined against the drop-index aggregate") {
+    val train = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "a b c m" else s"u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val plan = TrainingData
+      .removeContaminatedSpans(train, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sorting join in:\n$plan")
+  }
+
   test("decontaminate matches a brute-force n-gram intersection") {
     val train = Seq(
       (1L, "x y z w q"),          // shares 3-grams "b c d" ? no — control
