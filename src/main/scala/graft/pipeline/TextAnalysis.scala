@@ -414,8 +414,14 @@ object TextAnalysis {
   def vocabGrowthBucketed(docs: DataFrame, orderCol: String = "doc_id",
                           every: Int = 50): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
+    // decimal division, not `/` (double): a long ord past 2⁵³ would
+    // round through the double and can land the bucket off by one —
+    // decimal(38,0) ÷ int is exact at any long magnitude, and the
+    // long cast truncates toward zero (ords are non-negative by the
+    // dense-0-based contract), matching the oracle's integer `//`
     val bucket = (c: org.apache.spark.sql.Column) =>
-      ((c + lit(every.toLong) - 1) / lit(every.toLong)).cast("long")
+      ((c + lit(every.toLong) - 1).cast("decimal(38,0)") /
+        lit(every.toLong)).cast("long")
     val toks = docs.select(col(orderCol).as("ord"),
       explode(tokens(col("text"))).as("tok"))
     val newPerBucket = toks.groupBy("tok")

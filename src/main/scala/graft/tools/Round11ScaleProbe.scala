@@ -110,7 +110,11 @@ object Round11ScaleProbe {
 
     // prototype pruning over k=4 clusters — each cluster ~ a corpus
     // quarter (the giant-group regime the hist twin exists for)
-    if (filter.isEmpty || filter.exists(f => "prototypePrune".contains(f))) {
+    // block guards test the same direction as timed(): the filter term
+    // must be a substring of a timed name inside the block
+    if (filter.isEmpty || filter.exists(f =>
+        s"prototypePrune WINDOW, $n vecs / 4 clusters, drop 10%".contains(f) ||
+        s"prototypePruneHist twin, $n vecs / 4 clusters, drop 10%".contains(f))) {
       import graft.functions.FastFunctions.pseudoRandomVec
       val vecs = spark.range(n).repartition(64)
         .select(col("id"), pseudoRandomVec(col("id"), 8, 42L).as("vec"))
@@ -129,7 +133,9 @@ object Round11ScaleProbe {
     // same cell by construction), 16-dim vectors; probes the farness
     // scoring (broadcast cell sums + zip_with fold), the component
     // closure, and the component-bounded keepBest window
-    if (filter.isEmpty || filter.exists(f => "semDeDup".contains(f))) {
+    if (filter.isEmpty || filter.exists(f =>
+        s"semDeDup, $n members / 4 cells, ${n / 2} planted pairs"
+          .contains(f))) {
       import graft.functions.FastFunctions.pseudoRandomVec
       val half = n / 2
       val emb = spark.range(n).repartition(64)
