@@ -1022,17 +1022,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set("idx")).as("drop_idx"))
-    // covered is a derived aggregate (no size estimate) — unaided
-    // Catalyst sort-merges, sorting the corpus-sized text relation
-    // (the removeContaminatedSpans 100M-probe wall). Same discipline
-    // as there: measured broadcast of the duplicated-fraction side
-    // below the benchGramSet bound, shuffle-hash (no corpus sort)
-    // above it.
-    val side = {
-      val m = covered.localCheckpoint()
-      if (m.count() <= 10000000L) broadcast(m) else m.hint("shuffle_hash")
-    }
-    docs.join(side, Seq("doc_id"), "left")
+    docs.join(measuredDropSide(covered, "drop_idx"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("drop_idx").isNull, col("text"))
           .otherwise(stripTokenIndexes(toks, col("drop_idx")))
@@ -1040,6 +1030,33 @@ object Dedup {
         when(col("drop_idx").isNull, lit(0))  // size(NULL) is -1 pre-ANSI
           .otherwise(size(col("drop_idx"))).cast("long")
           .as("n_tokens_removed"))
+  }
+
+  /** Join-side strategy for a derived (id, drop-index-array) relation
+    * joining back onto a corpus-sized text relation — shared by
+    * [[removeDuplicateSpans]] and
+    * [[graft.pipeline.TrainingData.removeContaminatedSpans]]. The drop
+    * side is an aggregate Catalyst cannot size, so unaided planning
+    * sort-merges — SORTING (and at scale spilling) the corpus side
+    * (the 100M removeContaminatedSpans probe read 674 s → 530 s fixed).
+    * Strategy is MEASURED, and — unlike the fixed-width benchGramSet
+    * gate — measured in ELEMENTS, not rows: the arrays are variable
+    * width, and 10M rows of 1000-index arrays would blow the 8 GB
+    * broadcast hard limit a row gate would wave through. Broadcast
+    * only when rows ≤ 10M AND total indexes ≤ 100M (≈ 1 GB hash map);
+    * otherwise shuffle-hash (build on the drop side — no corpus sort
+    * either way). The materialize + count makes the CALL eager (two
+    * Spark jobs over the fingerprint pipeline at plan-construction
+    * time) — the documented price of measured strategy, same as
+    * decontaminate's gram set. */
+  private[pipeline] def measuredDropSide(side: DataFrame,
+                                         arrCol: String): DataFrame = {
+    val m = side.localCheckpoint()
+    val r = m.agg(count(lit(1)), sum(size(col(arrCol)))).head()
+    val rows = r.getLong(0)
+    val elems = if (r.isNullAt(1)) 0L else r.getLong(1)
+    if (rows <= 10000000L && elems <= 100000000L) broadcast(m)
+    else m.hint("shuffle_hash")
   }
 
   /** Reassemble a token array with the SORTED distinct 0-based indexes

@@ -414,13 +414,18 @@ object TextAnalysis {
   def vocabGrowthBucketed(docs: DataFrame, orderCol: String = "doc_id",
                           every: Int = 50): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
-    // decimal division, not `/` (double): a long ord past 2⁵³ would
-    // round through the double and can land the bucket off by one —
-    // decimal(38,0) ÷ int is exact at any long magnitude, and the
-    // long cast truncates toward zero (ords are non-negative by the
-    // dense-0-based contract), matching the oracle's integer `//`
+    // Exact floor division at any long magnitude, which neither `/`
+    // (double: rounds past 2⁵³) nor decimal(38,0)÷BIGINT (result
+    // decimal(38,6): HALF_UP at 6 places flips boundary ords once
+    // every ≥ 2e6 — empirically confirmed) provides. decimal(20,0)
+    // FIRST: the cast precedes the addition (no long wrap near
+    // Long.MaxValue), and (21,0)÷(20,0) keeps scale 17 — the true
+    // fraction is either 0 or ≥ 1/every ≥ 2⁻³¹, far above the
+    // 5·10⁻¹⁸ rounding ulp, so the long truncation (toward zero;
+    // ords are non-negative by the dense-0-based contract) is the
+    // oracle's integer `//` exactly.
     val bucket = (c: org.apache.spark.sql.Column) =>
-      ((c + lit(every.toLong) - 1).cast("decimal(38,0)") /
+      ((c.cast("decimal(20,0)") + lit(every.toLong) - 1) /
         lit(every.toLong)).cast("long")
     val toks = docs.select(col(orderCol).as("ord"),
       explode(tokens(col("text"))).as("tok"))

@@ -544,21 +544,17 @@ object TrainingData {
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("idx"))).as("__drop"))
-    // The drop side is a derived aggregate (no size estimate), so
-    // unaided Catalyst sort-merges — SORTING the corpus-sized text
-    // relation (the 100M probe read 674 s; with this fix 530 s, and
-    // the residual over 10M-linear is the probe's synthetic input
-    // regenerating per scan — a bare generation scan alone costs
-    // 195 s, and the operator necessarily passes the text twice:
-    // fingerprints, then strip). The benchGramSet discipline:
-    // materialize + count the contamination-fraction-sized side,
-    // BROADCAST below the bound so the text relation never shuffles
-    // at all, shuffle-HASH above it (no corpus sort either way).
-    val side = {
-      val m = dropIdx.localCheckpoint()
-      if (m.count() <= 10000000L) broadcast(m) else m.hint("shuffle_hash")
-    }
-    train.join(side, Seq(idCol), "left")
+    // Measured join-side strategy (Dedup.measuredDropSide — broadcast
+    // when the contamination-fraction side is provably small in rows
+    // AND elements, shuffle-hash otherwise): unaided Catalyst
+    // sort-merges against the unsized aggregate, SORTING the
+    // corpus-sized text relation (the 100M probe read 674 s; fixed
+    // 530 s — the residual over 10M-linear is the probe's synthetic
+    // input regenerating per scan, a 195 s bare generation pass, and
+    // the operator necessarily passes the text twice: fingerprints,
+    // then strip).
+    train.join(Dedup.measuredDropSide(dropIdx, "__drop"), Seq(idCol),
+      "left")
       .select(col(idCol),
         when(col("__drop").isNull, col(textCol))
           // linear gap-slice strip (O(tokens + drops) per doc) — the

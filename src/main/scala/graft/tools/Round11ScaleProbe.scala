@@ -14,7 +14,8 @@ import graft.pipeline.{Clustering, Outliers, TextAnalysis, TrainingData}
   * this probe is about the plan class), plus 100M-scale legs for the
   * round-10 span-decontamination newcomers and vocabGrowth.
   *
-  * Usage: runMain graft.tools.Round11ScaleProbe [n=10000000] [filter]
+  * Usage: runMain graft.tools.Round11ScaleProbe
+  *          [n=10000000] [filter] [cap=100000]
   */
 object Round11ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -22,6 +23,7 @@ object Round11ScaleProbe {
     val filter = if (args.length > 1)
       args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     else Seq.empty
+    val capArg = if (args.length > 2) args(2).toInt else 100000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -49,7 +51,7 @@ object Round11ScaleProbe {
         (pmod(hash(col("id"), lit(11)), lit(999)) + 1).cast("double")
           .as("weight"))
 
-    val cap = 100000 // quota ≪ group: the bounded-top-k regime
+    val cap = capArg // quota ≪ group: the bounded-top-k regime
 
     timed(s"perGroupCap WINDOW, $n rows / 8 groups, cap=$cap") {
       TrainingData.perGroupCap(rows, "source", "id", cap).count()
@@ -129,10 +131,14 @@ object Round11ScaleProbe {
     }
 
     // semDeDup decision layer at 10M members over FOUR giant cells:
-    // planted pairs (each id in the lower half pairs with id + n/2 —
-    // same cell by construction), 16-dim vectors; probes the farness
-    // scoring (broadcast cell sums + zip_with fold), the component
-    // closure, and the component-bounded keepBest window
+    // planted pairs (each id in the lower half pairs with id + n/2),
+    // 16-dim vectors; probes the farness scoring (broadcast cell sums
+    // + zip_with fold), the component closure, and the
+    // component-bounded keepBest window. The cell derives from the
+    // PAIRED base id (id mod half) so both members of a planted pair
+    // share a cell for ANY n — cell = id mod 4 would only hold when
+    // half % 4 == 0 and silently violate semDeDup's equal-cell pair
+    // precondition otherwise
     if (filter.isEmpty || filter.exists(f =>
         s"semDeDup, $n members / 4 cells, ${n / 2} planted pairs"
           .contains(f))) {
@@ -140,7 +146,7 @@ object Round11ScaleProbe {
       val half = n / 2
       val emb = spark.range(n).repartition(64)
         .select(col("id"),
-          pmod(col("id"), lit(4)).as("cell"),
+          pmod(pmod(col("id"), lit(half)), lit(4)).as("cell"),
           pseudoRandomVec(pmod(col("id"), lit(half)), 16, 7L).as("vec"))
       val prs = spark.range(half).repartition(64)
         .select(col("id").as("a_id"), (col("id") + half).as("b_id"))

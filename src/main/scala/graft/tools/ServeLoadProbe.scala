@@ -112,7 +112,7 @@ object ServeLoadProbe {
 
     // OPQ: seeded rotation over the same codes (serving cost only —
     // the ServeProbe rationale; parity with training is gated)
-    val rot = randomOrthonormal(dim, 1234567L)
+    val rot = ServeProbe.randomOrthonormal(dim, 1234567L)
     val opqServe = LocalServe.fromCodesOpq(
       graft.index.OpqModel(model, rot, Array.empty), encoded)
     threadCounts.foreach(t => load("OPQ", t)((q, _) =>
@@ -148,31 +148,4 @@ object ServeLoadProbe {
     spark.stop()
   }
 
-  /** Seeded random orthonormal matrix via modified Gram-Schmidt (the
-    * [[ServeProbe]] helper). */
-  private def randomOrthonormal(dm: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    val mm = Array.fill(dm, dm)(rnd.nextGaussian())
-    var i = 0
-    while (i < dm) {
-      var j = 0
-      while (j < i) {
-        var dp = 0.0
-        var t = 0
-        while (t < dm) { dp += mm(i)(t) * mm(j)(t); t += 1 }
-        t = 0
-        while (t < dm) { mm(i)(t) -= dp * mm(j)(t); t += 1 }
-        j += 1
-      }
-      var nrm = 0.0
-      var t = 0
-      while (t < dm) { nrm += mm(i)(t) * mm(i)(t); t += 1 }
-      nrm = math.sqrt(nrm)
-      require(nrm > 1e-9, "degenerate random row")
-      t = 0
-      while (t < dm) { mm(i)(t) /= nrm; t += 1 }
-      i += 1
-    }
-    mm
-  }
 }

@@ -136,8 +136,11 @@ object ServeProbe {
     spark.stop()
   }
 
-  /** Seeded random orthonormal matrix via modified Gram-Schmidt. */
-  private def randomOrthonormal(d: Int, seed: Long): Array[Array[Double]] = {
+  /** Seeded random orthonormal matrix via modified Gram-Schmidt
+    * (shared with [[ServeLoadProbe]] — same seed ⇒ same rotation in
+    * both probes' OPQ legs). */
+  private[tools] def randomOrthonormal(d: Int,
+                                       seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     val m = Array.fill(d, d)(rnd.nextGaussian())
     var i = 0

@@ -309,6 +309,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.vocabGrowthBucketed(docs, "doc_id", every = 3))
     assert(exact.map(_._1) === Seq(0L, 3L, 6L, 9L))
     assert(twin === exact)
+    // large-`every` regression: decimal(38,0)÷BIGINT yields
+    // decimal(38,6), whose HALF_UP rounding flipped boundary ords into
+    // the next bucket once every ≥ 2e6 (ord 0 landed in bucket 1 and
+    // the ord-0 report point vanished); the decimal(20,0)-first form
+    // is exact — both forms must still report exactly ord 0 here
+    val exactBig =
+      rows(TextAnalysis.vocabGrowth(docs, "doc_id", every = 3000000))
+    val twinBig = rows(
+      TextAnalysis.vocabGrowthBucketed(docs, "doc_id", every = 3000000))
+    assert(exactBig.map(_._1) === Seq(0L))
+    assert(twinBig === exactBig)
   }
 
   test("qualityBuckets: per-language terciles by LM fit, head = best " +
