@@ -126,12 +126,18 @@ object TrainingData {
 
   /** At most `cap` rows per group, chosen by deterministic pseudo-random
     * order (md5 of the id) — per-domain/per-source balancing ("keep ≤N
-    * docs per domain"). One shuffle on the group key; the per-group sort
-    * is bounded by the group size — WHICH IS THE CORPUS FRACTION of the
-    * group: with a low-cardinality group key (a ~20-value source
-    * column) each group lands in ONE task's sort. Use
-    * [[perGroupCapTopK]] at scale (bounded top-k aggregate, identical
-    * contract); this window form is the readable small-group reference. */
+    * docs per domain"). The rank filter's LITERAL bound lets Spark's
+    * WindowGroupLimit rewrite keep ≤ cap rows per group per MAP task
+    * before the exchange (probe-verified: the 100M window time tracks
+    * cap, 56 s at cap=1000 vs 393 s at cap=100k — a naive full sort
+    * would be cap-independent), so the giant-group final pass is
+    * bounded by cap × mapTasks per group, not the corpus fraction.
+    * That product still concentrates in ONE task (10¹⁰ rows at 10⁵
+    * tasks × cap 10⁵): [[perGroupCapTopK]] (identical contract) keeps
+    * the shuffle and the final state at cap·|groups| INDEPENDENT of
+    * task count — prefer it for large caps at cluster scale; this
+    * window form is the readable reference with better constants at
+    * modest caps. */
   def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
                   cap: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
@@ -159,11 +165,14 @@ object TrainingData {
     * [[graft.operators.GroupedTopK]]'s machinery) instead of a
     * group-partitioned `row_number` window — each task keeps at most
     * `cap` candidates per group, so the shuffle carries ≤ cap·|groups|
-    * fixed-width (key, id) rows no matter how large a group is; the
-    * window form sends EVERY row of a group to one task's sort, which
-    * at 100 TB puts a whole source in one task. Winners then semi-join
-    * back to the corpus on the row id (id-bucketed, no giant group
-    * anywhere).
+    * fixed-width (key, id) rows no matter how large a group is. The
+    * window form's literal bound does get Spark's WindowGroupLimit
+    * map-side cut (see [[perGroupCap]]), but its final per-group pass
+    * still concentrates cap × mapTasks rows in one task — this twin's
+    * shuffle and final merge state stay cap·|groups| INDEPENDENT of
+    * task count, the property that matters at 10⁵-task scale. Winners
+    * then semi-join back to the corpus on the row id (id-bucketed, no
+    * giant group anywhere).
     *
     * Divergence contract vs [[perGroupCap]]: the race key is the md5
     * prefix truncated to 52 bits ([[racePrefix52]]) — two ids whose md5
@@ -229,9 +238,12 @@ object TrainingData {
     * strictly-positive-weight contract, but the bounded top-k runs as
     * a group-partitioned row_number window instead of a global
     * TakeOrdered — one exchange on the group key, any number of
-    * groups in parallel, no driver merge. Each GROUP still sorts in one
-    * task, so with a low-cardinality group key use
-    * [[weightedSamplePerGroupTopK]] at scale (bit-identical winners). */
+    * groups in parallel, no driver merge. The literal `kPerGroup`
+    * bound gets Spark's WindowGroupLimit map-side cut (the
+    * [[perGroupCap]] note), but the final per-group pass still
+    * concentrates k × mapTasks rows in one task — use
+    * [[weightedSamplePerGroupTopK]] at cluster scale (bit-identical
+    * winners, k·|groups| state independent of task count). */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String,
                              idCol: String, weightCol: String,
                              kPerGroup: Int,
@@ -910,9 +922,11 @@ object TrainingData {
     * [[mixtureBudget]]-style plan (quotas in, exactly-that-many rows
     * out, per group). `quotas` is (groupCol, n) — metadata-sized. Same
     * determinism contract as [[exactSample]] (pure function of (seed,
-    * id); ties on id); the rank window partitions by group — bounded by
-    * the group's rows, which for a low-cardinality stratum key is a
-    * whole corpus fraction in one task's sort: use
+    * id); ties on id); the rank window partitions by group — and
+    * because the quota bound is a COLUMN (per-group n), Spark's
+    * WindowGroupLimit rewrite does NOT apply (plan-verified: literal
+    * bounds get the map-side cut, dynamic bounds do not), so each
+    * group's whole corpus fraction genuinely sorts in one task: use
     * [[stratifiedSampleTopK]] at scale. The quota join broadcasts the
     * metadata-sized table. */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
