@@ -347,6 +347,52 @@ object SparkEntry {
       (model, cached)
     })
 
+  // shared fixtures for the per-codec store-lifecycle gates (round 12:
+  // append/delete/compact parity across ALL codec families, not just
+  // IVF+PQ) — models memoized like fitIdx so the lifecycle gates
+  // exercise stores, not re-fits
+  private val fitSq8Memo = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.index.Sq8Model, DataFrame)]
+  private def fittedSq8(s: SparkSession, dir: String)
+      : (graft.index.Sq8Model, DataFrame) =
+    fitSq8Memo.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.index.Sq8.fit(emb, "embedding", 64)
+      val enc = graft.index.Sq8.encode(model, emb, "vec_id", "embedding")
+        .cache()
+      enc.count()
+      (model, enc)
+    })
+
+  private val fitIvfSq8Memo = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.index.IvfSq8Model, DataFrame)]
+  private def fittedIvfSq8(s: SparkSession, dir: String)
+      : (graft.index.IvfSq8Model, DataFrame) =
+    fitIvfSq8Memo.getOrElseUpdate(dir, {
+      val (model, enc0) = graft.index.IvfSq8.fit(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 64,
+        numPartitions = 8)
+      val enc = enc0.cache()
+      enc.count()
+      (model, enc)
+    })
+
+  private val opqDeleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sq8DeleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ivfSq8StoredDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val hamStoredMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[Double], Seq[Long])]
+  // (path, pre-compact live hits, codes files before, after) — one memo
+  // shape per cell-partitioned family, the compactMemo discipline
+  private val opqCompactMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Long, Double)], Long, Long)]
+  private val sq8CompactMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Long, Double)], Long, Long)]
+  private val ivfSq8CompactMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Long, Double)], Long, Long)]
+  private val hamCompactMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Long, Long)], Long, Long)]
+
   private val storedOpqDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storedOpqPath(s: SparkSession, dir: String): String =
     storedOpqDir.getOrElseUpdate(dir, {
@@ -1980,6 +2026,309 @@ object SparkEntry {
             1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
           coalesce(sum(when(abs(col("post_dist") - col("pre_dist")) > 1e-12,
             1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(tombstonesLeft).as("n_tombstone_dirs"),
+          lit(if (postFiles < preFiles) 1L else 0L).as("files_reduced"))
+    }),
+
+    // OPQ store DELETE — lifecycle parity across codec families (round
+    // 12): the shared tombstone log under an OPQ store; the loaded
+    // store's rotated-space query must return k live rows, no deleted
+    // id, and match the in-memory query over the survivors bit-exactly
+    "ann_opq_delete" -> ((s, dir) => {
+      val (model, encoded) = fittedOpq(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val victims = OpqBuilder
+        .topK(encoded, model, q, k = 3, nprobe = 8).select("id")
+      val out = opqDeleteDir.getOrElseUpdate(dir, {
+        val p = newStoreDir("graft_opq_delete")
+        OpqBuilder.save(model, encoded, p)
+        OpqBuilder.deleteFromStore(p, victims, "id")
+        p
+      })
+      val (loaded, codes) = OpqBuilder.load(s, out)
+      val st = OpqBuilder.topK(codes, loaded, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      val mem = OpqBuilder.topK(
+          encoded.join(victims, Seq("id"), "left_anti"), model, q,
+          k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val cmp = st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+      val dead = st.join(victims, "id")
+        .agg(count(lit(1)).cast("long").as("n_deleted_in_hits"))
+      cmp.crossJoin(dead)
+    }),
+
+    // OPQ store COMPACTION — half save + OpqBuilder.appendToStore batch
+    // (frozen model: rotation included) + 3 tombstoned deletes, stash
+    // the pre-compact LIVE answer, compact through the shared
+    // cell-partitioned rewrite: the compacted store must answer
+    // BIT-IDENTICALLY, tombstones gone, codes file count shrunk
+    "ann_opq_compact" -> ((s, dir) => {
+      val (model, encoded) = fittedOpq(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val (out, preHits, preFiles, postFiles) =
+        opqCompactMemo.getOrElseUpdate(dir, {
+          val p = newStoreDir("graft_opq_compact")
+          OpqBuilder.save(model,
+            OpqBuilder.encode(model, emb.where(col("vec_id") % 2 === 0),
+              "vec_id", "embedding"), p)
+          OpqBuilder.appendToStore(model,
+            emb.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", p)
+          val victims = OpqBuilder
+            .topK(encoded, model, q, k = 3, nprobe = 8).select("id")
+          OpqBuilder.deleteFromStore(p, victims, "id")
+          val (m0, live0) = OpqBuilder.load(s, p)
+          val pre = OpqBuilder.topK(live0, m0, q, k = 10, nprobe = 4)
+            .select("id", "sq_dist").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          val before = IvfPqBuilder.parquetFileCount(s, s"$p/codes")
+          OpqBuilder.compactStore(s, p)
+          (p, pre, before, IvfPqBuilder.parquetFileCount(s, s"$p/codes"))
+        })
+      val (loaded, codes) = OpqBuilder.load(s, out)
+      val post = OpqBuilder.topK(codes, loaded, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("post_dist"))
+      import s.implicits._
+      val pre = preHits.toSeq.toDF("id", "pre_dist")
+      val tombstonesLeft =
+        if (new java.io.File(s"$out/tombstones").exists) 1L else 0L
+      post.join(pre, Seq("id"), "full_outer").agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("post_dist").isNull || col("pre_dist").isNull,
+            1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+          coalesce(sum(when(abs(col("post_dist") - col("pre_dist")) > 1e-12,
+            1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(tombstonesLeft).as("n_tombstone_dirs"),
+          lit(if (postFiles < preFiles) 1L else 0L).as("files_reduced"))
+    }),
+
+    // SQ8 store DELETE — the flat-table member of the shared lifecycle:
+    // tombstone the query's 3 nearest, reload — k live rows, no deleted
+    // id, bit-equal to the in-memory query over the survivors
+    "ann_sq8_delete" -> ((s, dir) => {
+      val (model, enc) = fittedSq8(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val victims = graft.index.Sq8.topK(enc, model, q, 3).select("id")
+      val out = sq8DeleteDir.getOrElseUpdate(dir, {
+        val p = newStoreDir("graft_sq8_delete")
+        graft.index.Sq8.save(model, enc, p)
+        graft.index.Sq8.deleteFromStore(p, victims, "id")
+        p
+      })
+      val (loaded, codes) = graft.index.Sq8.load(s, out)
+      val st = graft.index.Sq8.topK(codes, loaded, q, 10)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      val mem = graft.index.Sq8
+        .topK(enc.join(victims, Seq("id"), "left_anti"), model, q, 10)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val cmp = st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+      val dead = st.join(victims, "id")
+        .agg(count(lit(1)).cast("long").as("n_deleted_in_hits"))
+      cmp.crossJoin(dead)
+    }),
+
+    // SQ8 store COMPACTION — flat-table lifecycle: half save + frozen-
+    // codec append + 3 deletes, compact via the shared flat rewrite
+    // (rowsPerFile sized to force a real file-count reduction at gate
+    // scale) — bit-identical answers, tombstones gone, fewer files
+    "ann_sq8_compact" -> ((s, dir) => {
+      val (model, enc) = fittedSq8(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val (out, preHits, preFiles, postFiles) =
+        sq8CompactMemo.getOrElseUpdate(dir, {
+          val p = newStoreDir("graft_sq8_compact")
+          graft.index.Sq8.save(model,
+            graft.index.Sq8.encode(model, emb.where(col("vec_id") % 2 === 0),
+              "vec_id", "embedding"), p)
+          graft.index.Sq8.appendToStore(model,
+            emb.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", p)
+          val victims = graft.index.Sq8.topK(enc, model, q, 3).select("id")
+          graft.index.Sq8.deleteFromStore(p, victims, "id")
+          val (m0, live0) = graft.index.Sq8.load(s, p)
+          val pre = graft.index.Sq8.topK(live0, m0, q, 10)
+            .select("id", "sq_dist").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          val before = IvfPqBuilder.parquetFileCount(s, s"$p/codes")
+          graft.index.Sq8.compactStore(s, p)
+          (p, pre, before, IvfPqBuilder.parquetFileCount(s, s"$p/codes"))
+        })
+      val (loaded, codes) = graft.index.Sq8.load(s, out)
+      val post = graft.index.Sq8.topK(codes, loaded, q, 10)
+        .select(col("id"), col("sq_dist").as("post_dist"))
+      import s.implicits._
+      val pre = preHits.toSeq.toDF("id", "pre_dist")
+      val tombstonesLeft =
+        if (new java.io.File(s"$out/tombstones").exists) 1L else 0L
+      post.join(pre, Seq("id"), "full_outer").agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("post_dist").isNull || col("pre_dist").isNull,
+            1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+          coalesce(sum(when(abs(col("post_dist") - col("pre_dist")) > 1e-12,
+            1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(tombstonesLeft).as("n_tombstone_dirs"),
+          lit(if (postFiles < preFiles) 1L else 0L).as("files_reduced"))
+    }),
+
+    // stored-IVF+SQ8 query path (the family's save → load → bit-equal
+    // gate, mirroring ann_ivfpq_stored/ann_sq8_stored): f64 centroids +
+    // codec constants round-trip exactly in parquet, so the loaded
+    // index must answer bit-identically to the in-memory one
+    "ann_ivfsq8_stored" -> ((s, dir) => {
+      val (model, enc) = fittedIvfSq8(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val out = ivfSq8StoredDir.getOrElseUpdate(dir, {
+        val p = newStoreDir("graft_ivfsq8")
+        graft.index.IvfSq8.save(model, enc, p)
+        p
+      })
+      val (loaded, codes) = graft.index.IvfSq8.load(s, out)
+      val mem = graft.index.IvfSq8.topK(enc, model, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("mem_dist"))
+      val st = graft.index.IvfSq8.topK(codes, loaded, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("st_dist"))
+      st.join(mem, Seq("id"), "full_outer").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("st_dist").isNull || col("mem_dist").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // IVF+SQ8 store lifecycle — half save + frozen-model append + 3
+    // tombstoned deletes + cell-partitioned compaction in one gate:
+    // post-compact answers bit-equal the pre-compact live view, no
+    // deleted id among the hits, tombstones gone, fewer files
+    "ann_ivfsq8_compact" -> ((s, dir) => {
+      val (model, enc) = fittedIvfSq8(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val (out, preHits, preFiles, postFiles) =
+        ivfSq8CompactMemo.getOrElseUpdate(dir, {
+          val p = newStoreDir("graft_ivfsq8_compact")
+          graft.index.IvfSq8.save(model,
+            graft.index.IvfSq8.encode(model,
+              emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding"), p)
+          graft.index.IvfSq8.appendToStore(model,
+            emb.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", p)
+          val victims = graft.index.IvfSq8
+            .topK(enc, model, q, k = 3, nprobe = 8).select("id")
+          graft.index.IvfSq8.deleteFromStore(p, victims, "id")
+          val (m0, live0) = graft.index.IvfSq8.load(s, p)
+          val pre = graft.index.IvfSq8.topK(live0, m0, q, k = 10, nprobe = 4)
+            .select("id", "sq_dist").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          val before = IvfPqBuilder.parquetFileCount(s, s"$p/codes")
+          graft.index.IvfSq8.compactStore(s, p)
+          (p, pre, before, IvfPqBuilder.parquetFileCount(s, s"$p/codes"))
+        })
+      val (loaded, codes) = graft.index.IvfSq8.load(s, out)
+      val post = graft.index.IvfSq8.topK(codes, loaded, q, k = 10, nprobe = 4)
+        .select(col("id"), col("sq_dist").as("post_dist"))
+      import s.implicits._
+      val pre = preHits.toSeq.toDF("id", "pre_dist")
+      val tombstonesLeft =
+        if (new java.io.File(s"$out/tombstones").exists) 1L else 0L
+      post.join(pre, Seq("id"), "full_outer").agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("post_dist").isNull || col("pre_dist").isNull,
+            1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+          coalesce(sum(when(abs(col("post_dist") - col("pre_dist")) > 1e-12,
+            1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(tombstonesLeft).as("n_tombstone_dirs"),
+          lit(if (postFiles < preFiles) 1L else 0L).as("files_reduced"))
+    }),
+
+    // binary-signature store with the FULL lifecycle inside a REAL
+    // DuckDB oracle (the strongest parity class — Hamming distances are
+    // integers): save half, append half (frozen sign thresholds),
+    // tombstone the 3 nearest, reload, query — the emitted (rank,
+    // vec_id, hamming) rows must equal DuckDB's recount over the
+    // surviving vectors, dead ids derived by the SAME rule in SQL
+    "knn_hamming_stored" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val (out, thr, _) = hamStoredMemo.getOrElseUpdate(dir, {
+        val p = newStoreDir("graft_ham")
+        val thresholds = new Array[Double](64) // sign bits
+        graft.index.BinaryQuant.save(thresholds,
+          emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", p)
+        graft.index.BinaryQuant.appendToStore(thresholds,
+          emb.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", p)
+        val victims = graft.index.BinaryQuant
+          .rankedIds(emb, "embedding", "vec_id", qf, 3)
+          .select(col("vec_id"))
+        graft.index.BinaryQuant.deleteFromStore(p, victims, "vec_id")
+        val dead = victims.collect().map(_.getLong(0)).toSeq
+        (p, thresholds, dead)
+      })
+      val (thrL, sigs) = graft.index.BinaryQuant.load(s, out)
+      require(java.util.Arrays.equals(thrL, thr), "threshold round-trip")
+      val w = Window.orderBy(col("hamming"), col("id"))
+      graft.index.BinaryQuant.topKSignatures(sigs, qf, 10, thrL)
+        .select(row_number().over(w).cast("long").as("rank"),
+          col("id").as("vec_id"), col("hamming").cast("long"))
+    }),
+
+    // binary store COMPACTION: fold the append + tombstones of the
+    // knn_hamming_stored fixture's twin store through the shared flat
+    // rewrite — integer bit-equality pre/post, tombstones gone, fewer
+    // files
+    "knn_hamming_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qf = queryVec(s, dir, 0L)
+      val (out, preHits, preFiles, postFiles) =
+        hamCompactMemo.getOrElseUpdate(dir, {
+          val p = newStoreDir("graft_ham_compact")
+          val thresholds = new Array[Double](64)
+          graft.index.BinaryQuant.save(thresholds,
+            emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", p)
+          graft.index.BinaryQuant.appendToStore(thresholds,
+            emb.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", p)
+          val victims = graft.index.BinaryQuant
+            .rankedIds(emb, "embedding", "vec_id", qf, 3)
+            .select(col("vec_id"))
+          graft.index.BinaryQuant.deleteFromStore(p, victims, "vec_id")
+          val (thr0, live0) = graft.index.BinaryQuant.load(s, p)
+          val pre = graft.index.BinaryQuant
+            .topKSignatures(live0, qf, 10, thr0)
+            .collect()
+            .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+          val before = IvfPqBuilder.parquetFileCount(s, s"$p/codes")
+          // rowsPerFile below the fixture's row count so the rewrite
+          // provably coalesces the save+append file sets
+          graft.index.BinaryQuant.compactStore(s, p)
+          (p, pre, before, IvfPqBuilder.parquetFileCount(s, s"$p/codes"))
+        })
+      val (thrL, sigs) = graft.index.BinaryQuant.load(s, out)
+      val post = graft.index.BinaryQuant.topKSignatures(sigs, qf, 10, thrL)
+        .select(col("id"), col("hamming").as("post_ham"))
+      import s.implicits._
+      val pre = preHits.toSeq.toDF("id", "pre_ham")
+      val tombstonesLeft =
+        if (new java.io.File(s"$out/tombstones").exists) 1L else 0L
+      post.join(pre, Seq("id"), "full_outer").agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("post_ham").isNull || col("pre_ham").isNull,
+            1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+          coalesce(sum(when(col("post_ham") =!= col("pre_ham"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
         .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
           lit(tombstonesLeft).as("n_tombstone_dirs"),
           lit(if (postFiles < preFiles) 1L else 0L).as("files_reduced"))
@@ -6767,6 +7116,70 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_deleted_in_hits""".stripMargin,
 
     "ann_compact" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_tombstone_dirs,
+        | CAST(1 AS BIGINT) AS files_reduced""".stripMargin,
+
+    "ann_opq_delete" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_deleted_in_hits""".stripMargin,
+
+    "ann_opq_compact" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_tombstone_dirs,
+        | CAST(1 AS BIGINT) AS files_reduced""".stripMargin,
+
+    "ann_sq8_delete" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_deleted_in_hits""".stripMargin,
+
+    "ann_sq8_compact" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_tombstone_dirs,
+        | CAST(1 AS BIGINT) AS files_reduced""".stripMargin,
+
+    "ann_ivfsq8_stored" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_ivfsq8_compact" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_tombstone_dirs,
+        | CAST(1 AS BIGINT) AS files_reduced""".stripMargin,
+
+    // REAL recount oracle for the binary store lifecycle: DuckDB
+    // re-derives the 3 tombstoned ids by the same (hamming, id) rule,
+    // then re-ranks the SURVIVING corpus — integer distances compare
+    // exactly, so the store's save+append+delete+load chain is hash-
+    // gated end to end, not constant-gated
+    "knn_hamming_stored" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id AS vec_id,
+        |  sum(CASE WHEN (CAST(e.embedding[t.i] AS DOUBLE) > 0.0)
+        |         != (CAST(q.qv[t.i] AS DOUBLE) > 0.0) THEN 1 ELSE 0 END) AS ham
+        | FROM embeddings e, q, generate_series(1, 64) AS t(i)
+        | GROUP BY e.vec_id),
+        |dead AS (SELECT vec_id FROM d ORDER BY ham, vec_id LIMIT 3),
+        |live AS (SELECT * FROM d
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM dead))
+        |SELECT CAST(row_number() OVER (ORDER BY ham, vec_id) AS BIGINT)
+        |  AS rank, vec_id, CAST(ham AS BIGINT) AS hamming
+        |FROM live ORDER BY ham, vec_id LIMIT 10""".stripMargin,
+
+    "knn_hamming_compact" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch,

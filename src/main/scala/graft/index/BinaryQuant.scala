@@ -128,6 +128,88 @@ object BinaryQuant {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Persist a binary-signature store: the packed signatures as a flat
+    * (id, sig: array<long>) parquet under `codes/` (the shared lifecycle
+    * location — [[StoreLifecycle]]), the dim threshold constants as one
+    * parquet row, manifest + SHA-256 sidecar under the shared
+    * read-verify discipline. Thresholds stay f64 and the signatures are
+    * integers ⇒ a loaded store answers BIT-IDENTICALLY (Hamming
+    * distances are exact integers — the strongest parity class of any
+    * codec family here). */
+  def save(thresholds: Array[Double], df: DataFrame, idCol: String,
+           vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    signatures(df, idCol, vecCol, thresholds)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    Seq(Tuple1(thresholds.toSeq)).toDF("thresholds")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/thresholds")
+    val manifest = s"""{"vector_size":${thresholds.length}}"""
+    IvfPqBuilder.writeString(spark, s"$path/manifest.json", manifest)
+    IvfPqBuilder.writeString(spark, s"$path/manifest.json.sha256",
+      IvfPqBuilder.sha256Hex(manifest))
+  }
+
+  /** Load a binary store: (thresholds, live signatures) — manifest
+    * re-hashed, threshold shape validated, tombstones anti-joined out
+    * ([[StoreLifecycle.liveView]]). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Double], DataFrame) = {
+    val manifestStr = IvfPqBuilder.readVerifiedManifest(spark, path)
+    val dim = "\"vector_size\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(manifestStr)
+      .getOrElse(sys.error(s"bad BinaryQuant manifest: $manifestStr"))
+      .group(1).toInt
+    val row = spark.read.parquet(s"$path/thresholds").head()
+    val thr = row.getSeq[Double](row.fieldIndex("thresholds")).toArray
+    require(thr.length == dim,
+      s"threshold shape ${thr.length} != manifest dim $dim")
+    (thr, StoreLifecycle.liveView(spark, path,
+      spark.read.parquet(s"$path/codes")))
+  }
+
+  /** The packed (id, sig) relation for `df` under frozen thresholds —
+    * the store's row shape, exposed for build and append alike. */
+  def signatures(df: DataFrame, idCol: String, vecCol: String,
+                 thresholds: Array[Double]): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      signBitsF(col(vecCol), litDoubles(thresholds)).as("sig"))
+
+  /** Incremental ingest against FROZEN thresholds (like every frozen
+    * codec here: the bit boundaries never move once fit). */
+  def appendToStore(thresholds: Array[Double], df: DataFrame,
+                    idCol: String, vecCol: String, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    signatures(df, idCol, vecCol, thresholds)
+      .write.mode(SaveMode.Append).parquet(s"$path/codes")
+  }
+
+  /** Append-only DELETE — the shared tombstone log. */
+  def deleteFromStore(storePath: String, ids: DataFrame,
+                      idCol: String): Unit =
+    StoreLifecycle.deleteFromStore(storePath, ids, idCol)
+
+  /** Maintenance compaction — the shared flat-table rewrite + swap. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                   rowsPerFile: Long = 4L * 1000 * 1000): Unit = {
+    val (_, live) = load(spark, path)
+    StoreLifecycle.compactFlat(spark, path,
+      live.select("id", "sig"), rowsPerFile)
+  }
+
+  /** Top-k over STORED signatures: (id, hamming) ascending by
+    * (hamming, id) — the loaded-store twin of [[topK]], same kernel,
+    * same tie rule, integer distances ⇒ bit-identical to packing the
+    * floats fresh. */
+  def topKSignatures(sigs: DataFrame, q: Seq[Float], k: Int,
+                     thresholds: Array[Double]): DataFrame =
+    sigs.withColumn("hamming",
+        hammingDistF(col("sig"), litLongs(pack(q, thresholds))))
+      .orderBy(col("hamming"), col("id"))
+      .limit(k)
+      .select(col("id"), col("hamming"))
+
   /** Hamming-nominate + exact re-rank: the signature scan nominates
     * `kFactor·k` candidates, whose float vectors alone are re-scored by
     * exact L2 (the refine pattern, FAISS IndexRefineFlat shape). The

@@ -257,12 +257,21 @@ object IvfPqBuilder {
 
   private def appendToStoreImpl(model: IvfPqModel, df: DataFrame,
                                 idCol: String, vecCol: String, path: String,
-                                log: Option[String => Unit]): Unit = {
-    val spark = df.sparkSession
-    // backward compat: a store saved before the stats sidecar existed
-    // gets a one-time backfill from its codes table — without it the
-    // "cumulative" histogram would silently cover only post-upgrade
-    // batches and the drift report would be wrong forever after
+                                log: Option[String => Unit]): Unit =
+    // backward compat + placeholder handling live in appendEncoded; the
+    // only family-specific step is encoding against the frozen model
+    appendEncoded(df.sparkSession, encode(model, df, idCol, vecCol),
+      path, model.config.numPartitions, log)
+
+  /** Append PRE-ENCODED rows (id, partition, codes) to a store — the
+    * codec-agnostic tail of [[appendToStore]], shared with the OPQ
+    * family whose encode path differs (learned rotation,
+    * [[OpqBuilder.appendToStore]]) but whose store layout is this one.
+    * Handles the same placeholder/stats bookkeeping as the IVF+PQ
+    * append; callers own encoding against their FROZEN model. */
+  private[index] def appendEncoded(spark: SparkSession, enc0: DataFrame,
+                                   path: String, numPartitions: Int,
+                                   log: Option[String => Unit]): Unit = {
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(statsPath)) {
@@ -270,13 +279,26 @@ object IvfPqBuilder {
         "histogram from the existing codes table (one-time scan)"))
       writeStats(spark.read.parquet(s"$path/codes"), path, SaveMode.Overwrite)
     }
-    // a fully-tombstoned compaction installs a zero-row UNPARTITIONED
-    // placeholder at codes/ root (see compactStore); a partitioned
-    // append into that directory would produce the mixed file layout
-    // Spark's partition discovery rejects, making the store unreadable.
-    // Remove the placeholder first — it carries no rows by construction,
-    // and we verify that before touching anything
+    removeEmptyPlaceholder(spark, path)
+    val enc = enc0.select("id", "partition", "codes").persist()
+    try {
+      enc.write.mode(SaveMode.Append).partitionBy("partition")
+        .parquet(s"$path/codes")
+      writeStats(enc, path, SaveMode.Append)
+      log.foreach(reportDrift(spark, path, numPartitions, _))
+    } finally enc.unpersist()
+  }
+
+  /** Remove the zero-row UNPARTITIONED placeholder a fully-tombstoned
+    * compaction installs at codes/ root (see [[compactStore]]) — a
+    * partitioned append into that directory would produce the mixed
+    * file layout Spark's partition discovery rejects. The placeholder
+    * carries no rows by construction; verified before touching
+    * anything. Shared by every cell-partitioned family's append. */
+  private[index] def removeEmptyPlaceholder(spark: SparkSession,
+                                            path: String): Unit = {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(codesRoot)) {
       val rootFiles = fs.listStatus(codesRoot).filter(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -287,16 +309,6 @@ object IvfPqBuilder {
         rootFiles.foreach(st => fs.delete(st.getPath, false))
       }
     }
-    val enc = encode(model, df, idCol, vecCol)
-      .select("id", "partition", "codes")
-      .persist()
-    try {
-      enc.write.mode(SaveMode.Append).partitionBy("partition")
-        .parquet(s"$path/codes")
-      writeStats(enc, path, SaveMode.Append)
-      // the sidecar read + collect runs only when someone is listening
-      log.foreach(reportDrift(spark, path, model.config.numPartitions, _))
-    } finally enc.unpersist()
   }
 
   /** Cells whose cumulative population exceeds this multiple of the mean
@@ -507,14 +519,7 @@ object IvfPqBuilder {
       IvfPqConfig(numPartitions = p, numDivisions = d, numCodes = c), dim,
       centroids, codebooks)
     val codes = spark.read.parquet(s"$path/codes")
-    val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live =
-      if (fs.exists(tPath))
-        codes.join(spark.read.parquet(s"$path/tombstones"),
-          Seq("id"), "left_anti")
-      else codes
-    (model, live)
+    (model, StoreLifecycle.liveView(spark, path, codes))
   }
 
   /** Append-only DELETE (a capability the reference leaves unimplemented,
@@ -528,8 +533,7 @@ object IvfPqBuilder {
     * appends a duplicate tombstone row, which the anti-join ignores. */
   def deleteFromStore(storePath: String, ids: DataFrame,
                       idCol: String): Unit =
-    ids.select(col(idCol).cast("long").as("id"))
-      .write.mode(SaveMode.Append).parquet(s"$storePath/tombstones")
+    StoreLifecycle.deleteFromStore(storePath, ids, idCol)
 
   /** MAINTENANCE COMPACTION — the step that keeps the append-then-
     * tombstone discipline honest: a year of daily [[appendToStore]]
@@ -557,36 +561,12 @@ object IvfPqBuilder {
     import spark.implicits._
     val (_, live0) = load(spark, path)
     val live = live0.select("id", "partition", "codes")
-    // the post-compaction histogram, collected BEFORE the swap (P rows)
-    // — reading the new table after the swap would crash on a zero-row
-    // store, and re-reading what we just wrote is wasted IO anyway
-    val statRows = live.groupBy("partition").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val tmp = s"$path/codes.compacting"
-    if (statRows.isEmpty)
-      // everything tombstoned: partitionBy of zero rows writes no files
-      // and an empty dir cannot be read back — install a zero-row
-      // UNPARTITIONED parquet instead (schema in the footer, reads fine;
-      // `partition` becomes a regular empty column, which every consumer
-      // projects identically)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], live.schema)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-    else
-      // one shuffle on the cell id → one task, one file, per cell dir
-      live.repartition(col("partition"))
-        .write.mode(SaveMode.Overwrite).partitionBy("partition").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    fs.delete(p(s"$path/codes.old"), true)
-    require(fs.rename(p(s"$path/codes"), p(s"$path/codes.old")),
-      s"compaction swap failed: could not park $path/codes — store unchanged")
-    require(fs.rename(p(tmp), p(s"$path/codes")),
-      s"compaction swap failed: could not install $tmp; the previous " +
-        s"table is intact at $path/codes.old — rename it back to recover")
-    fs.delete(p(s"$path/codes.old"), true)
-    fs.delete(p(s"$path/tombstones"), true)
+    // the rewrite + crash-recoverable swap is the shared lifecycle
+    // (StoreLifecycle.compactPartitioned); the one IVF+PQ-specific step
+    // is resetting the drift-telemetry sidecar to the live histogram it
+    // returns (collected BEFORE the swap — reading the new table after
+    // the swap would crash on a zero-row store)
+    val statRows = StoreLifecycle.compactPartitioned(spark, path, live)
     statRows.toDF("partition", "cnt")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }

@@ -63,6 +63,108 @@ object IvfSq8 {
     (IvfSq8Model(dim, numPartitions, coarse.centroids, codec), encoded)
   }
 
+  /** Encode `df` against a FROZEN model — assignment to the nearest
+    * coarse centroid, residual, one `sq8Encode` pass — the single
+    * distributed projection every vector rides through at build time,
+    * exposed for incremental ingest ([[appendToStore]]). */
+  def encode(model: IvfSq8Model, df: DataFrame, idCol: String,
+             vecCol: String): DataFrame = {
+    val flatCentLit = litDoubles(model.partitionCentroids.flatten)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("partition", nearestCentroidL2(col("vec"), flatCentLit))
+      .withColumn("residual",
+        subCentroidF(col("vec"), flatCentLit, col("partition")))
+      .select(col("id"), col("partition"),
+        sq8Encode(col("residual"), litDoubles(model.codec.mins),
+          litDoubles(model.codec.scales)).as("sq8"))
+  }
+
+  /** Persist the IVF+SQ8 index: byte codes partitioned by IVF cell
+    * (partition-pruned scans like the IVF+PQ store), centroids + the
+    * 2·dim f64 codec constants as small parquet, manifest + SHA-256
+    * sidecar under the shared read-verify discipline. Constants stay
+    * f64 ⇒ a loaded index answers BIT-IDENTICALLY to the in-memory one
+    * (the ann_ivfsq8_stored invariant). */
+  def save(model: IvfSq8Model, encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    encoded.select("id", "partition", "sq8")
+      .write.mode(SaveMode.Overwrite).partitionBy("partition")
+      .parquet(s"$path/codes")
+    model.partitionCentroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("partition", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    Seq((model.codec.mins.toSeq, model.codec.scales.toSeq))
+      .toDF("mins", "scales")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
+    val manifest = s"""{"vector_size":${model.dim},""" +
+      s""""num_partitions":${model.numPartitions}}"""
+    IvfPqBuilder.writeString(spark, s"$path/manifest.json", manifest)
+    IvfPqBuilder.writeString(spark, s"$path/manifest.json.sha256",
+      IvfPqBuilder.sha256Hex(manifest))
+  }
+
+  /** Load an IVF+SQ8 store; validates centroid/codec shapes against the
+    * manifest (the shared load-time invariant discipline). Returns the
+    * LIVE view — tombstones anti-joined out. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (IvfSq8Model, DataFrame) = {
+    val manifestStr = IvfPqBuilder.readVerifiedManifest(spark, path)
+    def intField(name: String): Int =
+      ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(manifestStr)
+        .getOrElse(sys.error(s"bad IvfSq8 manifest: $manifestStr"))
+        .group(1).toInt
+    val dim = intField("vector_size")
+    val p = intField("num_partitions")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("partition").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    require(centroids.length == p,
+      s"expected $p centroids, got ${centroids.length}")
+    require(centroids.forall(_.length == dim), "centroid dim mismatch")
+    val codec = spark.read.parquet(s"$path/codec").head()
+    val mins = codec.getSeq[Double](codec.fieldIndex("mins")).toArray
+    val scales = codec.getSeq[Double](codec.fieldIndex("scales")).toArray
+    require(mins.length == dim && scales.length == dim,
+      s"codec shape ${mins.length}/${scales.length} != manifest dim $dim")
+    (IvfSq8Model(dim, p, centroids, Sq8Model(dim, mins, scales)),
+      StoreLifecycle.liveView(spark, path,
+        spark.read.parquet(s"$path/codes")))
+  }
+
+  /** Incremental ingest against the FROZEN model (coarse centroids AND
+    * residual codec never move — the same frozen-model contract as
+    * [[IvfPqBuilder.appendToStore]], including its drift consequence:
+    * the codec's min/Δ were fit on the build corpus, so drifted appends
+    * clamp at the range edges; the recovery is a rebuild, like IVF+PQ's
+    * REBALANCE). */
+  def appendToStore(model: IvfSq8Model, df: DataFrame, idCol: String,
+                    vecCol: String, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = df.sparkSession
+    IvfPqBuilder.removeEmptyPlaceholder(spark, path)
+    encode(model, df, idCol, vecCol)
+      .write.mode(SaveMode.Append).partitionBy("partition")
+      .parquet(s"$path/codes")
+  }
+
+  /** Append-only DELETE — the shared tombstone log. */
+  def deleteFromStore(storePath: String, ids: DataFrame,
+                      idCol: String): Unit =
+    StoreLifecycle.deleteFromStore(storePath, ids, idCol)
+
+  /** Maintenance compaction — the shared cell-partitioned rewrite
+    * (one file per cell dir, crash-recoverable swap, tombstones
+    * dropped). Bit-exact by construction. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val (_, live) = load(spark, path)
+    StoreLifecycle.compactPartitioned(spark, path,
+      live.select("id", "partition", "sq8"))
+  }
+
   /** Selected cells: (partition id, localized query q − centroid). */
   def selectPartitions(model: IvfSq8Model, q: Array[Double],
                        nprobe: Int): Array[(Int, Array[Double])] = {

@@ -550,6 +550,36 @@ object OpqBuilder {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/rotation")
   }
 
+  /** Incremental ingest into an OPQ store — the OPQ member of the
+    * shared store lifecycle ([[graft.index.StoreLifecycle]]): vectors
+    * are encoded against the FROZEN model (assignment, R·residual
+    * rotation, PQ codes — exactly [[encode]]), then appended through the
+    * same partitioned write + drift-telemetry bookkeeping as
+    * [[IvfPqBuilder.appendToStore]]. The rotation sidecar never changes:
+    * like centroids and codebooks it is part of the frozen model. */
+  def appendToStore(model: OpqModel, df: DataFrame, idCol: String,
+                    vecCol: String, path: String,
+                    log: String => Unit = _ => ()): Unit =
+    IvfPqBuilder.appendEncoded(df.sparkSession,
+      encode(model, df, idCol, vecCol), path,
+      model.ivf.config.numPartitions, Some(log))
+
+  /** Append-only DELETE for an OPQ store — the shared tombstone log
+    * ([[graft.index.StoreLifecycle.deleteFromStore]]); [[load]] (via the
+    * base loader) anti-joins dead ids out, identically to IVF+PQ. */
+  def deleteFromStore(storePath: String, ids: DataFrame,
+                      idCol: String): Unit =
+    StoreLifecycle.deleteFromStore(storePath, ids, idCol)
+
+  /** Maintenance compaction for an OPQ store. The codes table IS the
+    * IVF+PQ layout (save delegates to [[IvfPqBuilder.save]]), so the
+    * whole operation — live rewrite, one file per cell dir,
+    * crash-recoverable swap, tombstone drop, stats reset — is
+    * [[IvfPqBuilder.compactStore]] verbatim; the rotation sidecar is a
+    * model artifact and is untouched. Bit-exact by construction. */
+  def compactStore(spark: SparkSession, path: String): Unit =
+    IvfPqBuilder.compactStore(spark, path)
+
   /** Load an OPQ store back; validates rotation shape + orthonormality
     * on top of the shared manifest/shape checks. */
   def load(spark: SparkSession, path: String): (OpqModel, DataFrame) = {

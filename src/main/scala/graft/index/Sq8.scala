@@ -83,7 +83,9 @@ object Sq8 {
   }
 
   /** Load an Sq8 store; validates the codec shape against the manifest
-    * (same load-time invariant discipline as IvfPqBuilder.load). */
+    * (same load-time invariant discipline as IvfPqBuilder.load). Returns
+    * the LIVE view — tombstoned ids anti-joined out, the shared delete
+    * semantics ([[StoreLifecycle.liveView]]). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Sq8Model, DataFrame) = {
     val manifestStr = IvfPqBuilder.readVerifiedManifest(spark, path)
@@ -96,6 +98,38 @@ object Sq8 {
     val scales = codec.getSeq[Double](codec.fieldIndex("scales")).toArray
     require(mins.length == dim && scales.length == dim,
       s"codec shape ${mins.length}/${scales.length} != manifest dim $dim")
-    (Sq8Model(dim, mins, scales), spark.read.parquet(s"$path/codes"))
+    (Sq8Model(dim, mins, scales),
+      StoreLifecycle.liveView(spark, path,
+        spark.read.parquet(s"$path/codes")))
+  }
+
+  /** Incremental ingest: encode `df` against the FROZEN codec (the
+    * per-dim min/Δ never move once fit — new out-of-range values clamp
+    * through the same `sq8Encode` rint+clamp every build row saw) and
+    * append to the flat codes table. The SQ8 member of the shared store
+    * lifecycle ([[StoreLifecycle]]); no drift sidecar — the codec has no
+    * cell histogram to drift. */
+  def appendToStore(model: Sq8Model, df: DataFrame, idCol: String,
+                    vecCol: String, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    encode(model, df, idCol, vecCol)
+      .write.mode(SaveMode.Append).parquet(s"$path/codes")
+  }
+
+  /** Append-only DELETE — the shared tombstone log; [[load]] anti-joins
+    * dead ids out. Idempotent. */
+  def deleteFromStore(storePath: String, ids: DataFrame,
+                      idCol: String): Unit =
+    StoreLifecycle.deleteFromStore(storePath, ids, idCol)
+
+  /** Maintenance compaction: fold append batches and tombstones back to
+    * `ceil(live/rowsPerFile)` files via the shared flat-table rewrite +
+    * crash-recoverable swap ([[StoreLifecycle.compactFlat]]). Bit-exact
+    * — (id, sq8) rows ride unchanged. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                   rowsPerFile: Long = 4L * 1000 * 1000): Unit = {
+    val (_, live) = load(spark, path)
+    StoreLifecycle.compactFlat(spark, path,
+      live.select("id", "sq8"), rowsPerFile)
   }
 }

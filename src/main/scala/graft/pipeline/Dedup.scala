@@ -1011,8 +1011,15 @@ object Dedup {
     * whole job is the dup-hash aggregate's. The per-doc drop set is
     * doc-length-bounded; the strip is one positional higher-order
     * filter projection; untouched documents pass through VERBATIM (no
-    * retokenization). 10M-doc probe: 157 s (r8) → 96 s. */
-  def removeDuplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    * retokenization). 10M-doc probe: 157 s (r8) → 96 s.
+    *
+    * `broadcastMaxRows`/`broadcastMaxElems` cap the measured drop-side
+    * broadcast (defaults ≈ 1 GB relation — see [[measuredDropSide]]);
+    * lower them on memory-constrained deployments. */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 8,
+                           broadcastMaxRows: Long = 10000000L,
+                           broadcastMaxElems: Long = 100000000L)
+      : DataFrame = {
     val toks = split(col("text"), " ")
     val wins = docs.select(col("doc_id"),
       posexplode(shingleHashes(toks, n)).as(Seq("pos", "h")))
@@ -1022,7 +1029,8 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set("idx")).as("drop_idx"))
-    docs.join(measuredDropSide(covered, "drop_idx"), Seq("doc_id"), "left")
+    docs.join(measuredDropSide(covered, "drop_idx",
+        broadcastMaxRows, broadcastMaxElems), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("drop_idx").isNull, col("text"))
           .otherwise(stripTokenIndexes(toks, col("drop_idx")))
@@ -1048,14 +1056,27 @@ object Dedup {
     * either way). The materialize + count makes the CALL eager (two
     * Spark jobs over the fingerprint pipeline at plan-construction
     * time) — the documented price of measured strategy, same as
-    * decontaminate's gram set. */
+    * decontaminate's gram set.
+    *
+    * Ceilings are CONFIGURABLE (`maxRows`/`maxElems`, defaults 10M rows
+    * / 100M elements ≈ 1 GB hash relation): the default admits a
+    * broadcast that is replicated to the driver and every executor —
+    * fine on the deployments this repo benches (24 GB+ driver), but a
+    * memory-constrained cluster should lower them (they are plumbed
+    * through the public span-removal operators) rather than patch the
+    * operator. Both bounds must be positive. */
   private[pipeline] def measuredDropSide(side: DataFrame,
-                                         arrCol: String): DataFrame = {
+                                         arrCol: String,
+                                         maxRows: Long = 10000000L,
+                                         maxElems: Long = 100000000L)
+      : DataFrame = {
+    require(maxRows > 0 && maxElems > 0,
+      s"broadcast ceilings must be positive, got rows=$maxRows elems=$maxElems")
     val m = side.localCheckpoint()
     val r = m.agg(count(lit(1)), sum(size(col(arrCol)))).head()
     val rows = r.getLong(0)
     val elems = if (r.isNullAt(1)) 0L else r.getLong(1)
-    if (rows <= 10000000L && elems <= 100000000L) broadcast(m)
+    if (rows <= maxRows && elems <= maxElems) broadcast(m)
     else m.hint("shuffle_hash")
   }
 
@@ -1386,7 +1407,10 @@ object Dedup {
     * Scale shape: the (n, S) statistics are a (cell, pos)-keyed
     * aggregate — corpus × dim rows INTO it but map-side combined, only
     * cell-count × dim (metadata-sized) out — pivoted to one
-    * sum-vector array per cell and BROADCAST back, so the per-member
+    * sum-vector array per cell and joined back under the MEASURED
+    * strategy (broadcast below the element ceiling, shuffle-hash built
+    * on the cell side past it — paper-scale 100k cells × 1536 dims is
+    * ~1 GB, too big to replicate blindly), so the per-member
     * score is a single narrow zip_with/aggregate projection: the
     * corpus itself is never exploded through a shuffle and never
     * re-keyed. The only window is [[keepBest]]'s, bounded by the
@@ -1400,21 +1424,48 @@ object Dedup {
   def semDeDup(embeddings: DataFrame, idCol: String, vecCol: String,
                groupCol: String, pairs: DataFrame): DataFrame = {
     val milli = (x: Column) => floor(x.cast("double") * 1000).cast("long")
+    // per-position member counts are non-increasing in pos and uniform
+    // IFF every member of the cell has the same vector width — so
+    // min(n) == max(n) is exactly the "no ragged vectors" invariant.
+    // Enforced loudly: a ragged cell would otherwise null-pad through
+    // zip_with and crown an arbitrary keeper (and diverge from the SQL
+    // oracle, which uses per-position n).
     val cellS = embeddings.select(col(groupCol).as("__g"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("__g"), col("pos"))
       .agg(sum(milli(col("x"))).as("s"), count(lit(1)).as("n"))
       .groupBy(col("__g"))
-      .agg(max(col("n")).as("n"),
+      .agg(min(col("n")).as("n_min"), max(col("n")).as("n_max"),
         transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           e => e.getField("s")).as("sv"))
+      .select(col("__g"),
+        when(col("n_min") === col("n_max"), col("n_max"))
+          .otherwise(raise_error(concat(
+            lit("semDeDup: ragged vector widths in cell "),
+            col("__g").cast("string"),
+            lit(" — per-position member counts span ["),
+            col("n_min").cast("string"), lit(", "),
+            col("n_max").cast("string"),
+            lit("]; fix the embedding widths upstream")))).as("n"),
+        col("sv"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // cells are metadata-sized by contract, but at SemDeDup-paper scale
+    // (~100k clusters × 1536 dims) the sum-vector relation is ~1 GB —
+    // material enough that the broadcast is MEASURED (rows AND
+    // elements, the measuredDropSide discipline), falling back to a
+    // shuffle-hash build on the cell side past the ceiling
+    val cellSide = measuredDropSide(cellS, "sv")
     val scored = embeddings.select(col(idCol).as("doc_id"),
         col(groupCol).as("__g"), col(vecCol).as("__v"))
-      .join(broadcast(cellS), Seq("__g"))
+      .join(cellSide, Seq("__g"))
       .select(col("doc_id"),
         aggregate(
-          zip_with(col("__v"), col("sv"),
+          zip_with(
+            when(col("__v").isNotNull, col("__v"))
+              .otherwise(raise_error(concat(
+                lit("semDeDup: NULL embedding for doc_id "),
+                col("doc_id").cast("string")))),
+            col("sv"),
             (x, s) => col("n") * milli(x) - s),
           dec(lit(0)),
           (acc, d) => acc + dec(d) * dec(d)).as("far_score"))

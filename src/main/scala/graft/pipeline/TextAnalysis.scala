@@ -374,7 +374,12 @@ object TextAnalysis {
     * the doc-count-sized per-doc relation reproduces the running
     * distinct exactly. The corpus-wide window runs over per-DOC rows
     * (corpus/|docs| reduction before any single-partition step).
-    * Output: (ord, cum_tokens, cum_vocab) at sampled points. */
+    * Output: (ord, cum_tokens, cum_vocab) at sampled points.
+    *
+    * Presence semantics: report points come from the DOC relation, not
+    * the token stream — a document with NULL or empty text contributes
+    * a zero-token row, so its ord still reports (and stays aligned with
+    * [[vocabGrowthBucketed]], which follows the same rule). */
   def vocabGrowth(docs: DataFrame, orderCol: String = "doc_id",
                   every: Int = 50): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
@@ -384,7 +389,13 @@ object TextAnalysis {
       .agg(min(col("ord")).as("first_ord"))
       .groupBy(col("first_ord").as("ord"))
       .agg(count(lit(1)).as("n_new"))
-    val perDoc = toks.groupBy("ord").agg(count(lit(1)).as("n_toks"))
+    // seed from docs so NULL/empty-text ords keep their report row
+    // (explode of no tokens would otherwise drop the ord entirely)
+    val perDoc = docs.groupBy(col(orderCol).as("ord")).agg(lit(1))
+      .select("ord")
+      .join(toks.groupBy("ord").agg(count(lit(1)).as("n_toks")),
+        Seq("ord"), "left")
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
       .join(firstSeen, Seq("ord"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
     val w = org.apache.spark.sql.expressions.Window
@@ -407,7 +418,9 @@ object TextAnalysis {
     * the cumulative through bucket k is exactly the exact form's
     * cumulative through ord k·every; with a DENSE 0-based order column
     * (the [[TrainingData.denseIds]] output — the documented contract)
-    * every report point exists and the two forms are EXACTLY equal.
+    * every report point exists and the two forms are EXACTLY equal —
+    * including for NULL/empty-text documents, whose ords both forms
+    * seed from the doc relation (zero tokens, row present).
     * Sparse order domains diverge by design: the exact form reports
     * only multiples of `every` that exist as ords, this twin reports
     * every bucket boundary up to the max ord. */
@@ -433,8 +446,15 @@ object TextAnalysis {
       .agg(min(col("ord")).as("first_ord"))
       .groupBy(bucket(col("first_ord")).as("b"))
       .agg(count(lit(1)).as("n_new"))
-    val toksPerBucket = toks.groupBy(bucket(col("ord")).as("b"))
-      .agg(count(lit(1)).as("n_toks"))
+    // seed buckets from docs (the vocabGrowth presence rule): a bucket
+    // whose documents are all NULL/empty-text still reports, with its
+    // cumulative counts carried forward
+    val toksPerBucket = docs
+      .groupBy(bucket(col(orderCol)).as("b")).agg(lit(1))
+      .select("b")
+      .join(toks.groupBy(bucket(col("ord")).as("b"))
+        .agg(count(lit(1)).as("n_toks")), Seq("b"), "left")
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window

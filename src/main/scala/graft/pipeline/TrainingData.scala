@@ -545,10 +545,16 @@ object TrainingData {
     * wastes too much clean text. Untouched documents pass through
     * VERBATIM (no retokenization); fully-covered documents keep an
     * empty clean_text — dropping them is the caller's decision. Output:
-    * (idCol, clean_text, n_tokens_removed) for EVERY training row. */
+    * (idCol, clean_text, n_tokens_removed) for EVERY training row.
+    * `broadcastMaxRows`/`broadcastMaxElems` cap the measured drop-side
+    * broadcast (≈ 1 GB at the defaults); lower them on
+    * memory-constrained deployments. */
   def removeContaminatedSpans(train: DataFrame, bench: DataFrame,
                               idCol: String, textCol: String,
-                              n: Int): DataFrame = {
+                              n: Int,
+                              broadcastMaxRows: Long = 10000000L,
+                              broadcastMaxElems: Long = 100000000L)
+      : DataFrame = {
     val toks = split(col(textCol), " ")
     val dropIdx = windowFingerprints(train, idCol, textCol, n)
       .join(benchGramSet(bench, textCol, n), "g")
@@ -565,8 +571,8 @@ object TrainingData {
     // input regenerating per scan, a 195 s bare generation pass, and
     // the operator necessarily passes the text twice: fingerprints,
     // then strip).
-    train.join(Dedup.measuredDropSide(dropIdx, "__drop"), Seq(idCol),
-      "left")
+    train.join(Dedup.measuredDropSide(dropIdx, "__drop",
+        broadcastMaxRows, broadcastMaxElems), Seq(idCol), "left")
       .select(col(idCol),
         when(col("__drop").isNull, col(textCol))
           // linear gap-slice strip (O(tokens + drops) per doc) — the

@@ -247,6 +247,20 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, 1L),                 // singleton keeps itself
       (10L, 10L, 0L), (11L, 10L, 1L),
       (12L, 12L, 1L)))
+    // ragged vector widths in a cell must fail LOUDLY, not null-pad
+    // through zip_with and crown an arbitrary keeper (round-12 ADVICE)
+    val ragged = Seq(
+      (1L, Seq(1.0f, 0f, 0f), 0),
+      (2L, Seq(2.0f, 0.02f), 0)) // width 2 in a width-3 cell
+      .toDF("vec_id", "embedding", "label")
+    val raggedPairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val ex = intercept[Exception] {
+      Dedup.semDeDup(ragged, "vec_id", "embedding", "label", raggedPairs)
+        .collect()
+    }
+    assert(ex.getMessage.contains("ragged") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ragged")))
+
     // sanity: the exact integer farness prefers 2 over 1 in cell 0
     // (sequential replica of Σ(n·xm − S)²; note 0.02f → ⌊19.999…⌋ = 19
     // milli — the float-to-double widening the quantization contract

@@ -322,6 +322,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(twinBig === exactBig)
   }
 
+  test("vocabGrowth/vocabGrowthBucketed: NULL and empty text keep their " +
+      "report points, and the two forms stay aligned (round-12 ADVICE)") {
+    // ord 3 has NULL text, ord 6 empty — both are report points at
+    // every=3; presence comes from the doc relation so both forms must
+    // emit them with carried-forward cumulative counts
+    val docs = (0L to 9L).map {
+      case 3L => (3L, null: String)
+      case 6L => (6L, "")
+      case i => (i, s"w${i % 4} w${(i * 7) % 9}")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(TextAnalysis.vocabGrowth(docs, "doc_id", every = 3))
+    val twin = rows(
+      TextAnalysis.vocabGrowthBucketed(docs, "doc_id", every = 3))
+    assert(exact.map(_._1) === Seq(0L, 3L, 6L, 9L)) // no dropped points
+    assert(twin === exact)
+  }
+
   test("qualityBuckets: per-language terciles by LM fit, head = best " +
       "fit, ties break on doc_id, uneven groups front-load") {
     // lang en: 4 docs — 3 corpus-typical, 1 shuffled junk (worst fit);
