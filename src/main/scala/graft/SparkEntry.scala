@@ -6022,6 +6022,14 @@ object SparkEntry {
       val outs = (0L until 4L).map { i =>
         val batch = docs.where(col("doc_id") >= i * cut &&
           col("doc_id") < (i + 1) * cut)
+        // keeper-stability audit (round 12): ascending-id ingest must
+        // never see an already-emitted hash arrive with a smaller id —
+        // a violation here means the accumulated output silently
+        // degraded to first-seen-wins and the gate must fail loudly
+        val nViol = StreamingPipeline.keeperViolations(batch, state).count()
+        require(nViol == 0L,
+          s"trigger $i: $nViol keeper-stability violations under the " +
+            "ascending-id contract")
         val (out, ns) = StreamingPipeline.processBatch(batch, state,
           grams, reps)
         state = ns.localCheckpoint()

@@ -4,6 +4,39 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** A measured per-group-sampler execution-strategy decision — the
+  * window-vs-bounded-top-k choice ([[TrainingData.samplerStrategyFor]]),
+  * carried with the evidence that produced it (the [[LshStrategy]]
+  * discipline: a persisted record is auditable — was this decided on
+  * the corpus and cap it is being applied to?). `useTopK` routes the
+  * `*Auto` samplers; the probe stats and the cap/quota shape the
+  * decision depended on ride along so a mismatched reuse is detectable.
+  *
+  * The decision encodes the round-11 measured crossovers (100M rows,
+  * 8 groups, BENCH_NOTES "sampler twins at 100M"):
+  *
+  * | shape | window form | top-k twin | winner |
+  * |---|---|---|---|
+  * | literal cap 1k   | 56.0 s (WindowGroupLimit map-side cut) | 167.9 s | window |
+  * | literal cap 100k | 392.9 s | 799.7 s | window locally; twin once cap×mapTasks concentrates |
+  * | dynamic quota    | 205.0 s (no WindowGroupLimit — full group sort) | 97.9 s | twin |
+  *
+  * Spark 4 rewrites `row_number ≤ LITERAL` into a map-side partial
+  * top-k before the exchange, so the window form's cost tracks the cap
+  * and it WINS on constants — its residual weakness is the final
+  * per-group pass holding cap × mapTasks rows in ONE task (10¹⁰ at
+  * 10⁵ tasks × cap 10⁵). Dynamic quotas (`row_number ≤ col`) get no
+  * rewrite: each group's whole corpus fraction sorts in one task, and
+  * the twin wins outright once groups are large. Hence the rule:
+  *  - dynamic quota: top-k unless every group fits a comfortable
+  *    single-task sort (`maxGroupRows ≤ maxWindowGroupRows`, default 1M);
+  *  - literal cap: window unless the concentrated final pass
+  *    (`cap × mapTasks`) exceeds `maxFinalTaskRows` (default 32M).
+  */
+final case class SamplerStrategy(useTopK: Boolean, literalCap: Boolean,
+                                 cap: Long, nRows: Long, nGroups: Long,
+                                 maxGroupRows: Long, mapTasks: Long)
+
 /** Dataset-assembly operators for a training-data pipeline: deterministic
   * splits, per-group subsampling, and sequence packing. All three are
   * pure narrow-or-windowed plans with engine-portable integer/string
@@ -989,6 +1022,143 @@ object TrainingData {
     df.join(winners, col(idCol).cast("long") === col("__win_id"),
       "left_semi")
   }
+
+  /** Single-task sort ceiling for DYNAMIC-quota windows: above this
+    * max-group size the window form (no WindowGroupLimit possible)
+    * sorts a whole group in one task and the top-k twin wins (measured
+    * 2.1× at 100M/8 groups — [[SamplerStrategy]] table). */
+  val maxWindowGroupRows: Long = 1000000L
+
+  /** Final-pass concentration ceiling for LITERAL-cap windows: the
+    * WindowGroupLimit form's last per-group task holds cap × mapTasks
+    * rows; above this the top-k twin's cap·|groups| state (independent
+    * of task count) is the only shape that survives. */
+  val maxFinalTaskRows: Long = 32000000L
+
+  /** Probe `df` once and return the measured window-vs-top-k routing
+    * decision for the per-group samplers (the [[Dedup.lshStrategyFor]]
+    * precedent: key-stats probe → persistable decision record). One
+    * groupBy-count aggregate (map-side combined — the shuffle carries
+    * |groups| rows) plus the plan's leaf task count. `cap` is the
+    * literal per-group bound for [[perGroupCap]]-shaped calls, or None
+    * for dynamic-quota calls ([[stratifiedSample]]). The decision is a
+    * corpus-level constant: persist with [[saveSamplerStrategy]] and
+    * pass it to the `*Auto` routers so no later invocation pays the
+    * probe. Outputs of the two routed forms are identical by contract
+    * (bit-identical for the weighted sampler; the documented ~n²/2⁵³
+    * 52-bit race-key divergence for the md5-order samplers). */
+  def samplerStrategyFor(df: DataFrame, groupCol: String,
+                         cap: Option[Int]): SamplerStrategy = {
+    cap.foreach(c => require(c > 0, s"cap must be positive, got $c"))
+    val stats = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("g"), coalesce(sum(col("__n")), lit(0L)).as("r"),
+        coalesce(max(col("__n")), lit(0L)).as("m"))
+      .head()
+    val (nGroups, nRows, maxGroup) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val mapTasks = df.rdd.getNumPartitions.toLong
+    val useTopK = cap match {
+      case Some(c) => c.toLong * mapTasks > maxFinalTaskRows
+      case None => maxGroup > maxWindowGroupRows
+    }
+    SamplerStrategy(useTopK = useTopK, literalCap = cap.isDefined,
+      cap = cap.map(_.toLong).getOrElse(0L), nRows = nRows,
+      nGroups = nGroups, maxGroupRows = maxGroup, mapTasks = mapTasks)
+  }
+
+  /** Persist a [[SamplerStrategy]] as a small JSON artifact (+ SHA-256
+    * sidecar — the index-manifest integrity discipline) at `path`. */
+  def saveSamplerStrategy(spark: org.apache.spark.sql.SparkSession,
+                          strategy: SamplerStrategy, path: String): Unit = {
+    val json =
+      s"""{"use_top_k":${strategy.useTopK},""" +
+        s""""literal_cap":${strategy.literalCap},"cap":${strategy.cap},""" +
+        s""""n_rows":${strategy.nRows},"n_groups":${strategy.nGroups},""" +
+        s""""max_group_rows":${strategy.maxGroupRows},""" +
+        s""""map_tasks":${strategy.mapTasks}}"""
+    graft.index.IvfPqBuilder.writeString(spark, path, json)
+    graft.index.IvfPqBuilder.writeString(spark, path + ".sha256",
+      graft.index.IvfPqBuilder.sha256Hex(json))
+  }
+
+  /** Load a persisted [[SamplerStrategy]] (SHA-256-verified when the
+    * sidecar exists). */
+  def loadSamplerStrategy(spark: org.apache.spark.sql.SparkSession,
+                          path: String): SamplerStrategy = {
+    val s = graft.index.IvfPqBuilder.readVerifiedString(spark, path)
+    def field(name: String): String =
+      (""""""" + name + """"\s*:\s*([^,}]+)""").r.findFirstMatchIn(s)
+        .getOrElse(sys.error(
+          s"SamplerStrategy artifact at $path missing '$name'"))
+        .group(1).trim
+    SamplerStrategy(
+      useTopK = field("use_top_k").toBoolean,
+      literalCap = field("literal_cap").toBoolean,
+      cap = field("cap").toLong,
+      nRows = field("n_rows").toLong,
+      nGroups = field("n_groups").toLong,
+      maxGroupRows = field("max_group_rows").toLong,
+      mapTasks = field("map_tasks").toLong)
+  }
+
+  /** [[perGroupCap]] routed by the measured strategy — window form
+    * (WindowGroupLimit map-side cut, better constants at modest caps)
+    * below the concentration ceiling, the bounded-top-k twin above it.
+    * Probes when no strategy is passed; a persisted record skips the
+    * probe. A literal-cap strategy reused with a DIFFERENT cap is
+    * rejected loudly (the decision depends on it). */
+  def perGroupCapAuto(df: DataFrame, groupCol: String, idCol: String,
+                      cap: Int,
+                      strategy: Option[SamplerStrategy] = None)
+      : DataFrame = {
+    val st = resolved(df, groupCol, Some(cap), strategy)
+    if (st.useTopK) perGroupCapTopK(df, groupCol, idCol, cap)
+    else perGroupCap(df, groupCol, idCol, cap)
+  }
+
+  /** [[weightedSamplePerGroup]] routed by the measured strategy (the
+    * twins are BIT-identical — exact double race keys). */
+  def weightedSamplePerGroupAuto(df: DataFrame, groupCol: String,
+                                 idCol: String, weightCol: String,
+                                 kPerGroup: Int, seed: String = "ws",
+                                 strategy: Option[SamplerStrategy] = None)
+      : DataFrame = {
+    val st = resolved(df, groupCol, Some(kPerGroup), strategy)
+    if (st.useTopK)
+      weightedSamplePerGroupTopK(df, groupCol, idCol, weightCol,
+        kPerGroup, seed)
+    else
+      weightedSamplePerGroup(df, groupCol, idCol, weightCol,
+        kPerGroup, seed)
+  }
+
+  /** [[stratifiedSample]] routed by the measured strategy — dynamic
+    * quotas get no WindowGroupLimit, so the window form is chosen only
+    * when every group fits a single-task sort. */
+  def stratifiedSampleAuto(df: DataFrame, groupCol: String, idCol: String,
+                           quotas: DataFrame, seed: Long,
+                           strategy: Option[SamplerStrategy] = None)
+      : DataFrame = {
+    val st = resolved(df, groupCol, None, strategy)
+    if (st.useTopK) stratifiedSampleTopK(df, groupCol, idCol, quotas, seed)
+    else stratifiedSample(df, groupCol, idCol, quotas, seed)
+  }
+
+  /** Validate a caller-supplied strategy against the call shape, or
+    * probe when none was supplied. */
+  private def resolved(df: DataFrame, groupCol: String, cap: Option[Int],
+                       strategy: Option[SamplerStrategy]): SamplerStrategy =
+    strategy match {
+      case Some(st) =>
+        require(st.literalCap == cap.isDefined,
+          s"SamplerStrategy shape mismatch: record has literalCap=" +
+            s"${st.literalCap}, call has ${cap.isDefined}")
+        cap.foreach(c => require(st.cap == c.toLong,
+          s"SamplerStrategy cap mismatch: record decided for cap=${st.cap}, " +
+            s"call uses $c — re-probe with samplerStrategyFor"))
+        st
+      case None => samplerStrategyFor(df, groupCol, cap)
+    }
 
   /** Repeat-factor materialization — the UPSAMPLING half of a
     * [[mixtureBudget]] plan ([[stratifiedSample]] is the downsampling

@@ -42,6 +42,13 @@ final class LocalServe private[query] (
   /** Total resident vectors. */
   def size: Long = cellIds.valuesIterator.map(_.length.toLong).sum
 
+  // column-major rotation copy for the Vector-API mat-vec
+  // (SimdKernels.rotateExact — bit-identical lanes, see its doc);
+  // built once per server, absent when the scalar path serves
+  private lazy val rotT: Option[Array[Double]] =
+    rotation.filter(_ => graft.functions.SimdSupport.available)
+      .map(graft.functions.SimdKernels.transposed)
+
   /** FILTERED warm top-k — the warm twin of the pre-filtered cluster
     * composition (`ann_filtered`: the attribute join narrows the coded
     * relation BEFORE the ADC top-k): rows whose pinned attribute fails
@@ -63,7 +70,10 @@ final class LocalServe private[query] (
     * the exact ordering contract of [[AnnQuery.topK]]'s
     * `orderBy(sq_dist, id).limit(k)`. Probed cells not resident on this
     * server throw (a sharded fleet routes by cell; silently skipping
-    * cells would silently change results). For an OPQ store
+    * cells would silently change results — a box that should instead
+    * LOAD missing cells on demand serves through [[LocalServeLazy]],
+    * which turns the refusal into a pin with optional LRU eviction and
+    * answers bit-identically). For an OPQ store
     * ([[LocalServe.fromOpqStore]]) the learned rotation is applied to
     * the nprobe LOCALIZED query vectors right here — exact doubles,
     * the identical driver-side step [[graft.index.OpqBuilder.topK]]
@@ -135,15 +145,24 @@ final class LocalServe private[query] (
             val block = 128
             Future.sequence((0 until dimLen by block).map { s0 =>
               Future {
-                var rr = s0
                 val e = math.min(s0 + block, dimLen)
-                while (rr < e) {
-                  val row = r(rr)
-                  var s = 0.0
-                  var t = 0
-                  while (t < dimLen) { s += row(t) * localized0(t); t += 1 }
-                  rotated(rr) = s
-                  rr += 1
+                rotT match {
+                  // Vector-API mat-vec: 8 output rows per 512-bit
+                  // accumulator, per-row t order unchanged — the lanes
+                  // compute the scalar loop's exact bits
+                  // (SimdKernelsSpec; the OPQ serve gate re-proves it)
+                  case Some(rt) => graft.functions.SimdKernels
+                    .rotateExact(rt, dimLen, localized0, rotated, s0, e)
+                  case None =>
+                    var rr = s0
+                    while (rr < e) {
+                      val row = r(rr)
+                      var s = 0.0
+                      var t = 0
+                      while (t < dimLen) { s += row(t) * localized0(t); t += 1 }
+                      rotated(rr) = s
+                      rr += 1
+                    }
                 }
               }
             }).flatMap(_ => tables(rotated))
@@ -312,7 +331,13 @@ object LocalServeRq {
 final class LocalServeSq8 private (
     val model: graft.index.IvfSq8Model,
     cellIds: Map[Int, Array[Long]],
-    cellCodes: Map[Int, Array[Byte]]) {
+    cellCodes: Map[Int, Array[Byte]],
+    // true ⇒ codes are COLUMN-major (codesT(i·n + r)) and distances run
+    // through the Vector-API kernel (SimdKernels.sq8DistExact — same
+    // bits, 8 rows per accumulator); false ⇒ row-major scalar fold.
+    // One layout per server, chosen at pin time — residency stays dim
+    // bytes/vector either way.
+    columnMajor: Boolean) {
 
   /** Cells resident on this server. */
   def cells: Seq[Int] = cellIds.keys.toSeq.sorted
@@ -343,20 +368,27 @@ final class LocalServeSq8 private (
         val block = math.max(1, n / 32)
         Future.sequence((0 until n by block).map { s0 =>
           Future {
-            var r = s0
             val e = math.min(s0 + block, n)
-            while (r < e) {
-              val base = r * dim
-              var s = 0.0
-              var i = 0
-              while (i < dim) { // identical fold to Kernels.sq8Dist
-                val d = localized(i) -
-                  (mins(i) + (codes(base + i) & 0xFF) * scales(i))
-                s += d * d
-                i += 1
+            if (columnMajor)
+              // Vector-API fold over the column-major layout — the
+              // scalar fold's exact bits, 8 rows per accumulator
+              graft.functions.SimdKernels.sq8DistExact(codes, n, dim,
+                localized, mins, scales, out, s0, e)
+            else {
+              var r = s0
+              while (r < e) {
+                val base = r * dim
+                var s = 0.0
+                var i = 0
+                while (i < dim) { // identical fold to Kernels.sq8Dist
+                  val d = localized(i) -
+                    (mins(i) + (codes(base + i) & 0xFF) * scales(i))
+                  s += d * d
+                  i += 1
+                }
+                out(r) = s
+                r += 1
               }
-              out(r) = s
-              r += 1
             }
           }
         }).map(_ => out)
@@ -400,6 +432,7 @@ object LocalServeSq8 {
   def fromCodes(model: graft.index.IvfSq8Model,
                 encoded: org.apache.spark.sql.DataFrame): LocalServeSq8 = {
     val dim = model.dim
+    val simd = graft.functions.SimdSupport.available
     val rows = encoded.select(col("partition").cast("int"),
         col("id").cast("long"), col("sq8"))
       .collect()
@@ -409,18 +442,22 @@ object LocalServeSq8 {
     }
     val packed = byCell.map { case (cell, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
-      val flat = new Array[Byte](sorted.length * dim)
+      val n = sorted.length
+      val flat = new Array[Byte](n * dim)
       var r = 0
-      while (r < sorted.length) {
+      while (r < n) {
         val cs = sorted(r).getAs[Array[Byte]](2)
         require(cs.length == dim,
           s"sq8 row has ${cs.length} bytes, model dim is $dim")
-        System.arraycopy(cs, 0, flat, r * dim, dim)
+        if (simd) { // column-major for the Vector-API fold
+          var i = 0
+          while (i < dim) { flat(i * n + r) = cs(i); i += 1 }
+        } else System.arraycopy(cs, 0, flat, r * dim, dim)
         r += 1
       }
       cell -> flat
     }
-    new LocalServeSq8(model, ids, packed)
+    new LocalServeSq8(model, ids, packed, simd)
   }
 }
 
@@ -665,5 +702,148 @@ object LocalServeHamming {
       r += 1
     }
     new LocalServeHamming(thr, ids, sigs, w, floats, dim)
+  }
+}
+
+/** LAZY-residency warm serving — the reference's cold-start shape
+  * (db/stored.rs:824-881: a stored DB loads centroids + codebooks up
+  * front but pulls each partition's codes only when a query first
+  * probes it; cold query 7.8 ms vs 1.5 ms warm, reference README.md:204)
+  * over the [[LocalServe]] machinery: the model artifacts stay
+  * driver-resident, cells pin ON FIRST PROBE through the same pruned
+  * `partition IN` scan the cluster path plans, and an optional
+  * `maxResidentCells` cap evicts least-recently-probed cells — so a
+  * serving box holds the HOT FRACTION of a store bigger than its RAM
+  * instead of refusing it.
+  *
+  * Results are BIT-IDENTICAL to the eager pin: every query delegates
+  * to a plain [[LocalServe]] over the currently-resident cells (same
+  * packing, same ADC fold, same heap tie rule — asserted by
+  * LocalServeSpec), and a cell's packed layout is a pure function of
+  * the store rows, so pin-time does not affect answers. Relation to
+  * the eager tier's REFUSAL contract: [[LocalServe.query]] throws on a
+  * non-resident probe (a sharded fleet routes by cell; silence would
+  * change results) — this tier is the documented alternative, turning
+  * the refusal into a load. Queries and residency changes synchronize
+  * on the pin lock only while (re)pinning; steady-state hot queries run
+  * lock-free on the immutable delegate snapshot. */
+final class LocalServeLazy private (
+    val model: IvfPqModel,
+    rotation: Option[Array[Array[Double]]],
+    loadCells: Seq[Int] => Map[Int, (Array[Long], Array[Int])],
+    maxResidentCells: Int) {
+
+  require(maxResidentCells >= 0,
+    s"maxResidentCells must be >= 0 (0 = unbounded), got $maxResidentCells")
+
+  // LRU order: least-recently-probed first. Guarded by `lock`.
+  private val lru = new java.util.LinkedHashMap[Int, (Array[Long], Array[Int])](
+    16, 0.75f, /* accessOrder = */ true)
+  private val lock = new Object
+  @volatile private var delegate: LocalServe =
+    new LocalServe(model, Map.empty, Map.empty, rotation)
+  @volatile private var coldLoadCount: Long = 0L
+
+  /** Cells currently resident. */
+  def cells: Seq[Int] = lock.synchronized {
+    import scala.jdk.CollectionConverters._
+    lru.keySet.asScala.toSeq.sorted
+  }
+
+  /** Cold cell loads performed so far (per cell, not per query). */
+  def coldLoads: Long = coldLoadCount
+
+  /** Warm-or-cold top-k: identical contract and bits to
+    * [[LocalServe.query]]; non-resident probed cells are pinned first
+    * (one pruned scan for ALL missing cells of this query), evicting
+    * least-recently-probed cells past `maxResidentCells`. */
+  def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] =
+    ensureResident(AnnQuery.selectPartitions(model, q, nprobe).map(_._1))
+      .query(q, k, nprobe)
+
+  private def ensureResident(probed: Array[Int]): LocalServe =
+    lock.synchronized {
+      require(maxResidentCells == 0 || probed.length <= maxResidentCells,
+        s"query probes ${probed.length} cells but maxResidentCells is " +
+          s"$maxResidentCells — raise the cap or lower nprobe")
+      val missing = probed.filterNot(lru.containsKey(_))
+      // touch resident probes so eviction order is least-recently-PROBED
+      probed.foreach(c => if (lru.containsKey(c)) lru.get(c))
+      if (missing.isEmpty) return delegate
+      val loaded = loadCells(missing.toIndexedSeq)
+      val absent = missing.filterNot(loaded.contains)
+      require(absent.isEmpty,
+        s"store has no codes for probed cells ${absent.mkString(",")}")
+      loaded.foreach { case (c, v) => lru.put(c, v) }
+      coldLoadCount += missing.length
+      if (maxResidentCells > 0) {
+        val it = lru.keySet.iterator
+        while (lru.size > maxResidentCells && it.hasNext) {
+          val c = it.next()
+          // never evict a cell this query needs (all probed were touched
+          // or just inserted, so they sit at the MRU end already)
+          if (!probed.contains(c)) it.remove()
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val snap = lru.asScala.toMap
+      delegate = new LocalServe(model,
+        snap.view.mapValues(_._1).toMap,
+        snap.view.mapValues(_._2).toMap, rotation)
+      delegate
+    }
+}
+
+object LocalServeLazy {
+
+  /** Open a saved IVF+PQ store for lazy serving: model artifacts load
+    * (and integrity-check) NOW, codes load per cell on first probe.
+    * `maxResidentCells` = 0 pins without bound (the eager tier's
+    * residency, reached lazily); > 0 keeps at most that many cells,
+    * evicting least-recently-probed. */
+  def fromStore(spark: SparkSession, path: String,
+                maxResidentCells: Int = 0): LocalServeLazy = {
+    val (model, codes) = IvfPqBuilder.load(spark, path)
+    new LocalServeLazy(model, None, cellLoader(model, codes),
+      maxResidentCells)
+  }
+
+  /** OPQ twin of [[fromStore]] — rotation validated at open, applied
+    * per query exactly as [[LocalServe.fromOpqStore]]. */
+  def fromOpqStore(spark: SparkSession, path: String,
+                   maxResidentCells: Int = 0): LocalServeLazy = {
+    val (model, codes) = graft.index.OpqBuilder.load(spark, path)
+    new LocalServeLazy(model.ivf, Some(model.rotation),
+      cellLoader(model.ivf, codes), maxResidentCells)
+  }
+
+  /** The cold loader: ONE pruned `partition IN` scan for the missing
+    * cells, packed into the exact layout [[LocalServe.fromCodes]]
+    * builds (sort by id, flat code array) — the pure-function property
+    * that makes lazy answers bit-equal eager ones. */
+  private def cellLoader(model: IvfPqModel,
+                         codes: org.apache.spark.sql.DataFrame)
+      : Seq[Int] => Map[Int, (Array[Long], Array[Int])] = { missing =>
+    val d = model.config.numDivisions
+    val rows = codes.where(col("partition").isin(missing: _*))
+      .select(col("partition").cast("int"), col("id").cast("long"),
+        col("codes"))
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val ids = sorted.map(_.getLong(1))
+      val flat = new Array[Int](sorted.length * d)
+      var r = 0
+      while (r < sorted.length) {
+        val cs = sorted(r).getSeq[Int](2)
+        require(cs.length == d,
+          s"codes row has ${cs.length} divisions, model has $d")
+        var i = 0
+        while (i < d) { flat(r * d + i) = cs(i); i += 1 }
+        r += 1
+      }
+      cell -> (ids, flat)
+    }
   }
 }

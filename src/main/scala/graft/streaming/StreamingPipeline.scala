@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *    order a real ingest uses; out-of-order ingest degrades to
   *    first-seen-wins, the standard streaming contract (a batch keeper
   *    would have to RETRACT an emitted doc, which append-mode ingest
-  *    cannot).
+  *    cannot) — and a violated contract is DETECTED, not silent:
+  *    [[keeperViolations]] audits each trigger for already-emitted
+  *    hashes arriving with smaller ids (asserted empty per trigger by
+  *    the gate; alert-or-reprocess is the caller's policy).
   *  - DECONTAMINATION: the benchmark gram set is a static state
   *    ([[benchGramState]], built once from the eval corpus); membership
   *    per doc is pure given the state.
@@ -70,6 +73,40 @@ object StreamingPipeline {
     Seq.empty[(String, Long)].toDF("content_hash", "keep_id")
   }
 
+  /** The quality stage shared by [[processBatch]] and
+    * [[keeperViolations]] — one projection + semi-join; keeping them on
+    * one code path is what makes the audit judge exactly the docs the
+    * pipeline would have deduped. */
+  private def qualityPass(batch: DataFrame, minTokens: Long,
+                          maxStopPct: Long): DataFrame = {
+    val q = graft.pipeline.TextAnalysis.qualitySignals(batch)
+      .where(col("n_tokens") >= minTokens && col("stop_pct") <= maxStopPct)
+      .select("doc_id")
+    batch.join(q, Seq("doc_id"))
+  }
+
+  /** KEEPER-STABILITY AUDIT for one trigger — the loud detector for the
+    * ascending-id ingest contract (see the dedup stage note above): a
+    * quality-passing doc in this batch whose content hash is ALREADY in
+    * the state under a LARGER keep_id is exactly an out-of-order
+    * arrival that the one-shot batch keeper would have crowned instead
+    * of the emitted doc. Empty under compliant replay ingest (asserted
+    * per trigger by the `pipeline_stream_end_to_end` gate); non-empty
+    * means the accumulated output has degraded to first-seen-wins for
+    * these hashes — count it, alert on it, or re-run the one-shot twin
+    * over the affected corpus slice. One batch-sized hash join against
+    * the persisted state; rows are
+    * (content_hash, keep_id, intruder_id < keep_id). */
+  def keeperViolations(batch: DataFrame, seenHashes: DataFrame,
+                       minTokens: Long = 20, maxStopPct: Long = 60)
+      : DataFrame =
+    qualityPass(batch, minTokens, maxStopPct)
+      .withColumn("__h", md5(col("text")))
+      .join(seenHashes, col("__h") === col("content_hash"))
+      .where(col("doc_id") < col("keep_id"))
+      .select(col("content_hash"), col("keep_id"),
+        col("doc_id").as("intruder_id"))
+
   /** One trigger: batch (doc_id, text) in, (survivors, new dedup state)
     * out. Survivors carry (doc_id, rep, split); the caller persists the
     * returned state for the next trigger (localCheckpoint in tests,
@@ -79,10 +116,7 @@ object StreamingPipeline {
                    n: Int = 8, minTokens: Long = 20, maxStopPct: Long = 60,
                    trainHi: String = "cc", valHi: String = "e6")
       : (DataFrame, DataFrame) = {
-    val q = graft.pipeline.TextAnalysis.qualitySignals(batch)
-      .where(col("n_tokens") >= minTokens && col("stop_pct") <= maxStopPct)
-      .select("doc_id")
-    val qdocs = batch.join(q, Seq("doc_id"))
+    val qdocs = qualityPass(batch, minTokens, maxStopPct)
     val hashed = qdocs.withColumn("__h", md5(col("text")))
     // in-batch keeper (min id per hash), then drop hashes already seen
     val keepers = hashed.groupBy(col("__h"))

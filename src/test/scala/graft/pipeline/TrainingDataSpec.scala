@@ -680,4 +680,61 @@ class TrainingDataSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("samplerStrategyFor: literal caps route by cap x mapTasks, " +
+      "dynamic quotas by max group size; record round-trips with " +
+      "integrity sidecar; routers match their source forms") {
+    val df = (1L to 400L).map(i => (i, if (i <= 300) "big" else "small",
+      (i % 7 + 1).toDouble)).toDF("id", "g", "w")
+
+    // literal cap: gate-scale cap x tasks is far below the 32M ceiling
+    val stCap = TrainingData.samplerStrategyFor(df, "g", Some(10))
+    assert(stCap.literalCap && stCap.cap === 10L && !stCap.useTopK)
+    assert(stCap.nRows === 400L && stCap.nGroups === 2L &&
+      stCap.maxGroupRows === 300L && stCap.mapTasks >= 1L)
+    // a cap big enough that cap x mapTasks crosses the ceiling flips it
+    val huge = (TrainingData.maxFinalTaskRows / stCap.mapTasks + 1).toInt
+    assert(TrainingData.samplerStrategyFor(df, "g", Some(huge)).useTopK)
+
+    // dynamic quota: small groups -> window; the ceiling is the rule
+    val stDyn = TrainingData.samplerStrategyFor(df, "g", None)
+    assert(!stDyn.literalCap && !stDyn.useTopK)
+    assert(TrainingData.maxWindowGroupRows === 1000000L)
+
+    // round-trip through the JSON artifact (+ SHA-256 sidecar)
+    val p = java.nio.file.Files.createTempDirectory("sampler_strategy")
+      .toString + "/strategy.json"
+    TrainingData.saveSamplerStrategy(spark, stCap, p)
+    assert(TrainingData.loadSamplerStrategy(spark, p) === stCap)
+    assert(new java.io.File(p + ".sha256").exists)
+
+    // routers: both forms produce the same kept ids at gate scale
+    val viaAuto = TrainingData.perGroupCapAuto(df, "g", "id", 10,
+      Some(stCap)).select("id").collect().map(_.getLong(0)).toSet
+    val viaWindow = TrainingData.perGroupCap(df, "g", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaTopK = TrainingData.perGroupCapTopK(df, "g", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaAuto === viaWindow && viaWindow === viaTopK)
+    val q = Seq(("big", 5), ("small", 3)).toDF("g", "n")
+    val sAuto = TrainingData.stratifiedSampleAuto(df, "g", "id", q, 7L,
+      Some(stDyn)).select("id").collect().map(_.getLong(0)).toSet
+    val sWin = TrainingData.stratifiedSample(df, "g", "id", q, 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sAuto === sWin)
+    val wAuto = TrainingData.weightedSamplePerGroupAuto(df, "g", "id",
+      "w", 4, strategy = Some(stCap.copy(cap = 4L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wWin = TrainingData.weightedSamplePerGroup(df, "g", "id", "w", 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(wAuto === wWin)
+
+    // mismatched reuse is rejected loudly
+    intercept[IllegalArgumentException] {
+      TrainingData.perGroupCapAuto(df, "g", "id", 11, Some(stCap))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.stratifiedSampleAuto(df, "g", "id", q, 7L, Some(stCap))
+    }
+  }
 }

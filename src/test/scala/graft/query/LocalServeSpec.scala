@@ -209,4 +209,56 @@ class LocalServeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("pinFloats"))
   }
+
+  test("LocalServeLazy: cold-start answers are bit-identical to the " +
+      "eager pin, cells pin on first probe only, and the LRU cap " +
+      "evicts least-recently-probed cells") {
+    val eager = LocalServe.fromStore(spark, storeDir)
+    val lazySrv = LocalServeLazy.fromStore(spark, storeDir)
+    assert(lazySrv.cells.isEmpty && lazySrv.coldLoads === 0L)
+    for {
+      qid <- Seq(0L, 57L, 123L, 199L)
+      (k, nprobe) <- Seq((5, 1), (10, 2), (7, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(lazySrv.query(q, k, nprobe).toSeq ===
+        eager.query(q, k, nprobe).toSeq,
+        s"lazy/eager mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    // all 4 cells probed by now; re-querying loads nothing new
+    assert(lazySrv.cells.size === 4)
+    val loadsAfterWarm = lazySrv.coldLoads
+    assert(loadsAfterWarm === 4L) // one cold load per cell, ever
+    val q0 = data.find(_._1 == 0L).get._2.map(_.toDouble).toArray
+    lazySrv.query(q0, 5, 4)
+    assert(lazySrv.coldLoads === loadsAfterWarm)
+
+    // capped residency: nprobe=1 queries against different blobs keep
+    // at most 2 cells pinned, evicting the least-recently-probed
+    val capped = LocalServeLazy.fromStore(spark, storeDir,
+      maxResidentCells = 2)
+    for (qid <- Seq(0L, 57L, 123L, 199L, 0L)) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(capped.query(q, 5, 1).toSeq === eager.query(q, 5, 1).toSeq)
+      assert(capped.cells.size <= 2)
+    }
+    // the cap must cover every probed cell of a single query
+    intercept[IllegalArgumentException] {
+      capped.query(q0, 5, 3)
+    }
+  }
+
+  test("LocalServeLazy: OPQ store serves lazily with the same bits as " +
+      "the eager OPQ pin") {
+    val (opqModel, opqEncoded) = graft.index.OpqBuilder.fit(
+      df, "id", "vec", dim, config, opqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("opq_lazy").toString
+    graft.index.OpqBuilder.save(opqModel, opqEncoded, dir)
+    val eager = LocalServe.fromOpqStore(spark, dir)
+    val lazySrv = LocalServeLazy.fromOpqStore(spark, dir)
+    for (qid <- Seq(0L, 123L)) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(lazySrv.query(q, 10, 2).toSeq === eager.query(q, 10, 2).toSeq)
+    }
+  }
 }

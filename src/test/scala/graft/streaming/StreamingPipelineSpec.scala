@@ -106,4 +106,46 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
     assert(out.toSet === expected)
   }
+
+  test("keeperViolations: an out-of-order MemoryStream ingest is " +
+      "DETECTED (smaller id arriving after its hash was emitted), " +
+      "compliant ascending ingest audits empty") {
+    val grams = StreamingPipeline.benchGramState(bench, "text", 8)
+      .localCheckpoint()
+    val reps = StreamingPipeline.repState(pairs).localCheckpoint()
+    // id 0 carries doc 6's exact text but arrives AFTER 6 was emitted —
+    // the one-shot batch keeper would have crowned 0, so this is
+    // precisely the contract violation the audit exists to catch
+    val late = Seq((0L, rows.find(_._1 == 6L).get._2))
+    val input = MemoryStream[(Long, String)](spark)
+    var state = StreamingPipeline.emptyHashState(spark)
+    var audits = List.empty[Array[(String, Long, Long)]]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        audits = audits :+ StreamingPipeline
+          .keeperViolations(batch, state)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val (_, newState) =
+          StreamingPipeline.processBatch(batch, state, grams, reps)
+        state = newState.localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      input.addData(rows) // trigger 1: the whole ascending corpus
+      query.processAllAvailable()
+      input.addData(late) // trigger 2: id 0 AFTER its hash was emitted
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(audits.length === 2)
+    assert(audits(0).isEmpty) // ascending ingest: no violations
+    val viol = audits(1)
+    assert(viol.length === 1)
+    assert(viol(0)._2 === 6L && viol(0)._3 === 0L) // keeper 6, intruder 0
+    // a low-quality late arrival is NOT a violation (the one-shot would
+    // have quality-dropped it before dedup)
+    val junk = Seq((0L, "too short")).toDF("doc_id", "text")
+    assert(StreamingPipeline.keeperViolations(junk, state).isEmpty)
+  }
 }
