@@ -4133,6 +4133,27 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // the AUTO-routed form (round 12): samplerStrategyFor probes the
+    // corpus (one groupBy-count + leaf task count), persists the
+    // decision record through the JSON+SHA artifact round-trip, and
+    // perGroupCapAuto routes on the RELOADED record — at gate scale
+    // cap × mapTasks is far under the concentration ceiling, so this
+    // exercises probe → persist → load → window route, against the
+    // exact window oracle
+    "sample_per_source_auto" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val st = graft.pipeline.TrainingData
+        .samplerStrategyFor(docs, "source", Some(150))
+      val p = newStoreDir("graft_sampler_strategy") + "/strategy.json"
+      graft.pipeline.TrainingData.saveSamplerStrategy(s, st, p)
+      val loaded = graft.pipeline.TrainingData.loadSamplerStrategy(s, p)
+      require(loaded == st, "sampler strategy round-trip mismatch")
+      graft.pipeline.TrainingData
+        .perGroupCapAuto(docs, "source", "doc_id", 150, Some(loaded))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // the 100 TB twin of sample_per_source: the same md5-order cut as a
     // bounded top-k AGGREGATE (shuffle ≤ cap·|sources| rows, no
     // giant-group window sort) + an id semi-join back; race keys are
@@ -8647,6 +8668,15 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "sample_per_source" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        | FROM documents) t
+        |WHERE rnk <= 150 ORDER BY doc_id""".stripMargin,
+
+    // the auto router resolves to the window form at gate scale, so
+    // the oracle is the exact window rule verbatim
+    "sample_per_source_auto" ->
       """SELECT doc_id, source FROM (
         | SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk

@@ -640,7 +640,12 @@ object TrainingData {
         s"input column(s) ${reserved.mkString(", ")} first")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
     val n = Window.partitionBy(col(groupCol))
-    df.withColumn("__rn_rank", rank().over(w))
+    // rank() is IntegerType: the product MUST widen to long FIRST —
+    // `10000 * (rank - 1)` in int arithmetic wraps once a group
+    // exceeds ~214,749 rows (found by the round-12 100M probe, where
+    // the window form's rank_bp sum read 7.6M against the hist twin's
+    // correct 5.0e11; non-ANSI mode wraps silently)
+    df.withColumn("__rn_rank", rank().over(w).cast("long"))
       .withColumn("__rn_n", count(lit(1)).over(n))
       .withColumn("rank_bp",
         when(col("__rn_n") === 1, lit(5000L)).otherwise(

@@ -656,6 +656,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 3333L, 3L -> 3333L,
       4L -> 10000L, 5L -> 5000L))
   }
+
+  test("rankNormalize: no int wrap past 214,749 rows per group — " +
+      "window form equals the hist twin on a 300k-row group " +
+      "(round-12 100M probe finding)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum}
+    // 300k rows in ONE group: 10000 * (rank - 1) exceeds Int.MaxValue
+    // from rank 214,750 on — pre-fix the int product wrapped silently
+    val df = spark.range(300000L)
+      .select(lit("g").as("src"), col("id"),
+        pmod(col("id") * 7L, lit(1000L)).as("score"))
+    val wSum = TrainingData.rankNormalize(df, "src", "score")
+      .agg(sum("rank_bp")).head().getLong(0)
+    val hSum = TrainingData.rankNormalizeHist(df, "src", "score")
+      .agg(sum("rank_bp")).head().getLong(0)
+    assert(wSum === hSum)
+    assert(wSum > 0L) // the wrapped form went hugely negative/small
+  }
   test("weightedSamplePerGroup draws k winners inside every group " +
       "with the global race-key semantics") {
     import org.apache.spark.sql.functions.col
