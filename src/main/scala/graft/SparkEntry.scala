@@ -392,6 +392,9 @@ object SparkEntry {
     .empty[String, (String, Array[(Long, Double)], Long, Long)]
   private val hamCompactMemo = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[(Long, Long)], Long, Long)]
+  // (path, pre-compact refined hits, live codes2 rows pre-compact)
+  private val rqCompactMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Long, Double)], Long)]
 
   private val storedOpqDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storedOpqPath(s: SparkSession, dir: String): String =
@@ -2695,6 +2698,51 @@ object SparkEntry {
           1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
         coalesce(sum(when(abs(col("st_dist") - col("mem_dist")) > 1e-12,
           1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // RQ store lifecycle (round 12 — both layers): tombstone the
+    // query's 3 nearest in a refined store, pre-compact answer stashed,
+    // then compact BOTH tables (level-1 cell rewrite + refine/codes2
+    // flat rewrite) — bit-identical refined answers, tombstones gone,
+    // no deleted id, and the codes2 table's LIVE row count preserved
+    "ann_rq_compact" -> ((s, dir) => {
+      import graft.index.Rq
+      val (model, encoded) = fittedIndex(s, dir)
+      val q = queryVec(s, dir, 0L).map(_.toDouble)
+      val (out, preHits, preC2Rows) = rqCompactMemo.getOrElseUpdate(dir, {
+        val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+          numDivisions2 = 16, numCodes2 = 16, trainPointsPerCentroid = 0)
+        val enc2 = enc2raw.localCheckpoint()
+        val p = newStoreDir("graft_rq_compact")
+        Rq.save(rq, enc2, p)
+        val victims = Rq.topKRefined(enc2, rq, q, k = 3, nprobe = 8)
+          .select("id")
+        Rq.deleteFromStore(p, victims, "id")
+        val (m0, live0) = Rq.load(s, p)
+        val pre = Rq.topKRefined(live0, m0, q, k = 10, nprobe = 8)
+          .select("id", "sq_dist").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val liveC2 = live0.count()
+        Rq.compactStore(s, p)
+        (p, pre, liveC2)
+      })
+      val (loaded, enc2L) = Rq.load(s, out)
+      val post = Rq.topKRefined(enc2L, loaded, q, k = 10, nprobe = 8)
+        .select(col("id"), col("sq_dist").as("post_dist"))
+      import s.implicits._
+      val pre = preHits.toSeq.toDF("id", "pre_dist")
+      val tombstonesLeft =
+        if (new java.io.File(s"$out/tombstones").exists) 1L else 0L
+      val c2Rows = s.read.parquet(s"$out/refine/codes2").count()
+      post.join(pre, Seq("id"), "full_outer").agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum(when(col("post_dist").isNull || col("pre_dist").isNull,
+            1L).otherwise(0L)), lit(0L)).as("n_id_mismatch"),
+          coalesce(sum(when(abs(col("post_dist") - col("pre_dist")) > 1e-12,
+            1L).otherwise(0L)), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(tombstonesLeft).as("n_tombstone_dirs"),
+          lit(if (c2Rows == preC2Rows) 1L else 0L).as("codes2_live_exact"))
     }),
 
     // refine path: ADC nominates k'=4k candidates, exact re-rank over
@@ -7214,6 +7262,13 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_mismatch,
         | CAST(0 AS BIGINT) AS n_tombstone_dirs,
         | CAST(1 AS BIGINT) AS files_reduced""".stripMargin,
+
+    "ann_rq_compact" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(0 AS BIGINT) AS n_tombstone_dirs,
+        | CAST(1 AS BIGINT) AS codes2_live_exact""".stripMargin,
 
     "ann_filtered" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,

@@ -104,15 +104,20 @@ class RqSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_rq_m").toString
     Rq.save(rq, enc2, dir)
     import spark.implicits._
-    IvfPqBuilder.deleteFromStore(dir,
-      Seq(3L, 7L, 11L).toDF("id"), "id")
-    IvfPqBuilder.compactStore(spark, dir)
+    Rq.deleteFromStore(dir, Seq(3L, 7L, 11L).toDF("id"), "id")
+    // two-layer compaction (round 12): level-1 cell rewrite AND the
+    // refine/codes2 flat rewrite — dead refine rows fold away
+    // physically, not just through the id join
+    Rq.compactStore(spark, dir)
     val (rq2, enc2b) = Rq.load(spark, dir)
     // deleted ids are gone from the refined relation too (codes2 joins
     // onto the tombstone-filtered, compacted codes)
     val ids = enc2b.select("id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(3L) && !ids.contains(7L) && !ids.contains(11L))
     assert(ids.size === 397)
+    // the codes2 TABLE itself holds only live rows post-compaction
+    assert(spark.read.parquet(s"$dir/refine/codes2").count() === 397)
+    assert(!StoreLifecycle.hasTombstones(spark, dir))
     // surviving rows still answer refined queries deterministically
     val q = vecs.where(col("id") === 5L).head()
       .getSeq[Float](1).map(_.toDouble).toArray
