@@ -378,6 +378,8 @@ object SparkEntry {
     })
 
   private val opqDeleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val opqRebalDir = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val opqRebalOutDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val sq8DeleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfSq8StoredDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val hamStoredMemo = scala.collection.concurrent.TrieMap
@@ -2111,6 +2113,49 @@ object SparkEntry {
         .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
           lit(tombstonesLeft).as("n_tombstone_dirs"),
           lit(if (postFiles < preFiles) 1L else 0L).as("files_reduced"))
+    }),
+
+    // OPQ drift repair (round 12 — the REBALANCE recommendation OPQ
+    // appends emit finally has its repair): skew an OPQ store with a
+    // drifted append, blue/green re-fit (fresh rotation AND codebooks)
+    // from the store's own unrotated reconstructions — row count
+    // preserved, imbalance strictly drops, rebuilt store answers k rows
+    "ann_opq_rebalance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedOpq(s, dir)
+      val src = opqRebalDir.getOrElseUpdate(dir,
+        newStoreDir("graft_opq_rebal_src"))
+      val out = opqRebalOutDir.getOrElseUpdate(dir,
+        newStoreDir("graft_opq_rebal_out"))
+      OpqBuilder.save(model, encoded, src)
+      val base = queryVec(s, dir, 0L)
+      val nClones = emb.count() / 2
+      val clones = s.range(nClones).select(
+        (col("id") + 10000000L).as("vec_id"),
+        transform(zip_with(typedlit(base.toSeq),
+            graft.functions.FastFunctions.pseudoRandomVec(col("id"),
+              base.length, 2024L),
+            (a, b) => a + b * abs(a) * lit(0.5)),
+          x => x.cast("float")).as("embedding"))
+      OpqBuilder.appendToStore(model, clones, "vec_id", "embedding", src)
+      def imbalance(p: String): Double = {
+        val counts = IvfPqBuilder.cellHistogram(s, p)
+          .collect().map(_.getLong(1))
+        counts.max / (counts.sum.toDouble / model.ivf.config.numPartitions)
+      }
+      val before = imbalance(src)
+      OpqBuilder.rebalanceStore(s, src, out)
+      val after = imbalance(out)
+      val (mNew, codesNew) = OpqBuilder.load(s, out)
+      val nOldLive = OpqBuilder.load(s, src)._2.count()
+      val nNew = codesNew.count()
+      val q = base.map(_.toDouble)
+      val nHits = OpqBuilder.topK(codesNew, mNew, q, k = 10, nprobe = 4)
+        .count()
+      s.range(1).select(
+        lit(nNew - nOldLive).cast("long").as("n_total_diff"),
+        when(lit(after < before), 1L).otherwise(0L).as("flattened"),
+        lit(nHits).cast("long").as("n_hits"))
     }),
 
     // SQ8 store DELETE — the flat-table member of the shared lifecycle:
@@ -7211,6 +7256,11 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_mismatch,
         | CAST(0 AS BIGINT) AS n_tombstone_dirs,
         | CAST(1 AS BIGINT) AS files_reduced""".stripMargin,
+
+    "ann_opq_rebalance" ->
+      """SELECT CAST(0 AS BIGINT) AS n_total_diff,
+        | CAST(1 AS BIGINT) AS flattened,
+        | CAST(10 AS BIGINT) AS n_hits""".stripMargin,
 
     "ann_sq8_delete" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows,

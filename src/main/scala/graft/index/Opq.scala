@@ -3,7 +3,7 @@ package graft.index
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.FastFunctions.{litDoubles, nearestCentroidL2, pqEncodeF, rotateF, subCentroidF}
+import graft.functions.FastFunctions.{litDoubles, nearestCentroidL2, pqEncodeF, pqReconstructF, rotateF, subCentroidF}
 
 /** IVF + OPQ index: product quantization behind a LEARNED orthonormal
   * rotation of the residual space (Ge, He, Ke, Sun — "Optimized Product
@@ -579,6 +579,48 @@ object OpqBuilder {
     * model artifact and is untouched. Bit-exact by construction. */
   def compactStore(spark: SparkSession, path: String): Unit =
     IvfPqBuilder.compactStore(spark, path)
+
+  /** Re-fit + re-encode a DRIFTED OPQ store from its own contents into
+    * a NEW store at `outPath` — the repair the append-drift REBALANCE
+    * recommendation points at (OPQ appends share
+    * [[IvfPqBuilder.appendEncoded]]'s telemetry, so they emit the same
+    * recommendation; until round 12 only the plain family had the
+    * repair). The training corpus is the store's own reconstructions:
+    * the stored code decodes in ROTATED residual space (zero-centroid
+    * [[graft.functions.Kernels.pqReconstruct]] gives the codebook
+    * contribution alone), Rᵀ carries it back to the original space
+    * (one [[rotateF]] kernel call with the transposed rotation — exact
+    * inverse up to f32, R orthonormal), and the original-space coarse
+    * centroid adds back on — one narrow projection per row, the
+    * [[IvfPqBuilder.rebalanceStore]] shape with one extra kernel. The
+    * re-fit runs the FULL OPQ alternation (fresh rotation AND fresh
+    * codebooks — a drifted distribution moves the optimal rotation
+    * too). BLUE/GREEN like the plain rebalance: the old store stays
+    * live until the caller flips the pointer. Returns the new model. */
+  def rebalanceStore(spark: SparkSession, path: String, outPath: String,
+                     opqIters: Int = 4,
+                     log: String => Unit = _ => ()): OpqModel = {
+    val (model, codes) = load(spark, path)
+    val dim = model.dim
+    require(dim > 0, "cannot rebalance a store with no centroids")
+    val zeroCent = litDoubles(new Array[Double](dim))
+    val cbLit = litDoubles(model.ivf.codebooks.flatten.flatten)
+    val centLit = typedlit(model.ivf.partitionCentroids.map(_.toSeq).toSeq)
+    val rtLit = litDoubles(model.flatRotationT)
+    val recon = codes.select(col("id"),
+      zip_with(
+        element_at(centLit, col("partition").cast("int") + 1),
+        rotateF(pqReconstructF(zeroCent, col("codes"), cbLit,
+          model.config.numCodes), rtLit),
+        (c, d) => (c + d).cast("float")).as("vec"))
+    val (newModel, newEnc) =
+      fit(recon, "id", "vec", dim, model.config, opqIters, log)
+    save(newModel, newEnc, outPath)
+    log(s"opq-rebalance: re-fit ${model.config.numPartitions} cells + " +
+      s"rotation from reconstructions; new store at $outPath " +
+      "(old store untouched)")
+    newModel
+  }
 
   /** Load an OPQ store back; validates rotation shape + orthonormality
     * on top of the shared manifest/shape checks. */

@@ -192,4 +192,28 @@ class StoreLifecycleSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(post === mem)
   }
+
+  test("OPQ: rebalanceStore re-fits rotation + codebooks from unrotated " +
+       "reconstructions — new store preserves rows and answers sanely") {
+    val df = vecs(120, 9L).toDF("id", "vec")
+    val config = IvfPqConfig(numPartitions = 2, numDivisions = 4,
+      numCodes = 16, maxIter = 10)
+    val (model, encoded) =
+      OpqBuilder.fit(df, "id", "vec", dim, config, opqIters = 2)
+    val src0 = tmpDir("opq_rebal_src")
+    val out = tmpDir("opq_rebal_out")
+    OpqBuilder.save(model, encoded, src0)
+    val newModel = OpqBuilder.rebalanceStore(spark, src0, out)
+    assert(newModel.orthonormalityError < 1e-6)
+    val (mL, codesL) = OpqBuilder.load(spark, out)
+    assert(codesL.count() === 120)
+    val q = vecs(120, 9L).head._2.map(_.toDouble).toArray
+    val hits = OpqBuilder.topK(codesL, mL, q, k = 5, nprobe = 2).collect()
+    assert(hits.length === 5)
+    // the query vector is IN the corpus: its reconstruction must rank
+    // near the top of the rebuilt index (self-hit within k)
+    assert(hits.map(_.getLong(0)).contains(0L))
+    // blue/green: the source store is untouched and still loads
+    assert(OpqBuilder.load(spark, src0)._2.count() === 120)
+  }
 }
