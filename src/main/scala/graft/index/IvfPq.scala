@@ -315,7 +315,7 @@ object IvfPqBuilder {
     * trigger the rebalance recommendation in [[appendToStore]]'s log. */
   val driftImbalanceThreshold: Double = 4.0
 
-  private def writeStats(enc: DataFrame, path: String,
+  private[index] def writeStats(enc: DataFrame, path: String,
                          mode: SaveMode): Unit =
     enc.groupBy("partition").agg(count(lit(1)).as("cnt"))
       .write.mode(mode).parquet(s"$path/stats")
@@ -350,7 +350,7 @@ object IvfPqBuilder {
     }
   }
 
-  private def reportDrift(spark: SparkSession, path: String,
+  private[index] def reportDrift(spark: SparkSession, path: String,
                           numPartitions: Int, log: String => Unit): Unit = {
     val counts = cellHistogram(spark, path)
       .collect().map(_.getLong(1))

@@ -104,6 +104,10 @@ object IvfSq8 {
     IvfPqBuilder.writeString(spark, s"$path/manifest.json", manifest)
     IvfPqBuilder.writeString(spark, s"$path/manifest.json.sha256",
       IvfPqBuilder.sha256Hex(manifest))
+    // seed the drift-telemetry sidecar (the IVF+PQ discipline): appends
+    // against the frozen model report cumulative cell imbalance from it
+    IvfPqBuilder.writeStats(encoded.select("id", "partition", "sq8"),
+      path, org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Load an IVF+SQ8 store; validates centroid/codec shapes against the
@@ -139,15 +143,47 @@ object IvfSq8 {
     * [[IvfPqBuilder.appendToStore]], including its drift consequence:
     * the codec's min/Δ were fit on the build corpus, so drifted appends
     * clamp at the range edges; the recovery is a rebuild, like IVF+PQ's
-    * REBALANCE). */
+    * REBALANCE). Carries the shared drift telemetry: each append writes
+    * its per-cell batch histogram to the stats sidecar (backfilled once
+    * for pre-sidecar stores) and, when `log` listens, reports the
+    * cumulative max-cell/mean-cell imbalance with the REBALANCE
+    * recommendation past the shared threshold — for this family the
+    * recommendation means a REBUILD ([[fit]] + [[save]]; there is no
+    * codebook-preserving partial repair, the byte codec itself drifts). */
   def appendToStore(model: IvfSq8Model, df: DataFrame, idCol: String,
-                    vecCol: String, path: String): Unit = {
+                    vecCol: String, path: String): Unit =
+    appendImpl(model, df, idCol, vecCol, path, None)
+
+  /** As the 5-arg [[appendToStore]], with the drift report delivered to
+    * `log` (the sidecar read + collect runs only when someone listens —
+    * the [[IvfPqBuilder.appendToStore]] discipline). */
+  def appendToStore(model: IvfSq8Model, df: DataFrame, idCol: String,
+                    vecCol: String, path: String,
+                    log: String => Unit): Unit =
+    appendImpl(model, df, idCol, vecCol, path, Some(log))
+
+  private def appendImpl(model: IvfSq8Model, df: DataFrame, idCol: String,
+                         vecCol: String, path: String,
+                         log: Option[String => Unit]): Unit = {
     import org.apache.spark.sql.SaveMode
     val spark = df.sparkSession
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) {
+      log.foreach(_("append-drift: no stats sidecar — backfilling the " +
+        "histogram from the existing codes table (one-time scan)"))
+      IvfPqBuilder.writeStats(spark.read.parquet(s"$path/codes"), path,
+        SaveMode.Overwrite)
+    }
     IvfPqBuilder.removeEmptyPlaceholder(spark, path)
-    encode(model, df, idCol, vecCol)
-      .write.mode(SaveMode.Append).partitionBy("partition")
-      .parquet(s"$path/codes")
+    val enc = encode(model, df, idCol, vecCol).persist()
+    try {
+      enc.write.mode(SaveMode.Append).partitionBy("partition")
+        .parquet(s"$path/codes")
+      IvfPqBuilder.writeStats(enc, path, SaveMode.Append)
+      log.foreach(IvfPqBuilder.reportDrift(spark, path,
+        model.numPartitions, _))
+    } finally enc.unpersist()
   }
 
   /** Append-only DELETE — the shared tombstone log. */
@@ -157,12 +193,17 @@ object IvfSq8 {
 
   /** Maintenance compaction — the shared cell-partitioned rewrite
     * (one file per cell dir, crash-recoverable swap, tombstones
-    * dropped). Bit-exact by construction. */
+    * dropped), with the drift-telemetry sidecar reset to the live
+    * histogram. Bit-exact by construction. */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
+    import spark.implicits._
     val (_, live) = load(spark, path)
-    StoreLifecycle.compactPartitioned(spark, path,
+    val statRows = StoreLifecycle.compactPartitioned(spark, path,
       live.select("id", "partition", "sq8"))
+    statRows.toDF("partition", "cnt")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/stats")
   }
 
   /** Selected cells: (partition id, localized query q − centroid). */

@@ -216,4 +216,36 @@ class StoreLifecycleSpec extends AnyFunSuite {
     // blue/green: the source store is untouched and still loads
     assert(OpqBuilder.load(spark, src0)._2.count() === 120)
   }
+
+  test("IvfSq8: appends carry the shared drift telemetry — a skewed " +
+       "ingest trips the REBALANCE recommendation, compaction resets " +
+       "the sidecar to the live histogram") {
+    val df = vecs(60, 10L).toDF("id", "vec")
+    // P=6: the max-cell/mean-cell ratio is bounded by P, so the 4.0
+    // threshold needs P > 4 to be reachable at all
+    val (model, enc) = IvfSq8.fit(df, "id", "vec", dim, numPartitions = 6)
+    val path = tmpDir("ivfsq8_drift")
+    IvfSq8.save(model, enc, path)
+    // a drifted cloud: 2000 clones of one vector -> one hot cell
+    // (2060 rows / 6 cells: hot ~2010 vs mean ~343 = 5.9x > 4)
+    val base = vecs(60, 10L).head._2
+    val clones = (1000L until 3000L).map(i =>
+      (i, base.map(v => v + 0.001f))).toDF("id", "vec")
+    var msgs = List.empty[String]
+    IvfSq8.appendToStore(model, clones, "id", "vec", path,
+      (m: String) => msgs = msgs :+ m)
+    assert(msgs.exists(_.contains("imbalance")))
+    assert(msgs.exists(_.contains("REBALANCE RECOMMENDED")))
+    // sidecar totals equal the codes table (cumulative discipline)
+    val statTotal = IvfPqBuilder.cellHistogram(spark, path)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(statTotal === 2060L)
+    // compaction resets the sidecar to the live histogram
+    IvfSq8.deleteFromStore(path, (1000L until 2000L).toDF("id"), "id")
+    IvfSq8.compactStore(spark, path)
+    val postTotal = IvfPqBuilder.cellHistogram(spark, path)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(postTotal === 1060L)
+    assert(IvfSq8.load(spark, path)._2.count() === 1060L)
+  }
 }

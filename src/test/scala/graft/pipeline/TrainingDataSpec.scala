@@ -754,4 +754,26 @@ class TrainingDataSpec extends AnyFunSuite {
       TrainingData.stratifiedSampleAuto(df, "g", "id", q, 7L, Some(stCap))
     }
   }
+
+  test("samplerStrategyFor's premise is plan-verified: literal rank " +
+      "bounds plan WindowGroupLimit, dynamic quota bounds do not") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "g")
+    // literal cap: Spark 4 rewrites row_number <= lit into a map-side
+    // partial top-k BEFORE the exchange — the fact that makes the
+    // window form viable at modest caps (the 56 s vs 393 s probe)
+    val litPlan = TrainingData.perGroupCap(df, "g", "id", 10)
+      .queryExecution.executedPlan.toString
+    assert(litPlan.contains("WindowGroupLimit"),
+      s"literal-cap window lost its WindowGroupLimit rewrite:\n$litPlan")
+    // dynamic quota: row_number <= col gets NO rewrite — each group's
+    // corpus fraction sorts in one task, which is why the dispatcher
+    // routes large-group dynamic quotas to the top-k twin
+    val q = Seq(("s0", 5), ("s1", 5), ("s2", 5), ("s3", 5)).toDF("g", "n")
+    val dynPlan = TrainingData.stratifiedSample(df, "g", "id", q, 1L)
+      .queryExecution.executedPlan.toString
+    assert(!dynPlan.contains("WindowGroupLimit"),
+      "dynamic-quota window unexpectedly planned WindowGroupLimit — " +
+        "re-measure the samplerStrategyFor crossovers")
+  }
 }
