@@ -328,7 +328,7 @@ object LocalServeRq {
   * per-cell array by row-chunked futures (each element independent —
   * deterministic) and the heap pass runs single-threaded in row order,
   * preserving the (sq_dist, id) tie contract. */
-final class LocalServeSq8 private (
+final class LocalServeSq8 private[query] (
     val model: graft.index.IvfSq8Model,
     cellIds: Map[Int, Array[Long]],
     cellCodes: Map[Int, Array[Byte]],
@@ -667,6 +667,35 @@ final class LocalServeHamming private (
 
 object LocalServeHamming {
 
+  /** Pin a SAVED binary-signature store ([[graft.index.BinaryQuant.save]])
+    * — the serving shape that never touches the float corpus: the store
+    * already holds packed words (⌈dim/64⌉ longs + an id per vector), so
+    * a box pins the 32×-compressed representation directly; thresholds
+    * and integrity checks ride the store's load path (manifest re-hash,
+    * tombstones anti-joined). No rerank (floats aren't resident) — a
+    * rerank tier pins vectors via [[fromVectors]] instead. */
+  def fromStore(spark: SparkSession, path: String): LocalServeHamming = {
+    val (thr, sigs) = graft.index.BinaryQuant.load(spark, path)
+    val dim = thr.length
+    val w = (dim + 63) >>> 6
+    val rows = sigs.select(col("id").cast("long"), col("sig"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = new Array[Long](rows.length)
+    val packed = new Array[Long](rows.length * w)
+    var r = 0
+    while (r < rows.length) {
+      ids(r) = rows(r).getLong(0)
+      val s = rows(r).getSeq[Long](1)
+      require(s.length == w,
+        s"signature ${ids(r)} has ${s.length} words, expected $w")
+      var i = 0
+      while (i < w) { packed(r * w + i) = s(i); i += 1 }
+      r += 1
+    }
+    new LocalServeHamming(thr, ids, packed, w, null, dim)
+  }
+
   /** Pin a vector relation's signatures (and optionally the float
     * vectors, for [[LocalServeHamming.queryRerank]]) driver-side.
     * `thresholds` null means sign bits, matching `BinaryQuant`'s
@@ -845,5 +874,116 @@ object LocalServeLazy {
       }
       cell -> (ids, flat)
     }
+  }
+}
+
+/** LAZY-residency warm serving for IVF+SQ8 stores — the
+  * [[LocalServeLazy]] shape over [[LocalServeSq8]]: model artifacts
+  * (centroids + codec constants) load at open, each cell's byte codes
+  * pin on first probe through the pruned `partition IN` scan, optional
+  * `maxResidentCells` LRU eviction. Answers are bit-identical to the
+  * eager pin (the per-cell packed layout is a pure function of the
+  * store rows; every query delegates to an immutable [[LocalServeSq8]]
+  * snapshot). */
+final class LocalServeSq8Lazy private (
+    val model: graft.index.IvfSq8Model,
+    loadCells: Seq[Int] => Map[Int, (Array[Long], Array[Byte])],
+    maxResidentCells: Int) {
+
+  require(maxResidentCells >= 0,
+    s"maxResidentCells must be >= 0 (0 = unbounded), got $maxResidentCells")
+
+  private val lru = new java.util.LinkedHashMap[Int, (Array[Long], Array[Byte])](
+    16, 0.75f, true)
+  private val lock = new Object
+  @volatile private var delegate: LocalServeSq8 =
+    new LocalServeSq8(model, Map.empty, Map.empty,
+      graft.functions.SimdSupport.available)
+  @volatile private var coldLoadCount: Long = 0L
+
+  /** Cells currently resident. */
+  def cells: Seq[Int] = lock.synchronized {
+    import scala.jdk.CollectionConverters._
+    lru.keySet.asScala.toSeq.sorted
+  }
+
+  /** Cold cell loads performed so far. */
+  def coldLoads: Long = coldLoadCount
+
+  /** Warm-or-cold top-k — identical contract and bits to
+    * [[LocalServeSq8.query]]. */
+  def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] = {
+    val probed = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
+      .map(_._1)
+    ensureResident(probed).query(q, k, nprobe)
+  }
+
+  private def ensureResident(probed: Array[Int]): LocalServeSq8 =
+    lock.synchronized {
+      require(maxResidentCells == 0 || probed.length <= maxResidentCells,
+        s"query probes ${probed.length} cells but maxResidentCells is " +
+          s"$maxResidentCells — raise the cap or lower nprobe")
+      val missing = probed.filterNot(lru.containsKey(_))
+      probed.foreach(c => if (lru.containsKey(c)) lru.get(c))
+      if (missing.isEmpty) return delegate
+      val loaded = loadCells(missing.toIndexedSeq)
+      val absent = missing.filterNot(loaded.contains)
+      require(absent.isEmpty,
+        s"store has no codes for probed cells ${absent.mkString(",")}")
+      loaded.foreach { case (c, v) => lru.put(c, v) }
+      coldLoadCount += missing.length
+      if (maxResidentCells > 0) {
+        val it = lru.keySet.iterator
+        while (lru.size > maxResidentCells && it.hasNext) {
+          val c = it.next()
+          if (!probed.contains(c)) it.remove()
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val snap = lru.asScala.toMap
+      delegate = new LocalServeSq8(model,
+        snap.view.mapValues(_._1).toMap,
+        snap.view.mapValues(_._2).toMap,
+        graft.functions.SimdSupport.available)
+      delegate
+    }
+}
+
+object LocalServeSq8Lazy {
+
+  /** Open a saved IVF+SQ8 store for lazy serving — model now, codes per
+    * cell on first probe. */
+  def fromStore(spark: SparkSession, path: String,
+                maxResidentCells: Int = 0): LocalServeSq8Lazy = {
+    val (model, codes) = graft.index.IvfSq8.load(spark, path)
+    val dim = model.dim
+    val simd = graft.functions.SimdSupport.available
+    val loader: Seq[Int] => Map[Int, (Array[Long], Array[Byte])] =
+      missing => {
+        val rows = codes.where(col("partition").isin(missing: _*))
+          .select(col("partition").cast("int"), col("id").cast("long"),
+            col("sq8"))
+          .collect()
+        rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+          val sorted = rs.sortBy(_.getLong(1))
+          val n = sorted.length
+          val ids = sorted.map(_.getLong(1))
+          val flat = new Array[Byte](n * dim)
+          var r = 0
+          while (r < n) {
+            val cs = sorted(r).getAs[Array[Byte]](2)
+            require(cs.length == dim,
+              s"sq8 row has ${cs.length} bytes, model dim is $dim")
+            if (simd) { // the LocalServeSq8.fromCodes layout rule
+              var i = 0
+              while (i < dim) { flat(i * n + r) = cs(i); i += 1 }
+            } else System.arraycopy(cs, 0, flat, r * dim, dim)
+            r += 1
+          }
+          cell -> (ids, flat)
+        }
+      }
+    new LocalServeSq8Lazy(model, loader, maxResidentCells)
   }
 }

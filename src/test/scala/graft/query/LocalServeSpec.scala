@@ -261,4 +261,52 @@ class LocalServeSpec extends AnyFunSuite {
       assert(lazySrv.query(q, 10, 2).toSeq === eager.query(q, 10, 2).toSeq)
     }
   }
+
+  test("LocalServeSq8Lazy: lazy IVF+SQ8 serving is bit-identical to the " +
+      "eager pin, with one cold load per cell and LRU capping") {
+    val (sqModel, sqEnc0) = graft.index.IvfSq8.fit(df, "id", "vec", dim,
+      numPartitions = 4)
+    val sqEnc = sqEnc0.localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8_lazy").toString
+    graft.index.IvfSq8.save(sqModel, sqEnc, dir)
+    val eager = LocalServeSq8.fromCodes(sqModel, sqEnc)
+    val lazySrv = LocalServeSq8Lazy.fromStore(spark, dir)
+    assert(lazySrv.cells.isEmpty)
+    for {
+      qid <- Seq(0L, 57L, 123L, 199L)
+      (k, nprobe) <- Seq((5, 1), (10, 2), (7, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(lazySrv.query(q, k, nprobe).toSeq ===
+        eager.query(q, k, nprobe).toSeq,
+        s"sq8 lazy/eager mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    assert(lazySrv.coldLoads === 4L) // once per cell, ever
+    val capped = LocalServeSq8Lazy.fromStore(spark, dir,
+      maxResidentCells = 2)
+    for (qid <- Seq(0L, 57L, 123L, 199L)) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(capped.query(q, 5, 1).toSeq === eager.query(q, 5, 1).toSeq)
+      assert(capped.cells.size <= 2)
+    }
+  }
+
+  test("LocalServeHamming.fromStore: serving straight off the signature " +
+      "store (no float corpus) matches the vector-packed pin, " +
+      "tombstones honored") {
+    import org.apache.spark.sql.functions.{col, not}
+    val thr = graft.index.BinaryQuant.fitThresholds(df, "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ham_store").toString
+    graft.index.BinaryQuant.save(thr, df, "id", "vec", dir)
+    graft.index.BinaryQuant.deleteFromStore(dir,
+      spark.range(2).select((col("id") + 7L).as("id")), "id")
+    val fromVecs = LocalServeHamming.fromVectors(
+      df.where(not(col("id").isin(7L, 8L))), "vec", "id", dim, thr)
+    val fromStore = LocalServeHamming.fromStore(spark, dir)
+    assert(fromStore.size === data.length - 2)
+    for (qid <- Seq(0L, 57L, 123L)) {
+      val q = data.find(_._1 == qid).get._2.toArray
+      assert(fromStore.query(q, 8).toSeq === fromVecs.query(q, 8).toSeq)
+    }
+  }
 }
