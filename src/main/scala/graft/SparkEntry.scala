@@ -1545,6 +1545,43 @@ object SparkEntry {
         coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
     }),
 
+    // LAZY-residency warm serving (round 12): cells pin on FIRST probe
+    // through the pruned scan — answers must be BIT-IDENTICAL to the
+    // cluster query, every resident cell must have cold-loaded exactly
+    // once (no re-loads without eviction pressure), and a repeated
+    // query must be fully warm (zero new loads)
+    "ann_local_serve_lazy" -> ((s, dir) => {
+      val path = storedIndexPath(s, dir)
+      val (model, codes) = IvfPqBuilder.load(s, path)
+      val lazySrv = graft.query.LocalServeLazy.fromStore(s, path)
+      def runOne(qid: Long): Seq[(Long, Long)] = {
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val local = lazySrv.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(local, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }.toSeq
+      }
+      val cold = Seq(0L, 7L, 23L).flatMap(runOne)
+      val loadsAfterCold = lazySrv.coldLoads
+      val warm = runOne(0L) // repeat: fully warm
+      val checks = cold ++ warm
+      val oncePerCell = lazySrv.coldLoads == lazySrv.cells.size.toLong
+      val warmFree = lazySrv.coldLoads == loadsAfterCold
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(if (oncePerCell) 1L else 0L).as("one_load_per_cell"),
+          lit(if (warmFree) 1L else 0L).as("warm_repeat_no_reload"))
+    }),
+
     // FILTERED warm serving (LocalServe.queryFiltered): the attribute
     // predicate runs over pinned per-cell attrs and everything else is
     // byte-for-byte the plain warm loop, so ids/partitions/distances
@@ -7183,6 +7220,13 @@ object SparkEntry {
       """SELECT CAST(30 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    "ann_local_serve_lazy" ->
+      """SELECT CAST(40 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(1 AS BIGINT) AS one_load_per_cell,
+        | CAST(1 AS BIGINT) AS warm_repeat_no_reload""".stripMargin,
 
     // 3 queries x k=10, filtered warm path bit-identical to the
     // pre-filtered cluster ADC query
