@@ -34,7 +34,24 @@ final class LocalServe private[query] (
     cellIds: Map[Int, Array[Long]],
     cellCodes: Map[Int, Array[Int]],
     rotation: Option[Array[Array[Double]]],
-    cellAttrs: Map[Int, Array[Long]] = Map.empty) {
+    cellAttrs: Map[Int, Array[Long]] = Map.empty,
+    inlineCompute: Boolean = false) {
+
+  /** A view of this server whose per-query prep (rotation + ADC
+    * tables) runs INLINE on the calling thread instead of fanning out
+    * over the shared future pool. Same arithmetic, same bits — only
+    * the scheduling changes; shares the pinned cell arrays.
+    *
+    * MEASURED GUIDANCE (ServeLoadProbe A/B, BENCH_NOTES r12): this is
+    * NOT a throughput unlock — at T=32 inline ≈ futures for OPQ
+    * (1.40k vs 1.47k QPS) and +10% for SQ8, which PROVES the r11 OPQ
+    * T≥8 flatten is aggregate compute/bandwidth, not pool contention;
+    * and at low concurrency inline is far WORSE (OPQ p50 2.4 → 14 ms —
+    * the fan-out genuinely parallelizes one query's d² + D·C work).
+    * Use it only to keep the global pool free for OTHER work on a box
+    * that also runs compute futures, never for latency. */
+  def withInlineCompute: LocalServe =
+    new LocalServe(model, cellIds, cellCodes, rotation, cellAttrs, true)
 
   /** Cells resident on this server. */
   def cells: Seq[Int] = cellIds.keys.toSeq.sorted
@@ -109,7 +126,52 @@ final class LocalServe private[query] (
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val m = model.subDim
-    val flats: Array[Array[Double]] = {
+    val flats: Array[Array[Double]] = if (inlineCompute) {
+      // THROUGHPUT path: identical folds, zero future dispatch — the
+      // calling thread does its own query's work (see withInlineCompute)
+      probes.map { case (_, localized0) =>
+        val localized = rotation match {
+          case Some(r) =>
+            val dimLen = r.length
+            val rotated = new Array[Double](dimLen)
+            rotT match {
+              case Some(rt) => graft.functions.SimdKernels
+                .rotateExact(rt, dimLen, localized0, rotated, 0, dimLen)
+              case None =>
+                var rr = 0
+                while (rr < dimLen) {
+                  val row = r(rr)
+                  var s = 0.0
+                  var t = 0
+                  while (t < dimLen) { s += row(t) * localized0(t); t += 1 }
+                  rotated(rr) = s
+                  rr += 1
+                }
+            }
+            rotated
+          case None => localized0
+        }
+        val flat = new Array[Double](d * numCodes)
+        var div = 0
+        while (div < d) {
+          val cbs = model.codebooks(div)
+          var c = 0
+          while (c < numCodes) {
+            val cb = cbs(c)
+            var i = 0; var s = 0.0
+            while (i < m) { // same fold as AnnQuery.adcTable
+              val diff = localized(div * m + i) - cb(i)
+              s += diff * diff
+              i += 1
+            }
+            flat(div * numCodes + c) = s
+            c += 1
+          }
+          div += 1
+        }
+        flat
+      }
+    } else {
       def tables(localized: Array[Double]): Future[Array[Double]] = {
         val flat = new Array[Double](d * numCodes)
         Future.sequence((0 until d).map { div =>
@@ -337,7 +399,16 @@ final class LocalServeSq8 private[query] (
     // bits, 8 rows per accumulator); false ⇒ row-major scalar fold.
     // One layout per server, chosen at pin time — residency stays dim
     // bytes/vector either way.
-    columnMajor: Boolean) {
+    columnMajor: Boolean,
+    inlineCompute: Boolean = false) {
+
+  /** Per-query distances computed on the calling thread instead of the
+    * shared future pool — same bits, shared pinned arrays; see
+    * [[LocalServe.withInlineCompute]] for the measured guidance (at
+    * T=32 this reads +10% for SQ8 and frees the pool; at low
+    * concurrency the fan-out wins by ~6×). */
+  def withInlineCompute: LocalServeSq8 =
+    new LocalServeSq8(model, cellIds, cellCodes, columnMajor, true)
 
   /** Cells resident on this server. */
   def cells: Seq[Int] = cellIds.keys.toSeq.sorted
@@ -360,7 +431,34 @@ final class LocalServeSq8 private[query] (
     val dim = model.dim
     val mins = model.codec.mins
     val scales = model.codec.scales
-    val dists: Array[Array[Double]] = {
+    val dists: Array[Array[Double]] = if (inlineCompute) {
+      // THROUGHPUT path: same folds, calling-thread execution
+      probes.map { case (cell, localized) =>
+        val codes = cellCodes(cell)
+        val n = cellIds(cell).length
+        val out = new Array[Double](n)
+        if (columnMajor)
+          graft.functions.SimdKernels.sq8DistExact(codes, n, dim,
+            localized, mins, scales, out, 0, n)
+        else {
+          var r = 0
+          while (r < n) {
+            val base = r * dim
+            var s = 0.0
+            var i = 0
+            while (i < dim) { // identical fold to Kernels.sq8Dist
+              val d = localized(i) -
+                (mins(i) + (codes(base + i) & 0xFF) * scales(i))
+              s += d * d
+              i += 1
+            }
+            out(r) = s
+            r += 1
+          }
+        }
+        out
+      }
+    } else {
       val futs = probes.map { case (cell, localized) =>
         val codes = cellCodes(cell)
         val n = cellIds(cell).length

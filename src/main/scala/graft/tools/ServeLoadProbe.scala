@@ -117,6 +117,11 @@ object ServeLoadProbe {
       graft.index.OpqModel(model, rot, Array.empty), encoded)
     threadCounts.foreach(t => load("OPQ", t)((q, _) =>
       opqServe.query(q, k, nprobe).head._1))
+    // inline-compute view: same bits, zero future dispatch — measures
+    // whether the shared pool is the OPQ concurrency ceiling
+    val opqInline = opqServe.withInlineCompute
+    threadCounts.foreach(t => load("OPQ-inl", t)((q, _) =>
+      opqInline.query(q, k, nprobe).head._1))
 
     // SQ8
     val (sqModel, sqEnc) = graft.index.IvfSq8.fit(vectors, "id", "vec",
@@ -125,6 +130,9 @@ object ServeLoadProbe {
       .fromCodes(sqModel, sqEnc.localCheckpoint())
     threadCounts.foreach(t => load("SQ8", t)((q, _) =>
       sqServe.query(q, k, nprobe).head._1))
+    val sqInline = sqServe.withInlineCompute
+    threadCounts.foreach(t => load("SQ8-inl", t)((q, _) =>
+      sqInline.query(q, k, nprobe).head._1))
 
     // RQ
     val (rq, enc2) = graft.index.Rq.fitRefine(encoded, model,

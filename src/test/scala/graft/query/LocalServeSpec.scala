@@ -309,4 +309,24 @@ class LocalServeSpec extends AnyFunSuite {
       assert(fromStore.query(q, 8).toSeq === fromVecs.query(q, 8).toSeq)
     }
   }
+
+  test("withInlineCompute: the throughput view answers bit-identically " +
+      "to the future-based path (PQ, OPQ, SQ8)") {
+    val eager = LocalServe.fromStore(spark, storeDir)
+    val inline = eager.withInlineCompute
+    val (opqModel, opqEncoded) = graft.index.OpqBuilder.fit(
+      df, "id", "vec", dim, config, opqIters = 2)
+    val opq = LocalServe.fromCodesOpq(opqModel, opqEncoded)
+    val opqInline = opq.withInlineCompute
+    val (sqModel, sqEnc) = graft.index.IvfSq8.fit(df, "id", "vec", dim,
+      numPartitions = 4)
+    val sq = LocalServeSq8.fromCodes(sqModel, sqEnc.localCheckpoint())
+    val sqInline = sq.withInlineCompute
+    for (qid <- Seq(0L, 57L, 199L)) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(inline.query(q, 10, 3).toSeq === eager.query(q, 10, 3).toSeq)
+      assert(opqInline.query(q, 10, 3).toSeq === opq.query(q, 10, 3).toSeq)
+      assert(sqInline.query(q, 10, 3).toSeq === sq.query(q, 10, 3).toSeq)
+    }
+  }
 }
