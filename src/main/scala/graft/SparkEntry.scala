@@ -1582,6 +1582,123 @@ object SparkEntry {
           lit(if (warmFree) 1L else 0L).as("warm_repeat_no_reload"))
     }),
 
+    // CELL-SHARDED serving (round 13): a ServeRouter over two
+    // cell-disjoint LocalServe shards (even/odd cells of the saved
+    // store) — one probe selection, per-shard ADC top-k, k-sized
+    // (sq_dist, id) merge — must answer BIT-IDENTICALLY to the cluster
+    // query on the same store (and therefore to the single-box serve,
+    // which the ann_local_serve gate already pins to the cluster)
+    "ann_serve_sharded" -> ((s, dir) => {
+      val path = storedIndexPath(s, dir)
+      val (model, codes) = IvfPqBuilder.load(s, path)
+      val single = graft.query.LocalServe.fromStore(s, path)
+      val cells = single.cells
+      val shards = Seq(cells.filter(_ % 2 == 0), cells.filter(_ % 2 == 1))
+        .map(cs => graft.query.LocalServe.fromStore(s, path, cs))
+      val router = graft.query.ServeRouter(model, shards)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val routed = router.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(routed, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(if (router.numShards == 2) 1L else 0L).as("two_shards"))
+    }),
+
+    // LAZY FILTERED serving (round 13): queryFiltered over the
+    // lazily-pinned delegate — attributes pin per cell alongside the
+    // codes on first probe; answers must be BIT-IDENTICAL to the
+    // pre-filtered cluster composition (the ann_filtered_local_serve
+    // invariant), cells must cold-load once each, and a repeated query
+    // must load nothing
+    "ann_filtered_local_serve_lazy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val withLabel = encoded
+        .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+      val lazySrv = graft.query.LocalServeLazy.fromCodesWithAttrs(model,
+        withLabel, "label")
+      val filtered = withLabel.where(col("label") === 3)
+        .select("id", "partition", "codes")
+      def runOne(qid: Long): Seq[(Long, Long)] = {
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(filtered, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val local = lazySrv.queryFiltered(q, k = 10, nprobe = 4)(_ == 3L)
+        cluster.zipAll(local, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }.toSeq
+      }
+      val cold = Seq(0L, 7L, 23L).flatMap(runOne)
+      val loadsAfterCold = lazySrv.coldLoads
+      val warm = runOne(0L)
+      val checks = cold ++ warm
+      val oncePerCell = lazySrv.coldLoads == lazySrv.cells.size.toLong
+      val warmFree = lazySrv.coldLoads == loadsAfterCold
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(if (oncePerCell) 1L else 0L).as("one_load_per_cell"),
+          lit(if (warmFree) 1L else 0L).as("warm_repeat_no_reload"))
+    }),
+
+    // LAZY RQ serving (round 13): the two-level refined codec behind
+    // lazy residency — level-1 + level-2 codes pin together per cell on
+    // first probe; answers must be BIT-IDENTICAL to the cluster
+    // Rq.topKRefined, with the lazy tier's load-accounting invariants
+    "ann_rq_local_serve_lazy" -> ((s, dir) => {
+      import graft.index.Rq
+      val (model, encoded) = fittedIndex(s, dir)
+      val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+        numDivisions2 = 16, numCodes2 = 16, trainPointsPerCentroid = 0)
+      val enc2 = enc2raw.localCheckpoint()
+      val lazySrv = graft.query.LocalServeRqLazy.fromCodes(rq, enc2)
+      def runOne(qid: Long): Seq[(Long, Long)] = {
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = Rq.topKRefined(enc2, rq, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val local = lazySrv.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(local, (-1L, -1.0), (-2L, -2.0)).map {
+          case ((cid, cd), (lid, ld)) =>
+            (if (cid == lid) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }.toSeq
+      }
+      val cold = Seq(0L, 7L, 23L).flatMap(runOne)
+      val loadsAfterCold = lazySrv.coldLoads
+      val warm = runOne(0L)
+      val checks = cold ++ warm
+      val oncePerCell = lazySrv.coldLoads == lazySrv.cells.size.toLong
+      val warmFree = lazySrv.coldLoads == loadsAfterCold
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(if (oncePerCell) 1L else 0L).as("one_load_per_cell"),
+          lit(if (warmFree) 1L else 0L).as("warm_repeat_no_reload"))
+    }),
+
     // FILTERED warm serving (LocalServe.queryFiltered): the attribute
     // predicate runs over pinned per-cell attrs and everything else is
     // byte-for-byte the plain warm loop, so ids/partitions/distances
@@ -7222,6 +7339,32 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
     "ann_local_serve_lazy" ->
+      """SELECT CAST(40 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(1 AS BIGINT) AS one_load_per_cell,
+        | CAST(1 AS BIGINT) AS warm_repeat_no_reload""".stripMargin,
+
+    // 3 queries x k=10, two-shard router bit-identical to the cluster
+    // query on the same store
+    "ann_serve_sharded" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(1 AS BIGINT) AS two_shards""".stripMargin,
+
+    // (3 cold + 1 warm repeat) queries x k=10, lazy filtered serving
+    // bit-identical to the pre-filtered cluster composition
+    "ann_filtered_local_serve_lazy" ->
+      """SELECT CAST(40 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(1 AS BIGINT) AS one_load_per_cell,
+        | CAST(1 AS BIGINT) AS warm_repeat_no_reload""".stripMargin,
+
+    // (3 cold + 1 warm repeat) queries x k=10, lazy two-level RQ
+    // serving bit-identical to Rq.topKRefined
+    "ann_rq_local_serve_lazy" ->
       """SELECT CAST(40 AS BIGINT) AS n_rows,
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch,

@@ -80,7 +80,7 @@ final class LocalServe private[query] (
                    (pred: Long => Boolean): Array[(Long, Int, Double)] = {
     require(cellAttrs.nonEmpty,
       "queryFiltered needs attributes pinned — load via fromCodesWithAttrs")
-    queryImpl(q, k, nprobe, pred)
+    queryImpl(AnnQuery.selectPartitions(model, q, nprobe), k, pred)
   }
 
   /** Warm top-k: (id, partition, sq_dist) ascending by (sq_dist, id) —
@@ -99,13 +99,23 @@ final class LocalServe private[query] (
     * the cluster OPQ query. */
   def query(q: Array[Double], k: Int, nprobe: Int)
       : Array[(Long, Int, Double)] =
-    queryImpl(q, k, nprobe, null)
+    queryImpl(AnnQuery.selectPartitions(model, q, nprobe), k, null)
 
-  private def queryImpl(q: Array[Double], k: Int, nprobe: Int,
+  /** Top-k over an EXPLICIT probe set — (cell, localized query) pairs
+    * some caller already selected. This is the seam the lazy tiers (one
+    * probe selection shared by residency and query) and the sharded
+    * [[ServeRouter]] (a subset of one query's probes per shard) compose
+    * through; the arithmetic is byte-for-byte [[query]]'s, which is
+    * exactly what makes a shard-merge bit-equal the single box. */
+  private[query] def queryProbes(probes: Array[(Int, Array[Double])],
+                                 k: Int, pred: Long => Boolean = null)
+      : Array[(Long, Int, Double)] =
+    queryImpl(probes, k, pred)
+
+  private def queryImpl(probes: Array[(Int, Array[Double])], k: Int,
                         pred: Long => Boolean)
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val probes = AnnQuery.selectPartitions(model, q, nprobe)
     val missing = probes.map(_._1).filterNot(cellIds.contains)
     require(missing.isEmpty,
       s"probed cells not resident on this server: ${missing.mkString(",")}" +
@@ -285,7 +295,7 @@ final class LocalServe private[query] (
   * bit-identical to [[graft.index.Rq.topKRefined]] (gated by
   * `ann_rq_local_serve`). Residency: level-1 codes + D₂ refine codes
   * per pinned vector. */
-final class LocalServeRq private (
+final class LocalServeRq private[query] (
     val model: graft.index.Rq.RqModel,
     lvl1: LocalServe,
     cellIds: Map[Int, Array[Long]],
@@ -301,9 +311,18 @@ final class LocalServeRq private (
   /** Warm refined top-k: (id, sq_dist) ascending by (sq_dist, id) —
     * the exact contract of [[graft.index.Rq.topKRefined]]. */
   def query(q: Array[Double], k: Int, nprobe: Int,
-            kFactor: Int = 4): Array[(Long, Double)] = {
+            kFactor: Int = 4): Array[(Long, Double)] =
+    queryProbes(AnnQuery.selectPartitions(model.base, q, nprobe),
+      q, k, kFactor)
+
+  /** Refined top-k over an explicit level-1 probe set — the seam the
+    * lazy RQ tier shares one probe selection through (see
+    * [[LocalServe.queryProbes]]). */
+  private[query] def queryProbes(probes: Array[(Int, Array[Double])],
+                                 q: Array[Double], k: Int,
+                                 kFactor: Int): Array[(Long, Double)] = {
     require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
-    val cands = lvl1.query(q, k * kFactor, nprobe)
+    val cands = lvl1.queryProbes(probes, k * kFactor)
     val dim = model.base.dim
     val d1 = model.base.config.numDivisions
     val m1 = dim / d1
@@ -418,9 +437,15 @@ final class LocalServeSq8 private[query] (
 
   /** Warm top-k: (id, partition, sq_dist) ascending by (sq_dist, id). */
   def query(q: Array[Double], k: Int, nprobe: Int)
-      : Array[(Long, Int, Double)] = {
+      : Array[(Long, Int, Double)] =
+    queryProbes(graft.index.IvfSq8.selectPartitions(model, q, nprobe), k)
+
+  /** Top-k over an explicit probe set — see [[LocalServe.queryProbes]];
+    * the lazy tier shares one probe selection between residency and
+    * query through this seam. */
+  private[query] def queryProbes(probes: Array[(Int, Array[Double])],
+                                 k: Int): Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
     val missing = probes.map(_._1).filterNot(cellIds.contains)
     require(missing.isEmpty,
       s"probed cells not resident on this server: ${missing.mkString(",")}" +
@@ -832,16 +857,17 @@ object LocalServeHamming {
   }
 }
 
+
 /** LAZY-residency warm serving — the reference's cold-start shape
   * (db/stored.rs:824-881: a stored DB loads centroids + codebooks up
   * front but pulls each partition's codes only when a query first
   * probes it; cold query 7.8 ms vs 1.5 ms warm, reference README.md:204)
   * over the [[LocalServe]] machinery: the model artifacts stay
   * driver-resident, cells pin ON FIRST PROBE through the same pruned
-  * `partition IN` scan the cluster path plans, and an optional
-  * `maxResidentCells` cap evicts least-recently-probed cells — so a
-  * serving box holds the HOT FRACTION of a store bigger than its RAM
-  * instead of refusing it.
+  * `partition IN` scan the cluster path plans, and optional
+  * `maxResidentCells` / `maxResidentBytes` caps evict
+  * least-recently-probed cells — so a serving box holds the HOT
+  * FRACTION of a store bigger than its RAM instead of refusing it.
   *
   * Results are BIT-IDENTICAL to the eager pin: every query delegates
   * to a plain [[LocalServe]] over the currently-resident cells (same
@@ -851,111 +877,134 @@ object LocalServeHamming {
   * the eager tier's REFUSAL contract: [[LocalServe.query]] throws on a
   * non-resident probe (a sharded fleet routes by cell; silence would
   * change results) — this tier is the documented alternative, turning
-  * the refusal into a load. Queries and residency changes synchronize
-  * on the pin lock only while (re)pinning; steady-state hot queries run
-  * lock-free on the immutable delegate snapshot. */
+  * the refusal into a load. A probed cell the store has NO live rows
+  * for (empty k-means cell, or fully deleted + compacted) pins as an
+  * EMPTY resident and contributes zero candidates — the cluster path's
+  * behavior for the same probe.
+  *
+  * Concurrency (see [[LazyResidency]], which owns the machinery): warm
+  * queries run lock-free on the immutable delegate snapshot; cold
+  * loads run OUTSIDE any lock, concurrent queries for the same cell
+  * share one load, and a query's probed cells are use-pinned against
+  * eviction for its duration. */
 final class LocalServeLazy private (
     val model: IvfPqModel,
-    rotation: Option[Array[Array[Double]]],
-    loadCells: Seq[Int] => Map[Int, (Array[Long], Array[Int])],
-    maxResidentCells: Int) {
-
-  require(maxResidentCells >= 0,
-    s"maxResidentCells must be >= 0 (0 = unbounded), got $maxResidentCells")
-
-  // LRU order: least-recently-probed first. Guarded by `lock`.
-  private val lru = new java.util.LinkedHashMap[Int, (Array[Long], Array[Int])](
-    16, 0.75f, /* accessOrder = */ true)
-  private val lock = new Object
-  @volatile private var delegate: LocalServe =
-    new LocalServe(model, Map.empty, Map.empty, rotation)
-  @volatile private var coldLoadCount: Long = 0L
+    hasAttrs: Boolean,
+    res: LazyResidency[(Array[Long], Array[Int], Array[Long]), LocalServe]) {
 
   /** Cells currently resident. */
-  def cells: Seq[Int] = lock.synchronized {
-    import scala.jdk.CollectionConverters._
-    lru.keySet.asScala.toSeq.sorted
-  }
+  def cells: Seq[Int] = res.cells
 
   /** Cold cell loads performed so far (per cell, not per query). */
-  def coldLoads: Long = coldLoadCount
+  def coldLoads: Long = res.coldLoads
+
+  /** Payload bytes currently resident (ids + codes + pinned attrs). */
+  def residentBytes: Long = res.residentBytes
 
   /** Warm-or-cold top-k: identical contract and bits to
     * [[LocalServe.query]]; non-resident probed cells are pinned first
-    * (one pruned scan for ALL missing cells of this query), evicting
-    * least-recently-probed cells past `maxResidentCells`. */
+    * (one pruned scan per claimant for the cells it won), evicting
+    * least-recently-probed cells past the caps. */
   def query(q: Array[Double], k: Int, nprobe: Int)
-      : Array[(Long, Int, Double)] =
-    ensureResident(AnnQuery.selectPartitions(model, q, nprobe).map(_._1))
-      .query(q, k, nprobe)
+      : Array[(Long, Int, Double)] = {
+    val probes = AnnQuery.selectPartitions(model, q, nprobe)
+    res.withResident(probes.map(_._1))(_.queryProbes(probes, k))
+  }
 
-  private def ensureResident(probed: Array[Int]): LocalServe =
-    lock.synchronized {
-      require(maxResidentCells == 0 || probed.length <= maxResidentCells,
-        s"query probes ${probed.length} cells but maxResidentCells is " +
-          s"$maxResidentCells — raise the cap or lower nprobe")
-      val missing = probed.filterNot(lru.containsKey(_))
-      // touch resident probes so eviction order is least-recently-PROBED
-      probed.foreach(c => if (lru.containsKey(c)) lru.get(c))
-      if (missing.isEmpty) return delegate
-      val loaded = loadCells(missing.toIndexedSeq)
-      val absent = missing.filterNot(loaded.contains)
-      require(absent.isEmpty,
-        s"store has no codes for probed cells ${absent.mkString(",")}")
-      loaded.foreach { case (c, v) => lru.put(c, v) }
-      coldLoadCount += missing.length
-      if (maxResidentCells > 0) {
-        val it = lru.keySet.iterator
-        while (lru.size > maxResidentCells && it.hasNext) {
-          val c = it.next()
-          // never evict a cell this query needs (all probed were touched
-          // or just inserted, so they sit at the MRU end already)
-          if (!probed.contains(c)) it.remove()
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      val snap = lru.asScala.toMap
-      delegate = new LocalServe(model,
-        snap.view.mapValues(_._1).toMap,
-        snap.view.mapValues(_._2).toMap, rotation)
-      delegate
-    }
+  /** Lazy FILTERED top-k — [[LocalServe.queryFiltered]] over the
+    * lazily-pinned delegate (attributes pin per cell alongside the
+    * codes; requires a [[LocalServeLazy.fromCodesWithAttrs]] open). */
+  def queryFiltered(q: Array[Double], k: Int, nprobe: Int)
+                   (pred: Long => Boolean): Array[(Long, Int, Double)] = {
+    require(hasAttrs,
+      "queryFiltered needs attributes pinned — open via fromCodesWithAttrs")
+    val probes = AnnQuery.selectPartitions(model, q, nprobe)
+    res.withResident(probes.map(_._1))(_.queryProbes(probes, k, pred))
+  }
 }
 
 object LocalServeLazy {
 
+  private type Payload = (Array[Long], Array[Int], Array[Long])
+
   /** Open a saved IVF+PQ store for lazy serving: model artifacts load
     * (and integrity-check) NOW, codes load per cell on first probe.
-    * `maxResidentCells` = 0 pins without bound (the eager tier's
-    * residency, reached lazily); > 0 keeps at most that many cells,
-    * evicting least-recently-probed. */
+    * Caps: `maxResidentCells` counts cells; `maxResidentBytes` counts
+    * payload bytes — the truthful form of the (4·D+8) B/vector
+    * residency contract when drift makes cells diverge in size. Either
+    * cap 0 = unbounded (the eager tier's residency, reached lazily). */
   def fromStore(spark: SparkSession, path: String,
-                maxResidentCells: Int = 0): LocalServeLazy = {
+                maxResidentCells: Int = 0,
+                maxResidentBytes: Long = 0L): LocalServeLazy = {
     val (model, codes) = IvfPqBuilder.load(spark, path)
-    new LocalServeLazy(model, None, cellLoader(model, codes),
-      maxResidentCells)
+    mk(model, None, cellLoader(model, codes, null), hasAttrs = false,
+      maxResidentCells, maxResidentBytes)
   }
 
   /** OPQ twin of [[fromStore]] — rotation validated at open, applied
     * per query exactly as [[LocalServe.fromOpqStore]]. */
   def fromOpqStore(spark: SparkSession, path: String,
-                   maxResidentCells: Int = 0): LocalServeLazy = {
+                   maxResidentCells: Int = 0,
+                   maxResidentBytes: Long = 0L): LocalServeLazy = {
     val (model, codes) = graft.index.OpqBuilder.load(spark, path)
-    new LocalServeLazy(model.ivf, Some(model.rotation),
-      cellLoader(model.ivf, codes), maxResidentCells)
+    mk(model.ivf, Some(model.rotation),
+      cellLoader(model.ivf, codes, null), hasAttrs = false,
+      maxResidentCells, maxResidentBytes)
+  }
+
+  /** Lazy FILTERED serving: pin one long attribute per vector alongside
+    * the codes (8 extra bytes/vector of residency), cell by cell on
+    * first probe — the lazy twin of [[LocalServe.fromCodesWithAttrs]],
+    * enabling [[LocalServeLazy.queryFiltered]]. `codes` must carry
+    * `attrCol` beside (id, partition, codes). */
+  def fromCodesWithAttrs(model: IvfPqModel,
+                         codes: org.apache.spark.sql.DataFrame,
+                         attrCol: String,
+                         maxResidentCells: Int = 0,
+                         maxResidentBytes: Long = 0L): LocalServeLazy =
+    mk(model, None, cellLoader(model, codes, attrCol), hasAttrs = true,
+      maxResidentCells, maxResidentBytes)
+
+  private def mk(model: IvfPqModel,
+                 rotation: Option[Array[Array[Double]]],
+                 loader: Seq[Int] => Map[Int, Payload],
+                 hasAttrs: Boolean,
+                 maxResidentCells: Int,
+                 maxResidentBytes: Long): LocalServeLazy = {
+    val res = new LazyResidency[Payload, LocalServe](
+      loader,
+      emptyPayload =
+        (Array.empty[Long], Array.empty[Int], Array.empty[Long]),
+      payloadBytes = p => 8L * p._1.length + 4L * p._2.length +
+        (if (p._3 == null) 0L else 8L * p._3.length),
+      mkDelegate = snap => {
+        val ids = snap.view.mapValues(_._1).toMap
+        val codes = snap.view.mapValues(_._2).toMap
+        if (hasAttrs)
+          new LocalServe(model, ids, codes, rotation,
+            snap.view.mapValues(_._3).toMap)
+        else new LocalServe(model, ids, codes, rotation)
+      },
+      maxResidentCells, maxResidentBytes)
+    new LocalServeLazy(model, hasAttrs, res)
   }
 
   /** The cold loader: ONE pruned `partition IN` scan for the missing
     * cells, packed into the exact layout [[LocalServe.fromCodes]]
     * builds (sort by id, flat code array) — the pure-function property
-    * that makes lazy answers bit-equal eager ones. */
+    * that makes lazy answers bit-equal eager ones. `attrCol` non-null
+    * additionally pins that long column per row (the filtered tier). */
   private def cellLoader(model: IvfPqModel,
-                         codes: org.apache.spark.sql.DataFrame)
-      : Seq[Int] => Map[Int, (Array[Long], Array[Int])] = { missing =>
+                         codes: org.apache.spark.sql.DataFrame,
+                         attrCol: String)
+      : Seq[Int] => Map[Int, Payload] = { missing =>
     val d = model.config.numDivisions
+    val base = Seq(col("partition").cast("int"), col("id").cast("long"),
+      col("codes"))
+    val cols = if (attrCol == null) base
+      else base :+ col(attrCol).cast("long")
     val rows = codes.where(col("partition").isin(missing: _*))
-      .select(col("partition").cast("int"), col("id").cast("long"),
-        col("codes"))
+      .select(cols: _*)
       .collect()
     rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
@@ -970,7 +1019,9 @@ object LocalServeLazy {
         while (i < d) { flat(r * d + i) = cs(i); i += 1 }
         r += 1
       }
-      cell -> (ids, flat)
+      val attrs = if (attrCol == null) null
+        else sorted.map(_.getLong(3))
+      cell -> ((ids, flat, attrs): Payload)
     }
   }
 }
@@ -979,81 +1030,38 @@ object LocalServeLazy {
   * [[LocalServeLazy]] shape over [[LocalServeSq8]]: model artifacts
   * (centroids + codec constants) load at open, each cell's byte codes
   * pin on first probe through the pruned `partition IN` scan, optional
-  * `maxResidentCells` LRU eviction. Answers are bit-identical to the
-  * eager pin (the per-cell packed layout is a pure function of the
-  * store rows; every query delegates to an immutable [[LocalServeSq8]]
-  * snapshot). */
+  * cell/byte-capped LRU eviction. Answers are bit-identical to the
+  * eager pin; concurrency and empty-cell semantics are
+  * [[LazyResidency]]'s (shared with the PQ/OPQ and RQ tiers). */
 final class LocalServeSq8Lazy private (
     val model: graft.index.IvfSq8Model,
-    loadCells: Seq[Int] => Map[Int, (Array[Long], Array[Byte])],
-    maxResidentCells: Int) {
-
-  require(maxResidentCells >= 0,
-    s"maxResidentCells must be >= 0 (0 = unbounded), got $maxResidentCells")
-
-  private val lru = new java.util.LinkedHashMap[Int, (Array[Long], Array[Byte])](
-    16, 0.75f, true)
-  private val lock = new Object
-  @volatile private var delegate: LocalServeSq8 =
-    new LocalServeSq8(model, Map.empty, Map.empty,
-      graft.functions.SimdSupport.available)
-  @volatile private var coldLoadCount: Long = 0L
+    res: LazyResidency[(Array[Long], Array[Byte]), LocalServeSq8]) {
 
   /** Cells currently resident. */
-  def cells: Seq[Int] = lock.synchronized {
-    import scala.jdk.CollectionConverters._
-    lru.keySet.asScala.toSeq.sorted
-  }
+  def cells: Seq[Int] = res.cells
 
   /** Cold cell loads performed so far. */
-  def coldLoads: Long = coldLoadCount
+  def coldLoads: Long = res.coldLoads
+
+  /** Payload bytes currently resident (ids + byte codes). */
+  def residentBytes: Long = res.residentBytes
 
   /** Warm-or-cold top-k — identical contract and bits to
     * [[LocalServeSq8.query]]. */
   def query(q: Array[Double], k: Int, nprobe: Int)
       : Array[(Long, Int, Double)] = {
-    val probed = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
-      .map(_._1)
-    ensureResident(probed).query(q, k, nprobe)
+    val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
+    res.withResident(probes.map(_._1))(_.queryProbes(probes, k))
   }
-
-  private def ensureResident(probed: Array[Int]): LocalServeSq8 =
-    lock.synchronized {
-      require(maxResidentCells == 0 || probed.length <= maxResidentCells,
-        s"query probes ${probed.length} cells but maxResidentCells is " +
-          s"$maxResidentCells — raise the cap or lower nprobe")
-      val missing = probed.filterNot(lru.containsKey(_))
-      probed.foreach(c => if (lru.containsKey(c)) lru.get(c))
-      if (missing.isEmpty) return delegate
-      val loaded = loadCells(missing.toIndexedSeq)
-      val absent = missing.filterNot(loaded.contains)
-      require(absent.isEmpty,
-        s"store has no codes for probed cells ${absent.mkString(",")}")
-      loaded.foreach { case (c, v) => lru.put(c, v) }
-      coldLoadCount += missing.length
-      if (maxResidentCells > 0) {
-        val it = lru.keySet.iterator
-        while (lru.size > maxResidentCells && it.hasNext) {
-          val c = it.next()
-          if (!probed.contains(c)) it.remove()
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      val snap = lru.asScala.toMap
-      delegate = new LocalServeSq8(model,
-        snap.view.mapValues(_._1).toMap,
-        snap.view.mapValues(_._2).toMap,
-        graft.functions.SimdSupport.available)
-      delegate
-    }
 }
 
 object LocalServeSq8Lazy {
 
   /** Open a saved IVF+SQ8 store for lazy serving — model now, codes per
-    * cell on first probe. */
+    * cell on first probe; caps as [[LocalServeLazy.fromStore]]. */
   def fromStore(spark: SparkSession, path: String,
-                maxResidentCells: Int = 0): LocalServeSq8Lazy = {
+                maxResidentCells: Int = 0,
+                maxResidentBytes: Long = 0L): LocalServeSq8Lazy = {
     val (model, codes) = graft.index.IvfSq8.load(spark, path)
     val dim = model.dim
     val simd = graft.functions.SimdSupport.available
@@ -1079,9 +1087,112 @@ object LocalServeSq8Lazy {
             } else System.arraycopy(cs, 0, flat, r * dim, dim)
             r += 1
           }
-          cell -> (ids, flat)
+          cell -> ((ids, flat))
         }
       }
-    new LocalServeSq8Lazy(model, loader, maxResidentCells)
+    val res = new LazyResidency[(Array[Long], Array[Byte]), LocalServeSq8](
+      loader,
+      emptyPayload = (Array.empty[Long], Array.empty[Byte]),
+      payloadBytes = p => 8L * p._1.length + p._2.length.toLong,
+      mkDelegate = snap => new LocalServeSq8(model,
+        snap.view.mapValues(_._1).toMap,
+        snap.view.mapValues(_._2).toMap, simd),
+      maxResidentCells, maxResidentBytes)
+    new LocalServeSq8Lazy(model, res)
+  }
+}
+
+/** LAZY-residency warm serving for two-level RQ stores — level-1 codes
+  * AND level-2 refine codes pin together per cell on first probe, the
+  * driver re-score then replays [[LocalServeRq.query]]'s exact
+  * float-cast chain, so answers are bit-identical to both the eager
+  * [[LocalServeRq]] pin and the cluster `Rq.topKRefined`. Completes
+  * the lazy tier across the codec families (PQ/OPQ, SQ8, RQ);
+  * concurrency and empty-cell semantics are [[LazyResidency]]'s. */
+final class LocalServeRqLazy private (
+    val model: graft.index.Rq.RqModel,
+    res: LazyResidency[(Array[Long], Array[Int], Array[Int]), LocalServeRq]) {
+
+  /** Cells currently resident. */
+  def cells: Seq[Int] = res.cells
+
+  /** Cold cell loads performed so far. */
+  def coldLoads: Long = res.coldLoads
+
+  /** Payload bytes currently resident (ids + both code layers). */
+  def residentBytes: Long = res.residentBytes
+
+  /** Warm-or-cold refined top-k — identical contract and bits to
+    * [[LocalServeRq.query]]. */
+  def query(q: Array[Double], k: Int, nprobe: Int,
+            kFactor: Int = 4): Array[(Long, Double)] = {
+    val probes = AnnQuery.selectPartitions(model.base, q, nprobe)
+    res.withResident(probes.map(_._1))(
+      _.queryProbes(probes, q, k, kFactor))
+  }
+}
+
+object LocalServeRqLazy {
+
+  private type Payload = (Array[Long], Array[Int], Array[Int])
+
+  /** Open a saved refined store ([[graft.index.Rq.save]]) for lazy
+    * serving — both model levels load and integrity-check now, each
+    * cell's (codes, codes2) pin on first probe; caps as
+    * [[LocalServeLazy.fromStore]]. */
+  def fromStore(spark: SparkSession, path: String,
+                maxResidentCells: Int = 0,
+                maxResidentBytes: Long = 0L): LocalServeRqLazy = {
+    val (model, encoded2) = graft.index.Rq.load(spark, path)
+    fromCodes(model, encoded2, maxResidentCells, maxResidentBytes)
+  }
+
+  /** Lazy pin over an already-loaded refined (id, partition, codes,
+    * codes2) relation — the lazy twin of [[LocalServeRq.fromCodes]]. */
+  def fromCodes(model: graft.index.Rq.RqModel,
+                encoded2: org.apache.spark.sql.DataFrame,
+                maxResidentCells: Int = 0,
+                maxResidentBytes: Long = 0L): LocalServeRqLazy = {
+    val d1 = model.base.config.numDivisions
+    val d2 = model.numDivisions2
+    val loader: Seq[Int] => Map[Int, Payload] = missing => {
+      val rows = encoded2.where(col("partition").isin(missing: _*))
+        .select(col("partition").cast("int"), col("id").cast("long"),
+          col("codes"), col("codes2"))
+        .collect()
+      rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+        val sorted = rs.sortBy(_.getLong(1))
+        val ids = sorted.map(_.getLong(1))
+        def pack(fieldIdx: Int, d: Int): Array[Int] = {
+          val flat = new Array[Int](sorted.length * d)
+          var r = 0
+          while (r < sorted.length) {
+            val cs = sorted(r).getSeq[Int](fieldIdx)
+            require(cs.length == d,
+              s"codes row has ${cs.length} divisions, expected $d")
+            var i = 0
+            while (i < d) { flat(r * d + i) = cs(i); i += 1 }
+            r += 1
+          }
+          flat
+        }
+        cell -> ((ids, pack(2, d1), pack(3, d2)): Payload)
+      }
+    }
+    val res = new LazyResidency[Payload, LocalServeRq](
+      loader,
+      emptyPayload =
+        (Array.empty[Long], Array.empty[Int], Array.empty[Int]),
+      payloadBytes = p =>
+        8L * p._1.length + 4L * p._2.length + 4L * p._3.length,
+      mkDelegate = snap => {
+        val ids = snap.view.mapValues(_._1).toMap
+        val k1 = snap.view.mapValues(_._2).toMap
+        val k2 = snap.view.mapValues(_._3).toMap
+        new LocalServeRq(model,
+          new LocalServe(model.base, ids, k1, None), ids, k1, k2)
+      },
+      maxResidentCells, maxResidentBytes)
+    new LocalServeRqLazy(model, res)
   }
 }

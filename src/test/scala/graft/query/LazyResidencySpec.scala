@@ -1,0 +1,212 @@
+package graft.query
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lazy-residency concurrency contract (the round-12 defect class):
+  * warm queries never block behind a cold load, concurrent cold queries
+  * for the same cell share ONE load, distinct cells load in parallel,
+  * eviction honors caps and use-pins, empty cells pin as empty, and
+  * loader failures propagate without wedging the cell. The delegate
+  * here is the resident map itself — the serving families layer their
+  * arithmetic on top and are parity-tested in LocalServeSpec. */
+class LazyResidencySpec extends AnyFunSuite {
+
+  private type P = Array[Long]
+
+  /** A residency whose loader blocks on per-cell latches and counts
+    * invocations — the instrument for every concurrency assertion. */
+  private final class Harness(maxCells: Int = 0, maxBytes: Long = 0L,
+                              payloadFor: Int => Array[Long] =
+                                c => Array.fill(4)(c.toLong)) {
+    val loadCalls = new AtomicInteger(0)
+    val cellsLoaded = new ConcurrentHashMap[Int, AtomicInteger]
+    val gates = new ConcurrentHashMap[Int, CountDownLatch]
+    val inLoad = new AtomicInteger(0)
+    var maxConcurrentLoads = 0 // monotone under races: updated via sync
+    private val mcLock = new Object
+    @volatile var absentCells: Set[Int] = Set.empty
+
+    def gate(c: Int): CountDownLatch =
+      gates.computeIfAbsent(c, _ => new CountDownLatch(1))
+
+    val res = new LazyResidency[P, Map[Int, P]](
+      loadCells = { missing =>
+        loadCalls.incrementAndGet()
+        val cur = inLoad.incrementAndGet()
+        mcLock.synchronized {
+          maxConcurrentLoads = math.max(maxConcurrentLoads, cur)
+        }
+        try {
+          missing.foreach { c =>
+            cellsLoaded.computeIfAbsent(c, _ => new AtomicInteger)
+              .incrementAndGet()
+            val g = gates.get(c)
+            if (g != null) assert(g.await(20, TimeUnit.SECONDS),
+              s"gate for cell $c never opened")
+          }
+          missing.filterNot(absentCells).map(c => c -> payloadFor(c)).toMap
+        } finally inLoad.decrementAndGet()
+      },
+      emptyPayload = Array.empty[Long],
+      payloadBytes = p => 8L * p.length,
+      mkDelegate = identity,
+      maxResidentCells = maxCells,
+      maxResidentBytes = maxBytes)
+  }
+
+  private def inThread(body: => Unit): Thread = {
+    val t = new Thread(() => body)
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  test("warm queries complete while a cold load is in flight " +
+      "(no head-of-line blocking)") {
+    val h = new Harness()
+    h.res.withResident(Array(1))(m => assert(m(1).nonEmpty)) // warm up 1
+    val coldGate = h.gate(2)
+    val coldDone = new CountDownLatch(1)
+    inThread {
+      // instrument: the loader counts cell 2 before blocking on its gate
+      h.res.withResident(Array(2)) { m =>
+        assert(m.contains(2)); coldDone.countDown()
+      }
+    }
+    // wait until the cold load is genuinely in flight
+    val t0 = System.nanoTime()
+    while (h.cellsLoaded.get(2) == null && System.nanoTime() - t0 < 10e9) {
+      Thread.sleep(1)
+    }
+    assert(h.cellsLoaded.get(2) != null, "cold load never started")
+    // WARM query on cell 1 must answer NOW, with the cold load parked
+    val warmT0 = System.nanoTime()
+    h.res.withResident(Array(1))(m => assert(m(1).nonEmpty))
+    val warmMs = (System.nanoTime() - warmT0) / 1e6
+    assert(h.inLoad.get() == 1, "cold load should still be in flight")
+    assert(warmMs < 2000, s"warm query took ${warmMs} ms behind a cold load")
+    coldGate.countDown()
+    assert(coldDone.await(20, TimeUnit.SECONDS))
+    assert(h.res.cells === Seq(1, 2))
+  }
+
+  test("concurrent cold queries for the SAME cell share one load; " +
+      "distinct cells load in parallel") {
+    val h = new Harness()
+    val g5 = h.gate(5)
+    val g6 = h.gate(6)
+    val done = new CountDownLatch(3)
+    inThread { h.res.withResident(Array(5))(m => { assert(m.contains(5)); done.countDown() }) }
+    inThread { h.res.withResident(Array(5))(m => { assert(m.contains(5)); done.countDown() }) }
+    inThread { h.res.withResident(Array(6))(m => { assert(m.contains(6)); done.countDown() }) }
+    val t0 = System.nanoTime()
+    while ((h.cellsLoaded.get(5) == null || h.cellsLoaded.get(6) == null) &&
+        System.nanoTime() - t0 < 10e9) Thread.sleep(1)
+    // both cells in flight AT THE SAME TIME (two parked loader calls)
+    assert(h.inLoad.get() == 2, "distinct cells should load in parallel")
+    g5.countDown(); g6.countDown()
+    assert(done.await(20, TimeUnit.SECONDS))
+    // cell 5 was requested by two queries but loaded exactly once
+    assert(h.cellsLoaded.get(5).get() === 1,
+      "same-cell concurrent queries must share one load")
+    assert(h.cellsLoaded.get(6).get() === 1)
+    assert(h.res.coldLoads === 2L) // cell 5 once, cell 6 once
+  }
+
+  test("cold-load accounting: one load per cell ever, warm repeats free") {
+    val h = new Harness()
+    h.res.withResident(Array(1, 2))(m => assert(m.size == 2))
+    assert(h.res.coldLoads === 2L)
+    h.res.withResident(Array(1, 2))(_ => ())
+    h.res.withResident(Array(2))(_ => ())
+    assert(h.res.coldLoads === 2L)
+    assert(h.loadCalls.get() === 1, "one batched scan for the cold pair")
+  }
+
+  test("cell cap evicts least-recently-probed; in-use cells survive") {
+    val h = new Harness(maxCells = 2)
+    h.res.withResident(Array(1))(_ => ())
+    h.res.withResident(Array(2))(_ => ())
+    h.res.withResident(Array(3))(_ => ()) // evicts 1
+    assert(h.res.cells === Seq(2, 3))
+    h.res.withResident(Array(2))(_ => ()) // touch 2 → 3 is now LRU
+    h.res.withResident(Array(4))(_ => ()) // evicts 3
+    assert(h.res.cells === Seq(2, 4))
+    // a re-probe of an evicted cell cold-loads again
+    val before = h.res.coldLoads
+    h.res.withResident(Array(1))(_ => ())
+    assert(h.res.coldLoads === before + 1)
+    // while a query holds its cells in-use, they cannot be evicted:
+    // run a nested acquisition from inside the critical section
+    h.res.withResident(Array(1, 2)) { _ =>
+      inThread { h.res.withResident(Array(7))(_ => ()) }.join(20000)
+      assert(h.res.cells.contains(1) && h.res.cells.contains(2),
+        "in-use cells must survive a concurrent over-cap install")
+    }
+  }
+
+  test("bytes cap: eviction keeps resident bytes within the cap " +
+      "(single in-flight query), and a single over-cap working set " +
+      "still answers") {
+    // payload = 4 longs = 32 bytes per cell
+    val h = new Harness(maxBytes = 64L)
+    h.res.withResident(Array(1))(_ => ())
+    h.res.withResident(Array(2))(_ => ())
+    assert(h.res.residentBytes === 64L)
+    h.res.withResident(Array(3))(_ => ())
+    assert(h.res.residentBytes === 64L, "bytes cap must evict down to 64")
+    assert(h.res.cells === Seq(2, 3))
+    // one query probing 3 cells (96 B > cap) still answers; the overage
+    // is its own pinned working set
+    h.res.withResident(Array(4, 5, 6))(m =>
+      assert(m.contains(4) && m.contains(5) && m.contains(6)))
+    // next single-cell install drains the overage back under the cap
+    h.res.withResident(Array(7))(_ => ())
+    assert(h.res.residentBytes <= 64L)
+  }
+
+  test("empty cells pin as empty residents instead of erroring, and " +
+      "count as resident (no reload per probe)") {
+    val h = new Harness()
+    h.absentCells = Set(9)
+    h.res.withResident(Array(8, 9)) { m =>
+      assert(m(8).nonEmpty)
+      assert(m.contains(9) && m(9).isEmpty,
+        "a store-absent cell pins as an EMPTY resident")
+    }
+    val loads = h.res.coldLoads
+    h.res.withResident(Array(9))(m => assert(m(9).isEmpty))
+    assert(h.res.coldLoads === loads, "empty residents are warm")
+  }
+
+  test("loader failure propagates, does not wedge the cell, and a " +
+      "retry succeeds") {
+    var fail = true
+    val res = new LazyResidency[P, Map[Int, P]](
+      loadCells = { missing =>
+        if (fail) throw new RuntimeException("scan failed")
+        missing.map(c => c -> Array(c.toLong)).toMap
+      },
+      emptyPayload = Array.empty[Long],
+      payloadBytes = p => 8L * p.length,
+      mkDelegate = identity,
+      maxResidentCells = 0, maxResidentBytes = 0L)
+    val ex = intercept[RuntimeException] {
+      res.withResident(Array(1))(_ => ())
+    }
+    assert(ex.getMessage === "scan failed")
+    fail = false
+    res.withResident(Array(1))(m => assert(m(1).sameElements(Array(1L))))
+  }
+
+  test("probe-count precondition against the cell cap stays loud") {
+    val h = new Harness(maxCells = 2)
+    val ex = intercept[IllegalArgumentException] {
+      h.res.withResident(Array(1, 2, 3))(_ => ())
+    }
+    assert(ex.getMessage.contains("maxResidentCells"))
+  }
+}

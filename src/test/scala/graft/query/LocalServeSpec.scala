@@ -291,6 +291,118 @@ class LocalServeSpec extends AnyFunSuite {
     }
   }
 
+  test("LocalServeLazy: bytes cap evicts down to the cap and reports " +
+      "residentBytes; evicted cells reload on re-probe with the same " +
+      "bits") {
+    val eager = LocalServe.fromStore(spark, storeDir)
+    // each cell holds 50 vectors → 50·(8 + 4·4) = 1200 B; cap at two
+    // cells' worth so a third probe evicts the least-recently-probed
+    val capped = LocalServeLazy.fromStore(spark, storeDir,
+      maxResidentBytes = 2400L)
+    for (qid <- Seq(0L, 57L, 123L, 199L, 0L)) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(capped.query(q, 5, 1).toSeq === eager.query(q, 5, 1).toSeq)
+      assert(capped.residentBytes <= 2400L,
+        s"resident ${capped.residentBytes} B exceeds the 2400 B cap")
+      assert(capped.cells.size <= 2)
+    }
+    assert(capped.coldLoads > 4L, "the cap must have forced reloads")
+  }
+
+  test("LocalServeLazy: a probed cell with zero live rows pins as an " +
+      "EMPTY resident and the answer matches the cluster path") {
+    import org.apache.spark.sql.functions.col
+    // fresh store; tombstone EVERY vector of one cell — the pruned scan
+    // then yields no rows for it, exactly an empty k-means cell's shape
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_empty").toString
+    IvfPqBuilder.save(model, encoded, dir)
+    val cellOf = encoded.select(col("partition").cast("int")).head.getInt(0)
+    val deadIds = encoded.where(col("partition") === cellOf).select("id")
+    IvfPqBuilder.deleteFromStore(dir, deadIds, "id")
+    val (loaded, codes) = IvfPqBuilder.load(spark, dir)
+    val lazySrv = LocalServeLazy.fromStore(spark, dir)
+    // query vectors FROM the dead cell probe it first at nprobe=all
+    val qid = encoded.where(col("partition") === cellOf)
+      .select("id").head.getLong(0)
+    val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+    val cluster = AnnQuery.topK(codes, loaded, q, 10, config.numPartitions)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(lazySrv.query(q, 10, config.numPartitions).toSeq ===
+      cluster.toSeq, "empty-cell probe must match the cluster answer")
+    assert(lazySrv.cells.contains(cellOf),
+      "the empty cell pins as a resident (zero candidates, no reload)")
+    val loads = lazySrv.coldLoads
+    lazySrv.query(q, 10, config.numPartitions)
+    assert(lazySrv.coldLoads === loads, "empty residents are warm")
+  }
+
+  test("LocalServeLazy.fromCodesWithAttrs: lazy FILTERED serving is " +
+      "bit-identical to the eager filtered pin and the pre-filtered " +
+      "cluster query") {
+    import org.apache.spark.sql.functions._
+    val (loaded, codes) = IvfPqBuilder.load(spark, storeDir)
+    val withAttr = codes.withColumn("tag", pmod(col("id"), lit(3)))
+    val eager = LocalServe.fromCodesWithAttrs(loaded, withAttr, "tag")
+    val lazySrv = LocalServeLazy.fromCodesWithAttrs(loaded, withAttr, "tag")
+    val filtered = withAttr.where(col("tag") === 1)
+      .select("id", "partition", "codes")
+    for {
+      qid <- Seq(0L, 57L, 123L)
+      (k, nprobe) <- Seq((5, 2), (10, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      val cluster = AnnQuery.topK(filtered, loaded, q, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val lz = lazySrv.queryFiltered(q, k, nprobe)(_ == 1L)
+      assert(lz.toSeq === cluster.toSeq,
+        s"lazy filtered vs cluster mismatch at qid=$qid k=$k nprobe=$nprobe")
+      assert(lz.toSeq === eager.queryFiltered(q, k, nprobe)(_ == 1L).toSeq)
+    }
+    // plain query works on the same lazily-pinned cells too
+    val q0 = data.head._2.map(_.toDouble).toArray
+    assert(lazySrv.query(q0, 10, 4).toSeq ===
+      LocalServe.fromStore(spark, storeDir).query(q0, 10, 4).toSeq)
+    // a store-opened (attr-less) lazy box refuses the filtered path
+    val plain = LocalServeLazy.fromStore(spark, storeDir)
+    val ex = intercept[IllegalArgumentException] {
+      plain.queryFiltered(q0, 5, 2)(_ => true)
+    }
+    assert(ex.getMessage.contains("fromCodesWithAttrs"))
+  }
+
+  test("LocalServeRqLazy: lazy two-level RQ serving is bit-identical " +
+      "to the eager pin and Rq.topKRefined, with LRU capping") {
+    import graft.index.Rq
+    val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+      numDivisions2 = 8, numCodes2 = 8, trainPointsPerCentroid = 0)
+    val enc2 = enc2raw.localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("rq_lazy").toString
+    Rq.save(rq, enc2, dir)
+    val eager = LocalServeRq.fromCodes(rq, enc2)
+    val lazySrv = LocalServeRqLazy.fromStore(spark, dir)
+    assert(lazySrv.cells.isEmpty)
+    for {
+      qid <- Seq(0L, 57L, 123L, 199L)
+      (k, nprobe) <- Seq((5, 1), (10, 2), (7, 4))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      val cluster = Rq.topKRefined(enc2, rq, q, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val lz = lazySrv.query(q, k, nprobe)
+      assert(lz.toSeq === cluster.toSeq,
+        s"lazy RQ vs cluster mismatch at qid=$qid k=$k nprobe=$nprobe")
+      assert(lz.toSeq === eager.query(q, k, nprobe).toSeq)
+    }
+    assert(lazySrv.coldLoads === 4L) // once per cell, ever
+    val capped = LocalServeRqLazy.fromStore(spark, dir,
+      maxResidentCells = 2)
+    for (qid <- Seq(0L, 57L, 123L, 199L)) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(capped.query(q, 5, 1).toSeq === eager.query(q, 5, 1).toSeq)
+      assert(capped.cells.size <= 2)
+    }
+  }
+
   test("LocalServeHamming.fromStore: serving straight off the signature " +
       "store (no float corpus) matches the vector-packed pin, " +
       "tombstones honored") {

@@ -1,0 +1,93 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.{IvfPqBuilder, IvfPqConfig}
+
+/** Cell-sharded serving parity: a [[ServeRouter]] over cell-disjoint
+  * shards must answer bit-identically to one [[LocalServe]] holding all
+  * the cells — same ids, partitions, bit-identical sq_dist, same
+  * (sq_dist, id) order — for any shard split, plus the fleet-level
+  * refusal and disjointness contracts. */
+class ServeRouterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val config =
+    IvfPqConfig(numPartitions = 6, numDivisions = 4, numCodes = 16,
+      maxIter = 20)
+
+  private lazy val data: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(29)
+    val blobs = Seq.tabulate(6)(_ => Array.fill(dim)(rnd.nextDouble() * 20 - 10))
+    for {
+      (blob, b) <- blobs.zipWithIndex
+      seed <- 0 until 8
+      seedVec = blob.map(v => v + rnd.nextGaussian() * 0.8)
+      clone <- 0 until 4
+    } yield (((b * 8 + seed) * 4 + clone).toLong,
+      seedVec.map(v => (v + rnd.nextGaussian() * 0.02).toFloat).toSeq)
+  }
+
+  private lazy val df = data.toDF("id", "vec")
+  private lazy val (model, encoded) =
+    IvfPqBuilder.fit(df, "id", "vec", dim, config)
+  private lazy val storeDir = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_router").toString
+    IvfPqBuilder.save(model, encoded, dir)
+    dir
+  }
+
+  private def shardsFor(splits: Seq[Seq[Int]]): Seq[LocalServe] =
+    splits.map(cells => LocalServe.fromStore(spark, storeDir, cells))
+
+  test("router over 2 and 3 cell-disjoint shards matches the single " +
+      "box bit-exactly across queries, k, nprobe") {
+    val single = LocalServe.fromStore(spark, storeDir)
+    val allCells = single.cells
+    val byParity = Seq(allCells.filter(_ % 2 == 0), allCells.filter(_ % 2 == 1))
+    val byThirds = allCells.grouped((allCells.size + 2) / 3).toSeq
+    for (split <- Seq(byParity, byThirds)) {
+      val router = ServeRouter(model, shardsFor(split))
+      assert(router.numShards === split.length)
+      for {
+        qid <- Seq(0L, 63L, 127L, 191L)
+        (k, nprobe) <- Seq((5, 1), (10, 3), (7, 6))
+      } {
+        val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+        assert(router.query(q, k, nprobe).toSeq ===
+          single.query(q, k, nprobe).toSeq,
+          s"router mismatch at qid=$qid k=$k nprobe=$nprobe " +
+            s"shards=${split.length}")
+      }
+    }
+  }
+
+  test("overlapping shards are refused at assembly; a probe into an " +
+      "unheld cell is refused at query time") {
+    val single = LocalServe.fromStore(spark, storeDir)
+    val cells = single.cells
+    val overlapping =
+      shardsFor(Seq(cells.take(4), cells.drop(3))) // cell shared
+    val ex = intercept[IllegalArgumentException] {
+      ServeRouter(model, overlapping)
+    }
+    assert(ex.getMessage.contains("more than one shard"))
+    // a fleet missing one cell refuses a full-probe query
+    val partial = ServeRouter(model, shardsFor(Seq(cells.dropRight(1))))
+    val q = data.head._2.map(_.toDouble).toArray
+    val ex2 = intercept[IllegalArgumentException] {
+      partial.query(q, 5, nprobe = config.numPartitions)
+    }
+    assert(ex2.getMessage.contains("not resident on any shard"))
+  }
+
+  test("a single-shard router is exactly the single box") {
+    val single = LocalServe.fromStore(spark, storeDir)
+    val router = ServeRouter(model, Seq(single))
+    val q = data.find(_._1 == 63L).get._2.map(_.toDouble).toArray
+    assert(router.query(q, 10, 4).toSeq === single.query(q, 10, 4).toSeq)
+  }
+}
