@@ -145,11 +145,22 @@ object BinaryQuant {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
     Seq(Tuple1(thresholds.toSeq)).toDF("thresholds")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/thresholds")
-    val manifest = s"""{"vector_size":${thresholds.length}}"""
+    // thresholds fingerprint in the manifest: appends validate against
+    // it, so a same-dim wrong-threshold append (which would silently
+    // corrupt Hamming rankings — the other families pass the typed
+    // frozen model, this API takes a bare array) fails loudly instead
+    val manifest = s"""{"vector_size":${thresholds.length},""" +
+      s""""thresholds_sha256":"${thresholdsHash(thresholds)}"}"""
     IvfPqBuilder.writeString(spark, s"$path/manifest.json", manifest)
     IvfPqBuilder.writeString(spark, s"$path/manifest.json.sha256",
       IvfPqBuilder.sha256Hex(manifest))
   }
+
+  /** Canonical fingerprint of the frozen thresholds — exact double bits,
+    * so any numeric drift (not just shape) changes the hash. */
+  private def thresholdsHash(thr: Array[Double]): String =
+    IvfPqBuilder.sha256Hex(
+      thr.map(java.lang.Double.doubleToLongBits).mkString(","))
 
   /** Load a binary store: (thresholds, live signatures) — manifest
     * re-hashed, threshold shape validated, tombstones anti-joined out
@@ -177,10 +188,31 @@ object BinaryQuant {
       signBitsF(col(vecCol), litDoubles(thresholds)).as("sig"))
 
   /** Incremental ingest against FROZEN thresholds (like every frozen
-    * codec here: the bit boundaries never move once fit). */
+    * codec here: the bit boundaries never move once fit). The
+    * caller-supplied thresholds are validated against the store's
+    * manifest BEFORE any write: shape (a wrong-dim array would write
+    * signatures with a different word count that only surfaces at the
+    * next load) and exact value via the persisted fingerprint (a
+    * same-dim wrong array would silently corrupt Hamming rankings).
+    * Stores saved before the fingerprint existed validate shape only. */
   def appendToStore(thresholds: Array[Double], df: DataFrame,
                     idCol: String, vecCol: String, path: String): Unit = {
     import org.apache.spark.sql.SaveMode
+    val manifestStr =
+      IvfPqBuilder.readVerifiedManifest(df.sparkSession, path)
+    val dim = "\"vector_size\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(manifestStr)
+      .getOrElse(sys.error(s"bad BinaryQuant manifest: $manifestStr"))
+      .group(1).toInt
+    require(thresholds.length == dim,
+      s"append thresholds have ${thresholds.length} dims, store has $dim")
+    "\"thresholds_sha256\"\\s*:\\s*\"([0-9a-f]+)\"".r
+      .findFirstMatchIn(manifestStr).foreach { m =>
+        require(m.group(1) == thresholdsHash(thresholds),
+          "append thresholds differ from the store's frozen thresholds " +
+            "(fingerprint mismatch) — a same-dim mismatch would silently " +
+            "corrupt Hamming rankings")
+      }
     signatures(df, idCol, vecCol, thresholds)
       .write.mode(SaveMode.Append).parquet(s"$path/codes")
   }

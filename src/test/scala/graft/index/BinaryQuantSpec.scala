@@ -151,4 +151,41 @@ class BinaryQuantSpec extends AnyFunSuite {
     val e = intercept[Exception] { bad.collect() }
     assert(e.getMessage != null)
   }
+
+  test("appendToStore validates thresholds against the store manifest: " +
+      "wrong dim refuses, same-dim wrong values refuse (fingerprint), " +
+      "the frozen thresholds append fine") {
+    val thr = BinaryQuant.fitThresholds(df, "vec")
+    val dir = java.nio.file.Files.createTempDirectory("bq_append").toString
+    BinaryQuant.save(thr, df.where(col("id") < 60), "id", "vec", dir)
+    // wrong dimension: a loud shape error BEFORE anything is written
+    val exDim = intercept[IllegalArgumentException] {
+      BinaryQuant.appendToStore(new Array[Double](dim + 1),
+        df.where(col("id") >= 60), "id", "vec", dir)
+    }
+    assert(exDim.getMessage.contains("dims"))
+    // same dim, different values: the fingerprint catches it
+    val skewed = thr.map(_ + 0.5)
+    val exVal = intercept[IllegalArgumentException] {
+      BinaryQuant.appendToStore(skewed, df.where(col("id") >= 60),
+        "id", "vec", dir)
+    }
+    assert(exVal.getMessage.contains("fingerprint"))
+    // nothing was written by the refused appends
+    val (_, afterRefusals) = BinaryQuant.load(spark, dir)
+    assert(afterRefusals.count() === 60L)
+    // the frozen thresholds append, and the store answers over the union
+    BinaryQuant.appendToStore(thr, df.where(col("id") >= 60),
+      "id", "vec", dir)
+    val (thrLoaded, sigs) = BinaryQuant.load(spark, dir)
+    assert(sigs.count() === data.length.toLong)
+    val q = data.head._2
+    val fromStore = BinaryQuant.topKSignatures(sigs, q, 5, thrLoaded)
+      .select(col("id").cast("long"), col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fresh = BinaryQuant.topK(df, "vec", "id", q, 5, thr)
+      .select(col("id").cast("long"), col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fromStore.toSeq === fresh.toSeq)
+  }
 }
