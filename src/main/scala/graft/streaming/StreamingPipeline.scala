@@ -107,6 +107,42 @@ object StreamingPipeline {
       .select(col("content_hash"), col("keep_id"),
         col("doc_id").as("intruder_id"))
 
+  /** BOUNDED-DELAY REORDER pre-stage — the repair half of the
+    * ascending-id ingest contract (detection is [[keeperViolations]]):
+    * a mildly out-of-order source runs its batches through this buffer
+    * in front of [[processBatch]], which then sees ascending id ranges
+    * and keeps the one-shot keeper equality instead of tripping the
+    * audit.
+    *
+    * Per trigger: pool = held ∪ batch; the `w` LARGEST ids stay held,
+    * everything else releases. Releases are therefore monotone across
+    * triggers (every released id is smaller than every id still held,
+    * so smaller than anything released later), and any arrival
+    * displaced by at most `w` positions from sorted order is repaired
+    * exactly. An arrival displaced FURTHER than `w` still escapes — the
+    * audit stays the backstop for that, which is why the gate keeps
+    * asserting [[keeperViolations]] empty rather than trusting the
+    * buffer. At stream end the caller flushes by releasing the final
+    * held state as one last batch.
+    *
+    * Scale shape: the pool is one micro-batch plus `w` rows —
+    * trigger-sized, never the corpus — so the single-partition rank
+    * (the only global sort in the pipeline) is bounded by the trigger
+    * size by construction. */
+  def reorderBatch(batch: DataFrame, held: DataFrame, w: Int)
+      : (DataFrame, DataFrame) = {
+    require(w >= 0, s"reorder window must be >= 0, got $w")
+    val pool = held.unionByName(batch)
+    val ranked = pool.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id").desc)))
+    (ranked.where(col("__rn") > w).drop("__rn"),
+      ranked.where(col("__rn") <= w).drop("__rn"))
+  }
+
+  /** An empty reorder-held state with `batch`'s schema. */
+  def emptyHeldState(batch: DataFrame): DataFrame = batch.limit(0)
+
   /** One trigger: batch (doc_id, text) in, (survivors, new dedup state)
     * out. Survivors carry (doc_id, rep, split); the caller persists the
     * returned state for the next trigger (localCheckpoint in tests,

@@ -148,4 +148,72 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val junk = Seq((0L, "too short")).toDF("doc_id", "text")
     assert(StreamingPipeline.keeperViolations(junk, state).isEmpty)
   }
+
+  test("reorderBatch: a shuffled MemoryStream ingest that WOULD trip " +
+      "the keeper audit runs clean through the bounded-delay buffer, " +
+      "and the accumulated output equals oneShot") {
+    val grams = StreamingPipeline.benchGramState(bench, "text", 8)
+      .localCheckpoint()
+    val reps = StreamingPipeline.repState(pairs).localCheckpoint()
+    val expected = StreamingPipeline.oneShot(docs, bench, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // arrival order displaces id 1 (text-dup of 3) AFTER 3: batches
+    // (3,2) / (1,4,5) / (6,7) — every displacement ≤ 2 positions
+    val arrival = Seq(Seq(3L, 2L), Seq(1L, 4L, 5L), Seq(6L, 7L))
+    def batchFor(ids: Seq[Long]) =
+      rows.filter(r => ids.contains(r._1)).toDF("doc_id", "text")
+
+    // WITHOUT the buffer this ingest trips the audit (3 emitted, then 1)
+    var state0 = StreamingPipeline.emptyHashState(spark)
+    val rawViolations = arrival.map { ids =>
+      val b = batchFor(ids)
+      val v = StreamingPipeline.keeperViolations(b, state0).count()
+      val (_, ns) = StreamingPipeline.processBatch(b, state0, grams, reps)
+      state0 = ns.localCheckpoint()
+      v
+    }.sum
+    assert(rawViolations > 0L, "fixture must violate the raw contract")
+
+    // WITH the buffer (w = 2): audits empty per trigger, output == oneShot
+    val input = MemoryStream[(Long, String)](spark)
+    var state = StreamingPipeline.emptyHashState(spark)
+    var held = StreamingPipeline.emptyHeldState(docs)
+    var audits = List.empty[Long]
+    var acc = List.empty[Array[(Long, Long, String)]]
+    def runReordered(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val (released, newHeld) =
+        StreamingPipeline.reorderBatch(batch, held, w = 2)
+      held = newHeld.localCheckpoint()
+      val rel = released.localCheckpoint()
+      audits = audits :+
+        StreamingPipeline.keeperViolations(rel, state).count()
+      val (out, ns) = StreamingPipeline.processBatch(rel, state, grams, reps)
+      state = ns.localCheckpoint()
+      acc = acc :+ out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        runReordered(batch); ()
+      }
+      .start()
+    try {
+      arrival.foreach { ids =>
+        input.addData(rows.filter(r => ids.contains(r._1)))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // stream end: FLUSH — the held window (the w largest ids, all
+    // larger than anything released) processes directly as the final
+    // released batch
+    audits = audits :+
+      StreamingPipeline.keeperViolations(held, state).count()
+    val (lastOut, _) = StreamingPipeline.processBatch(held, state, grams, reps)
+    acc = acc :+ lastOut.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(audits.forall(_ === 0L),
+      s"buffered ingest must audit clean, got $audits")
+    assert(acc.flatten.toSet === expected)
+  }
 }
