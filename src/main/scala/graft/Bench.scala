@@ -17,6 +17,37 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AMBIENT-CALIBRATION CONTROL (three rounds of driver batteries
+    // needed manual host-ambient arbitration — r11/r12 verdicts): a
+    // FIXED-WORK entry, one driver-CPU leg + one Spark shuffle leg,
+    // measured FIRST (clean JVM, after its own unmeasured JIT warmup)
+    // and LAST (after the whole suite). Its cost depends only on the
+    // box's available cycles, never on code under test, so
+    // ambient_ratio = max(first,last) / clean-box band self-arbitrates
+    // a slow battery: ratio >> 1 means the HOST was contended and the
+    // per-entry numbers carry that factor. Clean-box band measured at
+    // commit time (BENCH_NOTES r13).
+    def ambientControl(): Double = {
+      import org.apache.spark.sql.functions.{col, sum => sqlSum, xxhash64}
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 400000000) { // fixed xorshift fold — pure CPU
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("xorshift fixpoint") // keep live
+      spark.range(1L << 24)
+        .select((col("id") % 9973L).as("k"), xxhash64(col("id")).as("h"))
+        .groupBy("k").agg(sqlSum(col("h")).as("s"))
+        .agg(sqlSum(col("s"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // clean-box median of 8 control runs at commit time (band
+    // 1.45-1.75 s on the idle r13 box — BENCH_NOTES r13); ratio ≈ 1
+    // means clean, >> 1 means the battery ran contended
+    val ambientCleanSec = 1.55
+    ambientControl() // unmeasured JIT/codegen warmup
+    val ambientFirst = ambientControl()
     // Reference-scale build benchmark (BASELINE.md: 906.52 s for
     // 100k×1536 @ P=100 D=12 C=256, single-threaded). On by default so
     // the per-round record carries the baseline comparison; opt out with
@@ -157,8 +188,16 @@ object Bench {
           .map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}")
       } else ""
+    sweepLeftovers()
+    val ambientLast = ambientControl()
+    val ambientRatio =
+      math.max(ambientFirst, ambientLast) / ambientCleanSec
+    val ambientField =
+      s""","ambient":{"control_first_sec":$ambientFirst,""" +
+        s""""control_last_sec":$ambientLast,""" +
+        s""""clean_sec":$ambientCleanSec,"ambient_ratio":$ambientRatio}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$buildField$pipelineField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$buildField$pipelineField$ambientField}"""
     println(line)
     // sbt prefixes stdout with [info], which breaks line-oriented JSON
     // scraping — also persist to a file the driver can read directly.
