@@ -149,28 +149,6 @@ object IvfPqBuilder {
     log(s"coarse-kmeans rounds=${coarseFit.iters}/${config.maxIter}")
     val centroids = coarseFit.centroids
 
-    // partition assignment + residual v − centroid[p] in one projection —
-    // two kernel calls per row with the P×N centroid table riding along
-    // as a codegen literal, no join (the assignment argmin is shared
-    // between the two columns by codegen subexpression elimination).
-    // Residuals are f32, as in the reference (partitions.rs:119-143) —
-    // half the cache footprint and PQ scan traffic of doubles.
-    val flatCentLit = litDoubles(centroids.flatten)
-    // localCheckpoint, not cache(): the stage itself costs the same
-    // (the write is bandwidth-bound either way at 1M×1536), but raw
-    // checkpointed rows skip the columnar cache's per-element
-    // builder/accessor work on every later scan AND its heap churn —
-    // measured at 1M: the downstream stages (pq fits, sample collect)
-    // ran 61.5 s → ~50 s total under the lower GC pressure. Blocks are
-    // freed by the ContextCleaner once the encoded relation lets go
-    // (the CorpusClean discipline).
-    val assigned = timed("materialize-residuals")(base
-      .withColumn("partition", nearestCentroidL2(col("vec"), flatCentLit))
-      .withColumn("residual",
-        subCentroidF(col("vec"), flatCentLit, col("partition")))
-      .select(col("id"), col("partition"), col("residual"))
-      .localCheckpoint())
-
     // --- stage 3: D PQ codebooks over residual slices (db/build.rs:107-118).
     // Residuals of the already-collected training sample are computed
     // locally (assignResiduals — same numeric contract as the
@@ -199,6 +177,38 @@ object IvfPqBuilder {
     log(s"pq-kmeans rounds=${pqFits.map(_.iters).min}.." +
       s"${pqFits.map(_.iters).max}/${config.maxIter}")
     val codebooks = pqFits.map(_.centroids).toArray
+
+    // partition assignment + residual v − centroid[p] in one projection —
+    // two kernel calls per row with the P×N centroid table riding along
+    // as a codegen literal, no join (the assignment argmin is shared
+    // between the two columns by codegen subexpression elimination).
+    // Residuals are f32, as in the reference (partitions.rs:119-143) —
+    // half the cache footprint and PQ scan traffic of doubles.
+    //
+    // ORDERED AFTER the PQ fits (round 13): the fits read only the
+    // driver sample + centroids, and materializing the corpus-sized
+    // residual relation first left ~6 GB of checkpoint blocks resident
+    // in the shared local-mode heap while the fit threads ran — the
+    // measured cause of the 1M pq-kmeans-all inflation (80.9 s with the
+    // relation resident vs 47.6 s fits-first at n=1M, same 65,536-row
+    // sample; 100k fits read ~29 s in both orders — Round13 probe,
+    // BENCH_NOTES). On a real cluster driver and executors are separate
+    // JVMs, but fits-first is strictly better locally and free remotely.
+    val flatCentLit = litDoubles(centroids.flatten)
+    // localCheckpoint, not cache(): the stage itself costs the same
+    // (the write is bandwidth-bound either way at 1M×1536), but raw
+    // checkpointed rows skip the columnar cache's per-element
+    // builder/accessor work on every later scan AND its heap churn —
+    // measured at 1M: the downstream stages ran 61.5 s → ~50 s total
+    // under the lower GC pressure. Blocks are freed by the
+    // ContextCleaner once the encoded relation lets go (the CorpusClean
+    // discipline).
+    val assigned = timed("materialize-residuals")(base
+      .withColumn("partition", nearestCentroidL2(col("vec"), flatCentLit))
+      .withColumn("residual",
+        subCentroidF(col("vec"), flatCentLit, col("partition")))
+      .select(col("id"), col("partition"), col("residual"))
+      .localCheckpoint())
 
     // --- stage 4: encode — all D argmin assignments in ONE kernel call
     // per row (reference Partition::new, db/build.rs:446-483); one pass
