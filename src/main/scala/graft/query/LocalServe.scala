@@ -921,6 +921,13 @@ final class LocalServeLazy private (
     val probes = AnnQuery.selectPartitions(model, q, nprobe)
     res.withResident(probes.map(_._1))(_.queryProbes(probes, k, pred))
   }
+
+  /** Top-k over an explicit probe set with lazy residency — the seam
+    * [[ServeRouterLazy]] routes a shard's probe subset through; pins
+    * exactly the probed cells first, then delegates to the eager loop. */
+  private[query] def queryProbes(probes: Array[(Int, Array[Double])],
+                                 k: Int): Array[(Long, Int, Double)] =
+    res.withResident(probes.map(_._1))(_.queryProbes(probes, k))
 }
 
 object LocalServeLazy {

@@ -85,3 +85,61 @@ object ServeRouter {
     new ServeRouter(model, shards.toIndexedSeq, pairs.toMap)
   }
 }
+
+/** Cell-ASSIGNED router over LAZY shards — the fleet form of the lazy
+  * tier: a static cell→shard assignment (not the shards' current
+  * residency, which is dynamic by design) routes each probed cell to
+  * its one owner, and every shard is a [[LocalServeLazy]] that pins its
+  * assigned cells on first probe under its own caps. N boxes together
+  * hold the hot fraction of a store NONE of them could pin alone;
+  * results stay bit-identical to a single box over the same store
+  * (the [[ServeRouter]] merge argument — per-probe ADC tables are pure
+  * functions of (model, localized), per-shard top-k keeps every true
+  * global member, both tiers break ties by (sq_dist, id)).
+  *
+  * The assignment must cover every cell a query can probe (a probe
+  * into an unassigned cell throws — the fleet refusal contract);
+  * typically `cell % numShards`. Shards opened with caps keep their
+  * own LRU/bytes eviction — the router adds no residency state. */
+final class ServeRouterLazy private (
+    val model: IvfPqModel,
+    shards: IndexedSeq[LocalServeLazy],
+    assign: Int => Int) {
+
+  /** Number of shards behind this router. */
+  def numShards: Int = shards.length
+
+  /** Warm-or-cold top-k across the lazy fleet: identical contract and
+    * bits to one [[LocalServeLazy]] holding every cell. */
+  def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = AnnQuery.selectPartitions(model, q, nprobe)
+    val bad = probes.map(_._1).filter { c =>
+      val s = assign(c); s < 0 || s >= shards.length
+    }
+    require(bad.isEmpty,
+      s"probed cells assigned to no shard: ${bad.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
+    val futs = byShard.toSeq.map { case (si, shardProbes) =>
+      Future(shards(si).queryProbes(shardProbes, k))
+    }
+    val merged = Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+    merged.sortBy(t => (t._3, t._1)).take(k)
+  }
+}
+
+object ServeRouterLazy {
+
+  /** Assemble a lazy fleet router from shards (one per assignment
+    * index) and a static cell→shard assignment. */
+  def apply(model: IvfPqModel, shards: Seq[LocalServeLazy],
+            assign: Int => Int): ServeRouterLazy = {
+    require(shards.nonEmpty, "router needs at least one shard")
+    new ServeRouterLazy(model, shards.toIndexedSeq, assign)
+  }
+}

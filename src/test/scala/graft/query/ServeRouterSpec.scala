@@ -90,4 +90,64 @@ class ServeRouterSpec extends AnyFunSuite {
     val q = data.find(_._1 == 63L).get._2.map(_.toDouble).toArray
     assert(router.query(q, 10, 4).toSeq === single.query(q, 10, 4).toSeq)
   }
+
+  test("OPQ shards: a router over fromOpqStore shards matches the " +
+      "single OPQ box bit-exactly (rotation rides inside each shard)") {
+    import graft.index.OpqBuilder
+    val (opqModel, opqEncoded) =
+      OpqBuilder.fit(df, "id", "vec", dim, config, opqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("opq_router").toString
+    OpqBuilder.save(opqModel, opqEncoded, dir)
+    val single = LocalServe.fromOpqStore(spark, dir)
+    val cells = single.cells
+    val shards = Seq(cells.filter(_ % 2 == 0), cells.filter(_ % 2 == 1))
+      .map(cs => LocalServe.fromOpqStore(spark, dir, cs))
+    val router = ServeRouter(opqModel.ivf, shards)
+    for (qid <- Seq(0L, 63L, 127L); (k, nprobe) <- Seq((5, 2), (10, 6))) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(router.query(q, k, nprobe).toSeq ===
+        single.query(q, k, nprobe).toSeq,
+        s"OPQ router mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+  }
+
+  test("ServeRouterLazy: a lazy fleet under a static cell%N assignment " +
+      "matches the single box bit-exactly, each shard pins only the " +
+      "cells routed to it, and per-shard caps hold") {
+    val single = LocalServe.fromStore(spark, storeDir)
+    val shards = (0 until 2).map(_ =>
+      LocalServeLazy.fromStore(spark, storeDir))
+    val router = ServeRouterLazy(model, shards, _ % 2)
+    for {
+      qid <- Seq(0L, 63L, 127L, 191L)
+      (k, nprobe) <- Seq((5, 1), (10, 3), (7, 6))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(router.query(q, k, nprobe).toSeq ===
+        single.query(q, k, nprobe).toSeq,
+        s"lazy fleet mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    // residency discipline: every pinned cell sits on its assigned shard
+    assert(shards(0).cells.forall(_ % 2 == 0))
+    assert(shards(1).cells.forall(_ % 2 == 1))
+    assert((shards(0).cells ++ shards(1).cells).nonEmpty)
+    // capped lazy shards still answer correctly (eviction under the hood)
+    val capped = (0 until 2).map(_ =>
+      LocalServeLazy.fromStore(spark, storeDir, maxResidentCells = 2))
+    val cappedRouter = ServeRouterLazy(model, capped, _ % 2)
+    for (qid <- Seq(0L, 63L, 127L, 191L, 0L)) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(cappedRouter.query(q, 5, 2).toSeq ===
+        single.query(q, 5, 2).toSeq)
+      assert(capped(0).cells.size <= 2 && capped(1).cells.size <= 2)
+    }
+    // out-of-range assignment refuses loudly: one shard, %2 assignment
+    // routes every odd probed cell out of range at full nprobe
+    val underProvisioned = ServeRouterLazy(model, Seq(shards(0)), _ % 2)
+    val ex = intercept[IllegalArgumentException] {
+      underProvisioned.query(data.head._2.map(_.toDouble).toArray, 5,
+        config.numPartitions)
+    }
+    assert(ex.getMessage.contains("assigned to no shard"))
+  }
 }
