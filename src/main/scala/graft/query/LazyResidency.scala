@@ -71,19 +71,23 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
   // one in-flight load per cell, shared by concurrent cold queries
   private val inflight = new ConcurrentHashMap[Int, Promise[Unit]]
   private val installLock = new Object
-  @volatile private var resident: Map[Int, P] = Map.empty
-  @volatile private var delegateNow: S = mkDelegate(Map.empty)
-  @volatile private var residentBytesNow: Long = 0L
+  // ONE volatile snapshot: membership check and delegate must come from
+  // the same read — with separate fields a reader could observe the new
+  // resident map but the previous delegate (written a moment later) and
+  // hand a query a delegate missing its probed cell
+  private final case class Snap(resident: Map[Int, P], bytes: Long,
+                                delegate: S)
+  @volatile private var snap: Snap = Snap(Map.empty, 0L, mkDelegate(Map.empty))
   @volatile private var coldLoadCount: Long = 0L
 
   /** Cells currently resident (sorted). */
-  def cells: Seq[Int] = resident.keys.toSeq.sorted
+  def cells: Seq[Int] = snap.resident.keys.toSeq.sorted
 
   /** Cold cell loads performed so far (per cell, not per query). */
   def coldLoads: Long = coldLoadCount
 
   /** Total payload bytes currently resident. */
-  def residentBytes: Long = residentBytesNow
+  def residentBytes: Long = snap.bytes
 
   /** Run `f` on a delegate snapshot guaranteed to contain every probed
     * cell; the probed cells cannot be evicted while `f` runs. */
@@ -105,9 +109,9 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
     * resident for the returned snapshot's consumer. */
   private def ensureResident(probed: Array[Int]): S = {
     while (true) {
-      val snap = resident
-      val missing = probed.filterNot(snap.contains)
-      if (missing.isEmpty) return delegateNow
+      val s0 = snap
+      val missing = probed.filterNot(s0.resident.contains)
+      if (missing.isEmpty) return s0.delegate
       // claim cells nobody is loading; join the in-flight load otherwise
       val mine = Vector.newBuilder[(Int, Promise[Unit])]
       val waits = Vector.newBuilder[Promise[Unit]]
@@ -129,8 +133,8 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
               throw e
           }
         installLock.synchronized {
-          var res = resident
-          var bytes = residentBytesNow
+          var res = snap.resident
+          var bytes = snap.bytes
           cellsToLoad.foreach { c =>
             // cells the store has no live rows for pin as EMPTY — the
             // cluster path's pruned scan yields zero rows there too
@@ -156,9 +160,7 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
               i += 1
             }
           }
-          resident = res
-          residentBytesNow = bytes
-          delegateNow = mkDelegate(res)
+          snap = Snap(res, bytes, mkDelegate(res))
         }
         claimed.foreach { case (c, p) => inflight.remove(c); p.success(()) }
       }

@@ -209,4 +209,51 @@ class LazyResidencySpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("maxResidentCells"))
   }
+
+  test("randomized stress: 8 threads x 400 acquisitions over 32 cells " +
+      "under a tight cap — every delegate covers its probes with the " +
+      "correct payloads, loads stay deduplicated per residency epoch") {
+    val h = new Harness(maxCells = 6)
+    val nCells = 32
+    val threads = 8
+    val opsPerThread = 400
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val done = new CountDownLatch(threads)
+    (0 until threads).foreach { ti =>
+      inThread {
+        val rnd = new scala.util.Random(7919L * (ti + 1))
+        var op = 0
+        try {
+          while (op < opsPerThread) {
+            val n = 1 + rnd.nextInt(3)
+            val probed = Array.fill(n)(rnd.nextInt(nCells)).distinct
+            h.res.withResident(probed) { m =>
+              probed.foreach { c =>
+                val p = m.get(c)
+                if (p.isEmpty)
+                  errors.add(s"t$ti op$op: cell $c missing from delegate")
+                else if (!p.get.sameElements(Array.fill(4)(c.toLong)))
+                  errors.add(s"t$ti op$op: cell $c wrong payload")
+              }
+            }
+            op += 1
+          }
+        } finally done.countDown()
+      }
+    }
+    assert(done.await(120, TimeUnit.SECONDS), "stress run timed out")
+    assert(errors.isEmpty, s"stress errors: ${errors.toArray.take(5).mkString("; ")}")
+    // liveness bookkeeping: no in-flight entries or use-pins left behind
+    assert(h.res.coldLoads >= 32L, "every cell must have loaded at least once")
+    // single-threaded follow-up still behaves (no wedged state), and an
+    // install with no concurrent pins drains any pin-era overage: force
+    // a cold install by probing a currently-absent cell
+    val absent = (0 until nCells).find(c => !h.res.cells.contains(c))
+      .getOrElse { // all resident (cap must have been ineffective) — evict path
+        fail(s"expected an absent cell under cap 6, resident=${h.res.cells}")
+      }
+    h.res.withResident(Array(absent))(m => assert(m.contains(absent)))
+    assert(h.res.cells.size <= 6,
+      s"post-install residency ${h.res.cells.size} exceeds the cap")
+  }
 }
