@@ -1617,6 +1617,153 @@ object SparkEntry {
           lit(if (router.numShards == 2) 1L else 0L).as("two_shards"))
     }),
 
+    // SHARDED SQ8 serving (round 13): ServeRouterSq8 over two
+    // cell-disjoint LocalServeSq8 shards — bit-identical to the
+    // cluster IvfSq8.topK on the same relation
+    "ann_sq8_serve_sharded" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded0) = graft.index.IvfSq8
+        .fit(emb, "vec_id", "embedding", 64, numPartitions = 8)
+      val encoded = encoded0.localCheckpoint()
+      val single = graft.query.LocalServeSq8.fromCodes(model, encoded)
+      val shards = Seq(single.cells.filter(_ % 2 == 0),
+          single.cells.filter(_ % 2 == 1))
+        .map(cs => graft.query.LocalServeSq8.fromCodes(model,
+          encoded.where(col("partition").isin(cs: _*))))
+      val router = graft.query.ServeRouterSq8(model, shards)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = graft.index.IvfSq8
+          .topK(encoded, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val routed = router.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(routed, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // SHARDED RQ serving (round 13): the refine pattern's TWO-PHASE
+    // fleet merge — each shard returns level-1 nominees with both
+    // scores, the router re-applies the global level-1 cut then the
+    // refined order (a naive per-shard refined merge is NOT bit-equal:
+    // a shard-local nominee the global cut would drop can refine in) —
+    // bit-identical to the cluster Rq.topKRefined
+    "ann_rq_serve_sharded" -> ((s, dir) => {
+      import graft.index.Rq
+      val (model, encoded) = fittedIndex(s, dir)
+      val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+        numDivisions2 = 16, numCodes2 = 16, trainPointsPerCentroid = 0)
+      val enc2 = enc2raw.localCheckpoint()
+      val single = graft.query.LocalServeRq.fromCodes(rq, enc2)
+      val shards = Seq(single.cells.filter(_ % 2 == 0),
+          single.cells.filter(_ % 2 == 1))
+        .map(cs => graft.query.LocalServeRq.fromCodes(rq,
+          enc2.where(col("partition").isin(cs: _*))))
+      val router = graft.query.ServeRouterRq(rq, shards)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = Rq.topKRefined(enc2, rq, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        val routed = router.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(routed, (-1L, -1.0), (-2L, -2.0)).map {
+          case ((cid, cd), (lid, ld)) =>
+            (if (cid == lid) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
+    // SHARDED Hamming serving (round 13): ID-disjoint signature shards
+    // (flat scan — every shard answers every query); raw top-k merges
+    // by (hamming, id), the rerank composition uses the two-phase merge
+    // (global Hamming nomination cut, then exact order) — both
+    // bit-identical to BinaryQuant's cluster scans
+    "knn_hamming_serve_sharded" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = graft.index.BinaryQuant.fitThresholds(emb, "embedding")
+      val shards = Seq(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1))
+        .map(part => graft.query.LocalServeHamming.fromVectors(
+          part, "embedding", "vec_id", dim = 64, thresholds = thr,
+          pinFloats = true))
+      val router = graft.query.ServeRouterHamming(shards)
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid)
+        val cluster = graft.index.BinaryQuant.rankedIds(
+            emb, "embedding", "vec_id", q, 10, thr)
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val routed = router.query(q, 10)
+        val clusterRr = graft.index.BinaryQuant.rankedIdsRerank(
+            emb, "embedding", "vec_id", q, 10, kFactor = 4,
+            thresholds = thr)
+          .collect().map(_.getLong(1))
+        val routedRr = router.queryRerank(q, 10, kFactor = 4).map(_._1)
+        cluster.zipAll(routed, (-1L, -1L), (-2L, -2L)).map {
+          case ((ci, ch), (li, lh)) =>
+            (if (ci == li && ch == lh) 0L else 1L, 0L)
+        } ++
+        clusterRr.zipAll(routedRr, -1L, -2L).map {
+          case (a, b) => (0L, if (a == b) 0L else 1L)
+        }
+      }
+      import s.implicits._
+      checks.toDF("ham_mm", "rr_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("ham_mm")), lit(0L)).as("n_ham_mismatch"),
+        coalesce(sum(col("rr_mm")), lit(0L)).as("n_rerank_mismatch"))
+    }),
+
+    // SHARDED FILTERED serving (round 13): the attribute predicate
+    // narrows inside each shard's ADC loop; fleet answers must be
+    // bit-identical to the pre-filtered cluster composition
+    "ann_filtered_serve_sharded" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, encoded) = fittedIndex(s, dir)
+      val withLabel = encoded
+        .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+      val allCells = withLabel.select(col("partition").cast("int"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      val shards = Seq(allCells.filter(_ % 2 == 0),
+          allCells.filter(_ % 2 == 1))
+        .map(cs => graft.query.LocalServe.fromCodesWithAttrs(model,
+          withLabel.where(col("partition").isin(cs: _*)), "label"))
+      val router = graft.query.ServeRouter(model, shards)
+      val filtered = withLabel.where(col("label") === 3)
+        .select("id", "partition", "codes")
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(filtered, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val routed = router.queryFiltered(q, k = 10, nprobe = 4)(_ == 3L)
+        cluster.zipAll(routed, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact, no tolerance
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+    }),
+
     // LAZY FILTERED serving (round 13): queryFiltered over the
     // lazily-pinned delegate — attributes pin per cell alongside the
     // codes on first probe; answers must be BIT-IDENTICAL to the
@@ -7352,6 +7499,34 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch,
         | CAST(1 AS BIGINT) AS two_shards""".stripMargin,
+
+    // 3 queries x k=10, two-shard SQ8 router bit-identical to the
+    // cluster IvfSq8.topK
+    "ann_sq8_serve_sharded" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    // 3 queries x k=10, two-shard RQ router (two-phase nominee merge)
+    // bit-identical to the cluster Rq.topKRefined
+    "ann_rq_serve_sharded" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
+
+    // 3 queries x (10 raw + 10 reranked), id-sharded Hamming fleet
+    // bit-identical to BinaryQuant's cluster scans
+    "knn_hamming_serve_sharded" ->
+      """SELECT CAST(60 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_ham_mismatch,
+        | CAST(0 AS BIGINT) AS n_rerank_mismatch""".stripMargin,
+
+    // 3 queries x k=10, filtered fleet bit-identical to the
+    // pre-filtered cluster composition
+    "ann_filtered_serve_sharded" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch""".stripMargin,
 
     // (3 cold + 1 warm repeat) queries x k=10, lazy filtered serving
     // bit-identical to the pre-filtered cluster composition

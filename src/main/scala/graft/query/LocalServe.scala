@@ -59,6 +59,10 @@ final class LocalServe private[query] (
   /** Total resident vectors. */
   def size: Long = cellIds.valuesIterator.map(_.length.toLong).sum
 
+  /** Whether this box pinned attributes (the filtered-path residency) —
+    * the sharded router's assembly check for fleet-wide queryFiltered. */
+  private[query] def attrsPinned: Boolean = cellAttrs.nonEmpty
+
   // column-major rotation copy for the Vector-API mat-vec
   // (SimdKernels.rotateExact — bit-identical lanes, see its doc);
   // built once per server, absent when the scalar path serves
@@ -322,7 +326,26 @@ final class LocalServeRq private[query] (
                                  q: Array[Double], k: Int,
                                  kFactor: Int): Array[(Long, Double)] = {
     require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
-    val cands = lvl1.queryProbes(probes, k * kFactor)
+    nomineesScored(probes, q, k * kFactor)
+      .map(t => (t._1, t._4))
+      .sortBy(t => (t._2, t._1)).take(k)
+  }
+
+  /** The refine pattern's two scores for this box's level-1 top-`n`
+    * nominees: (id, cell, lvl1_sq_dist, refined_sq_dist), ordered by
+    * (lvl1_sq_dist, id). The SHARDED router needs both: a naive
+    * per-shard refined top-k merge is NOT bit-equal to the single box
+    * (a shard-local nominee the GLOBAL level-1 cut would have dropped
+    * can refine well and enter the merge), so [[ServeRouterRq]] merges
+    * nominees by the level-1 order first — reconstructing the single
+    * box's nomination set exactly — and only then applies the refined
+    * order. Each refined score is a pure function of (model, q, row),
+    * so where it is computed cannot change its bits. */
+  private[query] def nomineesScored(probes: Array[(Int, Array[Double])],
+                                    q: Array[Double], n: Int)
+      : Array[(Long, Int, Double, Double)] = {
+    require(n >= 1, s"nominee count must be >= 1, got $n")
+    val cands = lvl1.queryProbes(probes, n)
     val dim = model.base.dim
     val d1 = model.base.config.numDivisions
     val m1 = dim / d1
@@ -335,7 +358,7 @@ final class LocalServeRq private[query] (
     val cents = model.base.partitionCentroids
     val qf = q.map(_.toFloat)
     // per-cell row index of each candidate (ids are sorted per cell)
-    val scored = cands.map { case (id, cell, _) =>
+    cands.map { case (id, cell, lvl1Dist) =>
       val ids = cellIds(cell)
       val r = java.util.Arrays.binarySearch(ids, id)
       require(r >= 0, s"candidate $id missing from its cell $cell")
@@ -356,9 +379,8 @@ final class LocalServeRq private[query] (
         s += d * d
         i += 1
       }
-      (id, s)
+      (id, cell, lvl1Dist, s)
     }
-    scored.sortBy(t => (t._2, t._1)).take(k)
   }
 }
 
@@ -770,10 +792,22 @@ final class LocalServeHamming private (
   def queryRerank(q: Array[Float], k: Int,
                   kFactor: Int = 4): Array[(Long, Double)] = {
     require(kFactor >= 1, s"kFactor must be >= 1, got $kFactor")
+    rerankCandidates(q, k * kFactor)
+      .map(t => (t._1, t._3))
+      .sortBy(t => (t._2, t._1)).take(k)
+  }
+
+  /** Both rerank scores for this box's Hamming top-`n` nominees:
+    * (id, hamming, exact_sq_dist), ordered by (hamming, id). The
+    * sharded router merges by the HAMMING order first — reconstructing
+    * the single box's nomination cut exactly (see
+    * [[LocalServeRq.nomineesScored]] for why a per-shard reranked
+    * merge is not bit-equal) — then applies the exact order. */
+  private[query] def rerankCandidates(q: Array[Float], n: Int)
+      : Array[(Long, Long, Double)] = {
     require(floats != null,
       "queryRerank needs pinned float vectors — load with pinFloats = true")
-    val cands = query(q, k * kFactor)
-    val scored = cands.map { case (id, _) =>
+    query(q, n).map { case (id, h) =>
       val r = java.util.Arrays.binarySearch(ids, id)
       var s = 0.0
       var i = 0
@@ -782,10 +816,13 @@ final class LocalServeHamming private (
         s += d * d
         i += 1
       }
-      (id, s)
+      (id, h, s)
     }
-    scored.sortBy(t => (t._2, t._1)).take(k)
   }
+
+  /** Resident ids (shared reference, do not mutate) — the sharded
+    * router's id-disjointness assembly check. */
+  private[query] def idsSnapshot: Array[Long] = ids
 }
 
 object LocalServeHamming {

@@ -65,6 +65,33 @@ final class ServeRouter private (
     // top-k, and both tiers order by (sq_dist, id)
     merged.sortBy(t => (t._3, t._1)).take(k)
   }
+
+  /** FILTERED top-k across the fleet — [[LocalServe.queryFiltered]]'s
+    * contract sharded: the predicate narrows candidates INSIDE each
+    * shard's ADC loop (per row, before the heap), so the per-shard
+    * top-k is the filtered top-k of its cells and the same merge
+    * argument applies verbatim. Every shard must have pinned attrs. */
+  def queryFiltered(q: Array[Double], k: Int, nprobe: Int)
+                   (pred: Long => Boolean): Array[(Long, Int, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shards.forall(_.attrsPinned),
+      "fleet queryFiltered needs attributes pinned on EVERY shard — " +
+        "load shards via fromCodesWithAttrs")
+    val probes = AnnQuery.selectPartitions(model, q, nprobe)
+    val missing = probes.map(_._1).filterNot(cellShard.contains)
+    require(missing.isEmpty,
+      s"probed cells not resident on any shard: ${missing.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val byShard = probes.groupBy { case (cell, _) => cellShard(cell) }
+    val futs = byShard.toSeq.map { case (si, shardProbes) =>
+      Future(shards(si).queryProbes(shardProbes, k, pred))
+    }
+    Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+      .sortBy(t => (t._3, t._1)).take(k)
+  }
 }
 
 object ServeRouter {
@@ -141,5 +168,183 @@ object ServeRouterLazy {
             assign: Int => Int): ServeRouterLazy = {
     require(shards.nonEmpty, "router needs at least one shard")
     new ServeRouterLazy(model, shards.toIndexedSeq, assign)
+  }
+}
+
+/** [[ServeRouter]] for IVF+SQ8 shards — identical routing and merge
+  * over [[LocalServeSq8.queryProbes]]; the per-row sq8 distance is a
+  * pure function of (codec constants, localized query, row), so the
+  * merge argument carries over unchanged. */
+final class ServeRouterSq8 private (
+    val model: graft.index.IvfSq8Model,
+    shards: IndexedSeq[LocalServeSq8],
+    cellShard: Map[Int, Int]) {
+
+  /** Number of shards behind this router. */
+  def numShards: Int = shards.length
+
+  /** Warm top-k across the fleet — bit-identical to a single
+    * [[LocalServeSq8]] holding every shard's cells. */
+  def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
+    val missing = probes.map(_._1).filterNot(cellShard.contains)
+    require(missing.isEmpty,
+      s"probed cells not resident on any shard: ${missing.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val byShard = probes.groupBy { case (cell, _) => cellShard(cell) }
+    val futs = byShard.toSeq.map { case (si, shardProbes) =>
+      Future(shards(si).queryProbes(shardProbes, k))
+    }
+    Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+      .sortBy(t => (t._3, t._1)).take(k)
+  }
+}
+
+object ServeRouterSq8 {
+
+  /** Assemble over cell-disjoint SQ8 shards — same contract as
+    * [[ServeRouter.apply]]. */
+  def apply(model: graft.index.IvfSq8Model,
+            shards: Seq[LocalServeSq8]): ServeRouterSq8 = {
+    require(shards.nonEmpty, "router needs at least one shard")
+    val pairs = shards.zipWithIndex.flatMap { case (s, i) =>
+      s.cells.map(_ -> i)
+    }
+    val dup = pairs.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dup.isEmpty,
+      s"cells held by more than one shard: ${dup.toSeq.sorted.mkString(",")}")
+    new ServeRouterSq8(model, shards.toIndexedSeq, pairs.toMap)
+  }
+}
+
+/** [[ServeRouter]] for two-level RQ shards — the refine pattern needs
+  * the TWO-PHASE merge: a naive merge of per-shard REFINED top-k is not
+  * bit-equal to the single box, because a shard-local nominee that the
+  * single box's GLOBAL level-1 cut (top k·kFactor by (lvl1, id)) would
+  * have dropped can refine well and enter the merged top-k — better
+  * recall, different bits. So each shard returns its level-1 top-n
+  * nominees WITH BOTH scores ([[LocalServeRq.nomineesScored]]), the
+  * router re-applies the global level-1 order to reconstruct the single
+  * box's nomination set exactly, and only then applies the refined
+  * (sq_dist, id) order. Both scores are pure functions of
+  * (model, q, row), so shard-local computation cannot change them. */
+final class ServeRouterRq private (
+    val model: graft.index.Rq.RqModel,
+    shards: IndexedSeq[LocalServeRq],
+    cellShard: Map[Int, Int]) {
+
+  /** Number of shards behind this router. */
+  def numShards: Int = shards.length
+
+  /** Warm refined top-k across the fleet — bit-identical to a single
+    * [[LocalServeRq]] holding every shard's cells. */
+  def query(q: Array[Double], k: Int, nprobe: Int,
+            kFactor: Int = 4): Array[(Long, Double)] = {
+    require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
+    val probes = AnnQuery.selectPartitions(model.base, q, nprobe)
+    val missing = probes.map(_._1).filterNot(cellShard.contains)
+    require(missing.isEmpty,
+      s"probed cells not resident on any shard: ${missing.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val n = k * kFactor
+    val byShard = probes.groupBy { case (cell, _) => cellShard(cell) }
+    val futs = byShard.toSeq.map { case (si, shardProbes) =>
+      Future(shards(si).nomineesScored(shardProbes, q, n))
+    }
+    val nominees = Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+    // phase 1: the single box's nomination cut — global top-n by the
+    // LEVEL-1 order; phase 2: the refined order over exactly that set
+    nominees.sortBy(t => (t._3, t._1)).take(n)
+      .map(t => (t._1, t._4))
+      .sortBy(t => (t._2, t._1)).take(k)
+  }
+}
+
+object ServeRouterRq {
+
+  /** Assemble over cell-disjoint RQ shards — same contract as
+    * [[ServeRouter.apply]]. */
+  def apply(model: graft.index.Rq.RqModel,
+            shards: Seq[LocalServeRq]): ServeRouterRq = {
+    require(shards.nonEmpty, "router needs at least one shard")
+    val pairs = shards.zipWithIndex.flatMap { case (s, i) =>
+      s.cells.map(_ -> i)
+    }
+    val dup = pairs.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dup.isEmpty,
+      s"cells held by more than one shard: ${dup.toSeq.sorted.mkString(",")}")
+    new ServeRouterRq(model, shards.toIndexedSeq, pairs.toMap)
+  }
+}
+
+/** [[ServeRouter]] for Hamming-signature shards. Signatures have no
+  * cells — shards split the corpus by ID (any disjoint split works; the
+  * scan is flat) — so EVERY shard answers every query and the merge is
+  * over all shards' top-k by (hamming, id). The rerank composition uses
+  * the same two-phase merge as [[ServeRouterRq]]: shards return their
+  * Hamming top-n nominees with both scores
+  * ([[LocalServeHamming.rerankCandidates]]), the router re-applies the
+  * global Hamming nomination cut, then the exact (sq_dist, id) order —
+  * bit-identical to the single box's nominate-then-rerank. */
+final class ServeRouterHamming private (
+    shards: IndexedSeq[LocalServeHamming]) {
+
+  /** Number of shards behind this router. */
+  def numShards: Int = shards.length
+
+  /** Warm Hamming top-k across the fleet — bit-identical to a single
+    * [[LocalServeHamming]] holding every shard's rows. */
+  def query(q: Array[Float], k: Int): Array[(Long, Long)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = shards.map(s => Future(s.query(q, k)))
+    Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+      .sortBy(t => (t._2, t._1)).take(k)
+  }
+
+  /** Hamming-nominate + exact re-rank across the fleet — bit-identical
+    * to the single box's [[LocalServeHamming.queryRerank]] (two-phase
+    * merge; every shard must have floats pinned). */
+  def queryRerank(q: Array[Float], k: Int,
+                  kFactor: Int = 4): Array[(Long, Double)] = {
+    require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val n = k * kFactor
+    val futs = shards.map(s => Future(s.rerankCandidates(q, n)))
+    val nominees = Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+    nominees.sortBy(t => (t._2, t._1)).take(n)
+      .map(t => (t._1, t._3))
+      .sortBy(t => (t._2, t._1)).take(k)
+  }
+}
+
+object ServeRouterHamming {
+
+  /** Assemble over ID-disjoint signature shards (overlap would
+    * double-count candidates — checked at assembly; shard sizes are
+    * driver-resident by the serving contract, so the check is cheap). */
+  def apply(shards: Seq[LocalServeHamming]): ServeRouterHamming = {
+    require(shards.nonEmpty, "router needs at least one shard")
+    val seen = new java.util.HashSet[Long]()
+    shards.foreach { s =>
+      s.idsSnapshot.foreach { id =>
+        require(seen.add(id), s"id $id held by more than one shard")
+      }
+    }
+    new ServeRouterHamming(shards.toIndexedSeq)
   }
 }

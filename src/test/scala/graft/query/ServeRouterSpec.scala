@@ -91,6 +91,111 @@ class ServeRouterSpec extends AnyFunSuite {
     assert(router.query(q, 10, 4).toSeq === single.query(q, 10, 4).toSeq)
   }
 
+  test("filtered fleet: ServeRouter.queryFiltered over attr-pinned " +
+      "shards matches the single filtered box bit-exactly; a fleet " +
+      "with an attr-less shard refuses") {
+    import org.apache.spark.sql.functions._
+    val (loaded, codes) = IvfPqBuilder.load(spark, storeDir)
+    val withAttr = codes.withColumn("tag", pmod(col("id"), lit(3)))
+    val single = LocalServe.fromCodesWithAttrs(loaded, withAttr, "tag")
+    val cells = single.cells
+    val shards = Seq(cells.filter(_ % 2 == 0), cells.filter(_ % 2 == 1))
+      .map(cs => LocalServe.fromCodesWithAttrs(loaded,
+        withAttr.where(col("partition").isin(cs: _*)), "tag"))
+    val router = ServeRouter(loaded, shards)
+    for (qid <- Seq(0L, 63L, 127L); (k, nprobe) <- Seq((5, 3), (10, 6))) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(router.queryFiltered(q, k, nprobe)(_ == 1L).toSeq ===
+        single.queryFiltered(q, k, nprobe)(_ == 1L).toSeq,
+        s"filtered fleet mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    val mixed = ServeRouter(loaded,
+      Seq(shards(0), LocalServe.fromStore(spark, storeDir,
+        cells.filter(_ % 2 == 1))))
+    val ex = intercept[IllegalArgumentException] {
+      mixed.queryFiltered(data.head._2.map(_.toDouble).toArray, 5, 2)(_ => true)
+    }
+    assert(ex.getMessage.contains("EVERY shard"))
+  }
+
+  test("SQ8 shards: ServeRouterSq8 matches the single LocalServeSq8 " +
+      "bit-exactly; overlapping shards refuse") {
+    import org.apache.spark.sql.functions.col
+    val (sqModel, sqEnc0) = graft.index.IvfSq8.fit(df, "id", "vec", dim,
+      numPartitions = 6)
+    val sqEnc = sqEnc0.localCheckpoint()
+    val single = LocalServeSq8.fromCodes(sqModel, sqEnc)
+    val cells = single.cells
+    val shards = Seq(cells.filter(_ % 2 == 0), cells.filter(_ % 2 == 1))
+      .map(cs => LocalServeSq8.fromCodes(sqModel,
+        sqEnc.where(col("partition").isin(cs: _*))))
+    val router = ServeRouterSq8(sqModel, shards)
+    for {
+      qid <- Seq(0L, 63L, 127L, 191L)
+      (k, nprobe) <- Seq((5, 1), (10, 3), (7, 6))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(router.query(q, k, nprobe).toSeq ===
+        single.query(q, k, nprobe).toSeq,
+        s"SQ8 router mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      ServeRouterSq8(sqModel, Seq(single, shards(0)))
+    }
+    assert(ex.getMessage.contains("more than one shard"))
+  }
+
+  test("RQ shards: ServeRouterRq's two-phase merge (global level-1 cut " +
+      "then refined order) matches the single LocalServeRq bit-exactly " +
+      "across kFactor") {
+    import org.apache.spark.sql.functions.col
+    import graft.index.Rq
+    val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+      numDivisions2 = 8, numCodes2 = 8, trainPointsPerCentroid = 0)
+    val enc2 = enc2raw.localCheckpoint()
+    val single = LocalServeRq.fromCodes(rq, enc2)
+    val cells = single.cells
+    val shards = Seq(cells.filter(_ % 2 == 0), cells.filter(_ % 2 == 1))
+      .map(cs => LocalServeRq.fromCodes(rq,
+        enc2.where(col("partition").isin(cs: _*))))
+    val router = ServeRouterRq(rq, shards)
+    for {
+      qid <- Seq(0L, 63L, 127L, 191L)
+      (k, nprobe, kf) <- Seq((5, 2, 1), (10, 3, 4), (7, 6, 2))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(router.query(q, k, nprobe, kf).toSeq ===
+        single.query(q, k, nprobe, kf).toSeq,
+        s"RQ router mismatch at qid=$qid k=$k nprobe=$nprobe kf=$kf")
+    }
+  }
+
+  test("Hamming shards: ServeRouterHamming matches the single box for " +
+      "raw top-k AND the two-phase rerank; id overlap refuses") {
+    import graft.index.BinaryQuant
+    val thr = BinaryQuant.fitThresholds(df, "vec")
+    val single = LocalServeHamming.fromVectors(df, "vec", "id", dim,
+      thresholds = thr, pinFloats = true)
+    val shards = Seq(
+      df.where(org.apache.spark.sql.functions.col("id") % 2 === 0),
+      df.where(org.apache.spark.sql.functions.col("id") % 2 === 1))
+      .map(part => LocalServeHamming.fromVectors(part, "vec", "id", dim,
+        thresholds = thr, pinFloats = true))
+    val router = ServeRouterHamming(shards)
+    for (qid <- Seq(0L, 63L, 127L); k <- Seq(5, 12)) {
+      val q = data.find(_._1 == qid).get._2.toArray
+      assert(router.query(q, k).toSeq === single.query(q, k).toSeq,
+        s"hamming router mismatch at qid=$qid k=$k")
+      assert(router.queryRerank(q, k, kFactor = 3).toSeq ===
+        single.queryRerank(q, k, kFactor = 3).toSeq,
+        s"hamming rerank router mismatch at qid=$qid k=$k")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      ServeRouterHamming(Seq(single, shards(0)))
+    }
+    assert(ex.getMessage.contains("more than one shard"))
+  }
+
   test("OPQ shards: a router over fromOpqStore shards matches the " +
       "single OPQ box bit-exactly (rotation rides inside each shard)") {
     import graft.index.OpqBuilder
