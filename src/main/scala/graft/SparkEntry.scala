@@ -4693,6 +4693,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BLOOM-prefiltered decontamination: the broadcast-bytes scale
+    // lever — a ~16-bit-per-gram bit array probes in the scan
+    // projection (no false negatives), flagged grams exact-verify
+    // against the true set, so the output is IDENTICAL to
+    // `decontaminate` and shares its full SQL oracle verbatim
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.TrainingData.decontaminateBloom(
+        docs.where(col("doc_id") % 23 =!= 0),
+        docs.where(col("doc_id") % 23 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // span-level decontamination REPORT: benchmark-covered token
     // positions merged into maximal contiguous spans (gaps-and-islands)
     // — WHERE the leak sits, not just that it does; the oracle rebuilds
@@ -9357,6 +9371,24 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ts)) > 4094 THEN
+        |  CAST(error('doc exceeds the 4096-window oracle cap') AS BIGINT)
+        |  ELSE 1 END AS ok FROM tok),
+        |be AS (SELECT DISTINCT md5(array_to_string(ts[g.i : g.i + 2], ' '))
+        |   AS g
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 = 0 AND g.i + 2 <= len(ts)),
+        |tg AS (SELECT DISTINCT doc_id,
+        |  md5(array_to_string(ts[g.i : g.i + 2], ' ')) AS g
+        | FROM tok, generate_series(1, 4096) AS g(i)
+        | WHERE doc_id % 23 <> 0 AND g.i + 2 <= len(ts))
+        |SELECT doc_id, count(*) AS n_hits FROM tg JOIN be USING (g)
+        |CROSS JOIN guard WHERE guard.ok = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_bloom" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
         |  FROM documents),
         |guard AS (SELECT CASE WHEN max(len(ts)) > 4094 THEN

@@ -36,6 +36,7 @@ object FastFunctions {
     "gradientBits" -> Seq(ArrayType(FloatType), IntegerType, IntegerType),
     "signBits" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "hammingDist" -> Seq(ArrayType(LongType), ArrayType(LongType)),
+    "bloomHit" -> Seq(ArrayType(LongType), IntegerType, LongType),
     "shingleRepetition" -> Seq(ArrayType(StringType), IntegerType),
     "interSortedSize" -> Seq(ArrayType(LongType), ArrayType(LongType)),
     "lastLeIdx" -> Seq(ArrayType(LongType), LongType),
@@ -149,6 +150,14 @@ object FastFunctions {
     * Kernels.hammingDist). */
   def hammingDistF(a: Column, b: Column): Column =
     invoke(IntegerType, "hammingDist", a, b)
+
+  /** Bloom-filter membership probe against a bit-word literal
+    * ([[litLongs]]) — `numHashes` Kirsch-Mitzenbauer double-hash probes
+    * derived from one 64-bit hash (Kernels.bloomHit replays
+    * Kernels.bloomSet's exact positions). No false negatives, so an
+    * exact verification join behind it keeps results exact. */
+  def bloomHitF(bits: Column, numHashes: Column, h: Column): Column =
+    invoke(BooleanType, "bloomHit", bits, numHashes, h)
 
   /** Σ aᵢ·bᵢ for two array<float> columns. */
   def dotF(a: Column, b: Column): Column =

@@ -1328,6 +1328,47 @@ object Kernels {
     s
   }
 
+  // Kirsch-Mitzenbauer double hashing shared by the Bloom builder and
+  // probe: probe i tests bit (h1 + i·h2) mod m, both hashes derived
+  // deterministically from ONE 64-bit input hash so the executor-side
+  // probe replays the driver-side builder's exact positions. The
+  // negative-combined flip is the Guava/Spark-sketch idiom (mod of a
+  // negative long would index negatively).
+  @inline private def bloomBit(h: Long, i: Int, m: Long): Long = {
+    val h2 = java.lang.Long.rotateLeft(h, 31) * 0x9E3779B97F4A7C15L
+    var combined = h + i.toLong * h2
+    if (combined < 0L) combined = ~combined
+    combined % m
+  }
+
+  /** Driver-side Bloom INSERT: set `numHashes` bits for `h` in the
+    * word array (64 bits per long, m = words.length·64). */
+  def bloomSet(words: Array[Long], numHashes: Int, h: Long): Unit = {
+    val m = words.length.toLong << 6
+    var i = 0
+    while (i < numHashes) {
+      val bit = bloomBit(h, i, m)
+      words((bit >>> 6).toInt) |= (1L << (bit & 63L))
+      i += 1
+    }
+  }
+
+  /** Executor-side Bloom PROBE (codegen StaticInvoke): true iff every
+    * one of `h`'s `numHashes` bits is set — no false negatives, ~
+    * (1−e^(−k·n/m))^k false positives; callers that need exactness
+    * verify hits against the true set afterwards. */
+  def bloomHit(bits: ArrayData, numHashes: Int, h: Long): Boolean = {
+    val m = bits.numElements().toLong << 6
+    var i = 0
+    while (i < numHashes) {
+      val bit = bloomBit(h, i, m)
+      if ((bits.getLong((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
   /** Table-free asymmetric PQ distance ‖(q − centroid) − decode(codes)‖²
     * against a flattened D×C×m codebook: the same quantity the ADC-table
     * path computes (reference/src/db/stored.rs:549-595) but evaluated

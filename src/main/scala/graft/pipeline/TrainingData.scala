@@ -508,6 +508,58 @@ object TrainingData {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** BLOOM-prefiltered decontamination — [[decontaminate]]'s 100 TB
+    * broadcast-bytes lever, with IDENTICAL output. The broadcast-join
+    * form ships the whole benchmark gram set to every executor (~1 GB
+    * of md5 strings at the 10M-gram bound — ~1 TB of network on a
+    * 1000-executor cluster, plus a 1 GB hash map per executor's heap).
+    * This form ships a ~`bitsPerGram`-bit-per-gram BIT ARRAY instead
+    * (10M grams × 16 b = 20 MB, 50× smaller) as a plan-literal word
+    * array, probes it in the scan projection (codegen
+    * `Kernels.bloomHit`, no false negatives), and EXACT-verifies only
+    * the flagged grams (true hits + the ~0.05%-at-16b false-positive
+    * trickle) against the true set — a candidate-sized join, so the
+    * bulky relation is never broadcast and the shuffle carries
+    * candidates only. False positives die in the verify join; false
+    * negatives don't exist ⇒ output ≡ [[decontaminate]] row for row
+    * (the gate runs both against ONE oracle).
+    *
+    * The filter builds from the grams' own Spark-side xxhash64 values
+    * (one benchmark-sized collect — eval suites are the k-means-sample
+    * residency class), capped loudly at 2^31 bits (256 MB) — an eval
+    * corpus beyond ~130M grams at 16 b/gram should use the shuffle
+    * form instead. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, bitsPerGram: Int = 16,
+                         numHashes: Int = 7): DataFrame = {
+    require(bitsPerGram >= 1 && numHashes >= 1,
+      s"bad bloom shape: bitsPerGram=$bitsPerGram numHashes=$numHashes")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val benchGrams = bench
+      .select(explode(ngramFingerprints(col(textCol), n)).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val cnt = math.max(benchGrams.count(), 1L)
+    val bits = cnt * bitsPerGram
+    require(bits <= (1L << 31),
+      s"bloom filter would need $bits bits (> 2^31) — use decontaminate's " +
+        "shuffle join for an eval corpus this large")
+    val words = new Array[Long](((bits + 63L) >>> 6).toInt.max(1))
+    benchGrams.select(xxhash64(col("g"))).as[Long].collect()
+      .foreach(h => graft.functions.Kernels.bloomSet(words, numHashes, h))
+    val flagged = train
+      .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
+      .where(graft.functions.FastFunctions.bloomHitF(
+        graft.functions.FastFunctions.litLongs(words),
+        lit(numHashes), xxhash64(col("g"))))
+    // exact verification: candidate-sized both sides, never broadcast
+    // of the full gram relation
+    flagged.join(benchGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** The benchmark's DISTINCT window-fingerprint set, MATERIALIZED once
     * and broadcast only when the measured size allows (≤ 10M md5-string
     * rows ≈ 1 GB as a broadcast hash map — Catalyst has no size

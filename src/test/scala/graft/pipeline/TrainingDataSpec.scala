@@ -255,6 +255,54 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L)))
   }
 
+  test("decontaminateBloom ≡ decontaminate on a mixed fixture, and the " +
+      "exact-verify join kills false positives even at a deliberately " +
+      "saturated 1-bit-per-gram filter") {
+    val rnd = new scala.util.Random(43)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val train = (1L to 120L).map { i =>
+      val body = Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" ")
+      (i, if (i % 5 == 0) s"$body leak one two three tail" else body)
+    }.toDF("doc_id", "text")
+    val bench = Seq((900L, "leak one two three"),
+      (901L, "alpha beta gamma")).toDF("doc_id", "text")
+    val expected = TrainingData
+      .decontaminate(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val got = TrainingData
+      .decontaminateBloom(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === expected)
+    // 1 bit/gram, 1 hash: the filter flags nearly everything — the
+    // verification join must still produce the exact result
+    val saturated = TrainingData
+      .decontaminateBloom(train, bench, "doc_id", "text", 3,
+        bitsPerGram = 1, numHashes = 1)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(saturated === expected)
+  }
+
+  test("bloom kernel: inserted hashes always hit (no false negatives); " +
+      "a sized filter keeps the false-positive rate near theory") {
+    import graft.functions.Kernels
+    val rnd = new scala.util.Random(7)
+    val inserted = Array.fill(10000)(rnd.nextLong())
+    val words = new Array[Long](((10000L * 16 + 63) >>> 6).toInt)
+    inserted.foreach(h => Kernels.bloomSet(words, 7, h))
+    val bits = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(words)
+    assert(inserted.forall(h => Kernels.bloomHit(bits, 7, h)),
+      "a Bloom filter must never produce a false negative")
+    val insertedSet = inserted.toSet
+    val probes = Array.fill(20000)(rnd.nextLong())
+      .filterNot(insertedSet.contains)
+    val fp = probes.count(h => Kernels.bloomHit(bits, 7, h))
+    // theory at 16 bits/elem, k=7: ~0.046% — allow an order of margin
+    assert(fp.toDouble / probes.length < 0.005,
+      s"fp rate ${fp.toDouble / probes.length} far above theory")
+  }
+
   // ------------------------------------------------- weighted sampling
 
   test("weightedSample: deterministic under repartitioning, k rows, subset") {
