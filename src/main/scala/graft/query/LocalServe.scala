@@ -961,10 +961,18 @@ final class LocalServeLazy private (
 
   /** Top-k over an explicit probe set with lazy residency — the seam
     * [[ServeRouterLazy]] routes a shard's probe subset through; pins
-    * exactly the probed cells first, then delegates to the eager loop. */
+    * exactly the probed cells first, then delegates to the eager loop.
+    * `pred` non-null runs the filtered form (attrs must be pinned). */
   private[query] def queryProbes(probes: Array[(Int, Array[Double])],
-                                 k: Int): Array[(Long, Int, Double)] =
-    res.withResident(probes.map(_._1))(_.queryProbes(probes, k))
+                                 k: Int, pred: Long => Boolean = null)
+      : Array[(Long, Int, Double)] = {
+    require(pred == null || hasAttrs,
+      "queryFiltered needs attributes pinned — open via fromCodesWithAttrs")
+    res.withResident(probes.map(_._1))(_.queryProbes(probes, k, pred))
+  }
+
+  /** Whether this box pins attributes — the lazy fleet's assembly check. */
+  private[query] def attrsPinned: Boolean = hasAttrs
 }
 
 object LocalServeLazy {

@@ -158,6 +158,34 @@ final class ServeRouterLazy private (
       .toArray.flatten
     merged.sortBy(t => (t._3, t._1)).take(k)
   }
+
+  /** FILTERED top-k across the lazy fleet — every shard must be opened
+    * via [[LocalServeLazy.fromCodesWithAttrs]] (attrs pin per cell with
+    * the codes); the predicate narrows inside each shard's loop, so the
+    * [[ServeRouter.queryFiltered]] merge argument carries over. */
+  def queryFiltered(q: Array[Double], k: Int, nprobe: Int)
+                   (pred: Long => Boolean): Array[(Long, Int, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shards.forall(_.attrsPinned),
+      "fleet queryFiltered needs attributes pinned on EVERY shard — " +
+        "open shards via fromCodesWithAttrs")
+    val probes = AnnQuery.selectPartitions(model, q, nprobe)
+    val bad = probes.map(_._1).filter { c =>
+      val s = assign(c); s < 0 || s >= shards.length
+    }
+    require(bad.isEmpty,
+      s"probed cells assigned to no shard: ${bad.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
+    val futs = byShard.toSeq.map { case (si, shardProbes) =>
+      Future(shards(si).queryProbes(shardProbes, k, pred))
+    }
+    Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+      .sortBy(t => (t._3, t._1)).take(k)
+  }
 }
 
 object ServeRouterLazy {

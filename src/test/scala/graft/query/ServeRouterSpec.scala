@@ -254,5 +254,25 @@ class ServeRouterSpec extends AnyFunSuite {
         config.numPartitions)
     }
     assert(ex.getMessage.contains("assigned to no shard"))
+
+    // FILTERED lazy fleet: attr-pinned lazy shards match the single
+    // filtered box; an attr-less fleet refuses
+    import org.apache.spark.sql.functions._
+    val (loaded, codes) = graft.index.IvfPqBuilder.load(spark, storeDir)
+    val withAttr = codes.withColumn("tag", pmod(col("id"), lit(3)))
+    val singleF = LocalServe.fromCodesWithAttrs(loaded, withAttr, "tag")
+    val lazyShards = (0 until 2).map(_ =>
+      LocalServeLazy.fromCodesWithAttrs(loaded, withAttr, "tag"))
+    val fRouter = ServeRouterLazy(loaded, lazyShards, _ % 2)
+    for (qid <- Seq(0L, 63L, 127L); (k, nprobe) <- Seq((5, 3), (10, 6))) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(fRouter.queryFiltered(q, k, nprobe)(_ == 1L).toSeq ===
+        singleF.queryFiltered(q, k, nprobe)(_ == 1L).toSeq,
+        s"lazy filtered fleet mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    val exF = intercept[IllegalArgumentException] {
+      router.queryFiltered(data.head._2.map(_.toDouble).toArray, 5, 2)(_ => true)
+    }
+    assert(exF.getMessage.contains("EVERY shard"))
   }
 }
