@@ -1105,6 +1105,12 @@ final class LocalServeSq8Lazy private (
     val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
     res.withResident(probes.map(_._1))(_.queryProbes(probes, k))
   }
+
+  /** Explicit-probe top-k with lazy residency — the [[ServeRouterSq8Lazy]]
+    * seam (see [[LocalServeLazy.queryProbes]]). */
+  private[query] def queryProbes(probes: Array[(Int, Array[Double])],
+                                 k: Int): Array[(Long, Int, Double)] =
+    res.withResident(probes.map(_._1))(_.queryProbes(probes, k))
 }
 
 object LocalServeSq8Lazy {
@@ -1182,6 +1188,15 @@ final class LocalServeRqLazy private (
     res.withResident(probes.map(_._1))(
       _.queryProbes(probes, q, k, kFactor))
   }
+
+  /** Both-score nominees over explicit probes with lazy residency —
+    * the [[ServeRouterRqLazy]] seam (the fleet's two-phase merge needs
+    * the level-1 AND refined scores; see
+    * [[LocalServeRq.nomineesScored]]). */
+  private[query] def nomineesScored(probes: Array[(Int, Array[Double])],
+                                    q: Array[Double], n: Int)
+      : Array[(Long, Int, Double, Double)] =
+    res.withResident(probes.map(_._1))(_.nomineesScored(probes, q, n))
 }
 
 object LocalServeRqLazy {

@@ -376,3 +376,100 @@ object ServeRouterHamming {
     new ServeRouterHamming(shards.toIndexedSeq)
   }
 }
+
+/** [[ServeRouterLazy]] for IVF+SQ8 lazy shards — static assignment,
+  * per-shard lazy pinning under each shard's own caps, identical merge
+  * to [[ServeRouterSq8]]; completes the lazy fleet across the
+  * cell-partitioned codec families. */
+final class ServeRouterSq8Lazy private (
+    val model: graft.index.IvfSq8Model,
+    shards: IndexedSeq[LocalServeSq8Lazy],
+    assign: Int => Int) {
+
+  /** Number of shards behind this router. */
+  def numShards: Int = shards.length
+
+  /** Warm-or-cold top-k across the lazy SQ8 fleet — bit-identical to
+    * one [[LocalServeSq8Lazy]] holding every cell. */
+  def query(q: Array[Double], k: Int, nprobe: Int)
+      : Array[(Long, Int, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
+    val bad = probes.map(_._1).filter { c =>
+      val s = assign(c); s < 0 || s >= shards.length
+    }
+    require(bad.isEmpty,
+      s"probed cells assigned to no shard: ${bad.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
+    val futs = byShard.toSeq.map { case (si, shardProbes) =>
+      Future(shards(si).queryProbes(shardProbes, k))
+    }
+    Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+      .sortBy(t => (t._3, t._1)).take(k)
+  }
+}
+
+object ServeRouterSq8Lazy {
+
+  /** Assemble a lazy SQ8 fleet — same contract as
+    * [[ServeRouterLazy.apply]]. */
+  def apply(model: graft.index.IvfSq8Model, shards: Seq[LocalServeSq8Lazy],
+            assign: Int => Int): ServeRouterSq8Lazy = {
+    require(shards.nonEmpty, "router needs at least one shard")
+    new ServeRouterSq8Lazy(model, shards.toIndexedSeq, assign)
+  }
+}
+
+/** [[ServeRouterLazy]] for two-level RQ lazy shards — static
+  * assignment, lazy per-cell pinning of BOTH code layers, and the
+  * [[ServeRouterRq]] two-phase merge (global level-1 nomination cut,
+  * then the refined order); completes the lazy fleet's refine path. */
+final class ServeRouterRqLazy private (
+    val model: graft.index.Rq.RqModel,
+    shards: IndexedSeq[LocalServeRqLazy],
+    assign: Int => Int) {
+
+  /** Number of shards behind this router. */
+  def numShards: Int = shards.length
+
+  /** Warm-or-cold refined top-k across the lazy RQ fleet —
+    * bit-identical to one [[LocalServeRqLazy]] holding every cell. */
+  def query(q: Array[Double], k: Int, nprobe: Int,
+            kFactor: Int = 4): Array[(Long, Double)] = {
+    require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
+    val probes = AnnQuery.selectPartitions(model.base, q, nprobe)
+    val bad = probes.map(_._1).filter { c =>
+      val s = assign(c); s < 0 || s >= shards.length
+    }
+    require(bad.isEmpty,
+      s"probed cells assigned to no shard: ${bad.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val n = k * kFactor
+    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
+    val futs = byShard.toSeq.map { case (si, shardProbes) =>
+      Future(shards(si).nomineesScored(shardProbes, q, n))
+    }
+    val nominees = Await.result(Future.sequence(futs), Duration.Inf)
+      .toArray.flatten
+    nominees.sortBy(t => (t._3, t._1)).take(n)
+      .map(t => (t._1, t._4))
+      .sortBy(t => (t._2, t._1)).take(k)
+  }
+}
+
+object ServeRouterRqLazy {
+
+  /** Assemble a lazy RQ fleet — same contract as
+    * [[ServeRouterLazy.apply]]. */
+  def apply(model: graft.index.Rq.RqModel, shards: Seq[LocalServeRqLazy],
+            assign: Int => Int): ServeRouterRqLazy = {
+    require(shards.nonEmpty, "router needs at least one shard")
+    new ServeRouterRqLazy(model, shards.toIndexedSeq, assign)
+  }
+}

@@ -196,6 +196,49 @@ class ServeRouterSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("more than one shard"))
   }
 
+  test("lazy SQ8 + RQ fleets: ServeRouterSq8Lazy and ServeRouterRqLazy " +
+      "match their single boxes bit-exactly, pinning only routed cells") {
+    import org.apache.spark.sql.functions.col
+    // SQ8 lazy fleet
+    val (sqModel, sqEnc0) = graft.index.IvfSq8.fit(df, "id", "vec", dim,
+      numPartitions = 6)
+    val sqEnc = sqEnc0.localCheckpoint()
+    val sqDir = java.nio.file.Files.createTempDirectory("sq8_fleet").toString
+    graft.index.IvfSq8.save(sqModel, sqEnc, sqDir)
+    val sqSingle = LocalServeSq8.fromCodes(sqModel, sqEnc)
+    val sqShards = (0 until 2).map(_ =>
+      LocalServeSq8Lazy.fromStore(spark, sqDir))
+    val sqRouter = ServeRouterSq8Lazy(sqModel, sqShards, _ % 2)
+    for (qid <- Seq(0L, 63L, 127L); (k, nprobe) <- Seq((5, 2), (10, 6))) {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(sqRouter.query(q, k, nprobe).toSeq ===
+        sqSingle.query(q, k, nprobe).toSeq,
+        s"lazy SQ8 fleet mismatch at qid=$qid k=$k nprobe=$nprobe")
+    }
+    assert(sqShards(0).cells.forall(_ % 2 == 0))
+    assert(sqShards(1).cells.forall(_ % 2 == 1))
+    // RQ lazy fleet (two-phase merge over lazily-pinned shards)
+    import graft.index.Rq
+    val (rq, enc2raw) = Rq.fitRefine(encoded, model,
+      numDivisions2 = 8, numCodes2 = 8, trainPointsPerCentroid = 0)
+    val enc2 = enc2raw.localCheckpoint()
+    val rqSingle = LocalServeRq.fromCodes(rq, enc2)
+    val rqShards = (0 until 2).map(_ =>
+      LocalServeRqLazy.fromCodes(rq, enc2))
+    val rqRouter = ServeRouterRqLazy(rq, rqShards, _ % 2)
+    for {
+      qid <- Seq(0L, 63L, 127L)
+      (k, nprobe, kf) <- Seq((5, 2, 1), (10, 3, 4), (7, 6, 2))
+    } {
+      val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+      assert(rqRouter.query(q, k, nprobe, kf).toSeq ===
+        rqSingle.query(q, k, nprobe, kf).toSeq,
+        s"lazy RQ fleet mismatch at qid=$qid k=$k nprobe=$nprobe kf=$kf")
+    }
+    assert(rqShards(0).cells.forall(_ % 2 == 0))
+    assert(rqShards(1).cells.forall(_ % 2 == 1))
+  }
+
   test("OPQ shards: a router over fromOpqStore shards matches the " +
       "single OPQ box bit-exactly (rotation rides inside each shard)") {
     import graft.index.OpqBuilder
