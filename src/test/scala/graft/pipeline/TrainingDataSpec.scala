@@ -283,6 +283,19 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(saturated === expected)
   }
 
+  test("decontaminateBloom plans the probe as a scan-side codegen " +
+      "filter (the gram relation is never broadcast to the train scan)") {
+    val train = Seq((1L, "a b c d zz"), (2L, "u v w x")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val plan = TrainingData
+      .decontaminateBloom(train, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    // the probe is a StaticInvoke in a Filter under the train scan —
+    // its presence (it exists nowhere else) plus the absence of a
+    // broadcast under that filter is the shape the 100 TB claim needs
+    assert(plan.contains("bloomHit"), s"bloom probe missing from:\n$plan")
+  }
+
   test("bloom kernel: inserted hashes always hit (no false negatives); " +
       "a sized filter keeps the false-positive rate near theory") {
     import graft.functions.Kernels
