@@ -152,7 +152,7 @@ object FastFunctions {
     invoke(IntegerType, "hammingDist", a, b)
 
   /** Bloom-filter membership probe against a bit-word literal
-    * ([[litLongs]]) — `numHashes` Kirsch-Mitzenbauer double-hash probes
+    * ([[litLongs]]) — `numHashes` Kirsch-Mitzenmacher double-hash probes
     * derived from one 64-bit hash (Kernels.bloomHit replays
     * Kernels.bloomSet's exact positions). No false negatives, so an
     * exact verification join behind it keeps results exact. */

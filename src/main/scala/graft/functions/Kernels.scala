@@ -1328,7 +1328,7 @@ object Kernels {
     s
   }
 
-  // Kirsch-Mitzenbauer double hashing shared by the Bloom builder and
+  // Kirsch-Mitzenmacher double hashing shared by the Bloom builder and
   // probe: probe i tests bit (h1 + i·h2) mod m, both hashes derived
   // deterministically from ONE 64-bit input hash so the executor-side
   // probe replays the driver-side builder's exact positions. The

@@ -120,7 +120,23 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
         val prev = inflight.putIfAbsent(c, p)
         if (prev == null) mine += ((c, p)) else waits += prev
       }
-      val claimed = mine.result()
+      val claimedAll = mine.result()
+      // A claim can be stale: between this thread's snapshot read and its
+      // putIfAbsent win, the prior claimant may have installed the cell
+      // and removed its in-flight entry. Re-read the snapshot and release
+      // claims for cells that became resident — without this, the cell
+      // would cold-scan a second time and (worse) re-install, double-
+      // counting its payload bytes so eviction under a byte cap over-
+      // evicts forever after.
+      val claimed =
+        if (claimedAll.isEmpty) claimedAll
+        else {
+          val s1 = snap
+          val (stale, live) =
+            claimedAll.partition { case (c, _) => s1.resident.contains(c) }
+          stale.foreach { case (c, p) => inflight.remove(c); p.success(()) }
+          live
+        }
       if (claimed.nonEmpty) {
         val cellsToLoad = claimed.map(_._1)
         val loaded =
@@ -132,35 +148,52 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
               }
               throw e
           }
-        installLock.synchronized {
-          var res = snap.resident
-          var bytes = snap.bytes
-          cellsToLoad.foreach { c =>
-            // cells the store has no live rows for pin as EMPTY — the
-            // cluster path's pruned scan yields zero rows there too
-            val pay = loaded.getOrElse(c, emptyPayload)
-            res += c -> pay
-            bytes += payloadBytes(pay)
-          }
-          coldLoadCount += cellsToLoad.length
-          def overCap(m: Map[Int, P], b: Long): Boolean =
-            (maxResidentCells > 0 && m.size > maxResidentCells) ||
-              (maxResidentBytes > 0L && b > maxResidentBytes)
-          if (overCap(res, bytes)) {
-            val evictable = res.keysIterator.filter { c =>
-              val ctr = inUse.get(c)
-              ctr == null || ctr.get() == 0
-            }.toArray.sortBy(c => Option(lastTouch.get(c)).fold(0L)(_.longValue()))
-            var i = 0
-            while (overCap(res, bytes) && i < evictable.length) {
-              val c = evictable(i)
-              bytes -= payloadBytes(res(c))
-              res -= c
-              lastTouch.remove(c)
-              i += 1
+        // The install block calls user code (payloadBytes, mkDelegate):
+        // if either throws, the claimed promises MUST fail — otherwise
+        // waiters parked on Await.result below would hang forever.
+        try {
+          installLock.synchronized {
+            var res = snap.resident
+            var bytes = snap.bytes
+            var fresh = 0L
+            cellsToLoad.foreach { c =>
+              // skip cells that became resident despite the pre-load
+              // re-check (belt-and-braces for the same stale-claim race)
+              if (!res.contains(c)) {
+                // cells the store has no live rows for pin as EMPTY — the
+                // cluster path's pruned scan yields zero rows there too
+                val pay = loaded.getOrElse(c, emptyPayload)
+                res += c -> pay
+                bytes += payloadBytes(pay)
+                fresh += 1L
+              }
             }
+            coldLoadCount += fresh
+            def overCap(m: Map[Int, P], b: Long): Boolean =
+              (maxResidentCells > 0 && m.size > maxResidentCells) ||
+                (maxResidentBytes > 0L && b > maxResidentBytes)
+            if (overCap(res, bytes)) {
+              val evictable = res.keysIterator.filter { c =>
+                val ctr = inUse.get(c)
+                ctr == null || ctr.get() == 0
+              }.toArray.sortBy(c => Option(lastTouch.get(c)).fold(0L)(_.longValue()))
+              var i = 0
+              while (overCap(res, bytes) && i < evictable.length) {
+                val c = evictable(i)
+                bytes -= payloadBytes(res(c))
+                res -= c
+                lastTouch.remove(c)
+                i += 1
+              }
+            }
+            snap = Snap(res, bytes, mkDelegate(res))
           }
-          snap = Snap(res, bytes, mkDelegate(res))
+        } catch {
+          case e: Throwable =>
+            claimed.foreach { case (c, p) =>
+              inflight.remove(c); p.failure(e)
+            }
+            throw e
         }
         claimed.foreach { case (c, p) => inflight.remove(c); p.success(()) }
       }

@@ -202,6 +202,59 @@ class LazyResidencySpec extends AnyFunSuite {
     res.withResident(Array(1))(m => assert(m(1).sameElements(Array(1L))))
   }
 
+  test("install-path throw (payloadBytes/mkDelegate) fails parked " +
+      "waiters instead of hanging them, and a retry succeeds") {
+    // the r13 review nit: loadCells failures were handled but a throw
+    // INSIDE the install block (user-supplied payloadBytes/mkDelegate)
+    // left claimed promises incomplete — waiters parked on
+    // Await.result(..., Inf) would hang forever
+    @volatile var failInstall = true
+    val loaderEntered = new CountDownLatch(1)
+    val loaderGate = new CountDownLatch(1)
+    val res = new LazyResidency[P, Map[Int, P]](
+      loadCells = { missing =>
+        loaderEntered.countDown()
+        assert(loaderGate.await(20, TimeUnit.SECONDS))
+        missing.map(c => c -> Array(c.toLong)).toMap
+      },
+      emptyPayload = Array.empty[Long],
+      payloadBytes = p => {
+        if (failInstall) throw new RuntimeException("install blew up")
+        8L * p.length
+      },
+      mkDelegate = identity,
+      maxResidentCells = 0, maxResidentBytes = 0L)
+    // claimant thread: wins the inflight claim, parks in the loader
+    val claimantErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val claimantDone = new CountDownLatch(1)
+    inThread {
+      try res.withResident(Array(1))(_ => ())
+      catch { case t: Throwable => claimantErr.set(t) }
+      finally claimantDone.countDown()
+    }
+    assert(loaderEntered.await(20, TimeUnit.SECONDS))
+    // waiter thread: joins the claimant's in-flight promise
+    val waiterErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val waiterDone = new CountDownLatch(1)
+    inThread {
+      try res.withResident(Array(1))(_ => ())
+      catch { case t: Throwable => waiterErr.set(t) }
+      finally waiterDone.countDown()
+    }
+    Thread.sleep(50) // let the waiter park on the shared promise
+    loaderGate.countDown() // loader returns; install then THROWS
+    assert(claimantDone.await(20, TimeUnit.SECONDS), "claimant hung")
+    assert(waiterDone.await(20, TimeUnit.SECONDS),
+      "waiter hung on a promise the throwing install never completed")
+    assert(claimantErr.get() != null &&
+      claimantErr.get().getMessage == "install blew up")
+    assert(waiterErr.get() != null, "waiter must observe the failure")
+    // the cell is not wedged: a retry with a healthy install succeeds
+    failInstall = false
+    res.withResident(Array(1))(m => assert(m(1).sameElements(Array(1L))))
+    assert(res.residentBytes === 8L)
+  }
+
   test("probe-count precondition against the cell cap stays loud") {
     val h = new Harness(maxCells = 2)
     val ex = intercept[IllegalArgumentException] {
@@ -255,5 +308,47 @@ class LazyResidencySpec extends AnyFunSuite {
     h.res.withResident(Array(absent))(m => assert(m.contains(absent)))
     assert(h.res.cells.size <= 6,
       s"post-install residency ${h.res.cells.size} exceeds the cap")
+  }
+
+  test("bytes accounting stays exact under eviction-heavy races " +
+      "(stale-claim reinstall must not double-count payload bytes)") {
+    // tight BYTE cap + few cells + many threads = constant evict/reload
+    // churn, the interleaving where a thread holding a stale snapshot
+    // wins the inflight claim for an already-resident cell; the r13
+    // defect double-counted that cell's bytes on reinstall, so
+    // residentBytes drifted up and the byte cap over-evicted forever
+    val h = new Harness(maxBytes = 96L) // 3 cells of 32 B
+    val nCells = 8
+    val threads = 8
+    val opsPerThread = 600
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val done = new CountDownLatch(threads)
+    (0 until threads).foreach { ti =>
+      inThread {
+        val rnd = new scala.util.Random(104729L * (ti + 1))
+        var op = 0
+        try {
+          while (op < opsPerThread) {
+            val c = rnd.nextInt(nCells)
+            h.res.withResident(Array(c)) { m =>
+              if (!m.contains(c)) errors.add(s"t$ti op$op: $c missing")
+            }
+            op += 1
+          }
+        } finally done.countDown()
+      }
+    }
+    assert(done.await(120, TimeUnit.SECONDS), "stress run timed out")
+    assert(errors.isEmpty, s"stress errors: ${errors.toArray.take(5).mkString("; ")}")
+    // the invariant the double-count breaks: accounted bytes must equal
+    // the actual payload bytes of the resident set, exactly
+    val s = h.res.cells
+    assert(h.res.residentBytes === 32L * s.size,
+      s"residentBytes ${h.res.residentBytes} != 32*${s.size} — " +
+        "byte accounting drifted (double-counted reinstall?)")
+    // and one quiescent install drains any pin-era overage under the cap
+    h.res.withResident(Array((0 until 32).find(c => !s.contains(c)).get))(_ => ())
+    assert(h.res.residentBytes <= 96L)
+    assert(h.res.residentBytes === 32L * h.res.cells.size)
   }
 }
