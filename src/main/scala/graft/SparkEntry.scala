@@ -330,6 +330,27 @@ object SparkEntry {
       out
     })
 
+  /** One shard-server JVM per saved store, shared by the
+    * `ann_serve_remote` entry across bench reruns (the child's
+    * SparkSession + store load is the fixture; the gate's measured work
+    * is the queries + wire + merge). Closed on JVM exit like every
+    * other memoized fixture — and the child also watches its stdin pipe
+    * so it cannot outlive this process even on a hard crash. */
+  private val remoteShardMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.query.ShardProcess.Handle,
+                    graft.query.RemoteShards.Pq)]
+  private def remoteShard(s: SparkSession, storePath: String,
+                          cells: Seq[Int]): graft.query.RemoteShards.Pq =
+    remoteShardMemo.getOrElseUpdate(storePath, {
+      val h = graft.query.ShardProcess.launch(storePath, "pq", cells,
+        cpus = 2)
+      val r = graft.query.RemoteShards.pq("127.0.0.1", h.port)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try r.close() finally h.close()
+      }))
+      (h, r)
+    })._2
+
   /** Fit the IVF+OPQ index once per sf dir — same discipline (and same
     * P/D/C shape) as [[fittedIndex]]; the rotation alternation is part of
     * the build stage, never a query timing. */
@@ -1615,6 +1636,44 @@ object SparkEntry {
         coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
         .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
           lit(if (router.numShards == 2) 1L else 0L).as("two_shards"))
+    }),
+
+    // PROCESS-BOUNDARY serving (round 14): the ann_serve_sharded fleet
+    // with one shard behind a REAL second JVM — ShardServerMain loads
+    // the saved store itself (its own SparkSession, the same
+    // integrity-checked pruned scan) and serves its cells over the
+    // length-prefixed ShardWire protocol; the router merges the remote
+    // and local answers. Scores cross the wire as raw IEEE bits, so the
+    // invariant stays BIT-IDENTICAL to the cluster query — the fleet
+    // QPS claim's transport seam, running, not extrapolated
+    "ann_serve_remote" -> ((s, dir) => {
+      val path = storedIndexPath(s, dir)
+      val (model, codes) = IvfPqBuilder.load(s, path)
+      val allCells = graft.query.LocalServe.fromStore(s, path).cells
+      val remote = remoteShard(s, path, allCells.filter(_ % 2 == 1))
+      val local = graft.query.LocalServe.fromStore(s, path,
+        allCells.filter(_ % 2 == 0))
+      val router = graft.query.ServeRouter(model, Seq(local, remote))
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val routed = router.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(routed, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact across the wire
+        }
+      }
+      val remoteHolds = remote.cells.sorted == allCells.filter(_ % 2 == 1)
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(if (remoteHolds) 1L else 0L).as("remote_holds_odd_cells"))
     }),
 
     // SHARDED SQ8 serving (round 13): ServeRouterSq8 over two
@@ -7513,6 +7572,14 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_id_mismatch,
         | CAST(0 AS BIGINT) AS n_dist_mismatch,
         | CAST(1 AS BIGINT) AS two_shards""".stripMargin,
+
+    // 3 queries x k=10, one shard behind a REAL second JVM (ShardWire
+    // transport) — bit-identical to the cluster query on the same store
+    "ann_serve_remote" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(1 AS BIGINT) AS remote_holds_odd_cells""".stripMargin,
 
     // 3 queries x k=10, two-shard SQ8 router bit-identical to the
     // cluster IvfSq8.topK

@@ -35,7 +35,7 @@ final class LocalServe private[query] (
     cellCodes: Map[Int, Array[Int]],
     rotation: Option[Array[Array[Double]]],
     cellAttrs: Map[Int, Array[Long]] = Map.empty,
-    inlineCompute: Boolean = false) {
+    inlineCompute: Boolean = false) extends PqShard {
 
   /** A view of this server whose per-query prep (rotation + ADC
     * tables) runs INLINE on the calling thread instead of fanning out
@@ -111,8 +111,8 @@ final class LocalServe private[query] (
     * [[ServeRouter]] (a subset of one query's probes per shard) compose
     * through; the arithmetic is byte-for-byte [[query]]'s, which is
     * exactly what makes a shard-merge bit-equal the single box. */
-  private[query] def queryProbes(probes: Array[(Int, Array[Double])],
-                                 k: Int, pred: Long => Boolean = null)
+  override private[query] def queryProbes(probes: Array[(Int, Array[Double])],
+                                 k: Int, pred: Long => Boolean)
       : Array[(Long, Int, Double)] =
     queryImpl(probes, k, pred)
 
@@ -304,7 +304,7 @@ final class LocalServeRq private[query] (
     lvl1: LocalServe,
     cellIds: Map[Int, Array[Long]],
     codes1: Map[Int, Array[Int]],
-    codes2: Map[Int, Array[Int]]) {
+    codes2: Map[Int, Array[Int]]) extends RqShard {
 
   /** Cells resident on this server. */
   def cells: Seq[Int] = cellIds.keys.toSeq.sorted
@@ -441,7 +441,7 @@ final class LocalServeSq8 private[query] (
     // One layout per server, chosen at pin time — residency stays dim
     // bytes/vector either way.
     columnMajor: Boolean,
-    inlineCompute: Boolean = false) {
+    inlineCompute: Boolean = false) extends Sq8Shard {
 
   /** Per-query distances computed on the calling thread instead of the
     * shared future pool — same bits, shared pinned arrays; see
@@ -741,7 +741,7 @@ final class LocalServeHamming private (
     sigs: Array[Long],
     wordsPerVec: Int,
     floats: Array[Float], // null unless pinned for rerank
-    dim: Int) {
+    dim: Int) extends HammingShard {
 
   /** Total resident vectors. */
   def size: Long = ids.length.toLong
@@ -927,7 +927,7 @@ object LocalServeHamming {
 final class LocalServeLazy private (
     val model: IvfPqModel,
     hasAttrs: Boolean,
-    res: LazyResidency[(Array[Long], Array[Int], Array[Long]), LocalServe]) {
+    res: LazyResidency[(Array[Long], Array[Int], Array[Long]), LocalServe]) extends PqShard {
 
   /** Cells currently resident. */
   def cells: Seq[Int] = res.cells
@@ -963,8 +963,8 @@ final class LocalServeLazy private (
     * [[ServeRouterLazy]] routes a shard's probe subset through; pins
     * exactly the probed cells first, then delegates to the eager loop.
     * `pred` non-null runs the filtered form (attrs must be pinned). */
-  private[query] def queryProbes(probes: Array[(Int, Array[Double])],
-                                 k: Int, pred: Long => Boolean = null)
+  override private[query] def queryProbes(probes: Array[(Int, Array[Double])],
+                                 k: Int, pred: Long => Boolean)
       : Array[(Long, Int, Double)] = {
     require(pred == null || hasAttrs,
       "queryFiltered needs attributes pinned — open via fromCodesWithAttrs")
@@ -1087,7 +1087,7 @@ object LocalServeLazy {
   * [[LazyResidency]]'s (shared with the PQ/OPQ and RQ tiers). */
 final class LocalServeSq8Lazy private (
     val model: graft.index.IvfSq8Model,
-    res: LazyResidency[(Array[Long], Array[Byte]), LocalServeSq8]) {
+    res: LazyResidency[(Array[Long], Array[Byte]), LocalServeSq8]) extends Sq8Shard {
 
   /** Cells currently resident. */
   def cells: Seq[Int] = res.cells
@@ -1169,7 +1169,7 @@ object LocalServeSq8Lazy {
   * concurrency and empty-cell semantics are [[LazyResidency]]'s. */
 final class LocalServeRqLazy private (
     val model: graft.index.Rq.RqModel,
-    res: LazyResidency[(Array[Long], Array[Int], Array[Int]), LocalServeRq]) {
+    res: LazyResidency[(Array[Long], Array[Int], Array[Int]), LocalServeRq]) extends RqShard {
 
   /** Cells currently resident. */
   def cells: Seq[Int] = res.cells

@@ -2,21 +2,22 @@ package graft.query
 
 import graft.index.IvfPqModel
 
-/** Cell-sharded warm serving: N cell-disjoint [[LocalServe]] shards
-  * behind one top-k merge — the executable form of the serving-tier
-  * contract ("a box serves the cells it holds, a fleet shards cells
-  * across boxes", [[LocalServe]] scaladoc) and the throughput lever the
-  * round-12 OPQ A/B measured out (BENCH_NOTES: one box's ~1.5k QPS OPQ
-  * ceiling is aggregate compute/bandwidth — more arithmetic only comes
-  * from more boxes).
+/** Cell-sharded warm serving: N cell-disjoint [[PqShard]]s behind one
+  * top-k merge — the executable form of the serving-tier contract ("a
+  * box serves the cells it holds, a fleet shards cells across boxes",
+  * [[LocalServe]] scaladoc) and the throughput lever the round-12 OPQ
+  * A/B measured out (BENCH_NOTES: one box's ~1.5k QPS OPQ ceiling is
+  * aggregate compute/bandwidth — more arithmetic only comes from more
+  * boxes).
   *
   * Routing: one probe selection per query ([[AnnQuery.selectPartitions]]
   * — driver arithmetic over the model's P centroids, identical to the
   * single-box path), then each probed (cell, localized) pair routes to
   * the unique shard holding that cell and every shard answers its
-  * subset through [[LocalServe.queryProbes]] — byte-for-byte the
+  * subset through [[PqShard.queryProbes]] — byte-for-byte the
   * single-box ADC loop over fewer cells. The merge re-applies the
-  * global (sq_dist, id) order over the ≤ shards·k candidates.
+  * global (sq_dist, id) order over the ≤ shards·k candidates
+  * ([[ShardFan.mergeTopK]] — the rule lives once for every family).
   *
   * Bit-parity argument (spec'd in ServeRouterSpec and gated by
   * `ann_serve_sharded`): each probe's ADC table is a pure function of
@@ -26,16 +27,16 @@ import graft.index.IvfPqModel
   * sort-merge of the per-shard top-k equals the single-box top-k
   * exactly, bit for bit.
   *
-  * IN THIS PROCESS the shards share one set of arithmetic units, so the
-  * router adds no throughput here (measured, BENCH_NOTES r13) — its QPS
-  * claim is for shard JVMs on separate boxes, where each holds 1/N of
-  * the residency and contributes its own memory bandwidth. The routing
-  * and merge layer is what this class makes real and testable; it is
-  * deliberately synchronous per shard call so a remote transport can
-  * wrap `shards` without changing the merge. */
+  * Shards are behind the [[PqShard]] trait: in this process
+  * ([[LocalServe]], where the router adds no throughput — the shards
+  * share one set of arithmetic units, measured, BENCH_NOTES r13) or
+  * across a process boundary ([[RemoteShards.pq]], each shard JVM
+  * contributing its own memory bandwidth and holding 1/N residency).
+  * The per-shard call is deliberately synchronous so the transport
+  * wraps `shards` without changing the merge. */
 final class ServeRouter private (
     val model: IvfPqModel,
-    shards: IndexedSeq[LocalServe],
+    shards: IndexedSeq[PqShard],
     cellShard: Map[Int, Int]) {
 
   /** Number of shards behind this router. */
@@ -49,21 +50,10 @@ final class ServeRouter private (
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val probes = AnnQuery.selectPartitions(model, q, nprobe)
-    val missing = probes.map(_._1).filterNot(cellShard.contains)
-    require(missing.isEmpty,
-      s"probed cells not resident on any shard: ${missing.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val byShard = probes.groupBy { case (cell, _) => cellShard(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).queryProbes(shardProbes, k))
-    }
-    val merged = Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-    // k-sized merge: every true global top-k member is in its shard's
-    // top-k, and both tiers order by (sq_dist, id)
-    merged.sortBy(t => (t._3, t._1)).take(k)
+    ShardFan.mergeTopK(
+      ShardFan.fanOut(probes, c => cellShard.getOrElse(c, -1), shards.length,
+        (si, sp) => shards(si).queryProbes(sp, k)),
+      k)
   }
 
   /** FILTERED top-k across the fleet — [[LocalServe.queryFiltered]]'s
@@ -78,19 +68,10 @@ final class ServeRouter private (
       "fleet queryFiltered needs attributes pinned on EVERY shard — " +
         "load shards via fromCodesWithAttrs")
     val probes = AnnQuery.selectPartitions(model, q, nprobe)
-    val missing = probes.map(_._1).filterNot(cellShard.contains)
-    require(missing.isEmpty,
-      s"probed cells not resident on any shard: ${missing.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val byShard = probes.groupBy { case (cell, _) => cellShard(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).queryProbes(shardProbes, k, pred))
-    }
-    Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-      .sortBy(t => (t._3, t._1)).take(k)
+    ShardFan.mergeTopK(
+      ShardFan.fanOut(probes, c => cellShard.getOrElse(c, -1), shards.length,
+        (si, sp) => shards(si).queryProbes(sp, k, pred)),
+      k)
   }
 }
 
@@ -101,7 +82,7 @@ object ServeRouter {
     * coverage of ALL the model's cells is NOT required — a probe into
     * an unheld cell throws at query time, exactly the single-box
     * refusal. */
-  def apply(model: IvfPqModel, shards: Seq[LocalServe]): ServeRouter = {
+  def apply(model: IvfPqModel, shards: Seq[PqShard]): ServeRouter = {
     require(shards.nonEmpty, "router needs at least one shard")
     val pairs = shards.zipWithIndex.flatMap { case (s, i) =>
       s.cells.map(_ -> i)
@@ -130,7 +111,7 @@ object ServeRouter {
   * own LRU/bytes eviction — the router adds no residency state. */
 final class ServeRouterLazy private (
     val model: IvfPqModel,
-    shards: IndexedSeq[LocalServeLazy],
+    shards: IndexedSeq[PqShard],
     assign: Int => Int) {
 
   /** Number of shards behind this router. */
@@ -142,21 +123,10 @@ final class ServeRouterLazy private (
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val probes = AnnQuery.selectPartitions(model, q, nprobe)
-    val bad = probes.map(_._1).filter { c =>
-      val s = assign(c); s < 0 || s >= shards.length
-    }
-    require(bad.isEmpty,
-      s"probed cells assigned to no shard: ${bad.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).queryProbes(shardProbes, k))
-    }
-    val merged = Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-    merged.sortBy(t => (t._3, t._1)).take(k)
+    ShardFan.mergeTopK(
+      ShardFan.fanOut(probes, assign, shards.length,
+        (si, sp) => shards(si).queryProbes(sp, k)),
+      k)
   }
 
   /** FILTERED top-k across the lazy fleet — every shard must be opened
@@ -170,21 +140,10 @@ final class ServeRouterLazy private (
       "fleet queryFiltered needs attributes pinned on EVERY shard — " +
         "open shards via fromCodesWithAttrs")
     val probes = AnnQuery.selectPartitions(model, q, nprobe)
-    val bad = probes.map(_._1).filter { c =>
-      val s = assign(c); s < 0 || s >= shards.length
-    }
-    require(bad.isEmpty,
-      s"probed cells assigned to no shard: ${bad.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).queryProbes(shardProbes, k, pred))
-    }
-    Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-      .sortBy(t => (t._3, t._1)).take(k)
+    ShardFan.mergeTopK(
+      ShardFan.fanOut(probes, assign, shards.length,
+        (si, sp) => shards(si).queryProbes(sp, k, pred)),
+      k)
   }
 }
 
@@ -192,7 +151,7 @@ object ServeRouterLazy {
 
   /** Assemble a lazy fleet router from shards (one per assignment
     * index) and a static cell→shard assignment. */
-  def apply(model: IvfPqModel, shards: Seq[LocalServeLazy],
+  def apply(model: IvfPqModel, shards: Seq[PqShard],
             assign: Int => Int): ServeRouterLazy = {
     require(shards.nonEmpty, "router needs at least one shard")
     new ServeRouterLazy(model, shards.toIndexedSeq, assign)
@@ -200,12 +159,12 @@ object ServeRouterLazy {
 }
 
 /** [[ServeRouter]] for IVF+SQ8 shards — identical routing and merge
-  * over [[LocalServeSq8.queryProbes]]; the per-row sq8 distance is a
+  * over [[Sq8Shard.queryProbes]]; the per-row sq8 distance is a
   * pure function of (codec constants, localized query, row), so the
   * merge argument carries over unchanged. */
 final class ServeRouterSq8 private (
     val model: graft.index.IvfSq8Model,
-    shards: IndexedSeq[LocalServeSq8],
+    shards: IndexedSeq[Sq8Shard],
     cellShard: Map[Int, Int]) {
 
   /** Number of shards behind this router. */
@@ -217,19 +176,10 @@ final class ServeRouterSq8 private (
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
-    val missing = probes.map(_._1).filterNot(cellShard.contains)
-    require(missing.isEmpty,
-      s"probed cells not resident on any shard: ${missing.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val byShard = probes.groupBy { case (cell, _) => cellShard(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).queryProbes(shardProbes, k))
-    }
-    Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-      .sortBy(t => (t._3, t._1)).take(k)
+    ShardFan.mergeTopK(
+      ShardFan.fanOut(probes, c => cellShard.getOrElse(c, -1), shards.length,
+        (si, sp) => shards(si).queryProbes(sp, k)),
+      k)
   }
 }
 
@@ -238,7 +188,7 @@ object ServeRouterSq8 {
   /** Assemble over cell-disjoint SQ8 shards — same contract as
     * [[ServeRouter.apply]]. */
   def apply(model: graft.index.IvfSq8Model,
-            shards: Seq[LocalServeSq8]): ServeRouterSq8 = {
+            shards: Seq[Sq8Shard]): ServeRouterSq8 = {
     require(shards.nonEmpty, "router needs at least one shard")
     val pairs = shards.zipWithIndex.flatMap { case (s, i) =>
       s.cells.map(_ -> i)
@@ -256,14 +206,14 @@ object ServeRouterSq8 {
   * single box's GLOBAL level-1 cut (top k·kFactor by (lvl1, id)) would
   * have dropped can refine well and enter the merged top-k — better
   * recall, different bits. So each shard returns its level-1 top-n
-  * nominees WITH BOTH scores ([[LocalServeRq.nomineesScored]]), the
-  * router re-applies the global level-1 order to reconstruct the single
-  * box's nomination set exactly, and only then applies the refined
-  * (sq_dist, id) order. Both scores are pure functions of
+  * nominees WITH BOTH scores ([[RqShard.nomineesScored]]), and
+  * [[ShardFan.mergeTwoPhase]] re-applies the global level-1 order to
+  * reconstruct the single box's nomination set exactly before the
+  * refined (sq_dist, id) order. Both scores are pure functions of
   * (model, q, row), so shard-local computation cannot change them. */
 final class ServeRouterRq private (
     val model: graft.index.Rq.RqModel,
-    shards: IndexedSeq[LocalServeRq],
+    shards: IndexedSeq[RqShard],
     cellShard: Map[Int, Int]) {
 
   /** Number of shards behind this router. */
@@ -275,24 +225,11 @@ final class ServeRouterRq private (
             kFactor: Int = 4): Array[(Long, Double)] = {
     require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
     val probes = AnnQuery.selectPartitions(model.base, q, nprobe)
-    val missing = probes.map(_._1).filterNot(cellShard.contains)
-    require(missing.isEmpty,
-      s"probed cells not resident on any shard: ${missing.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val n = k * kFactor
-    val byShard = probes.groupBy { case (cell, _) => cellShard(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).nomineesScored(shardProbes, q, n))
-    }
-    val nominees = Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-    // phase 1: the single box's nomination cut — global top-n by the
-    // LEVEL-1 order; phase 2: the refined order over exactly that set
-    nominees.sortBy(t => (t._3, t._1)).take(n)
-      .map(t => (t._1, t._4))
-      .sortBy(t => (t._2, t._1)).take(k)
+    val nominees =
+      ShardFan.fanOut(probes, c => cellShard.getOrElse(c, -1), shards.length,
+        (si, sp) => shards(si).nomineesScored(sp, q, n))
+    ShardFan.mergeTwoPhase(nominees.map(t => (t._1, t._3, t._4)), n, k)
   }
 }
 
@@ -301,7 +238,7 @@ object ServeRouterRq {
   /** Assemble over cell-disjoint RQ shards — same contract as
     * [[ServeRouter.apply]]. */
   def apply(model: graft.index.Rq.RqModel,
-            shards: Seq[LocalServeRq]): ServeRouterRq = {
+            shards: Seq[RqShard]): ServeRouterRq = {
     require(shards.nonEmpty, "router needs at least one shard")
     val pairs = shards.zipWithIndex.flatMap { case (s, i) =>
       s.cells.map(_ -> i)
@@ -319,11 +256,11 @@ object ServeRouterRq {
   * over all shards' top-k by (hamming, id). The rerank composition uses
   * the same two-phase merge as [[ServeRouterRq]]: shards return their
   * Hamming top-n nominees with both scores
-  * ([[LocalServeHamming.rerankCandidates]]), the router re-applies the
+  * ([[HammingShard.rerankCandidates]]), the router re-applies the
   * global Hamming nomination cut, then the exact (sq_dist, id) order —
   * bit-identical to the single box's nominate-then-rerank. */
 final class ServeRouterHamming private (
-    shards: IndexedSeq[LocalServeHamming]) {
+    shards: IndexedSeq[HammingShard]) {
 
   /** Number of shards behind this router. */
   def numShards: Int = shards.length
@@ -332,12 +269,7 @@ final class ServeRouterHamming private (
     * [[LocalServeHamming]] holding every shard's rows. */
   def query(q: Array[Float], k: Int): Array[(Long, Long)] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futs = shards.map(s => Future(s.query(q, k)))
-    Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
+    ShardFan.fanOutAll(shards)(_.query(q, k))
       .sortBy(t => (t._2, t._1)).take(k)
   }
 
@@ -347,16 +279,9 @@ final class ServeRouterHamming private (
   def queryRerank(q: Array[Float], k: Int,
                   kFactor: Int = 4): Array[(Long, Double)] = {
     require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val n = k * kFactor
-    val futs = shards.map(s => Future(s.rerankCandidates(q, n)))
-    val nominees = Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-    nominees.sortBy(t => (t._2, t._1)).take(n)
-      .map(t => (t._1, t._3))
-      .sortBy(t => (t._2, t._1)).take(k)
+    val nominees = ShardFan.fanOutAll(shards)(_.rerankCandidates(q, n))
+    ShardFan.mergeTwoPhase(nominees, n, k)
   }
 }
 
@@ -365,7 +290,7 @@ object ServeRouterHamming {
   /** Assemble over ID-disjoint signature shards (overlap would
     * double-count candidates — checked at assembly; shard sizes are
     * driver-resident by the serving contract, so the check is cheap). */
-  def apply(shards: Seq[LocalServeHamming]): ServeRouterHamming = {
+  def apply(shards: Seq[HammingShard]): ServeRouterHamming = {
     require(shards.nonEmpty, "router needs at least one shard")
     val seen = new java.util.HashSet[Long]()
     shards.foreach { s =>
@@ -383,7 +308,7 @@ object ServeRouterHamming {
   * cell-partitioned codec families. */
 final class ServeRouterSq8Lazy private (
     val model: graft.index.IvfSq8Model,
-    shards: IndexedSeq[LocalServeSq8Lazy],
+    shards: IndexedSeq[Sq8Shard],
     assign: Int => Int) {
 
   /** Number of shards behind this router. */
@@ -395,21 +320,10 @@ final class ServeRouterSq8Lazy private (
       : Array[(Long, Int, Double)] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val probes = graft.index.IvfSq8.selectPartitions(model, q, nprobe)
-    val bad = probes.map(_._1).filter { c =>
-      val s = assign(c); s < 0 || s >= shards.length
-    }
-    require(bad.isEmpty,
-      s"probed cells assigned to no shard: ${bad.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).queryProbes(shardProbes, k))
-    }
-    Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-      .sortBy(t => (t._3, t._1)).take(k)
+    ShardFan.mergeTopK(
+      ShardFan.fanOut(probes, assign, shards.length,
+        (si, sp) => shards(si).queryProbes(sp, k)),
+      k)
   }
 }
 
@@ -417,7 +331,7 @@ object ServeRouterSq8Lazy {
 
   /** Assemble a lazy SQ8 fleet — same contract as
     * [[ServeRouterLazy.apply]]. */
-  def apply(model: graft.index.IvfSq8Model, shards: Seq[LocalServeSq8Lazy],
+  def apply(model: graft.index.IvfSq8Model, shards: Seq[Sq8Shard],
             assign: Int => Int): ServeRouterSq8Lazy = {
     require(shards.nonEmpty, "router needs at least one shard")
     new ServeRouterSq8Lazy(model, shards.toIndexedSeq, assign)
@@ -430,7 +344,7 @@ object ServeRouterSq8Lazy {
   * then the refined order); completes the lazy fleet's refine path. */
 final class ServeRouterRqLazy private (
     val model: graft.index.Rq.RqModel,
-    shards: IndexedSeq[LocalServeRqLazy],
+    shards: IndexedSeq[RqShard],
     assign: Int => Int) {
 
   /** Number of shards behind this router. */
@@ -442,24 +356,10 @@ final class ServeRouterRqLazy private (
             kFactor: Int = 4): Array[(Long, Double)] = {
     require(k >= 1 && kFactor >= 1, s"bad k=$k / kFactor=$kFactor")
     val probes = AnnQuery.selectPartitions(model.base, q, nprobe)
-    val bad = probes.map(_._1).filter { c =>
-      val s = assign(c); s < 0 || s >= shards.length
-    }
-    require(bad.isEmpty,
-      s"probed cells assigned to no shard: ${bad.mkString(",")}")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val n = k * kFactor
-    val byShard = probes.groupBy { case (cell, _) => assign(cell) }
-    val futs = byShard.toSeq.map { case (si, shardProbes) =>
-      Future(shards(si).nomineesScored(shardProbes, q, n))
-    }
-    val nominees = Await.result(Future.sequence(futs), Duration.Inf)
-      .toArray.flatten
-    nominees.sortBy(t => (t._3, t._1)).take(n)
-      .map(t => (t._1, t._4))
-      .sortBy(t => (t._2, t._1)).take(k)
+    val nominees = ShardFan.fanOut(probes, assign, shards.length,
+      (si, sp) => shards(si).nomineesScored(sp, q, n))
+    ShardFan.mergeTwoPhase(nominees.map(t => (t._1, t._3, t._4)), n, k)
   }
 }
 
@@ -467,7 +367,7 @@ object ServeRouterRqLazy {
 
   /** Assemble a lazy RQ fleet — same contract as
     * [[ServeRouterLazy.apply]]. */
-  def apply(model: graft.index.Rq.RqModel, shards: Seq[LocalServeRqLazy],
+  def apply(model: graft.index.Rq.RqModel, shards: Seq[RqShard],
             assign: Int => Int): ServeRouterRqLazy = {
     require(shards.nonEmpty, "router needs at least one shard")
     new ServeRouterRqLazy(model, shards.toIndexedSeq, assign)

@@ -81,7 +81,7 @@ class ServeRouterSpec extends AnyFunSuite {
     val ex2 = intercept[IllegalArgumentException] {
       partial.query(q, 5, nprobe = config.numPartitions)
     }
-    assert(ex2.getMessage.contains("not resident on any shard"))
+    assert(ex2.getMessage.contains("owned by no shard"))
   }
 
   test("a single-shard router is exactly the single box") {
@@ -296,7 +296,7 @@ class ServeRouterSpec extends AnyFunSuite {
       underProvisioned.query(data.head._2.map(_.toDouble).toArray, 5,
         config.numPartitions)
     }
-    assert(ex.getMessage.contains("assigned to no shard"))
+    assert(ex.getMessage.contains("owned by no shard"))
 
     // FILTERED lazy fleet: attr-pinned lazy shards match the single
     // filtered box; an attr-less fleet refuses
