@@ -398,6 +398,56 @@ object SparkEntry {
       (model, enc)
     })
 
+  /** Shared body of the kFactor-calibration gates (SQ8/RQ/Hamming): one
+    * count-smaller pass builds the family's full nomination-rank curve
+    * over `mkCandidates`' (qid, id, score) relation, the invariants are
+    * asserted (complete axis to ceil((N−1)/k), monotone, exactly 1.0 at
+    * the end — all three families present whole-corpus candidate
+    * coverage here), and the recommended kFactor is re-measured through
+    * the real composition: nominate k·f+1 by (score, id), exact rerank,
+    * drop self — which delivers ≥ the curve's promised recall by the
+    * nomination-superset argument ([[graft.query.Calibrate]]). */
+  private def kFactorCalibrationGate(s: SparkSession, dir: String,
+      mkCandidates: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val k = 10
+    val target = 0.9
+    val n = emb.count()
+    val maxF = (((n - 1) + (k - 1)) / k).toInt
+    val queries = graft.query.Calibrate.sampleQueries(emb, "embedding",
+      "vec_id", 25)
+    val cand = mkCandidates(emb, queries)
+    val curve = graft.query.Calibrate.kFactorRecallCurve(emb, "embedding",
+      "vec_id", queries, cand, k, maxF)
+    val f = graft.query.Calibrate.recommendKFactor(curve, target)
+    val curveInv = curve
+      .withColumn("prev",
+        lag(col("recall"), 1).over(Window.orderBy("kfactor")))
+      .agg(
+        when(count(lit(1)) === maxF.toLong, 1L).otherwise(0L)
+          .as("curve_complete"),
+        coalesce(sum(when(col("prev").isNotNull &&
+          col("recall") < col("prev"), 1L).otherwise(0L)), lit(0L))
+          .as("n_mono_viol"),
+        coalesce(sum(when(col("kfactor") === maxF.toLong &&
+          col("recall") === 1.0, 1L).otherwise(0L)), lit(0L))
+          .as("recall_full_exact"))
+    val truth = graft.query.Calibrate.exactNeighbors(emb, "embedding",
+      "vec_id", queries, k)
+    val got = graft.query.Calibrate.rerankDelivered(emb, "embedding",
+        "vec_id", queries, cand, kNominate = k * f + 1, kFinal = k + 1)
+      .where(col("qid") =!= col("id"))
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val nRec = truth.select("qid", "id")
+      .join(got.select("qid", "id"), Seq("qid", "id"))
+      .agg(count(lit(1)).cast("long").as("n_rec"))
+    curveInv.crossJoin(nTruth).crossJoin(nRec).select(
+      col("curve_complete"), col("n_mono_viol"), col("recall_full_exact"),
+      when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
+        .as("promise_delivered"))
+  }
+
   private val opqDeleteDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val opqRebalDir = scala.collection.concurrent.TrieMap.empty[String, String]
   private val opqRebalOutDir = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -3232,6 +3282,129 @@ object SparkEntry {
         when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
           .as("promise_delivered"))
     }),
+
+    // nprobe calibration for the OTHER IVF families (round 14: SQ8/OPQ/
+    // RQ/Hamming users previously tuned blind — VERDICT r13 #4). The
+    // probe-rank identity is about candidate GENERATION, a pure function
+    // of the coarse centroids — so IVF+SQ8 calibrates with ITS coarse
+    // quantizer and the delivered-promise check runs exact-in-probed-
+    // cells over the same cells (batchTopKCellsFlat)
+    "ann_calibrate_ivfsq8" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val (model, enc) = fittedIvfSq8(s, dir)
+      val p = model.numPartitions
+      val target = 0.9
+      val codes = enc.select(col("id"), col("partition"))
+      val curve = graft.query.Calibrate.nprobeRecallCurveCells(emb,
+        "embedding", "vec_id", codes, model.partitionCentroids,
+        k = 10, sampleN = 25)
+      val np = graft.query.Calibrate.recommend(curve, target)
+      val curveInv = curve
+        .withColumn("prev", lag(col("recall"), 1).over(Window.orderBy("nprobe")))
+        .agg(
+          count(lit(1)).cast("long").as("n_curve_rows"),
+          coalesce(sum(when(col("prev").isNotNull &&
+            col("recall") < col("prev"), 1L).otherwise(0L)), lit(0L))
+            .as("n_mono_viol"),
+          coalesce(sum(when(col("nprobe") === p && col("recall") === 1.0, 1L)
+            .otherwise(0L)), lit(0L)).as("recall_p_exact"))
+      val queries = graft.query.Calibrate.sampleQueries(emb, "embedding",
+        "vec_id", 25)
+      val truth = graft.query.Calibrate.exactNeighbors(emb, "embedding",
+        "vec_id", queries, 10)
+      val got = AnnQuery.batchTopKCellsFlat(codes, emb, "embedding",
+          "vec_id", model.partitionCentroids, queries, "qid", "qvec",
+          k = 11, nprobe = np)
+        .where(col("qid") =!= col("id"))
+      val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      val nRec = truth.select("qid", "id")
+        .join(got.select("qid", "id"), Seq("qid", "id"))
+        .agg(count(lit(1)).cast("long").as("n_rec"))
+      curveInv.crossJoin(nTruth).crossJoin(nRec).select(
+        col("n_curve_rows"), col("n_mono_viol"), col("recall_p_exact"),
+        when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
+          .as("promise_delivered"))
+    }),
+
+    // OPQ nprobe calibration: cells are assigned in ORIGINAL space (the
+    // rotation touches only the residual code space — Opq.scala), so the
+    // curve uses model.ivf.partitionCentroids unchanged and the promise
+    // check scans original vectors in the probed cells
+    "ann_calibrate_opq" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val (model, enc) = fittedOpq(s, dir)
+      val p = model.config.numPartitions
+      val target = 0.9
+      val cents = model.ivf.partitionCentroids
+      val codes = enc.select(col("id"), col("partition"))
+      val curve = graft.query.Calibrate.nprobeRecallCurveCells(emb,
+        "embedding", "vec_id", codes, cents, k = 10, sampleN = 25)
+      val np = graft.query.Calibrate.recommend(curve, target)
+      val curveInv = curve
+        .withColumn("prev", lag(col("recall"), 1).over(Window.orderBy("nprobe")))
+        .agg(
+          count(lit(1)).cast("long").as("n_curve_rows"),
+          coalesce(sum(when(col("prev").isNotNull &&
+            col("recall") < col("prev"), 1L).otherwise(0L)), lit(0L))
+            .as("n_mono_viol"),
+          coalesce(sum(when(col("nprobe") === p && col("recall") === 1.0, 1L)
+            .otherwise(0L)), lit(0L)).as("recall_p_exact"))
+      val queries = graft.query.Calibrate.sampleQueries(emb, "embedding",
+        "vec_id", 25)
+      val truth = graft.query.Calibrate.exactNeighbors(emb, "embedding",
+        "vec_id", queries, 10)
+      val got = AnnQuery.batchTopKCellsFlat(codes, emb, "embedding",
+          "vec_id", cents, queries, "qid", "qvec", k = 11, nprobe = np)
+        .where(col("qid") =!= col("id"))
+      val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      val nRec = truth.select("qid", "id")
+        .join(got.select("qid", "id"), Seq("qid", "id"))
+        .agg(count(lit(1)).cast("long").as("n_rec"))
+      curveInv.crossJoin(nTruth).crossJoin(nRec).select(
+        col("n_curve_rows"), col("n_mono_viol"), col("recall_p_exact"),
+        when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
+          .as("promise_delivered"))
+    }),
+
+    // kFactor calibration, flat-SQ8 family: the nominate-by-SQ8-distance
+    // + exact-rerank composition's cut knob. One count-smaller pass
+    // builds the whole curve (Calibrate.kFactorRecallCurve); invariants:
+    // monotone, complete axis to ceil((N-1)/k), exactly 1.0 at the end
+    // (whole-corpus candidates), and the recommended kFactor DELIVERS
+    // its promise through the nominate + exact-rerank path
+    "ann_calibrate_sq8" -> ((s, dir) =>
+      kFactorCalibrationGate(s, dir, (emb, queries) => {
+        val (model, enc) = fittedSq8(s, dir)
+        graft.query.Calibrate.sq8Candidates(enc, model, queries)
+      })),
+
+    // kFactor calibration, RQ family: the level-1 ADC nomination cut
+    // that feeds Rq.topKRefined — candidates are the ADC-scored rows of
+    // the probed cells (full probe here, so the curve's tail is exact),
+    // delivery is nominate-by-ADC + exact rerank (calibration runs
+    // offline against the corpus originals; the production refine sits
+    // at or below this ceiling by construction, gated by ann_rq)
+    "ann_calibrate_rq" -> ((s, dir) =>
+      kFactorCalibrationGate(s, dir, (emb, queries) => {
+        val (model, encoded) = fittedIndex(s, dir)
+        graft.query.Calibrate.adcCandidates(
+          encoded.select(col("id"), col("partition"), col("codes")),
+          model, queries, nprobe = model.config.numPartitions)
+      })),
+
+    // kFactor calibration, Hamming family: the nominate-by-Hamming +
+    // exact-rerank composition (BinaryQuant.rankedIdsRerank) — 1-bit/dim
+    // signatures rank coarsely, so this is the family whose users most
+    // need the curve (f_recommended is large; the gate proves the curve
+    // prices that honestly and the promise still delivers)
+    "ann_calibrate_hamming" -> ((s, dir) =>
+      kFactorCalibrationGate(s, dir, (emb, queries) => {
+        val thr = graft.index.BinaryQuant.fitThresholds(emb, "embedding")
+        graft.query.Calibrate.hammingCandidates(emb, "embedding", "vec_id",
+          thr, queries)
+      })),
 
     // Q6 semantics: attribute fetch for the top-k hits — resolved from
     // the per-vector attribute store bound to the stored index (B13),
@@ -7865,6 +8038,40 @@ object SparkEntry {
       """SELECT CAST(8 AS BIGINT) AS n_curve_rows,
         | CAST(0 AS BIGINT) AS n_mono_viol,
         | CAST(1 AS BIGINT) AS recall_p_exact,
+        | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
+
+    // same probe-rank identity, the other coarse quantizers: both fits
+    // use P=8 cells, the curve is exact at full probe by construction,
+    // and the delivered check runs exact-in-probed-cells
+    "ann_calibrate_ivfsq8" ->
+      """SELECT CAST(8 AS BIGINT) AS n_curve_rows,
+        | CAST(0 AS BIGINT) AS n_mono_viol,
+        | CAST(1 AS BIGINT) AS recall_p_exact,
+        | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
+    "ann_calibrate_opq" ->
+      """SELECT CAST(8 AS BIGINT) AS n_curve_rows,
+        | CAST(0 AS BIGINT) AS n_mono_viol,
+        | CAST(1 AS BIGINT) AS recall_p_exact,
+        | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
+
+    // kFactor curves: complete axis to ceil((N-1)/k), cumulative ⇒
+    // monotone, whole-corpus candidate coverage ⇒ exactly 1.0 at the
+    // end, and nominate(k·f+1) + exact rerank delivers ≥ the curve's
+    // value at the recommended f (nomination-superset argument)
+    "ann_calibrate_sq8" ->
+      """SELECT CAST(1 AS BIGINT) AS curve_complete,
+        | CAST(0 AS BIGINT) AS n_mono_viol,
+        | CAST(1 AS BIGINT) AS recall_full_exact,
+        | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
+    "ann_calibrate_rq" ->
+      """SELECT CAST(1 AS BIGINT) AS curve_complete,
+        | CAST(0 AS BIGINT) AS n_mono_viol,
+        | CAST(1 AS BIGINT) AS recall_full_exact,
+        | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
+    "ann_calibrate_hamming" ->
+      """SELECT CAST(1 AS BIGINT) AS curve_complete,
+        | CAST(0 AS BIGINT) AS n_mono_viol,
+        | CAST(1 AS BIGINT) AS recall_full_exact,
         | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
 
     "dedup_simhash_near" ->

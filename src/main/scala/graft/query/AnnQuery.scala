@@ -434,10 +434,25 @@ object AnnQuery {
   def batchTopKIvfFlat(codes: DataFrame, vectors: DataFrame, vecCol: String,
                        idCol: String, model: IvfPqModel, queries: DataFrame,
                        qidCol: String, qvecCol: String, k: Int,
-                       nprobe: Int): DataFrame = {
-    require(nprobe >= 1 && nprobe <= model.config.numPartitions,
-      s"nprobe $nprobe out of range 1..${model.config.numPartitions}")
-    val flat = model.partitionCentroids.flatten.toSeq
+                       nprobe: Int): DataFrame =
+    batchTopKCellsFlat(codes, vectors, vecCol, idCol,
+      model.partitionCentroids, queries, qidCol, qvecCol, k, nprobe)
+
+  /** [[batchTopKIvfFlat]] over a RAW coarse-centroid table — the same
+    * exact-in-probed-cells plan for any IVF family that shares the
+    * coarse-quantizer geometry (IVF+SQ8, OPQ — whose cells live in
+    * ORIGINAL space; only its code space is rotated). This is the
+    * measurement arm of [[Calibrate]]: candidate-generation recall is a
+    * pure function of the coarse centroids, never of the within-cell
+    * codec. */
+  def batchTopKCellsFlat(codes: DataFrame, vectors: DataFrame,
+                         vecCol: String, idCol: String,
+                         centroids: Array[Array[Double]], queries: DataFrame,
+                         qidCol: String, qvecCol: String, k: Int,
+                         nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe $nprobe out of range 1..${centroids.length}")
+    val flat = centroids.flatten.toSeq
     val probed = queries.select(col(qidCol).as("qid"),
       col(qvecCol).as("__qvec"),
       explode(graft.functions.FastFunctions.topCellsL2(col(qvecCol),

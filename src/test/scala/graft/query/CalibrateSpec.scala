@@ -1,5 +1,6 @@
 package graft.query
 
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -109,5 +110,96 @@ class CalibrateSpec extends AnyFunSuite {
     val recall = truth.intersect(got).size.toDouble / truth.size
     assert(recall >= target,
       s"promised recall $target at nprobe=$np, measured $recall")
+  }
+
+  // ------------------------------------------------------------------
+  // round 14: the generalized curves — raw-centroid nprobe calibration
+  // (IVF+SQ8 / OPQ share the machinery) and the kFactor curve for the
+  // nominate-then-rerank paths
+  // ------------------------------------------------------------------
+
+  test("cells overload: the raw-centroid curve is the model curve") {
+    val viaCells = Calibrate.nprobeRecallCurveCells(df, "vec", "id",
+      encoded, model.partitionCentroids, k = 5, sampleN = 40).collect()
+    assert(viaCells.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      curve.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  private lazy val queries40 = Calibrate.sampleQueries(df, "vec", "id", 40)
+  private def adcCand(nprobe: Int) =
+    Calibrate.adcCandidates(encoded, model, queries40, nprobe)
+
+  test("kFactor curve matches a brute-force nomination-rank histogram") {
+    val k = 5
+    val maxF = 20
+    val cand = adcCand(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = Calibrate.exactNeighbors(df, "vec", "id", queries40, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = cand.filter { case (q, i, _) => q != i }.groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.sortBy(t => (t._3, t._2)).map(_._2).toSeq
+      }
+    val ranks = truth.flatMap { case (q, id) =>
+      byQ.get(q).flatMap { order =>
+        val ix = order.indexOf(id)
+        if (ix < 0) None else Some(ix + 1)
+      }
+    }
+    val expected =
+      (1 to maxF).map(f => ranks.count(_ <= k * f).toDouble / truth.length)
+    val got = Calibrate.kFactorRecallCurve(df, "vec", "id", queries40,
+        adcCand(3), k, maxF).collect()
+    assert(got.map(_.getLong(0)).toSeq === (1L to maxF.toLong))
+    assert(got.map(_.getDouble(3)).toSeq === expected)
+  }
+
+  test("theorem: with EXACT candidate scores every true pair is " +
+      "nominated at f = 1 (ranks coincide with the truth order)") {
+    val exactCand = df.join(broadcast(queries40))
+      .select(col("qid"), col("id"),
+        graft.functions.FastFunctions.squaredL2F(col("vec"), col("qvec"))
+          .as("score"))
+    val c = Calibrate.kFactorRecallCurve(df, "vec", "id", queries40,
+      exactCand, k = 5, maxKFactor = 3).collect()
+    assert(c.map(_.getDouble(3)).toSeq === Seq(1.0, 1.0, 1.0))
+  }
+
+  test("recommendKFactor: smallest f reaching the target; plateau and " +
+      "bad targets refused") {
+    val synth = Seq((1L, 100L, 200L, 0.5), (2L, 120L, 200L, 0.6),
+        (3L, 120L, 200L, 0.6))
+      .toDF("kfactor", "n_hits", "n_pairs", "recall")
+    assert(Calibrate.recommendKFactor(synth, 0.5) === 1)
+    assert(Calibrate.recommendKFactor(synth, 0.55) === 2)
+    intercept[IllegalArgumentException] {
+      Calibrate.recommendKFactor(synth, 0.7) // above the plateau
+    }
+    intercept[IllegalArgumentException] {
+      Calibrate.recommendKFactor(synth, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Calibrate.recommendKFactor(synth, 1.5)
+    }
+  }
+
+  test("the kFactor promise holds: nominate(k·f+1) + exact rerank " +
+      "recovers at least the curve's recall at every f") {
+    val k = 5
+    val cand = adcCand(3)
+    val curveRows = Calibrate.kFactorRecallCurve(df, "vec", "id",
+      queries40, cand, k, 8).collect()
+    val truth = Calibrate.exactNeighbors(df, "vec", "id", queries40, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (f <- Seq(1, 2, 4, 8)) {
+      val got = Calibrate.rerankDelivered(df, "vec", "id", queries40,
+          cand, kNominate = k * f + 1, kFinal = k + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (q, i) => q != i }.toSet
+      val measured = truth.intersect(got).size.toDouble / truth.size
+      val promised = curveRows.find(_.getLong(0) == f.toLong).get.getDouble(3)
+      assert(measured >= promised,
+        s"f=$f: delivered $measured < curve $promised")
+    }
   }
 }
