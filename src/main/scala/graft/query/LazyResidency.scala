@@ -104,14 +104,52 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
     } finally probed.foreach(c => inUse.get(c).decrementAndGet())
   }
 
+  /** Background warm-up: make `cells` resident WITHOUT blocking warm
+    * traffic — one claim + pruned-scan + install pass through the same
+    * per-cell promise machinery as a cold query, so a cell being
+    * prefetched and cold-queried concurrently still loads exactly ONCE
+    * (whoever wins the claim loads; the other parks on the shared
+    * promise). Synchronous in the calling thread — run it on a
+    * background executor; warm queries stay lock-free throughout and
+    * cold queries for other cells proceed in parallel.
+    *
+    * Prefetched cells are NOT use-pinned: the caps still apply and
+    * eviction treats them as idle (recency-stamped now, so they are the
+    * freshest evictable cells) — a prefetch can never wedge residency
+    * above its caps, and under cap pressure it is best-effort by
+    * design (ONE pass, no retry loop: retrying an evicted prefetch
+    * would livelock against the cap). */
+  def prefetch(cells: Seq[Int]): Unit = {
+    val arr = cells.distinct.toArray
+    if (arr.nonEmpty) {
+      val now = tick.incrementAndGet()
+      arr.foreach(c => lastTouch.put(c, now))
+      loadPass(arr)
+    }
+  }
+
   /** Returns a delegate whose resident map covers `probed`. Caller must
     * hold the use-pins (see [[withResident]]) so the covered cells stay
     * resident for the returned snapshot's consumer. */
   private def ensureResident(probed: Array[Int]): S = {
     while (true) {
-      val s0 = snap
-      val missing = probed.filterNot(s0.resident.contains)
-      if (missing.isEmpty) return s0.delegate
+      val d = loadPass(probed)
+      if (d != null) return d
+      // loop: our use-pins keep claimed/awaited cells resident once
+      // installed, so the re-check converges
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One claim + load + install + wait pass. Returns the delegate if
+    * `probed` was fully resident at this pass's snapshot read, else
+    * null (after loading the claims it won and waiting out the loads it
+    * joined — a use-pinned caller re-checks, [[prefetch]] stops). */
+  private def loadPass(probed: Array[Int]): S = {
+    val s0 = snap
+    val missing = probed.filterNot(s0.resident.contains)
+    if (missing.isEmpty) s0.delegate
+    else {
       // claim cells nobody is loading; join the in-flight load otherwise
       val mine = Vector.newBuilder[(Int, Promise[Unit])]
       val waits = Vector.newBuilder[Promise[Unit]]
@@ -198,9 +236,7 @@ final class LazyResidency[P <: AnyRef, S <: AnyRef](
         claimed.foreach { case (c, p) => inflight.remove(c); p.success(()) }
       }
       waits.result().foreach(p => Await.result(p.future, Duration.Inf))
-      // loop: our use-pins keep claimed/awaited cells resident once
-      // installed, so the re-check converges
+      null.asInstanceOf[S]
     }
-    throw new IllegalStateException("unreachable")
   }
 }

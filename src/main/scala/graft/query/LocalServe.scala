@@ -935,6 +935,12 @@ final class LocalServeLazy private (
   /** Cold cell loads performed so far (per cell, not per query). */
   def coldLoads: Long = res.coldLoads
 
+  /** Background warm-up: pin `cells` ahead of traffic through the same
+    * shared-promise load pass a cold query uses (a concurrently queried
+    * cell still loads exactly once), never blocking warm queries; caps
+    * and eviction apply as usual — see [[LazyResidency.prefetch]]. */
+  def prefetch(cells: Seq[Int]): Unit = res.prefetch(cells)
+
   /** Payload bytes currently resident (ids + codes + pinned attrs). */
   def residentBytes: Long = res.residentBytes
 
@@ -1095,6 +1101,12 @@ final class LocalServeSq8Lazy private (
   /** Cold cell loads performed so far. */
   def coldLoads: Long = res.coldLoads
 
+  /** Background warm-up: pin `cells` ahead of traffic through the same
+    * shared-promise load pass a cold query uses (a concurrently queried
+    * cell still loads exactly once), never blocking warm queries; caps
+    * and eviction apply as usual — see [[LazyResidency.prefetch]]. */
+  def prefetch(cells: Seq[Int]): Unit = res.prefetch(cells)
+
   /** Payload bytes currently resident (ids + byte codes). */
   def residentBytes: Long = res.residentBytes
 
@@ -1176,6 +1188,12 @@ final class LocalServeRqLazy private (
 
   /** Cold cell loads performed so far. */
   def coldLoads: Long = res.coldLoads
+
+  /** Background warm-up: pin `cells` ahead of traffic through the same
+    * shared-promise load pass a cold query uses (a concurrently queried
+    * cell still loads exactly once), never blocking warm queries; caps
+    * and eviction apply as usual — see [[LazyResidency.prefetch]]. */
+  def prefetch(cells: Seq[Int]): Unit = res.prefetch(cells)
 
   /** Payload bytes currently resident (ids + both code layers). */
   def residentBytes: Long = res.residentBytes

@@ -255,6 +255,82 @@ class LazyResidencySpec extends AnyFunSuite {
     assert(res.residentBytes === 8L)
   }
 
+  test("prefetch pins cells ahead of traffic in one batched load; " +
+      "queries on a prefetched set are warm (no further loads)") {
+    val h = new Harness()
+    h.res.prefetch(Seq(1, 2, 3))
+    assert(h.res.cells === Seq(1, 2, 3))
+    assert(h.res.coldLoads === 3L)
+    assert(h.loadCalls.get() === 1, "one batched scan for the hot set")
+    h.res.withResident(Array(1, 2))(m => assert(m.size >= 2))
+    h.res.withResident(Array(3))(_ => ())
+    assert(h.res.coldLoads === 3L, "prefetched cells must answer warm")
+    assert(h.loadCalls.get() === 1)
+  }
+
+  test("prefetch shares in-flight loads with queries: a concurrently " +
+      "queried cell loads exactly once") {
+    val h = new Harness()
+    val g5 = h.gate(5)
+    val queryDone = new CountDownLatch(1)
+    inThread { // query claims cell 5 and parks in the loader
+      h.res.withResident(Array(5))(m => {
+        assert(m.contains(5)); queryDone.countDown()
+      })
+    }
+    val t0 = System.nanoTime()
+    while (h.cellsLoaded.get(5) == null && System.nanoTime() - t0 < 10e9) {
+      Thread.sleep(1)
+    }
+    // prefetch overlapping the in-flight cell: claims only 6, then
+    // parks on 5's shared promise instead of re-loading it
+    val prefetchDone = new CountDownLatch(1)
+    inThread { h.res.prefetch(Seq(5, 6)); prefetchDone.countDown() }
+    val t1 = System.nanoTime()
+    while (h.cellsLoaded.get(6) == null && System.nanoTime() - t1 < 10e9) {
+      Thread.sleep(1)
+    }
+    g5.countDown()
+    assert(queryDone.await(20, TimeUnit.SECONDS))
+    assert(prefetchDone.await(20, TimeUnit.SECONDS))
+    assert(h.cellsLoaded.get(5).get() === 1,
+      "prefetch must join the query's in-flight load, not duplicate it")
+    assert(h.cellsLoaded.get(6).get() === 1)
+    assert(h.res.cells === Seq(5, 6))
+  }
+
+  test("warm queries are unblocked while a prefetch loads in the " +
+      "background") {
+    val h = new Harness()
+    h.res.withResident(Array(1))(_ => ()) // warm up 1
+    val g9 = h.gate(9)
+    val prefetchDone = new CountDownLatch(1)
+    inThread { h.res.prefetch(Seq(9)); prefetchDone.countDown() }
+    val t0 = System.nanoTime()
+    while (h.cellsLoaded.get(9) == null && System.nanoTime() - t0 < 10e9) {
+      Thread.sleep(1)
+    }
+    val warmT0 = System.nanoTime()
+    h.res.withResident(Array(1))(m => assert(m(1).nonEmpty))
+    val warmMs = (System.nanoTime() - warmT0) / 1e6
+    assert(h.inLoad.get() == 1, "prefetch load should still be in flight")
+    assert(warmMs < 2000, s"warm query took ${warmMs} ms behind a prefetch")
+    g9.countDown()
+    assert(prefetchDone.await(20, TimeUnit.SECONDS))
+    assert(h.res.cells === Seq(1, 9))
+  }
+
+  test("prefetch is best-effort under caps: residency never exceeds the " +
+      "cap and the state is not wedged") {
+    val h = new Harness(maxCells = 2)
+    h.res.prefetch(Seq(1, 2, 3))
+    assert(h.res.cells.size <= 2,
+      s"prefetch wedged residency above the cap: ${h.res.cells}")
+    // follow-up queries behave normally (evict/load as usual)
+    h.res.withResident(Array(1, 2))(m => assert(m.size >= 2))
+    assert(h.res.cells.size <= 2)
+  }
+
   test("probe-count precondition against the cell cap stays loud") {
     val h = new Harness(maxCells = 2)
     val ex = intercept[IllegalArgumentException] {
