@@ -52,6 +52,8 @@ object FastFunctions {
     "pqEncodeF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType),
       IntegerType, IntegerType),
     "pseudoRandomVec" -> Seq(LongType, IntegerType, LongType),
+    "clusteredVec" -> Seq(LongType, IntegerType, IntegerType, DoubleType,
+      LongType),
     "momentsUpper" -> Seq(ArrayType(FloatType)),
     "matvecRows" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
     "rotateF" -> Seq(ArrayType(FloatType), ArrayType(DoubleType)),
@@ -274,6 +276,13 @@ object FastFunctions {
   def pseudoRandomVec(id: Column, dim: Int, seed: Long): Column =
     invoke(ArrayType(FloatType, containsNull = false), "pseudoRandomVec",
       id, lit(dim), lit(seed))
+
+  /** Deterministic clustered vector (k tight blobs + uniform noise) from
+    * an id column — the benchmark corpus where IVF cells are real. */
+  def clusteredVec(id: Column, dim: Int, k: Int, spread: Double,
+                   seed: Long): Column =
+    invoke(ArrayType(FloatType, containsNull = false), "clusteredVec",
+      id, lit(dim), lit(k), lit(spread), lit(seed))
 
   /** Bucketed byte sums of a binary column (deterministic fake feature). */
   def byteBucketSums(payload: Column, dim: Int): Column =

@@ -892,6 +892,33 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Clustered synthetic corpus: k tight blobs + per-point uniform
+    * noise — the benchmark data shape where coarse cells are REAL
+    * (IVF pruning and k-means bounds can bite), vs [[pseudoRandomVec]]'s
+    * distance-concentrated uniform cube. Pure function of (id, seed):
+    * cluster = hash(id) mod k, its center uniform [0,1)^dim from
+    * (cluster, seed), point = center + spread·(u − 1/2) per dim. The
+    * same id always lands in the same cluster at the same coordinates —
+    * rerun/repartition-stable like every synthetic source here. */
+  def clusteredVec(id: Long, dim: Int, k: Int, spread: Double,
+                   seed: Long): ArrayData = {
+    val out = new Array[Float](dim)
+    val cluster = java.lang.Math.floorMod(
+      XXH64.hashLong(id, seed ^ 0x51ED270B4D2F3E85L), k.toLong)
+    var cx = XXH64.hashLong(cluster, seed)
+    var px = XXH64.hashLong(id, seed + 1L)
+    var i = 0
+    while (i < dim) {
+      cx = XXH64.hashLong(cx, 0x9E3779B97F4A7C15L)
+      px = XXH64.hashLong(px, 0x9E3779B97F4A7C15L)
+      val c = (cx >>> 40).toDouble / (1 << 24)
+      val nz = ((px >>> 40).toDouble / (1 << 24) - 0.5) * spread
+      out(i) = (c + nz).toFloat
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Per-row PCA moment partial: [v₀..v_{d−1}, upper-triangle (incl.
     * diagonal) of v·vᵀ row-major] — length d + d(d+1)/2. Summing this
     * array over rows (posexplode + map-side-combined groupBy) yields the

@@ -355,4 +355,25 @@ class KernelsSpec extends AnyFunSuite {
     // symmetric
     assert(dl("CA", "ABC") === dl("ABC", "CA"))
   }
+
+  test("clusteredVec: deterministic, in range, blobs are TIGHT relative " +
+      "to cross-blob distances") {
+    val dim = 32
+    val k = 8
+    def vec(id: Long) =
+      Kernels.clusteredVec(id, dim, k, 0.25, 42L).toFloatArray()
+    assert(vec(7L).toSeq === vec(7L).toSeq) // pure function of (id, seed)
+    assert(vec(7L).forall(v => v >= -0.25f && v < 1.25f))
+    def sq(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val vs = (0L until 256L).map(vec)
+    val dists = for (i <- vs.indices; j <- (i + 1) until vs.length)
+      yield sq(vs(i), vs(j))
+    val sorted = dists.sorted
+    // with 8 blobs, ~1/8 of pairs are same-blob: the bottom decile must
+    // be far below the median (tight blobs), not a smooth continuum
+    assert(sorted(sorted.length / 10) < sorted(sorted.length / 2) / 4,
+      s"expected bimodal same/cross blob distances, got " +
+        s"p10=${sorted(sorted.length / 10)} p50=${sorted(sorted.length / 2)}")
+  }
 }
