@@ -153,9 +153,11 @@ object IvfPqBuilder {
     // Residuals of the already-collected training sample are computed
     // locally (assignResiduals — same numeric contract as the
     // distributed kernels); each division's fit slices its own subDim
-    // columns out. The D fits each saturate the machine (LocalKMeans
-    // parallelizes over points), so they run sequentially — same flops,
-    // no pool contention.
+    // columns out. The D fits run with a small OVERLAP (round 14): one
+    // fit's chunk barriers leave the pool under-fed, so overlapping 4
+    // measured 1.77× on this exact shape with BIT-IDENTICAL codebooks
+    // (pure function of slice + per-division seed — see
+    // LocalKMeans.overlapIndexed).
     val pqVecs =
       if (config.trainPointsPerCentroid > 0 && pqCap < trainVecs.length) {
         val step = trainVecs.length.toDouble / pqCap
@@ -168,7 +170,7 @@ object IvfPqBuilder {
     val pqData = timed("local-residuals")(
       LocalKMeans.assignResiduals(pqVecs, centroids))
     val pqFits = timed("pq-kmeans-all")(
-      (0 until config.numDivisions).map { dI =>
+      LocalKMeans.overlapIndexed(config.numDivisions) { dI =>
         val sliceData = pqData.map(r =>
           java.util.Arrays.copyOfRange(r, dI * subDim, (dI + 1) * subDim))
         LocalKMeans.fit(sliceData, config.numCodes, config.maxIter,

@@ -399,4 +399,50 @@ object LocalKMeans {
       Future.sequence(ranges.map { case (s, e) => Future(body(s, e)) }),
       Duration.Inf)
   }
+
+  /** Run `n` independent per-division bodies with a small fixed OVERLAP
+    * of plain worker threads (deliberately NOT the shared
+    * ExecutionContext — each body's own [[parChunks]] fans to it, and a
+    * blocked submitter there would starve the pool). One fit alone
+    * leaves the pool under-fed at its per-iteration barriers, so
+    * overlapping fits fills the bubbles: measured on the 1536-dim
+    * build's 12 PQ fits (65,536 × 128-dim slices, C=256) — sequential
+    * 29.4 s vs overlap-4 16.6 s = 1.77× on the uniform bench corpus,
+    * 1.53× on blobs, outputs BIT-IDENTICAL in both (each body is a pure
+    * function of its index: per-division seed, range-ordered partial
+    * merges; Round14FitOverlapProbe keeps the A/B runnable). Workers
+    * pull indices from a counter, results keep index order; the first
+    * body failure cancels the remaining pulls and rethrows. */
+  private[index] def overlapIndexed[T: scala.reflect.ClassTag](
+      n: Int, overlap: Int = 4)(body: Int => T): IndexedSeq[T] = {
+    require(overlap >= 1, s"overlap must be >= 1, got $overlap")
+    if (n == 0) return Vector.empty
+    val out = new Array[T](n)
+    if (n == 1 || overlap == 1) {
+      var i = 0
+      while (i < n) { out(i) = body(i); i += 1 }
+      return out.toIndexedSeq
+    }
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val workers = (0 until math.min(overlap, n)).map { _ =>
+      val t = new Thread(() => {
+        try {
+          var i = next.getAndIncrement()
+          while (i < n && failure.get() == null) {
+            out(i) = body(i)
+            i = next.getAndIncrement()
+          }
+        } catch {
+          case e: Throwable => failure.compareAndSet(null, e)
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    workers.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+    out.toIndexedSeq
+  }
 }

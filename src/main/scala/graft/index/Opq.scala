@@ -196,18 +196,22 @@ object OpqBuilder {
         s"OPQ build: PQ training sample has ${rotated.length} vectors < " +
           s"numCodes C=$c — lower C or ingest more vectors (k-means " +
           "needs n >= k)")
-      codebooks = Array.tabulate(d) { dI =>
+      // overlapped per division (LocalKMeans.overlapIndexed — measured
+      // 1.77× on the plain builder's identical shape, bit-identical);
+      // the warm start reads only the PREVIOUS sweep's frozen array
+      val prevBooks = codebooks
+      codebooks = LocalKMeans.overlapIndexed(d) { dI =>
         val sliceData = rotated.map(r =>
           java.util.Arrays.copyOfRange(r, dI * m, (dI + 1) * m))
         val fitRes =
-          if (codebooks == null)
+          if (prevBooks == null)
             LocalKMeans.fit(sliceData, c, config.maxIter, config.tol,
               config.seed + dI, init = config.pqInitMode)
           else
-            LocalKMeans.fitFrom(sliceData, codebooks(dI), config.maxIter,
+            LocalKMeans.fitFrom(sliceData, prevBooks(dI), config.maxIter,
               config.tol)
         fitRes.centroids
-      }
+      }.toArray
       // 3. encode + reconstruct; accumulate M = Σ rᵢ·r̂ᵢᵀ and the objective
       val cbs = codebooks
       val partials = LocalKMeans.parChunks(n) { (s, e) =>

@@ -65,7 +65,9 @@ object Rq {
       s"RQ refine: error sample has ${train.length} vectors < " +
         s"numCodes2 C2=$numCodes2 — lower C2 or ingest more vectors " +
         "(k-means needs n >= k)")
-    val books2 = (0 until numDivisions2).map { dI =>
+    // overlapped like the level-1 fits (LocalKMeans.overlapIndexed):
+    // independent per division, bit-identical to the sequential loop
+    val books2 = LocalKMeans.overlapIndexed(numDivisions2) { dI =>
       val sliceData = train.map(r =>
         java.util.Arrays.copyOfRange(r, dI * m2, (dI + 1) * m2))
       LocalKMeans.fit(sliceData, numCodes2, maxIter, tol, seed + dI,

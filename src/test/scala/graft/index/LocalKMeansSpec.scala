@@ -143,4 +143,41 @@ class LocalKMeansSpec extends AnyFunSuite {
     assert(r.centroids.length === 3)
     assert(r.centroids.forall(_.toSeq === Seq(1.5, 1.5, 1.5, 1.5)))
   }
+
+  test("overlapIndexed: index-ordered results identical to a sequential " +
+      "loop; empty/single inputs; body failures rethrow") {
+    val seq = (0 until 13).map(i => i * i)
+    for (w <- Seq(1, 2, 4, 8)) {
+      assert(LocalKMeans.overlapIndexed(13, w)(i => i * i) === seq,
+        s"overlap=$w")
+    }
+    assert(LocalKMeans.overlapIndexed(0)(identity) === Vector.empty)
+    assert(LocalKMeans.overlapIndexed(1)(_ => 7) === IndexedSeq(7))
+    val ex = intercept[IllegalStateException] {
+      LocalKMeans.overlapIndexed(8) { i =>
+        if (i == 3) throw new IllegalStateException("fit 3 blew up") else i
+      }
+    }
+    assert(ex.getMessage === "fit 3 blew up")
+    intercept[IllegalArgumentException] {
+      LocalKMeans.overlapIndexed(4, overlap = 0)(identity)
+    }
+  }
+
+  test("overlapped PQ-shape fits are bit-identical to sequential fits") {
+    val rnd = new scala.util.Random(3)
+    val data = Array.fill(2048)(Array.fill(8)(rnd.nextFloat()))
+    def one(dI: Int) =
+      LocalKMeans.fit(data, 16, maxIter = 10, tol = 1e-6, seed = 42L + dI,
+        init = "random")
+    val sequential = (0 until 6).map(one)
+    val overlapped = LocalKMeans.overlapIndexed(6)(one)
+    (0 until 6).foreach { dI =>
+      assert(sequential(dI).iters === overlapped(dI).iters)
+      sequential(dI).centroids.indices.foreach { ci =>
+        assert(java.util.Arrays.equals(sequential(dI).centroids(ci),
+          overlapped(dI).centroids(ci)), s"fit $dI centroid $ci differs")
+      }
+    }
+  }
 }
