@@ -125,19 +125,30 @@ object StreamingPipeline {
     * buffer. At stream end the caller flushes by releasing the final
     * held state as one last batch.
     *
-    * Scale shape: the pool is one micro-batch plus `w` rows —
-    * trigger-sized, never the corpus — so the single-partition rank
-    * (the only global sort in the pipeline) is bounded by the trigger
-    * size by construction. */
+    * Scale shape (reworked round 14): the held/release split needs only
+    * the w-th largest id, not a rank per row — `orderBy(desc).limit(w)`
+    * compiles to TakeOrderedAndProject (per-partition bounded top-w +
+    * driver merge, the NBest idiom), its min broadcasts back as a
+    * one-row threshold, and the split is two comparisons against it.
+    * The previous form ranked the whole pool in a SINGLE-partition
+    * window — bounded by the trigger size by contract, but the
+    * pipeline's only single-task stage (Round14ReorderProbe measures
+    * the two forms against each other at growing trigger sizes).
+    * doc_ids are unique (the ingest contract), so the threshold split
+    * is exact and its outputs identical to the ranked form's. */
   def reorderBatch(batch: DataFrame, held: DataFrame, w: Int)
       : (DataFrame, DataFrame) = {
     require(w >= 0, s"reorder window must be >= 0, got $w")
     val pool = held.unionByName(batch)
-    val ranked = pool.withColumn("__rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc_id").desc)))
-    (ranked.where(col("__rn") > w).drop("__rn"),
-      ranked.where(col("__rn") <= w).drop("__rn"))
+    if (w == 0) return (pool, emptyHeldState(batch))
+    val thr = pool.select(col("doc_id"))
+      .orderBy(col("doc_id").desc).limit(w)
+      .agg(min(col("doc_id")).as("__thr"))
+    // empty pool: __thr is null, both comparisons are null → both sides
+    // empty, exactly the ranked form's answer
+    val marked = pool.crossJoin(broadcast(thr))
+    (marked.where(col("doc_id") < col("__thr")).drop("__thr"),
+      marked.where(col("doc_id") >= col("__thr")).drop("__thr"))
   }
 
   /** An empty reorder-held state with `batch`'s schema. */

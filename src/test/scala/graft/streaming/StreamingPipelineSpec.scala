@@ -216,4 +216,34 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"buffered ingest must audit clean, got $audits")
     assert(acc.flatten.toSet === expected)
   }
+
+  test("reorderBatch: the round-14 threshold split equals the ranked " +
+      "form on randomized pools (incl. pool <= w, empty pool, w = 0)") {
+    // the form it replaced: a single-partition row_number window —
+    // output-identical, but the pipeline's only single-task stage
+    def rankedForm(batch: org.apache.spark.sql.DataFrame,
+                   held: org.apache.spark.sql.DataFrame, w: Int) = {
+      val pool = held.unionByName(batch)
+      val ranked = pool.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id").desc)))
+      (ranked.where(col("__rn") > w).drop("__rn"),
+        ranked.where(col("__rn") <= w).drop("__rn"))
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4; w <- Seq(0, 1, 3, 8, 50)) {
+      val n = if (trial == 0) 0 else rnd.nextInt(40)
+      val ids = rnd.shuffle((0 until 200).toList).take(n).map(_.toLong)
+      val batch = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+      val held = StreamingPipeline.emptyHeldState(batch)
+      val (r1, h1) = StreamingPipeline.reorderBatch(batch, held, w)
+      val (r2, h2) = rankedForm(batch, held, w)
+      def idsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getLong(0)).toSet
+      assert(idsOf(r1) === idsOf(r2), s"trial=$trial w=$w released differ")
+      assert(idsOf(h1) === idsOf(h2), s"trial=$trial w=$w held differ")
+      assert(idsOf(r1).intersect(idsOf(h1)).isEmpty)
+      assert(idsOf(r1) ++ idsOf(h1) === ids.toSet)
+    }
+  }
 }
