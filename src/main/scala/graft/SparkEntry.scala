@@ -351,6 +351,27 @@ object SparkEntry {
       (h, r)
     })._2
 
+  /** Lazy twin of [[remoteShardMemo]]: a shard JVM opened through the
+    * capped lazy-residency tier (`--lazy`) — nothing resident at open,
+    * cells pin on probe or on the `ann_serve_remote_lazy` gate's
+    * OpPrefetch warm-up. The memoized client's cells snapshot is the
+    * FIRST-connect view, so the gate's empty-at-open invariant stays
+    * pure across bench reruns. */
+  private val remoteLazyShardMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.query.ShardProcess.Handle,
+                    graft.query.RemoteShards.Pq)]
+  private def remoteLazyShard(storePath: String)
+      : graft.query.RemoteShards.Pq =
+    remoteLazyShardMemo.getOrElseUpdate(storePath, {
+      val h = graft.query.ShardProcess.launch(storePath, "pq", Seq.empty,
+        cpus = 2, extraArgs = Seq("--lazy", "true"))
+      val r = graft.query.RemoteShards.pq("127.0.0.1", h.port)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try r.close() finally h.close()
+      }))
+      (h, r)
+    })._2
+
   /** Fit the IVF+OPQ index once per sf dir — same discipline (and same
     * P/D/C shape) as [[fittedIndex]]; the rotation alternation is part of
     * the build stage, never a query timing. */
@@ -397,6 +418,49 @@ object SparkEntry {
       enc.count()
       (model, enc)
     })
+
+  /** Shared body of the nprobe-calibration gates (IVF+SQ8 / OPQ /
+    * cosine — any coarse-quantizer family): the one-pass probe-rank
+    * curve over raw `centroids`, its invariants (full 1..P axis,
+    * monotone, exactly 1.0 at P), and the delivered-promise check —
+    * exact-in-probed-cells ([[AnnQuery.batchTopKCellsFlat]]) at the
+    * recommended nprobe must recover ≥ the promised recall (k+1 then
+    * drop self: calibration queries are corpus points). `vectors` must
+    * carry (vec_id, embedding). */
+  private def nprobeCalibrationGate(s: SparkSession, vectors: DataFrame,
+      codes: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = centroids.length
+    val target = 0.9
+    val curve = graft.query.Calibrate.nprobeRecallCurveCells(vectors,
+      "embedding", "vec_id", codes, centroids, k = 10, sampleN = 25)
+    val np = graft.query.Calibrate.recommend(curve, target)
+    val curveInv = curve
+      .withColumn("prev",
+        lag(col("recall"), 1).over(Window.orderBy("nprobe")))
+      .agg(
+        count(lit(1)).cast("long").as("n_curve_rows"),
+        coalesce(sum(when(col("prev").isNotNull &&
+          col("recall") < col("prev"), 1L).otherwise(0L)), lit(0L))
+          .as("n_mono_viol"),
+        coalesce(sum(when(col("nprobe") === p && col("recall") === 1.0, 1L)
+          .otherwise(0L)), lit(0L)).as("recall_p_exact"))
+    val queries = graft.query.Calibrate.sampleQueries(vectors, "embedding",
+      "vec_id", 25)
+    val truth = graft.query.Calibrate.exactNeighbors(vectors, "embedding",
+      "vec_id", queries, 10)
+    val got = AnnQuery.batchTopKCellsFlat(codes, vectors, "embedding",
+        "vec_id", centroids, queries, "qid", "qvec", k = 11, nprobe = np)
+      .where(col("qid") =!= col("id"))
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val nRec = truth.select("qid", "id")
+      .join(got.select("qid", "id"), Seq("qid", "id"))
+      .agg(count(lit(1)).cast("long").as("n_rec"))
+    curveInv.crossJoin(nTruth).crossJoin(nRec).select(
+      col("n_curve_rows"), col("n_mono_viol"), col("recall_p_exact"),
+      when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
+        .as("promise_delivered"))
+  }
 
   /** Shared body of the kFactor-calibration gates (SQ8/RQ/Hamming): one
     * count-smaller pass builds the family's full nomination-rank curve
@@ -1724,6 +1788,51 @@ object SparkEntry {
         coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
         .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
           lit(if (remoteHolds) 1L else 0L).as("remote_holds_odd_cells"))
+    }),
+
+    // LAZY shard JVM (round 14): the fleet form for a store bigger than
+    // the fleet's RAM — a shard server opened through the capped
+    // lazy-residency tier (--lazy) starts serving with NOTHING resident,
+    // a ServeRouterLazy warm-up travels as ONE OpPrefetch frame and pins
+    // exactly the shard's assigned cells, and the warmed fleet answers
+    // bit-identically to the cluster query
+    "ann_serve_remote_lazy" -> ((s, dir) => {
+      val path = storedIndexPath(s, dir)
+      val (model, codes) = IvfPqBuilder.load(s, path)
+      val allCells = graft.query.LocalServe.fromStore(s, path).cells
+      val odd = allCells.filter(_ % 2 == 1)
+      val remote = remoteLazyShard(path)
+      // the memoized client's cells snapshot is from FIRST connect —
+      // a lazy server must have had nothing resident at open
+      val emptyAtOpen = remote.cells.isEmpty
+      val localLazy = graft.query.LocalServeLazy.fromStore(s, path)
+      val router = graft.query.ServeRouterLazy(model,
+        Seq(localLazy, remote), c => c % 2)
+      router.prefetch(allCells)
+      val warmSnap = graft.query.RemoteShards.pq("127.0.0.1",
+        remoteLazyShardMemo(path)._1.port)
+      val warmed = try warmSnap.cells.sorted == odd.sorted
+        finally warmSnap.close()
+      val checks = Seq(0L, 7L, 23L).flatMap { qid =>
+        val q = queryVec(s, dir, qid).map(_.toDouble)
+        val cluster = AnnQuery.topK(codes, model, q, k = 10, nprobe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val routed = router.query(q, k = 10, nprobe = 4)
+        cluster.zipAll(routed, (-1L, -1, -1.0), (-2L, -2, -2.0)).map {
+          case ((cid, cp, cd), (lid, lp, ld)) =>
+            (if (cid == lid && cp == lp) 0L else 1L,
+             if (cd == ld) 0L else 1L) // bit-exact across the wire
+        }
+      }
+      import s.implicits._
+      checks.toDF("id_mm", "dist_mm").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        coalesce(sum(col("id_mm")), lit(0L)).as("n_id_mismatch"),
+        coalesce(sum(col("dist_mm")), lit(0L)).as("n_dist_mismatch"))
+        .select(col("n_rows"), col("n_id_mismatch"), col("n_dist_mismatch"),
+          lit(if (emptyAtOpen && warmed) 1L else 0L)
+            .as("prefetch_warmed_assigned"))
     }),
 
     // SHARDED SQ8 serving (round 13): ServeRouterSq8 over two
@@ -3290,41 +3399,9 @@ object SparkEntry {
     // quantizer and the delivered-promise check runs exact-in-probed-
     // cells over the same cells (batchTopKCellsFlat)
     "ann_calibrate_ivfsq8" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, dir)
       val (model, enc) = fittedIvfSq8(s, dir)
-      val p = model.numPartitions
-      val target = 0.9
-      val codes = enc.select(col("id"), col("partition"))
-      val curve = graft.query.Calibrate.nprobeRecallCurveCells(emb,
-        "embedding", "vec_id", codes, model.partitionCentroids,
-        k = 10, sampleN = 25)
-      val np = graft.query.Calibrate.recommend(curve, target)
-      val curveInv = curve
-        .withColumn("prev", lag(col("recall"), 1).over(Window.orderBy("nprobe")))
-        .agg(
-          count(lit(1)).cast("long").as("n_curve_rows"),
-          coalesce(sum(when(col("prev").isNotNull &&
-            col("recall") < col("prev"), 1L).otherwise(0L)), lit(0L))
-            .as("n_mono_viol"),
-          coalesce(sum(when(col("nprobe") === p && col("recall") === 1.0, 1L)
-            .otherwise(0L)), lit(0L)).as("recall_p_exact"))
-      val queries = graft.query.Calibrate.sampleQueries(emb, "embedding",
-        "vec_id", 25)
-      val truth = graft.query.Calibrate.exactNeighbors(emb, "embedding",
-        "vec_id", queries, 10)
-      val got = AnnQuery.batchTopKCellsFlat(codes, emb, "embedding",
-          "vec_id", model.partitionCentroids, queries, "qid", "qvec",
-          k = 11, nprobe = np)
-        .where(col("qid") =!= col("id"))
-      val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
-      val nRec = truth.select("qid", "id")
-        .join(got.select("qid", "id"), Seq("qid", "id"))
-        .agg(count(lit(1)).cast("long").as("n_rec"))
-      curveInv.crossJoin(nTruth).crossJoin(nRec).select(
-        col("n_curve_rows"), col("n_mono_viol"), col("recall_p_exact"),
-        when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
-          .as("promise_delivered"))
+      nprobeCalibrationGate(s, Tables.embeddings(s, dir),
+        enc.select(col("id"), col("partition")), model.partitionCentroids)
     }),
 
     // OPQ nprobe calibration: cells are assigned in ORIGINAL space (the
@@ -3332,40 +3409,22 @@ object SparkEntry {
     // curve uses model.ivf.partitionCentroids unchanged and the promise
     // check scans original vectors in the probed cells
     "ann_calibrate_opq" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, dir)
       val (model, enc) = fittedOpq(s, dir)
-      val p = model.config.numPartitions
-      val target = 0.9
-      val cents = model.ivf.partitionCentroids
-      val codes = enc.select(col("id"), col("partition"))
-      val curve = graft.query.Calibrate.nprobeRecallCurveCells(emb,
-        "embedding", "vec_id", codes, cents, k = 10, sampleN = 25)
-      val np = graft.query.Calibrate.recommend(curve, target)
-      val curveInv = curve
-        .withColumn("prev", lag(col("recall"), 1).over(Window.orderBy("nprobe")))
-        .agg(
-          count(lit(1)).cast("long").as("n_curve_rows"),
-          coalesce(sum(when(col("prev").isNotNull &&
-            col("recall") < col("prev"), 1L).otherwise(0L)), lit(0L))
-            .as("n_mono_viol"),
-          coalesce(sum(when(col("nprobe") === p && col("recall") === 1.0, 1L)
-            .otherwise(0L)), lit(0L)).as("recall_p_exact"))
-      val queries = graft.query.Calibrate.sampleQueries(emb, "embedding",
-        "vec_id", 25)
-      val truth = graft.query.Calibrate.exactNeighbors(emb, "embedding",
-        "vec_id", queries, 10)
-      val got = AnnQuery.batchTopKCellsFlat(codes, emb, "embedding",
-          "vec_id", cents, queries, "qid", "qvec", k = 11, nprobe = np)
-        .where(col("qid") =!= col("id"))
-      val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
-      val nRec = truth.select("qid", "id")
-        .join(got.select("qid", "id"), Seq("qid", "id"))
-        .agg(count(lit(1)).cast("long").as("n_rec"))
-      curveInv.crossJoin(nTruth).crossJoin(nRec).select(
-        col("n_curve_rows"), col("n_mono_viol"), col("recall_p_exact"),
-        when(col("n_rec") * 10 >= col("n_truth") * 9, 1L).otherwise(0L)
-          .as("promise_delivered"))
+      nprobeCalibrationGate(s, Tables.embeddings(s, dir),
+        enc.select(col("id"), col("partition")),
+        model.ivf.partitionCentroids)
+    }),
+
+    // cosine-metric calibration: the unit-sphere reduction (ann_cosine)
+    // makes L2 machinery exact for cosine ordering, so the SAME curve +
+    // delivery over the normalized corpus and the cosine model's cells
+    // calibrates cosine recall — nothing metric-specific to add
+    "ann_calibrate_cosine" -> ((s, dir) => {
+      val (model, enc) = cosFittedIndex(s, dir)
+      val unit = graft.pipeline.Embeddings.l2Normalized(
+        Tables.embeddings(s, dir), "embedding")
+      nprobeCalibrationGate(s, unit,
+        enc.select(col("id"), col("partition")), model.partitionCentroids)
     }),
 
     // kFactor calibration, flat-SQ8 family: the nominate-by-SQ8-distance
@@ -7754,6 +7813,15 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS n_dist_mismatch,
         | CAST(1 AS BIGINT) AS remote_holds_odd_cells""".stripMargin,
 
+    // same discipline, the shard JVM opened LAZILY (--lazy): empty at
+    // open, warmed by one OpPrefetch to exactly its assigned cells,
+    // then bit-identical to the cluster query
+    "ann_serve_remote_lazy" ->
+      """SELECT CAST(30 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_id_mismatch,
+        | CAST(0 AS BIGINT) AS n_dist_mismatch,
+        | CAST(1 AS BIGINT) AS prefetch_warmed_assigned""".stripMargin,
+
     // 3 queries x k=10, two-shard SQ8 router bit-identical to the
     // cluster IvfSq8.topK
     "ann_sq8_serve_sharded" ->
@@ -8049,6 +8117,11 @@ object SparkEntry {
         | CAST(1 AS BIGINT) AS recall_p_exact,
         | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
     "ann_calibrate_opq" ->
+      """SELECT CAST(8 AS BIGINT) AS n_curve_rows,
+        | CAST(0 AS BIGINT) AS n_mono_viol,
+        | CAST(1 AS BIGINT) AS recall_p_exact,
+        | CAST(1 AS BIGINT) AS promise_delivered""".stripMargin,
+    "ann_calibrate_cosine" ->
       """SELECT CAST(8 AS BIGINT) AS n_curve_rows,
         | CAST(0 AS BIGINT) AS n_mono_viol,
         | CAST(1 AS BIGINT) AS recall_p_exact,

@@ -941,6 +941,9 @@ final class LocalServeLazy private (
     * and eviction apply as usual — see [[LazyResidency.prefetch]]. */
   def prefetch(cells: Seq[Int]): Unit = res.prefetch(cells)
 
+  override private[query] def prefetchCells(cells: Seq[Int]): Unit =
+    prefetch(cells)
+
   /** Payload bytes currently resident (ids + codes + pinned attrs). */
   def residentBytes: Long = res.residentBytes
 
@@ -1107,6 +1110,9 @@ final class LocalServeSq8Lazy private (
     * and eviction apply as usual — see [[LazyResidency.prefetch]]. */
   def prefetch(cells: Seq[Int]): Unit = res.prefetch(cells)
 
+  override private[query] def prefetchCells(cells: Seq[Int]): Unit =
+    prefetch(cells)
+
   /** Payload bytes currently resident (ids + byte codes). */
   def residentBytes: Long = res.residentBytes
 
@@ -1194,6 +1200,9 @@ final class LocalServeRqLazy private (
     * cell still loads exactly once), never blocking warm queries; caps
     * and eviction apply as usual — see [[LazyResidency.prefetch]]. */
   def prefetch(cells: Seq[Int]): Unit = res.prefetch(cells)
+
+  override private[query] def prefetchCells(cells: Seq[Int]): Unit =
+    prefetch(cells)
 
   /** Payload bytes currently resident (ids + both code layers). */
   def residentBytes: Long = res.residentBytes

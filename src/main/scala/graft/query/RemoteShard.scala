@@ -111,6 +111,13 @@ object RemoteShards {
       * assembly check must refuse remote shards. */
     private[query] def attrsPinned: Boolean = false
 
+    /** Warm the remote shard's residency ahead of traffic — one
+      * [[ShardWire.OpPrefetch]] exchange; a lazy shard server runs its
+      * shared-promise load pass, an eager one no-ops (already fully
+      * resident). Blocks until the shard's pass completes. */
+    override private[query] def prefetchCells(cells: Seq[Int]): Unit =
+      conn.call(W.OpPrefetch)(d => W.writeInts(d, cells.toArray))(_ => ())
+
     override def close(): Unit = conn.close()
   }
 
@@ -126,6 +133,10 @@ object RemoteShards {
       conn.call(W.OpNominees) { d =>
         W.writeProbes(d, probes); W.writeDoubles(d, q); d.writeInt(n)
       }(W.readNominees)
+
+    /** See [[Pq.prefetchCells]]. */
+    override private[query] def prefetchCells(cells: Seq[Int]): Unit =
+      conn.call(W.OpPrefetch)(d => W.writeInts(d, cells.toArray))(_ => ())
 
     override def close(): Unit = conn.close()
   }
@@ -213,10 +224,12 @@ object ShardProcess {
   }
 
   /** Launch a shard server JVM over `storeDir` and block until READY.
-    * Returns the handle with the bound port. */
+    * Returns the handle with the bound port. `extraArgs` append raw
+    * [[ShardServerMain]] flags (e.g. `--lazy true --max-cells 4`). */
   def launch(storeDir: String, family: String, cells: Seq[Int],
              cpus: Int = 4, xmx: String = "4g",
-             readyTimeoutSec: Int = 300): Handle = {
+             readyTimeoutSec: Int = 300,
+             extraArgs: Seq[String] = Nil): Handle = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val cp = System.getProperty("java.class.path")
@@ -231,7 +244,8 @@ object ShardProcess {
       "--family", family,
       "--port", "0",
       "--cpus", cpus.toString) ++
-      (if (cells.nonEmpty) Seq("--cells", cells.mkString(",")) else Nil)
+      (if (cells.nonEmpty) Seq("--cells", cells.mkString(",")) else Nil) ++
+      extraArgs
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(log)

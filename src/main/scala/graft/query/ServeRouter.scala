@@ -145,6 +145,16 @@ final class ServeRouterLazy private (
         (si, sp) => shards(si).queryProbes(sp, k, pred)),
       k)
   }
+
+  /** Fleet warm-up: route `cells` to their owners and prefetch each
+    * shard's subset CONCURRENTLY — each lazy shard runs its one
+    * shared-promise load pass ([[LazyResidency.prefetch]]: warm
+    * traffic unblocked, caps honored, a concurrently queried cell
+    * still loads once); in-process and remote ([[RemoteShards.Pq]])
+    * shards both answer it. Blocks until every shard's pass returns. */
+  def prefetch(cells: Seq[Int]): Unit =
+    ShardFan.fanPrefetch(cells, assign, shards.length,
+      (si, cs) => shards(si).prefetchCells(cs))
 }
 
 object ServeRouterLazy {
@@ -325,6 +335,11 @@ final class ServeRouterSq8Lazy private (
         (si, sp) => shards(si).queryProbes(sp, k)),
       k)
   }
+
+  /** Fleet warm-up — see [[ServeRouterLazy.prefetch]]. */
+  def prefetch(cells: Seq[Int]): Unit =
+    ShardFan.fanPrefetch(cells, assign, shards.length,
+      (si, cs) => shards(si).prefetchCells(cs))
 }
 
 object ServeRouterSq8Lazy {
@@ -361,6 +376,11 @@ final class ServeRouterRqLazy private (
       (si, sp) => shards(si).nomineesScored(sp, q, n))
     ShardFan.mergeTwoPhase(nominees.map(t => (t._1, t._3, t._4)), n, k)
   }
+
+  /** Fleet warm-up — see [[ServeRouterLazy.prefetch]]. */
+  def prefetch(cells: Seq[Int]): Unit =
+    ShardFan.fanPrefetch(cells, assign, shards.length,
+      (si, cs) => shards(si).prefetchCells(cs))
 }
 
 object ServeRouterRqLazy {

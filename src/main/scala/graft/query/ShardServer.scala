@@ -109,6 +109,13 @@ final class ShardServer private (
                     throw new IllegalStateException(
                       "this server hosts no Hamming shard"))
                   Right(d => W.writeLongs(d, shard.idsSnapshot))
+                case W.OpPrefetch =>
+                  val cs = W.readInts(req).toSeq
+                  pqShard.map(_.prefetchCells(cs))
+                    .orElse(rqShard.map(_.prefetchCells(cs)))
+                    .getOrElse(throw new IllegalStateException(
+                      "this server hosts no cell-partitioned family"))
+                  Right(_ => ())
                 case W.OpShutdown =>
                   Right(_ => ())
                 case other =>
@@ -182,8 +189,15 @@ object ShardServer {
   * shard boxes loading their assigned cells from shared storage.
   *
   * Args: `--store <path> --family pq|opq|rq [--cells c1,c2,…]
-  * [--port n] [--cpus n]`. Prints `GRAFT_SHARD_READY port=<p>` on
-  * stdout when serving ([[ShardProcess]] scrapes it). */
+  * [--port n] [--cpus n] [--lazy true] [--max-cells n] [--max-bytes n]`.
+  * `--lazy` opens the store through the capped lazy-residency tier
+  * instead of an eager pin: the shard JVM starts serving immediately
+  * (model artifacts only), pins cells on first probe or on an
+  * [[ShardWire.OpPrefetch]] warm-up, and evicts past the caps — the
+  * fleet form for a store bigger than the fleet's combined RAM. A lazy
+  * shard ignores `--cells` (ownership lives in the router's static
+  * assignment — [[ServeRouterLazy]]). Prints `GRAFT_SHARD_READY
+  * port=<p>` on stdout when serving ([[ShardProcess]] scrapes it). */
 object ShardServerMain {
 
   def main(args: Array[String]): Unit = {
@@ -197,6 +211,9 @@ object ShardServerMain {
       .getOrElse(Seq.empty)
     val port = a.getOrElse("port", "0").toInt
     val cpus = a.getOrElse("cpus", "4").toInt
+    val lazyOpen = a.get("lazy").exists(_.toBoolean)
+    val maxCells = a.getOrElse("max-cells", "0").toInt
+    val maxBytes = a.getOrElse("max-bytes", "0").toLong
 
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -207,19 +224,28 @@ object ShardServerMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val server = family match {
-      case "pq" =>
+    val server = (family, lazyOpen) match {
+      case ("pq", false) =>
         ShardServer.pq(LocalServe.fromStore(spark, store, cells), port)
-      case "opq" =>
+      case ("pq", true) =>
+        ShardServer.pq(
+          LocalServeLazy.fromStore(spark, store, maxCells, maxBytes), port)
+      case ("opq", false) =>
         ShardServer.pq(LocalServe.fromOpqStore(spark, store, cells), port)
-      case "rq" =>
+      case ("opq", true) =>
+        ShardServer.pq(
+          LocalServeLazy.fromOpqStore(spark, store, maxCells, maxBytes), port)
+      case ("rq", false) =>
         val (model, encoded2) = graft.index.Rq.load(spark, store)
         val pruned =
           if (cells.isEmpty) encoded2
           else encoded2.where(
             org.apache.spark.sql.functions.col("partition").isin(cells: _*))
         ShardServer.rq(LocalServeRq.fromCodes(model, pruned), port)
-      case other =>
+      case ("rq", true) =>
+        ShardServer.rq(
+          LocalServeRqLazy.fromStore(spark, store, maxCells, maxBytes), port)
+      case (other, _) =>
         sys.error(s"unknown --family $other (pq | opq | rq)")
     }
     // the READY line is the launch handshake — everything above (JVM,

@@ -29,6 +29,7 @@ private[query] object ShardWire {
   val OpRerank: Byte = 5        // (q, n) -> Array[(Long, Long, Double)]
   val OpIds: Byte = 6           // () -> Array[Long]
   val OpShutdown: Byte = 7      // () -> () and the server exits
+  val OpPrefetch: Byte = 8      // (cells) -> () — warm a lazy shard
 
   val StatusOk: Byte = 0
   val StatusErr: Byte = 1       // + UTF message

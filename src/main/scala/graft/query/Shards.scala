@@ -40,6 +40,12 @@ trait PqShard {
   /** Whether this shard holds per-vector attributes (the fleet
     * queryFiltered assembly check). */
   private[query] def attrsPinned: Boolean
+
+  /** Make `cells` resident ahead of traffic. Lazy shards run one
+    * shared-promise load pass ([[LazyResidency.prefetch]] — never
+    * blocking warm queries, caps honored); eager shards are fully
+    * resident by construction, so the default is a no-op. */
+  private[query] def prefetchCells(cells: Seq[Int]): Unit = ()
 }
 
 /** IVF+SQ8 shard surface — see [[PqShard]]. */
@@ -51,6 +57,9 @@ trait Sq8Shard {
   /** SQ8 top-k over an explicit probe subset. */
   private[query] def queryProbes(probes: Array[(Int, Array[Double])],
                                  k: Int): Array[(Long, Int, Double)]
+
+  /** See [[PqShard.prefetchCells]]. */
+  private[query] def prefetchCells(cells: Seq[Int]): Unit = ()
 }
 
 /** Two-level RQ shard surface — see [[PqShard]]. */
@@ -65,6 +74,9 @@ trait RqShard {
   private[query] def nomineesScored(probes: Array[(Int, Array[Double])],
                                     q: Array[Double], n: Int)
       : Array[(Long, Int, Double, Double)]
+
+  /** See [[PqShard.prefetchCells]]. */
+  private[query] def prefetchCells(cells: Seq[Int]): Unit = ()
 }
 
 /** Binary-signature shard surface — see [[PqShard]]. Signatures have no
@@ -112,6 +124,27 @@ private[query] object ShardFan {
     val byShard = probes.groupBy { case (cell, _) => shardOf(cell) }
     val futs = byShard.toSeq.map { case (si, sp) => Future(call(si, sp)) }
     Await.result(Future.sequence(futs), Duration.Inf).toArray.flatten
+  }
+
+  /** Fan a fleet warm-up out over shards by ownership: validate the
+    * assignment, group cells, and run every owner's prefetch
+    * CONCURRENTLY (each may be one Spark scan). */
+  def fanPrefetch(cells: Seq[Int], shardOf: Int => Int, numShards: Int,
+                  call: (Int, Seq[Int]) => Unit): Unit = {
+    val distinct = cells.distinct
+    val bad = distinct.filter { c =>
+      val s = shardOf(c); s < 0 || s >= numShards
+    }
+    require(bad.isEmpty,
+      s"prefetch cells owned by no shard: ${bad.mkString(",")}")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val byShard = distinct.groupBy(shardOf)
+    Await.result(Future.sequence(byShard.toSeq.map { case (si, cs) =>
+      Future(call(si, cs))
+    }), Duration.Inf)
+    ()
   }
 
   /** Concurrent call of EVERY shard (the cell-less Hamming families). */

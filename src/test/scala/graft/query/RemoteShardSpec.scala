@@ -113,6 +113,45 @@ class RemoteShardSpec extends AnyFunSuite {
     assert(!child.proc.isAlive, "child JVM must terminate on close")
   }
 
+  test("SECOND-JVM LAZY shard: ServeRouterLazy over an in-process lazy " +
+      "shard and a capped lazy shard JVM answers bit-identically; " +
+      "OpPrefetch warms the remote residency over the wire") {
+    val single = LocalServe.fromStore(spark, storeDir)
+    val allCells = single.cells
+    val child = ShardProcess.launch(storeDir, "pq", Seq.empty, cpus = 2,
+      extraArgs = Seq("--lazy", "true"))
+    try {
+      val remote = RemoteShards.pq("127.0.0.1", child.port)
+      try {
+        // a lazy shard server starts serving with NOTHING resident —
+        // the model artifacts loaded, the codes wait for probes
+        assert(remote.cells.isEmpty,
+          "lazy shard JVM must start with an empty residency")
+        val localLazy = LocalServeLazy.fromStore(spark, storeDir)
+        val assign = (c: Int) => c % 2 // even → local, odd → remote JVM
+        val router = ServeRouterLazy(model, Seq(localLazy, remote), assign)
+        // fleet warm-up: each owner's subset prefetches concurrently;
+        // the remote's odd cells travel as ONE OpPrefetch frame
+        router.prefetch(allCells)
+        val snap = RemoteShards.pq("127.0.0.1", child.port)
+        try assert(snap.cells.sorted === allCells.filter(_ % 2 == 1).sorted,
+          "prefetch must pin the remote shard's assigned cells")
+        finally snap.close()
+        assert(localLazy.cells.sorted === allCells.filter(_ % 2 == 0).sorted)
+        val loadsAfterPrefetch = localLazy.coldLoads
+        for ((qid, k, nprobe) <- queries) {
+          val q = data.find(_._1 == qid).get._2.map(_.toDouble).toArray
+          assert(router.query(q, k, nprobe).toSeq ===
+            single.query(q, k, nprobe).toSeq,
+            s"lazy remote router mismatch at qid=$qid k=$k nprobe=$nprobe")
+        }
+        assert(localLazy.coldLoads === loadsAfterPrefetch,
+          "a prefetched fleet must answer its queries warm")
+      } finally remote.close()
+    } finally child.close()
+    assert(!child.proc.isAlive, "child JVM must terminate on close")
+  }
+
   test("remote RQ shard (full wire, in-process server): two-phase merge " +
       "parity with the single box across kFactor") {
     import org.apache.spark.sql.functions.col
