@@ -14,8 +14,20 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = relational ++ Seq("events", "documents", "embeddings")
 
+  /** Memoized per (session, dir, table): `spark.read.parquet` runs a
+    * one-task schema-inference job (footer read) on EVERY call, and the
+    * bench/verify drivers re-call these loaders per entry per run —
+    * thousands of 30-60 ms driver round-trips for a schema that never
+    * changes. The memo caches the analyzed DataFrame (plan metadata
+    * only — every action still scans the parquet), keyed by session
+    * identity so a fresh session never sees another session's plans. */
+  private val loadMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loadMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

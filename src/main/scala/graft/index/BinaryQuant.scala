@@ -143,8 +143,9 @@ object BinaryQuant {
     import org.apache.spark.sql.SaveMode
     signatures(df, idCol, vecCol, thresholds)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
-    Seq(Tuple1(thresholds.toSeq)).toDF("thresholds")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/thresholds")
+    MetaIO.write(spark.sparkContext.hadoopConfiguration,
+      s"$path/thresholds", Seq("thresholds" -> MetaIO.DoublesT),
+      Seq(Seq(thresholds)))
     // thresholds fingerprint in the manifest: appends validate against
     // it, so a same-dim wrong-threshold append (which would silently
     // corrupt Hamming rankings — the other families pass the typed
@@ -172,8 +173,9 @@ object BinaryQuant {
       .findFirstMatchIn(manifestStr)
       .getOrElse(sys.error(s"bad BinaryQuant manifest: $manifestStr"))
       .group(1).toInt
-    val row = spark.read.parquet(s"$path/thresholds").head()
-    val thr = row.getSeq[Double](row.fieldIndex("thresholds")).toArray
+    val thr = MetaIO.read(spark.sparkContext.hadoopConfiguration,
+      s"$path/thresholds", Seq("thresholds" -> MetaIO.DoublesT))
+      .head.head.asInstanceOf[Array[Double]]
     require(thr.length == dim,
       s"threshold shape ${thr.length} != manifest dim $dim")
     (thr, StoreLifecycle.liveView(spark, path,

@@ -328,14 +328,34 @@ object IvfPqBuilder {
   val driftImbalanceThreshold: Double = 4.0
 
   private[index] def writeStats(enc: DataFrame, path: String,
-                         mode: SaveMode): Unit =
-    enc.groupBy("partition").agg(count(lit(1)).as("cnt"))
-      .write.mode(mode).parquet(s"$path/stats")
+                         mode: SaveMode): Unit = {
+    // the histogram AGGREGATION stays distributed (enc is corpus-sized);
+    // only the P-row result lands via the driver-local writer — no
+    // write-job + commit round-trip for a KB sidecar
+    val rows = enc.groupBy("partition").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1))).toSeq
+    writeStatRows(enc.sparkSession, path, rows, mode)
+  }
 
-  /** Cumulative per-cell totals from the stats sidecar (P rows). */
-  def cellHistogram(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/stats")
-      .groupBy("partition").agg(sum(col("cnt")).as("cnt"))
+  private[index] def writeStatRows(spark: SparkSession, path: String,
+      rows: Seq[Seq[Any]], mode: SaveMode): Unit = {
+    val cols = Seq("partition" -> MetaIO.IntT, "cnt" -> MetaIO.LongT)
+    if (mode == SaveMode.Append)
+      MetaIO.append(hconf(spark), s"$path/stats", cols, rows)
+    else
+      MetaIO.write(hconf(spark), s"$path/stats", cols, rows)
+  }
+
+  /** Cumulative per-cell totals from the stats sidecar (P rows) — read
+    * driver-locally and returned as a local relation (zero scan jobs). */
+  def cellHistogram(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    MetaIO.read(hconf(spark), s"$path/stats",
+        Seq("partition" -> MetaIO.IntT, "cnt" -> MetaIO.LongT))
+      .map(r => (r(0).asInstanceOf[Int], r(1).asInstanceOf[Long]))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sorted
+      .toDF("partition", "cnt")
+  }
 
   /** Reconcile the stats sidecar against the codes table. The codes
     * append and the sidecar append are two non-atomic writes, so a
@@ -416,18 +436,15 @@ object IvfPqBuilder {
     * are f32 like the reference's. */
   def save(model: IvfPqModel, encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
-    import spark.implicits._
     encoded.select("id", "partition", "codes")
       .write.mode(SaveMode.Overwrite).partitionBy("partition")
       .parquet(s"$path/codes")
-    model.partitionCentroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("partition", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    model.codebooks.zipWithIndex.flatMap { case (cb, d) =>
-      cb.zipWithIndex.map { case (cv, c) => (d, c, cv.toSeq) }
-    }.toSeq.toDF("division", "code", "code_vector")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    // model sidecars (centroids/codebooks) are driver-resident KBs —
+    // written with the driver-local parquet writer ([[MetaIO]]): same
+    // files, no Spark job + commit round-trip per table (round-14 job
+    // profile: each such write cost 0.1-0.6 s of pure scheduling)
+    writeCentroids(spark, path, model.partitionCentroids)
+    writeCodebooks(spark, s"$path/codebooks", model.codebooks)
     // seed the drift-telemetry sidecar with the initial cell histogram
     // so the first append's cumulative totals include the base build
     writeStats(encoded, path, SaveMode.Overwrite)
@@ -444,6 +461,46 @@ object IvfPqBuilder {
     // reference/src/io.rs:286-300): a SHA-256 sidecar, checked on load
     writeString(spark, s"$path/manifest.json.sha256", sha256Hex(manifest))
   }
+
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Centroid sidecar (partition, centroid) — driver-local parquet. */
+  private[index] def writeCentroids(spark: SparkSession, path: String,
+      cents: Array[Array[Double]]): Unit =
+    MetaIO.write(hconf(spark), s"$path/centroids",
+      Seq("partition" -> MetaIO.IntT, "centroid" -> MetaIO.DoublesT),
+      cents.zipWithIndex.map { case (c, i) => Seq(i, c) }.toSeq)
+
+  private[index] def readCentroids(spark: SparkSession,
+      path: String): Array[Array[Double]] =
+    MetaIO.read(hconf(spark), s"$path/centroids",
+      Seq("partition" -> MetaIO.IntT, "centroid" -> MetaIO.DoublesT))
+      .sortBy(_(0).asInstanceOf[Int])
+      .map(_(1).asInstanceOf[Array[Double]]).toArray
+
+  /** Codebook sidecar (division, code, code_vector) — shared with the
+    * RQ refine layer (same schema at a different directory). */
+  private[index] def writeCodebooks(spark: SparkSession, dir: String,
+      books: Array[Array[Array[Double]]]): Unit =
+    MetaIO.write(hconf(spark), dir,
+      Seq("division" -> MetaIO.IntT, "code" -> MetaIO.IntT,
+        "code_vector" -> MetaIO.DoublesT),
+      books.zipWithIndex.flatMap { case (cb, d) =>
+        cb.zipWithIndex.map { case (cv, c) => Seq(d, c, cv) }
+      }.toSeq)
+
+  private[index] def readCodebooks(spark: SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    MetaIO.read(hconf(spark), dir,
+      Seq("division" -> MetaIO.IntT, "code" -> MetaIO.IntT,
+        "code_vector" -> MetaIO.DoublesT))
+      .map(r => (r(0).asInstanceOf[Int], r(1).asInstanceOf[Int],
+        r(2).asInstanceOf[Array[Double]]))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_._2).map(_._3).toArray
+      }
 
   private[graft] def writeString(spark: SparkSession, path: String,
                           content: String): Unit = {
@@ -514,17 +571,10 @@ object IvfPqBuilder {
     val p = manifest("num_partitions")
     val d = manifest("num_divisions")
     val c = manifest("num_codes")
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("partition").collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val centroids = readCentroids(spark, path)
     require(centroids.length == p, s"expected $p centroids, got ${centroids.length}")
     require(centroids.forall(_.length == dim), "centroid dim mismatch")
-    val cbRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("division", "code").collect()
-    val codebooks = cbRows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map {
-      case (_, rows) => rows.sortBy(_.getInt(1))
-        .map(r => r.getSeq[Double](2).toArray)
-    }
+    val codebooks = readCodebooks(spark, s"$path/codebooks")
     require(codebooks.length == d && codebooks.forall(_.length == c),
       "codebook shape mismatch")
     val model = IvfPqModel(
@@ -579,8 +629,9 @@ object IvfPqBuilder {
     // returns (collected BEFORE the swap — reading the new table after
     // the swap would crash on a zero-row store)
     val statRows = StoreLifecycle.compactPartitioned(spark, path, live)
-    statRows.toDF("partition", "cnt")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    writeStatRows(spark, path,
+      statRows.map { case (p, c) => Seq[Any](p, c) },
+      SaveMode.Overwrite)
   }
 
   /** Re-fit + re-encode a DRIFTED store from its own contents into a
@@ -790,16 +841,14 @@ object IvfPqBuilder {
     // refreshed centroids + a stats sidecar rebuilt from exact counts
     // (untouched cells keep their live counts, refresh cells get the
     // recomputed ones) — no rescan of the codes table
-    newCents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("partition", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/centroids")
+    writeCentroids(spark, path, newCents)
     val statRows = (0 until p).map { i =>
       if (refresh.contains(i)) i -> newCellCounts.getOrElse(i, 0L)
       else i -> sideMap.getOrElse(i, 0L)
     }.filter(_._2 > 0L)
-    statRows.toDF("partition", "cnt")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    writeStatRows(spark, path,
+      statRows.map { case (pt, c) => Seq[Any](pt, c) },
+      SaveMode.Overwrite)
     log(s"rebalance-partial: rewrote ${refresh.size} of $p cell dirs " +
       s"in place; centroids + stats refreshed")
     (newModel, refresh)

@@ -92,13 +92,10 @@ object IvfSq8 {
     encoded.select("id", "partition", "sq8")
       .write.mode(SaveMode.Overwrite).partitionBy("partition")
       .parquet(s"$path/codes")
-    model.partitionCentroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("partition", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    Seq((model.codec.mins.toSeq, model.codec.scales.toSeq))
-      .toDF("mins", "scales")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
+    IvfPqBuilder.writeCentroids(spark, path, model.partitionCentroids)
+    MetaIO.write(spark.sparkContext.hadoopConfiguration, s"$path/codec",
+      Seq("mins" -> MetaIO.DoublesT, "scales" -> MetaIO.DoublesT),
+      Seq(Seq(model.codec.mins, model.codec.scales)))
     val manifest = s"""{"vector_size":${model.dim},""" +
       s""""num_partitions":${model.numPartitions}}"""
     IvfPqBuilder.writeString(spark, s"$path/manifest.json", manifest)
@@ -122,15 +119,15 @@ object IvfSq8 {
         .group(1).toInt
     val dim = intField("vector_size")
     val p = intField("num_partitions")
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("partition").collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val centroids = IvfPqBuilder.readCentroids(spark, path)
     require(centroids.length == p,
       s"expected $p centroids, got ${centroids.length}")
     require(centroids.forall(_.length == dim), "centroid dim mismatch")
-    val codec = spark.read.parquet(s"$path/codec").head()
-    val mins = codec.getSeq[Double](codec.fieldIndex("mins")).toArray
-    val scales = codec.getSeq[Double](codec.fieldIndex("scales")).toArray
+    val codec = MetaIO.read(spark.sparkContext.hadoopConfiguration,
+      s"$path/codec",
+      Seq("mins" -> MetaIO.DoublesT, "scales" -> MetaIO.DoublesT)).head
+    val mins = codec(0).asInstanceOf[Array[Double]]
+    val scales = codec(1).asInstanceOf[Array[Double]]
     require(mins.length == dim && scales.length == dim,
       s"codec shape ${mins.length}/${scales.length} != manifest dim $dim")
     (IvfSq8Model(dim, p, centroids, Sq8Model(dim, mins, scales)),
@@ -201,9 +198,9 @@ object IvfSq8 {
     val (_, live) = load(spark, path)
     val statRows = StoreLifecycle.compactPartitioned(spark, path,
       live.select("id", "partition", "sq8"))
-    statRows.toDF("partition", "cnt")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats")
+    IvfPqBuilder.writeStatRows(spark, path,
+      statRows.map { case (p, c) => Seq[Any](p, c) },
+      org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Selected cells: (partition id, localized query q − centroid). */

@@ -549,9 +549,9 @@ object OpqBuilder {
     val spark = encoded.sparkSession
     import spark.implicits._
     IvfPqBuilder.save(model.ivf, encoded, path)
-    model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
-      .toDF("row", "values")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/rotation")
+    MetaIO.write(spark.sparkContext.hadoopConfiguration, s"$path/rotation",
+      Seq("row" -> MetaIO.IntT, "values" -> MetaIO.DoublesT),
+      model.rotation.zipWithIndex.map { case (r, i) => Seq(i, r) }.toSeq)
   }
 
   /** Incremental ingest into an OPQ store — the OPQ member of the
@@ -630,9 +630,11 @@ object OpqBuilder {
     * on top of the shared manifest/shape checks. */
   def load(spark: SparkSession, path: String): (OpqModel, DataFrame) = {
     val (ivf, codes) = IvfPqBuilder.load(spark, path)
-    val rotation = spark.read.parquet(s"$path/rotation")
-      .orderBy("row").collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("values")).toArray)
+    val rotation = MetaIO.read(spark.sparkContext.hadoopConfiguration,
+        s"$path/rotation",
+        Seq("row" -> MetaIO.IntT, "values" -> MetaIO.DoublesT))
+      .sortBy(_(0).asInstanceOf[Int])
+      .map(_(1).asInstanceOf[Array[Double]]).toArray
     require(rotation.length == ivf.dim && rotation.forall(_.length == ivf.dim),
       s"rotation shape ${rotation.length} != ${ivf.dim}x${ivf.dim}")
     val model = OpqModel(ivf, rotation, Array.empty)

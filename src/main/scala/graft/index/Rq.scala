@@ -104,12 +104,8 @@ object Rq {
     val spark = encoded2.sparkSession
     import spark.implicits._
     IvfPqBuilder.save(rq.base, encoded2, path)
-    rq.refineBooks.zipWithIndex.flatMap { case (cb, d) =>
-      cb.zipWithIndex.map { case (cv, c) => (d, c, cv.toSeq) }
-    }.toSeq.toDF("division", "code", "code_vector")
-      .coalesce(1).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/refine/codebooks")
+    IvfPqBuilder.writeCodebooks(spark, s"$path/refine/codebooks",
+      rq.refineBooks)
     encoded2.select("id", "codes2")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/refine/codes2")
@@ -135,17 +131,12 @@ object Rq {
         throw new IllegalStateException(s"refine manifest missing c2: $manifest"))
     val m2 = base.dim / d2
     val books2 = {
-      val rows = spark.read.parquet(s"$path/refine/codebooks")
-        .select("division", "code", "code_vector")
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      require(rows.length == d2 * c2,
-        s"refine codebooks shape ${rows.length} != $d2 x $c2")
-      rows.foreach { case (_, _, v) => require(v.length == m2,
-        s"refine code vector length ${v.length} != subdim $m2") }
-      val out = Array.ofDim[Array[Double]](d2, c2)
-      rows.foreach { case (d, c, v) => out(d)(c) = v }
-      out.map(_.toArray)
+      val out = IvfPqBuilder.readCodebooks(spark, s"$path/refine/codebooks")
+      require(out.length == d2 && out.forall(_.length == c2),
+        s"refine codebooks shape ${out.map(_.length).sum} != $d2 x $c2")
+      out.foreach(_.foreach(v => require(v.length == m2,
+        s"refine code vector length ${v.length} != subdim $m2")))
+      out
     }
     val rq = RqModel(base, books2, d2, c2)
     val enc2 = codes.join(

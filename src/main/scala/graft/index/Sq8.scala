@@ -72,8 +72,9 @@ object Sq8 {
     import org.apache.spark.sql.SaveMode
     encoded.select("id", "sq8")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
-    Seq((model.mins.toSeq, model.scales.toSeq)).toDF("mins", "scales")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codec")
+    MetaIO.write(spark.sparkContext.hadoopConfiguration, s"$path/codec",
+      Seq("mins" -> MetaIO.DoublesT, "scales" -> MetaIO.DoublesT),
+      Seq(Seq(model.mins, model.scales)))
     val manifest = s"""{"vector_size":${model.dim}}"""
     IvfPqBuilder.writeString(spark, s"$path/manifest.json", manifest)
     // read-verify discipline shared with the IVF+PQ store (reference
@@ -93,9 +94,11 @@ object Sq8 {
       .findFirstMatchIn(manifestStr)
       .getOrElse(sys.error(s"bad Sq8 manifest: $manifestStr"))
       .group(1).toInt
-    val codec = spark.read.parquet(s"$path/codec").head()
-    val mins = codec.getSeq[Double](codec.fieldIndex("mins")).toArray
-    val scales = codec.getSeq[Double](codec.fieldIndex("scales")).toArray
+    val codec = MetaIO.read(spark.sparkContext.hadoopConfiguration,
+      s"$path/codec",
+      Seq("mins" -> MetaIO.DoublesT, "scales" -> MetaIO.DoublesT)).head
+    val mins = codec(0).asInstanceOf[Array[Double]]
+    val scales = codec(1).asInstanceOf[Array[Double]]
     require(mins.length == dim && scales.length == dim,
       s"codec shape ${mins.length}/${scales.length} != manifest dim $dim")
     (Sq8Model(dim, mins, scales),
