@@ -552,7 +552,8 @@ object SparkEntry {
     * sample FORMULA. */
   private def wavRoundTripMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val ids = graft.functions.PlanShape.fanOut(
+      Tables.documents(s, dir).select(col("doc_id"))).as[Long]
     val wavs = ids.map { id =>
       val n = 128 + (id % 8).toInt * 16
       val samples = Array.tabulate(n) { i =>
@@ -575,7 +576,8 @@ object SparkEntry {
     * palette, offset, frame-order, or composition bug flips a row. */
   private def gifRoundTripMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val ids = graft.functions.PlanShape.fanOut(
+      Tables.documents(s, dir).select(col("doc_id"))).as[Long]
     val gifs = ids.map { id =>
       val nf = (2 + id % 3).toInt
       val frames = (0 until nf).map { f =>
@@ -4431,17 +4433,24 @@ object SparkEntry {
       // sa/sb/merged was tried and REJECTED (4.2 → 5.8 s at sf0.1 —
       // three materialization barriers cost more than re-running the
       // cheap gram explodes; the r9 span-removal lesson again)
-      val sa = TextAnalysis.ngramDiversityState(a, "source", "text", 4)
-      val sb = TextAnalysis.ngramDiversityState(b, "source", "text", 4)
+      // fanOutInput=false on every re-derived state: this gate rebuilds
+      // the gram state 7+ times from one tiny source, where the per-pass
+      // scan fan-out exchange costs more than it parallelizes (r14 A/B)
+      val sa = TextAnalysis.ngramDiversityState(a, "source", "text", 4,
+        fanOutInput = false)
+      val sb = TextAnalysis.ngramDiversityState(b, "source", "text", 4,
+        fanOutInput = false)
       val merged = TextAnalysis.mergeNgramCounts(sa, sb)
       val oneState = TextAnalysis
-        .ngramDiversityState(docs, "source", "text", 4)
+        .ngramDiversityState(docs, "source", "text", 4, fanOutInput = false)
         .withColumnRenamed("c", "c2")
       val stateDiff = merged.join(oneState, Seq("grp", "g"), "full_outer")
         .agg(coalesce(sum(when(col("c") <=> col("c2"), 0L).otherwise(1L)),
           lit(0L)).as("n_state_diff"))
       val rep = TextAnalysis.ngramDiversityFromState(merged, "source")
-      val oneRep = TextAnalysis.ngramDiversity(docs, "source", "text", 4)
+      val oneRep = TextAnalysis.ngramDiversityFromState(
+          TextAnalysis.ngramDiversityState(docs, "source", "text", 4,
+            fanOutInput = false), "source")
         .select(col("source"), col("n_grams").as("g2"),
           col("n_distinct").as("d2"), col("n_repeats").as("r2"),
           col("collision_pairs").as("p2"))
@@ -6745,13 +6754,16 @@ object SparkEntry {
         // keeper-stability audit (round 12): ascending-id ingest must
         // never see an already-emitted hash arrive with a smaller id —
         // a violation here means the accumulated output silently
-        // degraded to first-seen-wins and the gate must fail loudly
-        val nViol = StreamingPipeline.keeperViolations(batch, state).count()
+        // degraded to first-seen-wins and the gate must fail loudly.
+        // processBatchAudited (round 14) shares ONE quality+hash
+        // materialization between the audit and the trigger outputs —
+        // same rows as the separate keeperViolations + processBatch.
+        val (out, ns, viol) = StreamingPipeline.processBatchAudited(
+          batch, state, grams, reps)
+        val nViol = viol.count()
         require(nViol == 0L,
           s"trigger $i: $nViol keeper-stability violations under the " +
             "ascending-id contract")
-        val (out, ns) = StreamingPipeline.processBatch(batch, state,
-          grams, reps)
         state = ns.localCheckpoint()
         out.localCheckpoint()
       }

@@ -56,4 +56,22 @@ object PlanShape {
     math.max(conf.numShufflePartitions,
       math.min(inputSplits * 4, Int.MaxValue.toLong).toInt)
   }
+
+  /** Scan-parallelism FLOOR for per-row-HEAVY projections (media
+    * decode/encode, n-gram fingerprint explodes, signature hashing,
+    * edit-distance blocks): a small input file arrives as ONE scan
+    * split, so everything before the first exchange runs in one task —
+    * the round-14 job profile caught single 4-5 s one-task stages on a
+    * 32-core box (and `spark.sql.files.minPartitionNum` cannot split a
+    * single-row-group parquet). When the plan's partitioning is below
+    * the cluster's default parallelism, round-robin repartition up to
+    * it; at data scale inputs carry many splits and this is the
+    * IDENTITY (no added exchange), so the fan-out only ever pays its
+    * small shuffle where the alternative is serializing the stage.
+    * Row order changes (round-robin), never row content — callers are
+    * per-row pure projections. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -114,6 +114,13 @@ object Graph {
     val hubs = e.select(col("src").as("v")).distinct()
     var h = hubs.withColumn("h", lit(scale)).localCheckpoint()
     var a: DataFrame = null
+    // the crossJoin(broadcast(max)) stays ONE action on purpose
+    // (round-14 A/B): `raw` feeds both the broadcast subtree and the
+    // main input, so the single checkpoint action computes the
+    // aggregation shuffle once (ReusedExchange) with stage overlap —
+    // a split checkpoint-then-collect-max form measured SLOWER
+    // (3.0 → 4.5 s on graph_hits) from the extra synchronous action
+    // per half-iteration
     def rescale(raw: DataFrame, out: String): DataFrame = {
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))

@@ -74,7 +74,12 @@ object Dedup {
 
   // --------------------------------------------------- hashed token sets
 
-  /** (doc_id, hset: sorted distinct token hashes, sz). */
+  /** (doc_id, hset: sorted distinct token hashes, sz). Deliberately NOT
+    * fanned out (round-14 A/B): the tokenize+hash projection is light
+    * relative to shuffling the hset arrays through an extra exchange,
+    * and several consumers re-derive this relation per pass — measured
+    * net loss (dedup_minhash_lsh 2.1 → 4.1 s) when a fan-out exchange
+    * was inserted here. */
   def hashedSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), hashedTokenSet(col("text")).as("hset"))
       .withColumn("sz", size(col("hset")).cast("long"))
@@ -810,8 +815,9 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
-    val wins = docs.select(col("doc_id"),
-      posexplode(shingleHashes(toks, n)).as(Seq("pos", "h")))
+    val wins = graft.functions.PlanShape.fanOut(docs)
+      .select(col("doc_id"),
+        posexplode(shingleHashes(toks, n)).as(Seq("pos", "h")))
     // windows whose string occurs in >= 2 distinct docs (cross-doc
     // duplication; a window repeated only within one doc is repetition,
     // not duplication — TextAnalysis.repetitionSignals covers that)

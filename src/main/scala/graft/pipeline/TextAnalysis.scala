@@ -60,7 +60,8 @@ object TextAnalysis {
   /** [[qualitySignals]] appended to the input's own columns — one codegen
     * projection, no re-join — for composites (e.g. [[CorpusClean]]) that
     * need both the signals and the document payload downstream. */
-  def withQualitySignals(docs: DataFrame): DataFrame = {
+  def withQualitySignals(docs0: DataFrame): DataFrame = {
+    val docs = graft.functions.PlanShape.fanOut(docs0)
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val stopArr = typedlit(stopwords)
@@ -677,8 +678,9 @@ object TextAnalysis {
     * One data-sized exchange on the (grp, g) key
     * ([[graft.functions.PlanShape.dataSizedParts]]). */
   def ngramDiversityState(docs: DataFrame, groupCol: String,
-                          textCol: String, n: Int): DataFrame = {
-    val grams = gramRelation(docs, groupCol, textCol, n)
+                          textCol: String, n: Int,
+                          fanOutInput: Boolean = true): DataFrame = {
+    val grams = gramRelation(docs, groupCol, textCol, n, fanOutInput)
     grams
       .repartition(graft.functions.PlanShape.dataSizedParts(grams),
         col("grp"), col("g"))
@@ -689,9 +691,18 @@ object TextAnalysis {
     * the exact and sketch diversity states (md5 fingerprints, the
     * [[TrainingData.ngramFingerprints]] engine-parity discipline, NOT
     * per-doc-deduplicated: diversity counts occurrences). */
-  private def gramRelation(docs: DataFrame, groupCol: String,
-                           textCol: String, n: Int): DataFrame = {
+  private def gramRelation(docs0: DataFrame, groupCol: String,
+                           textCol: String, n: Int,
+                           fanOutInput: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // fan-out before the window-fingerprint explode (the family's
+    // dominant per-row work; single-split sources serialize it).
+    // `fanOutInput = false` is for callers that re-derive the state
+    // MANY times from one small source (the incremental merge gate):
+    // there the per-pass fan-out exchange costs more than the serial
+    // explode it parallelizes — measured round 14.
+    val docs =
+      if (fanOutInput) graft.functions.PlanShape.fanOut(docs0) else docs0
     val toks = split(col(textCol), " ")
     val m = size(toks) - lit(n - 1)
     docs.select(col(groupCol).as("grp"),

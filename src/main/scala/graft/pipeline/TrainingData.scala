@@ -502,7 +502,7 @@ object TrainingData {
     * and a doc-keyed count — fixed-width rows, never text. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame =
-    train
+    graft.functions.PlanShape.fanOut(train)
       .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
       .join(benchGramSet(bench, textCol, n), "g")
       .groupBy(col(idCol))
@@ -548,7 +548,7 @@ object TrainingData {
     val words = new Array[Long](((bits + 63L) >>> 6).toInt.max(1))
     benchGrams.select(xxhash64(col("g"))).as[Long].collect()
       .foreach(h => graft.functions.Kernels.bloomSet(words, numHashes, h))
-    val flagged = train
+    val flagged = graft.functions.PlanShape.fanOut(train)
       .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("g"))
       .where(graft.functions.FastFunctions.bloomHitF(
         graft.functions.FastFunctions.litLongs(words),
@@ -774,8 +774,9 @@ object TrainingData {
     // md5 fingerprint projection dominates there; the exchange count
     // is what matters at cluster scale, where the network is the
     // scarce resource.)
-    val raw = df.select(col(sourceCol).as("src"),
-      explode(ngramFingerprints(col(textCol), n)).as("g"))
+    val raw = graft.functions.PlanShape.fanOut(df)
+      .select(col(sourceCol).as("src"),
+        explode(ngramFingerprints(col(textCol), n)).as("g"))
     val g = raw
       .repartition(graft.functions.PlanShape.dataSizedParts(raw), col("g"))
       .distinct()

@@ -163,8 +163,44 @@ object StreamingPipeline {
                    n: Int = 8, minTokens: Long = 20, maxStopPct: Long = 60,
                    trainHi: String = "cc", valHi: String = "e6")
       : (DataFrame, DataFrame) = {
-    val qdocs = qualityPass(batch, minTokens, maxStopPct)
-    val hashed = qdocs.withColumn("__h", md5(col("text")))
+    val hashed = qualityPass(batch, minTokens, maxStopPct)
+      .withColumn("__h", md5(col("text")))
+    processHashed(hashed, seenHashes, benchGrams, reps, n,
+      trainHi, valHi)
+  }
+
+  /** [[processBatch]] + the [[keeperViolations]] audit over ONE shared
+    * materialization of the quality+hash projection (round 14): the
+    * per-trigger gate previously ran the audit and the two output
+    * checkpoints as three separate actions, each replaying the
+    * quality-filter + md5 lineage from the batch scan. Checkpointing
+    * `hashed` once (batch-sized, the state-residency class) removes the
+    * replays; outputs are construction-identical to
+    * keeperViolations + processBatch. Returns (out, newState,
+    * violations). */
+  def processBatchAudited(batch: DataFrame, seenHashes: DataFrame,
+                          benchGrams: DataFrame, reps: DataFrame,
+                          n: Int = 8, minTokens: Long = 20,
+                          maxStopPct: Long = 60, trainHi: String = "cc",
+                          valHi: String = "e6")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val hashed = qualityPass(batch, minTokens, maxStopPct)
+      .withColumn("__h", md5(col("text")))
+      .localCheckpoint()
+    val violations = hashed
+      .join(seenHashes, col("__h") === col("content_hash"))
+      .where(col("doc_id") < col("keep_id"))
+      .select(col("content_hash"), col("keep_id"),
+        col("doc_id").as("intruder_id"))
+    val (out, ns) = processHashed(hashed, seenHashes, benchGrams, reps, n,
+      trainHi, valHi)
+    (out, ns, violations)
+  }
+
+  private def processHashed(hashed: DataFrame, seenHashes: DataFrame,
+                            benchGrams: DataFrame, reps: DataFrame,
+                            n: Int, trainHi: String, valHi: String)
+      : (DataFrame, DataFrame) = {
     // in-batch keeper (min id per hash), then drop hashes already seen
     val keepers = hashed.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("doc_id"))
