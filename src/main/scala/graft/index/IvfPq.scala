@@ -436,7 +436,13 @@ object IvfPqBuilder {
     * are f32 like the reference's. */
   def save(model: IvfPqModel, encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
+    // cell-aligned write (the compaction rewrite's shape): without the
+    // repartition every input split writes its own file into every cell
+    // dir it touches — up to splits × P files for the base build —
+    // which costs commit time now and listing + open overhead on every
+    // later load (guide: output files sized by layout, not by accident)
     encoded.select("id", "partition", "codes")
+      .repartition(col("partition"))
       .write.mode(SaveMode.Overwrite).partitionBy("partition")
       .parquet(s"$path/codes")
     // model sidecars (centroids/codebooks) are driver-resident KBs —

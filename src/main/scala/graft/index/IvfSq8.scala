@@ -89,7 +89,10 @@ object IvfSq8 {
     val spark = encoded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
+    // cell-aligned write — one file per cell (the IvfPqBuilder.save
+    // rationale)
     encoded.select("id", "partition", "sq8")
+      .repartition(col("partition"))
       .write.mode(SaveMode.Overwrite).partitionBy("partition")
       .parquet(s"$path/codes")
     IvfPqBuilder.writeCentroids(spark, path, model.partitionCentroids)
