@@ -80,7 +80,7 @@ object Round14FitOverlapProbe {
         f"perFit min=${perFit.min}%5.2f max=${perFit.max}%5.2f " +
         f"iters=${seqResults.map(_.iters).min}..${seqResults.map(_.iters).max}")
 
-      for (w <- Seq(2, 3, 4)) {
+      for (w <- Seq(2, 3, 4, 6, 8)) {
         val results = new Array[LocalKMeans.KmResult](d)
         val next = new AtomicInteger(0)
         val t0 = System.nanoTime()
