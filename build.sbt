@@ -36,4 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB box; 8g caused cache eviction + GC stalls in long bench
   // sessions (measured 6s -> 40s on one query late in a 33-query run)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // a 338-entry bench at 3 runs/entry compiles tens of thousands of
+  // Janino whole-stage-codegen classes in one JVM; at the JDK-17
+  // default 240 MB the code cache can fill LATE in the suite, the JIT
+  // stops compiling (or flushes hot methods), and CPU-dense entries
+  // degrade 5-10x — the signature of the r14 driver's
+  // text_ngram_diversity_incr 34.6 s in-suite blowup (4-5 s solo,
+  // unreproducible in short sessions). Headroom removes that cliff for
+  // every entry equally; it is not a per-query tuning knob.
+  "-XX:ReservedCodeCacheSize=512m",
 )

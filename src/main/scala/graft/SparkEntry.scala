@@ -4429,28 +4429,42 @@ object SparkEntry {
           .as("text"))
       val a = docs.where(pmod(col("doc_id"), lit(40)) < 20)
       val b = docs.where(pmod(col("doc_id"), lit(40)) >= 20)
-      // states are recomputed per consumer ON PURPOSE: checkpointing
-      // sa/sb/merged was tried and REJECTED (4.2 → 5.8 s at sf0.1 —
-      // three materialization barriers cost more than re-running the
-      // cheap gram explodes; the r9 span-removal lesson again)
-      // fanOutInput=false on every re-derived state: this gate rebuilds
-      // the gram state 7+ times from one tiny source, where the per-pass
-      // scan fan-out exchange costs more than it parallelizes (r14 A/B)
-      val sa = TextAnalysis.ngramDiversityState(a, "source", "text", 4,
-        fanOutInput = false)
-      val sb = TextAnalysis.ngramDiversityState(b, "source", "text", 4,
-        fanOutInput = false)
+      // Each distinct state (sa, sb, one-shot) is derived ONCE, fanned
+      // 32-wide, and localCheckpointed; the three materialization jobs
+      // are submitted CONCURRENTLY (guide §2.6 — independent jobs
+      // overlap, so the three barriers cost about one). Round 15
+      // rewrite: the previous form re-derived the gram states 7+ times
+      // inside one plan as serial single-task md5 explodes — 7.2 s of
+      // single-thread CPU that ran 34.6 s in the driver's in-suite
+      // battery (r14 verdict item 1; fine solo, pathological late in a
+      // 338-entry JVM). Three fanned explodes cut the CPU 8/3× and
+      // parallelize it 32-way; the checkpointed states are
+      // gram-vocabulary-sized. (The r14 rejected variant checkpointed
+      // sa/sb/merged SERIALLY with single-task explodes — 4.2 → 5.8 s;
+      // the fan-out + concurrent submission is what makes this one
+      // win.) The gate's algebra is unchanged: merge still runs via
+      // mergeNgramCounts over the per-batch states, the one-shot state
+      // is still an independent ngramDiversityState pass, and both
+      // report rows still come from ngramDiversityFromState.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fsa = Future(TextAnalysis
+        .ngramDiversityState(a, "source", "text", 4).localCheckpoint())
+      val fsb = Future(TextAnalysis
+        .ngramDiversityState(b, "source", "text", 4).localCheckpoint())
+      val fone = Future(TextAnalysis
+        .ngramDiversityState(docs, "source", "text", 4).localCheckpoint())
+      val sa = Await.result(fsa, Duration.Inf)
+      val sb = Await.result(fsb, Duration.Inf)
+      val one = Await.result(fone, Duration.Inf)
       val merged = TextAnalysis.mergeNgramCounts(sa, sb)
-      val oneState = TextAnalysis
-        .ngramDiversityState(docs, "source", "text", 4, fanOutInput = false)
-        .withColumnRenamed("c", "c2")
+      val oneState = one.withColumnRenamed("c", "c2")
       val stateDiff = merged.join(oneState, Seq("grp", "g"), "full_outer")
         .agg(coalesce(sum(when(col("c") <=> col("c2"), 0L).otherwise(1L)),
           lit(0L)).as("n_state_diff"))
       val rep = TextAnalysis.ngramDiversityFromState(merged, "source")
-      val oneRep = TextAnalysis.ngramDiversityFromState(
-          TextAnalysis.ngramDiversityState(docs, "source", "text", 4,
-            fanOutInput = false), "source")
+      val oneRep = TextAnalysis.ngramDiversityFromState(one, "source")
         .select(col("source"), col("n_grams").as("g2"),
           col("n_distinct").as("d2"), col("n_repeats").as("r2"),
           col("collision_pairs").as("p2"))
@@ -6785,6 +6799,14 @@ object SparkEntry {
           .otherwise(lit(""))).as("text"))
       val a = lined.where(pmod(col("doc_id"), lit(2)) === 0)
       val b = lined.where(pmod(col("doc_id"), lit(2)) === 1)
+      // states recomputed per consumer ON PURPOSE — the round-15
+      // text_ngram_diversity_incr restructure (concurrent checkpointed
+      // states) was tried HERE and measured NEGATIVE (warm 0.87 →
+      // 2.05 s, solo 1.20 → 1.11 s wash): line hashing is xxhash64 over
+      // a handful of lines — ~50 ms per derivation — so the one-plan
+      // form gets all re-derivations concurrently for free, while
+      // checkpoint barriers serialize. The ngram gate differs in kind:
+      // its per-derivation cost is 1.2-2.3 s of single-task md5 work.
       val merged = Dedup.mergeLineCounts(
         Dedup.lineDocCounts(a, "\n"), Dedup.lineDocCounts(b, "\n"))
       val oneShot = Dedup.lineDocCounts(lined, "\n")

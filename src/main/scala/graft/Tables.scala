@@ -19,15 +19,30 @@ object Tables {
     * bench/verify drivers re-call these loaders per entry per run —
     * thousands of 30-60 ms driver round-trips for a schema that never
     * changes. The memo caches the analyzed DataFrame (plan metadata
-    * only — every action still scans the parquet), keyed by session
-    * identity so a fresh session never sees another session's plans. */
-  private val loadMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), DataFrame]
+    * only — every action still scans the parquet). Keyed on the
+    * SparkSession OBJECT in a weak map: identity semantics with no
+    * hash-collision risk between live sessions, and a stopped session
+    * (with its cached plans) stays GC-able instead of being pinned for
+    * the JVM lifetime. The cached plan freezes the table dir's file
+    * listing snapshot — table dirs are immutable within a session by
+    * contract (the test fixtures never regenerate in place). */
+  private val loadMemo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String),
+      DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name),
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = loadMemo.synchronized {
+      var m = loadMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String),
+          DataFrame]
+        loadMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -371,10 +371,15 @@ object IvfPqBuilder {
     val codes = spark.read.parquet(s"$path/codes")
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an unreadable sidecar (e.g. a partial file left by a crashed
+    // pre-rename writer) must fall through to the backfill, not throw
+    // before the repair path can run
     val statTotal =
       if (!fs.exists(statsPath)) -1L
-      else cellHistogram(spark, path)
-        .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+      else
+        try cellHistogram(spark, path)
+          .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+        catch { case scala.util.control.NonFatal(_) => -1L }
     if (statTotal == codes.count()) false
     else {
       writeStats(codes, path, SaveMode.Overwrite)
@@ -436,15 +441,18 @@ object IvfPqBuilder {
     * are f32 like the reference's. */
   def save(model: IvfPqModel, encoded: DataFrame, path: String): Unit = {
     val spark = encoded.sparkSession
+    // the per-cell histogram is collected FIRST (it seeds the stats
+    // sidecar below anyway) so the cell-aligned write can salt populous
+    // cells across writer tasks instead of serializing them into one
+    val statRows = encoded.groupBy("partition").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1))).toSeq
     // cell-aligned write (the compaction rewrite's shape): without the
     // repartition every input split writes its own file into every cell
     // dir it touches — up to splits × P files for the base build —
     // which costs commit time now and listing + open overhead on every
     // later load (guide: output files sized by layout, not by accident)
-    encoded.select("id", "partition", "codes")
-      .repartition(col("partition"))
-      .write.mode(SaveMode.Overwrite).partitionBy("partition")
-      .parquet(s"$path/codes")
+    StoreLifecycle.writeCellAligned(encoded.select("id", "partition", "codes"),
+      s"$path/codes", statRows.map(_(1).asInstanceOf[Long]))
     // model sidecars (centroids/codebooks) are driver-resident KBs —
     // written with the driver-local parquet writer ([[MetaIO]]): same
     // files, no Spark job + commit round-trip per table (round-14 job
@@ -453,7 +461,7 @@ object IvfPqBuilder {
     writeCodebooks(spark, s"$path/codebooks", model.codebooks)
     // seed the drift-telemetry sidecar with the initial cell histogram
     // so the first append's cumulative totals include the base build
-    writeStats(encoded, path, SaveMode.Overwrite)
+    writeStatRows(spark, path, statRows, SaveMode.Overwrite)
     val m = model
     val manifest =
       s"""{"vector_size":${m.dim},"num_partitions":${m.config.numPartitions},

@@ -89,12 +89,14 @@ object IvfSq8 {
     val spark = encoded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
+    // histogram first (it seeds the stats sidecar anyway) so the
+    // cell-aligned write can salt populous cells (IvfPqBuilder.save)
+    val statRows = encoded.groupBy("partition").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1))).toSeq
     // cell-aligned write — one file per cell (the IvfPqBuilder.save
     // rationale)
-    encoded.select("id", "partition", "sq8")
-      .repartition(col("partition"))
-      .write.mode(SaveMode.Overwrite).partitionBy("partition")
-      .parquet(s"$path/codes")
+    StoreLifecycle.writeCellAligned(encoded.select("id", "partition", "sq8"),
+      s"$path/codes", statRows.map(_(1).asInstanceOf[Long]))
     IvfPqBuilder.writeCentroids(spark, path, model.partitionCentroids)
     MetaIO.write(spark.sparkContext.hadoopConfiguration, s"$path/codec",
       Seq("mins" -> MetaIO.DoublesT, "scales" -> MetaIO.DoublesT),
@@ -106,8 +108,8 @@ object IvfSq8 {
       IvfPqBuilder.sha256Hex(manifest))
     // seed the drift-telemetry sidecar (the IVF+PQ discipline): appends
     // against the frozen model report cumulative cell imbalance from it
-    IvfPqBuilder.writeStats(encoded.select("id", "partition", "sq8"),
-      path, org.apache.spark.sql.SaveMode.Overwrite)
+    IvfPqBuilder.writeStatRows(spark, path, statRows,
+      org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Load an IVF+SQ8 store; validates centroid/codec shapes against the

@@ -82,9 +82,16 @@ private[graft] object MetaIO {
                          cols: Seq[(String, ColType)],
                          rows: Seq[Seq[Any]]): Unit = {
     val schema = schemaOf(cols)
-    val file = new Path(dir,
-      s"part-${java.util.UUID.randomUUID().toString.take(12)}-meta.parquet")
-    val writer = ExampleParquetWriter.builder(file)
+    // Stage under a non-.parquet temp name and rename into place on
+    // close: readers filter on the .parquet suffix, so a crash mid-write
+    // (or a concurrent reader during an append) can never see a
+    // footer-less partial file — the atomicity Spark's commit protocol
+    // provided via _temporary before the driver-local writer replaced it.
+    val base = s"part-${java.util.UUID.randomUUID().toString.take(12)}-meta"
+    val dirPath = new Path(dir)
+    val tmp = new Path(dirPath, s".$base.parquet.tmp")
+    val dst = new Path(dirPath, s"$base.parquet")
+    val writer = ExampleParquetWriter.builder(tmp)
       .withConf(conf).withType(schema).build()
     val factory = new SimpleGroupFactory(schema)
     try rows.foreach { row =>
@@ -101,6 +108,11 @@ private[graft] object MetaIO {
       }
       writer.write(g)
     } finally writer.close()
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      sys.error(s"MetaIO: failed to rename $tmp into place as $dst")
+    }
   }
 
   private def arr(v: Any): Array[Double] = v match {

@@ -101,10 +101,36 @@ object StoreLifecycle {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], live.schema)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
     else
-      live.repartition(col("partition"))
-        .write.mode(SaveMode.Overwrite).partitionBy("partition").parquet(tmp)
+      writeCellAligned(live, tmp, statRows.map(_._2))
     swapInCodes(spark, storePath, tmp)
     statRows
+  }
+
+  /** Cell-aligned codes write shared by the store savers and the
+    * partitioned compaction: repartition on the cell id so each cell
+    * directory holds ONE file (commit time + every later listing/open —
+    * the round-14 layout win). A POPULOUS cell hash-routes to one task
+    * (serial write + single-task memory pressure at base-build scale),
+    * so when the caller's already-collected per-cell histogram shows a
+    * cell past `rowsPerFile`, the rows are salted across
+    * ceil(max-cell / rowsPerFile) writer tasks by a DETERMINISTIC id
+    * hash (never rand() — retried map tasks must reproduce the routing)
+    * and `maxRecordsPerFile` bounds any remaining over-target file.
+    * Small-cell stores (every test store, and any store within the
+    * rebalance contract) take the salts == 1 branch: the exact
+    * one-file-per-cell plan and layout as before. */
+  private[index] def writeCellAligned(df: DataFrame, dest: String,
+      cellCounts: Seq[Long],
+      rowsPerFile: Long = 4L * 1000 * 1000): Unit = {
+    val maxCell = cellCounts.foldLeft(0L)(math.max)
+    val salts = math.max(1L, (maxCell + rowsPerFile - 1) / rowsPerFile)
+    val parted =
+      if (salts == 1L) df.repartition(col("partition"))
+      else df.repartition(col("partition"),
+        pmod(xxhash64(col("id")), lit(salts)))
+    parted.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("partition").parquet(dest)
   }
 
   /** Compact a FLAT store (SQ8, BinaryQuant — no cell column): rewrite

@@ -1514,19 +1514,39 @@ object Dedup {
     val sigSize = maxDist * q + 1
     val base = df.select(col(idCol).cast("long").as("id"),
       checkedStr(col(strCol), q, maxDist, validate).as("s"))
-    val grams = base.select(col("id"), posexplode(expr(
+    def gramsOf(b: DataFrame): DataFrame =
+      b.select(col("id"), posexplode(expr(
         s"transform(sequence(1, greatest(length(s) - ${q - 1}, 0)), " +
           s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
-      .withColumn("bk", expr(s"pos div ${maxDist + 1}"))
+        .withColumn("bk", expr(s"pos div ${maxDist + 1}"))
+    val grams = gramsOf(base)
     val dfreq = grams.groupBy("g", "bk").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("g"), col("pos"))
+    // the sig-window exchange width is pinned EXPLICITLY (an explicit
+    // repartition is exempt from AQE partition coalescing): the window +
+    // candidate-probe + verify chain downstream is compute-dense
+    // (row_number ranking, the broadcast-hash probe over the ±1-bucket
+    // explosion, levenshtein verification) but byte-light, so AQE's
+    // size-based coalescing squeezed it onto TWO tasks of a 32-core box
+    // (round-15 profile: a 2.9 s two-task job = the entry's critical
+    // path). Width is data-sized, so at real scale this is exactly the
+    // exchange the window needed anyway. (Round-14/15 negative A/Bs at
+    // this site, kept for the record: fanning the gram scan for all
+    // three consumers 4.3 → 5.8 s; a (g, bk)-checkpointed shared gram
+    // relation 4.3 → 8.5 s — prefix-heavy names skew (g, bk) and the
+    // forced sort-merge join beats nothing; fanning only the ±1-bucket
+    // branch 4.3 → 7.0 s — it is the broadcast BUILD side, so the
+    // exchange bought no parallelism.)
     val sig = grams.join(dfreq, Seq("g", "bk"))
+      .repartition(graft.functions.PlanShape.dataSizedParts(grams),
+        col("id"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= sigSize)
       .select(col("id").as("sig_id"), col("g"), col("bk"))
-    val full = grams.select(col("id").as("full_id"), col("g"),
-      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+    val full = gramsOf(base)
+      .select(col("id").as("full_id"), col("g"),
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
     val cand = sig.join(full, Seq("g", "bk"))
       .where(col("sig_id") =!= col("full_id"))
       .select(least(col("sig_id"), col("full_id")).as("a_id"),
@@ -1608,8 +1628,14 @@ object Dedup {
     val sigSize = maxDist * q + 1
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("g"), col("pos"))
-    val sig = linkageGramsOf(newBase, maxDist, q)
+    val newGrams = linkageGramsOf(newBase, maxDist, q)
+    // explicit width pin on the sig-window exchange — the
+    // editDistancePairs rationale (AQE coalesced the compute-dense
+    // window + probe chain onto two tasks)
+    val sig = newGrams
       .join(masterDfreq, Seq("g", "bk"), "left")
+      .repartition(graft.functions.PlanShape.dataSizedParts(newGrams),
+        col("id"))
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= sigSize)

@@ -698,9 +698,11 @@ object TextAnalysis {
     // fan-out before the window-fingerprint explode (the family's
     // dominant per-row work; single-split sources serialize it).
     // `fanOutInput = false` is for callers that re-derive the state
-    // MANY times from one small source (the incremental merge gate):
-    // there the per-pass fan-out exchange costs more than the serial
-    // explode it parallelizes — measured round 14.
+    // MANY times from one small source without materializing it: there
+    // the per-pass fan-out exchange costs more than the serial explode
+    // it parallelizes — measured round 14. (The incremental merge gate
+    // used this opt-out until round 15, when it switched to deriving
+    // each state once, fanned + localCheckpointed.)
     val docs =
       if (fanOutInput) graft.functions.PlanShape.fanOut(docs0) else docs0
     val toks = split(col(textCol), " ")

@@ -606,7 +606,11 @@ object TrainingData {
     * coverage, never the corpus. */
   def decontaminateSpans(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int): DataFrame = {
-    val covered = windowFingerprints(train, idCol, textCol, n)
+    // fan-out before the positional window-fingerprint explode (the
+    // [[decontaminate]] discipline — round-15 job profile: the explode
+    // ran as ONE 1.8 s task on a single-split source)
+    val covered = windowFingerprints(graft.functions.PlanShape.fanOut(train),
+        idCol, textCol, n)
       .join(benchGramSet(bench, textCol, n), "g")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
@@ -641,7 +645,11 @@ object TrainingData {
                               broadcastMaxElems: Long = 100000000L)
       : DataFrame = {
     val toks = split(col(textCol), " ")
-    val dropIdx = windowFingerprints(train, idCol, textCol, n)
+    // fan-out before the positional explode (the decontaminateSpans
+    // rationale); the strip pass below keeps the un-fanned `train` —
+    // its per-row work is one gap-slice projection, not gram hashing
+    val dropIdx = windowFingerprints(graft.functions.PlanShape.fanOut(train),
+        idCol, textCol, n)
       .join(benchGramSet(bench, textCol, n), "g")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
