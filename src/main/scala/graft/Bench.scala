@@ -82,6 +82,25 @@ object Bench {
           .localCheckpoint()
         val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         val stageRe = """^(\S+) (\d+(?:\.\d+)?) s$""".r
+        // STAGE CANARY (round 15): per named build stage, the Spark
+        // task count and summed task run time. Ambient (neighbor-load)
+        // inflation stretches WALL while task-seconds stay ~constant
+        // for the same work; a real regression moves task-seconds or
+        // task count — the r14 1M materialize-residuals question
+        // (59.5 s driver vs 17.2 s builder, same code) becomes
+        // separable instead of a re-bisect.
+        val doneStages = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Int, Long)]() // (end nanos, tasks, task run ms)
+        val canaryListener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit =
+            doneStages.add((System.nanoTime(), sc.stageInfo.numTasks,
+              sc.stageInfo.taskMetrics.executorRunTime))
+        }
+        val boundaries =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        spark.sparkContext.addSparkListener(canaryListener)
         val t0 = System.nanoTime()
         val (_, enc) = IvfPqBuilder.fit(vecs, "id", "vec", 1536,
           IvfPqConfig(numPartitions = 100, numDivisions = 12, numCodes = 256,
@@ -91,19 +110,39 @@ object Bench {
           s => {
             System.err.println(s"[build-bench n=$n] $s")
             s match {
-              case stageRe(name, sec) => stages(name) = sec.toDouble
+              case stageRe(name, sec) =>
+                stages(name) = sec.toDouble
+                boundaries += ((name, System.nanoTime()))
               case _ => ()
             }
           })
         val tEnc = System.nanoTime()
         enc.count()
         stages("encode-materialize") = (System.nanoTime() - tEnc) / 1e9
+        boundaries += (("encode-materialize", System.nanoTime()))
         val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // listener bus drain
+        spark.sparkContext.removeSparkListener(canaryListener)
+        // bucket completed Spark stages into the named build-stage
+        // windows by completion time
+        val snap = doneStages.toArray(Array.empty[(Long, Int, Long)])
+          .sortBy(_._1)
+        var lo = t0
+        val canary = boundaries.map { case (name, hi) =>
+          val in = snap.filter(s => s._1 > lo && s._1 <= hi)
+          lo = hi
+          name -> ((in.map(_._2.toLong).sum, in.map(_._3).sum / 1e3))
+        }
+        val canaryJson = canary.map { case (k, (tasks, taskSec)) =>
+          s""""$k":{"tasks":$tasks,"task_sec":$taskSec}"""
+        }.mkString("{", ",", "}")
+        val scaleTag = if (n >= 1000000L) s"${n / 1000000}m" else s"${n / 1000}k"
         // checkpoint blocks (this input + the fit's residuals) free via
         // ContextCleaner once unreachable — the suite's per-run
         // System.gc() sweep collects them before the first entry runs
         (sec, stages.map { case (k, v) => s"\"" + k + "\":" + v }
-          .mkString("{", ",", "}"))
+          .mkString("{", ",", "}") +
+          s""","ivfpq_build_${scaleTag}_canary":$canaryJson""")
       }
       val (sec100k, stages100k) = buildAt(100000L)
       val (sec1m, stages1m) = buildAt(1000000L)

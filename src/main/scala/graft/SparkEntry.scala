@@ -3925,7 +3925,10 @@ object SparkEntry {
     // similarity ≈ 1 (each query is its own nearest neighbor up to
     // count-vector ties, which still score 1)
     "embed_hash_knn" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // fan out BEFORE hashEmbed: batchTopKIp fans its streamed side,
+      // but the tokenize+hash+normalize projection sits below that
+      // exchange and ran map-side as ONE 2.5 s task (round-15 profile)
+      val docs = graft.functions.PlanShape.fanOut(Tables.documents(s, dir))
       // norm as its own projection column so the transform lambda reads
       // a scalar — embedding the aggregate inside the lambda would
       // re-evaluate the O(dim) norm per element (O(dim²) per row)
@@ -6858,7 +6861,10 @@ object SparkEntry {
     // the phrase domain. Phrases ride as md5 fingerprints so ordering
     // is engine-agnostic
     "text_ngram_topk" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // fan out before the md5 3-gram explode (the gramRelation
+      // discipline): the explode + partial top-k ran as ONE 2.2 s task
+      // on the single-split source (round-15 profile)
+      val docs = graft.functions.PlanShape.fanOut(Tables.documents(s, dir))
       docs.select(explode(graft.pipeline.TrainingData
           .ngramFingerprints(col("text"), 3)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("n_docs"))

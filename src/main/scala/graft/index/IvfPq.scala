@@ -125,7 +125,7 @@ object IvfPqBuilder {
           base.sample(withReplacement = false,
             sampleCap.toDouble / nRows, config.seed)
         } else base
-      src.select("vec").as[Array[Float]].collect()
+      graft.functions.VecCollect.collectVecs(src.select("vec"))
     }
 
     // --- stage 2: coarse IVF k-means (reference partitions.rs:96-143) ---
@@ -787,13 +787,14 @@ object IvfPqBuilder {
     val k = refresh.size
     val nRegion = refresh.map(histo).sum
     val cap = model.config.trainPointsPerCentroid.toLong * k
-    val trainVecs = (if (model.config.trainPointsPerCentroid > 0 && cap < nRegion) {
+    val trainVecs = graft.functions.VecCollect.collectVecs(
+      (if (model.config.trainPointsPerCentroid > 0 && cap < nRegion) {
         val fracX1e6 = math.max(1L, math.min(1000000L,
           (BigInt(cap) * 1000000 / nRegion).toLong))
         recon.where(pmod(xxhash64(col("id")), lit(1000000L)) < fracX1e6)
       } else recon)
       .orderBy("id")
-      .select("vec").as[Array[Float]].collect()
+      .select("vec"))
     require(trainVecs.length >= k,
       s"rebalance-partial: region sample has ${trainVecs.length} vectors " +
         s"< $k refresh cells — k-means needs n >= k")

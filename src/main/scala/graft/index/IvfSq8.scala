@@ -43,7 +43,7 @@ object IvfSq8 {
       if (cap < nRows)
         base.sample(withReplacement = false, cap.toDouble / nRows, seed)
       else base
-    val train = sample.select("vec").as[Array[Float]].collect()
+    val train = graft.functions.VecCollect.collectVecs(sample.select("vec"))
     require(train.length >= numPartitions,
       s"IVF+SQ8 build: training sample has ${train.length} vectors < " +
         s"numPartitions P=$numPartitions — lower P or ingest more vectors " +

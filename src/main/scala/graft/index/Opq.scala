@@ -119,7 +119,7 @@ object OpqBuilder {
           base.sample(withReplacement = false,
             sampleCap.toDouble / nRows, config.seed)
         else base
-      src.select("vec").as[Array[Float]].collect()
+      graft.functions.VecCollect.collectVecs(src.select("vec"))
     }
 
     val coarseData =

@@ -60,7 +60,7 @@ object Rq {
       if (trainPointsPerCentroid > 0 && cap < nRows)
         errs.sample(withReplacement = false, cap.toDouble / nRows, seed)
       else errs
-    val train = src.as[Array[Float]].collect()
+    val train = graft.functions.VecCollect.collectVecs(src)
     require(train.length >= numCodes2,
       s"RQ refine: error sample has ${train.length} vectors < " +
         s"numCodes2 C2=$numCodes2 — lower C2 or ingest more vectors " +

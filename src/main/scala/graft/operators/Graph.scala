@@ -108,6 +108,11 @@ object Graph {
            scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 100, s"scale too small: $scale")
+    // NOTE (round 15, negative result): two pre-partitioned edge copies
+    // (by src and by dst) were tried to remove the alternating
+    // half-iteration exchanges — under AQE, localCheckpoint does not
+    // preserve physical output partitioning, so both copies re-exchanged
+    // anyway (warm 3.48 → 4.59 s). Reverted.
     val e = edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint()
@@ -199,8 +204,14 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var und = undirected(edges).localCheckpoint()
     for (_ <- 1 to rounds) {
+      // `keep` is NOT checkpointed: its two semi-join uses are identical
+      // subtrees inside the one und-checkpoint action, so the degree
+      // aggregation's exchange computes once and is reused
+      // (ReusedExchange) — dropping the checkpoint removes one
+      // synchronous job per round (round-15: jobs 24 → 15,
+      // 2.0 → 1.3 s warm)
       val keep = degrees(und).where(col("deg") >= k)
-        .select(col("v")).localCheckpoint()
+        .select(col("v"))
       und = und
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")

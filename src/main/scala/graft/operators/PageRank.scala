@@ -60,7 +60,9 @@ object PageRank {
     require(scale >= 100, s"scale too small: $scale")
     val e = edges.select(col("src"), col("dst"))
       .distinct().localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // loop-invariant edge⋈degree fold — the rankKeyed rationale
+    val ed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
     val seed = seeds.select(col("v")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("v"))
@@ -74,7 +76,7 @@ object PageRank {
     var s = nodes.select(col("v"),
       (col("is_seed") * scale).as("s"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
+      val contrib = ed
         .join(s.select(col("v").as("src"), col("s")), "src")
         .select(col("dst").as("v"), expr("s div deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("contrib"))
@@ -99,9 +101,20 @@ object PageRank {
     require(dampX100 >= 0 && dampX100 <= 100,
       s"dampX100 must be in 0..100, got $dampX100")
     require(scale >= 100, s"scale too small: $scale")
+    // NOTE (round 15, negative result): pre-partitioning e/deg/nodes on
+    // their join keys before the checkpoint was tried to remove the
+    // per-iteration src-side exchange — under AQE, localCheckpoint does
+    // NOT preserve physical output partitioning (probed: a groupBy over
+    // a src-repartitioned checkpoint re-exchanges), so the extra
+    // repartitions were pure cost (warm 2.96 → 4.65 s). Reverted.
     val e = edges.select(col("src"), col("dst"))
       .distinct().localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the edge⋈degree join is LOOP-INVARIANT: fold it once into a
+    // (src, dst, deg) relation instead of re-joining deg inside every
+    // iteration — one join + its exchanges per round removed (guide
+    // §1.2: don't recompute what doesn't change)
+    val ed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
@@ -109,7 +122,7 @@ object PageRank {
     val base = scale * (100 - dampX100) / 100
     var s = nodes.withColumn("s", lit(scale))
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
+      val contrib = ed
         .join(s.select(col("v").as("src"), col("s")), "src")
         .select(col("dst").as("v"), expr("s div deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("contrib"))

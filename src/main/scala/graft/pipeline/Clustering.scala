@@ -45,7 +45,7 @@ object Clustering {
       if (trainPointsPerCentroid > 0 && cap < nRows)
         base.sample(withReplacement = false, cap.toDouble / nRows, seed)
       else base
-    val train = src.as[Array[Float]].collect()
+    val train = graft.functions.VecCollect.collectVecs(src)
     require(train.length >= k,
       s"corpus clustering: training sample has ${train.length} vectors " +
         s"< k=$k — lower k or raise trainPointsPerCentroid " +

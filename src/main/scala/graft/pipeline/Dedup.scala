@@ -1365,10 +1365,14 @@ object Dedup {
           s"$maxRows rows (got $n) — use AnnJoin.cosineSelfJoin for the " +
           s"IVF-bucketed scale path, or raise maxRows explicitly")
     }
-    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-      // the nested-loop join's parallelism follows the stream side's
-      // partitioning — never inherit a single-split source layout
-      .repartition(col("id"))
+    val e0 = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // the nested-loop join's parallelism follows the stream side's
+    // partitioning — never inherit a single-split source layout. Width
+    // pinned EXPLICITLY: a keyed repartition without a width is subject
+    // to AQE partition coalescing, which squeezed the O(n²) cosine loop
+    // onto two tasks of a 32-core box (round-15 profile)
+    val e = e0.repartition(graft.functions.PlanShape.dataSizedParts(e0),
+      col("id"))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         cosineF(col("x.v"), col("y.v")).as("cos"))

@@ -87,7 +87,11 @@ object ExactKnn {
   def batchTopK(df: DataFrame, vecCol: String, idCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int): DataFrame = {
-    val pairs = df.join(broadcast(queries))
+    // fan out the streamed side: the per-row work is |queries| distance
+    // kernels, and a single-split source would run the whole pass in
+    // one task (round-15 profile: 1.6-2.6 s one-task jobs on a 32-core
+    // box); identity at data scale
+    val pairs = graft.functions.PlanShape.fanOut(df).join(broadcast(queries))
       .select(col(qidCol), col(idCol).as("id"),
         squaredL2F(col(vecCol), col(qvecCol)).as("sq_dist"))
     pairs.groupBy(col(qidCol))
@@ -106,7 +110,8 @@ object ExactKnn {
   def batchTopKIp(df: DataFrame, vecCol: String, idCol: String,
                   queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int): DataFrame = {
-    val pairs = df.join(broadcast(queries))
+    // fan out the streamed side (the batchTopK rationale)
+    val pairs = graft.functions.PlanShape.fanOut(df).join(broadcast(queries))
       .select(col(qidCol), col(idCol).as("id"),
         dotF(col(vecCol), col(qvecCol)).as("ip"))
     pairs.groupBy(col(qidCol))
@@ -193,7 +198,9 @@ object ExactKnn {
           s"IVF-bucketed path, or raise maxRows explicitly")
     }
     val q = df.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
-    val pairs = df.join(broadcast(q))
+    // fan out the streamed side: n·|q| distance kernels on a
+    // single-split source ran as ONE task (the batchTopK rationale)
+    val pairs = graft.functions.PlanShape.fanOut(df).join(broadcast(q))
       .where(col(idCol) =!= col("__qid"))
       .select(col("__qid"), col(idCol).as("id"),
         squaredL2F(col(vecCol), col("__qvec")).as("sq_dist"))

@@ -255,14 +255,28 @@ object TextSearch {
     require(ctx >= 0, s"ctx must be >= 0, got $ctx")
     val toks = split(col(textCol), " ")
     val m = phrase.size
-    val starts = when(size(toks) >= m,
-      filter(sequence(lit(0), size(toks) - lit(m)), s =>
+    def startsOf(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+        = when(size(tk) >= m,
+      filter(sequence(lit(0), size(tk) - lit(m)), s =>
         phrase.zipWithIndex.map { case (t, i) =>
-          element_at(toks, (s + lit(i + 1)).cast("int")) === lit(t)
+          element_at(tk, (s + lit(i + 1)).cast("int")) === lit(t)
         }.reduce(_ && _))).otherwise(array().cast("array<int>"))
-    docs
-      .select(col(idCol), toks.as("__toks"), starts.as("__starts"))
-      .where(size(col("__starts")) > 0)
+    // fan out: the position-filter projection scans every token of
+    // every document per phrase term — per-row-heavy work a
+    // single-split source would serialize into one task (round-15
+    // profile: a 1.3 s one-task job); identity at data scale. The
+    // match gate rides an EXPLODE (0 rows for a non-matching doc, 1
+    // carrying the position list otherwise) instead of a
+    // where(size > 0): the optimizer pushes a plain filter below the
+    // fan-out repartition and re-evaluates the whole position scan in
+    // the single-split scan task — a generated column cannot be pushed
+    // below its Generate, so the heavy expression stays fanned and
+    // evaluates ONCE.
+    graft.functions.PlanShape.fanOut(docs)
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(filter(array(startsOf(col("__toks"))),
+          a => size(a) > 0)).as("__starts"))
       .select(col(idCol),
         size(col("__starts")).cast("long").as("n_occurrences"),
         element_at(col("__starts"), 1).cast("long").as("first_pos"),
