@@ -479,6 +479,13 @@ object SparkEntry {
     val target = 0.9
     val n = emb.count()
     val maxF = (((n - 1) + (k - 1)) / k).toInt
+    // NOTE (round 15, negative result): materializing the sample/truth/
+    // curve once (localCheckpoints) + fanning the sample race and the
+    // exact-neighbor pass was tried and measured WORSE family-wide
+    // (seven calibrate entries 14.2 → 20.2 s solo at comparable
+    // ambient) — the identical sub-plans already dedupe via AQE stage
+    // reuse within the one action, so the barriers and the per-
+    // re-derivation fan-out exchanges were pure cost. Reverted.
     val queries = graft.query.Calibrate.sampleQueries(emb, "embedding",
       "vec_id", 25)
     val cand = mkCandidates(emb, queries)
@@ -6757,12 +6764,20 @@ object SparkEntry {
       import graft.streaming.StreamingPipeline
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
-      val grams = StreamingPipeline.benchGramState(bench, "text", 8)
-        .localCheckpoint()
-      val reps = StreamingPipeline
+      // the three static-state materializations are independent —
+      // submitted concurrently (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fGrams = Future(StreamingPipeline.benchGramState(bench, "text", 8)
+        .localCheckpoint())
+      val fReps = Future(StreamingPipeline
         .repState(lshPairs90(s, dir).select("a_id", "b_id"))
-        .localCheckpoint()
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        .localCheckpoint())
+      val fMaxId = Future(docs.agg(max(col("doc_id"))).head().getLong(0))
+      val grams = Await.result(fGrams, Duration.Inf)
+      val reps = Await.result(fReps, Duration.Inf)
+      val maxId = Await.result(fMaxId, Duration.Inf)
       val cut = maxId / 4 + 1
       var state = StreamingPipeline.emptyHashState(s)
       val outs = (0L until 4L).map { i =>
@@ -6777,12 +6792,25 @@ object SparkEntry {
         // same rows as the separate keeperViolations + processBatch.
         val (out, ns, viol) = StreamingPipeline.processBatchAudited(
           batch, state, grams, reps)
-        val nViol = viol.count()
+        // the audit count, the new-state checkpoint and the output
+        // checkpoint all derive from the trigger's ONE materialized
+        // quality+hash relation and are mutually independent — submit
+        // the three actions concurrently (guide §2.6: overlap
+        // independent jobs) so a trigger costs the longest of the
+        // three, not their sum; cross-trigger sequencing (state → next
+        // batch) is untouched
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fViol = Future(viol.count())
+        val fNs = Future(ns.localCheckpoint())
+        val fOut = Future(out.localCheckpoint())
+        val nViol = Await.result(fViol, Duration.Inf)
         require(nViol == 0L,
           s"trigger $i: $nViol keeper-stability violations under the " +
             "ascending-id contract")
-        state = ns.localCheckpoint()
-        out.localCheckpoint()
+        state = Await.result(fNs, Duration.Inf)
+        Await.result(fOut, Duration.Inf)
       }
       outs.reduce(_ unionByName _).orderBy("doc_id")
     }),

@@ -184,6 +184,11 @@ object StreamingPipeline {
                           maxStopPct: Long = 60, trainHi: String = "cc",
                           valHi: String = "e6")
       : (DataFrame, DataFrame, DataFrame) = {
+    // NOT fanned out (round-15 negative A/B): per-trigger fan-out
+    // exchanges on the quality+hash pass and the gram explode cost more
+    // scheduling than the ~1 s of per-trigger compute they spread
+    // (10.5 → 16.6 s warm, jobs 100 → 132) — trigger-sized batches are
+    // the micro-batch shape's fixed cost, not a partitioning defect
     val hashed = qualityPass(batch, minTokens, maxStopPct)
       .withColumn("__h", md5(col("text")))
       .localCheckpoint()
